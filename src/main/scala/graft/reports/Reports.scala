@@ -1,0 +1,245 @@
+package graft.reports
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Reporting/aggregation operators — SURVEY §2.5 (A1-A8) and the join shapes
+  * that feed them (§2.4 J1/J6/J7/J9, §2.6 W1/W5).
+  *
+  * Shapes re-created from the reference (cited per query):
+  *  - top customers:  `OrderQueryExtensions.SelectAsTopCustomerReportLine`
+  *    (src/Smartstore.Core/Checkout/Orders/Extensions/OrderQueryExtensions.cs:295-319)
+  *  - bestsellers:    `OrderItemQueryExtensions.SelectAsBestsellersReportLine`
+  *    (OrderItemQueryExtensions.cs:152-174)
+  *  - also-purchased: `OrderItemQueryExtensions.SelectAlsoPurchasedProductIds`
+  *    (OrderItemQueryExtensions.cs:111-144)
+  *  - never-sold:     `OrderQueryExtensions.ApplyNeverSoldProductsFilter`
+  *    (OrderQueryExtensions.cs:249-268)
+  *  - orders-total:   `OrderQueryExtensions.GetOrdersTotalAsync` (:342-347)
+  *  - HAVING export:  `DataExporter.GetEntitiesQuery` (DataExporter.cs:794-814)
+  *  - dashboard:      `DashboardOrdersViewComponent.SetOrderReportData`
+  *    (src/Smartstore.Web/Areas/Admin/Components/DashboardOrdersViewComponent.cs:18-180)
+  *  - facets:         `LinqCatalogSearchService.GetFacetsAsync` (:356-554),
+  *    price thresholds {10,25,50,100,250,500,1000} (:14)
+  *
+  * Scale notes (100 TB): every aggregation here is a single hash-aggregate
+  * shuffle on the group key with map-side partial aggregation; joins against
+  * dimension-sized relations (part, customer) are broadcastable and the fact
+  * side never shuffles for them. Top-k is `orderBy.limit` = per-partition
+  * partial top-k + a single-reducer merge of k rows, not a global sort.
+  */
+object Reports {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** A2+J1+W1+W5: bestsellers — fact-fact equi-join, group, multi-agg, top-k. */
+  def bestsellers(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_partkey"))
+      .agg(
+        sum(dec(col("l_quantity"))).as("total_qty"),
+        sum(dec(col("l_extendedprice"))).as("total_amount"))
+      .orderBy(col("total_qty").desc, col("total_amount").desc, col("l_partkey"))
+      .limit(k)
+  }
+
+  /** A1: top customers by spend with order count. */
+  def topCustomers(s: SparkSession, dir: String, k: Int = 50): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(dec(col("o_totalprice"))).as("total_spent"),
+        count(lit(1)).as("order_cnt"))
+      .orderBy(col("total_spent").desc, col("o_custkey"))
+      .limit(k)
+
+  /** J9+A3: also-purchased — parts co-occurring in orders with a target part.
+    * The semi-join side (orders containing the target) is small → broadcast. */
+  def alsoPurchased(s: SparkSession, dir: String, targetPart: Long = 1L, k: Int = 10): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val withTarget = li.filter(col("l_partkey") === targetPart)
+      .select(col("l_orderkey")).distinct()
+    li.join(broadcast(withTarget), Seq("l_orderkey"))
+      .filter(col("l_partkey") =!= targetPart)
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("total_qty"))
+      .orderBy(col("total_qty").desc, col("l_partkey"))
+      .limit(k)
+  }
+
+  /** J6+A5: never-sold parts — anti-join of the part dimension against the
+    * keys sold via finished orders (J1 inside the anti-join's build side). */
+  def neverSold(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+    val sold = Tables.lineitem(s, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"))
+    Tables.part(s, dir)
+      .join(sold, col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** A4: scalar aggregates over a filtered scan. */
+  def ordersTotal(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .agg(
+        sum(dec(col("o_totalprice"))).as("total_amount"),
+        count(lit(1)).as("order_cnt"),
+        dec(min(col("o_totalprice"))).as("min_price"),
+        dec(max(col("o_totalprice"))).as("max_price"))
+
+  /** A5: count-distinct of sold parts / suppliers. */
+  def soldDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"))
+
+  /** J7+A6: HAVING semi-join — customers whose order sum crosses a threshold,
+    * then joined back to the dimension (dimension side broadcastable). */
+  def bigSpenders(s: SparkSession, dir: String, minSpent: Double = 400000.0): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(dec(col("o_totalprice"))).as("total_spent"),
+        count(lit(1)).as("order_cnt"))
+      .filter(col("total_spent") >= minSpent)
+    Tables.customer(s, dir)
+      .join(perCust, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("total_spent"), col("order_cnt"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** A7: dashboard time-bucket pivot — one scan, month buckets × status
+    * series as conditional aggregates, plus prior-period delta via lag.
+    * (Reference accumulates client-side; here it is a single distributed
+    * aggregation and the pivot columns are map-side partial aggregates.) */
+  def ordersDashboard(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val monthly = o
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(
+        count(lit(1)).as("total_cnt"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("cnt_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("cnt_o"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("cnt_p"),
+        sum(dec(col("o_totalprice"))).as("total_amount"))
+    monthly
+      .withColumn("prev_cnt", lag(col("total_cnt"), 1).over(Window.orderBy(col("month"))))
+      .orderBy(col("month"))
+  }
+
+  /** A8: facet counting — price buckets with the reference's fixed
+    * thresholds, over the part dimension. */
+  val priceBuckets: Seq[Int] = Seq(10, 25, 50, 100, 250, 500, 1000)
+
+  def priceFacet(s: SparkSession, dir: String): DataFrame = {
+    val p = col("p_retailprice")
+    val bucket = priceBuckets.foldLeft(when(lit(false), "")) { (acc, t) =>
+      acc.when(p < t, f"<$t%04d")
+    }.otherwise(">=1000")
+    Tables.part(s, dir)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("bucket"))
+  }
+
+  /** A8: dimensional facet — per-segment customer counts with account stats. */
+  def segmentFacet(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec(col("c_acctbal"))).as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+
+  private def bucketSql: String = {
+    val whens = priceBuckets.map(t => f"WHEN p_retailprice < $t THEN '<$t%04d'").mkString(" ")
+    s"CASE $whens ELSE '>=1000' END"
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("q01_bestsellers", (s, d) => bestsellers(s, d), Some(
+      """SELECT l_partkey,
+        |       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty,
+        |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_amount
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY l_partkey
+        |ORDER BY total_qty DESC, total_amount DESC, l_partkey
+        |LIMIT 100""".stripMargin)),
+    Q("q02_top_customers", (s, d) => topCustomers(s, d), Some(
+      """SELECT o_custkey,
+        |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent,
+        |       COUNT(*) AS order_cnt
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY total_spent DESC, o_custkey
+        |LIMIT 50""".stripMargin)),
+    Q("q03_also_purchased", (s, d) => alsoPurchased(s, d), Some(
+      """SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_partkey = 1)
+        |  AND l_partkey <> 1
+        |GROUP BY l_partkey
+        |ORDER BY total_qty DESC, l_partkey
+        |LIMIT 10""".stripMargin)),
+    Q("q04_never_sold", (s, d) => neverSold(s, d), Some(
+      """SELECT p_partkey, p_name, p_brand
+        |FROM part
+        |WHERE p_partkey NOT IN (
+        |  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |ORDER BY p_partkey""".stripMargin)),
+    Q("q05_orders_total", (s, d) => ordersTotal(s, d), Some(
+      """SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_amount,
+        |       COUNT(*) AS order_cnt,
+        |       CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS min_price,
+        |       CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS max_price
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin)),
+    Q("q06_sold_distinct", (s, d) => soldDistinct(s, d), Some(
+      """SELECT COUNT(DISTINCT l_partkey) AS distinct_parts,
+        |       COUNT(DISTINCT l_suppkey) AS distinct_supps
+        |FROM lineitem""".stripMargin)),
+    Q("q07_big_spenders", (s, d) => bigSpenders(s, d), Some(
+      """SELECT c_custkey, c_name, total_spent, order_cnt
+        |FROM customer
+        |JOIN (SELECT o_custkey,
+        |             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent,
+        |             COUNT(*) AS order_cnt
+        |      FROM orders GROUP BY o_custkey
+        |      HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) >= 400000.0) t
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin)),
+    Q("q08_orders_dashboard", (s, d) => ordersDashboard(s, d), Some(
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        |       COUNT(*) AS total_cnt,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_p,
+        |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_amount,
+        |       LAG(COUNT(*)) OVER (ORDER BY date_trunc('month', o_orderdate)) AS prev_cnt
+        |FROM orders
+        |GROUP BY date_trunc('month', o_orderdate)
+        |ORDER BY month""".stripMargin)),
+    Q("q09_price_facet", (s, d) => priceFacet(s, d), Some(
+      s"""SELECT $bucketSql AS bucket, COUNT(*) AS cnt
+         |FROM part
+         |GROUP BY bucket
+         |ORDER BY bucket""".stripMargin)),
+    Q("q10_segment_facet", (s, d) => segmentFacet(s, d), Some(
+      """SELECT c_mktsegment,
+        |       COUNT(*) AS cnt,
+        |       SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin))
+  )
+}
