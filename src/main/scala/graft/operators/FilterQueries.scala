@@ -1,9 +1,265 @@
 package graft.operators
 
-import graft.Q
+import graft.{Q, Tables}
+import graft.rules.{FilterExpr, FilterParser}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
-/** Filter/join/paging operator queries — SURVEY §2.3/§2.4/§2.6. Filled in
-  * as the operator library lands. */
+/** Filter / join / sort / paging operator queries — SURVEY §2.3 (F2-F10),
+  * §2.4 (J2/J5/J8), §2.6 (W1-W7), §2.7 (date functions). Each exercises the
+  * corresponding library module (RuleOps, FilterExpr, FilterParser,
+  * DomainFilters, Wildcard) end-to-end against the star schema with a
+  * DuckDB oracle.
+  */
 object FilterQueries {
-  val qs: Seq[Q] = Seq()
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** J2: left outer join to aggregated child with null-coalesced measures —
+    * the `DataExporter.GetEntitiesQuery` newsletter⟕customer shape
+    * (DataExporter.cs:818-855). Aggregate-then-join keeps the shuffle on
+    * the small aggregated side; the dimension join is broadcastable. */
+  def customerOrderStats(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("spent"))
+    Tables.customer(s, dir)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(
+        col("c_custkey"), col("c_name"),
+        coalesce(col("cnt"), lit(0L)).as("order_cnt"),
+        coalesce(col("spent"), dec(lit(0))).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** J5: left-semi join — "customers with at least one open order", the
+    * ACL/store-mapping visibility shape (LinqCatalogSearchService.cs:807-843). */
+  def activeCustomers(s: SparkSession, dir: String): DataFrame = {
+    val open = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    Tables.customer(s, dir)
+      .join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** F8: case-insensitive term search OR'd over several columns
+    * (`ApplySearchTerm`, LinqCatalogSearchService.cs:556-600). */
+  def termSearch(s: SparkSession, dir: String, term: String = "red"): DataFrame =
+    DomainFilters.applySubstring(Tables.part(s, dir), term, "p_name", "p_type")
+      .select(col("p_partkey"), col("p_name"), col("p_type"))
+      .orderBy(col("p_partkey"))
+
+  /** F5: string filter-DSL "(>=10 and <=20) or >45" parsed to a predicate
+    * tree and applied to l_quantity, then aggregated. */
+  def dslFilter(s: SparkSession, dir: String): DataFrame = {
+    val node = FilterParser.parse("(>=10 and <=20) or >45", member = "q")
+    val pred = FilterExpr.compile(node, _ => col("l_quantity"))
+    Tables.lineitem(s, dir)
+      .filter(pred)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).as("total_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** F3/F4: rule-operator algebra composed via FilterExpressionGroup. */
+  def ruleFilter(s: SparkSession, dir: String): DataFrame = {
+    import FilterExpr._
+    import RuleOps._
+    val tree = and(
+      Pred("c_mktsegment", In, Seq("BUILDING", "MACHINERY")),
+      Pred("c_acctbal", GreaterThanOrEqualTo, 1000.0),
+      Pred("c_name", Contains, "1"),
+      Group(And, Seq(Pred("c_name", Contains, "99")), negated = true))
+    Tables.customer(s, dir)
+      .filter(compile(tree, col))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** F10: wildcard → LIKE translation. */
+  def wildcardFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(RuleOps(RuleOps.Like, col("p_brand"), "brand#?3"))
+      .select(col("p_partkey"), col("p_brand"))
+      .orderBy(col("p_partkey"))
+
+  /** W3: offset paging (page 5 × 20) over a total order. */
+  def offsetPage(s: SparkSession, dir: String): DataFrame =
+    DomainFilters.applyOffsetPaging(
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+      Seq(col("o_orderdate").desc, col("o_orderkey").asc), pageIndex = 5, pageSize = 20)
+
+  /** W2: dynamic sort by column-name spec with key tiebreaker. */
+  def dynamicSort(s: SparkSession, dir: String): DataFrame =
+    DomainFilters.applyDynamicSort(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+        Seq(("o_totalprice", true)), tiebreak = "o_orderkey")
+      .limit(25)
+
+  /** W6: distinct. */
+  def distinctFlags(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** W7: union + distinct. */
+  def unionNations(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .union(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy(col("nationkey"))
+
+  /** W4: keyset page. */
+  def keysetPage(s: SparkSession, dir: String): DataFrame =
+    DomainFilters.applyKeysetPage(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+        "o_orderkey", lastKey = 1000L, pageSize = 100)
+
+  /** Window ranking (SURVEY §2.6 note): top-3 lineitems per return flag.
+    * Partitioned window — no single-partition WindowExec at scale. */
+  def topPerFlag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("l_returnflag"), col("rn"))
+  }
+
+  /** §2.7 date functions: avg ship delay in days per order priority
+    * (DateDiffDay analog — `DbFunctionsExtensions.cs:18-333`). */
+  def shipDelay(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("delay"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(avg(col("delay")), 4).as("avg_delay_days"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** J8-flavored relevance sort: sort key resolved through a dimension
+    * lookup join (per-category DisplayOrder analog, ApplyOrdering,
+    * LinqCatalogSearchService.cs:853-861). Dimension side broadcast. */
+  def relevanceSort(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+      .orderBy(col("n_name"), col("c_custkey"))
+      .limit(100)
+
+  /** F3 string ops: IsNotEmpty + EndsWith + case-insensitive equality. */
+  def stringOps(s: SparkSession, dir: String): DataFrame = {
+    import RuleOps._
+    Tables.customer(s, dir)
+      .filter(RuleOps(IsNotEmpty, col("c_name"), null) &&
+        RuleOps(EndsWith, col("c_name"), "1") &&
+        RuleOps(IsEqualTo, col("c_mktsegment"), "building"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("q11_customer_order_stats", (s, d) => customerOrderStats(s, d), Some(
+      """SELECT c_custkey, c_name,
+        |       CAST(COALESCE(cnt, 0) AS BIGINT) AS order_cnt,
+        |       COALESCE(spent, CAST(0 AS DECIMAL(18,2))) AS total_spent
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, COUNT(*) AS cnt,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spent
+        |  FROM orders GROUP BY o_custkey) t ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin)),
+    Q("q12_active_customers", (s, d) => activeCustomers(s, d), Some(
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin)),
+    Q("q13_term_search", (s, d) => termSearch(s, d), Some(
+      """SELECT p_partkey, p_name, p_type
+        |FROM part
+        |WHERE lower(p_name) LIKE '%red%' OR lower(p_type) LIKE '%red%'
+        |ORDER BY p_partkey""".stripMargin)),
+    Q("q14_filter_dsl", (s, d) => dslFilter(s, d), Some(
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        |FROM lineitem
+        |WHERE (l_quantity >= 10 AND l_quantity <= 20) OR l_quantity > 45
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
+    Q("q15_rule_filter", (s, d) => ruleFilter(s, d), Some(
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE lower(c_mktsegment) IN ('building', 'machinery')
+        |  AND c_acctbal >= 1000.0
+        |  AND lower(c_name) LIKE '%1%'
+        |  AND NOT (lower(c_name) LIKE '%99%')
+        |ORDER BY c_custkey""".stripMargin)),
+    Q("q16_wildcard", (s, d) => wildcardFilter(s, d), Some(
+      """SELECT p_partkey, p_brand
+        |FROM part
+        |WHERE lower(p_brand) LIKE 'brand#_3'
+        |ORDER BY p_partkey""".stripMargin)),
+    Q("q17_offset_page", (s, d) => offsetPage(s, d), Some(
+      """SELECT o_orderkey, o_orderdate, o_totalprice
+        |FROM orders
+        |ORDER BY o_orderdate DESC, o_orderkey
+        |LIMIT 20 OFFSET 100""".stripMargin)),
+    Q("q18_dynamic_sort", (s, d) => dynamicSort(s, d), Some(
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 25""".stripMargin)),
+    Q("q19_distinct_flags", (s, d) => distinctFlags(s, d), Some(
+      """SELECT DISTINCT l_returnflag, l_linestatus
+        |FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    Q("q20_union_nations", (s, d) => unionNations(s, d), Some(
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin)),
+    Q("q21_keyset_page", (s, d) => keysetPage(s, d), Some(
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey > 1000
+        |ORDER BY o_orderkey
+        |LIMIT 100""".stripMargin)),
+    Q("q22_top_per_flag", (s, d) => topPerFlag(s, d), Some(
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem) t
+        |WHERE rn <= 3
+        |ORDER BY l_returnflag, rn""".stripMargin)),
+    Q("q23_ship_delay", (s, d) => shipDelay(s, d), Some(
+      """SELECT o_orderpriority,
+        |       round(AVG(datediff('day', o_orderdate, l_shipdate)), 4) AS avg_delay_days,
+        |       COUNT(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)),
+    Q("q24_relevance_sort", (s, d) => relevanceSort(s, d), Some(
+      """SELECT c_custkey, c_name, n_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY n_name, c_custkey
+        |LIMIT 100""".stripMargin)),
+    Q("q25_string_ops", (s, d) => stringOps(s, d), Some(
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE c_name IS NOT NULL AND length(trim(c_name)) > 0
+        |  AND lower(c_name) LIKE '%1'
+        |  AND lower(c_mktsegment) = 'building'
+        |ORDER BY c_custkey""".stripMargin))
+  )
 }

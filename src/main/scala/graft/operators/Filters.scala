@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Composable `ApplyXxxFilter`-style WHERE builders (SURVEY §2.3 F2) — the
+  * reference exposes ~70 of these as IQueryable extensions (e.g.
+  * `OrderQueryExtensions.ApplyStandardFilter/ApplyStatusFilter/
+  * ApplyPaymentFilter/ApplyBillingFilter`, OrderQueryExtensions.cs:110-241;
+  * `CustomerQueryExtensions.cs:44-246`). Each conditionally ANDs a predicate
+  * onto the frame; all remain declarative, so Catalyst pushes the whole
+  * conjunction into the parquet scan.
+  *
+  * Also carries the sort/paging surface (SURVEY §2.6): multi-key sort (W1),
+  * dynamic sort-by-name (W2 — `GridCommandQueryExtensions.ApplyGridCommand`,
+  * GridCommandQueryExtensions.cs:24-66), offset paging (W3), keyset paging
+  * (W4 — `FastPager.cs:7-126`, kept as a segment-iteration contract; at
+  * scale the partition-parallel scan replaces it), top-k (W5).
+  */
+object DomainFilters {
+
+  /** IN-list filter; no-op when the list is empty (the reference adds the
+    * predicate only when the parameter is set). */
+  def applyInFilter(df: DataFrame, column: String, values: Seq[Any]): DataFrame =
+    if (values.isEmpty) df else df.filter(col(column).isin(values: _*))
+
+  /** Inclusive date/time range; each bound optional. */
+  def applyDateRange(df: DataFrame, column: String,
+      from: Option[Timestamp], to: Option[Timestamp]): DataFrame = {
+    val f1 = from.map(t => df(column) >= lit(t))
+    val f2 = to.map(t => df(column) <= lit(t))
+    Seq(f1, f2).flatten.foldLeft(df)(_ filter _)
+  }
+
+  /** Numeric range; each bound optional. */
+  def applyRange(df: DataFrame, column: String,
+      min: Option[Double], max: Option[Double]): DataFrame = {
+    val f1 = min.map(v => df(column) >= v)
+    val f2 = max.map(v => df(column) <= v)
+    Seq(f1, f2).flatten.foldLeft(df)(_ filter _)
+  }
+
+  /** Case-insensitive substring filter over one or more columns, OR'd —
+    * the `ApplyBillingFilter` shape (substring on names,
+    * OrderQueryExtensions.cs:199-225). */
+  def applySubstring(df: DataFrame, term: String, columns: String*): DataFrame =
+    if (term == null || term.isEmpty) df
+    else df.filter(columns.map(c => lower(col(c)).contains(term.toLowerCase))
+      .reduce(_ || _))
+
+  /** W1/W2: dynamic multi-key sort from (name, descending) specs with a
+    * deterministic key fallback — `ApplyGridCommand` appends OrderBy(Id)
+    * before paging. */
+  def applyDynamicSort(df: DataFrame, specs: Seq[(String, Boolean)],
+      tiebreak: String): DataFrame = {
+    val cols = specs.map { case (n, desc) => if (desc) col(n).desc else col(n).asc } :+
+      col(tiebreak).asc
+    df.orderBy(cols: _*)
+  }
+
+  /** W3: offset paging over a total order — `PagedListExtensions.ApplyPaging`.
+    * On a cluster this is a global sort + limit; only sane for report-sized
+    * outputs (the reference pages UI grids the same way). */
+  def applyOffsetPaging(df: DataFrame, sort: Seq[Column], pageIndex: Int,
+      pageSize: Int): DataFrame =
+    df.orderBy(sort: _*).offset(pageIndex * pageSize).limit(pageSize)
+
+  /** W4: keyset (seek) page — `WHERE key > last ORDER BY key LIMIT n`
+    * (`FastPager`, `DataExporter.ApplyPaging`). Pushdown-friendly: the
+    * key predicate reaches the parquet scan. */
+  def applyKeysetPage(df: DataFrame, keyColumn: String, lastKey: Long,
+      pageSize: Int): DataFrame =
+    df.filter(col(keyColumn) > lastKey).orderBy(col(keyColumn)).limit(pageSize)
+}
