@@ -27,7 +27,19 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = table(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame = table(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame = table(s, dir, "lineitem")
-  def events(s: SparkSession, dir: String): DataFrame = table(s, dir, "events")
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark cannot represent
+    * natively (micros only). Sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true`; here the nanos long is
+    * converted to a micros timestamp (the generator writes micro-aligned
+    * values, so no precision is lost). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = table(s, dir, "events")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+    else raw
+  }
   def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
 }

@@ -1,8 +1,95 @@
 package graft.etl
 
-import graft.Q
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** ETL load/export operator queries — SURVEY §2.8/§2.9. */
+/** ETL load/export operator queries — SURVEY §2.8/§2.9/§2.2 (K5/K6) —
+  * exercised end-to-end against the star schema with DuckDB oracles. The
+  * upsert input is derived deterministically from the customer table so the
+  * oracle can reproduce it in pure SQL.
+  */
 object EtlQueries {
-  val qs: Seq[Q] = Seq()
+
+  /** K5/§2.8: join-based upsert — updates (custkey%10=0: acctbal+100,
+    * segment overwritten) + inserts (custkey%1000=0 re-keyed above the max
+    * surrogate). Runs the real Upsert.resolve/merge machinery. */
+  def upsertCustomers(s: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.customer(s, dir)
+    val updates = snap.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100d)
+      .withColumn("c_mktsegment", lit("UPDATED"))
+    val inserts = snap.filter(col("c_custkey") % 1000 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 1000000L)
+      .withColumn("c_name", concat(col("c_name"), lit(" (new)")))
+    val incoming = updates.unionByName(inserts)
+    Upsert.upsert(snap, incoming,
+        Upsert.Config(surrogate = "c_custkey", keyPriority = Seq("c_custkey")))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** K6: predicate-based bulk delete re-expressed as anti-delete. */
+  def bulkDelete(s: SparkSession, dir: String): DataFrame =
+    Upsert.deleteWhere(Tables.orders(s, dir),
+        col("o_orderstatus") === "F" && col("o_totalprice") < 50000d)
+      .orderBy(col("o_orderkey"))
+
+  /** §2.7 JSON-ish config ingestion: extract the numeric payload from the
+    * events props string and aggregate per type. */
+  def propsExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "\\d+", 0).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("k_sum"))
+      .orderBy(col("event_type"))
+
+  /** §2.9: profile-driven export extract (filter → order → offset/limit →
+    * project) through ExportPipeline. */
+  def exportExtract(s: SparkSession, dir: String): DataFrame =
+    ExportPipeline.extract(Tables.orders(s, dir), ExportPipeline.Profile(
+      filters = Seq(col("o_orderstatus") === "O"),
+      projection = Seq(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      offset = 50,
+      limit = Some(200),
+      orderBy = Seq(col("o_orderkey"))))
+
+  val qs: Seq[Q] = Seq(
+    Q("q26_upsert_customers", (s, d) => upsertCustomers(s, d), Some(
+      """WITH snap AS (SELECT * FROM customer),
+        |upd AS (SELECT c_custkey, c_name, c_nationkey,
+        |               c_acctbal + 100 AS c_acctbal, 'UPDATED' AS c_mktsegment
+        |        FROM customer WHERE c_custkey % 10 = 0),
+        |ins AS (SELECT c_custkey + 1000000 AS src_key, c_name || ' (new)' AS c_name,
+        |               c_nationkey, c_acctbal, c_mktsegment
+        |        FROM customer WHERE c_custkey % 1000 = 0),
+        |ins2 AS (SELECT (SELECT MAX(c_custkey) FROM snap)
+        |                  + ROW_NUMBER() OVER (ORDER BY src_key) AS c_custkey,
+        |                c_name, c_nationkey, c_acctbal, c_mktsegment
+        |         FROM ins)
+        |SELECT * FROM (
+        |  SELECT s.c_custkey,
+        |         COALESCE(u.c_name, s.c_name) AS c_name,
+        |         COALESCE(u.c_nationkey, s.c_nationkey) AS c_nationkey,
+        |         COALESCE(u.c_acctbal, s.c_acctbal) AS c_acctbal,
+        |         COALESCE(u.c_mktsegment, s.c_mktsegment) AS c_mktsegment
+        |  FROM snap s LEFT JOIN upd u ON s.c_custkey = u.c_custkey
+        |  UNION ALL SELECT * FROM ins2) t
+        |ORDER BY c_custkey""".stripMargin)),
+    Q("q27_bulk_delete", (s, d) => bulkDelete(s, d), Some(
+      """SELECT * FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+        |ORDER BY o_orderkey""".stripMargin)),
+    Q("q28_props_extract", (s, d) => propsExtract(s, d), Some(
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(regexp_extract(props, '\d+') AS BIGINT)) AS BIGINT) AS k_sum
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)),
+    Q("q29_export_extract", (s, d) => exportExtract(s, d), Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderstatus = 'O'
+        |ORDER BY o_orderkey
+        |LIMIT 200 OFFSET 50""".stripMargin))
+  )
 }

@@ -1,0 +1,148 @@
+package graft.etl
+
+import graft.functions.Conversions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join-based upsert loader (SURVEY §2.8 — `DataImporter.ImportAsync`,
+  * DataImporter.cs:55-180; key resolution:
+  * `ProductImporter.InternalProcessProductsAsync`, ProductImporter.cs:253-318).
+  *
+  * The reference resolves upsert keys row-by-row, trying key fields in
+  * configured priority order (Id → Sku → Gtin → Mpn → Name), first match by
+  * (DisplayOrder, Id). Re-expressed set-based for scale:
+  *
+  *  1. dedup the incoming batch per key (last occurrence wins — the
+  *     row-at-a-time loop's net effect for repeated keys in one file);
+  *  2. for each key field in priority order, left-join the still-unresolved
+  *     incoming rows to a (key → surrogate) index deduped to the first
+  *     match by the tiebreak order;
+  *  3. full-outer join resolved incoming against the snapshot on the
+  *     surrogate; per column apply [IGNORE]/[NULL]/default semantics
+  *     (defaults only for new rows — `ImportRow.cs:124-234`);
+  *  4. `updateOnly` drops unresolved rows (`ImportProfile.UpdateOnly`);
+  *     inserts require the configured name field
+  *     (`ProductImporter.cs:301-318`).
+  *
+  * Scale notes: each resolution pass is one equi-join keyed on the key
+  * field; the snapshot-side key index is pre-projected to 2 columns so the
+  * shuffle moves only (key, surrogate). At 100 TB the snapshot join is the
+  * dominant shuffle and partitions by surrogate — the same key the final
+  * merge uses, so AQE reuses the exchange.
+  */
+object Upsert {
+
+  final case class Config(
+      surrogate: String,
+      /** Key fields tried in priority order. */
+      keyPriority: Seq[String],
+      /** Deterministic first-match tiebreak for non-unique keys. */
+      tiebreak: Seq[String] = Seq.empty,
+      updateOnly: Boolean = false,
+      /** Column required for inserting new rows (reference: Name). */
+      requiredForInsert: Option[String] = None,
+      /** New-row-only defaults. */
+      defaults: Map[String, Any] = Map.empty)
+
+  val ResolvedCol = "__resolved_id"
+  val IsNewCol = "__is_new"
+
+  /** Step 1+2: attach the resolved snapshot surrogate to each incoming row
+    * (null where no key matched ⇒ insert candidate). */
+  def resolve(snapshot: DataFrame, incoming: DataFrame, cfg: Config): DataFrame = {
+    val tb = (cfg.tiebreak :+ cfg.surrogate).map(col)
+    var acc: DataFrame = null
+    var unresolved = incoming
+    for (key <- cfg.keyPriority if unresolved != null) {
+      if (incoming.columns.contains(key)) {
+        // snapshot key index: first match by tiebreak order per key value
+        val indexCols = (Seq(key, cfg.surrogate) ++ cfg.tiebreak).distinct.map(col)
+        val index = snapshot
+          .filter(col(key).isNotNull)
+          .select(indexCols: _*)
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col(key)).orderBy(tb: _*)))
+          .filter(col("__rn") === 1)
+          .select(col(key).as("__k"), col(cfg.surrogate).as(ResolvedCol))
+        val joined = unresolved.join(index,
+          unresolved(key).isNotNull && unresolved(key) === col("__k"), "left")
+          .drop("__k")
+        val hit = joined.filter(col(ResolvedCol).isNotNull)
+        acc = if (acc == null) hit else acc.unionByName(hit)
+        unresolved = joined.filter(col(ResolvedCol).isNull).drop(ResolvedCol)
+      }
+    }
+    val misses = unresolved.withColumn(ResolvedCol, lit(null).cast("long"))
+    val all = if (acc == null) misses else acc.unionByName(misses)
+    all.withColumn(IsNewCol, col(ResolvedCol).isNull)
+  }
+
+  /** Step 3+4: merge resolved incoming rows into the snapshot. Incoming
+    * columns are the staging (string) shape or typed; value columns present
+    * in both frames are merged with [IGNORE]/[NULL]/default semantics. */
+  def merge(snapshot: DataFrame, resolved0: DataFrame, cfg: Config): DataFrame = {
+    var resolved = resolved0
+    if (cfg.updateOnly) resolved = resolved.filter(!col(IsNewCol))
+    cfg.requiredForInsert.foreach { req =>
+      resolved = resolved.filter(!col(IsNewCol) || col(req).isNotNull)
+    }
+    // assign surrogates to inserts: max(snapshot) + dense id. A cluster-safe
+    // variant would reserve id ranges per partition; for the segment sizes
+    // the reference imports (100-row batches) this window is fine.
+    val maxId = Option(snapshot.agg(max(col(cfg.surrogate))).head.get(0))
+      .map(_.toString.toLong).getOrElse(0L)
+    val wNew = Window.orderBy(cfg.keyPriority.filter(resolved.columns.contains)
+      .map(col) :+ monotonically_increasing_id(): _*)
+    // new surrogates are dense above the snapshot max, numbered over the
+    // insert set only (the update rows must not shift the sequence)
+    val newRows = resolved.filter(col(IsNewCol))
+      .withColumn("__key", lit(maxId) + row_number().over(wNew))
+    val oldRows = resolved.filter(!col(IsNewCol))
+      .withColumn("__key", col(ResolvedCol))
+    resolved = oldRows.unionByName(newRows)
+
+    val dataCols = snapshot.columns.filterNot(_ == cfg.surrogate)
+    val inc = resolved.alias("i")
+    val snap = snapshot.alias("s")
+    val joined = snap.join(inc, col(s"s.${cfg.surrogate}") === col("i.__key"), "full_outer")
+    val isNew = col(s"s.${cfg.surrogate}").isNull
+    val mergedCols = dataCols.map { c =>
+      val existing = col(s"s.$c")
+      if (resolved.columns.contains(c)) {
+        val incoming = col(s"i.$c")
+        val default = cfg.defaults.get(c).map(lit).getOrElse(lit(null))
+        // [NULL]/[IGNORE] markers live only in string staging columns;
+        // typed incoming columns merge without marker probes (ANSI mode
+        // would reject comparing e.g. a bigint to "[IGNORE]")
+        val merged =
+          if (resolved.schema(c).dataType == org.apache.spark.sql.types.StringType)
+            Conversions.mergeCell(incoming, existing, default, isNew)
+          else
+            when(incoming.isNotNull, incoming)
+              .when(isNew, default).otherwise(existing)
+        merged.cast(snapshot.schema(c).dataType).as(c)
+      } else {
+        // column absent from the incoming batch: new rows still get the
+        // configured default (ImportRow.SetProperty default semantics)
+        val default = cfg.defaults.get(c).map(lit).getOrElse(lit(null))
+        when(isNew, default).otherwise(existing)
+          .cast(snapshot.schema(c).dataType).as(c)
+      }
+    }
+    joined.select(
+      coalesce(col(s"s.${cfg.surrogate}"), col("i.__key"))
+        .cast(snapshot.schema(cfg.surrogate).dataType).as(cfg.surrogate) +:
+      mergedCols: _*)
+  }
+
+  def upsert(snapshot: DataFrame, incoming: DataFrame, cfg: Config): DataFrame =
+    merge(snapshot, resolve(snapshot, incoming, cfg), cfg)
+
+  /** K6 bulk delete as anti-delete (SURVEY §2.2 — `DbSetExtensions
+    * .DeleteAll`, DbSetExtensions.cs:294-343): keep every row the predicate
+    * does not match — including null-valued predicates (a bare `!pred`
+    * would silently drop those under SQL three-valued logic). */
+  def deleteWhere(df: DataFrame, pred: Column): DataFrame =
+    df.filter(!coalesce(pred, lit(false)))
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.etl.Upsert
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Upsert-loader semantics (SURVEY §2.8, §7.4 risk 1/3) — key-priority
+  * resolution with deterministic first-match, [NULL]/[IGNORE] markers,
+  * new-row-only defaults, update-only mode — property-tested against the
+  * reference's row-at-a-time contract on small frames. */
+class UpsertSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // snapshot: products with id, sku, name, display_order
+  private def snapshot = Seq(
+    (1L, "A-1", "Alpha", 2),
+    (2L, "A-1", "AlphaDup", 1),   // duplicate sku; first match = lower (display_order, id)
+    (3L, "B-2", "Beta", 1),
+    (4L, null.asInstanceOf[String], "NoSku", 1)
+  ).toDF("id", "sku", "name", "display_order")
+
+  private val cfg = Upsert.Config(
+    surrogate = "id",
+    keyPriority = Seq("id", "sku", "name"),
+    tiebreak = Seq("display_order"),
+    requiredForInsert = Some("name"))
+
+  test("key priority: id beats sku beats name; first match by (display_order, id)") {
+    val incoming = Seq[(java.lang.Long, String, String)](
+      (3L, null, "renamed-by-id"),
+      (null, "A-1", "renamed-by-sku"),
+      (null, null, "Beta")
+    ).toDF("id", "sku", "name")
+    val resolved = Upsert.resolve(snapshot, incoming, cfg)
+      .select(col("name"), col(Upsert.ResolvedCol)).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(resolved("renamed-by-id") == 3L)
+    assert(resolved("renamed-by-sku") == 2L)  // display_order 1 beats id 1's 2
+    assert(resolved("Beta") == 3L)            // fell through sku → matched by name
+  }
+
+  test("insert gets surrogate above max; updateOnly drops inserts; name required") {
+    val incoming = Seq(
+      ("C-3", "Gamma"),
+      ("D-4", null.asInstanceOf[String])     // no name → cannot insert
+    ).toDF("sku", "name")
+    val merged = Upsert.upsert(snapshot, incoming, cfg)
+    val names = merged.select("id", "name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(names(5L) == "Gamma")             // max(4) + 1
+    assert(merged.count() == 5)              // D-4 skipped (no name)
+    val updOnly = Upsert.upsert(snapshot, incoming, cfg.copy(updateOnly = true))
+    assert(updOnly.count() == 4)
+  }
+
+  test("[NULL] forces null, [IGNORE] keeps existing, defaults only for new rows") {
+    val incoming = Seq[(java.lang.Long, String, String)](
+      (1L, "[NULL]", "[IGNORE]"),
+      (null, "E-5", "Epsilon")
+    ).toDF("id", "sku", "name")
+    val cfg2 = cfg.copy(defaults = Map("display_order" -> 99))
+    val merged = Upsert.upsert(snapshot, incoming, cfg2)
+    val rows = merged.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).isNullAt(1))                       // [NULL] → null sku
+    assert(rows(1L).getString(2) == "Alpha")           // [IGNORE] → kept name
+    assert(rows(1L).getInt(3) == 2)                    // existing default kept
+    assert(rows(5L).getString(2) == "Epsilon")
+    assert(rows(5L).getInt(3) == 99)                   // new-row default applied
+  }
+
+  test("deleteWhere keeps non-matching rows") {
+    val out = Upsert.deleteWhere(snapshot, col("sku") === "A-1")
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+  }
+}
