@@ -27,6 +27,7 @@ object Registry {
       operators.FilterQueries.qs ++
       etl.EtlQueries.qs ++
       text.TextQueries.qs ++
+      streaming.EventQueries.qs ++
       similarity.SimilarityQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

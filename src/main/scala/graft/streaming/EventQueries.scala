@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event analytics over the events table — the batch expression of the
+  * streaming operators (SURVEY §2.10: the reference is batch-only; our
+  * Structured Streaming wrapper in EventStreams reuses these shapes).
+  */
+object EventQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** Daily × event-type bucketed aggregation — the A7 dashboard shape over
+    * the event stream. One hash-aggregate shuffle on (day, type). */
+  def dailyByType(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("total_value"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** Gap-based sessionization (30-min inactivity): per-user lag window →
+    * session-start flags → counts. Window partitioned by user, so it
+    * scales horizontally (no global window). */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("gap_ms", unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("new_s", when(col("gap_ms") > 1800000L, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg((sum(col("new_s")) + 1).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("q38_events_daily", (s, d) => dailyByType(s, d), Some(
+      """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS cnt,
+        |       SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events
+        |GROUP BY date_trunc('day', ts), event_type
+        |ORDER BY day, event_type""".stripMargin)),
+    Q("q39_sessionize", (s, d) => sessionize(s, d), Some(
+      """SELECT user_id,
+        |       CAST(SUM(new_s) + 1 AS BIGINT) AS n_sessions,
+        |       COUNT(*) AS n_events
+        |FROM (SELECT user_id,
+        |             CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
+        |                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+        |                  THEN 1 ELSE 0 END AS new_s
+        |      FROM events) t
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin))
+  )
+}

@@ -1,0 +1,134 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines: exact (hash
+  * group-by), MinHash+LSH banding, SimHash, and n-gram Jaccard
+  * verification. Designed scale-first:
+  *
+  *  - exact dedup is one hash-aggregate shuffle on the content hash;
+  *  - MinHash signatures are pure per-row expressions (no shuffle); the
+  *    LSH band self-join shuffles on (band, signature) — candidate pairs
+  *    only, never the full O(n²) cross product;
+  *  - the token-level Jaccard verifier is reserved for candidate pairs /
+  *    small subsets (its token self-join explodes on frequent tokens —
+  *    that blow-up is exactly what LSH avoids at 100 TB).
+  *
+  * All hashes are deterministic (xxhash64 + fixed affine constants), so
+  * results are reproducible across runs and cluster sizes.
+  */
+object Dedup {
+
+  /** Exact dedup groups: content hash → keeper id (min) + group size.
+    * The reference's per-segment dedup keeps the first id
+    * (`DataExporter.cs:630-655`); we keep the minimum id. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(TextFunctions.normalize(col(textCol))).as("text_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Keep only the keeper row per exact-duplicate group. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = exactGroups(df, idCol, textCol)
+      .select(col("keeper_id").as(idCol))
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  // MinHash: k independent affine permutations over token hashes. The
+  // token hash is 32-bit murmur widened to [0, 2^31) and the multipliers
+  // are 31-bit odd constants, so a*h+b < 2^62 — no ANSI-mode overflow.
+  private val P = 2305843009213693951L // 2^61 - 1
+  private def perm(j: Int): (Long, Long) = {
+    val a = ((0x9E3779B9L * (2 * j + 1)) & 0x7FFFFFFFL) | 1L
+    val b = (0xBF58476DL * (j + 1)) & 0x7FFFFFFFL
+    (a, b)
+  }
+  private def h31(t: Column): Column =
+    pmod(hash(t).cast(LongType), lit(1L << 31))
+
+  /** Token n-gram shingles (default 3): distinctive units for MinHash —
+    * unigram bags are far too coarse for near-dup detection (any two docs
+    * over a shared vocabulary look similar). Docs shorter than n shingle
+    * to their whole normalized text. */
+  def shingles(textCol: Column, n: Int = 3): Column = {
+    val toks = TextFunctions.tokens(textCol)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** MinHash signature column: array of k minima over the shingle set. */
+  def minhashSignature(textCol: Column, k: Int = 16, shingleN: Int = 3): Column = {
+    val sh = shingles(textCol, shingleN)
+    val sig = (0 until k).map { j =>
+      val (a, b) = perm(j)
+      array_min(transform(sh, t => pmod(h31(t) * lit(a) + lit(b), lit(P))))
+    }
+    array(sig: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (bands × rowsPerBand = k),
+    * bucket-join on (band index, band hash), emit distinct id pairs with
+    * the estimated Jaccard (signature agreement fraction).
+    *
+    * Shuffles: one explode+hash per row (narrow), one self-join keyed on
+    * the band bucket, one distinct. No cross product. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), k).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(array((0 until bands).map(lit): _*)).as("band"))
+      .withColumn("bucket", xxhash64(col("band"),
+        concat_ws(",", slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))))
+    val a = banded.select(col("id").as("id1"), col("sig").as("sig1"),
+      col("band"), col("bucket"))
+    val b = banded.select(col("id").as("id2"), col("sig").as("sig2"),
+      col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(size(filter(zip_with(col("sig1"), col("sig2"), _ === _), v => v))
+          .cast(DoubleType) / size(col("sig1")), 4).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash over the token multiset: per bit, sum +1/-1 weighted by
+    * token-hash bit; bit set where the sum is positive. Pure expressions —
+    * one pass, no shuffle. */
+  def simhash(textCol: Column, bits: Int = 32): Column = {
+    val toks = TextFunctions.tokens(textCol)
+    val sums = (0 until bits).map { i =>
+      aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(shiftright(xxhash64(t), i).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L))
+    }
+    sums.zipWithIndex.map { case (s, i) =>
+      when(s > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Token-level Jaccard similarity for all pairs within a (small) frame —
+    * the exact verifier. Join keyed on shared tokens; quadratic in docs
+    * sharing a token, so feed it candidates or sampled subsets only. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double): DataFrame = {
+    val t = df.select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
+    val sizes = t.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = t.select(col("id").as("id1"), col("tok"))
+      .join(t.select(col("id").as("id2"), col("tok")), Seq("tok"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(sizes.select(col("id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .withColumn("jaccard", round(col("i").cast(DoubleType) /
+        (col("n1") + col("n2") - col("i")).cast(DoubleType), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis functions for large-scale training-data pipelines:
+  * normalization, tokenization, quality scoring, language-ID heuristics,
+  * and document fingerprinting. All pure Column expressions (codegen'd, no
+  * UDFs) so they vectorize inside whole-stage codegen over 100 TB of text.
+  *
+  * These extend beyond the reference's surface (per BASELINE.json's north
+  * star); the string discipline (lower-casing, trim semantics) matches the
+  * reference's conversion layer (SURVEY §2.7).
+  */
+object TextFunctions {
+
+  /** lower + collapse runs of whitespace + trim — canonical form for
+    * fingerprinting and shingling. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** whitespace tokens of the normalized text; empty text → empty array. */
+  def tokens(c: Column): Column = {
+    val n = normalize(c)
+    when(length(n) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(split(n, " "))
+  }
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Deterministic document fingerprint: md5 of the normalized text (the
+    * rolling-hash analog; md5 keeps it oracle-checkable cross-engine). */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Ratio of punctuation chars to total length, 4 decimals. */
+  def punctRatio(c: Column): Column = {
+    val total = length(c)
+    val punct = total - length(regexp_replace(c, "[.,;:!?]", ""))
+    round(punct.cast(DoubleType) / nullif(total, lit(0)).cast(DoubleType), 4)
+  }
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Fraction of tokens that are stopwords, 4 decimals. */
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    val stops = size(filter(toks, t => t.isin(Stopwords: _*)))
+    round(stops.cast(DoubleType) / nullif(size(toks), lit(0)).cast(DoubleType), 4)
+  }
+
+  /** Mean token length, 4 decimals. */
+  def avgTokenLen(c: Column): Column = {
+    val n = normalize(c)
+    val toks = tokens(c)
+    val chars = length(n) - (size(toks) - lit(1)) // minus separators
+    round(chars.cast(DoubleType) / nullif(size(toks), lit(0)).cast(DoubleType), 4)
+  }
+
+  /** Marker-token sets for the n-gram/stopword language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the"),
+    "de" -> Seq("der", "die", "das"),
+    "fr" -> Seq("le", "la", "les"),
+    "es" -> Seq("el", "los", "las"))
+
+  def langScore(c: Column, markers: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(markers: _*)))
+
+  /** Predicted language: argmax of marker scores with deterministic
+    * first-wins tie-break in LangMarkers order (an explicit CASE chain so
+    * the DuckDB oracle can state the identical logic); all-zero → "und". */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (lang, m) => lang -> langScore(c, m) }
+    val anyHit = scores.map(_._2).reduce(_ + _) > 0
+    // CASE WHEN s_i >= all later scores THEN lang_i (earlier langs already lost)
+    val pred = scores.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, s), i), els) =>
+        val laterScores = scores.drop(i + 1).map(_._2)
+        if (laterScores.isEmpty) els
+        else when(laterScores.map(s >= _).reduce(_ && _), lit(lang)).otherwise(els)
+    }
+    when(anyHit, pred).otherwise(lit("und"))
+  }
+}

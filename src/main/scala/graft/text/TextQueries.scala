@@ -1,8 +1,137 @@
 package graft.text
 
-import graft.Q
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Text-analysis / dedup queries over the documents table. */
+/** Text-analysis / dedup queries over the documents table. The DuckDB
+  * oracles restate the identical deterministic logic (same normalization,
+  * same marker sets, same rounding), so these are value-level checked; the
+  * hash-based operators (minhash/simhash) have no SQL-expressible oracle
+  * and are covered by unit tests + rows-only checks.
+  */
 object TextQueries {
-  val qs: Seq[Q] = Seq()
+
+  private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val toksSql = s"string_split($norm, ' ')"
+
+  /** Exact-dedup groups (hash group-by). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("text_hash"))
+
+  /** Token counting (whitespace tokenizer). */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length/punctuation/stopword/token-shape signals. */
+  def qualityScores(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextFunctions.avgTokenLen(col("text")).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID heuristic vs the labeled lang column. */
+  def langIdPredictions(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("predicted"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprinting (md5 of normalized text). */
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Exact n-gram (token) Jaccard pairs over a deterministic subset —
+    * the verifier path; LSH (q36) is the scale path. */
+  def jaccardSubset(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 25 === 0),
+        "doc_id", "text", minJaccard = 0.3)
+      .orderBy(col("id1"), col("id2"))
+
+  /** MinHash+LSH near-dup candidates (no SQL oracle — hash-based). */
+  def minhashCandidates(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("id1"), col("id2"))
+
+  /** SimHash fingerprints (no SQL oracle — hash-based). */
+  def simhashes(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  private def langScoreSql(markers: Seq[String]): String =
+    s"len(list_filter($toksSql, x -> x IN (${markers.map(m => s"'$m'").mkString(", ")})))"
+
+  private def langCaseSql: String = {
+    val scores = TextFunctions.LangMarkers.map { case (l, m) => l -> langScoreSql(m) }
+    val whens = scores.zipWithIndex.dropRight(1).map { case ((lang, s), i) =>
+      val later = scores.drop(i + 1).map(_._2)
+      s"WHEN ${later.map(l2 => s"$s >= $l2").mkString(" AND ")} THEN '$lang'"
+    }.mkString(" ")
+    val total = scores.map(_._2).mkString(" + ")
+    s"CASE WHEN $total = 0 THEN 'und' $whens ELSE '${scores.last._1}' END"
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("q30_dedup_exact", (s, d) => dedupExact(s, d), Some(
+      s"""SELECT md5($norm) AS text_hash, MIN(doc_id) AS keeper_id,
+         |       COUNT(*) AS dup_cnt
+         |FROM documents
+         |GROUP BY md5($norm)
+         |ORDER BY text_hash""".stripMargin)),
+    Q("q31_token_counts", (s, d) => tokenCounts(s, d), Some(
+      s"""SELECT doc_id,
+         |       CASE WHEN length($norm) = 0 THEN 0
+         |            ELSE CAST(len($toksSql) AS INT) END AS n_tokens
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin)),
+    Q("q32_quality_scores", (s, d) => qualityScores(s, d), Some(
+      s"""SELECT doc_id,
+         |  CASE WHEN length($norm) = 0 THEN 0
+         |       ELSE CAST(len($toksSql) AS INT) END AS n_tokens,
+         |  round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+         |        / CAST(nullif(length(text), 0) AS DOUBLE), 4) AS punct_ratio,
+         |  round(len(list_filter($toksSql,
+         |          x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+         |        / CAST(nullif(len($toksSql), 0) AS DOUBLE), 4) AS stopword_ratio,
+         |  round((length($norm) - (len($toksSql) - 1))
+         |        / CAST(nullif(len($toksSql), 0) AS DOUBLE), 4) AS avg_token_len
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin)),
+    Q("q33_lang_id", (s, d) => langIdPredictions(s, d), Some(
+      s"""SELECT doc_id, lang, $langCaseSql AS predicted
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin)),
+    Q("q34_fingerprints", (s, d) => fingerprints(s, d), Some(
+      s"""SELECT doc_id, md5($norm) AS fp
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin)),
+    Q("q35_jaccard_pairs", (s, d) => jaccardSubset(s, d), Some(
+      s"""WITH d AS (SELECT doc_id, $norm AS nt FROM documents WHERE doc_id % 25 = 0),
+         |t AS (SELECT DISTINCT doc_id AS id, tok
+         |      FROM (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM d) u),
+         |sz AS (SELECT id, COUNT(*) AS n FROM t GROUP BY id),
+         |inter AS (SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
+         |          FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+         |          GROUP BY a.id, b.id)
+         |SELECT id1, id2,
+         |       round(i / CAST(s1.n + s2.n - i AS DOUBLE), 4) AS jaccard
+         |FROM inter
+         |JOIN sz s1 ON id1 = s1.id
+         |JOIN sz s2 ON id2 = s2.id
+         |WHERE round(i / CAST(s1.n + s2.n - i AS DOUBLE), 4) >= 0.3
+         |ORDER BY id1, id2""".stripMargin)),
+    Q("q36_minhash_candidates", (s, d) => minhashCandidates(s, d), None),
+    Q("q37_simhashes", (s, d) => simhashes(s, d), None)
+  )
 }

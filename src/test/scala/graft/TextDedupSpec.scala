@@ -1,0 +1,103 @@
+package graft
+
+import graft.text.{Dedup, TextFunctions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Text-analysis + dedup operator tests. */
+class TextDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog"),
+    (2L, "the  quick   Brown fox jumps over the lazy dog"), // ws/case variant
+    (3L, "a completely different sentence about spark engines"),
+    (4L, ""),
+    (5L, "short one")
+  ).toDF("doc_id", "text")
+
+  test("normalize collapses whitespace and case; tokenCount handles empty") {
+    val r = docs.select(col("doc_id"),
+        TextFunctions.normalize(col("text")).as("n"),
+        TextFunctions.tokenCount(col("text")).as("c"))
+      .collect().map(x => x.getLong(0) -> (x.getString(1), x.getInt(2))).toMap
+    assert(r(1L)._1 == r(2L)._1)
+    assert(r(1L)._2 == 9)
+    assert(r(4L)._2 == 0)
+    assert(r(5L)._2 == 2)
+  }
+
+  test("exact dedup groups whitespace/case variants together") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.count() == 4)
+    val dup = g.filter(col("dup_cnt") === 2).head()
+    assert(dup.getAs[Long]("keeper_id") == 1L)
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("fingerprints equal iff normalized text equal") {
+    val fp = docs.select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("minhash: identical normalized docs get identical signatures; disjoint docs differ") {
+    val sigs = docs.select(col("doc_id"),
+        Dedup.minhashSignature(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs.values.forall(_.size == 16))
+  }
+
+  test("minhash LSH candidates find the near-dup pair") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cands.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+    assert(!cands.exists { case (a, b, _) => (a, b) == (1L, 3L) || (a, b) == (3L, 1L) })
+  }
+
+  test("simhash: identical docs equal; different docs differ") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(3L))
+  }
+
+  test("jaccard pairs: near-dup pair scores 1.0 on distinct-token sets") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("langId picks marker-based argmax with first-wins tie-break") {
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "der hund und die katze das haus"),
+      (3L, "le chat et la souris les amis"),
+      (4L, "el perro los gatos"),
+      (5L, "xyzzy plugh")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und"))
+  }
+
+  test("quality signals on a punctuated doc") {
+    val df = Seq((1L, "Hello, world! This is a test.")).toDF("doc_id", "text")
+    val r = df.select(
+      TextFunctions.punctRatio(col("text")).as("p"),
+      TextFunctions.stopwordRatio(col("text")).as("s"),
+      TextFunctions.avgTokenLen(col("text")).as("a")).head()
+    assert(r.getDouble(0) == round(3.0 / 29, 4))
+    assert(r.getDouble(1) == round(1.0 / 6, 4))
+    assert(r.getDouble(2) > 3.0)
+  }
+
+  private def round(d: Double, n: Int): Double =
+    BigDecimal(d).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+}
