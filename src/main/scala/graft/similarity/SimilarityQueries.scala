@@ -1,8 +1,61 @@
 package graft.similarity
 
-import graft.Q
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Embedding similarity-search queries over the embeddings table. */
 object SimilarityQueries {
-  val qs: Seq[Q] = Seq()
+
+  /** Exact cosine top-10 for query vectors 0/1/2, DuckDB-oracle checked
+    * (list_cosine_similarity over double lists folds in the same element
+    * order, and both sides rank by the 4dp-rounded score). */
+  def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.bruteForceTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** LSH-bucketed ANN for the same queries (no oracle — recall depends on
+    * the hash buckets; exactness is asserted in unit tests instead). */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.lshTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 10, bits = 4)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** Per-label centroid stats: aggregate over the vector column —
+    * dimension-wise mean via zip_with folds (exercises array aggregation
+    * at scale: one shuffle on label). Oracle checks count + mean norm. */
+  def labelStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), Ann.norm(col("embedding")).as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cnt"), round(avg(col("nrm")), 4).as("avg_norm"))
+      .orderBy(col("label"))
+
+  val qs: Seq[Q] = Seq(
+    Q("q40_ann_topk", (s, d) => annTopK(s, d), Some(
+      """SELECT query_id, vec_id, cos, rn FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(q.embedding AS DOUBLE[])), 4) AS cos,
+        |         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                        CAST(q.embedding AS DOUBLE[])), 4) DESC,
+        |           e.vec_id) AS rn
+        |  FROM embeddings e
+        |  JOIN embeddings q ON q.vec_id < 3 AND e.vec_id <> q.vec_id) t
+        |WHERE rn <= 10
+        |ORDER BY query_id, rn""".stripMargin)),
+    Q("q41_ann_lsh", (s, d) => annLsh(s, d), None),
+    Q("q42_label_stats", (s, d) => labelStats(s, d), Some(
+      """SELECT label, COUNT(*) AS cnt,
+        |       round(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                       CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
+        |FROM embeddings
+        |GROUP BY label
+        |ORDER BY label""".stripMargin))
+  )
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.similarity.Ann
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Similarity-search tests: exact cosine math, brute-force ranking, and
+  * LSH bucket behavior (identical vectors share buckets; top hit found). */
+class AnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f)),
+    (4L, Array(1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: orthogonal 0, identical 1, opposite -1") {
+    val got = vecs.filter(col("vec_id") =!= 0)
+      .crossJoin(vecs.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q")))
+      .select(col("vec_id"), round(Ann.cosine(col("embedding"), col("q")), 4).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(4L) == 1.0)
+    assert(got(2L) == 0.0)
+    assert(got(3L) == -1.0)
+    assert(got(1L) > 0.99 && got(1L) < 1.0)
+  }
+
+  test("bruteForceTopK ranks by rounded cosine with id tiebreak, excludes self") {
+    val top = Ann.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(top.toSeq == Seq((4L, 1), (1L, 2), (2L, 3)))
+  }
+
+  test("LSH: identical vectors share a signature; top hit survives bucketing") {
+    val sigs = vecs.select(col("vec_id"), Ann.lshSignature(col("embedding")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(4L))
+    val top = Ann.lshTopK(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3)
+      .collect().map(_.getLong(1))
+    assert(top.contains(4L))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal plumbing + Structured Streaming smoke tests. */
+class MultimodalStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("attachBinary produces payload bytes + metadata matching the text") {
+    val df = Seq((1L, "hello"), (2L, "")).toDF("id", "txt")
+    val media = Multimodal.attachBinary(df, "id", "txt")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val r = media.filter(col("media_id") === 1).head()
+    assert(r.getAs[Array[Byte]]("payload").toSeq == "hello".getBytes("UTF-8").toSeq)
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getAs[Long]("n_bytes") == 5L)
+    assert(meta.getAs[String]("digest") == "5d41402abc4b2a76b9719d911017c592")
+  }
+
+  test("extractFeatures: fixed-dim deterministic features via mapPartitions") {
+    val df = Seq((1L, "abc"), (2L, "abc"), (3L, "xyz")).toDF("id", "txt")
+    val feats = Multimodal.extractFeatures(Multimodal.attachBinary(df, "id", "txt"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(1L).size == Multimodal.FeatureDim)
+    assert(feats(1L) == feats(2L))
+    assert(feats(1L) != feats(3L))
+  }
+
+  test("fakeDecode is the documented histogram projection") {
+    val f = Multimodal.fakeDecode("ab".getBytes("UTF-8"))
+    assert(math.abs(f(0) - 97 / 255.0f) < 1e-6)
+    assert(math.abs(f(1) - 98 / 255.0f) < 1e-6)
+    assert(f.drop(2).forall(_ == 0.0f))
+  }
+
+  test("windowed streaming counts match the batch aggregation") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    Tables.events(spark, TestSpark.sfDir)
+      .write.mode("overwrite").parquet(tmp)
+    val streamed = EventStreams.runToMemory(spark, tmp, "stream_smoke")
+    val batch = Tables.events(spark, TestSpark.sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(streamed.count() == batch.count())
+    val s = streamed.agg(sum("cnt")).head().getLong(0)
+    val b = batch.agg(sum("cnt")).head().getLong(0)
+    assert(s == b)
+  }
+}
