@@ -29,7 +29,8 @@ object Registry {
       text.TextQueries.qs ++
       streaming.EventQueries.qs ++
       similarity.SimilarityQueries.qs ++
-      multimodal.MultimodalQueries.qs
+      multimodal.MultimodalQueries.qs ++
+      dsl.SearchQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,95 @@
+package graft.dsl
+
+import graft.rules.FilterExpr
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative search-query DSL + compiler (SURVEY §3.1) — the Spark
+  * analog of `CatalogSearchQuery` → `LinqCatalogSearchService.SearchAsync`
+  * (`src/Smartstore.Core/Catalog/Search/CatalogSearchQuery.cs:72-470`,
+  * `LinqCatalogSearchService.cs:35-94`): a query value carrying term,
+  * filters, sorts, paging, and facet descriptors, compiled to DataFrames.
+  *
+  * Improvement the reference could not make (SURVEY §3.1 note): the count,
+  * page, and every facet group share ONE cached filtered frame instead of
+  * issuing a fresh store round-trip per sub-query.
+  */
+object Search {
+
+  final case class Sort(field: String, descending: Boolean = false)
+
+  /** Facet descriptor (`FacetDescriptor.cs:17-116`): count rows per value
+    * of a dimension, top maxChoices by count. */
+  final case class Facet(field: String, maxChoices: Int = 20)
+
+  final case class Query(
+      term: Option[String] = None,
+      /** Columns the term searches across (OR'd, case-insensitive). */
+      termFields: Seq[String] = Seq.empty,
+      /** Structured filters (Must semantics; MustNot via negated groups). */
+      filters: Seq[FilterExpr.Node] = Seq.empty,
+      sorts: Seq[Sort] = Seq.empty,
+      pageIndex: Int = 0,
+      pageSize: Int = 50,
+      facets: Seq[Facet] = Seq.empty,
+      /** Deterministic tiebreak / default order (reference defaults to Id —
+        * `ApplyOrdering`, LinqCatalogSearchService.cs:877-887). */
+      idField: String = "id")
+
+  final case class Result(
+      hits: DataFrame,
+      totalHits: Long,
+      pageIndex: Int,
+      facets: Map[String, DataFrame])
+
+  /** Compile the filter surface only (no paging) — the shared frame. */
+  def compileFiltered(df: DataFrame, q: Query): DataFrame = {
+    val termPred: Option[Column] = q.term.map { t =>
+      q.termFields.map(f => lower(col(f)).contains(t.toLowerCase))
+        .reduceOption(_ || _).getOrElse(lit(true))
+    }
+    val structured = q.filters.map(FilterExpr.compile(_, col))
+    (termPred.toSeq ++ structured).foldLeft(df)(_ filter _)
+  }
+
+  private def sortCols(q: Query): Seq[Column] =
+    q.sorts.map(s => if (s.descending) col(s.field).desc else col(s.field).asc) :+
+      col(q.idField).asc
+
+  /** Page of hits with the reference's boundary fix-up: a pageIndex beyond
+    * the result set falls back to the last non-empty page
+    * (LinqCatalogSearchService.cs:51-73). */
+  def run(df: DataFrame, q: Query): Result = {
+    val filtered = compileFiltered(df, q).cache()
+    try {
+      val total = filtered.count()
+      val maxPage = math.max(0, ((total - 1) / math.max(1, q.pageSize)).toInt)
+      val page = math.min(q.pageIndex, maxPage)
+      val hits = filtered.orderBy(sortCols(q): _*)
+        .offset(page * q.pageSize).limit(q.pageSize)
+      // materialize page + facets off the cached frame before unpersisting
+      // (these are report-sized: pageSize and maxChoices rows)
+      val facetFrames = q.facets.map { f =>
+        f.field -> filtered.groupBy(col(f.field).as("value"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("value"))
+          .limit(f.maxChoices)
+          .localCheckpoint(eager = true)
+      }.toMap
+      Result(hits.localCheckpoint(eager = true), total, page, facetFrames)
+    } finally filtered.unpersist(blocking = false)
+  }
+
+  /** One-shot page compile without the count round (for oracle-checkable
+    * deterministic output). */
+  def pageOf(df: DataFrame, q: Query): DataFrame =
+    compileFiltered(df, q).orderBy(sortCols(q): _*)
+      .offset(q.pageIndex * q.pageSize).limit(q.pageSize)
+
+  /** Facet counts off the shared filtered frame. */
+  def facetOf(df: DataFrame, q: Query, facet: Facet): DataFrame =
+    compileFiltered(df, q).groupBy(col(facet.field).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("value"))
+      .limit(facet.maxChoices)
+}

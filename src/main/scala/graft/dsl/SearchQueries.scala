@@ -1,0 +1,111 @@
+package graft.dsl
+
+import graft.{Q, Tables}
+import graft.operators.RuleOps
+import graft.rules.{Descriptors, FilterExpr}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Search-DSL, descriptor, raw-SQL, and flatten-join queries — SURVEY §3.1,
+  * §2.11, §2.1 S6, §2.4 J4. */
+object SearchQueries {
+
+  private def partsQuery = Search.Query(
+    term = Some("red"),
+    termFields = Seq("p_name", "p_type"),
+    filters = Seq(FilterExpr.Pred("p_size", RuleOps.GreaterThanOrEqualTo, 10)),
+    sorts = Seq(Search.Sort("p_retailprice", descending = true)),
+    pageIndex = 1,
+    pageSize = 20,
+    idField = "p_partkey")
+
+  /** §3.1: full search pipeline — term + structured filter + sort + page 2. */
+  def searchPage(s: SparkSession, dir: String): DataFrame =
+    Search.pageOf(Tables.part(s, dir), partsQuery)
+      .select(col("p_partkey"), col("p_name"), col("p_type"),
+        col("p_size"), col("p_retailprice"))
+
+  /** A8 via the DSL: brand facet over the same filtered frame. */
+  def searchFacet(s: SparkSession, dir: String): DataFrame =
+    Search.facetOf(Tables.part(s, dir), partsQuery, Search.Facet("p_brand", 10))
+
+  /** S6: raw-SQL escape hatch — temp view + spark.sql (the analog of
+    * `DataProvider` SQL passthrough). */
+  def rawSql(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |       COUNT(*) AS cnt
+        |FROM graft_lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** J4: M:N navigation flatten via the lineitem bridge, expressed as a
+    * left-semi join (the survey's preferred dedup-free form). */
+  def partsInOpenOrders(s: SparkSession, dir: String): DataFrame = {
+    val openItems = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "O"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"))
+    Tables.part(s, dir)
+      .join(openItems, col("p_partkey") === col("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** §2.11: aggregate-valued rule descriptors as pre-joined columns, then
+    * ordinary rule operators on top. */
+  def descriptorFilter(s: SparkSession, dir: String): DataFrame =
+    Descriptors.withOrderDescriptors(Tables.customer(s, dir), Tables.orders(s, dir))
+      .filter(RuleOps(RuleOps.GreaterThanOrEqualTo, col("completed_order_count"), 3) &&
+        RuleOps(RuleOps.GreaterThanOrEqualTo, col("spent_amount"), 300000))
+      .select(col("c_custkey"), col("order_count"),
+        col("completed_order_count"), col("spent_amount"))
+      .orderBy(col("c_custkey"))
+
+  val qs: Seq[Q] = Seq(
+    Q("q45_search_page", (s, d) => searchPage(s, d), Some(
+      """SELECT p_partkey, p_name, p_type, p_size, p_retailprice
+        |FROM part
+        |WHERE (lower(p_name) LIKE '%red%' OR lower(p_type) LIKE '%red%')
+        |  AND p_size >= 10
+        |ORDER BY p_retailprice DESC, p_partkey
+        |LIMIT 20 OFFSET 20""".stripMargin)),
+    Q("q46_search_facet", (s, d) => searchFacet(s, d), Some(
+      """SELECT p_brand AS value, COUNT(*) AS cnt
+        |FROM part
+        |WHERE (lower(p_name) LIKE '%red%' OR lower(p_type) LIKE '%red%')
+        |  AND p_size >= 10
+        |GROUP BY p_brand
+        |ORDER BY cnt DESC, value
+        |LIMIT 10""".stripMargin)),
+    Q("q47_raw_sql", (s, d) => rawSql(s, d), Some(
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |       COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    Q("q48_parts_open_orders", (s, d) => partsInOpenOrders(s, d), Some(
+      """SELECT p_partkey, p_name
+        |FROM part
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'O' AND l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin)),
+    Q("q49_descriptor_filter", (s, d) => descriptorFilter(s, d), Some(
+      """SELECT c_custkey,
+        |       CAST(COALESCE(oc, 0) AS BIGINT) AS order_count,
+        |       CAST(COALESCE(cc, 0) AS BIGINT) AS completed_order_count,
+        |       COALESCE(sa, CAST(0 AS DECIMAL(18,2))) AS spent_amount
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, COUNT(*) AS oc,
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sa
+        |  FROM orders GROUP BY o_custkey) t ON c_custkey = o_custkey
+        |WHERE COALESCE(cc, 0) >= 3 AND COALESCE(sa, 0) >= 300000
+        |ORDER BY c_custkey""".stripMargin))
+  )
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.dsl.Search
+import graft.operators.RuleOps
+import graft.rules.FilterExpr
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Search-DSL engine tests mirroring the reference's search-service suite
+  * (LinqCatalogSearchServiceTests.cs:26-91): ordering, paging slices,
+  * boundary fix-up, term matching, facets off the shared frame. */
+class SearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 20 products, skus 1..20
+  private def products = (1 to 20).map(i =>
+    (i.toLong, s"Product $i", s"SKU-$i", if (i % 2 == 0) "even" else "odd", i * 10.0))
+    .toDF("id", "name", "sku", "kind", "price")
+
+  test("paging slice: page 3 of size 5 → ids 11-15 (reference slice test)") {
+    val q = Search.Query(sorts = Seq(Search.Sort("id")), pageIndex = 2, pageSize = 5)
+    val r = Search.run(products, q)
+    assert(r.totalHits == 20)
+    assert(r.hits.select("id").as[Long].collect().toSeq == (11L to 15L))
+  }
+
+  test("page boundary fix-up: page index beyond total falls to last page") {
+    val q = Search.Query(sorts = Seq(Search.Sort("id")), pageIndex = 99, pageSize = 6)
+    val r = Search.run(products, q)
+    assert(r.pageIndex == 3)
+    assert(r.hits.select("id").as[Long].collect().toSeq == Seq(19L, 20L))
+  }
+
+  test("term + structured filter + descending sort") {
+    val q = Search.Query(
+      term = Some("product 1"),                   // matches 1, 10..19
+      termFields = Seq("name"),
+      filters = Seq(FilterExpr.Pred("kind", RuleOps.IsEqualTo, "even")),
+      sorts = Seq(Search.Sort("price", descending = true)),
+      pageSize = 3)
+    val r = Search.run(products, q)
+    assert(r.totalHits == 5)                      // evens among {1,10..19}: 10,12,14,16,18
+    assert(r.hits.select("id").as[Long].collect().toSeq == Seq(18L, 16L, 14L))
+  }
+
+  test("facets computed off the same filtered frame") {
+    val q = Search.Query(term = Some("product 1"), termFields = Seq("name"),
+      facets = Seq(Search.Facet("kind")))
+    val r = Search.run(products, q)
+    val f = r.facets("kind").collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(f == Map("odd" -> 6L, "even" -> 5L))   // 1,11,13,15,17,19 / 10,12,14,16,18
+  }
+}
