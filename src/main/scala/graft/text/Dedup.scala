@@ -59,15 +59,13 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
-  /** MinHash signature column: array of k minima over the shingle set. */
-  def minhashSignature(textCol: Column, k: Int = 16, shingleN: Int = 3): Column = {
-    val sh = shingles(textCol, shingleN)
-    val sig = (0 until k).map { j =>
-      val (a, b) = perm(j)
-      array_min(transform(sh, t => pmod(h31(t) * lit(a) + lit(b), lit(P))))
-    }
-    array(sig: _*)
-  }
+  /** MinHash signature column: array of k minima over the shingle-hash
+    * set, computed by the custom primitive-loop Catalyst expression
+    * (graft.functions.MinHashShingleSig) — the higher-order-function
+    * composition is CodegenFallback in Spark and ~100× slower. */
+  def minhashSignature(textCol: Column, k: Int = 16, shingleN: Int = 3): Column =
+    graft.functions.MinHashExpr.minhashOfTokens(
+      TextFunctions.tokens(textCol), k, shingleN)
 
   /** LSH candidate pairs: band the signature (bands × rowsPerBand = k),
     * bucket-join on (band index, band hash), emit distinct id pairs with
@@ -76,10 +74,13 @@ object Dedup {
     * Shuffles: one explode+hash per row (narrow), one self-join keyed on
     * the band bucket, one distinct. No cross product. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+      bands: Int = 4, rowsPerBand: Int = 4, minEstJaccard: Double = 0.0): DataFrame = {
     val k = bands * rowsPerBand
     val sigs = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), k).as("sig"))
+    // both self-join sides re-derive the signatures — one cheap primitive
+    // pass each (at cluster scale, persist the signature frame to storage
+    // between stages instead)
     val banded = sigs.select(col("id"), col("sig"),
         explode(array((0 until bands).map(lit): _*)).as("band"))
       .withColumn("bucket", xxhash64(col("band"),
@@ -93,6 +94,7 @@ object Dedup {
       .select(col("id1"), col("id2"),
         round(size(filter(zip_with(col("sig1"), col("sig2"), _ === _), v => v))
           .cast(DoubleType) / size(col("sig1")), 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard) // prune before the dedup shuffle
       .distinct()
   }
 

@@ -60,7 +60,8 @@ object TextQueries {
 
   /** MinHash+LSH near-dup candidates (no SQL oracle — hash-based). */
   def minhashCandidates(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+    Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text",
+        minEstJaccard = 0.25)
       .orderBy(col("id1"), col("id2"))
 
   /** SimHash fingerprints (no SQL oracle — hash-based). */
