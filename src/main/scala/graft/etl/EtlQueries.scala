@@ -53,7 +53,23 @@ object EtlQueries {
       limit = Some(200),
       orderBy = Seq(col("o_orderkey"))))
 
+  /** §2.8 step 3: numbered segment contract — 100-row segments over the
+    * sorted key with per-segment stats. */
+  def segmentStats(s: SparkSession, dir: String): DataFrame =
+    Segmenter.segmentStats(
+      Segmenter.byPosition(Tables.orders(s, dir).select(col("o_orderkey")),
+        Seq(col("o_orderkey")), segmentSize = 100), "o_orderkey")
+
   val qs: Seq[Q] = Seq(
+    Q("q51_segment_stats", (s, d) => segmentStats(s, d), Some(
+      """SELECT segment_index, COUNT(*) AS cnt,
+        |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM (SELECT o_orderkey,
+        |             CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) / 100.0)
+        |                  AS BIGINT) AS segment_index
+        |      FROM orders) t
+        |GROUP BY segment_index
+        |ORDER BY segment_index""".stripMargin)),
     Q("q26_upsert_customers", (s, d) => upsertCustomers(s, d), Some(
       """WITH snap AS (SELECT * FROM customer),
         |upd AS (SELECT c_custkey, c_name, c_nationkey,

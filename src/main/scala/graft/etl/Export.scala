@@ -47,6 +47,8 @@ object ExportPipeline {
       .option("header", header)
       .option("quoteAll", quoteAll)
       .option("escapeQuotes", true)
+      // reference CsvWriter escapes quotes by DOUBLING (CsvWriter.cs:36-120)
+      .option("escape", "\"")
     recordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toLong))
     w.csv(path)
   }

@@ -168,7 +168,27 @@ object FilterQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** F9: visibility with bypass flag — customers with an odd custkey are
+    * "restricted" and only visible when mapped (here: having any finished
+    * order); even keys bypass the check. */
+  def visibilityFilter(s: SparkSession, dir: String): DataFrame = {
+    val mapping = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    DomainFilters.applyVisibilityFilter(
+        Tables.customer(s, dir), col("c_custkey") % 2 === 1,
+        mapping, "c_custkey", "o_custkey")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q50_visibility", (s, d) => visibilityFilter(s, d), Some(
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_custkey % 2 = 0
+        |   OR EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)),
     Q("q11_customer_order_stats", (s, d) => customerOrderStats(s, d), Some(
       """SELECT c_custkey, c_name,
         |       CAST(COALESCE(cnt, 0) AS BIGINT) AS order_cnt,

@@ -73,4 +73,20 @@ object DomainFilters {
   def applyKeysetPage(df: DataFrame, keyColumn: String, lastKey: Long,
       pageSize: Int): DataFrame =
     df.filter(col(keyColumn) > lastKey).orderBy(col(keyColumn)).limit(pageSize)
+
+  /** F9: ACL/store-mapping visibility filter with bypass flag — the
+    * `!SubjectToAcl || AclRecords.Contains(Id)` shape (`ApplyAclFilter`/
+    * `ApplyStoreFilter`, LinqCatalogSearchService.cs:807-843). Expressed
+    * as the union of the two disjoint branches: unrestricted rows pass
+    * untouched; restricted rows semi-join the mapping table. The mapping
+    * side is a key projection only, so the semi-join shuffles (or
+    * broadcasts) just the keys. */
+  def applyVisibilityFilter(df: DataFrame, restrictedFlag: Column,
+      mapping: DataFrame, dfKey: String, mappingKey: String): DataFrame = {
+    val unrestricted = df.filter(!restrictedFlag)
+    val restrictedHit = df.filter(restrictedFlag)
+      .join(mapping.select(col(mappingKey)),
+        col(dfKey) === col(mappingKey), "left_semi")
+    unrestricted.unionByName(restrictedHit)
+  }
 }

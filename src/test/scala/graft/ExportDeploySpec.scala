@@ -1,0 +1,67 @@
+package graft
+
+import graft.etl.{Deploy, ExportPipeline, Segmenter}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** Export writers, segmenter contract, and driver-side deployment. */
+class ExportDeploySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("CSV writer round-trip with quoting knobs") {
+    val out = tmp("graft-csv") + "/out"
+    val df = Seq((1, "plain"), (2, "with;sep"), (3, "with \"q\"")).toDF("id", "v")
+    ExportPipeline.writeCsv(df, out, delimiter = ";", quoteAll = true)
+    val back = spark.read.option("sep", ";").option("header", true)
+      .option("escape", "\"").csv(out)
+    val got = back.collect().map(r => r.getString(0).toInt -> r.getString(1)).toMap
+    assert(got == Map(1 -> "plain", 2 -> "with;sep", 3 -> "with \"q\""))
+  }
+
+  test("maxRecordsPerFile segments output files (export segment contract)") {
+    val out = tmp("graft-seg") + "/out"
+    ExportPipeline.writeJson(spark.range(250).toDF("id"), out,
+      recordsPerFile = Some(100))
+    val files = Deploy.outputFiles(out).filter(_.toString.endsWith(".json"))
+    assert(files.size >= 3) // 250 rows / 100 per file
+  }
+
+  test("nestChildren groups child rows as array-of-structs") {
+    val parent = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+    val child = Seq((1L, 10.0), (1L, 20.0), (2L, 30.0)).toDF("pid", "amount")
+    val nested = ExportPipeline.nestChildren(parent, child, "id", "pid", "items")
+    val byId = nested.collect().map(r => r.getLong(0) ->
+      Option(r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("items")))).toMap
+    assert(byId(1L).get.map(_.getDouble(0)).sorted == Seq(10.0, 20.0))
+    assert(byId(3L).isEmpty || byId(3L).get.isEmpty)
+  }
+
+  test("segmenter assigns 0-based fixed-size segments with stats") {
+    val seg = Segmenter.byPosition((1 to 250).toDF("k"), Seq(col("k")), 100)
+    val stats = Segmenter.segmentStats(seg, "k").collect()
+    assert(stats.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(stats.map(_.getLong(1)).toSeq == Seq(100L, 100L, 50L))
+    assert(stats.last.getInt(3) == 250)
+  }
+
+  test("folder publisher + zip archive deployment") {
+    val out = tmp("graft-dep") + "/out"
+    ExportPipeline.writeCsv(Seq((1, "x")).toDF("id", "v"), out)
+    val target = tmp("graft-dep-target")
+    new Deploy.FolderPublisher(target).publish(Deploy.outputFiles(out))
+    assert(Deploy.outputFiles(target).nonEmpty)
+    val zip = Deploy.zipOutput(out, tmp("graft-zip") + "/export.zip")
+    assert(Files.size(zip) > 0)
+  }
+
+  test("file name pattern expansion") {
+    assert(Deploy.expandFileName("%profile%-%seq%-%timestamp%.csv",
+      "orders", 7, "20260812") == "orders-0007-20260812.csv")
+  }
+}
