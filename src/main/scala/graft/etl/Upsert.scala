@@ -43,7 +43,13 @@ object Upsert {
       /** Column required for inserting new rows (reference: Name). */
       requiredForInsert: Option[String] = None,
       /** New-row-only defaults. */
-      defaults: Map[String, Any] = Map.empty)
+      defaults: Map[String, Any] = Map.empty,
+      /** Columns defining the incoming batch's order (the reference's
+        * file order). When several incoming rows resolve to the same
+        * entity, the LAST one in this order wins — the net effect of the
+        * reference's sequential row loop. Empty ⇒ arbitrary-but-
+        * deterministic tie-break on the key columns. */
+      incomingOrder: Seq[String] = Seq.empty)
 
   val ResolvedCol = "__resolved_id"
   val IsNewCol = "__is_new"
@@ -101,6 +107,15 @@ object Upsert {
     val oldRows = resolved.filter(!col(IsNewCol))
       .withColumn("__key", col(ResolvedCol))
     resolved = oldRows.unionByName(newRows)
+    // several incoming rows resolving to one entity: last-in-batch-order
+    // wins (the reference's sequential loop applies them in order; with
+    // whole-row updates the net effect is the last row)
+    val orderCols =
+      if (cfg.incomingOrder.nonEmpty) cfg.incomingOrder.map(col(_).desc)
+      else cfg.keyPriority.filter(resolved.columns.contains).map(col(_).desc_nulls_last)
+    val wDedup = Window.partitionBy(col("__key")).orderBy(orderCols: _*)
+    resolved = resolved.withColumn("__dup_rn", row_number().over(wDedup))
+      .filter(col("__dup_rn") === 1).drop("__dup_rn")
 
     val dataCols = snapshot.columns.filterNot(_ == cfg.surrogate)
     val inc = resolved.alias("i")

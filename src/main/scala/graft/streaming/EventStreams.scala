@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming wrapper over the event operators (SURVEY §2.10:
@@ -36,6 +37,60 @@ object EventStreams {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
         col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total_value"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Stateful gap sessionization via flatMapGroupsWithState — the
+    * streaming twin of EventQueries.sessionize. State per user is one
+    * open session (bounded). A session row is emitted whenever a gap
+    * closes it. Production deployments pass
+    * `GroupStateTimeout.ProcessingTimeTimeout` so idle sessions flush;
+    * note that timeout mode makes Spark run continuous empty micro-batches
+    * to evaluate timeouts — use NoTimeout (default) for bounded smoke
+    * runs driven by processAllAvailable. */
+  def sessionizeStream(events: Dataset[SessionEvent],
+      gapMs: Long = 1800000L,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, timeout) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              SessionOut(user, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.last), s.n)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = Vector.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed :+= SessionOut(user, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+                state.setTimeoutDuration(gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
 
   /** Run a windowed-count stream to a named in-memory sink until all
     * currently-available input is processed (local smoke path). */

@@ -37,6 +37,31 @@ class MultimodalStreamSpec extends AnyFunSuite {
     assert(f.drop(2).forall(_ == 0.0f))
   }
 
+  test("stateful streaming sessionization matches the batch lag-window count") {
+    import graft.streaming.EventStreams.{SessionEvent, sessionizeStream}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    Tables.events(spark, TestSpark.sfDir)
+      .select(col("user_id"), col("ts")).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP").parquet(tmp)
+      .as[SessionEvent]
+    val q = sessionizeStream(stream).writeStream
+      .outputMode("append").format("memory").queryName("sess_smoke").start()
+    q.processAllAvailable()
+    q.stop()
+    // closed sessions emitted so far + one open session per user in state
+    // == the batch session count
+    val closed = spark.table("sess_smoke")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.streaming.EventQueries.sessionize(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    batch.foreach { case (user, nSessions) =>
+      assert(closed.getOrElse(user, 0L) + 1 == nSessions,
+        s"user $user: closed=${closed.getOrElse(user, 0L)} batch=$nSessions")
+    }
+  }
+
   test("windowed streaming counts match the batch aggregation") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     Tables.events(spark, TestSpark.sfDir)
