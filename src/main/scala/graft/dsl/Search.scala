@@ -26,8 +26,13 @@ object Search {
       term: Option[String] = None,
       /** Columns the term searches across (OR'd, case-insensitive). */
       termFields: Seq[String] = Seq.empty,
-      /** Structured filters (Must semantics; MustNot via negated groups). */
+      /** Structured filters with Must occurrence (every one holds). */
       filters: Seq[FilterExpr.Node] = Seq.empty,
+      /** Should occurrence (`SearchFilter.cs:117-204`): when non-empty, at
+        * least one must hold — compiled to one OR chain. */
+      shouldFilters: Seq[FilterExpr.Node] = Seq.empty,
+      /** MustNot occurrence: none may hold. */
+      mustNotFilters: Seq[FilterExpr.Node] = Seq.empty,
       sorts: Seq[Sort] = Seq.empty,
       pageIndex: Int = 0,
       pageSize: Int = 50,
@@ -49,7 +54,11 @@ object Search {
         .reduceOption(_ || _).getOrElse(lit(true))
     }
     val structured = q.filters.map(FilterExpr.compile(_, col))
-    (termPred.toSeq ++ structured).foldLeft(df)(_ filter _)
+    val should = q.shouldFilters.map(FilterExpr.compile(_, col))
+      .reduceOption(_ || _)
+    val mustNot = q.mustNotFilters.map(FilterExpr.compile(_, col))
+      .map(p => !coalesce(p, lit(false)))
+    (termPred.toSeq ++ structured ++ should.toSeq ++ mustNot).foldLeft(df)(_ filter _)
   }
 
   private def sortCols(q: Query): Seq[Column] =

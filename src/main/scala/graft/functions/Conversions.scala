@@ -35,23 +35,25 @@ object Conversions {
 
   /** OLE Automation date (Excel serial): days since 1899-12-30 →
     * timestamp via (x - 25569) * 86400 seconds from the Unix epoch
-    * (`DataReaderTests.cs:79`). */
+    * (`DataReaderTests.cs:79`). Malformed input → null (the reference
+    * records a conversion warning, it does not abort — ANSI `cast` would
+    * throw, so every staging conversion here uses `try_cast`). */
   def oaDateToTs(c: Column): Column =
-    timestamp_seconds((c.cast(DoubleType) - 25569d) * 86400d)
+    timestamp_seconds((c.try_cast(DoubleType) - 25569d) * 86400d)
 
   /** Unix epoch seconds → timestamp. */
-  def unixToTs(c: Column): Column = timestamp_seconds(c.cast(LongType))
+  def unixToTs(c: Column): Column = timestamp_seconds(c.try_cast(LongType))
 
-  /** Invariant-culture date, `MM/dd/yyyy`. */
-  def usDate(c: Column): Column = to_timestamp(c, "MM/dd/yyyy")
+  /** Invariant-culture date, `MM/dd/yyyy`; malformed → null. */
+  def usDate(c: Column): Column = try_to_timestamp(c, lit("MM/dd/yyyy"))
 
   /** Culture-aware decimal: accepts `1.234,56` (comma-decimal cultures)
-    * when `commaDecimal`, else invariant `1234.56`. */
+    * when `commaDecimal`, else invariant `1234.56`; malformed → null. */
   def decimalOf(c: Column, commaDecimal: Boolean = false): Column = {
     val normalized =
       if (commaDecimal) regexp_replace(regexp_replace(c, "\\.", ""), ",", ".")
       else c
-    normalized.cast(DoubleType)
+    normalized.try_cast(DoubleType)
   }
 
   /** List cell `"1,2,3,4"` or `"1;2;3;4"` → array<int>
@@ -60,7 +62,7 @@ object Conversions {
     when(c.isNull || length(trim(c)) === 0, lit(null).cast(ArrayType(IntegerType)))
       .otherwise(
         filter(
-          transform(split(c, "[,;]"), s => trim(s).cast(IntegerType)),
+          transform(split(c, "[,;]"), s => trim(s).try_cast(IntegerType)),
           x => x.isNotNull))
 
   /** GUID validation: 36-char canonical form or null. */
@@ -68,8 +70,8 @@ object Conversions {
     when(c.rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
       lower(c)).otherwise(lit(null).cast(StringType))
 
-  /** Int with empty→null. */
-  def intOf(c: Column): Column = nullifyTokens(c).cast(IntegerType)
+  /** Int with empty→null; malformed → null. */
+  def intOf(c: Column): Column = nullifyTokens(c).try_cast(IntegerType)
 
   /** Merge-time cell semantics (`ImportRow.cs:124-234`, SURVEY §2.8 step 6):
     * `[IGNORE]` keeps the existing value; `[NULL]` forces null; a present

@@ -35,7 +35,31 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** A7 hour-of-day pane: one scan, 24 buckets × per-type conditional
+    * counts — the dashboard's hourly pivot over the event stream
+    * (DashboardOrdersViewComponent.cs:18-180 accumulates these panes
+    * client-side; here it is one distributed aggregation). */
+  def hourlyPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(hour(col("ts")).as("hour_of_day"))
+      .agg(
+        count(lit(1)).as("total_cnt"),
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("cnt_click"),
+        sum(when(col("event_type") === "view", 1).otherwise(0)).as("cnt_view"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("cnt_error"),
+        sum(dec(col("value"))).as("total_value"))
+      .orderBy(col("hour_of_day"))
+
   val qs: Seq[Q] = Seq(
+    Q("q52_events_hourly", (s, d) => hourlyPivot(s, d), Some(
+      """SELECT CAST(hour(ts) AS INT) AS hour_of_day, COUNT(*) AS total_cnt,
+        |       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_click,
+        |       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_view,
+        |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_error,
+        |       SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events
+        |GROUP BY hour(ts)
+        |ORDER BY hour_of_day""".stripMargin)),
     Q("q38_events_daily", (s, d) => dailyByType(s, d), Some(
       """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS cnt,
         |       SUM(CAST(value AS DECIMAL(18,2))) AS total_value

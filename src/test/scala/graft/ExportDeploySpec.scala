@@ -60,6 +60,32 @@ class ExportDeploySpec extends AnyFunSuite {
     assert(Files.size(zip) > 0)
   }
 
+  test("provider registry dispatches formats and rejects unknown ones") {
+    import graft.etl.{ExportPipeline => EP, Providers}
+    assert(Providers.names == Seq("csv", "json", "parquet"))
+    val out = tmp("graft-prov") + "/out"
+    Providers.export(Seq((1, "a"), (2, "b")).toDF("id", "v"),
+      EP.Profile(orderBy = Seq(col("id"))), "json", out)
+    assert(spark.read.json(out).count() == 2)
+    intercept[IllegalArgumentException](Providers("xml-unknown"))
+    Providers.register("nullsink", (_, _, _) => ())
+    Providers("nullsink")(Seq((1, "a")).toDF("id", "v"), "/dev/null", None)
+  }
+
+  test("download source: file-URI fetch + distributed binaryFile read") {
+    import graft.etl.Download
+    val src = tmp("graft-dl-src")
+    java.nio.file.Files.writeString(Paths.get(src, "a.bin"), "payload-a")
+    java.nio.file.Files.writeString(Paths.get(src, "b.bin"), "payload-b")
+    val staged = tmp("graft-dl-staged")
+    val res = Download.fetchAll(
+      Seq(s"file://$src/a.bin", s"file://$src/b.bin", "https://x/y.bin"), staged)
+    assert(res.count(_._3) == 2 && !res.last._3)
+    val bin = Download.readBinary(spark, staged)
+    assert(bin.count() == 2)
+    assert(bin.columns.toSet == Set("path", "modificationTime", "length", "content"))
+  }
+
   test("file name pattern expansion") {
     assert(Deploy.expandFileName("%profile%-%seq%-%timestamp%.csv",
       "orders", 7, "20260812") == "orders-0007-20260812.csv")

@@ -43,6 +43,19 @@ class SearchSpec extends AnyFunSuite {
     assert(r.hits.select("id").as[Long].collect().toSeq == Seq(18L, 16L, 14L))
   }
 
+  test("Should/MustNot occurrence (F6): one should must hold, no mustNot may") {
+    import graft.operators.RuleOps._
+    val q = Search.Query(
+      shouldFilters = Seq(
+        FilterExpr.Pred("id", LessThanOrEqualTo, 4),
+        FilterExpr.Pred("id", GreaterThanOrEqualTo, 18)),
+      mustNotFilters = Seq(FilterExpr.Pred("kind", IsEqualTo, "even")),
+      sorts = Seq(Search.Sort("id")))
+    val r = Search.run(products, q)
+    // (id<=4 or id>=18) and not even → 1,3,19
+    assert(r.hits.select("id").as[Long].collect().toSeq == Seq(1L, 3L, 19L))
+  }
+
   test("facets computed off the same filtered frame") {
     val q = Search.Query(term = Some("product 1"), termFields = Seq("name"),
       facets = Seq(Search.Facet("kind")))
