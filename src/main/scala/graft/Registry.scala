@@ -24,6 +24,7 @@ object Registry {
   /** All registered queries, in registration order. */
   def all: Seq[Q] =
     reports.Reports.qs ++
+      reports.Tpch.qs ++
       operators.FilterQueries.qs ++
       etl.EtlQueries.qs ++
       text.TextQueries.qs ++

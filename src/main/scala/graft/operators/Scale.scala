@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: skew-salted joins and bucketed co-located joins — the
+  * knobs a 1000-executor deployment reaches for when AQE's automatic
+  * handling is not enough (SURVEY's scale mandate; the reference has no
+  * analog because the database did its physical planning).
+  */
+object Scale {
+
+  /** Skew-salted equi-join: the left (skewed, large) side gets a random
+    * salt in [0, salts); the right side is replicated across all salt
+    * values; the join key becomes (key, salt), splitting each hot key's
+    * rows across `salts` reducers.
+    *
+    * Use when a handful of keys dominate (AQE skew-join handles sort-merge
+    * splits automatically, but salting also fixes skewed aggregations and
+    * broadcast-ineligible cases). Salt is derived from a hash of the whole
+    * left row id via `rand(seed)`-free arithmetic so re-execution is
+    * deterministic per row. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      salts: Int, seed: Int = 42): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(hash(struct(left.columns.map(col).toSeq: _*), lit(seed)), lit(salts)))
+    val replicated = right
+      .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-level skew-safe aggregation: partial aggregate on (key, salt),
+    * then final aggregate on key. Spark's hash aggregate already does
+    * map-side partials; explicit salting additionally splits a hot key
+    * across reducers in the FIRST shuffle. `partials` are (aggExpr,
+    * mergeExpr, name) triples, e.g. (sum(c), sum, "total"). */
+  def saltedAgg(df: DataFrame, key: String, salts: Int,
+      partials: Seq[(Column, Column => Column, String)], seed: Int = 42): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(struct(df.columns.map(col).toSeq: _*), lit(seed)), lit(salts)))
+    val partial = salted.groupBy(col(key), col("__salt"))
+      .agg(partials.head._1.as(partials.head._3),
+        partials.tail.map(p => p._1.as(p._3)): _*)
+    partial.groupBy(col(key))
+      .agg(partials.head._2(col(partials.head._3)).as(partials.head._3),
+        partials.tail.map(p => p._2(col(p._3)).as(p._3)): _*)
+  }
+
+  /** Write both sides bucketed by the join key so subsequent joins are
+    * co-located (no shuffle): bucketBy requires saveAsTable (bucket
+    * metadata lives in the catalog). Returns the table names. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): String = {
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+    table
+  }
+
+  /** Join two bucketed tables on their bucket key — with matching bucket
+    * counts Spark plans a shuffle-free sort-merge join. */
+  def bucketedJoin(spark: org.apache.spark.sql.SparkSession, leftTable: String,
+      rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+}

@@ -1,0 +1,98 @@
+package graft.reports
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import java.sql.Timestamp
+
+/** Classic TPC-H-shaped analytics over the star schema — the canonical
+  * multi-join/aggregate plans a reference user would run for reporting.
+  * (TPC-H is public-spec; shapes adapted to the driver's synthetic
+  * columns.) These exercise the planner paths that matter at 100 TB:
+  * star joins with broadcast dimensions, fact-fact joins shuffling on the
+  * join key only, pre-join filters reaching every scan, map-side partial
+  * aggregation, and k-row top-k merges.
+  */
+object Tpch {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private def ts(s: String) = lit(Timestamp.valueOf(s))
+
+  /** Q3 shape — shipping-priority: segment-filtered customers ⋈ open
+    * orders ⋈ late-shipped items, revenue top-10. */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < ts("2000-01-01 00:00:00"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > ts("2000-01-01 00:00:00"))
+      .select(col("l_orderkey"),
+        dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev")).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5 shape — local-supplier revenue by nation: 6-table star join where
+    * region/nation broadcast and the customer⋈supplier nation equality is
+    * a residual predicate. */
+  def localSupplierRevenue(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, dir)
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+      dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("q53_shipping_priority", (s, d) => shippingPriority(s, d), Some(
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM customer
+        |              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin)),
+    Q("q54_local_supplier_revenue", (s, d) => localSupplierRevenue(s, d), Some(
+      """SELECT n_name,
+        |       SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin))
+  )
+}

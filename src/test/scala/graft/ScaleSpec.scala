@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Scale
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale utilities: salted joins/aggs preserve results; bucketed joins
+  * plan without a shuffle on the fact side. */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedJoin returns the same rows as a plain join") {
+    val left = (1 to 1000).map(i => (i % 3, i)).toDF("k", "v") // 3 hot keys
+    val right = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).agg(count(lit(1)), sum("v")).head()
+    val salted = Scale.saltedJoin(left, right, "k", salts = 8)
+      .agg(count(lit(1)), sum("v")).head()
+    assert(plain == salted)
+  }
+
+  test("saltedAgg equals direct aggregation") {
+    val df = (1 to 1000).map(i => (i % 3, i.toLong)).toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("total"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Scale.saltedAgg(df, "k", salts = 8, Seq(
+        (sum(col("v")), (c: org.apache.spark.sql.Column) => sum(c), "total"),
+        (count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c), "cnt")))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(direct == salted)
+  }
+
+  test("bucketed join plans without exchange on either side") {
+    spark.sql("DROP TABLE IF EXISTS graft_bl")
+    spark.sql("DROP TABLE IF EXISTS graft_br")
+    // a previously-failed run can leave the managed location behind
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("graft_bl", "graft_br").foreach { t =>
+      val p = java.nio.file.Paths.get(wh, t)
+      if (java.nio.file.Files.exists(p))
+        org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+    }
+    Scale.writeBucketed((1 to 5000).map(i => (i.toLong, i * 2.0)).toDF("k", "a"),
+      "graft_bl", "k", buckets = 8)
+    Scale.writeBucketed((1 to 5000).map(i => (i.toLong, s"n$i")).toDF("k", "b"),
+      "graft_br", "k", buckets = 8)
+    // force the sort-merge path (tiny test tables would broadcast, which
+    // disables bucketing) and assert the bucketed SMJ needs NO shuffle
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Scale.bucketedJoin(spark, "graft_bl", "graft_br", "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") &&
+        !plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed join:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(plan.contains("Bucketed: true"), s"bucketing not used:\n$plan")
+      assert(joined.count() == 5000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+}
