@@ -1,0 +1,75 @@
+package graft.dsl
+
+import graft.operators.RuleOps
+import graft.rules.FilterExpr
+
+/** Query-string → SearchQuery factory (SURVEY §3.1 front door —
+  * `CatalogSearchQueryFactory.CreateFromQueryAsync`,
+  * Modelling/CatalogSearchQueryFactory.cs; alias→field mapping:
+  * CatalogSearchQueryAliasMapper.cs): parses the reference's URL
+  * conventions into a `Search.Query`:
+  *
+  *   q=shoes            term
+  *   i=2 s=50           page index (1-based in URLs) / page size
+  *   o=price-asc        sort: field-direction
+  *   p=10-50            range filter min-max (open ends allowed: "10-", "-50")
+  *   <alias>=v1,v2      IN filter on an aliased field
+  */
+object QueryStringFactory {
+
+  final case class Config(
+      termFields: Seq[String],
+      idField: String = "id",
+      /** URL alias → column name (the alias mapper). */
+      fieldAliases: Map[String, String] = Map.empty,
+      /** alias used for the price/range parameter (reference: "p"). */
+      rangeParam: String = "p",
+      rangeField: String = "price",
+      /** sort alias → column name. */
+      sortAliases: Map[String, String] = Map.empty,
+      defaultPageSize: Int = 50)
+
+  private val Reserved = Set("q", "i", "s", "o")
+
+  def fromParams(params: Map[String, String], cfg: Config): Search.Query = {
+    val term = params.get("q").filter(_.nonEmpty)
+    val pageIndex = params.get("i").flatMap(_.toIntOption).map(i => math.max(0, i - 1))
+      .getOrElse(0)
+    val pageSize = params.get("s").flatMap(_.toIntOption).getOrElse(cfg.defaultPageSize)
+    val sorts = params.get("o").toSeq.flatMap { o =>
+      val (fieldPart, desc) =
+        if (o.endsWith("-desc")) (o.dropRight(5), true)
+        else if (o.endsWith("-asc")) (o.dropRight(4), false)
+        else (o, false)
+      val field = cfg.sortAliases.getOrElse(fieldPart, fieldPart)
+      Seq(Search.Sort(field, desc))
+    }
+    val rangeFilter: Seq[FilterExpr.Node] = params.get(cfg.rangeParam).toSeq.flatMap { p =>
+      val parts = p.split("-", -1)
+      if (parts.length != 2) Seq.empty
+      else {
+        val lo = parts(0).trim match { case "" => None; case v => v.toDoubleOption }
+        val hi = parts(1).trim match { case "" => None; case v => v.toDoubleOption }
+        lo.map(v => FilterExpr.Pred(cfg.rangeField, RuleOps.GreaterThanOrEqualTo, v)).toSeq ++
+          hi.map(v => FilterExpr.Pred(cfg.rangeField, RuleOps.LessThanOrEqualTo, v)).toSeq
+      }
+    }
+    val aliasFilters: Seq[FilterExpr.Node] = params.toSeq
+      .filterNot { case (k, _) => Reserved.contains(k) || k == cfg.rangeParam }
+      .flatMap { case (k, v) =>
+        cfg.fieldAliases.get(k).map { field =>
+          val values = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val coerced: Seq[Any] = values.map(s => s.toLongOption.getOrElse(s): Any)
+          FilterExpr.Pred(field, RuleOps.In, coerced)
+        }
+      }
+    Search.Query(
+      term = term,
+      termFields = cfg.termFields,
+      filters = rangeFilter ++ aliasFilters,
+      sorts = sorts,
+      pageIndex = pageIndex,
+      pageSize = pageSize,
+      idField = cfg.idField)
+  }
+}

@@ -27,6 +27,14 @@ object FilterParser {
   final case class ParseError(msg: String, pos: Int)
       extends RuntimeException(s"$msg at position $pos")
 
+  /** Apply one DSL string across several members, OR-combined — the
+    * reference applies the parsed filter list to N members with a
+    * combinator (`RuleQueryableExtensions.ApplyFilter`, :104-150). */
+  def parseForMembers(input: String,
+      members: Seq[(String, Boolean)]): FilterExpr.Node =
+    FilterExpr.Group(FilterExpr.Or,
+      members.map { case (m, isString) => parse(input, m, isString) })
+
   /** Parse a DSL string into a predicate tree over a single member.
     * `isString` selects the default operator per the reference's rules. */
   def parse(input: String, member: String = "value", isString: Boolean = false): Node = {
