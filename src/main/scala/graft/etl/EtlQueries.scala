@@ -60,7 +60,25 @@ object EtlQueries {
       Segmenter.byPosition(Tables.orders(s, dir).select(col("o_orderkey")),
         Seq(col("o_orderkey")), segmentSize = 100), "o_orderkey")
 
+  /** §2.7 JSON config ingestion via from_json (the reference stores
+    * filter/projection configs as JSON strings — ExportProfile.cs:88-94). */
+  def propsJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", from_json(col("props"), lit("k INT")).getField("k"))
+      .filter(col("k") > 50)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   val qs: Seq[Q] = Seq(
+    Q("q56_props_json", (s, d) => propsJson(s, d), Some(
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+        |       MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+        |FROM events
+        |WHERE CAST(json_extract(props, '$.k') AS INT) > 50
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)),
     Q("q51_segment_stats", (s, d) => segmentStats(s, d), Some(
       """SELECT segment_index, COUNT(*) AS cnt,
         |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key

@@ -68,7 +68,41 @@ object Tpch {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Co-purchase top-k for EVERY part (the also-purchased report as one
+    * distributed computation instead of a per-product query): directed
+    * part pairs co-occurring in an order, counted, ranked per source part.
+    * Scale shape: the self-join shuffles on l_orderkey once; pair counts
+    * are a hash aggregate; ranking is a partitioned window with partial
+    * top-k (WindowGroupLimit) before the shuffle. */
+  def copurchaseTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    val pairs = a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") =!= col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("part_a"))
+      .orderBy(col("n_orders").desc, col("part_b"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy(col("part_a"), col("rn"))
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q55_copurchase_topk", (s, d) => copurchaseTopK(s, d), Some(
+      """SELECT part_a, part_b, n_orders, rn FROM (
+        |  SELECT part_a, part_b, n_orders,
+        |         ROW_NUMBER() OVER (PARTITION BY part_a
+        |                            ORDER BY n_orders DESC, part_b) AS rn
+        |  FROM (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |               COUNT(DISTINCT a.l_orderkey) AS n_orders
+        |        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |        WHERE a.l_partkey <> b.l_partkey
+        |        GROUP BY a.l_partkey, b.l_partkey) p) t
+        |WHERE rn <= 3
+        |ORDER BY part_a, rn""".stripMargin)),
     Q("q53_shipping_priority", (s, d) => shippingPriority(s, d), Some(
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |       SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS revenue
