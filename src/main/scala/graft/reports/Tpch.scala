@@ -75,13 +75,17 @@ object Tpch {
     * are a hash aggregate; ranking is a partitioned window with partial
     * top-k (WindowGroupLimit) before the shuffle. */
   def copurchaseTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    // dedupe (order, part) BEFORE the self-join: shrinks the join input
+    // and turns the per-pair count-distinct into a plain count (a part
+    // can appear on several lineitems of one order)
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
     val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
     val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
     val pairs = a.join(b, Seq("l_orderkey"))
       .filter(col("part_a") =!= col("part_b"))
       .groupBy(col("part_a"), col("part_b"))
-      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      .agg(count(lit(1)).as("n_orders"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("part_a"))
       .orderBy(col("n_orders").desc, col("part_b"))
@@ -97,8 +101,10 @@ object Tpch {
         |         ROW_NUMBER() OVER (PARTITION BY part_a
         |                            ORDER BY n_orders DESC, part_b) AS rn
         |  FROM (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-        |               COUNT(DISTINCT a.l_orderkey) AS n_orders
-        |        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |               COUNT(*) AS n_orders
+        |        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |          ON a.l_orderkey = b.l_orderkey
         |        WHERE a.l_partkey <> b.l_partkey
         |        GROUP BY a.l_partkey, b.l_partkey) p) t
         |WHERE rn <= 3
