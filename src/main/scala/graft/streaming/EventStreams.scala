@@ -28,6 +28,15 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** Streaming exact dedup: watermarked dropDuplicates on the key — the
+    * streaming twin of Dedup.dropExactDuplicates. State holds one entry
+    * per key within the watermark horizon (bounded); late duplicates
+    * beyond the horizon pass through (the documented Spark trade-off). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkCol: String = "ts", delay: String = "1 hour"): DataFrame =
+    events.withWatermark(watermarkCol, delay)
+      .dropDuplicates(keyCols :+ watermarkCol)
+
   /** Tumbling-window counts per event type with late-data watermark —
     * shared shape with EventQueries.dailyByType. */
   def windowedCounts(events: DataFrame, window: String = "1 hour",

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL registration of custom expressions + streaming dedup. */
+class GraftFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("graft_minhash callable from SQL and equal to the Scala API") {
+    GraftFunctions.register(spark)
+    Seq((1L, "the quick brown fox jumps"), (2L, "totally different words here"))
+      .toDF("id", "text").createOrReplaceTempView("gf_docs")
+    val viaSql = spark.sql(
+      "SELECT id, graft_minhash(split(lower(text), ' '), 16, 3) AS sig FROM gf_docs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaApi = spark.table("gf_docs")
+      .select(col("id"), graft.text.Dedup.minhashSignature(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql == viaApi)
+    assert(viaSql(1L).size == 16)
+  }
+
+  test("arity/argument errors are reported") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_minhash(array('a'), 'x')").collect())
+    assert(e.getMessage.contains("integer literal") ||
+      e.getMessage.contains("graft_minhash"))
+  }
+
+  test("streaming dedup drops in-horizon duplicates") {
+    import graft.streaming.EventStreams
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
+    val events = Tables.events(spark, TestSpark.sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"))
+    events.union(events).write.mode("overwrite").parquet(tmp) // plant duplicates
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, event_type STRING").parquet(tmp)
+    val q = EventStreams.dedupStream(stream, Seq("event_id"), delay = "10 years")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_smoke").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_smoke").count() == events.count())
+  }
+}
