@@ -37,7 +37,9 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      // integer `div`, NOT `/`: epoch nanos (~1.7e18) exceed double's
+      // 52-bit mantissa, so float division drifts timestamps by ±256ns
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")

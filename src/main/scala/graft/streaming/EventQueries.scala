@@ -50,7 +50,27 @@ object EventQueries {
         sum(dec(col("value"))).as("total_value"))
       .orderBy(col("hour_of_day"))
 
+  /** As-of join: each click attached to the user's most recent prior (or
+    * simultaneous) error — the point-in-time feature-join shape. */
+  def clicksAsOfErrors(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"))
+    graft.operators.AsOfJoin.asOf(clicks, errors, "user_id", "ts", "ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_ts").as("last_error_ts"))
+      .orderBy(col("event_id"))
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q57_asof_join", (s, d) => clicksAsOfErrors(s, d), Some(
+      """SELECT c.event_id, c.user_id, c.ts, e.ts AS last_error_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        |ORDER BY c.event_id""".stripMargin)),
     Q("q52_events_hourly", (s, d) => hourlyPivot(s, d), Some(
       """SELECT CAST(hour(ts) AS INT) AS hour_of_day, COUNT(*) AS total_cnt,
         |       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_click,
