@@ -94,7 +94,29 @@ object Tpch {
       .orderBy(col("part_a"), col("rn"))
   }
 
+  /** Q17 shape — small-quantity-order revenue: lineitems below 20% of
+    * their part's average quantity (correlated aggregate as a
+    * broadcast-joined per-part aggregate; the quantity sums are exact in
+    * double because quantities are integer-valued, so the threshold
+    * comparison is engine-stable). */
+  def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val avgQ = li.groupBy(col("l_partkey").as("pk"))
+      .agg(avg(col("l_quantity")).as("aq"))
+    li.join(broadcast(avgQ), col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.2) * col("aq"))
+      .agg(round(sum(dec(col("l_extendedprice"))) / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("cnt"))
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q58_small_qty_revenue", (s, d) => smallQtyRevenue(s, d), Some(
+      """SELECT round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2) AS avg_yearly,
+        |       COUNT(*) AS cnt
+        |FROM lineitem
+        |JOIN (SELECT l_partkey AS pk, AVG(l_quantity) AS aq
+        |      FROM lineitem GROUP BY l_partkey) t ON l_partkey = pk
+        |WHERE l_quantity < 0.2 * aq""".stripMargin)),
     Q("q55_copurchase_topk", (s, d) => copurchaseTopK(s, d), Some(
       """SELECT part_a, part_b, n_orders, rn FROM (
         |  SELECT part_a, part_b, n_orders,
