@@ -129,12 +129,14 @@ object FilterParser {
         else if (sym("~")) Some(RuleOps.Contains)
         else None
       skipWs()
+      val quoted = !eof && (s.charAt(pos) == '"' || s.charAt(pos) == '\'')
       val raw = value()
       val defaulted = explicit.getOrElse(
         if (isString) RuleOps.Contains else RuleOps.IsEqualTo)
-      // wildcard terms flip to LIKE (FilterExpressionParser.cs:189-233)
+      // wildcard TERMS flip to LIKE (FilterExpressionParser.cs:189-233);
+      // quoted values are literal text and never flip
       val op =
-        if (Wildcard.hasWildcard(raw)) defaulted match {
+        if (!quoted && Wildcard.hasWildcard(raw)) defaulted match {
           case RuleOps.IsEqualTo | RuleOps.Contains => RuleOps.Like
           case RuleOps.IsNotEqualTo | RuleOps.NotContains => RuleOps.NotLike
           case other => other

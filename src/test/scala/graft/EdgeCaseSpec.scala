@@ -1,0 +1,66 @@
+package graft
+
+import graft.dsl.Search
+import graft.etl.{CsvConfig, CsvSource}
+import graft.operators.RuleOps
+import graft.rules.{FilterExpr, FilterParser}
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge cases across the parser, CSV modes, and search boundaries. */
+class EdgeCaseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("parser: quoted wildcard stays Contains (no LIKE flip inside quotes)") {
+    // the reference flips ops only for wildcard TERMS; a quoted value is
+    // literal text
+    assert(FilterParser.parse("\"a*b\"", isString = true) ==
+      FilterExpr.Pred("value", RuleOps.Contains, "a*b"))
+    assert(FilterParser.parse("a*b", isString = true) ==
+      FilterExpr.Pred("value", RuleOps.Like, "a*b"))
+  }
+
+  test("parser: double negation and nested groups") {
+    val n = FilterParser.parse("!(!(>5))")
+    val df = (1 to 10).toDF("v")
+    val got = df.filter(FilterExpr.compile(n, _ => col("v")))
+      .as[Int].collect().sorted.toSeq
+    assert(got == (6 to 10))
+  }
+
+  test("parser: empty/garbage input raises, never mis-parses") {
+    intercept[FilterParser.ParseError](FilterParser.parse(""))
+    intercept[FilterParser.ParseError](FilterParser.parse(">= and <="))
+  }
+
+  test("CSV DROPMALFORMED drops short rows, PERMISSIVE keeps them") {
+    val p = java.nio.file.Files.createTempFile("graft-bad", ".csv")
+    java.nio.file.Files.writeString(p, "A;B;C\n1;x;y\n2;only-two\n3;a;b\n")
+    val strict = CsvSource.read(spark, p.toString,
+      CsvConfig(mode = "DROPMALFORMED", multiLine = true))
+    // multiLine=false keeps the per-file parallel path; DROPMALFORMED
+    // applies either way
+    assert(strict.count() == 2)
+    val loose = CsvSource.read(spark, p.toString, CsvConfig())
+    assert(loose.count() == 3)
+    val r2 = loose.filter(col("A") === "2").head()
+    assert(r2.isNullAt(2)) // missing trailing field → null (MissingFieldAction)
+  }
+
+  test("search: empty result set pages to empty, facets empty, total 0") {
+    val df = Seq((1L, "x")).toDF("id", "name")
+    val q = Search.Query(term = Some("zzz"), termFields = Seq("name"),
+      facets = Seq(Search.Facet("name")))
+    val r = Search.run(df, q)
+    assert(r.totalHits == 0 && r.pageIndex == 0)
+    assert(r.hits.isEmpty)
+    assert(r.facets("name").isEmpty)
+  }
+
+  test("rule ops: In with empty list matches nothing; AllIn with empty matches all") {
+    val df = Seq((1, Seq(1, 2)), (2, Seq.empty[Int])).toDF("id", "xs")
+    assert(df.filter(RuleOps(RuleOps.In, col("id"), Seq.empty[Any])).count() == 0)
+    assert(df.filter(RuleOps(RuleOps.AllIn, col("xs"), Seq.empty[Any])).count() == 2)
+  }
+}
