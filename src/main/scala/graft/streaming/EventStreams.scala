@@ -101,6 +101,21 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: left events matched to right events of
+    * the same key within `[leftTs - lookback, leftTs]` — the streaming
+    * point-in-time enrichment. Watermarks on BOTH sides bound the join
+    * state (Spark retains right rows only inside the watermark + interval
+    * horizon). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      lookback: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val l = left.withWatermark("ts", watermark).as("l")
+    val r = right.withWatermark("ts", watermark).as("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND " +
+        s"r.ts BETWEEN l.ts - INTERVAL $lookback AND l.ts"))
+  }
+
   /** Run a windowed-count stream to a named in-memory sink until all
     * currently-available input is processed (local smoke path). */
   def runToMemory(spark: SparkSession, sourceDir: String, queryName: String,

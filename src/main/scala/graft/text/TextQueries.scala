@@ -58,6 +58,20 @@ object TextQueries {
         "doc_id", "text", minJaccard = 0.3)
       .orderBy(col("id1"), col("id2"))
 
+  /** Exact linear-interpolation percentiles of document length per
+    * language (corpus length-distribution profiling; Spark `percentile`
+    * and DuckDB `quantile_cont` share the interpolation rule). Exact
+    * percentile needs a per-group sort — at 100 TB switch to
+    * `approx_percentile` (t-digest) unless the gate demands exactness. */
+  def lengthPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        round(expr("percentile(n_chars, 0.5)"), 4).as("med_chars"),
+        round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("lang"))
+
   /** MinHash+LSH near-dup candidates (no SQL oracle — hash-based). */
   def minhashCandidates(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text",
@@ -132,6 +146,14 @@ object TextQueries {
          |JOIN sz s2 ON id2 = s2.id
          |WHERE round(i / CAST(s1.n + s2.n - i AS DOUBLE), 4) >= 0.3
          |ORDER BY id1, id2""".stripMargin)),
+    Q("q59_length_percentiles", (s, d) => lengthPercentiles(s, d), Some(
+      """SELECT lang,
+        |       round(quantile_cont(n_chars, 0.5), 4) AS med_chars,
+        |       round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+        |       COUNT(*) AS cnt
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin)),
     Q("q36_minhash_candidates", (s, d) => minhashCandidates(s, d), None),
     Q("q37_simhashes", (s, d) => simhashes(s, d), None)
   )

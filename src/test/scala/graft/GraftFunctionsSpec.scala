@@ -30,6 +30,32 @@ class GraftFunctionsSpec extends AnyFunSuite {
       e.getMessage.contains("graft_minhash"))
   }
 
+  test("stream-stream interval join matches the batch time-bounded join") {
+    import graft.streaming.EventStreams
+    val tmpA = java.nio.file.Files.createTempDirectory("graft-ij-a").toString
+    val tmpB = java.nio.file.Files.createTempDirectory("graft-ij-b").toString
+    val ev = Tables.events(spark, TestSpark.sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("ts"))
+    clicks.write.mode("overwrite").parquet(tmpA)
+    errors.write.mode("overwrite").parquet(tmpB)
+    val sa = spark.readStream.schema("event_id LONG, user_id LONG, ts TIMESTAMP").parquet(tmpA)
+    val sb = spark.readStream.schema("err_id LONG, user_id LONG, ts TIMESTAMP").parquet(tmpB)
+    val q = graft.streaming.EventStreams.intervalJoin(sa, sb, "user_id")
+      .select(col("l.event_id"), col("r.err_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ij_smoke").start()
+    q.processAllAvailable()
+    q.stop()
+    val batch = clicks.as("l").join(errors.as("r"),
+      expr("l.user_id = r.user_id AND " +
+        "r.ts BETWEEN l.ts - INTERVAL 30 minutes AND l.ts"))
+    assert(spark.table("ij_smoke").count() == batch.count())
+    assert(batch.count() > 0)
+  }
+
   test("streaming dedup drops in-horizon duplicates") {
     import graft.streaming.EventStreams
     val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
