@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression tests (see PLANS.md): assert the executed
+  * plans keep the shapes the 100 TB design depends on — broadcasts for
+  * dimension joins, pushdown + pruning at the scans, partial top-k, and
+  * semi/anti join forms. A passing test run means a refactor has not
+  * silently degraded a plan. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q01: dim side broadcasts, status filter pushed, columns pruned") {
+    val p = plan("q01_bestsellers")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(o_orderstatus,F)"))
+    assert(!p.contains("l_shipdate"), "scan reads columns the query never uses")
+  }
+
+  test("q12: semi join form") {
+    assert(plan("q12_active_customers").contains("LeftSemi"))
+  }
+
+  test("q04: anti join form") {
+    assert(plan("q04_never_sold").contains("LeftAnti"))
+  }
+
+  test("q40: partial top-k below the shuffle (WindowGroupLimit)") {
+    val p = plan("q40_ann_topk")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("Partial"))
+  }
+
+  test("q02: top-k is TakeOrderedAndProject, not a global sort") {
+    assert(plan("q02_top_customers").contains("TakeOrderedAndProject"))
+  }
+
+  test("q45: filters reach the scan as data filters") {
+    val p = plan("q45_search_page")
+    assert(p.contains("isnotnull(p_size"))
+    assert(p.contains("Contains(lower(p_name"))
+  }
+
+  test("q54: lineitem never shuffles before aggregation (all-broadcast star)") {
+    val p = plan("q54_local_supplier_revenue")
+    // the only hash-partitioning exchanges allowed are the final n_name
+    // aggregate and the output range sort
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 aggregate shuffle, plan:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+  }
+}
