@@ -136,6 +136,25 @@ object Reports {
       .orderBy(col("month"))
   }
 
+  /** A7 "last 28 days as 4 weeks" pane with user-timezone bucketing
+    * (DashboardOrdersViewComponent.cs:51: UTC→user TZ conversion BEFORE
+    * bucketing; SURVEY §7.4 risk 6): weeks counted back from the newest
+    * order, dates taken in the user's zone. The max-date anchor is a
+    * broadcast scalar; the aggregation is one hash shuffle on the bucket. */
+  def ordersWeekly(s: SparkSession, dir: String, tz: String = "Europe/Berlin"): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val mx = o.agg(max(col("o_orderdate")).as("m"))
+    o.crossJoin(broadcast(mx))
+      .filter(col("o_orderdate") > col("m") - expr("INTERVAL 28 DAYS"))
+      .withColumn("local_dt", from_utc_timestamp(col("o_orderdate"), tz))
+      .withColumn("local_m", from_utc_timestamp(col("m"), tz))
+      .groupBy(floor(datediff(col("local_m"), col("local_dt")) / 7)
+        .cast("int").as("weeks_ago"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("o_totalprice"))).as("total_amount"))
+      .orderBy(col("weeks_ago"))
+  }
+
   /** A8: facet counting — price buckets with the reference's fixed
     * thresholds, over the part dimension. */
   val priceBuckets: Seq[Int] = Seq(10, 25, 50, 100, 250, 500, 1000)
@@ -229,6 +248,17 @@ object Reports {
         |FROM orders
         |GROUP BY date_trunc('month', o_orderdate)
         |ORDER BY month""".stripMargin)),
+    Q("q60_orders_weekly", (s, d) => ordersWeekly(s, d), Some(
+      """WITH mx AS (SELECT MAX(o_orderdate) AS m FROM orders)
+        |SELECT CAST(FLOOR(date_diff('day',
+        |         CAST(timezone('Europe/Berlin', CAST(o2.o_orderdate AS TIMESTAMPTZ)) AS DATE),
+        |         CAST(timezone('Europe/Berlin', CAST(mx.m AS TIMESTAMPTZ)) AS DATE)) / 7.0) AS INT) AS weeks_ago,
+        |       COUNT(*) AS cnt,
+        |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_amount
+        |FROM orders o2, mx
+        |WHERE o2.o_orderdate > mx.m - INTERVAL 28 DAY
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin)),
     Q("q09_price_facet", (s, d) => priceFacet(s, d), Some(
       s"""SELECT $bucketSql AS bucket, COUNT(*) AS cnt
          |FROM part
