@@ -155,6 +155,17 @@ object Reports {
       .orderBy(col("weeks_ago"))
   }
 
+  /** ROLLUP subtotals: (year, status) counts with per-year and grand
+    * totals in ONE aggregation pass — beyond the reference (its dashboard
+    * recomputes each grain client-side; SURVEY §2.5 notes grouping sets
+    * absent). Spark evaluates rollup as a single expanded hash aggregate. */
+  def ordersRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("yr", year(col("o_orderdate")))
+      .rollup(col("yr"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("total_amount"))
+      .orderBy(col("yr").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
   /** A8: facet counting — price buckets with the reference's fixed
     * thresholds, over the part dimension. */
   val priceBuckets: Seq[Int] = Seq(10, 25, 50, 100, 250, 500, 1000)
@@ -259,6 +270,13 @@ object Reports {
         |WHERE o2.o_orderdate > mx.m - INTERVAL 28 DAY
         |GROUP BY 1
         |ORDER BY 1""".stripMargin)),
+    Q("q61_orders_rollup", (s, d) => ordersRollup(s, d), Some(
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus,
+        |       COUNT(*) AS cnt,
+        |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_amount
+        |FROM orders
+        |GROUP BY ROLLUP(yr, o_orderstatus)
+        |ORDER BY yr NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)),
     Q("q09_price_facet", (s, d) => priceFacet(s, d), Some(
       s"""SELECT $bucketSql AS bucket, COUNT(*) AS cnt
          |FROM part
