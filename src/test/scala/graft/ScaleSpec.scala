@@ -10,6 +10,17 @@ class ScaleSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("approximate aggregates: HLL count-distinct within 5% of exact (100TB path)") {
+    // at 100 TB exact count-distinct shuffles every key; approx_count_distinct
+    // is one fixed-size sketch per partition (SURVEY §2.5 notes the
+    // reference has no approximate aggregates — this is the scale extension)
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"))).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("saltedJoin returns the same rows as a plain join") {
     val left = (1 to 1000).map(i => (i % 3, i)).toDF("k", "v") // 3 hot keys
     val right = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "name")
