@@ -166,6 +166,21 @@ object Reports {
       .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("total_amount"))
       .orderBy(col("yr").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
 
+  /** §1.1 hierarchy: region→nation adjacency list flattened to
+    * (id, depth, path) — oracle is a DuckDB recursive CTE. */
+  def geoHierarchy(s: SparkSession, dir: String): DataFrame = {
+    val regions = Tables.region(s, dir).select(
+      concat(lit("R"), col("r_regionkey")).as("id"),
+      lit(null).cast("string").as("parent_id"),
+      col("r_name").as("name"))
+    val nations = Tables.nation(s, dir).select(
+      concat(lit("N"), col("n_nationkey")).as("id"),
+      concat(lit("R"), col("n_regionkey")).as("parent_id"),
+      col("n_name").as("name"))
+    graft.operators.Hierarchy.flatten(regions.unionByName(nations))
+      .orderBy(col("path"))
+  }
+
   /** A8: facet counting — price buckets with the reference's fixed
     * thresholds, over the part dimension. */
   val priceBuckets: Seq[Int] = Seq(10, 25, 50, 100, 250, 500, 1000)
@@ -270,6 +285,19 @@ object Reports {
         |WHERE o2.o_orderdate > mx.m - INTERVAL 28 DAY
         |GROUP BY 1
         |ORDER BY 1""".stripMargin)),
+    Q("q62_geo_hierarchy", (s, d) => geoHierarchy(s, d), Some(
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'R' || r_regionkey AS id, CAST(NULL AS VARCHAR) AS parent_id,
+        |         r_name AS name FROM region
+        |  UNION ALL
+        |  SELECT 'N' || n_nationkey, 'R' || n_regionkey, n_name FROM nation),
+        |h AS (
+        |  SELECT id, name, 0 AS depth, name AS path FROM edges WHERE parent_id IS NULL
+        |  UNION ALL
+        |  SELECT e.id, e.name, h.depth + 1, h.path || '/' || e.name
+        |  FROM edges e JOIN h ON e.parent_id = h.id)
+        |SELECT id, name, CAST(depth AS INT) AS depth, path FROM h
+        |ORDER BY path""".stripMargin)),
     Q("q61_orders_rollup", (s, d) => ordersRollup(s, d), Some(
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus,
         |       COUNT(*) AS cnt,
