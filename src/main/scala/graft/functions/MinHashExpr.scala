@@ -32,7 +32,7 @@ case class MinHashShingleSig(child: Expression, k: Int, shingleN: Int)
 
   private val P = 2305843009213693951L // 2^61 - 1
   private val Seed = 0x9747b28c
-  // 31-bit odd affine constants (match Dedup.perm)
+  // 31-bit odd affine constants: a*h+b stays under 2^62 (no ANSI overflow)
   private def permA(j: Int): Long = ((0x9E3779B9L * (2 * j + 1)) & 0x7FFFFFFFL) | 1L
   private def permB(j: Int): Long = (0xBF58476DL * (j + 1)) & 0x7FFFFFFFL
 

@@ -35,18 +35,6 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
-  // MinHash: k independent affine permutations over token hashes. The
-  // token hash is 32-bit murmur widened to [0, 2^31) and the multipliers
-  // are 31-bit odd constants, so a*h+b < 2^62 — no ANSI-mode overflow.
-  private val P = 2305843009213693951L // 2^61 - 1
-  private def perm(j: Int): (Long, Long) = {
-    val a = ((0x9E3779B9L * (2 * j + 1)) & 0x7FFFFFFFL) | 1L
-    val b = (0xBF58476DL * (j + 1)) & 0x7FFFFFFFL
-    (a, b)
-  }
-  private def h31(t: Column): Column =
-    pmod(hash(t).cast(LongType), lit(1L << 31))
-
   /** Token n-gram shingles (default 3): distinctive units for MinHash —
     * unigram bags are far too coarse for near-dup detection (any two docs
     * over a shared vocabulary look similar). Docs shorter than n shingle
