@@ -35,7 +35,7 @@ object SearchQueries {
     Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
     s.sql(
       """SELECT l_returnflag, l_linestatus,
-        |       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |       COUNT(*) AS cnt
         |FROM graft_lineitem
         |GROUP BY l_returnflag, l_linestatus
@@ -62,7 +62,7 @@ object SearchQueries {
       .filter(RuleOps(RuleOps.GreaterThanOrEqualTo, col("completed_order_count"), 3) &&
         RuleOps(RuleOps.GreaterThanOrEqualTo, col("spent_amount"), 300000))
       .select(col("c_custkey"), col("order_count"),
-        col("completed_order_count"), col("spent_amount"))
+        col("completed_order_count"), col("spent_amount").cast("double").as("spent_amount"))
       .orderBy(col("c_custkey"))
 
   val qs: Seq[Q] = Seq(
@@ -83,7 +83,7 @@ object SearchQueries {
         |LIMIT 10""".stripMargin)),
     Q("q47_raw_sql", (s, d) => rawSql(s, d), Some(
       """SELECT l_returnflag, l_linestatus,
-        |       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |       COUNT(*) AS cnt
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
@@ -99,7 +99,7 @@ object SearchQueries {
       """SELECT c_custkey,
         |       CAST(COALESCE(oc, 0) AS BIGINT) AS order_count,
         |       CAST(COALESCE(cc, 0) AS BIGINT) AS completed_order_count,
-        |       COALESCE(sa, CAST(0 AS DECIMAL(18,2))) AS spent_amount
+        |       CAST(COALESCE(sa, 0) AS DOUBLE) AS spent_amount
         |FROM customer LEFT JOIN (
         |  SELECT o_custkey, COUNT(*) AS oc,
         |         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cc,

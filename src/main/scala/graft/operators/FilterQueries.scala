@@ -30,7 +30,7 @@ object FilterQueries {
       .select(
         col("c_custkey"), col("c_name"),
         coalesce(col("cnt"), lit(0L)).as("order_cnt"),
-        coalesce(col("spent"), dec(lit(0))).as("total_spent"))
+        coalesce(col("spent"), dec(lit(0))).cast("double").as("total_spent"))
       .orderBy(col("c_custkey"))
   }
 
@@ -60,7 +60,7 @@ object FilterQueries {
     Tables.lineitem(s, dir)
       .filter(pred)
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).as("total_qty"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -192,7 +192,7 @@ object FilterQueries {
     Q("q11_customer_order_stats", (s, d) => customerOrderStats(s, d), Some(
       """SELECT c_custkey, c_name,
         |       CAST(COALESCE(cnt, 0) AS BIGINT) AS order_cnt,
-        |       COALESCE(spent, CAST(0 AS DECIMAL(18,2))) AS total_spent
+        |       CAST(COALESCE(spent, 0) AS DOUBLE) AS total_spent
         |FROM customer LEFT JOIN (
         |  SELECT o_custkey, COUNT(*) AS cnt,
         |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spent
@@ -211,7 +211,7 @@ object FilterQueries {
         |ORDER BY p_partkey""".stripMargin)),
     Q("q14_filter_dsl", (s, d) => dslFilter(s, d), Some(
       """SELECT l_returnflag, COUNT(*) AS cnt,
-        |       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         |FROM lineitem
         |WHERE (l_quantity >= 10 AND l_quantity <= 20) OR l_quantity > 45
         |GROUP BY l_returnflag

@@ -35,6 +35,14 @@ object Reports {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Exact money aggregate with an engine-stable output type: sum the
+    * per-element decimal(18,2) casts (associative — immune to float
+    * summation-order drift), then cast the FINAL value to double so the
+    * dumped parquet renders identically to the oracle's (a decimal output
+    * column stringifies as '123.40' Spark-side but '123.4' via DuckDB's
+    * pandas bridge — equal decimals cast to double are bit-identical). */
+  private def decSum(c: Column): Column = sum(dec(c)).cast("double")
+
   /** A2+J1+W1+W5: bestsellers — fact-fact equi-join, group, multi-agg, top-k. */
   def bestsellers(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
     val li = Tables.lineitem(s, dir)
@@ -42,8 +50,8 @@ object Reports {
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("l_partkey"))
       .agg(
-        sum(dec(col("l_quantity"))).as("total_qty"),
-        sum(dec(col("l_extendedprice"))).as("total_amount"))
+        decSum(col("l_quantity")).as("total_qty"),
+        decSum(col("l_extendedprice")).as("total_amount"))
       .orderBy(col("total_qty").desc, col("total_amount").desc, col("l_partkey"))
       .limit(k)
   }
@@ -53,7 +61,7 @@ object Reports {
     Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(
-        sum(dec(col("o_totalprice"))).as("total_spent"),
+        decSum(col("o_totalprice")).as("total_spent"),
         count(lit(1)).as("order_cnt"))
       .orderBy(col("total_spent").desc, col("o_custkey"))
       .limit(k)
@@ -67,7 +75,7 @@ object Reports {
     li.join(broadcast(withTarget), Seq("l_orderkey"))
       .filter(col("l_partkey") =!= targetPart)
       .groupBy(col("l_partkey"))
-      .agg(sum(dec(col("l_quantity"))).as("total_qty"))
+      .agg(decSum(col("l_quantity")).as("total_qty"))
       .orderBy(col("total_qty").desc, col("l_partkey"))
       .limit(k)
   }
@@ -90,10 +98,10 @@ object Reports {
     Tables.orders(s, dir)
       .filter(col("o_orderstatus") === "F")
       .agg(
-        sum(dec(col("o_totalprice"))).as("total_amount"),
+        decSum(col("o_totalprice")).as("total_amount"),
         count(lit(1)).as("order_cnt"),
-        dec(min(col("o_totalprice"))).as("min_price"),
-        dec(max(col("o_totalprice"))).as("max_price"))
+        dec(min(col("o_totalprice"))).cast("double").as("min_price"),
+        dec(max(col("o_totalprice"))).cast("double").as("max_price"))
 
   /** A5: count-distinct of sold parts / suppliers. */
   def soldDistinct(s: SparkSession, dir: String): DataFrame =
@@ -108,7 +116,7 @@ object Reports {
     val perCust = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(
-        sum(dec(col("o_totalprice"))).as("total_spent"),
+        decSum(col("o_totalprice")).as("total_spent"),
         count(lit(1)).as("order_cnt"))
       .filter(col("total_spent") >= minSpent)
     Tables.customer(s, dir)
@@ -123,14 +131,16 @@ object Reports {
     * aggregation and the pivot columns are map-side partial aggregates.) */
   def ordersDashboard(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
+    // month rendered as 'yyyy-MM-dd' text: a derived timestamp would
+    // stringify differently via DuckDB's pandas bridge (DATE vs TIMESTAMP)
     val monthly = o
-      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month"))
       .agg(
         count(lit(1)).as("total_cnt"),
         sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("cnt_f"),
         sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("cnt_o"),
         sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("cnt_p"),
-        sum(dec(col("o_totalprice"))).as("total_amount"))
+        decSum(col("o_totalprice")).as("total_amount"))
     monthly
       .withColumn("prev_cnt", lag(col("total_cnt"), 1).over(Window.orderBy(col("month"))))
       .orderBy(col("month"))
@@ -151,7 +161,7 @@ object Reports {
       .groupBy(floor(datediff(col("local_m"), col("local_dt")) / 7)
         .cast("int").as("weeks_ago"))
       .agg(count(lit(1)).as("cnt"),
-        sum(dec(col("o_totalprice"))).as("total_amount"))
+        decSum(col("o_totalprice")).as("total_amount"))
       .orderBy(col("weeks_ago"))
   }
 
@@ -163,7 +173,7 @@ object Reports {
     Tables.orders(s, dir)
       .withColumn("yr", year(col("o_orderdate")))
       .rollup(col("yr"), col("o_orderstatus"))
-      .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("total_amount"))
+      .agg(count(lit(1)).as("cnt"), decSum(col("o_totalprice")).as("total_amount"))
       .orderBy(col("yr").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
 
   /** §1.1 hierarchy: region→nation adjacency list flattened to
@@ -202,7 +212,7 @@ object Reports {
       .groupBy(col("c_mktsegment"))
       .agg(
         count(lit(1)).as("cnt"),
-        sum(dec(col("c_acctbal"))).as("total_bal"))
+        decSum(col("c_acctbal")).as("total_bal"))
       .orderBy(col("c_mktsegment"))
 
   private def bucketSql: String = {
@@ -213,8 +223,8 @@ object Reports {
   val qs: Seq[Q] = Seq(
     Q("q01_bestsellers", (s, d) => bestsellers(s, d), Some(
       """SELECT l_partkey,
-        |       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty,
-        |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_amount
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'F'
         |GROUP BY l_partkey
@@ -222,14 +232,14 @@ object Reports {
         |LIMIT 100""".stripMargin)),
     Q("q02_top_customers", (s, d) => topCustomers(s, d), Some(
       """SELECT o_custkey,
-        |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
         |       COUNT(*) AS order_cnt
         |FROM orders
         |GROUP BY o_custkey
         |ORDER BY total_spent DESC, o_custkey
         |LIMIT 50""".stripMargin)),
     Q("q03_also_purchased", (s, d) => alsoPurchased(s, d), Some(
-      """SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      """SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_partkey = 1)
         |  AND l_partkey <> 1
@@ -244,10 +254,10 @@ object Reports {
         |  WHERE o_orderstatus = 'F')
         |ORDER BY p_partkey""".stripMargin)),
     Q("q05_orders_total", (s, d) => ordersTotal(s, d), Some(
-      """SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_amount,
+      """SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
         |       COUNT(*) AS order_cnt,
-        |       CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS min_price,
-        |       CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS max_price
+        |       CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS min_price,
+        |       CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS max_price
         |FROM orders WHERE o_orderstatus = 'F'""".stripMargin)),
     Q("q06_sold_distinct", (s, d) => soldDistinct(s, d), Some(
       """SELECT COUNT(DISTINCT l_partkey) AS distinct_parts,
@@ -257,19 +267,19 @@ object Reports {
       """SELECT c_custkey, c_name, total_spent, order_cnt
         |FROM customer
         |JOIN (SELECT o_custkey,
-        |             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent,
+        |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
         |             COUNT(*) AS order_cnt
         |      FROM orders GROUP BY o_custkey
         |      HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) >= 400000.0) t
         |  ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin)),
     Q("q08_orders_dashboard", (s, d) => ordersDashboard(s, d), Some(
-      """SELECT date_trunc('month', o_orderdate) AS month,
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
         |       COUNT(*) AS total_cnt,
         |       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f,
         |       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o,
         |       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_p,
-        |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_amount,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
         |       LAG(COUNT(*)) OVER (ORDER BY date_trunc('month', o_orderdate)) AS prev_cnt
         |FROM orders
         |GROUP BY date_trunc('month', o_orderdate)
@@ -280,7 +290,7 @@ object Reports {
         |         CAST(timezone('Europe/Berlin', CAST(o2.o_orderdate AS TIMESTAMPTZ)) AS DATE),
         |         CAST(timezone('Europe/Berlin', CAST(mx.m AS TIMESTAMPTZ)) AS DATE)) / 7.0) AS INT) AS weeks_ago,
         |       COUNT(*) AS cnt,
-        |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_amount
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
         |FROM orders o2, mx
         |WHERE o2.o_orderdate > mx.m - INTERVAL 28 DAY
         |GROUP BY 1
@@ -301,7 +311,7 @@ object Reports {
     Q("q61_orders_rollup", (s, d) => ordersRollup(s, d), Some(
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus,
         |       COUNT(*) AS cnt,
-        |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_amount
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
         |FROM orders
         |GROUP BY ROLLUP(yr, o_orderstatus)
         |ORDER BY yr NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)),
@@ -313,7 +323,7 @@ object Reports {
     Q("q10_segment_facet", (s, d) => segmentFacet(s, d), Some(
       """SELECT c_mktsegment,
         |       COUNT(*) AS cnt,
-        |       SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin))

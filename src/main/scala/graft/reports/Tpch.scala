@@ -36,7 +36,7 @@ object Tpch {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(col("rev")).as("revenue"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -64,7 +64,7 @@ object Tpch {
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(col("rev")).as("revenue"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -133,7 +133,7 @@ object Tpch {
         |ORDER BY part_a, rn""".stripMargin)),
     Q("q53_shipping_priority", (s, d) => shippingPriority(s, d), Some(
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |       SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS revenue
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
         |  AND l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
@@ -144,7 +144,7 @@ object Tpch {
         |LIMIT 10""".stripMargin)),
     Q("q54_local_supplier_revenue", (s, d) => localSupplierRevenue(s, d), Some(
       """SELECT n_name,
-        |       SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS revenue
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

@@ -18,8 +18,8 @@ object EventQueries {
     * the event stream. One hash-aggregate shuffle on (day, type). */
   def dailyByType(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("total_value"))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).cast("double").as("total_value"))
       .orderBy(col("day"), col("event_type"))
 
   /** Gap-based sessionization (30-min inactivity): per-user lag window →
@@ -47,7 +47,7 @@ object EventQueries {
         sum(when(col("event_type") === "click", 1).otherwise(0)).as("cnt_click"),
         sum(when(col("event_type") === "view", 1).otherwise(0)).as("cnt_view"),
         sum(when(col("event_type") === "error", 1).otherwise(0)).as("cnt_error"),
-        sum(dec(col("value"))).as("total_value"))
+        sum(dec(col("value"))).cast("double").as("total_value"))
       .orderBy(col("hour_of_day"))
 
   /** As-of join: each click attached to the user's most recent prior (or
@@ -76,15 +76,15 @@ object EventQueries {
         |       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_click,
         |       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_view,
         |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_error,
-        |       SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY hour(ts)
         |ORDER BY hour_of_day""".stripMargin)),
     Q("q38_events_daily", (s, d) => dailyByType(s, d), Some(
-      """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS cnt,
-        |       SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events
-        |GROUP BY date_trunc('day', ts), event_type
+        |GROUP BY strftime(ts, '%Y-%m-%d'), event_type
         |ORDER BY day, event_type""".stripMargin)),
     Q("q39_sessionize", (s, d) => sessionize(s, d), Some(
       """SELECT user_id,

@@ -16,25 +16,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    """STRICT normalization: raw str() of every value (the driver hashes
+    stringified values without rounding — a Decimal('123.40') Spark-side vs
+    float 123.4 DuckDB-side is a REAL mismatch we must reproduce locally).
+    Only nulls are unified, since their pandas surface form legitimately
+    varies by dtype (None vs NaN vs NaT)."""
     df = df.reindex(sorted(df.columns), axis=1)
     out = {}
     for c in df.columns:
-        s = df[c]
         def conv(v):
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                return None
-            if isinstance(v, float):
-                return round(v, 6)
-            try:
-                import decimal
-                if isinstance(v, decimal.Decimal):
-                    return float(round(v, 6))
-            except Exception:
-                pass
-            return v
-        out[c] = s.map(conv)
-    df = pd.DataFrame(out)
-    df = df.astype(str)
+            if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+                return "NULL"
+            return str(v)
+        out[c] = df[c].map(conv)
+    df = pd.DataFrame(out).astype(str)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
