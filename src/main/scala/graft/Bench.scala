@@ -24,10 +24,15 @@ object Bench {
     // codegen compilation + JIT; pass 2 measures steady-state execution —
     // the number that reflects engine throughput on a long-running
     // cluster. Both totals are reported.
+    // toRdd.count() executes the EXACT physical plan (every projection,
+    // sort and limit) and iterates the result rows — df.count() would let
+    // Catalyst prune projections and drop sorts, under-measuring
+    // projection-heavy and ordered queries.
     def runAll(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val cold = runAll()
@@ -36,7 +41,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":$coldTotal,"methodology":"per-query count() at local[$cpus]; one untimed warmup pass first (codegen/JIT), steady-state pass reported; cold pass total in cold_total_sec"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":$coldTotal,"methodology":"per-query full physical-plan execution (queryExecution.toRdd.count) at local[$cpus]; one untimed warmup pass first (codegen/JIT), steady-state pass reported; cold pass total in cold_total_sec"}""")
     spark.stop()
   }
 }

@@ -17,8 +17,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
     "events", "documents", "embeddings")
 
+  /** Resolved-relation cache, keyed by (session, dir, table). `spark.read
+    * .parquet` runs a driver-side file-listing job and reads parquet
+    * footers every call — tens of ms of fixed latency PER QUERY per table.
+    * A real deployment registers each table once in a catalog and reuses
+    * the resolved relation; this cache is that catalog registration.
+    * (Logical plans only — no data is cached; scans stay distributed.) */
+  private val relations =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relations.computeIfAbsent(
+      (System.identityHashCode(spark), dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, dir: String): DataFrame = table(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame = table(s, dir, "nation")

@@ -75,14 +75,16 @@ object Tpch {
     * are a hash aggregate; ranking is a partitioned window with partial
     * top-k (WindowGroupLimit) before the shuffle. */
   def copurchaseTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    // dedupe (order, part) BEFORE the self-join: shrinks the join input
-    // and turns the per-pair count-distinct into a plain count (a part
-    // can appear on several lineitems of one order)
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    val pairs = a.join(b, Seq("l_orderkey"))
+    // Basket form instead of a self-join: collect the distinct part set
+    // per order (ONE shuffle, with map-side partial set-union — safe
+    // because basket size is bounded by order size, not corpus size),
+    // then explode the in-row cross product. The equivalent self-join
+    // costs three more shuffles (distinct + both join sides repartition).
+    val pairs = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+      .select(explode(col("parts")).as("part_a"), col("parts"))
+      .select(col("part_a"), explode(col("parts")).as("part_b"))
       .filter(col("part_a") =!= col("part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_orders"))

@@ -87,19 +87,12 @@ object Dedup {
   }
 
   /** 32-bit SimHash over the token multiset: per bit, sum +1/-1 weighted by
-    * token-hash bit; bit set where the sum is positive. Pure expressions —
-    * one pass, no shuffle. */
-  def simhash(textCol: Column, bits: Int = 32): Column = {
-    val toks = TextFunctions.tokens(textCol)
-    val sums = (0 until bits).map { i =>
-      aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(shiftright(xxhash64(t), i).bitwiseAND(1) === 1, 1L)
-          .otherwise(-1L))
-    }
-    sums.zipWithIndex.map { case (s, i) =>
-      when(s > 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
-  }
+    * token-hash bit; bit set where the sum is positive. One primitive pass
+    * per row via the custom Catalyst expression (the `bits` ×
+    * `aggregate(...)` HOF composition it replaces re-hashed every token
+    * once per bit, interpreted — ~100× slower; values are identical). */
+  def simhash(textCol: Column, bits: Int = 32): Column =
+    graft.functions.SimHashExpr.simhashOfTokens(TextFunctions.tokens(textCol), bits)
 
   /** Token-level Jaccard similarity for all pairs within a (small) frame —
     * the exact verifier. Join keyed on shared tokens; quadratic in docs
