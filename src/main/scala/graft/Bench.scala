@@ -36,12 +36,19 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     val cold = runAll()
-    val results = runAll()
+    // three measured steady-state passes; per-query medians damp GC/JIT
+    // noise (single-pass totals vary ±2s run to run)
+    val passes = Seq(runAll(), runAll(), runAll())
+    val results = passes.head.map(_._1).map { name =>
+      val ts = passes.map(_.find(_._1 == name).get._2).sorted
+      name -> ts(ts.size / 2)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":$coldTotal,"methodology":"per-query full physical-plan execution (queryExecution.toRdd.count) at local[$cpus]; one untimed warmup pass first (codegen/JIT), steady-state pass reported; cold pass total in cold_total_sec"}""")
+    val passTotals = passes.map(_.map(_._2).sum).map(t => f"$t%.2f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":$coldTotal,"pass_totals_sec":$passTotals,"methodology":"per-query full physical-plan execution (queryExecution.toRdd.count) at local[$cpus]; one untimed warmup pass (codegen/JIT), then three measured passes, per-query median reported; first post-warmup pass total in cold_total_sec"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.MinHashShingleSig
+import graft.functions.{LangIdTokens, MinHashShingleSig, SimHashTokens}
+import graft.text.TextFunctions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -34,21 +35,48 @@ object GraftFunctions {
       "graft_minhash(tokens[, k[, shingleN]])")
   }
 
+  private[graft] def simhashBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(tokens) => SimHashTokens(tokens, 32)
+    case Seq(tokens, bits) => SimHashTokens(tokens, intArg(bits, "bits"))
+    case _ => throw new IllegalArgumentException("graft_simhash(tokens[, bits])")
+  }
+
+  private[graft] def langidBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(tokens) => LangIdTokens(tokens, TextFunctions.LangMarkers)
+    case _ => throw new IllegalArgumentException("graft_langid(tokens)")
+  }
+
   val minhashInfo = new ExpressionInfo(
     classOf[MinHashShingleSig].getName, "graft_minhash")
+  val simhashInfo = new ExpressionInfo(
+    classOf[SimHashTokens].getName, "graft_simhash")
+  val langidInfo = new ExpressionInfo(
+    classOf[LangIdTokens].getName, "graft_langid")
 
   /** Register on a live session (temp functions). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash", minhashBuilder, "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_minhash", minhashBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash", simhashBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_langid", langidBuilder, "built-in")
+  }
 }
 
 /** Session-extension injection point:
   * `--conf spark.sql.extensions=graft.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("graft_minhash"),
       GraftFunctions.minhashInfo,
       GraftFunctions.minhashBuilder _))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      GraftFunctions.simhashInfo,
+      GraftFunctions.simhashBuilder _))
+    e.injectFunction((
+      FunctionIdentifier("graft_langid"),
+      GraftFunctions.langidInfo,
+      GraftFunctions.langidBuilder _))
+  }
 }

@@ -25,6 +25,7 @@ object Registry {
   def all: Seq[Q] =
     reports.Reports.qs ++
       reports.Tpch.qs ++
+      reports.Reshape.qs ++
       operators.FilterQueries.qs ++
       etl.EtlQueries.qs ++
       text.TextQueries.qs ++

@@ -53,16 +53,31 @@ object Multimodal {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
-      StructField("features", ArrayType(FloatType), nullable = true)))
+      StructField("features", ArrayType(FloatType), nullable = true),
+      StructField("feature_checksum", LongType, nullable = false)))
     val enc = Encoders.row(outSchema)
     media.select("media_id", "payload").mapPartitions { rows =>
       // per-partition setup happens once (codec init in production)
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-        Row(id, fakeDecode(bytes))
+        Row(id, fakeDecode(bytes), checksum(bytes))
       }
     }(enc)
+  }
+
+  /** Integer byte-stream checksum emitted alongside the decoded features —
+    * the cross-engine integrity probe for the decode stage (exact in Long,
+    * so the correctness gate can verify the binary plumbing value-level
+    * even while the codec itself is stubbed). */
+  private[graft] def checksum(bytes: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc += ((i % FeatureDim) + 1).toLong * (bytes(i) & 0xFF)
+      i += 1
+    }
+    acc
   }
 
   /** Deterministic fake decoder: dim-wise byte-histogram projections. */

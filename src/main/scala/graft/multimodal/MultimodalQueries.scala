@@ -14,14 +14,15 @@ object MultimodalQueries {
         Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text"))
       .orderBy(col("media_id"))
 
-  /** Feature extraction through the partition-batched stub codec (no SQL
-    * oracle — covered by unit tests on the deterministic fake). */
+  /** Feature extraction through the partition-batched stub codec. The
+    * float feature vectors have no SQL oracle (unit-tested against the
+    * deterministic fake); the decode stage's exact byte-stream checksum,
+    * emitted in the same mapPartitions pass, IS oracle-checkable — DuckDB
+    * re-derives it from the hex of the same utf-8 payload. */
   def mediaFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
         Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text"))
-      .select(col("media_id"),
-        round(aggregate(col("features"), lit(0.0d), (a, x) => a + x), 4)
-          .as("feature_sum"))
+      .select(col("media_id"), col("feature_checksum"))
       .orderBy(col("media_id"))
 
   val qs: Seq[Q] = Seq(
@@ -30,6 +31,17 @@ object MultimodalQueries {
         |       md5(text) AS digest
         |FROM documents
         |ORDER BY media_id""".stripMargin)),
-    Q("q44_media_features", (s, d) => mediaFeatures(s, d), None)
+    Q("q44_media_features", (s, d) => mediaFeatures(s, d), Some(
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |                  octet_length(encode(text)) AS n
+        |           FROM documents)
+        |SELECT doc_id AS media_id,
+        |       CAST(COALESCE(list_sum(list_transform(range(n), i ->
+        |         ((i % 8) + 1) *
+        |         (16 * (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1)
+        |              + strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1)) - 1)
+        |       )), 0) AS BIGINT) AS feature_checksum
+        |FROM b
+        |ORDER BY media_id""".stripMargin))
   )
 }

@@ -1,0 +1,139 @@
+package graft.reports
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational reshaping + set-op + window-frame operators rounding out the
+  * SURVEY §2.5/§2.6 inventory: pivot (wide conditional aggregation, the
+  * reference dashboard's series-per-status done relationally), unpivot
+  * (melt — the export pipeline's attribute-per-row form,
+  * `ExportProjectionCreator` emits per-attribute rows), INTERSECT/EXCEPT,
+  * OR-of-ANDs predicate pushdown (TPC-H Q19 shape), and running-total
+  * window frames.
+  *
+  * Scale notes: the pivot uses EXPLICIT value lists (no driver-side
+  * distinct-discovery job over 100 TB); set ops are single hash
+  * aggregates; the Q19 OR-of-ANDs stays a residual on a broadcast join so
+  * the fact scan never shuffles; running totals window per customer (no
+  * global partition).
+  */
+object Reshape {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Pivot: year × order-status revenue matrix with explicit pivot values. */
+  def statusPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("yr", year(col("o_orderdate")))
+      .groupBy(col("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(dec(col("o_totalprice"))))
+      .select(col("yr"),
+        col("F").cast("double").as("amt_f"),
+        col("O").cast("double").as("amt_o"),
+        col("P").cast("double").as("amt_p"))
+      .orderBy(col("yr"))
+
+  /** Unpivot (melt): part metrics to attribute-per-row form. */
+  def partMelt(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_retailprice"),
+        col("p_size").cast("double").as("p_size"))
+      .unpivot(
+        Array(col("p_partkey")),
+        Array(col("p_retailprice"), col("p_size")),
+        "metric", "value")
+      .orderBy(col("p_partkey"), col("metric"))
+
+  /** INTERSECT / EXCEPT: nations present in both customer and supplier
+    * bases vs customer-only, tagged and unioned. */
+  def nationSetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+    val su = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+    c.intersect(su).withColumn("src", lit("both"))
+      .unionByName(c.except(su).withColumn("src", lit("customer_only")))
+      .orderBy(col("nationkey"), col("src"))
+  }
+
+  /** TPC-H Q19 shape: disjunctive brand/size/quantity predicate bands as a
+    * residual on a broadcast part join — exercises OR-of-ANDs
+    * simplification + pushdown of the extractable `p_size >= 1` conjunct. */
+  def orBandsRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_quantity"),
+      dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val bands =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(20, 30))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(bands)
+      .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("cnt"))
+  }
+
+  /** Running-total window frame: cumulative per-customer spend in order
+    * date order (exact decimal prefix sums, double on output). */
+  def runningTotals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_spent"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("q63_status_pivot", (s, d) => statusPivot(s, d), Some(
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS amt_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS amt_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS amt_p
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY yr""".stripMargin)),
+    Q("q64_part_melt", (s, d) => partMelt(s, d), Some(
+      """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+        |ORDER BY p_partkey, metric""".stripMargin)),
+    Q("q65_nation_setops", (s, d) => nationSetOps(s, d), Some(
+      """SELECT nationkey, 'both' AS src FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'customer_only' FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   EXCEPT SELECT s_nationkey FROM supplier)
+        |ORDER BY nationkey, src""".stripMargin)),
+    Q("q66_or_bands", (s, d) => orBandsRevenue(s, d), Some(
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |                     AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+    Q("q67_running_totals", (s, d) => runningTotals(s, d), Some(
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY o_custkey
+        |                  ORDER BY o_orderdate, o_orderkey
+        |                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spent
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin))
+  )
+}

@@ -22,6 +22,29 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(viaSql(1L).size == 16)
   }
 
+  test("graft_simhash / graft_langid callable from SQL, equal to the Scala API") {
+    GraftFunctions.register(spark)
+    Seq((1L, "the quick brown fox"), (2L, "der hund und die katze"), (3L, ""))
+      .toDF("id", "text").createOrReplaceTempView("gf_docs2")
+    val viaSql = spark.sql(
+      """SELECT id,
+        |  graft_simhash(split(lower(text), ' ')) AS sh,
+        |  graft_langid(split(lower(text), ' ')) AS lang
+        |FROM gf_docs2""".stripMargin)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val viaApi = spark.table("gf_docs2")
+      .select(col("id"),
+        graft.functions.SimHashExpr.simhashOfTokens(
+          split(lower(col("text")), " "), 32).as("sh"),
+        graft.functions.LangIdExpr.langIdOfTokens(
+          split(lower(col("text")), " "), graft.text.TextFunctions.LangMarkers).as("lang"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(viaSql.keySet == viaApi.keySet)
+    viaSql.foreach { case (k, v) => assert(v == viaApi(k)) }
+    assert(viaSql(2L)._2 == "de")
+    assert(viaSql(1L)._2 == "en")
+  }
+
   test("arity/argument errors are reported") {
     GraftFunctions.register(spark)
     val e = intercept[Exception](
