@@ -21,11 +21,12 @@ object TextFunctions {
     trim(regexp_replace(lower(c), "\\s+", " "))
 
   /** whitespace tokens of the normalized text; empty text → empty array. */
-  def tokens(c: Column): Column = {
-    val n = normalize(c)
-    when(length(n) === 0, array().cast(ArrayType(StringType)))
-      .otherwise(split(n, " "))
-  }
+  def tokens(c: Column): Column = tokensOf(normalize(c))
+
+  /** tokens over an ALREADY-NORMALIZED text column. */
+  def tokensOf(normText: Column): Column =
+    when(length(normText) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(split(normText, " "))
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
@@ -51,17 +52,25 @@ object TextFunctions {
     members.map(m => size(toks) - size(array_remove(toks, m))).reduce(_ + _)
 
   /** Fraction of tokens that are stopwords, 4 decimals. */
-  def stopwordRatio(c: Column): Column = {
-    val toks = tokens(c)
+  def stopwordRatio(c: Column): Column = stopwordRatioOf(tokens(c))
+
+  /** stopwordRatio over an ALREADY-TOKENIZED column — callers scoring
+    * several measures should tokenize once (`withColumn`) and pass the
+    * attribute, so the regex tokenization runs once per row instead of
+    * once per occurrence of the token subtree (CollapseProject keeps a
+    * non-cheap multi-referenced alias in its own projection). */
+  def stopwordRatioOf(toks: Column): Column = {
     val stops = occurrences(toks, Stopwords)
     round(stops.cast(DoubleType) / nullif(size(toks), lit(0)).cast(DoubleType), 4)
   }
 
   /** Mean token length, 4 decimals. */
-  def avgTokenLen(c: Column): Column = {
-    val n = normalize(c)
-    val toks = tokens(c)
-    val chars = length(n) - (size(toks) - lit(1)) // minus separators
+  def avgTokenLen(c: Column): Column = avgTokenLenOf(normalize(c), tokens(c))
+
+  /** avgTokenLen over pre-computed normalized-text + token columns (see
+    * [[stopwordRatioOf]] for why callers should pre-compute). */
+  def avgTokenLenOf(normText: Column, toks: Column): Column = {
+    val chars = length(normText) - (size(toks) - lit(1)) // minus separators
     round(chars.cast(DoubleType) / nullif(size(toks), lit(0)).cast(DoubleType), 4)
   }
 

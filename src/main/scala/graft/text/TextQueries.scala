@@ -26,15 +26,20 @@ object TextQueries {
       .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
       .orderBy(col("doc_id"))
 
-  /** Quality scoring: length/punctuation/stopword/token-shape signals. */
+  /** Quality scoring: length/punctuation/stopword/token-shape signals.
+    * Normalization + tokenization are materialized ONCE per row in their
+    * own projection; the measures reference the attributes (the inlined
+    * form re-ran the regex tokenizer ~12× per row — dominant cost). */
   def qualityScores(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .withColumn("nt", TextFunctions.normalize(col("text")))
+      .withColumn("toks", TextFunctions.tokensOf(col("nt")))
       .select(
         col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        size(col("toks")).as("n_tokens"),
         TextFunctions.punctRatio(col("text")).as("punct_ratio"),
-        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
-        TextFunctions.avgTokenLen(col("text")).as("avg_token_len"))
+        TextFunctions.stopwordRatioOf(col("toks")).as("stopword_ratio"),
+        TextFunctions.avgTokenLenOf(col("nt"), col("toks")).as("avg_token_len"))
       .orderBy(col("doc_id"))
 
   /** Language-ID heuristic vs the labeled lang column. */
