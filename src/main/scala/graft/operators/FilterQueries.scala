@@ -132,6 +132,27 @@ object FilterQueries {
       .orderBy(col("l_returnflag"), col("rn"))
   }
 
+  /** Top-3 per flag via the heap-based bounded top-k AGGREGATE (the
+    * O(n log k) alternative to q22's sort-based window ranking — same
+    * result, same oracle; at fact-table scale the per-partition sort pass
+    * disappears and the shuffle carries k rows per (partition, group)).
+    * Descending price is encoded by negating the leading struct field. */
+  def topPerFlagAgg(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(graft.functions.TopKAgg.topK(struct(
+        (-col("l_extendedprice")).as("np"),
+        col("l_orderkey").as("ok"),
+        col("l_linenumber").as("ln")), k).as("top"))
+      .select(col("l_returnflag"), posexplode(col("top")))
+      .select(
+        col("l_returnflag"),
+        col("col.ok").as("l_orderkey"),
+        col("col.ln").as("l_linenumber"),
+        (-col("col.np")).as("l_extendedprice"),
+        (col("pos") + 1).cast("int").as("rn"))
+      .orderBy(col("l_returnflag"), col("rn"))
+
   /** §2.7 date functions: avg ship delay in days per order priority
     * (DateDiffDay analog — `DbFunctionsExtensions.cs:18-333`). */
   def shipDelay(s: SparkSession, dir: String): DataFrame = {
@@ -255,6 +276,14 @@ object FilterQueries {
         |ORDER BY o_orderkey
         |LIMIT 100""".stripMargin)),
     Q("q22_top_per_flag", (s, d) => topPerFlag(s, d), Some(
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem) t
+        |WHERE rn <= 3
+        |ORDER BY l_returnflag, rn""".stripMargin)),
+    Q("q68_topk_agg", (s, d) => topPerFlagAgg(s, d), Some(
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn
         |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
         |             ROW_NUMBER() OVER (PARTITION BY l_returnflag
