@@ -101,6 +101,26 @@ object EventStreams {
       }
   }
 
+  /** Streaming windowed top-k: per tumbling window, the k highest-value
+    * events via the bounded-heap aggregate (graft.functions.TopKStructs) —
+    * custom TypedImperativeAggregates participate in streaming state like
+    * any aggregate, so the sort-free ranking strategy carries over to the
+    * continuous pipeline unchanged. State per (window) is one k-row heap,
+    * bounded by the watermark horizon. */
+  def windowedTopK(events: DataFrame, k: Int = 3, window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window).as("win"))
+      .agg(graft.functions.TopKAgg.topK(struct(
+        (-col("value")).as("nv"),
+        col("event_id").as("eid")), k).as("top"))
+      .select(col("win.start").as("window_start"), posexplode(col("top")))
+      .select(col("window_start"),
+        col("col.eid").as("event_id"),
+        (-col("col.nv")).as("value"),
+        (col("pos") + 1).cast("int").as("rank"))
+
   /** Stream-stream interval join: left events matched to right events of
     * the same key within `[leftTs - lookback, leftTs]` — the streaming
     * point-in-time enrichment. Watermarks on BOTH sides bound the join

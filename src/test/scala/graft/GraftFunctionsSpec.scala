@@ -79,6 +79,30 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("streaming windowed top-k matches the batch heap-aggregate result") {
+    import graft.streaming.EventStreams
+    val tmp = java.nio.file.Files.createTempDirectory("graft-topk-stream").toString
+    val events = Tables.events(spark, TestSpark.sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    events.write.mode("overwrite").parquet(tmp)
+    // complete mode: a finite file drop never advances the watermark past
+    // the trailing window, so append would withhold it; complete emits
+    // the full snapshot for the batch-equality check
+    val q = EventStreams.windowedTopK(
+        EventStreams.readEventStream(spark, tmp), k = 3, window = "6 hours")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("topk_smoke").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("topk_smoke")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val batch = EventStreams.windowedTopK(events, k = 3, window = "6 hours")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(streamed.toSet == batch.toSet)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup drops in-horizon duplicates") {
     import graft.streaming.EventStreams
     val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
