@@ -94,6 +94,55 @@ object Dedup {
   def simhash(textCol: Column, bits: Int = 32): Column =
     graft.functions.SimHashExpr.simhashOfTokens(TextFunctions.tokens(textCol), bits)
 
+  /** Connected components over an undirected edge list: each node labeled
+    * with the MINIMUM node id reachable from it — the near-dup CLUSTER
+    * step that follows LSH + verification in a dedup pipeline (the
+    * component label IS the keeper id).
+    *
+    * Iterative min-label propagation with pointer jumping (each round:
+    * take the min over neighbor labels, then follow label→label one hop),
+    * so convergence is O(log component-diameter) rounds, each round one
+    * join + aggregate — the standard scalable formulation (alternating
+    * star-contraction refines this further at extreme scale). Runs until
+    * fixpoint with a cheap emptiness probe per round. */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    // each round's frame is EAGERLY materialized and its lineage truncated
+    // (localCheckpoint): the iterative joins would otherwise double the
+    // logical plan per round — exponential analysis cost long before any
+    // data-size limit. (A cluster deployment persists each round to a
+    // table for fault tolerance; same structure.)
+    var labels = nodes.select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // round part 1: min over own + neighbor labels
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(sym("src").as("nid")).agg(min(col("label")).as("nbr"))
+      val stepped = labels.join(nbrMin, labels("id") === col("nid"), "left")
+        .select(labels("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      // round part 2: pointer jump (label := label's label)
+      val asMap = stepped.select(col("id").as("mid"), col("label").as("mlabel"))
+      val next = stepped.join(asMap, stepped("label") === col("mid"), "left")
+        .select(stepped("id"),
+          coalesce(col("mlabel"), stepped("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "component")
+  }
+
   /** Token-level Jaccard similarity for all pairs within a (small) frame —
     * the exact verifier. Join keyed on shared tokens; quadratic in docs
     * sharing a token, so feed it candidates or sampled subsets only. */

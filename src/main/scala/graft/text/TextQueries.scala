@@ -77,6 +77,19 @@ object TextQueries {
         count(lit(1)).as("cnt"))
       .orderBy(col("lang"))
 
+  /** Near-dup clustering: exact-jaccard edges over the deterministic
+    * subset → connected components; the component label is the keeper id
+    * (min doc in the cluster). Oracle: DuckDB recursive-CTE reachability
+    * closure over the same edges. */
+  def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val subset = Tables.documents(s, dir).filter(col("doc_id") % 25 === 0)
+    val edges = Dedup.jaccardPairs(subset, "doc_id", "text", minJaccard = 0.3)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    Dedup.connectedComponents(edges, subset.select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash+LSH near-dup candidates (no SQL oracle — hash-based). */
   def minhashCandidates(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text",
@@ -159,6 +172,25 @@ object TextQueries {
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin)),
+    Q("q69_neardup_clusters", (s, d) => nearDupClusters(s, d), Some(
+      s"""WITH RECURSIVE d AS (SELECT doc_id, $norm AS nt FROM documents
+         |                     WHERE doc_id % 25 = 0),
+         |t AS (SELECT DISTINCT doc_id AS id, tok
+         |      FROM (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM d) u),
+         |sz AS (SELECT id, COUNT(*) AS n FROM t GROUP BY id),
+         |inter AS (SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
+         |          FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+         |          GROUP BY a.id, b.id),
+         |e0 AS (SELECT id1, id2 FROM inter
+         |       JOIN sz s1 ON id1 = s1.id JOIN sz s2 ON id2 = s2.id
+         |       WHERE round(i / CAST(s1.n + s2.n - i AS DOUBLE), 4) >= 0.3),
+         |e AS (SELECT id1 AS src, id2 AS dst FROM e0
+         |      UNION SELECT id2, id1 FROM e0),
+         |r AS (SELECT doc_id AS id, doc_id AS reach FROM d
+         |      UNION SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src)
+         |SELECT id AS doc_id, CAST(MIN(reach) AS BIGINT) AS component
+         |FROM r GROUP BY id
+         |ORDER BY doc_id""".stripMargin)),
     Q("q36_minhash_candidates", (s, d) => minhashCandidates(s, d), None),
     Q("q37_simhashes", (s, d) => simhashes(s, d), None)
   )
