@@ -90,6 +90,51 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Context-window chunking: overlapping token windows (size 64, stride
+    * 48) exploded to one row per chunk — the length-bounding pass before
+    * tokenizer/packing in a training pipeline. Pure narrow ops (tokenize →
+    * sequence → posexplode → slice): no shuffle until the output sort. */
+  def chunkDocs(s: SparkSession, dir: String,
+      chunkSize: Int = 64, stride: Int = 48): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+      .select(col("doc_id"),
+        col("pos").as("chunk_idx"),
+        size(slice(col("toks"), col("col") + 1, lit(chunkSize))).as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), col("col") + 1, lit(chunkSize))).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Deterministic stratified sampling: per-language keep rates applied by
+    * thresholding a uniform hash of the doc id (md5 — identical bytes in
+    * any engine, so the sample is reproducible across runs, engines and
+    * cluster sizes; no RNG state). The dataset-mixture curation op. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int")
+    val threshold = typedLit(Map(
+      "en" -> 32768, "de" -> 65536, "fr" -> 16384, "es" -> 6554))
+    Tables.documents(s, dir)
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < coalesce(
+        element_at(threshold, col("lang")), lit(3277)))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Vocabulary building: global token frequencies, top-100 (the vocab /
+    * BPE-prep pass). Explode + hash aggregate with map-side partial
+    * counts; top-k is a k-row merge, not a global sort. */
+  def vocabTopK(s: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+
   /** MinHash+LSH near-dup candidates (no SQL oracle — hash-based). */
   def minhashCandidates(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text",
@@ -191,6 +236,34 @@ object TextQueries {
          |SELECT id AS doc_id, CAST(MIN(reach) AS BIGINT) AS component
          |FROM r GROUP BY id
          |ORDER BY doc_id""".stripMargin)),
+    Q("q70_chunks", (s, d) => chunkDocs(s, d), Some(
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents
+         |           WHERE length($norm) > 0),
+         |c AS (SELECT doc_id, CAST(i // 48 AS INT) AS chunk_idx,
+         |             list_slice(toks, CAST(i + 1 AS INT),
+         |                        CAST(least(i + 64, len(toks)) AS INT)) AS chunk
+         |      FROM d, unnest(range(0, len(toks), 48)) AS t(i))
+         |SELECT doc_id, chunk_idx,
+         |       CAST(len(chunk) AS INT) AS n_chunk_tokens,
+         |       array_to_string(chunk, ' ') AS chunk_text
+         |FROM c
+         |ORDER BY doc_id, chunk_idx""".stripMargin)),
+    Q("q71_stratified_sample", (s, d) => stratifiedSample(s, d), Some(
+      """SELECT doc_id, lang,
+        |       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT AS bucket
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT <
+        |      CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 65536
+        |                WHEN 'fr' THEN 16384 WHEN 'es' THEN 6554
+        |                ELSE 3277 END
+        |ORDER BY doc_id""".stripMargin)),
+    Q("q72_vocab_topk", (s, d) => vocabTopK(s, d), Some(
+      s"""SELECT tok AS token, COUNT(*) AS freq
+         |FROM (SELECT unnest($toksSql) AS tok FROM documents
+         |      WHERE length($norm) > 0)
+         |GROUP BY tok
+         |ORDER BY freq DESC, token
+         |LIMIT 100""".stripMargin)),
     Q("q36_minhash_candidates", (s, d) => minhashCandidates(s, d), None),
     Q("q37_simhashes", (s, d) => simhashes(s, d), None)
   )
