@@ -63,8 +63,11 @@ object Reshape {
     * simplification + pushdown of the extractable `p_size >= 1` conjunct. */
   def orBandsRevenue(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_size"))
+    // exact decimal product (see Tpch.discountedRev): double-then-round
+    // is engine-unstable near rounding midpoints
     val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_quantity"),
-      dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      (dec(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount")))).as("rev"))
     val bands =
       (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
         col("l_quantity").between(1, 11)) ||
@@ -117,8 +120,8 @@ object Reshape {
         |   EXCEPT SELECT s_nationkey FROM supplier)
         |ORDER BY nationkey, src""".stripMargin)),
     Q("q66_or_bands", (s, d) => orBandsRevenue(s, d), Some(
-      """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-        |                     AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |       COUNT(*) AS cnt
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15

@@ -20,6 +20,15 @@ object Tpch {
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
   private def ts(s: String) = lit(Timestamp.valueOf(s))
 
+  /** Discounted revenue in EXACT decimal arithmetic: round each 2dp input
+    * to decimal FIRST, multiply in decimal (exact 4dp product). Computing
+    * `price * (1 - discount)` in double and THEN rounding to 2dp is
+    * engine-unstable: near-midpoint double products round differently in
+    * Spark vs DuckDB (two elements in 600k flipped a cent at sf0.1). */
+  private def discountedRev: org.apache.spark.sql.Column =
+    dec(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount")))
+
   /** Q3 shape — shipping-priority: segment-filtered customers ⋈ open
     * orders ⋈ late-shipped items, revenue top-10. */
   def shippingPriority(s: SparkSession, dir: String): DataFrame = {
@@ -31,8 +40,7 @@ object Tpch {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
     val li = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") > ts("2000-01-01 00:00:00"))
-      .select(col("l_orderkey"),
-        dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .select(col("l_orderkey"), discountedRev.as("rev"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
@@ -56,7 +64,7 @@ object Tpch {
         col("o_orderdate") < ts("1998-01-01 00:00:00"))
       .select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
-      dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      discountedRev.as("rev"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp),
@@ -135,7 +143,8 @@ object Tpch {
         |ORDER BY part_a, rn""".stripMargin)),
     Q("q53_shipping_priority", (s, d) => shippingPriority(s, d), Some(
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
         |  AND l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
@@ -146,7 +155,8 @@ object Tpch {
         |LIMIT 10""".stripMargin)),
     Q("q54_local_supplier_revenue", (s, d) => localSupplierRevenue(s, d), Some(
       """SELECT n_name,
-        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

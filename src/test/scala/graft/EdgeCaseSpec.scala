@@ -63,4 +63,34 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(df.filter(RuleOps(RuleOps.In, col("id"), Seq.empty[Any])).count() == 0)
     assert(df.filter(RuleOps(RuleOps.AllIn, col("xs"), Seq.empty[Any])).count() == 2)
   }
+
+  test("chunking: null and empty texts produce no chunks; short docs one chunk") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "one two three"), (2L, ""), (4L, "   "))
+      .toDF("doc_id", "text")
+      .union(Seq((3L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    df.createOrReplaceTempView("edge_docs")
+    val toks = graft.text.TextFunctions.tokens(col("text"))
+    val chunks = df
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(48))))
+    assert(chunks.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("stratified sampling is deterministic and respects per-stratum rates") {
+    val a = graft.text.TextQueries.stratifiedSample(spark, TestSpark.sfDir).collect()
+    val b = graft.text.TextQueries.stratifiedSample(spark, TestSpark.sfDir).collect()
+    assert(a.toSeq == b.toSeq) // same rows, same order, run to run
+    val byLang = a.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val totals = Tables.documents(spark, TestSpark.sfDir)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 'de' keeps everything (threshold 65536 = full hash range)
+    assert(byLang.getOrElse("de", 0) == totals.getOrElse("de", 0L))
+    // 'en' keeps roughly half (32768/65536); tolerance for 500-doc corpus
+    val enRate = byLang.getOrElse("en", 0).toDouble / totals.getOrElse("en", 1L)
+    assert(enRate > 0.3 && enRate < 0.7, s"en keep rate $enRate")
+  }
 }
