@@ -70,7 +70,40 @@ object EtlQueries {
       .agg(count(lit(1)).as("cnt"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** §2.7 slug generation with UNIQUE-slug assignment (the import
+    * pipeline's ProcessSlugsAsync contract: colliding slugs get a numeric
+    * suffix). Distributed form: window row_number per base slug with a
+    * deterministic key order — one hash shuffle on the slug, no
+    * sequential reservation table. */
+  def uniqueSlugs(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.functions.Conversions.slugify(col("p_name"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("base_slug")).orderBy(col("p_partkey"))
+    Tables.part(s, dir)
+      .select(col("p_partkey"), base.as("base_slug"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("p_partkey"),
+        when(col("rn") === 1, col("base_slug"))
+          .otherwise(concat_ws("-", col("base_slug"), col("rn") - 1))
+          .as("slug"))
+      .orderBy(col("p_partkey"))
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q73_unique_slugs", (s, d) => uniqueSlugs(s, d), Some(
+      """WITH b AS (SELECT p_partkey,
+        |  regexp_replace(regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g'),
+        |                 '^-+|-+$', '', 'g') AS base_slug
+        |  FROM part),
+        |r AS (SELECT p_partkey, base_slug,
+        |             ROW_NUMBER() OVER (PARTITION BY base_slug
+        |                                ORDER BY p_partkey) AS rn
+        |      FROM b)
+        |SELECT p_partkey,
+        |       CASE WHEN rn = 1 THEN base_slug
+        |            ELSE base_slug || '-' || (rn - 1) END AS slug
+        |FROM r
+        |ORDER BY p_partkey""".stripMargin)),
     Q("q56_props_json", (s, d) => propsJson(s, d), Some(
       """SELECT event_type, COUNT(*) AS cnt,
         |       MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,

@@ -73,6 +73,15 @@ object Conversions {
   /** Int with empty→null; malformed → null. */
   def intOf(c: Column): Column = nullifyTokens(c).try_cast(IntegerType)
 
+  /** SEO slug (SURVEY §2.7 "ID/slug/SEO utilities" —
+    * `EntityImporterBase.ProcessSlugsAsync`, EntityImporterBase.cs:244-300):
+    * lower-case, non-alphanumeric runs → single dash, trim dashes. Pure
+    * codegen'd expressions (no UDF). */
+  def slugify(c: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9]+", "-"),
+      "^-+|-+$", "")
+
   /** Merge-time cell semantics (`ImportRow.cs:124-234`, SURVEY §2.8 step 6):
     * `[IGNORE]` keeps the existing value; `[NULL]` forces null; a present
     * incoming value wins; otherwise the default applies only to new rows
