@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join on event time: left rows with a point timestamp
+  * matched to right rows carrying `[start, end]` intervals (inclusive).
+  *
+  * Naively this is a pure inequality join — Spark can only execute that as
+  * a nested-loop (broadcast or cartesian), quadratic at scale. The scale
+  * path implemented here buckets time: each interval is exploded to the
+  * fixed-width buckets it covers, each point maps to exactly ONE bucket,
+  * and the join becomes a hash EQUI-join on the bucket id with the exact
+  * range predicate as a residual. Cost: |right| × (interval/bucket + 1)
+  * exploded rows and one shuffle each side — linear, partition-parallel,
+  * and skew-handled by AQE like any equi-join. No duplicate results: a
+  * point joins an interval only in the point's own bucket.
+  *
+  * (Beyond the reference — SURVEY §2.4 notes range joins are absent
+  * there; this is the standard interval-join decomposition, same idea as
+  * Structured Streaming's time-bound stream-stream join state pruning.) */
+object RangeJoin {
+
+  /** `left` (point `leftTs`) ⋈ `right` (`[rightStart, rightEnd]`),
+    * inclusive bounds, bucket width `bucketMs` millis. Pick bucketMs near
+    * the typical interval length: wider → fewer exploded rows, narrower →
+    * less residual filtering. */
+  def pointInInterval(
+      left: DataFrame, leftTs: Column,
+      right: DataFrame, rightStart: Column, rightEnd: Column,
+      bucketMs: Long): DataFrame = {
+    // floor, not cast-truncation: pre-epoch (negative) millis must round
+    // toward -inf or the point's bucket misses the interval's bucket set
+    val lb = floor(unix_millis(leftTs) / bucketMs).cast("long").as("__bucket")
+    val rStart = floor(unix_millis(rightStart) / bucketMs).cast("long")
+    val rEnd = floor(unix_millis(rightEnd) / bucketMs).cast("long")
+    val l = left.withColumn("__bucket", lb)
+    val r = right
+      .withColumn("__bucket", explode(sequence(rStart, rEnd)))
+    l.join(r, Seq("__bucket"))
+      .filter(leftTs >= rightStart && leftTs <= rightEnd)
+      .drop("__bucket")
+  }
+}

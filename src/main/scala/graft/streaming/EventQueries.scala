@@ -64,7 +64,34 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Bucketed range join: clicks landing inside the 10-minute window
+    * after each error, counted per error — executed as a hash equi-join
+    * on time buckets with the exact range predicate residual
+    * (operators.RangeJoin), not a nested-loop inequality join. */
+  def clicksInErrorWindows(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("ts").as("click_ts"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("win_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("win_end"))
+    graft.operators.RangeJoin.pointInInterval(
+        clicks, col("click_ts"),
+        errors, col("win_start"), col("win_end"),
+        bucketMs = 600000L)
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy(col("err_id"))
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q74_range_join", (s, d) => clicksInErrorWindows(s, d), Some(
+      """SELECT e.event_id AS err_id, COUNT(*) AS n_clicks
+        |FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT ts FROM events WHERE event_type = 'click') c
+        |  ON c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTES
+        |GROUP BY e.event_id
+        |ORDER BY err_id""".stripMargin)),
     Q("q57_asof_join", (s, d) => clicksAsOfErrors(s, d), Some(
       """SELECT c.event_id, c.user_id, c.ts, e.ts AS last_error_ts
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c

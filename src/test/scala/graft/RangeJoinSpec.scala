@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketed range join equals the naive inequality join, across bucket
+  * widths (intervals spanning one, several, and partial buckets) and
+  * inclusive boundaries. */
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val points = Seq(
+    (1L, ts("2024-01-01 10:00:00")),
+    (2L, ts("2024-01-01 10:05:00")),
+    (3L, ts("2024-01-01 10:10:00")), // exactly on an interval end
+    (4L, ts("2024-01-01 11:59:59")),
+    (5L, ts("2024-01-02 00:00:00")))
+
+  private val intervals = Seq(
+    (100L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")), // inclusive both ends
+    (101L, ts("2024-01-01 09:30:00"), ts("2024-01-01 12:30:00")), // spans many buckets
+    (102L, ts("2024-01-01 23:59:00"), ts("2024-01-02 00:01:00")), // crosses midnight
+    (103L, ts("2024-03-01 00:00:00"), ts("2024-03-01 01:00:00"))) // matches nothing
+
+  test("bucketed equals naive for several bucket widths") {
+    val l = points.toDF("pid", "pts")
+    val r = intervals.toDF("iid", "istart", "iend")
+    val naive = l.join(r, col("pts") >= col("istart") && col("pts") <= col("iend"))
+      .select(col("pid"), col("iid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    for (bucketMs <- Seq(1000L, 60000L, 600000L, 3600000L, 86400000L)) {
+      val bucketed = RangeJoin.pointInInterval(
+          l, col("pts"), r, col("istart"), col("iend"), bucketMs)
+        .select(col("pid"), col("iid"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(bucketed == naive, s"bucketMs=$bucketMs")
+    }
+  }
+
+  test("no duplicate pairs even when an interval covers many buckets") {
+    val l = points.toDF("pid", "pts")
+    val r = intervals.toDF("iid", "istart", "iend")
+    val rows = RangeJoin.pointInInterval(
+        l, col("pts"), r, col("istart"), col("iend"), bucketMs = 1000L)
+      .select(col("pid"), col("iid")).collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(rows.length == rows.toSet.size)
+  }
+}
