@@ -88,14 +88,19 @@ object Tpch {
     // because basket size is bounded by order size, not corpus size),
     // then explode the in-row cross product. The equivalent self-join
     // costs three more shuffles (distinct + both join sides repartition).
-    val pairs = Tables.lineitem(s, dir)
+    // co-occurrence counts are symmetric: count each unordered pair once
+    // (a < b — halves the pair rows through the count shuffle), then
+    // mirror the counted pairs for the per-source ranking
+    val half = Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("parts"))
       .select(explode(col("parts")).as("part_a"), col("parts"))
       .select(col("part_a"), explode(col("parts")).as("part_b"))
-      .filter(col("part_a") =!= col("part_b"))
+      .filter(col("part_a") < col("part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_orders"))
+    val pairs = half.unionByName(half.select(
+      col("part_b").as("part_a"), col("part_a").as("part_b"), col("n_orders")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("part_a"))
       .orderBy(col("n_orders").desc, col("part_b"))
