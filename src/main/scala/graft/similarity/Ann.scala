@@ -21,10 +21,11 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Ann {
 
-  /** Elementwise dot product via zip_with + ordered fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+  /** Elementwise dot product — one primitive loop (custom expression;
+    * the zip_with + fold composition is CodegenFallback and interpreted,
+    * which dominates pair-scoring; values identical: same element order,
+    * same double accumulation). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpr.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -49,6 +50,24 @@ object Ann {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col(idCol), col("cos"), col("rn"))
+  }
+
+  /** Embedding-cosine near-dup pairs: all (id1 < id2) pairs with rounded
+    * cosine ≥ `minCos`. Norms are computed ONCE per row before the
+    * self-join (not per pair), and one side broadcasts when small. This
+    * brute-force form is the exact verifier for subsets/candidates; at
+    * corpus scale, block first (LSH signature equi-join — `lshTopK`'s
+    * bucketing) and feed only candidate pairs through the same scoring. */
+  def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      minCos: Double): DataFrame = {
+    val withNorm = vectors.select(
+      col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("n"))
+    val a = withNorm.select(col("id").as("id1"), col("v").as("v1"), col("n").as("n1"))
+    val b = withNorm.select(col("id").as("id2"), col("v").as("v2"), col("n").as("n2"))
+    a.join(broadcast(b), col("id1") < col("id2"))
+      .withColumn("cos", round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4))
+      .filter(col("cos") >= minCos)
+      .select(col("id1"), col("id2"), col("cos"))
   }
 
   /** Random-hyperplane LSH signature: `bits` sign bits of projections onto

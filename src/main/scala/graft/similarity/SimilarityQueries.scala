@@ -35,7 +35,24 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("cnt"), round(avg(col("nrm")), 4).as("avg_norm"))
       .orderBy(col("label"))
 
+  /** Embedding-cosine near-dup pairs over the deterministic subset — the
+    * exact verifier path of embedding dedup (the corpus-scale path blocks
+    * by LSH signature first and verifies candidates with this scoring). */
+  def embeddingNearDups(s: SparkSession, dir: String): DataFrame =
+    Ann.nearDupPairs(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", minCos = 0.35)
+      .orderBy(col("id1"), col("id2"))
+
   val qs: Seq[Q] = Seq(
+    Q("q75_embedding_neardup", (s, d) => embeddingNearDups(s, d), Some(
+      """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings WHERE vec_id % 5 = 0)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |       round(list_cosine_similarity(a.e, b.e), 4) AS cos
+        |FROM s a JOIN s b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.35
+        |ORDER BY id1, id2""".stripMargin)),
     Q("q40_ann_topk", (s, d) => annTopK(s, d), Some(
       """SELECT query_id, vec_id, cos, rn FROM (
         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,

@@ -46,4 +46,20 @@ class AnnSpec extends AnyFunSuite {
       .collect().map(_.getLong(1))
     assert(top.contains(4L))
   }
+
+  test("primitive dot expression equals the zip_with fold and the near-dup verifier works") {
+    import org.apache.spark.sql.types.DoubleType
+    val hofDot = aggregate(
+      zip_with(col("embedding"), col("e2"), (x, y) =>
+        x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+    val both = vecs.crossJoin(vecs.select(col("embedding").as("e2")))
+      .select(Ann.dot(col("embedding"), col("e2")).as("fast"), hofDot.as("ref"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    val pairs = Ann.nearDupPairs(vecs, "vec_id", "embedding", minCos = 0.995)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (0,1)/(1,4) score 0.9937 — below 0.995; only the identical pair stays
+    assert(pairs == Set((0L, 4L)))
+  }
 }
