@@ -95,4 +95,54 @@ object Multimodal {
   def mediaMeta(media: DataFrame): DataFrame =
     media.select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
       col("meta.digest").as("digest"))
+
+  /** Video-style frame sampling: payload bytes chunked into fixed-size
+    * "frames", every `everyNth` frame emitted as its own row — the
+    * row-explosion shape of real frame extraction (one input row → many
+    * bounded output rows, no shuffle; a real codec replaces the byte
+    * chunking, the partition-batched iteration and output schema stay).
+    * Frame payloads are EXACT byte slices, so the gate can verify the
+    * plumbing value-level cross-engine (via hex slicing in the oracle). */
+  def frameSample(media: DataFrame, frameBytes: Int = 256,
+      everyNth: Int = 2): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by everyNth).iterator.map { i =>
+          val from = i * frameBytes
+          val until = math.min(from + frameBytes, bytes.length)
+          Row(id, i, java.util.Arrays.copyOfRange(bytes, from, until))
+        }
+      }
+    }(enc)
+  }
+
+  /** Image-style resize stub: payload truncated to `maxBytes` (the
+    * deterministic fake for a decode→scale→re-encode pass — shrinking,
+    * size-bounded output; metadata records both sizes). Same
+    * partition-batched shape a real codec needs. */
+  def resizeStub(media: DataFrame, maxBytes: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("orig_bytes", LongType, nullable = false),
+      StructField("resized_bytes", LongType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        val out = if (bytes.length <= maxBytes) bytes
+          else java.util.Arrays.copyOfRange(bytes, 0, maxBytes)
+        Row(id, out, bytes.length.toLong, out.length.toLong)
+      }
+    }(enc)
+  }
 }

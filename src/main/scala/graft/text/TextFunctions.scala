@@ -30,6 +30,14 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** BPE-ish subword tokenization: alphanumeric runs and individual
+    * punctuation marks as separate tokens (`[a-z0-9]+|[^a-z0-9\s]` over
+    * the normalized text) — the pre-tokenizer split rule most BPE vocab
+    * builders apply before merges. Same regex semantics in Java and RE2,
+    * so it is oracle-checkable. */
+  def subwordTokens(c: Column): Column =
+    regexp_extract_all(normalize(c), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))
+
   /** Deterministic document fingerprint: md5 of the normalized text (the
     * rolling-hash analog; md5 keeps it oracle-checkable cross-engine). */
   def fingerprint(c: Column): Column = md5(normalize(c))

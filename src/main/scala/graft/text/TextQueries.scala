@@ -124,6 +124,18 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Whitespace vs BPE-ish subword token counts per document (the
+    * pre-tokenizer comparison a vocab-budget analysis runs). */
+  def subwordCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        size(TextFunctions.subwordTokens(col("text"))).as("n_subtokens"))
+      .withColumn("ratio", round(col("n_subtokens").cast("double") /
+        nullif(col("n_tokens"), lit(0)).cast("double"), 4))
+      .orderBy(col("doc_id"))
+
   /** Vocabulary building: global token frequencies, top-100 (the vocab /
     * BPE-prep pass). Explode + hash aggregate with map-side partial
     * counts; top-k is a k-row merge, not a global sort. */
@@ -257,6 +269,17 @@ object TextQueries {
         |                WHEN 'fr' THEN 16384 WHEN 'es' THEN 6554
         |                ELSE 3277 END
         |ORDER BY doc_id""".stripMargin)),
+    Q("q77_subword_counts", (s, d) => subwordCounts(s, d), Some(
+      s"""SELECT doc_id,
+         |  CASE WHEN length($norm) = 0 THEN 0
+         |       ELSE CAST(len($toksSql) AS INT) END AS n_tokens,
+         |  CAST(len(regexp_extract_all($norm, '[a-z0-9]+|[^a-z0-9\\s]')) AS INT)
+         |    AS n_subtokens,
+         |  round(len(regexp_extract_all($norm, '[a-z0-9]+|[^a-z0-9\\s]'))
+         |        / CAST(nullif(CASE WHEN length($norm) = 0 THEN 0
+         |                           ELSE len($toksSql) END, 0) AS DOUBLE), 4) AS ratio
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin)),
     Q("q72_vocab_topk", (s, d) => vocabTopK(s, d), Some(
       s"""SELECT tok AS token, COUNT(*) AS freq
          |FROM (SELECT unnest($toksSql) AS tok FROM documents

@@ -75,4 +75,28 @@ class MultimodalStreamSpec extends AnyFunSuite {
     val b = batch.agg(sum("cnt")).head().getLong(0)
     assert(s == b)
   }
+
+  test("frame sampling: exact boundaries, stride, and empty payloads") {
+    import graft.multimodal.Multimodal
+    val media = Seq(
+      (1L, ("a" * 700)), // 3 frames of 256 -> sampled 0, 2
+      (2L, "short"),     // 1 frame
+      (3L, "")           // no frames
+    ).toDF("doc_id", "text")
+    val frames = Multimodal.frameSample(
+        Multimodal.attachBinary(media, "doc_id", "text"),
+        frameBytes = 256, everyNth = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).length))
+    assert(frames.toSet == Set((1L, 0, 256), (1L, 2, 188), (2L, 0, 5)))
+  }
+
+  test("resize stub truncates to the byte budget and keeps sizes") {
+    import graft.multimodal.Multimodal
+    val media = Seq((1L, "a" * 500), (2L, "tiny")).toDF("doc_id", "text")
+    val out = Multimodal.resizeStub(
+        Multimodal.attachBinary(media, "doc_id", "text"), maxBytes = 100)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).length,
+        r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((1L, 100, 500L, 100L), (2L, 4, 4L, 4L)))
+  }
 }
