@@ -89,7 +89,25 @@ object EtlQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** Pre-import data profile of the customer table (one aggregation
+    * pass for all columns — see Profiler). */
+  def customerProfile(s: SparkSession, dir: String): DataFrame =
+    Profiler.profile(Tables.customer(s, dir),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"))
+      .orderBy(col("col_name"))
+
   val qs: Seq[Q] = Seq(
+    Q("q78_profile", (s, d) => customerProfile(s, d), Some(
+      Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+        .sorted
+        .map(c =>
+          s"""SELECT '$c' AS col_name,
+             |  CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(MIN($c) AS VARCHAR) AS min_value,
+             |  CAST(MAX($c) AS VARCHAR) AS max_value
+             |FROM customer""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))),
     Q("q73_unique_slugs", (s, d) => uniqueSlugs(s, d), Some(
       """WITH b AS (SELECT p_partkey,
         |  regexp_replace(regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g'),
