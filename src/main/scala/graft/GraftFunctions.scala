@@ -66,6 +66,7 @@ object GraftFunctions {
   * `--conf spark.sql.extensions=graft.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     e.injectFunction((
       FunctionIdentifier("graft_minhash"),
       GraftFunctions.minhashInfo,

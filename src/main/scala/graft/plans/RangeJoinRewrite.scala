@@ -1,0 +1,108 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+
+/** Optimizer rule: rewrite a naive point-in-interval join —
+  *
+  *   left JOIN right ON l.ts >= r.start AND l.ts <= r.end
+  *
+  * (which Spark can only execute as a nested loop, O(|L|·|R|)) into the
+  * bucketed equi-join decomposition of `operators.RangeJoin`: intervals
+  * explode to the fixed-width time buckets they cover, points map to one
+  * bucket, the join becomes a hash equi-join on the bucket id and the
+  * original condition stays as a residual filter. Output attributes are
+  * unchanged, so the rewrite is transparent to everything above it.
+  *
+  * Fires only on INNER joins whose condition contains a lower and an
+  * upper timestamp bound between the sides and NO equi-conjunct joining
+  * the sides (with an equi-conjunct Spark already plans a hash join and
+  * the range is a cheap residual). Bucket width:
+  * `spark.graft.rangeJoin.bucketMs` (default 1 hour).
+  *
+  * Registered by `graft.GraftExtensions` (injectOptimizerRule) or at
+  * runtime via `spark.experimental.extraOptimizations`. SURVEY §7.3(c):
+  * the custom-Rule tier, used exactly where declarative composition
+  * cannot express the fix (a user's naive predicate can't be
+  * re-associated into an equi-join without a plan rewrite). */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val BucketConfKey = "spark.graft.rangeJoin.bucketMs"
+
+  private def bucketMs: Long =
+    SQLConf.get.getConfString(BucketConfKey, "3600000").toLong
+
+  /** floor(unix_millis(ts) / bucketMs) as a long — identical arithmetic
+    * to operators.RangeJoin so the two forms bucket consistently. */
+  private def bucketOf(ts: Expression, b: Long): Expression =
+    Cast(Floor(Divide(Cast(UnixMillis(ts), DoubleType),
+      Literal(b.toDouble))), LongType)
+
+  private def refsIn(e: Expression, side: LogicalPlan): Boolean =
+    e.references.nonEmpty && e.references.subsetOf(side.outputSet)
+
+  /** Match `point >= bound` in either written order, returning
+    * (point-from-left, bound-from-right). */
+  private def lowerBound(c: Expression, l: LogicalPlan, r: LogicalPlan):
+      Option[(Expression, Expression)] = c match {
+    case GreaterThanOrEqual(p, b) if refsIn(p, l) && refsIn(b, r) => Some((p, b))
+    case LessThanOrEqual(b, p) if refsIn(p, l) && refsIn(b, r) => Some((p, b))
+    case _ => None
+  }
+
+  private def upperBound(c: Expression, l: LogicalPlan, r: LogicalPlan):
+      Option[(Expression, Expression)] = c match {
+    case LessThanOrEqual(p, b) if refsIn(p, l) && refsIn(b, r) => Some((p, b))
+    case GreaterThanOrEqual(b, p) if refsIn(p, l) && refsIn(b, r) => Some((p, b))
+    case _ => None
+  }
+
+  private def crossSideEquality(c: Expression, l: LogicalPlan, r: LogicalPlan): Boolean =
+    c match {
+      case EqualTo(a, b) =>
+        (refsIn(a, l) && refsIn(b, r)) || (refsIn(a, r) && refsIn(b, l))
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if j.resolved && !hasBucketAlias(j) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val lower = conjuncts.flatMap(c => lowerBound(c, left, right)).headOption
+      val upper = conjuncts.flatMap(c => upperBound(c, left, right)).headOption
+      val hasEqui = conjuncts.exists(c => crossSideEquality(c, left, right))
+      (lower, upper) match {
+        case (Some((pt, lo)), Some((pt2, hi)))
+            if !hasEqui && pt.semanticEquals(pt2) &&
+              pt.dataType == TimestampType &&
+              lo.dataType == TimestampType && hi.dataType == TimestampType =>
+          val b = bucketMs
+          val lbAlias = Alias(bucketOf(pt, b), "__graft_bucket_l")()
+          val newLeft = Project(left.output :+ lbAlias, left)
+          val bucketAttr = AttributeReference(
+            "__graft_bucket_r", LongType, nullable = false)()
+          // Sequence is TimeZoneAwareExpression: stays UNRESOLVED without
+          // an explicit zone even over longs — pin the session zone
+          val seq = Sequence(
+            bucketOf(lo, b), bucketOf(hi, b), Some(Literal(1L)),
+            Some(SQLConf.get.sessionLocalTimeZone))
+          val newRight = Generate(Explode(seq), unrequiredChildIndex = Nil,
+            outer = false, qualifier = None,
+            generatorOutput = Seq(bucketAttr), child = right)
+          val bucketed = Join(newLeft, newRight, Inner,
+            Some(EqualTo(lbAlias.toAttribute, bucketAttr)), hint)
+          // original condition (ALL conjuncts) stays as the exact residual
+          Project(j.output, Filter(cond, bucketed))
+        case _ => j
+      }
+  }
+
+  /** Idempotence guard: don't re-fire on a join we already rewrote. */
+  private def hasBucketAlias(j: Join): Boolean =
+    j.left.output.exists(_.name == "__graft_bucket_l") ||
+      j.right.output.exists(_.name == "__graft_bucket_r")
+}

@@ -84,7 +84,34 @@ object EventQueries {
       .orderBy(col("err_id"))
   }
 
+  /** The NAIVE inequality form of the interval join — as a user would
+    * write it. Under the GraftExtensions session (Verify/Bench) the
+    * injected optimizer rule (plans.RangeJoinRewrite) rewrites it to the
+    * bucketed equi-join automatically; without the extension it runs as a
+    * nested loop with identical results. 5-minute windows so the result
+    * set differs from q74's explicit-operator form. */
+  def clicksInErrorWindowsNaive(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("ts").as("click_ts"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("win_start"),
+        (col("ts") + expr("INTERVAL 5 MINUTES")).as("win_end"))
+    clicks.join(errors,
+        col("click_ts") >= col("win_start") && col("click_ts") <= col("win_end"))
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy(col("err_id"))
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q79_range_rewrite", (s, d) => clicksInErrorWindowsNaive(s, d), Some(
+      """SELECT e.event_id AS err_id, COUNT(*) AS n_clicks
+        |FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT ts FROM events WHERE event_type = 'click') c
+        |  ON c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 5 MINUTES
+        |GROUP BY e.event_id
+        |ORDER BY err_id""".stripMargin)),
     Q("q74_range_join", (s, d) => clicksInErrorWindows(s, d), Some(
       """SELECT e.event_id AS err_id, COUNT(*) AS n_clicks
         |FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e

@@ -1,0 +1,81 @@
+package graft
+
+import graft.plans.RangeJoinRewrite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The injected optimizer rule turns a naive point-in-interval join into
+  * the bucketed equi-join: same rows, no nested-loop join in the plan. */
+class RangeJoinRewriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def points = Seq(
+    (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:05:00")),
+    (3L, ts("2024-01-01 11:59:59")), (4L, ts("2024-01-02 00:00:00")))
+    .toDF("pid", "pts")
+  private def intervals = Seq(
+    (100L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")),
+    (101L, ts("2024-01-01 09:30:00"), ts("2024-01-01 12:30:00")),
+    (102L, ts("2024-01-01 23:59:00"), ts("2024-01-02 00:01:00")))
+    .toDF("iid", "istart", "iend")
+
+  private def naiveJoin: DataFrame =
+    points.join(intervals,
+      col("pts") >= col("istart") && col("pts") <= col("iend"))
+
+  private def withRule[T](f: => T): T = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RangeJoinRewrite
+    try f
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == RangeJoinRewrite)
+  }
+
+  test("rewritten plan is an equi-join over exploded buckets, not a nested loop") {
+    withRule {
+      val df = naiveJoin
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin"), phys)
+      assert(phys.contains("Generate explode(sequence"), phys)
+    }
+    // without the rule the same query nested-loops
+    val phys = naiveJoin.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastNestedLoopJoin"), phys)
+  }
+
+  test("rewritten results equal the naive join exactly") {
+    val expected = naiveJoin.collect().map(_.toSeq).toSet
+    val got = withRule(naiveJoin.collect().map(_.toSeq).toSet)
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("extra cross-side conjuncts survive as residuals") {
+    // def, not val: a Dataset caches its QueryExecution, so a frame built
+    // (or collected) before the rule is installed never re-optimizes
+    def q = points.join(intervals,
+      col("pts") >= col("istart") && col("pts") <= col("iend") &&
+        col("pid") =!= col("iid"))
+    val expected = q.collect().map(_.toSeq).toSet
+    val got = withRule {
+      val phys = q.queryExecution.executedPlan.toString
+      assert(phys.contains("Generate explode(sequence"), phys)
+      q.collect().map(_.toSeq).toSet
+    }
+    assert(got == expected)
+  }
+
+  test("joins with an equi-conjunct are left alone (already hash-joinable)") {
+    def q = points.join(intervals,
+      col("pid") === col("iid") % 100 &&
+        col("pts") >= col("istart") && col("pts") <= col("iend"))
+    withRule {
+      val phys = q.queryExecution.executedPlan.toString
+      assert(!phys.contains("Generate explode(sequence"), phys)
+    }
+  }
+}
