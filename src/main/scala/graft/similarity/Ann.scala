@@ -71,21 +71,13 @@ object Ann {
   }
 
   /** Random-hyperplane LSH signature: `bits` sign bits of projections onto
-    * deterministic pseudo-random hyperplanes. Hyperplane component (p, i)
-    * is a zero-mean value derived from a 32-bit hash — reproducible with
-    * no RNG state, cheap to compute inline. */
-  def lshSignature(vec: Column, bits: Int = 8): Column = {
-    val sig = (0 until bits).map { p =>
-      // projection = Σ_i v[i] * h(p,i), h in [-0.5, 0.5)
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) =>
-          v.cast(DoubleType) *
-            (pmod(hash(lit(p), i), lit(100000)).cast(DoubleType) / 100000.0 - 0.5)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << p)).otherwise(0L)
-    }
-    sig.reduce(_ + _)
-  }
+    * deterministic pseudo-random hyperplanes (component (p, i) is a
+    * zero-mean value derived from a murmur mix — reproducible with no RNG
+    * state). One primitive pass per row via the custom expression (the
+    * per-plane zip_with/aggregate composition it replaces interpreted
+    * bits × dim boxed lambdas per row). */
+  def lshSignature(vec: Column, bits: Int = 8): Column =
+    graft.functions.SigExpr.srpSignature(vec, bits)
 
   /** LSH-bucketed ANN: score only vectors whose signature matches the
     * query's bucket. Recall trades against bits; candidates within a

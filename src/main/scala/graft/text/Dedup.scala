@@ -80,8 +80,8 @@ object Dedup {
     a.join(b, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        round(size(filter(zip_with(col("sig1"), col("sig2"), _ === _), v => v))
-          .cast(DoubleType) / size(col("sig1")), 4).as("est_jaccard"))
+        round(graft.functions.SigExpr.agreement(col("sig1"), col("sig2")), 4)
+          .as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard) // prune before the dedup shuffle
       .distinct()
   }
