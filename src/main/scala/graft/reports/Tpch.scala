@@ -124,7 +124,100 @@ object Tpch {
         count(lit(1)).as("cnt"))
   }
 
+  /** Q1 shape — pricing summary: per (returnflag, linestatus) the full
+    * aggregate battery. The three-factor charge stays EXACT decimal:
+    * price×(1−disc) is decimal(.,4), shrunk to DECIMAL(15,4) (values fit
+    * with headroom) so the ×(1+tax) product stays under precision 38 in
+    * both engines; averages divide the exact decimal sums as doubles
+    * (identical operands ⇒ identical quotients — no rounding needed). */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val revD = dec(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount")))
+    val charge = revD.cast(DecimalType(15, 4)) *
+      (lit(1).cast(DecimalType(3, 2)) + dec(col("l_tax")))
+    val cnt = count(lit(1))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(revD).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / cnt).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / cnt).as("avg_price"),
+        (sum(dec(col("l_discount"))).cast("double") / cnt).as("avg_disc"),
+        cnt.as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Q14 shape — promo revenue share: conditional decimal revenue over
+    * total, scaled to percent with the same association order both sides. */
+  def promoShare(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        ((lit(100.0) * sum(when(col("p_type").startsWith("PROMO"), discountedRev))
+          .cast("double")) / sum(discountedRev).cast("double")).as("promo_share"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** Q22 shape — above-average-balance customers with NO OPEN orders, per
+    * nation: scalar aggregate threshold (broadcast) + anti-join + group.
+    * The threshold divides the exact decimal balance sum as a double so
+    * the cut line is engine-stable. */
+  def richIdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val thr = c.agg((sum(dec(col("c_acctbal"))).cast("double") /
+      count(lit(1))).as("avg_bal"))
+    c.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q80_pricing_summary", (s, d) => pricingSummary(s, d), Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1.00 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(15,4))
+        |           * (1.00 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    Q("q81_promo_share", (s, d) => promoShare(s, d), Some(
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |                   THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |                        * (1.00 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+        |         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                    * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS promo_share,
+        |       COUNT(*) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin)),
+    Q("q82_rich_idle_customers", (s, d) => richIdleCustomers(s, d), Some(
+      """WITH thr AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |                    / COUNT(*) AS avg_bal FROM customer)
+        |SELECT c_nationkey, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, thr
+        |WHERE c_acctbal > thr.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)),
     Q("q58_small_qty_revenue", (s, d) => smallQtyRevenue(s, d), Some(
       """SELECT round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2) AS avg_yearly,
         |       COUNT(*) AS cnt
