@@ -181,7 +181,27 @@ object Tpch {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Q13 shape — customer order-count distribution: aggregate OF an
+    * aggregate (two chained hash aggregations; the second groups on the
+    * first's measure — the count-of-counts histogram shape). */
+  def custDistribution(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
   val qs: Seq[Q] = Seq(
+    Q("q83_cust_distribution", (s, d) => custDistribution(s, d), Some(
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_custkey) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
     Q("q80_pricing_summary", (s, d) => pricingSummary(s, d), Some(
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
