@@ -11,9 +11,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - money/double aggregates are summed as `decimal(18,2)` per-element
   *    casts (exact, associative — immune to float summation-order drift
   *    between Spark's partial aggregation and DuckDB's);
+  *  - NO output column is decimal- or derived-timestamp-typed: the final
+  *    aggregate casts to DOUBLE (equal decimals → bit-identical doubles
+  *    → identical stringifications), time buckets render as formatted
+  *    strings;
+  *  - arithmetic PRODUCTS round each 2dp input to decimal FIRST and
+  *    multiply in decimal (a double product rounded afterwards lands on
+  *    rounding midpoints differently per engine);
+  *  - averages/ratios divide the exact decimal sums as doubles
+  *    (identical operands ⇒ identical quotients), or `round(x, 4)` both
+  *    sides where the input is inherently double;
   *  - every query with a LIMIT carries a total deterministic ORDER BY
   *    (unique-key tiebreaker);
-  *  - double ratios are `round(x, 4)` on both sides.
+  *  - hash-based operators use fixed seeds and no RNG state.
   */
 final case class Q(
     name: String,

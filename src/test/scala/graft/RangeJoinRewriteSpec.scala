@@ -78,4 +78,22 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       assert(!phys.contains("Generate explode(sequence"), phys)
     }
   }
+
+  test("null timestamps drop on both the naive and rewritten paths") {
+    def withNulls = {
+      val p = Seq((1L, Some(ts("2024-01-01 10:00:00"))), (2L, None))
+        .toDF("pid", "pts")
+      p.join(intervals,
+        col("pts") >= col("istart") && col("pts") <= col("iend"))
+        .select(col("pid"), col("iid"))
+    }
+    val naive = withNulls.collect().map(_.toSeq).toSet
+    val rewritten = withRule {
+      val phys = withNulls.queryExecution.executedPlan.toString
+      assert(phys.contains("Generate explode(sequence"), phys)
+      withNulls.collect().map(_.toSeq).toSet
+    }
+    assert(rewritten == naive)
+    assert(naive.forall(_.head == 1L)) // the null-ts row matches nothing
+  }
 }
