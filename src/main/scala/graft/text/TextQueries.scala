@@ -81,9 +81,10 @@ object TextQueries {
     * subset → connected components; the component label is the keeper id
     * (min doc in the cluster). Oracle: DuckDB recursive-CTE reachability
     * closure over the same edges. */
-  def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
+  def nearDupClusters(s: SparkSession, dir: String,
+      minJaccard: Double = 0.3): DataFrame = {
     val subset = Tables.documents(s, dir).filter(col("doc_id") % 25 === 0)
-    val edges = Dedup.jaccardPairs(subset, "doc_id", "text", minJaccard = 0.3)
+    val edges = Dedup.jaccardPairs(subset, "doc_id", "text", minJaccard)
       .select(col("id1").as("src"), col("id2").as("dst"))
     Dedup.connectedComponents(edges, subset.select(col("doc_id").as("id")))
       .select(col("id").as("doc_id"), col("component"))
@@ -146,6 +147,16 @@ object TextQueries {
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
+
+  /** Near-dup dedup APPLIED: keep only the keeper document per cluster
+    * (component label == own id) — the detect → cluster → drop pipeline
+    * end-to-end. Threshold 0.8: this corpus shares a tiny vocabulary, so
+    * lower cut-offs connect the whole subset into one component. */
+  def nearDupKeepers(s: SparkSession, dir: String): DataFrame =
+    nearDupClusters(s, dir, minJaccard = 0.8)
+      .filter(col("doc_id") === col("component"))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
 
   /** MinHash+LSH near-dup candidates (no SQL oracle — hash-based). */
   def minhashCandidates(s: SparkSession, dir: String): DataFrame =
@@ -287,6 +298,24 @@ object TextQueries {
          |GROUP BY tok
          |ORDER BY freq DESC, token
          |LIMIT 100""".stripMargin)),
+    Q("q84_neardup_keepers", (s, d) => nearDupKeepers(s, d), Some(
+      s"""WITH RECURSIVE d AS (SELECT doc_id, $norm AS nt FROM documents
+         |                     WHERE doc_id % 25 = 0),
+         |t AS (SELECT DISTINCT doc_id AS id, tok
+         |      FROM (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM d) u),
+         |sz AS (SELECT id, COUNT(*) AS n FROM t GROUP BY id),
+         |inter AS (SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
+         |          FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+         |          GROUP BY a.id, b.id),
+         |e0 AS (SELECT id1, id2 FROM inter
+         |       JOIN sz s1 ON id1 = s1.id JOIN sz s2 ON id2 = s2.id
+         |       WHERE round(i / CAST(s1.n + s2.n - i AS DOUBLE), 4) >= 0.8),
+         |e AS (SELECT id1 AS src, id2 AS dst FROM e0
+         |      UNION SELECT id2, id1 FROM e0),
+         |r AS (SELECT doc_id AS id, doc_id AS reach FROM d
+         |      UNION SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src)
+         |SELECT id AS doc_id FROM r GROUP BY id HAVING id = MIN(reach)
+         |ORDER BY doc_id""".stripMargin)),
     Q("q36_minhash_candidates", (s, d) => minhashCandidates(s, d), None),
     Q("q37_simhashes", (s, d) => simhashes(s, d), None)
   )
