@@ -14,6 +14,10 @@ Test / fork := true
 // (ScaleSpec) — run sequentially so plan-shape assertions can't race
 Test / parallelExecution := false
 run / fork := true
+// forked output goes STRAIGHT to stdout — sbt's logger would prefix every
+// line with "[info] ", which breaks line-oriented JSON parsing of the
+// Bench result by the driver (round-1 BENCH json had parsed: null)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
