@@ -29,8 +29,13 @@ object Bench {
     // sort and limit) and iterates the result rows — df.count() would let
     // Catalyst prune projections and drop sorts, under-measuring
     // projection-heavy and ordered queries.
+    // SPARK_GRAFT_ONLY=q55,q69 (prefix match) narrows the set for local
+    // iteration; unset (the driver's invocation) runs everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    def selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith)) }
     def runAll(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => -1L }

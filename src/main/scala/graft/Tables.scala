@@ -17,19 +17,46 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
     "events", "documents", "embeddings")
 
-  /** Resolved-relation cache, keyed by (session, dir, table). `spark.read
-    * .parquet` runs a driver-side file-listing job and reads parquet
-    * footers every call — tens of ms of fixed latency PER QUERY per table.
-    * A real deployment registers each table once in a catalog and reuses
-    * the resolved relation; this cache is that catalog registration.
-    * (Logical plans only — no data is cached; scans stay distributed.) */
-  private val relations =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+  /** Resolved-relation cache, keyed per session. `spark.read.parquet` runs
+    * a driver-side file-listing job and reads parquet footers every call —
+    * tens of ms of fixed latency PER QUERY per table. A real deployment
+    * registers each table once in a catalog and reuses the resolved
+    * relation; this cache is that catalog registration. (Logical plans
+    * only — no data is cached; scans stay distributed.)
+    *
+    * Session key = `sessionUUID` (globally unique — identityHashCode
+    * collides across live/recycled sessions and could hand back a plan
+    * bound to a stopped session). Entries for stopped or GC'd sessions are
+    * pruned on access, so long-lived JVMs with session churn don't leak
+    * plans; the WeakReference lets an unreferenced session be collected
+    * (cached DataFrames pin their own session, but they die with the
+    * outer entry at the next prune). */
+  private val relations = new java.util.concurrent.ConcurrentHashMap[
+    String,
+    (java.lang.ref.WeakReference[SparkSession],
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame])]()
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    relations.computeIfAbsent(
-      (System.identityHashCode(spark), dir, name),
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
+  private def sessionKey(spark: SparkSession): String =
+    org.apache.spark.sql.GraftBridge.sessionUUID(spark)
+      .getOrElse("identity@" + System.identityHashCode(spark)) // non-classic fallback
+
+  private def prune(): Unit = {
+    val it = relations.entrySet().iterator()
+    while (it.hasNext) {
+      val s = it.next().getValue._1.get()
+      if (s == null || s.sparkContext.isStopped) it.remove()
+    }
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (relations.size > 4) prune()
+    val (_, perSession) = relations.computeIfAbsent(
+      sessionKey(spark),
+      _ => (new java.lang.ref.WeakReference(spark),
+        new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()))
+    perSession.computeIfAbsent(
+      (dir, name), _ => spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region(s: SparkSession, dir: String): DataFrame = table(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame = table(s, dir, "nation")

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftBridge
@@ -20,7 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * which dominated the q33 scan. Here: tokenize once upstream, one loop.
   */
 case class LangIdTokens(child: Expression, markers: Seq[(String, Seq[String])])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  // SQL-registered as graft_langid: type-check at analysis time
+  override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(GraftBridge.stringArray)
 
   override def dataType: DataType = StringType
 

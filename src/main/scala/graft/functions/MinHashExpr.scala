@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftBridge
@@ -26,7 +26,9 @@ import scala.util.hashing.MurmurHash3
   * across runs, partitionings, and cluster sizes.
   */
 case class MinHashShingleSig(child: Expression, k: Int, shingleN: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(GraftBridge.stringArray)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -16,9 +16,13 @@ import scala.util.hashing.MurmurHash3
   * sign bit. Replaces a per-plane zip_with/aggregate composition that
   * evaluated interpreted lambdas bits × dim times per row. */
 case class SrpSignature(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 
   require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
+
+  // reject non-vector input at analysis time (clean AnalysisException)
+  override def inputTypes: Seq[GraftBridge.AbstractType] =
+    Seq(GraftBridge.floatOrDoubleArray)
 
   override def dataType: DataType = LongType
 
@@ -57,7 +61,10 @@ case class SrpSignature(child: Expression, bits: Int)
   * MinHash signature-agreement estimator, as one primitive loop instead
   * of an interpreted zip_with + filter per candidate pair. */
 case class LongArrayAgreement(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[GraftBridge.AbstractType] =
+    Seq(GraftBridge.longArray, GraftBridge.longArray)
 
   override def dataType: DataType = DoubleType
 

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftBridge
@@ -22,9 +22,13 @@ import org.apache.spark.sql.types._
   * bit i taken from the same shift position.
   */
 case class SimHashTokens(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 
   require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
+
+  // SQL-registered as graft_simhash: reject non-array<string> input at
+  // analysis (clean AnalysisException) instead of a runtime ClassCastException
+  override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(GraftBridge.stringArray)
 
   override def dataType: DataType = LongType
 

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
@@ -36,6 +37,14 @@ case class TopKStructs(
   require(k >= 1, "k must be >= 1")
 
   private def structType: StructType = child.dataType.asInstanceOf[StructType]
+
+  // require a struct child at analysis time (clean AnalysisException instead
+  // of an executor-side ClassCastException from structType above)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StructType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft top_k expects a struct argument, got ${other.catalogString}")
+  }
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -21,7 +21,12 @@ import org.apache.spark.sql.types._
   * would null-pad; vectors in one table share a fixed dim, so the
   * distinction never triggers — asserting it here keeps eval total). */
 case class DotProductF(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  // each side independently float or double (clean analysis-time rejection
+  // of non-vector input; the eval handles the mixed case)
+  override def inputTypes: Seq[GraftBridge.AbstractType] =
+    Seq(GraftBridge.floatOrDoubleArray, GraftBridge.floatOrDoubleArray)
 
   override def dataType: DataType = DoubleType
 

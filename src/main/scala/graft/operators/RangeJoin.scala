@@ -24,21 +24,43 @@ object RangeJoin {
   /** `left` (point `leftTs`) ⋈ `right` (`[rightStart, rightEnd]`),
     * inclusive bounds, bucket width `bucketMs` millis. Pick bucketMs near
     * the typical interval length: wider → fewer exploded rows, narrower →
-    * less residual filtering. */
+    * less residual filtering.
+    *
+    * Robust over dirty inputs: reversed (`end < start`) and null-bounded
+    * intervals match nothing under the inclusive predicate, so they are
+    * filtered off the exploded side (2-arg `sequence` would otherwise
+    * generate a descending garbage bucket list for reversed rows).
+    * Intervals spanning more than `maxBucketsPerRow` buckets (e.g. an
+    * SCD-2 sentinel end date) would materialize millions of copies of one
+    * row; they are routed down a nested-loop fallback branch instead and
+    * the branches union — wide rows degrade to the naive plan rather than
+    * exploding the narrow one. */
   def pointInInterval(
       left: DataFrame, leftTs: Column,
       right: DataFrame, rightStart: Column, rightEnd: Column,
-      bucketMs: Long): DataFrame = {
+      bucketMs: Long, maxBucketsPerRow: Long = 10000L): DataFrame = {
     // floor, not cast-truncation: pre-epoch (negative) millis must round
     // toward -inf or the point's bucket misses the interval's bucket set
     val lb = floor(unix_millis(leftTs) / bucketMs).cast("long").as("__bucket")
     val rStart = floor(unix_millis(rightStart) / bucketMs).cast("long")
     val rEnd = floor(unix_millis(rightEnd) / bucketMs).cast("long")
+    val span = rEnd - rStart
+    val rangePred = leftTs >= rightStart && leftTs <= rightEnd
+
+    // null-rejecting filters partition the matchable right rows exactly:
+    // reversed/null intervals land in neither branch (they match nothing)
     val l = left.withColumn("__bucket", lb)
-    val r = right
+    val narrow = right
+      .filter(rightStart <= rightEnd && span <= maxBucketsPerRow)
       .withColumn("__bucket", explode(sequence(rStart, rEnd)))
-    l.join(r, Seq("__bucket"))
-      .filter(leftTs >= rightStart && leftTs <= rightEnd)
+    val bucketed = l.join(narrow, Seq("__bucket"))
+      .filter(rangePred)
       .drop("__bucket")
+
+    val wide = right.filter(span > maxBucketsPerRow)
+    // empty at runtime in the common case → AQE erases the branch
+    val fallback = left.join(wide, rangePred)
+
+    bucketed.union(fallback)
   }
 }

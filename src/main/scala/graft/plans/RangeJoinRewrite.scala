@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
 
@@ -24,6 +25,22 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
   * the range is a cheap residual). Bucket width:
   * `spark.graft.rangeJoin.bucketMs` (default 1 hour).
   *
+  * Semantics-preservation over ALL inputs (not just well-formed ones):
+  *  - reversed intervals (end < start — swapped/dirty timestamps) and
+  *    null-bounded intervals match nothing under the original predicate,
+  *    so the rewrite filters them off the exploded side instead of letting
+  *    `sequence(lo, hi, 1)` throw 'Illegal sequence boundaries';
+  *  - an interval spanning more than `spark.graft.rangeJoin
+  *    .maxBucketsPerRow` buckets (default 10k ≈ 416 days at the 1-hour
+  *    default width — think SCD-2 sentinel valid_to = 9999-12-31) would
+  *    explode into millions of rows PER ROW, turning a slow-but-finite
+  *    nested loop into an effective hang. Such rows are routed down a
+  *    fallback branch that keeps the original nested-loop join, and the
+  *    two branches union: narrow rows get the equi-join speedup, wide
+  *    rows degrade to exactly the plan the user wrote. When no wide rows
+  *    exist, AQE's empty-relation propagation erases the fallback branch
+  *    (including its scans) at runtime.
+  *
   * Registered by `graft.GraftExtensions` (injectOptimizerRule) or at
   * runtime via `spark.experimental.extraOptimizations`. SURVEY §7.3(c):
   * the custom-Rule tier, used exactly where declarative composition
@@ -33,8 +50,25 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val BucketConfKey = "spark.graft.rangeJoin.bucketMs"
 
+  /** Max buckets a single interval may explode into before its row is
+    * routed to the nested-loop fallback branch. Tradeoff: higher → more
+    * rows take the fast equi-join path but the worst row materializes
+    * that many copies; lower → more rows fall back to the quadratic
+    * branch. 10k keeps per-row blowup bounded at ~10k × row size while
+    * covering a year of hourly buckets. */
+  val MaxBucketsConfKey = "spark.graft.rangeJoin.maxBucketsPerRow"
+
   private def bucketMs: Long =
     SQLConf.get.getConfString(BucketConfKey, "3600000").toLong
+
+  private def maxBucketsPerRow: Long =
+    SQLConf.get.getConfString(MaxBucketsConfKey, "10000").toLong
+
+  /** Idempotence guard for the fallback branch: the nested-loop join we
+    * emit for over-wide intervals still matches this rule's pattern; the
+    * tag (preserved by transform copies) stops it from being rewritten
+    * again — without it the rule would recurse forever. */
+  private[plans] val FallbackTag = TreeNodeTag[Unit]("graft.rangeJoin.fallback")
 
   /** floor(unix_millis(ts) / bucketMs) as a long — identical arithmetic
     * to operators.RangeJoin so the two forms bucket consistently. */
@@ -70,7 +104,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if j.resolved && !hasBucketAlias(j) =>
+        if j.resolved && !hasBucketAlias(j) &&
+          j.getTagValue(FallbackTag).isEmpty =>
       val conjuncts = splitConjunctivePredicates(cond)
       val lower = conjuncts.flatMap(c => lowerBound(c, left, right)).headOption
       val upper = conjuncts.flatMap(c => upperBound(c, left, right)).headOption
@@ -81,6 +116,17 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               pt.dataType == TimestampType &&
               lo.dataType == TimestampType && hi.dataType == TimestampType =>
           val b = bucketMs
+          val loBucket = bucketOf(lo, b)
+          val hiBucket = bucketOf(hi, b)
+          val span = Subtract(hiBucket, loBucket)
+          val maxLit = Literal(maxBucketsPerRow)
+
+          // -------- narrow branch: bounded, well-formed intervals --------
+          // lo <= hi is null-rejecting: reversed AND null-bounded rows
+          // (which match nothing in the original join) are dropped before
+          // the Generate, so sequence() can neither throw nor explode.
+          val narrowRight = Filter(
+            And(LessThanOrEqual(lo, hi), LessThanOrEqual(span, maxLit)), right)
           val lbAlias = Alias(bucketOf(pt, b), "__graft_bucket_l")()
           val newLeft = Project(left.output :+ lbAlias, left)
           val bucketAttr = AttributeReference(
@@ -88,15 +134,26 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           // Sequence is TimeZoneAwareExpression: stays UNRESOLVED without
           // an explicit zone even over longs — pin the session zone
           val seq = Sequence(
-            bucketOf(lo, b), bucketOf(hi, b), Some(Literal(1L)),
+            loBucket, hiBucket, Some(Literal(1L)),
             Some(SQLConf.get.sessionLocalTimeZone))
           val newRight = Generate(Explode(seq), unrequiredChildIndex = Nil,
             outer = false, qualifier = None,
-            generatorOutput = Seq(bucketAttr), child = right)
+            generatorOutput = Seq(bucketAttr), child = narrowRight)
           val bucketed = Join(newLeft, newRight, Inner,
             Some(EqualTo(lbAlias.toAttribute, bucketAttr)), hint)
           // original condition (ALL conjuncts) stays as the exact residual
-          Project(j.output, Filter(cond, bucketed))
+          val narrowBranch = Project(j.output, Filter(cond, bucketed))
+
+          // -------- wide branch: over-wide intervals keep the user's plan
+          // span > max is null-rejecting too, so the branches partition
+          // the matchable right rows exactly (reversed/null rows in
+          // neither — they contribute no matches either way).
+          val wideRight = Filter(GreaterThan(span, maxLit), right)
+          val fallback = Join(left, wideRight, Inner, Some(cond), hint)
+          fallback.setTagValue(FallbackTag, ())
+          val wideBranch = Project(j.output, fallback)
+
+          Project(j.output, Union(Seq(narrowBranch, wideBranch)))
         case _ => j
       }
   }

@@ -101,11 +101,18 @@ object Tpch {
       .agg(count(lit(1)).as("n_orders"))
     val pairs = half.unionByName(half.select(
       col("part_b").as("part_a"), col("part_a").as("part_b"), col("n_orders")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("part_a"))
-      .orderBy(col("n_orders").desc, col("part_b"))
-    pairs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    // bounded-heap top-k per part (functions.TopKStructs): O(n log k) with
+    // map-side partial heaps, instead of a window row_number that sorts
+    // every part's full pair list; struct order (-n_orders, part_b) =
+    // ORDER BY n_orders DESC, part_b — total, so ranking is deterministic
+    pairs
+      .groupBy(col("part_a"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-col("n_orders")).as("neg"), col("part_b").as("part_b"),
+          col("n_orders").as("n_orders")), k).as("tk"))
+      .select(col("part_a"), posexplode(col("tk")))
+      .select(col("part_a"), col("col.part_b").as("part_b"),
+        col("col.n_orders").as("n_orders"), (col("pos") + 1).cast("int").as("rn"))
       .orderBy(col("part_a"), col("rn"))
   }
 

@@ -54,17 +54,25 @@ object Ann {
 
   /** Embedding-cosine near-dup pairs: all (id1 < id2) pairs with rounded
     * cosine ≥ `minCos`. Norms are computed ONCE per row before the
-    * self-join (not per pair), and one side broadcasts when small. This
-    * brute-force form is the exact verifier for subsets/candidates; at
-    * corpus scale, block first (LSH signature equi-join — `lshTopK`'s
-    * bucketing) and feed only candidate pairs through the same scoring. */
+    * self-join (not per pair).
+    *
+    * CONTRACT: brute-force O(n²) — exact verifier for SUBSETS / candidate
+    * sets that fit one executor's scoring budget (≤ ~100k rows). At corpus
+    * scale, block first (LSH signature equi-join — `lshTopK`'s bucketing)
+    * and feed only candidate pairs through the same scoring.
+    *
+    * @param broadcastRight force-broadcast the right side of the theta
+    *   join. Default false: the planner/AQE picks broadcast-NL only when
+    *   the side fits `autoBroadcastJoinThreshold`, so a large input degrades
+    *   to a (slow but finite) cartesian rather than OOMing the driver. */
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      minCos: Double): DataFrame = {
+      minCos: Double, broadcastRight: Boolean = false): DataFrame = {
     val withNorm = vectors.select(
       col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("n"))
     val a = withNorm.select(col("id").as("id1"), col("v").as("v1"), col("n").as("n1"))
-    val b = withNorm.select(col("id").as("id2"), col("v").as("v2"), col("n").as("n2"))
-    a.join(broadcast(b), col("id1") < col("id2"))
+    val b0 = withNorm.select(col("id").as("id2"), col("v").as("v2"), col("n").as("n2"))
+    val b = if (broadcastRight) broadcast(b0) else b0
+    a.join(b, col("id1") < col("id2"))
       .withColumn("cos", round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4))
       .filter(col("cos") >= minCos)
       .select(col("id1"), col("id2"), col("cos"))
@@ -78,6 +86,61 @@ object Ann {
     * bits × dim boxed lambdas per row). */
   def lshSignature(vec: Column, bits: Int = 8): Column =
     graft.functions.SigExpr.srpSignature(vec, bits)
+
+  /** IVF (inverted-file) ANN: the scale path that PRUNES the scan instead
+    * of scoring every row. Build: assign each vector to its nearest of
+    * `nlist` coarse centroids (one broadcast-join pass — the "inverted
+    * lists" are just a cell column, so the index is an ordinary
+    * cell-partitioned table). Query: probe only the `nprobe` cells whose
+    * centroids are nearest the query vector and exact-score the ~
+    * nprobe/nlist fraction of the corpus inside them. Recall trades
+    * against nprobe exactly as in FAISS-style IVF-Flat.
+    *
+    * Deterministic and cross-engine reproducible (unlike k-means with RNG
+    * seeds): centroids are the `nlist` smallest-id vectors, and both the
+    * cell assignment and the probe ranking order by the 4dp-ROUNDED
+    * cosine with centroid-id tiebreak — so a SQL oracle can restate the
+    * whole index build. (A production deployment would swap in k-means
+    * centroids computed offline; every plan shape below is unchanged.)
+    *
+    * Scale: centroids broadcast (nlist rows); assignment is one
+    * narrow pass over the corpus (|V| × nlist rounded cosines, the
+    * standard IVF build cost); candidate scoring is an equi-join on the
+    * cell id — shuffle-free on the corpus side when the index table is
+    * written partitioned/bucketed by cell. */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = vectors.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("__cv"))
+    val wAssign = Window.partitionBy(col(idCol))
+      .orderBy(col("__cc").desc, col("cent_id"))
+    val assigned = vectors.join(broadcast(cents))
+      .withColumn("__cc", round(cosine(col(vecCol), col("__cv")), 4))
+      .withColumn("__arn", row_number().over(wAssign))
+      .filter(col("__arn") === 1)
+      .select(col(idCol), col(vecCol), col("cent_id").as("__cell"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__qc").desc, col("cent_id"))
+    val qcells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .join(broadcast(cents))
+      .withColumn("__qc", round(cosine(col("__qv"), col("__cv")), 4))
+      .withColumn("__qrn", row_number().over(wProbe))
+      .filter(col("__qrn") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("cent_id").as("__cell"))
+    // a vector lives in exactly one cell and a query probes distinct
+    // cells, so the candidate join yields no duplicate (query, vector)
+    // pairs and needs no dedup
+    val scored = assigned.join(broadcast(qcells), Seq("__cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cos", round(cosine(col(vecCol), col("__qv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col(idCol))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col(idCol), col("cos"), col("rn"))
+  }
 
   /** LSH-bucketed ANN: score only vectors whose signature matches the
     * query's bucket. Recall trades against bits; candidates within a

@@ -41,7 +41,8 @@ object SimilarityQueries {
   def embeddingNearDups(s: SparkSession, dir: String): DataFrame =
     Ann.nearDupPairs(
         Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
-        "vec_id", "embedding", minCos = 0.35)
+        // subset is small by construction → explicit broadcast is safe here
+        "vec_id", "embedding", minCos = 0.35, broadcastRight = true)
       .orderBy(col("id1"), col("id2"))
 
   val qs: Seq[Q] = Seq(

@@ -120,24 +120,26 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // round part 1: min over own + neighbor labels
+      // round part 1: min over own + neighbor labels (not checkpointed:
+      // the part-2 self-join's two identical subtrees land on one
+      // ReusedExchange, so materializing `stepped` would only add a job)
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("nid")).agg(min(col("label")).as("nbr"))
       val stepped = labels.join(nbrMin, labels("id") === col("nid"), "left")
-        .select(labels("id"),
+        .select(labels("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      // round part 2: pointer jump (label := label's label)
+      // round part 2: pointer jump (label := label's label); the round's
+      // ONE materializing job also carries the convergence flag, so the
+      // probe below is a narrow scan of the cached partitions instead of
+      // an extra join job per round
       val asMap = stepped.select(col("id").as("mid"), col("label").as("mlabel"))
       val next = stepped.join(asMap, stepped("label") === col("mid"), "left")
         .select(stepped("id"),
-          coalesce(col("mlabel"), stepped("label")).as("label"))
+          coalesce(col("mlabel"), stepped("label")).as("label"),
+          (coalesce(col("mlabel"), stepped("label")) =!= col("old")).as("changed"))
         .localCheckpoint(true)
-      converged = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     labels.withColumnRenamed("label", "component")

@@ -53,6 +53,33 @@ class GraftFunctionsSpec extends AnyFunSuite {
       e.getMessage.contains("graft_minhash"))
   }
 
+  test("type mismatches fail at analysis, not with an executor ClassCastException") {
+    GraftFunctions.register(spark)
+    // scalar (non-array) argument to the token-array functions
+    for (q <- Seq("SELECT graft_simhash('abc')", "SELECT graft_langid(42)",
+        "SELECT graft_minhash('abc')")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(q).collect())
+      assert(e.getMessage.toLowerCase.contains("type"), s"$q => ${e.getMessage}")
+    }
+    // vector kernels reject non-fractional arrays at analysis time too
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1).select(array(lit("a")).as("s"), array(lit(1L)).as("l"))
+    val cce1 = intercept[org.apache.spark.sql.AnalysisException](
+      df.select(graft.functions.VectorExpr.dot(col("s"), col("s"))).collect())
+    assert(cce1.getMessage.toLowerCase.contains("type"))
+    val cce2 = intercept[org.apache.spark.sql.AnalysisException](
+      df.select(graft.functions.SigExpr.srpSignature(col("s"), 8)).collect())
+    assert(cce2.getMessage.toLowerCase.contains("type"))
+    val cce3 = intercept[org.apache.spark.sql.AnalysisException](
+      df.select(graft.functions.SigExpr.agreement(col("s"), col("s"))).collect())
+    assert(cce3.getMessage.toLowerCase.contains("type"))
+    // TopKStructs requires a struct child
+    val cce4 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.range(3).groupBy().agg(
+        graft.functions.TopKAgg.topK(col("id"), 2)).collect())
+    assert(cce4.getMessage.toLowerCase.contains("struct"))
+  }
+
   test("stream-stream interval join matches the batch time-bounded join") {
     import graft.streaming.EventStreams
     val tmpA = java.nio.file.Files.createTempDirectory("graft-ij-a").toString

@@ -39,12 +39,19 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     withRule {
       val df = naiveJoin
       val phys = df.queryExecution.executedPlan.toString
-      assert(!phys.contains("BroadcastNestedLoopJoin"), phys)
+      // narrow rows take the bucketed hash equi-join...
       assert(phys.contains("Generate explode(sequence"), phys)
+      assert(phys.contains("HashJoin"), phys)
+      // ...and any remaining nested loop is the wide-interval fallback
+      // branch, fed only by rows spanning > maxBucketsPerRow buckets
+      // (empty here — AQE prunes it at runtime)
+      if (phys.contains("BroadcastNestedLoopJoin"))
+        assert(phys.contains("> 10000"), phys)
     }
-    // without the rule the same query nested-loops
+    // without the rule the same query nested-loops with no Generate
     val phys = naiveJoin.queryExecution.executedPlan.toString
     assert(phys.contains("BroadcastNestedLoopJoin"), phys)
+    assert(!phys.contains("Generate explode(sequence"), phys)
   }
 
   test("rewritten results equal the naive join exactly") {
@@ -77,6 +84,48 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       val phys = q.queryExecution.executedPlan.toString
       assert(!phys.contains("Generate explode(sequence"), phys)
     }
+  }
+
+  test("reversed intervals (end < start) match nothing instead of crashing") {
+    def q = {
+      val dirty = Seq(
+        (200L, ts("2024-01-01 12:00:00"), ts("2024-01-01 09:00:00")), // reversed
+        (201L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"))) // clean
+        .toDF("iid", "istart", "iend")
+      points.join(dirty,
+        col("pts") >= col("istart") && col("pts") <= col("iend"))
+        .select(col("pid"), col("iid"))
+    }
+    val naive = q.collect().map(_.toSeq).toSet
+    val rewritten = withRule {
+      val phys = q.queryExecution.executedPlan.toString
+      assert(phys.contains("Generate explode(sequence"), phys)
+      q.collect().map(_.toSeq).toSet // would throw 'Illegal sequence boundaries' unguarded
+    }
+    assert(rewritten == naive)
+    assert(naive.forall(_(1) == 201L)) // the reversed interval matches nothing
+  }
+
+  test("over-wide (SCD-2 sentinel) intervals take the nested-loop fallback branch") {
+    def q = {
+      val scd2 = Seq(
+        (300L, ts("2024-01-01 00:00:00"), ts("9999-12-31 00:00:00")), // ~70M buckets
+        (301L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")))
+        .toDF("iid", "istart", "iend")
+      points.join(scd2,
+        col("pts") >= col("istart") && col("pts") <= col("iend"))
+        .select(col("pid"), col("iid"))
+    }
+    val naive = q.collect().map(_.toSeq).toSet
+    val rewritten = withRule {
+      val phys = q.queryExecution.executedPlan.toString
+      // both branches present: equi-join for narrow rows, NL join for wide
+      assert(phys.contains("Generate explode(sequence"), phys)
+      assert(phys.contains("NestedLoop") || phys.contains("CartesianProduct"), phys)
+      q.collect().map(_.toSeq).toSet
+    }
+    assert(rewritten == naive)
+    assert(naive.count(_(1) == 300L) == 4) // sentinel interval matches every point
   }
 
   test("null timestamps drop on both the naive and rewritten paths") {

@@ -50,4 +50,43 @@ class RangeJoinSpec extends AnyFunSuite {
       .select(col("pid"), col("iid")).collect().map(x => (x.getLong(0), x.getLong(1)))
     assert(rows.length == rows.toSet.size)
   }
+
+  test("reversed and null-bounded intervals match nothing instead of throwing") {
+    val l = points.toDF("pid", "pts")
+    val dirty = Seq(
+      (200L, Some(ts("2024-01-01 12:00:00")), Some(ts("2024-01-01 09:00:00"))), // reversed
+      (201L, None, Some(ts("2024-01-01 12:00:00"))), // null start
+      (202L, Some(ts("2024-01-01 10:00:00")), None), // null end
+      (203L, Some(ts("2024-01-01 10:00:00")), Some(ts("2024-01-01 10:10:00")))) // clean
+      .toDF("iid", "istart", "iend")
+    val naive = l.join(dirty,
+        col("pts") >= col("istart") && col("pts") <= col("iend"))
+      .select(col("pid"), col("iid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val bucketed = RangeJoin.pointInInterval(
+        l, col("pts"), dirty, col("istart"), col("iend"), bucketMs = 60000L)
+      .select(col("pid"), col("iid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(bucketed == naive)
+    assert(bucketed.forall(_._2 == 203L)) // only the clean interval matches
+  }
+
+  test("open-ended sentinel interval (SCD-2) joins via fallback, not explosion") {
+    val l = points.toDF("pid", "pts")
+    // end = 9999-12-31: ~70M hourly buckets; must NOT be exploded
+    val scd2 = Seq(
+      (300L, ts("2024-01-01 00:00:00"), ts("9999-12-31 00:00:00")),
+      (301L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")))
+      .toDF("iid", "istart", "iend")
+    val naive = l.join(scd2,
+        col("pts") >= col("istart") && col("pts") <= col("iend"))
+      .select(col("pid"), col("iid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val bucketed = RangeJoin.pointInInterval(
+        l, col("pts"), scd2, col("istart"), col("iend"), bucketMs = 3600000L)
+      .select(col("pid"), col("iid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(bucketed == naive)
+    assert(naive.count(_._2 == 300L) == points.size) // sentinel matches all
+  }
 }
