@@ -25,6 +25,16 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** IVF-pruned ANN for the same queries. Unlike the LSH variant this IS
+    * DuckDB-oracle-checked: the deterministic coarse quantizer (smallest-id
+    * centroids, rounded-cosine argmax assignment) restates fully in SQL. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.ivfTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 4)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Per-label centroid stats: aggregate over the vector column —
     * dimension-wise mean via zip_with folds (exercises array aggregation
     * at scale: one shuffle on label). Oracle checks count + mean norm. */
@@ -68,6 +78,36 @@ object SimilarityQueries {
         |WHERE rn <= 10
         |ORDER BY query_id, rn""".stripMargin)),
     Q("q41_ann_lsh", (s, d) => annLsh(s, d), None),
+    Q("q85_ivf_topk", (s, d) => annIvf(s, d), Some(
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, e AS cv FROM v ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT v.vec_id, v.e, c.cent_id AS cell,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        |             ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC,
+        |                      c.cent_id) AS arn
+        |    FROM v CROSS JOIN cents c) t WHERE arn = 1),
+        |q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 3),
+        |qcells AS (
+        |  SELECT query_id, qv, cell FROM (
+        |    SELECT q.query_id, q.qv, c.cent_id AS cell,
+        |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 4) DESC,
+        |                      c.cent_id) AS qrn
+        |    FROM q CROSS JOIN cents c) t WHERE qrn <= 4),
+        |scored AS (
+        |  SELECT qc.query_id, a.vec_id,
+        |         round(list_cosine_similarity(a.e, qc.qv), 4) AS cos
+        |  FROM assigned a JOIN qcells qc ON a.cell = qc.cell
+        |  WHERE a.vec_id <> qc.query_id)
+        |SELECT query_id, vec_id, cos, rn FROM (
+        |  SELECT query_id, vec_id, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 10
+        |ORDER BY query_id, rn""".stripMargin)),
     Q("q42_label_stats", (s, d) => labelStats(s, d), Some(
       """SELECT label, COUNT(*) AS cnt,
         |       round(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

@@ -47,6 +47,30 @@ class AnnSpec extends AnyFunSuite {
     assert(top.contains(4L))
   }
 
+  test("IVF: full probe equals brute force; pruned probe scores only probed cells") {
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+    val q = e.filter(col("vec_id") < 2)
+    // nprobe == nlist → every cell probed → identical to the exact scan
+    val exact = Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val full = Ann.ivfTopK(e, q, "vec_id", "embedding", k = 5,
+        nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(full == exact)
+    // pruned probe: k rows per query with consecutive ranks, and scores
+    // never exceed the exact top-1 (candidates are a subset of the corpus)
+    val exactBest = Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val pruned = Ann.ivfTopK(e, q, "vec_id", "embedding", k = 5,
+        nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    for (qid <- Seq(0L, 1L)) {
+      val rows = pruned.filter(_._1 == qid).sortBy(_._4)
+      assert(rows.map(_._4).toSeq == (1 to 5), s"query $qid ranks")
+      assert(rows.forall(_._3 <= exactBest(qid)), s"query $qid scores")
+    }
+  }
+
   test("primitive dot expression equals the zip_with fold and the near-dup verifier works") {
     import org.apache.spark.sql.types.DoubleType
     val hofDot = aggregate(
