@@ -108,6 +108,63 @@ object TextQueries {
         concat_ws(" ", slice(col("toks"), col("col") + 1, lit(chunkSize))).as("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** One row per n-token shingle (doc_id, g): tokenize → explode start
+    * indices → slice+join. All narrow codegen'd ops (sequence/slice/
+    * concat_ws — no interpreted HOF lambdas); the explosion is bounded by
+    * tokens-per-doc, not corpus size. */
+  private def shingleRows(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (n - 1), lit(1))).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), col("i"), lit(n))).as("g"))
+
+  /** Benchmark decontamination: flag corpus documents sharing any n-token
+    * shingle with the benchmark set (here: doc_id < 5, standing in for an
+    * eval set), with the count of distinct overlapping shingles. The
+    * benchmark side is tiny by definition → its distinct shingles
+    * broadcast, so the corpus side is ONE narrow scan + explode with no
+    * shuffle before the per-doc count. */
+  def contamination(s: SparkSession, dir: String, n: Int = 4): DataFrame = {
+    val sh = shingleRows(Tables.documents(s, dir), n)
+    val bench = sh.filter(col("doc_id") < 5).select(col("g")).distinct()
+    sh.filter(col("doc_id") >= 5)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("g")).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style repetition filters: per-document top-bigram fraction and
+    * duplicate-trigram fraction, plus the keep flag (top-bigram ≤ 0.2 AND
+    * dup-trigram ≤ 0.1 — the published rule-of-thumb thresholds). Two
+    * shuffles keyed on doc_id(+gram); partial aggregation keeps the
+    * per-gram counts map-side. */
+  def repetitionScores(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("toks"))
+    def grams(n: Int) = docs
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (n - 1), lit(1))).as("i"))
+      .select(col("doc_id"), concat_ws(" ", slice(col("toks"), col("i"), lit(n))).as("g"))
+    val bi = grams(2)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+    val tri = grams(3)
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("g")).as("d"), count(lit(1)).as("tot3"))
+    val top = round(col("mx") / col("tot").cast("double"), 4)
+    val dup = round(lit(1.0) - col("d") / col("tot3").cast("double"), 4)
+    bi.join(tri, "doc_id")
+      .select(col("doc_id"), top.as("top_bigram_frac"), dup.as("dup_trigram_frac"),
+        (top <= 0.2 && dup <= 0.1).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic stratified sampling: per-language keep rates applied by
     * thresholding a uniform hash of the doc id (md5 — identical bytes in
     * any engine, so the sample is reproducible across runs, engines and
@@ -184,6 +241,35 @@ object TextQueries {
   }
 
   val qs: Seq[Q] = Seq(
+    Q("q86_contamination", (s, d) => contamination(s, d), Some(
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, array_to_string(t[i:i+3], ' ') AS g
+         |       FROM tok, UNNEST(generate_series(1, len(t) - 3)) AS s(i)
+         |       WHERE len(t) >= 4),
+         |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 5),
+         |hits AS (SELECT sh.doc_id, COUNT(DISTINCT sh.g) AS n_hits
+         |         FROM sh JOIN bench USING (g)
+         |         WHERE sh.doc_id >= 5 GROUP BY sh.doc_id)
+         |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits FROM hits
+         |ORDER BY doc_id""".stripMargin)),
+    Q("q87_repetition", (s, d) => repetitionScores(s, d), Some(
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents
+         |             WHERE len($toksSql) >= 3),
+         |b AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+         |      FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS s(i)),
+         |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM b GROUP BY doc_id, g),
+         |bs AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM bc GROUP BY doc_id),
+         |t3 AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+         |       FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS s(i)),
+         |ts AS (SELECT doc_id, COUNT(DISTINCT g) AS d, COUNT(*) AS tot3
+         |       FROM t3 GROUP BY doc_id)
+         |SELECT bs.doc_id AS doc_id,
+         |       round(mx / CAST(bs.tot AS DOUBLE), 4) AS top_bigram_frac,
+         |       round(1.0 - d / CAST(tot3 AS DOUBLE), 4) AS dup_trigram_frac,
+         |       CAST(round(mx / CAST(bs.tot AS DOUBLE), 4) <= 0.2
+         |            AND round(1.0 - d / CAST(tot3 AS DOUBLE), 4) <= 0.1 AS INT) AS keep
+         |FROM bs JOIN ts ON bs.doc_id = ts.doc_id
+         |ORDER BY doc_id""".stripMargin)),
     Q("q30_dedup_exact", (s, d) => dedupExact(s, d), Some(
       s"""SELECT md5($norm) AS text_hash, MIN(doc_id) AS keeper_id,
          |       COUNT(*) AS dup_cnt

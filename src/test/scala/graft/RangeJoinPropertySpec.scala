@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property test: the bucketed range join must equal the naive inequality
+  * join on ARBITRARY inputs — including reversed intervals (end < start),
+  * null bounds, intervals far wider than the fallback cap, empty overlap,
+  * and points outside every interval. The scala-side oracle is the O(n·m)
+  * double loop with the inclusive-bounds predicate (null ⇒ no match). */
+class RangeJoinPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Base = 1700000000000L // 2023-11-14, epoch millis
+
+  // timestamps over a ±3-day range at second granularity, some null
+  private def tsGen: Gen[Option[Long]] = Gen.frequency(
+    9 -> Gen.choose(-259200L, 259200L).map(s => Some(Base + s * 1000L)),
+    1 -> Gen.const(None))
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+  test("bucketed == naive over random dirty inputs (reversed/null/wide intervals)") {
+    val params = Gen.Parameters.default
+    for (trial <- 0 until 8) {
+      val seed = Seed(trial.toLong)
+      def draw[A](g: Gen[A], i: Long): A =
+        g.pureApply(params, seed.reseed(i))
+      val nPts = 40; val nIvs = 25
+      val pts = (0 until nPts).map { i =>
+        (i.toLong, draw(tsGen, i * 2 + 1).map(ts).orNull) }
+      val ivs = (0 until nIvs).map { i =>
+        val lo = draw(tsGen, 1000 + i * 3)
+        // widen some ends far beyond the bucket cap; keep some reversed
+        val hi = draw(Gen.frequency(
+          6 -> tsGen,
+          2 -> Gen.const(lo.map(_ + 200L * 24 * 3600 * 1000)), // ~4800 buckets at 1h
+          1 -> Gen.const(lo.map(_ - 3600000L))), 2000 + i * 3) // reversed
+        (i.toLong + 1000, lo.map(ts).orNull, hi.map(ts).orNull)
+      }
+      val expected = (for {
+        (pid, pt) <- pts if pt != null
+        (iid, lo, hi) <- ivs if lo != null && hi != null
+        if !pt.before(lo) && !pt.after(hi)
+      } yield (pid, iid)).toSet
+
+      val l = pts.toDF("pid", "pts")
+      val r = ivs.toDF("iid", "istart", "iend")
+      for (bucketMs <- Seq(3600000L, 60000L)) {
+        val got = RangeJoin.pointInInterval(
+            l, col("pts"), r, col("istart"), col("iend"),
+            bucketMs, maxBucketsPerRow = 100L)
+          .select(col("pid"), col("iid"))
+          .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+        assert(got == expected, s"trial=$trial bucketMs=$bucketMs")
+      }
+    }
+  }
+}
