@@ -165,6 +165,42 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence-packing index: assign each document a (bin, offset) position
+    * in the concatenation of all token streams in doc_id order, bins of
+    * `budget` tokens — the index a packed-pretraining dataset uses to
+    * slice batches out of the corpus.
+    *
+    * The global running sum is computed WITHOUT a global sort/single
+    * partition (the naive `Window.orderBy(doc_id)` collapses the corpus
+    * to one task): two-pass sharded prefix sum — (1) per-shard cumulative
+    * sums under a shard-partitioned window, (2) shard totals (one tiny
+    * row per shard) get their own exclusive prefix and broadcast back as
+    * each shard's base offset. Arithmetic is all-integer, so the result
+    * is bit-identical to the single-window form and to the SQL oracle. */
+  def packTokens(s: SparkSession, dir: String,
+      budget: Int = 512, shardSize: Long = 1000L): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        (col("doc_id") / shardSize).cast("long").as("shard"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wShard = org.apache.spark.sql.expressions.Window
+      .orderBy(col("shard"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // shard totals: |shards| rows — the only single-partition window input
+    val offsets = t.groupBy(col("shard")).agg(sum(col("n_tokens")).as("tot"))
+      .select(col("shard").as("shard_o"),
+        coalesce(sum(col("tot")).over(wShard), lit(0L)).as("base"))
+    val pre = coalesce(sum(col("n_tokens")).over(wIn), lit(0L)) + col("base")
+    t.join(broadcast(offsets), col("shard") === col("shard_o"))
+      .select(col("doc_id"), col("n_tokens"),
+        (pre / budget).cast("long").as("bin"),
+        (pre % budget).as("off"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic stratified sampling: per-language keep rates applied by
     * thresholding a uniform hash of the doc id (md5 — identical bytes in
     * any engine, so the sample is reproducible across runs, engines and
@@ -241,6 +277,19 @@ object TextQueries {
   }
 
   val qs: Seq[Q] = Seq(
+    Q("q88_token_pack", (s, d) => packTokens(s, d), Some(
+      s"""WITH t AS (SELECT doc_id,
+         |             CASE WHEN length($norm) = 0 THEN 0
+         |                  ELSE CAST(len($toksSql) AS INT) END AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |      FROM t)
+         |SELECT doc_id, n_tokens,
+         |       CAST(pre // 512 AS BIGINT) AS bin,
+         |       CAST(pre % 512 AS BIGINT) AS off
+         |FROM c ORDER BY doc_id""".stripMargin)),
     Q("q86_contamination", (s, d) => contamination(s, d), Some(
       s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
          |sh AS (SELECT doc_id, array_to_string(t[i:i+3], ' ') AS g
