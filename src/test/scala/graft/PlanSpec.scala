@@ -45,6 +45,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Contains(lower(p_name"))
   }
 
+  test("q86: benchmark shingles broadcast; corpus side joins without a pre-shuffle") {
+    val p = plan("q86_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q88: the only unpartitioned window runs over shard totals, not the corpus") {
+    val p = plan("q88_token_pack")
+    // per-doc cumsum windows are shard-partitioned...
+    assert(p.contains("Window") && p.contains("partitionBy") ||
+      "Window \\[.*\\bshard\\b".r.findFirstIn(p).isDefined, p)
+    // ...and the shard-offset window's input is the post-aggregate frame
+    // (one row per shard): its Window node sits above the HashAggregate
+    val windowOverCorpus = p.linesIterator.exists(l =>
+      l.contains("Window [") && l.contains("doc_id ASC") && !l.contains("shard"))
+    assert(!windowOverCorpus, s"global-order window over the corpus:\n$p")
+  }
+
+  test("q85: IVF centroids + probe cells broadcast; candidate join is not a cross product") {
+    val p = plan("q85_ivf_topk")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q54: lineitem never shuffles before aggregation (all-broadcast star)") {
     val p = plan("q54_local_supplier_revenue")
     // the only hash-partitioning exchanges allowed are the final n_name
