@@ -50,6 +50,35 @@ object EventQueries {
         sum(dec(col("value"))).cast("double").as("total_value"))
       .orderBy(col("hour_of_day"))
 
+  /** Sequential funnel (view → click → purchase, each step within 6 hours
+    * of the previous): per-user running MAX of the last prior step
+    * timestamp under a strictly-before window frame, chained once per
+    * stage. All stage windows share one (user_id, ts) partitioning+order,
+    * so the whole funnel costs ONE shuffle and ONE per-partition sort
+    * regardless of funnel depth — no per-stage self-joins (the naive
+    * formulation joins events to itself once per step). */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // native timestamp-interval comparison: micro-exact on both engines
+    // (unix_millis would truncate sub-millisecond components)
+    val withinStep = (prior: org.apache.spark.sql.Column) =>
+      prior >= col("ts") - expr("INTERVAL 6 HOURS")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("lv",
+        max(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("lqc",
+        max(when(col("event_type") === "click" && withinStep(col("lv")), col("ts"))).over(w))
+      .agg(
+        count_distinct(when(col("event_type") === "view", col("user_id")))
+          .as("users_view"),
+        count_distinct(when(col("event_type") === "click" && withinStep(col("lv")),
+          col("user_id"))).as("users_click"),
+        count_distinct(when(col("event_type") === "purchase" && withinStep(col("lqc")),
+          col("user_id"))).as("users_purchase"))
+  }
+
   /** As-of join: each click attached to the user's most recent prior (or
     * simultaneous) error — the point-in-time feature-join shape. */
   def clicksAsOfErrors(s: SparkSession, dir: String): DataFrame = {
@@ -105,6 +134,28 @@ object EventQueries {
   }
 
   val qs: Seq[Q] = Seq(
+    Q("q89_funnel", (s, d) => funnel(s, d), Some(
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    MAX(CASE WHEN event_type = 'view' THEN ts END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+        |  FROM events),
+        |o2 AS (
+        |  SELECT *,
+        |    MAX(CASE WHEN event_type = 'click'
+        |             AND lv >= ts - INTERVAL 6 HOUR THEN ts END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lqc
+        |  FROM o)
+        |SELECT
+        |  CAST(COUNT(DISTINCT CASE WHEN event_type = 'view'
+        |       THEN user_id END) AS BIGINT) AS users_view,
+        |  CAST(COUNT(DISTINCT CASE WHEN event_type = 'click'
+        |       AND lv >= ts - INTERVAL 6 HOUR THEN user_id END) AS BIGINT) AS users_click,
+        |  CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+        |       AND lqc >= ts - INTERVAL 6 HOUR THEN user_id END) AS BIGINT) AS users_purchase
+        |FROM o2""".stripMargin)),
     Q("q79_range_rewrite", (s, d) => clicksInErrorWindowsNaive(s, d), Some(
       """SELECT e.event_id AS err_id, COUNT(*) AS n_clicks
         |FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
