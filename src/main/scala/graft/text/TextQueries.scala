@@ -165,6 +165,41 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MinHash + LSH banding with an ENGINE-NEUTRAL hash (md5 over
+    * "perm|shingle", lexicographic string minima): structurally identical
+    * to the xxhash64-based `Dedup.minhashCandidates` scale path (q36 —
+    * whose hash no SQL engine reproduces, hence its rows-only check), but
+    * every stage here restates in DuckDB SQL, so the banding logic itself
+    * is value-level oracle-checked end to end. 8 permutations × 2 bands
+    * of 4 rows; candidates = distinct same-bucket pairs. The md5-per-
+    * (perm × shingle) cost is ~8× a custom one-pass signature — use the
+    * custom expression in production and THIS query as its cross-engine
+    * verification harness. */
+  def minhashBandingPortable(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(Tables.documents(s, dir), 3).distinct()
+    val hj = sh
+      .select(col("doc_id"), col("g"),
+        explode(sequence(lit(0), lit(7), lit(1))).as("j"))
+      .select(col("doc_id"), col("j"),
+        substring(md5(concat(col("j").cast("string"), lit("|"), col("g"))), 1, 16)
+          .as("h"))
+    val mins = hj.groupBy(col("doc_id"), col("j")).agg(min(col("h")).as("m"))
+    val buckets = mins
+      .withColumn("band", (col("j") / 4).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      // 8-element per-doc arrays: the HOF lambdas here run once per DOC,
+      // not per token — off the hot path
+      .agg(md5(concat_ws(",",
+        expr("transform(array_sort(collect_list(struct(j, m))), x -> x.m)")))
+        .as("bucket"))
+    val a = buckets.select(col("doc_id").as("id1"), col("band"), col("bucket"))
+    val b = buckets.select(col("doc_id").as("id2"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Sequence-packing index: assign each document a (bin, offset) position
     * in the concatenation of all token streams in doc_id order, bins of
     * `budget` tokens — the index a packed-pretraining dataset uses to
@@ -277,6 +312,21 @@ object TextQueries {
   }
 
   val qs: Seq[Q] = Seq(
+    Q("q90_minhash_banding", (s, d) => minhashBandingPortable(s, d), Some(
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+         |       FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+         |       WHERE len(t) >= 3),
+         |hj AS (SELECT doc_id, j, substr(md5(j || '|' || g), 1, 16) AS h
+         |       FROM sh, UNNEST(generate_series(0, 7)) AS p(j)),
+         |mins AS (SELECT doc_id, j, MIN(h) AS m FROM hj GROUP BY doc_id, j),
+         |buckets AS (SELECT doc_id, j // 4 AS band,
+         |                   md5(string_agg(m, ',' ORDER BY j)) AS bucket
+         |            FROM mins GROUP BY doc_id, j // 4)
+         |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+         |WHERE a.doc_id < b.doc_id
+         |ORDER BY id1, id2""".stripMargin)),
     Q("q88_token_pack", (s, d) => packTokens(s, d), Some(
       s"""WITH t AS (SELECT doc_id,
          |             CASE WHEN length($norm) = 0 THEN 0
