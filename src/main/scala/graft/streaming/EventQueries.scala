@@ -57,14 +57,18 @@ object EventQueries {
     * so the whole funnel costs ONE shuffle and ONE per-partition sort
     * regardless of funnel depth — no per-stage self-joins (the naive
     * formulation joins events to itself once per step). */
-  def funnel(s: SparkSession, dir: String): DataFrame = {
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelOf(Tables.events(s, dir))
+
+  /** Core funnel over any (user_id, event_id, ts, event_type) frame. */
+  def funnelOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     // native timestamp-interval comparison: micro-exact on both engines
     // (unix_millis would truncate sub-millisecond components)
     val withinStep = (prior: org.apache.spark.sql.Column) =>
       prior >= col("ts") - expr("INTERVAL 6 HOURS")
-    Tables.events(s, dir)
+    events
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .withColumn("lv",
         max(when(col("event_type") === "view", col("ts"))).over(w))

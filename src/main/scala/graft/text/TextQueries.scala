@@ -176,22 +176,23 @@ object TextQueries {
     * custom expression in production and THIS query as its cross-engine
     * verification harness. */
   def minhashBandingPortable(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(Tables.documents(s, dir), 3).distinct()
-    val hj = sh
-      .select(col("doc_id"), col("g"),
-        explode(sequence(lit(0), lit(7), lit(1))).as("j"))
-      .select(col("doc_id"), col("j"),
-        substring(md5(concat(col("j").cast("string"), lit("|"), col("g"))), 1, 16)
-          .as("h"))
-    val mins = hj.groupBy(col("doc_id"), col("j")).agg(min(col("h")).as("m"))
-    val buckets = mins
-      .withColumn("band", (col("j") / 4).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      // 8-element per-doc arrays: the HOF lambdas here run once per DOC,
-      // not per token — off the hot path
-      .agg(md5(concat_ws(",",
-        expr("transform(array_sort(collect_list(struct(j, m))), x -> x.m)")))
-        .as("bucket"))
+    // no shingle-dedup pass: MIN is duplicate-insensitive, so the oracle's
+    // DISTINCT shingles and this multiset agree — one shuffle saved.
+    // The 8 permutation hashes are COLUMNS of one projection (not an
+    // exploded ×8 row blowup), so the single doc_id shuffle carries
+    // shingle-count rows and the minima combine map-side.
+    val sh = shingleRows(Tables.documents(s, dir), 3)
+    val hashed = sh.select(
+      col("doc_id") +: (0 to 7).map(j =>
+        substring(md5(concat(lit(j.toString), lit("|"), col("g"))), 1, 16)
+          .as(s"h$j")): _*)
+    val aggs = (0 to 7).map(j => min(col(s"h$j")).as(s"m$j"))
+    val mins = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    def bucketOf(js: Range) = md5(concat_ws(",", js.map(j => col(s"m$j")): _*))
+    val buckets = mins.select(col("doc_id"), explode(array(
+        struct(lit(0).as("band"), bucketOf(0 to 3).as("bucket")),
+        struct(lit(1).as("band"), bucketOf(4 to 7).as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val a = buckets.select(col("doc_id").as("id1"), col("band"), col("bucket"))
     val b = buckets.select(col("doc_id").as("id2"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
