@@ -110,15 +110,33 @@ object Ann {
     * written partitioned/bucketed by cell. */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = vectors.orderBy(col(idCol)).limit(nlist)
+    val cents = ivfCentroids(vectors, idCol, vecCol, nlist)
+    ivfQuery(ivfAssign(vectors, idCol, vecCol, cents), cents,
+      queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** Deterministic coarse centroids: the nlist smallest-id vectors. */
+  private def ivfCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): DataFrame =
+    vectors.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).as("cent_id"), col(vecCol).as("__cv"))
+
+  /** Nearest-centroid cell assignment (rounded cosine, centroid-id
+    * tiebreak) — the IVF build pass. */
+  private def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col(idCol))
       .orderBy(col("__cc").desc, col("cent_id"))
-    val assigned = vectors.join(broadcast(cents))
+    vectors.join(broadcast(cents))
       .withColumn("__cc", round(cosine(col(vecCol), col("__cv")), 4))
       .withColumn("__arn", row_number().over(wAssign))
       .filter(col("__arn") === 1)
       .select(col(idCol), col(vecCol), col("cent_id").as("__cell"))
+  }
+
+  private def ivfQuery(assigned: DataFrame, cents: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("__qc").desc, col("cent_id"))
     val qcells = queries
@@ -140,6 +158,28 @@ object Ann {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col(idCol), col("cos"), col("rn"))
+  }
+
+  /** Materialize the IVF index as a parquet table PARTITIONED BY cell —
+    * the persisted form of the inverted lists. Probing a stored index
+    * reads only the probed cells' partitions (dynamic partition pruning
+    * from the broadcast probe-cell join), i.e. ~nprobe/nlist of the
+    * corpus bytes, which is the entire point of IVF at 100 TB. */
+  def buildIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, path: String): Unit =
+    ivfAssign(vectors, idCol, vecCol, ivfCentroids(vectors, idCol, vecCol, nlist))
+      .write.mode("overwrite").partitionBy("__cell").parquet(path)
+
+  /** Query a stored IVF index. Centroids re-derive deterministically from
+    * the indexed vectors themselves (smallest ids), so no side file is
+    * needed; at production scale persist them next to the index. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val assigned = spark.read.parquet(path)
+    val cents = ivfCentroids(
+      assigned.select(col(idCol), col(vecCol)), idCol, vecCol, nlist)
+    ivfQuery(assigned, cents, queries, idCol, vecCol, k, nprobe)
   }
 
   /** LSH-bucketed ANN: score only vectors whose signature matches the

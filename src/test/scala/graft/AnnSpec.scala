@@ -71,6 +71,26 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("stored IVF index: cell-partitioned layout, probe prunes partitions, same results") {
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+    val q = e.filter(col("vec_id") < 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Ann.buildIvfIndex(e, "vec_id", "embedding", nlist = 8, path = path)
+    // physical layout IS the inverted-list structure
+    val cellDirs = new java.io.File(path).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("__cell="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 8, cellDirs.mkString(","))
+    val indexed = Ann.ivfTopKIndexed(spark, path, q, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 2)
+    // probe scans only the probed cells: the broadcast cell join drives
+    // dynamic partition pruning into the index scan
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters"), plan)
+    val direct = Ann.ivfTopK(e, q, "vec_id", "embedding", k = 5,
+      nlist = 8, nprobe = 2)
+    assert(indexed.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+  }
+
   test("primitive dot expression equals the zip_with fold and the near-dup verifier works") {
     import org.apache.spark.sql.types.DoubleType
     val hofDot = aggregate(
