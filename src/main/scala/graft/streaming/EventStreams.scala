@@ -101,6 +101,61 @@ object EventStreams {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, event_type: String)
+  /** Per-user funnel progress: last view / last qualified click (epoch
+    * micros, Long.MinValue = none) + bitmask of stages already emitted —
+    * CONSTANT size per user regardless of event volume. */
+  final case class FunnelProgress(lastView: Long, lastQClick: Long, emitted: Int)
+  final case class FunnelHit(user_id: Long, stage: String)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Stateful streaming funnel — the continuous twin of
+    * `EventQueries.funnelOf` (view → click → purchase, each step within 6
+    * hours of the previous). Emits one FunnelHit the FIRST time a user
+    * reaches each stage; counting hits per stage downstream reproduces
+    * the batch funnel counts. Events inside a micro-batch are processed
+    * in (ts, event_id) order, and a stage qualifies against state built
+    * from strictly-earlier events only — identical semantics to the batch
+    * strictly-before window frame. */
+  def funnelStream(events: Dataset[FunnelEvent],
+      stepMicros: Long = 6L * 3600 * 1000000L): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelProgress]) =>
+          var s = state.getOption
+            .getOrElse(FunnelProgress(Long.MinValue, Long.MinValue, 0))
+          var hits = Vector.empty[FunnelHit]
+          def emit(bit: Int, stage: String): Unit =
+            if ((s.emitted & bit) == 0) {
+              hits :+= FunnelHit(user, stage)
+              s = s.copy(emitted = s.emitted | bit)
+            }
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
+            e.event_type match {
+              case "view" =>
+                emit(1, "view")
+                s = s.copy(lastView = math.max(s.lastView, t))
+              case "click" if s.lastView != Long.MinValue &&
+                  s.lastView >= t - stepMicros =>
+                emit(2, "click")
+                s = s.copy(lastQClick = math.max(s.lastQClick, t))
+              case "purchase" if s.lastQClick != Long.MinValue &&
+                  s.lastQClick >= t - stepMicros =>
+                emit(4, "purchase")
+              case _ => ()
+            }
+          }
+          state.update(s)
+          hits.iterator
+      }
+  }
+
   /** Streaming windowed top-k: per tumbling window, the k highest-value
     * events via the bounded-heap aggregate (graft.functions.TopKStructs) —
     * custom TypedImperativeAggregates participate in streaming state like

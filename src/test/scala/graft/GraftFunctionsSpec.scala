@@ -130,6 +130,32 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming funnel stage counts match the batch funnel") {
+    import graft.streaming.{EventQueries, EventStreams}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val events = Tables.events(spark, TestSpark.sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-funnel-stream").toString
+    events.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema("user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING")
+      .parquet(tmp).as[EventStreams.FunnelEvent]
+    val q = EventStreams.funnelStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_smoke").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("funnel_smoke")
+      .groupBy(col("stage")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = EventQueries.funnelOf(events).collect().head
+    assert(streamed.getOrElse("view", 0L) == b.getLong(0))
+    assert(streamed.getOrElse("click", 0L) == b.getLong(1))
+    assert(streamed.getOrElse("purchase", 0L) == b.getLong(2))
+    assert(streamed.getOrElse("view", 0L) > 0)
+  }
+
   test("streaming dedup drops in-horizon duplicates") {
     import graft.streaming.EventStreams
     val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
