@@ -97,6 +97,24 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Forward as-of with tolerance (pandas merge_asof surface): each click
+    * attached to the user's NEXT error only if it lands within 1 hour —
+    * the lookahead-label join of churn/alerting pipelines. Same one-
+    * shuffle union+window plan as the backward form; the tolerance is a
+    * post-window null-out, not a join predicate. */
+  def clicksBeforeErrors(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"))
+    graft.operators.AsOfJoin.asOf(clicks, errors, "user_id", "ts", "ts",
+        direction = "forward", toleranceMs = Some(3600000L))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_ts").as("next_error_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** Bucketed range join: clicks landing inside the 10-minute window
     * after each error, counted per error — executed as a hash equi-join
     * on time buckets with the exact range predicate residual
@@ -174,6 +192,13 @@ object EventQueries {
         |  ON c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTES
         |GROUP BY e.event_id
         |ORDER BY err_id""".stripMargin)),
+    Q("q91_asof_forward", (s, d) => clicksBeforeErrors(s, d), Some(
+      """SELECT c.event_id, c.user_id, c.ts,
+        |       (SELECT MIN(e.ts) FROM events e
+        |        WHERE e.event_type = 'error' AND e.user_id = c.user_id
+        |          AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 1 HOUR) AS next_error_ts
+        |FROM events c WHERE c.event_type = 'click'
+        |ORDER BY c.event_id""".stripMargin)),
     Q("q57_asof_join", (s, d) => clicksAsOfErrors(s, d), Some(
       """SELECT c.event_id, c.user_id, c.ts, e.ts AS last_error_ts
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
