@@ -53,14 +53,34 @@ object ExportPipeline {
     w.csv(path)
   }
 
-  /** K2/K3 structured sink: JSON lines stand-in for the XML provider
-    * (SURVEY §2.2 K2 — nested structs serialize naturally). */
+  /** K2/K3 structured sink: JSON lines (nested structs serialize
+    * naturally); the XML provider proper is `writeXml`. */
   def writeJson(df: DataFrame, path: String,
       recordsPerFile: Option[Int] = None): Unit = {
     var w = df.write.mode("overwrite")
     recordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toLong))
     w.json(path)
   }
+
+  /** K2: XML sink (Spark 4 built-in xml source) — the reference's
+    * feed-export providers (GMC etc.) emit one element per row under a
+    * root collection element; nested structs/arrays become nested
+    * elements. Distributed like any file sink: one XML document per
+    * partition file, rows split by `maxRecordsPerFile`. */
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row",
+      rootTag: String = "rows", recordsPerFile: Option[Int] = None): Unit = {
+    var w = df.write.mode("overwrite")
+      .option("rowTag", rowTag)
+      .option("rootTag", rootTag)
+      .option("declaration", """version="1.0" encoding="UTF-8"""")
+    recordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toLong))
+    w.format("xml").save(path)
+  }
+
+  /** XML read-back (schema inference or explicit). */
+  def readXml(spark: org.apache.spark.sql.SparkSession, path: String,
+      rowTag: String = "row"): DataFrame =
+    spark.read.option("rowTag", rowTag).format("xml").load(path)
 
   /** Parquet sink, optionally hash-partitioned by columns (the per-store
     * export loop becomes partitionBy). */

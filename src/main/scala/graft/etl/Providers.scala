@@ -13,6 +13,7 @@ object Providers {
   @volatile private var registry: Map[String, Provider] = Map(
     "csv" -> ((df, path, rpf) => ExportPipeline.writeCsv(df, path, recordsPerFile = rpf)),
     "json" -> ((df, path, rpf) => ExportPipeline.writeJson(df, path, rpf)),
+    "xml" -> ((df, path, rpf) => ExportPipeline.writeXml(df, path, recordsPerFile = rpf)),
     "parquet" -> ((df, path, rpf) => ExportPipeline.writeParquet(df, path, recordsPerFile = rpf)))
 
   def register(systemName: String, p: Provider): Unit =

@@ -42,6 +42,28 @@ class ExportDeploySpec extends AnyFunSuite {
     assert(byId(3L).isEmpty || byId(3L).get.isEmpty)
   }
 
+  test("XML writer round-trip: nested structs become nested elements") {
+    val parent = Seq((1L, "Läufer & Co"), (2L, "b<c>"), (3L, "plain")).toDF("id", "name")
+    val child = Seq((1L, 10.0), (1L, 20.0), (2L, 30.0)).toDF("pid", "amount")
+    val nested = ExportPipeline.nestChildren(parent, child, "id", "pid", "items")
+    val out = java.nio.file.Files.createTempDirectory("graft-xml").toString + "/feed"
+    ExportPipeline.writeXml(nested, out, rowTag = "product", rootTag = "products")
+    // raw document sanity: declaration + row tags + escaped content
+    // (one XML document PER PARTITION file — inspect them all)
+    val text = new java.io.File(out).listFiles
+      .filter(_.getName.endsWith(".xml")).sortBy(_.getName)
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      .mkString("\n")
+    assert(text.contains("<?xml version=\"1.0\" encoding=\"UTF-8\"?>"))
+    assert(text.contains("<products>") && text.contains("<product>"))
+    assert(text.contains("b&lt;c>")) // markup-significant chars escaped (> is legal unescaped)
+    // read-back equality on ids/names and nested amounts
+    val back = ExportPipeline.readXml(spark, out, rowTag = "product")
+    val byId = back.collect().map(r => r.getLong(r.fieldIndex("id")) ->
+      r.getString(r.fieldIndex("name"))).toMap
+    assert(byId == Map(1L -> "Läufer & Co", 2L -> "b<c>", 3L -> "plain"))
+  }
+
   test("segmenter assigns 0-based fixed-size segments with stats") {
     val seg = Segmenter.byPosition((1 to 250).toDF("k"), Seq(col("k")), 100)
     val stats = Segmenter.segmentStats(seg, "k").collect()
@@ -62,7 +84,7 @@ class ExportDeploySpec extends AnyFunSuite {
 
   test("provider registry dispatches formats and rejects unknown ones") {
     import graft.etl.{ExportPipeline => EP, Providers}
-    assert(Providers.names == Seq("csv", "json", "parquet"))
+    assert(Providers.names == Seq("csv", "json", "parquet", "xml"))
     val out = tmp("graft-prov") + "/out"
     Providers.export(Seq((1, "a"), (2, "b")).toDF("id", "v"),
       EP.Profile(orderBy = Seq(col("id"))), "json", out)
