@@ -26,11 +26,12 @@ object Tables {
     *
     * Session key = `sessionUUID` (globally unique — identityHashCode
     * collides across live/recycled sessions and could hand back a plan
-    * bound to a stopped session). Entries for stopped or GC'd sessions are
-    * pruned on access, so long-lived JVMs with session churn don't leak
-    * plans; the WeakReference lets an unreferenced session be collected
-    * (cached DataFrames pin their own session, but they die with the
-    * outer entry at the next prune). */
+    * bound to a stopped session). Entries for stopped sessions are pruned
+    * on access; since a cached DataFrame strongly references its session
+    * (so abandoned-but-unstopped sibling sessions can never be collected
+    * through this map), a hard cap backstops the prune: past MaxSessions
+    * live sessions the whole cache resets, trading a one-time re-listing
+    * for guaranteed bounded memory under session churn. */
   private val relations = new java.util.concurrent.ConcurrentHashMap[
     String,
     (java.lang.ref.WeakReference[SparkSession],
@@ -40,12 +41,15 @@ object Tables {
     org.apache.spark.sql.GraftBridge.sessionUUID(spark)
       .getOrElse("identity@" + System.identityHashCode(spark)) // non-classic fallback
 
+  private val MaxSessions = 32
+
   private def prune(): Unit = {
     val it = relations.entrySet().iterator()
     while (it.hasNext) {
       val s = it.next().getValue._1.get()
       if (s == null || s.sparkContext.isStopped) it.remove()
     }
+    if (relations.size > MaxSessions) relations.clear()
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** As-of (temporal) join: attach to each left row the nearest right row
   * in time within the same partition key — the point-in-time join
@@ -25,7 +26,14 @@ import org.apache.spark.sql.functions._
   * partitioning (forward adds a second sort order, not a shuffle). At
   * equal timestamps the right row matches in BOTH directions (`<=`/`>=`
   * inclusive ties, like DuckDB's ASOF JOIN).
-  */
+  *
+  * The matched right row is carried as ONE struct, not per-column:
+  * a genuinely NULL right value stays NULL (per-column ignoreNulls would
+  * back-fill it from an older row — wrong row, and invisible to the
+  * tolerance check), and duplicate right timestamps resolve by the
+  * struct's lexicographic order in the window sort — deterministic
+  * across runs and partitionings (requires orderable carried types:
+  * no maps). */
 object AsOfJoin {
 
   /** @param left      probe side
@@ -42,61 +50,55 @@ object AsOfJoin {
     require(Set("backward", "forward", "nearest")(direction),
       s"direction must be backward|forward|nearest, got $direction")
     val carried = (rightTs +: valueCols).distinct
+    val rStruct = StructType(carried.map(c => right.schema(c).copy(name = c)))
     val rightTagged = right.select(
-      (col(partition) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
-        carried.map(c => col(c).as(s"__r_$c"))): _*)
+      col(partition), col(rightTs).as("__ts"), lit(0).as("__side"),
+      struct(carried.map(col): _*).as("__r"))
     val leftTagged = left.select(
-      (left.columns.map(col).toSeq :+ col(leftTs).as("__ts") :+ lit(1).as("__side")) ++
-        carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+      (left.columns.map(col).toSeq :+ col(leftTs).as("__ts") :+
+        lit(1).as("__side") :+ lit(null).cast(rStruct).as("__r")): _*)
     val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
 
     // backward: right rows (side 0) sort before left at equal __ts and the
     // frame ends at the current row ⇒ ties attach. forward mirrors it:
     // rights sort after lefts and the frame starts at the current row.
+    // __r in the sort order pins right-vs-right timestamp ties.
     val wB = Window.partitionBy(col(partition))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val wF = Window.partitionBy(col(partition))
-      .orderBy(col("__ts"), lit(1) - col("__side"))
+      .orderBy(col("__ts"), lit(1) - col("__side"), col("__r"))
       .rowsBetween(0, Window.unboundedFollowing)
 
-    def attach(df: DataFrame, prefix: String, w: org.apache.spark.sql.expressions.WindowSpec,
-        pick: (Column => Column)): DataFrame =
-      carried.foldLeft(df) { (d, c) =>
-        d.withColumn(s"$prefix$c", pick(col(s"__r_$c")).over(w))
-      }
-
     val withDirs = direction match {
-      case "backward" => attach(unioned, "__b_", wB, last(_, ignoreNulls = true))
-      case "forward" => attach(unioned, "__f_", wF, first(_, ignoreNulls = true))
+      case "backward" =>
+        unioned.withColumn("__b", last(col("__r"), ignoreNulls = true).over(wB))
+      case "forward" =>
+        unioned.withColumn("__f", first(col("__r"), ignoreNulls = true).over(wF))
       case "nearest" =>
-        attach(attach(unioned, "__b_", wB, last(_, ignoreNulls = true)),
-          "__f_", wF, first(_, ignoreNulls = true))
+        unioned
+          .withColumn("__b", last(col("__r"), ignoreNulls = true).over(wB))
+          .withColumn("__f", first(col("__r"), ignoreNulls = true).over(wF))
     }
 
     // gaps in micros (a long cast of a timestamp truncates to seconds)
-    def gapB = unix_micros(col("__ts")) - unix_micros(col(s"__b_$rightTs"))
-    def gapF = unix_micros(col(s"__f_$rightTs")) - unix_micros(col("__ts"))
+    def gapB = unix_micros(col("__ts")) - unix_micros(col("__b").getField(rightTs))
+    def gapF = unix_micros(col("__f").getField(rightTs)) - unix_micros(col("__ts"))
     def inTol(gap: Column): Column =
       toleranceMs.map(t => gap <= t * 1000L).getOrElse(lit(true))
 
-    // per carried column: select the direction's value, null when the
-    // match is missing or out of tolerance
-    val finalCols: Seq[Column] = carried.map { c =>
-      val out = direction match {
-        case "backward" =>
-          when(col(s"__b_$rightTs").isNotNull && inTol(gapB), col(s"__b_$c"))
-        case "forward" =>
-          when(col(s"__f_$rightTs").isNotNull && inTol(gapF), col(s"__f_$c"))
-        case "nearest" =>
-          val bOk = col(s"__b_$rightTs").isNotNull && inTol(gapB)
-          val fOk = col(s"__f_$rightTs").isNotNull && inTol(gapF)
-          when(bOk && (!fOk || gapB <= gapF), col(s"__b_$c"))
-            .when(fOk, col(s"__f_$c"))
-      }
-      out.as(s"asof_$c")
+    // the matched struct, or null when missing / out of tolerance
+    val matched: Column = direction match {
+      case "backward" => when(col("__b").isNotNull && inTol(gapB), col("__b"))
+      case "forward" => when(col("__f").isNotNull && inTol(gapF), col("__f"))
+      case "nearest" =>
+        val bOk = col("__b").isNotNull && inTol(gapB)
+        val fOk = col("__f").isNotNull && inTol(gapF)
+        when(bOk && (!fOk || gapB <= gapF), col("__b"))
+          .when(fOk, col("__f"))
     }
 
+    val finalCols = carried.map(c => matched.getField(c).as(s"asof_$c"))
     withDirs
       .filter(col("__side") === 1)
       .select(left.columns.map(col).toSeq ++ finalCols: _*)

@@ -34,7 +34,13 @@ object RangeJoin {
     * SCD-2 sentinel end date) would materialize millions of copies of one
     * row; they are routed down a nested-loop fallback branch instead and
     * the branches union — wide rows degrade to the naive plan rather than
-    * exploding the narrow one. */
+    * exploding the narrow one.
+    *
+    * CONTRACT: both inputs are referenced in more than one union branch
+    * and therefore evaluated more than once — pass deterministic frames
+    * (materialize first if an input depends on rand()/unordered limits).
+    * The auto-injected rewrite rule checks this; this explicit API leaves
+    * it to the caller. */
   def pointInInterval(
       left: DataFrame, leftTs: Column,
       right: DataFrame, rightStart: Column, rightEnd: Column,

@@ -103,9 +103,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // left/right appear in BOTH union branches after the rewrite, so each
+    // is evaluated twice; with a non-deterministic expression anywhere in
+    // a side the branch filters could disagree (duplicating or dropping
+    // matches) — the standard Catalyst guard for subtree-duplicating
+    // rules is to fire only on deterministic plans.
     case j @ Join(left, right, Inner, Some(cond), hint)
         if j.resolved && !hasBucketAlias(j) &&
-          j.getTagValue(FallbackTag).isEmpty =>
+          j.getTagValue(FallbackTag).isEmpty &&
+          left.deterministic && right.deterministic =>
       val conjuncts = splitConjunctivePredicates(cond)
       val lower = conjuncts.flatMap(c => lowerBound(c, left, right)).headOption
       val upper = conjuncts.flatMap(c => upperBound(c, left, right)).headOption

@@ -122,17 +122,22 @@ object Ann {
       .select(col(idCol).as("cent_id"), col(vecCol).as("__cv"))
 
   /** Nearest-centroid cell assignment (rounded cosine, centroid-id
-    * tiebreak) — the IVF build pass. */
+    * tiebreak) — the IVF build pass. max_by aggregation, NOT a window:
+    * the argmax combines map-side (partial max per partition), so the
+    * only shuffle carries |V| pre-reduced rows — a row_number window
+    * would shuffle AND sort the |V|×nlist exploded frame. Ordering key
+    * (__cc, -cent_id) is total per vector (cent_id unique), so the
+    * result is deterministic and identical to the window argmax. */
   private def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
-      cents: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy(col(idCol))
-      .orderBy(col("__cc").desc, col("cent_id"))
+      cents: DataFrame): DataFrame =
     vectors.join(broadcast(cents))
       .withColumn("__cc", round(cosine(col(vecCol), col("__cv")), 4))
-      .withColumn("__arn", row_number().over(wAssign))
-      .filter(col("__arn") === 1)
-      .select(col(idCol), col(vecCol), col("cent_id").as("__cell"))
-  }
+      .groupBy(col(idCol))
+      .agg(
+        max_by(struct(col("cent_id"), col(vecCol).as("__v")),
+          struct(col("__cc"), (-col("cent_id")).as("__nc"))).as("__best"))
+      .select(col(idCol), col("__best.__v").as(vecCol),
+        col("__best.cent_id").as("__cell"))
 
   private def ivfQuery(assigned: DataFrame, cents: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String,

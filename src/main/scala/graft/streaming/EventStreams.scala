@@ -110,7 +110,9 @@ object EventStreams {
   final case class FunnelHit(user_id: Long, stage: String)
 
   private def micros(t: java.sql.Timestamp): Long =
-    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    // floorDiv, not /: pre-epoch getTime must round toward -inf or the
+    // sub-second part flips sign (1-second error on negative timestamps)
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Stateful streaming funnel — the continuous twin of
     * `EventQueries.funnelOf` (view → click → purchase, each step within 6

@@ -231,9 +231,12 @@ object TextQueries {
         coalesce(sum(col("tot")).over(wShard), lit(0L)).as("base"))
     val pre = coalesce(sum(col("n_tokens")).over(wIn), lit(0L)) + col("base")
     t.join(broadcast(offsets), col("shard") === col("shard_o"))
+      .withColumn("__pre", pre)
+      // `div`, not `/`: Column `/` divides in DOUBLE and truncates back,
+      // exact only below 2^53 — integer division holds at any prefix sum
       .select(col("doc_id"), col("n_tokens"),
-        (pre / budget).cast("long").as("bin"),
-        (pre % budget).as("off"))
+        expr(s"__pre div $budget").as("bin"),
+        (col("__pre") % budget).as("off"))
       .orderBy(col("doc_id"))
   }
 

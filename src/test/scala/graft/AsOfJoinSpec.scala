@@ -79,6 +79,32 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(gotTight(4L) == Some(9.0)) // gap 0
   }
 
+  test("a genuinely NULL right value stays NULL (no back-fill from an older row)") {
+    val left = Seq((1L, 100L, ts("2024-01-01 10:30:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      (100L, ts("2024-01-01 09:00:00"), Some(5.0)),
+      (100L, ts("2024-01-01 10:00:00"), None) // the matched row; v is NULL
+    ).toDF("k", "rt", "v")
+    val got = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("v"),
+      "backward", toleranceMs = Some(45L * 60 * 1000)).head()
+    assert(got.getTimestamp(got.fieldIndex("asof_rt")).toString
+      == "2024-01-01 10:00:00.0") // matched the 10:00 row (in tolerance)...
+    assert(got.isNullAt(got.fieldIndex("asof_v"))) // ...whose value IS null
+  }
+
+  test("duplicate right timestamps resolve deterministically (struct order)") {
+    val left = Seq((1L, 100L, ts("2024-01-01 11:00:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      (100L, ts("2024-01-01 10:00:00"), 1.0),
+      (100L, ts("2024-01-01 10:00:00"), 2.0)).toDF("k", "rt", "v")
+    val vs = (1 to 3).map { _ =>
+      val r = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("v")).head()
+      r.getDouble(r.fieldIndex("asof_v"))
+    }
+    assert(vs.distinct.size == 1)
+    assert(vs.head == 2.0) // largest struct under (rt, v) order wins
+  }
+
   test("keys never cross partitions") {
     val left = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
     val right = Seq((2L, ts("2024-01-01 09:00:00"), 5.0)).toDF("k", "rt", "v")
