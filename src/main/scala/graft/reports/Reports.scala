@@ -176,6 +176,19 @@ object Reports {
       .agg(count(lit(1)).as("cnt"), decSum(col("o_totalprice")).as("total_amount"))
       .orderBy(col("yr").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
 
+  /** CUBE with grouping_id: all four grains of (year, status) in one
+    * expanded hash aggregate; grouping_id disambiguates a NULL group
+    * value from a subtotal row (the reason CUBE output is safely
+    * machine-consumable). Same single-pass scale shape as rollup. */
+  def ordersCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("yr", year(col("o_orderdate")))
+      .cube(col("yr"), col("o_orderstatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("cnt"), decSum(col("o_totalprice")).as("total_amount"))
+      .orderBy(col("gid"), col("yr").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
   /** §1.1 hierarchy: region→nation adjacency list flattened to
     * (id, depth, path) — oracle is a DuckDB recursive CTE. */
   def geoHierarchy(s: SparkSession, dir: String): DataFrame = {
@@ -315,6 +328,14 @@ object Reports {
         |FROM orders
         |GROUP BY ROLLUP(yr, o_orderstatus)
         |ORDER BY yr NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)),
+    Q("q92_orders_cube", (s, d) => ordersCube(s, d), Some(
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus,
+        |       CAST(GROUPING(yr, o_orderstatus) AS INT) AS gid,
+        |       COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+        |FROM orders
+        |GROUP BY CUBE(yr, o_orderstatus)
+        |ORDER BY gid, yr NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)),
     Q("q09_price_facet", (s, d) => priceFacet(s, d), Some(
       s"""SELECT $bucketSql AS bucket, COUNT(*) AS cnt
          |FROM part

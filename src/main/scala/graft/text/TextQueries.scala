@@ -181,11 +181,16 @@ object TextQueries {
     // The 8 permutation hashes are COLUMNS of one projection (not an
     // exploded ×8 row blowup), so the single doc_id shuffle carries
     // shingle-count rows and the minima combine map-side.
+    // TWO md5 calls per shingle (one per band seed), each sliced into four
+    // 8-hex (32-bit) permutation columns — the one-permutation-hashing
+    // trick: fixed-width hex substrings compare lexicographically like
+    // the numbers they encode, so each slice's min is a valid minhash.
     val sh = shingleRows(Tables.documents(s, dir), 3)
     val hashed = sh.select(
-      col("doc_id") +: (0 to 7).map(j =>
-        substring(md5(concat(lit(j.toString), lit("|"), col("g"))), 1, 16)
-          .as(s"h$j")): _*)
+      col("doc_id") +: (0 to 7).map { j =>
+        val seedHash = md5(concat(lit((j / 4).toString), lit("|"), col("g")))
+        substring(seedHash, (j % 4) * 8 + 1, 8).as(s"h$j")
+      }: _*)
     val aggs = (0 to 7).map(j => min(col(s"h$j")).as(s"m$j"))
     val mins = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     def bucketOf(js: Range) = md5(concat_ws(",", js.map(j => col(s"m$j")): _*))
@@ -321,7 +326,8 @@ object TextQueries {
          |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
          |       FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
          |       WHERE len(t) >= 3),
-         |hj AS (SELECT doc_id, j, substr(md5(j || '|' || g), 1, 16) AS h
+         |hj AS (SELECT doc_id, j,
+         |              substr(md5((j // 4) || '|' || g), (j % 4) * 8 + 1, 8) AS h
          |       FROM sh, UNNEST(generate_series(0, 7)) AS p(j)),
          |mins AS (SELECT doc_id, j, MIN(h) AS m FROM hj GROUP BY doc_id, j),
          |buckets AS (SELECT doc_id, j // 4 AS band,
