@@ -29,8 +29,17 @@ object Ann {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** NULL (undefined) when either vector has zero norm — the raw division
+    * yields NaN, and Spark orders NaN as the LARGEST double, so an
+    * unguarded zero vector would outrank every real match in descending
+    * cosine rankings; as NULL it sorts last and threshold filters drop
+    * it. (DuckDB's list_cosine_similarity returns -1.0 there — also
+    * bottom-ranked, so the two engines agree on every ranking that
+    * matters.) */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom =!= 0d, dot(a, b) / denom)
+  }
 
   /** Exact brute-force cosine top-k for each query vector.
     *
@@ -73,7 +82,9 @@ object Ann {
     val b0 = withNorm.select(col("id").as("id2"), col("v").as("v2"), col("n").as("n2"))
     val b = if (broadcastRight) broadcast(b0) else b0
     a.join(b, col("id1") < col("id2"))
-      .withColumn("cos", round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4))
+      // same zero-norm guard as `cosine` (null, not NaN)
+      .withColumn("cos", round(when(col("n1") * col("n2") =!= 0d,
+        dot(col("v1"), col("v2")) / (col("n1") * col("n2"))), 4))
       .filter(col("cos") >= minCos)
       .select(col("id1"), col("id2"), col("cos"))
   }

@@ -18,6 +18,18 @@ class AnnSpec extends AnyFunSuite {
     (4L, Array(1.0f, 0.0f, 0.0f))
   ).toDF("vec_id", "embedding")
 
+  test("zero-norm vectors rank last (null cosine), never first as NaN would") {
+    val withZero = vecs.union(Seq((9L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding"))
+    val top = Ann.bruteForceTopK(withZero, withZero.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3)
+      .collect().map(_.getLong(1))
+    assert(!top.contains(9L)) // an unguarded NaN would outrank everything
+    val pairs = Ann.nearDupPairs(withZero, "vec_id", "embedding", minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairs.exists(p => p._1 == 9L || p._2 == 9L))
+  }
+
   test("cosine: orthogonal 0, identical 1, opposite -1") {
     val got = vecs.filter(col("vec_id") =!= 0)
       .crossJoin(vecs.filter(col("vec_id") === 0)
