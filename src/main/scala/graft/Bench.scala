@@ -31,7 +31,8 @@ object Bench {
     // projection-heavy and ordered queries.
     // SPARK_GRAFT_ONLY=q55,q69 (prefix match) narrows the set for local
     // iteration; unset (the driver's invocation) runs everything
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
     def selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith)) }
     def runAll(): Seq[(String, Double)] =

@@ -32,9 +32,12 @@ object Tables {
     * through this map), a hard cap backstops the prune: past MaxSessions
     * live sessions the whole cache resets, trading a one-time re-listing
     * for guaranteed bounded memory under session churn. */
+  // session held directly: a WeakReference would be dead weight — cached
+  // DataFrames strongly reference their session, so it can never be
+  // collected while its entry exists; isStopped + the cap do the pruning
   private val relations = new java.util.concurrent.ConcurrentHashMap[
     String,
-    (java.lang.ref.WeakReference[SparkSession],
+    (SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame])]()
 
   private def sessionKey(spark: SparkSession): String =
@@ -46,8 +49,7 @@ object Tables {
   private def prune(): Unit = {
     val it = relations.entrySet().iterator()
     while (it.hasNext) {
-      val s = it.next().getValue._1.get()
-      if (s == null || s.sparkContext.isStopped) it.remove()
+      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
     }
     if (relations.size > MaxSessions) relations.clear()
   }
@@ -56,7 +58,7 @@ object Tables {
     if (relations.size > 4) prune()
     val (_, perSession) = relations.computeIfAbsent(
       sessionKey(spark),
-      _ => (new java.lang.ref.WeakReference(spark),
+      _ => (spark,
         new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()))
     perSession.computeIfAbsent(
       (dir, name), _ => spark.read.parquet(s"$dir/$name.parquet"))

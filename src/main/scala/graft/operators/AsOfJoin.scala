@@ -51,7 +51,10 @@ object AsOfJoin {
       s"direction must be backward|forward|nearest, got $direction")
     val carried = (rightTs +: valueCols).distinct
     val rStruct = StructType(carried.map(c => right.schema(c).copy(name = c)))
-    val rightTagged = right.select(
+    // a NULL right timestamp satisfies neither <= nor >= — drop the row
+    // here, or nulls-first ordering would park it at the partition head
+    // where the backward window happily attaches it
+    val rightTagged = right.filter(col(rightTs).isNotNull).select(
       col(partition), col(rightTs).as("__ts"), lit(0).as("__side"),
       struct(carried.map(col): _*).as("__r"))
     val leftTagged = left.select(
@@ -87,13 +90,16 @@ object AsOfJoin {
     def inTol(gap: Column): Column =
       toleranceMs.map(t => gap <= t * 1000L).getOrElse(lit(true))
 
-    // the matched struct, or null when missing / out of tolerance
+    // the matched struct, or null when missing / out of tolerance; a NULL
+    // left timestamp matches nothing (its struct-carry window result is
+    // meaningless — the row sorted at the partition head)
+    val leftOk = col("__ts").isNotNull
     val matched: Column = direction match {
-      case "backward" => when(col("__b").isNotNull && inTol(gapB), col("__b"))
-      case "forward" => when(col("__f").isNotNull && inTol(gapF), col("__f"))
+      case "backward" => when(leftOk && col("__b").isNotNull && inTol(gapB), col("__b"))
+      case "forward" => when(leftOk && col("__f").isNotNull && inTol(gapF), col("__f"))
       case "nearest" =>
-        val bOk = col("__b").isNotNull && inTol(gapB)
-        val fOk = col("__f").isNotNull && inTol(gapF)
+        val bOk = leftOk && col("__b").isNotNull && inTol(gapB)
+        val fOk = leftOk && col("__f").isNotNull && inTol(gapF)
         when(bOk && (!fOk || gapB <= gapF), col("__b"))
           .when(fOk, col("__f"))
     }

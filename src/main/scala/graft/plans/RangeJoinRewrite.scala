@@ -64,10 +64,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def maxBucketsPerRow: Long =
     SQLConf.get.getConfString(MaxBucketsConfKey, "10000").toLong
 
-  /** Idempotence guard for the fallback branch: the nested-loop join we
-    * emit for over-wide intervals still matches this rule's pattern; the
-    * tag (preserved by transform copies) stops it from being rewritten
-    * again — without it the rule would recurse forever. */
+  /** Idempotence guards for the fallback branch: the nested-loop join we
+    * emit for over-wide intervals still matches this rule's pattern.
+    * Belt and suspenders: the tag survives transform copies
+    * (makeCopy/withNewChildren), and the `__graft_wide` marker column on
+    * the fallback's right child survives rules that REBUILD join trees
+    * from scratch (ReorderJoin flattens and reconstructs inner joins,
+    * dropping tags) — without a structural guard the rule would re-fire
+    * on its own output every fixed-point iteration. */
   private[plans] val FallbackTag = TreeNodeTag[Unit]("graft.rangeJoin.fallback")
 
   /** floor(unix_millis(ts) / bucketMs) as a long — identical arithmetic
@@ -153,9 +157,17 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           // -------- wide branch: over-wide intervals keep the user's plan
           // span > max is null-rejecting too, so the branches partition
           // the matchable right rows exactly (reversed/null rows in
-          // neither — they contribute no matches either way).
-          val wideRight = Filter(GreaterThan(span, maxLit), right)
-          val fallback = Join(left, wideRight, Inner, Some(cond), hint)
+          // neither — they contribute no matches either way). The marker
+          // projection is the structural idempotence guard (see
+          // FallbackTag doc).
+          val wideMarker = Alias(Literal(true), "__graft_wide")()
+          val wideRight = Project(right.output :+ wideMarker,
+            Filter(GreaterThan(span, maxLit), right))
+          // the always-true marker joins the CONDITION so column pruning
+          // cannot strip it (an unreferenced marker column would be
+          // projected away, losing the structural guard)
+          val fallback = Join(left, wideRight, Inner,
+            Some(And(cond, wideMarker.toAttribute)), hint)
           fallback.setTagValue(FallbackTag, ())
           val wideBranch = Project(j.output, fallback)
 
@@ -164,8 +176,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       }
   }
 
-  /** Idempotence guard: don't re-fire on a join we already rewrote. */
+  /** Idempotence guard: don't re-fire on a join we already rewrote —
+    * neither the bucketed narrow branch nor the marked wide fallback
+    * (whose marker lives in the join condition, surviving both column
+    * pruning and join-tree reconstruction). */
   private def hasBucketAlias(j: Join): Boolean =
     j.left.output.exists(_.name == "__graft_bucket_l") ||
-      j.right.output.exists(_.name == "__graft_bucket_r")
+      j.right.output.exists(a =>
+        a.name == "__graft_bucket_r" || a.name == "__graft_wide") ||
+      j.condition.exists(_.references.exists(_.name == "__graft_wide"))
 }

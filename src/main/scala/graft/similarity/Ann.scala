@@ -29,16 +29,16 @@ object Ann {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** NULL (undefined) when either vector has zero norm — the raw division
-    * yields NaN, and Spark orders NaN as the LARGEST double, so an
-    * unguarded zero vector would outrank every real match in descending
-    * cosine rankings; as NULL it sorts last and threshold filters drop
-    * it. (DuckDB's list_cosine_similarity returns -1.0 there — also
-    * bottom-ranked, so the two engines agree on every ranking that
-    * matters.) */
+  /** -1.0 when either vector has zero norm — the raw division yields
+    * NaN, and Spark orders NaN as the LARGEST double, so an unguarded
+    * zero vector would outrank every real match in descending cosine
+    * rankings; pinned to -1.0 it bottom-ranks AND matches DuckDB's
+    * list_cosine_similarity byte-for-byte (the oracle gate is a
+    * value-level compare, so NULL-vs--1.0 would fail it even with
+    * identical rankings). */
   def cosine(a: Column, b: Column): Column = {
     val denom = norm(a) * norm(b)
-    when(denom =!= 0d, dot(a, b) / denom)
+    when(denom =!= 0d, dot(a, b) / denom).otherwise(lit(-1.0))
   }
 
   /** Exact brute-force cosine top-k for each query vector.
@@ -82,9 +82,10 @@ object Ann {
     val b0 = withNorm.select(col("id").as("id2"), col("v").as("v2"), col("n").as("n2"))
     val b = if (broadcastRight) broadcast(b0) else b0
     a.join(b, col("id1") < col("id2"))
-      // same zero-norm guard as `cosine` (null, not NaN)
+      // same zero-norm guard as `cosine` (-1.0, not NaN)
       .withColumn("cos", round(when(col("n1") * col("n2") =!= 0d,
-        dot(col("v1"), col("v2")) / (col("n1") * col("n2"))), 4))
+        dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+        .otherwise(lit(-1.0)), 4))
       .filter(col("cos") >= minCos)
       .select(col("id1"), col("id2"), col("cos"))
   }

@@ -112,10 +112,11 @@ object TextQueries {
     * indices → slice+join. All narrow codegen'd ops (sequence/slice/
     * concat_ws — no interpreted HOF lambdas); the explosion is bounded by
     * tokens-per-doc, not corpus size. */
-  private def shingleRows(docs: DataFrame, n: Int): DataFrame =
+  private def shingleRows(docs: DataFrame, n: Int,
+      minTokens: Option[Int] = None): DataFrame =
     docs
       .withColumn("toks", TextFunctions.tokens(col("text")))
-      .filter(size(col("toks")) >= n)
+      .filter(size(col("toks")) >= minTokens.getOrElse(n))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1), size(col("toks")) - (n - 1), lit(1))).as("i"))
       .select(col("doc_id"),
@@ -143,14 +144,10 @@ object TextQueries {
     * shuffles keyed on doc_id(+gram); partial aggregation keeps the
     * per-gram counts map-side. */
   def repetitionScores(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .withColumn("toks", TextFunctions.tokens(col("text")))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), col("toks"))
-    def grams(n: Int) = docs
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(1), size(col("toks")) - (n - 1), lit(1))).as("i"))
-      .select(col("doc_id"), concat_ws(" ", slice(col("toks"), col("i"), lit(n))).as("g"))
+    // one shingle pipeline for the whole file (contamination, minhash,
+    // and these filters shingle identically); minTokens = 3 keeps the
+    // bigram and trigram paths over the SAME document set
+    def grams(n: Int) = shingleRows(Tables.documents(s, dir), n, minTokens = Some(3))
     val bi = grams(2)
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
