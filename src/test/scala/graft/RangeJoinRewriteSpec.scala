@@ -128,6 +128,22 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     assert(naive.count(_(1) == 300L) == 4) // sentinel interval matches every point
   }
 
+  test("rule does not re-fire on its own fallback even when tags are lost") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, Union}
+    val analyzed = naiveJoin.queryExecution.analyzed
+    val once = RangeJoinRewrite(analyzed)
+    assert(once.collect { case u: Union => u }.size == 1)
+    // simulate an optimizer rule that rebuilds join nodes from scratch
+    // (ReorderJoin) — fresh instances carry no TreeNodeTags
+    val stripped = once.transform {
+      case j: Join => Join(j.left, j.right, j.joinType, j.condition, j.hint)
+    }
+    val twice = RangeJoinRewrite(stripped)
+    assert(twice.collect { case u: Union => u }.size == 1, twice)
+    assert(twice.collect { case g: Generate => g }.size ==
+      once.collect { case g: Generate => g }.size, twice)
+  }
+
   test("null timestamps drop on both the naive and rewritten paths") {
     def withNulls = {
       val p = Seq((1L, Some(ts("2024-01-01 10:00:00"))), (2L, None))
