@@ -115,6 +115,22 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Nearest-direction as-of: each click attached to the closest error in
+    * EITHER direction (backward on exact ties) — the "closest context
+    * row" join of alert-correlation pipelines. */
+  def clicksNearestErrors(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"))
+    graft.operators.AsOfJoin.asOf(clicks, errors, "user_id", "ts", "ts",
+        direction = "nearest")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_ts").as("near_error_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** Bucketed range join: clicks landing inside the 10-minute window
     * after each error, counted per error — executed as a hash equi-join
     * on time buckets with the exact range predicate residual
@@ -192,6 +208,19 @@ object EventQueries {
         |  ON c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTES
         |GROUP BY e.event_id
         |ORDER BY err_id""".stripMargin)),
+    Q("q93_asof_nearest", (s, d) => clicksNearestErrors(s, d), Some(
+      """SELECT event_id, user_id, ts,
+        |  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR ts - b_ts <= f_ts - ts)
+        |       THEN b_ts
+        |       WHEN f_ts IS NOT NULL THEN f_ts END AS near_error_ts
+        |FROM (SELECT c.event_id, c.user_id, c.ts,
+        |        (SELECT MAX(e.ts) FROM events e WHERE e.event_type = 'error'
+        |           AND e.user_id = c.user_id AND e.ts <= c.ts) AS b_ts,
+        |        (SELECT MIN(e.ts) FROM events e WHERE e.event_type = 'error'
+        |           AND e.user_id = c.user_id AND e.ts >= c.ts) AS f_ts
+        |      FROM (SELECT event_id, user_id, ts FROM events
+        |            WHERE event_type = 'click') c) t
+        |ORDER BY event_id""".stripMargin)),
     Q("q91_asof_forward", (s, d) => clicksBeforeErrors(s, d), Some(
       """SELECT c.event_id, c.user_id, c.ts,
         |       (SELECT MIN(e.ts) FROM events e
