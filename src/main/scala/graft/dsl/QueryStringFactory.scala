@@ -35,7 +35,10 @@ object QueryStringFactory {
     val term = params.get("q").filter(_.nonEmpty)
     val pageIndex = params.get("i").flatMap(_.toIntOption).map(i => math.max(0, i - 1))
       .getOrElse(0)
-    val pageSize = params.get("s").flatMap(_.toIntOption).getOrElse(cfg.defaultPageSize)
+    // clamp like pageIndex: a user-controlled 's=-5' would otherwise flow
+    // into Dataset.limit(-5) and throw at runtime ('s=0' → empty pages)
+    val pageSize = params.get("s").flatMap(_.toIntOption).map(s => math.max(1, s))
+      .getOrElse(cfg.defaultPageSize)
     val sorts = params.get("o").toSeq.flatMap { o =>
       val (fieldPart, desc) =
         if (o.endsWith("-desc")) (o.dropRight(5), true)

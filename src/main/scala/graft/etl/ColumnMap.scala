@@ -45,9 +45,12 @@ object ColumnMap {
         case _ => None
       }
     }
-    indexed.groupBy(_._1).foreach { case (base, cols) =>
+    // group case-insensitively: 'Attr[Color]' and 'ATTR[Size]' both feed
+    // attr_map — case-sensitive grouping would let the second group's
+    // withColumn silently overwrite the first's entries
+    indexed.groupBy(_._1.toLowerCase).foreach { case (base, cols) =>
       val entries = cols.flatMap { case (_, idx, c) => Seq(lit(idx), col(c)) }
-      out = out.withColumn(s"${base.toLowerCase}_map", map(entries: _*))
+      out = out.withColumn(s"${base}_map", map(entries: _*))
       cols.foreach { case (_, _, c) => out = out.drop(c) }
     }
     out

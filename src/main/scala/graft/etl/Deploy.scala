@@ -31,12 +31,17 @@ object Deploy {
   }
 
   /** List the data files of a Spark output directory (skips _SUCCESS/CRCs). */
-  def outputFiles(outputDir: String): Seq[Path] =
-    Files.list(Paths.get(outputDir)).iterator().asScala
+  def outputFiles(outputDir: String): Seq[Path] = {
+    val stream = Files.list(Paths.get(outputDir))
+    // Files.list holds a directory descriptor until closed — repeated
+    // exports would otherwise leak one per call
+    try stream.iterator().asScala
       .filter(p => Files.isRegularFile(p))
       .filterNot(p => p.getFileName.toString.startsWith("_") ||
         p.getFileName.toString.startsWith("."))
       .toSeq.sortBy(_.getFileName.toString)
+    finally stream.close()
+  }
 
   /** CreateZipArchive analog: zip an export output directory. */
   def zipOutput(outputDir: String, zipPath: String): Path = {

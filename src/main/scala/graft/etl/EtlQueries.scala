@@ -79,12 +79,26 @@ object EtlQueries {
     val base = graft.functions.Conversions.slugify(col("p_name"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("base_slug")).orderBy(col("p_partkey"))
+    // round 2 resolves suffix/natural collisions ('steel wool' #2 gets
+    // 'steel-wool-1', which a part NAMED 'steel wool 1' already owns):
+    // colliding candidates keep the first by key and re-suffix the rest
+    // with the (unique) part key. A natural name that ends with exactly
+    // that key-suffix could in principle still collide — the sequential
+    // reference loops until free, which a fixed-pass distributed form
+    // trades away; two rounds covers every single-level collision.
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("candidate")).orderBy(col("p_partkey"))
     Tables.part(s, dir)
       .select(col("p_partkey"), base.as("base_slug"))
       .withColumn("rn", row_number().over(w))
       .select(col("p_partkey"),
         when(col("rn") === 1, col("base_slug"))
           .otherwise(concat_ws("-", col("base_slug"), col("rn") - 1))
+          .as("candidate"))
+      .withColumn("rn2", row_number().over(w2))
+      .select(col("p_partkey"),
+        when(col("rn2") === 1, col("candidate"))
+          .otherwise(concat_ws("-", col("candidate"), col("p_partkey")))
           .as("slug"))
       .orderBy(col("p_partkey"))
   }
@@ -116,11 +130,19 @@ object EtlQueries {
         |r AS (SELECT p_partkey, base_slug,
         |             ROW_NUMBER() OVER (PARTITION BY base_slug
         |                                ORDER BY p_partkey) AS rn
-        |      FROM b)
+        |      FROM b),
+        |c AS (SELECT p_partkey,
+        |             CASE WHEN rn = 1 THEN base_slug
+        |                  ELSE base_slug || '-' || (rn - 1) END AS candidate
+        |      FROM r),
+        |c2 AS (SELECT p_partkey, candidate,
+        |              ROW_NUMBER() OVER (PARTITION BY candidate
+        |                                 ORDER BY p_partkey) AS rn2
+        |       FROM c)
         |SELECT p_partkey,
-        |       CASE WHEN rn = 1 THEN base_slug
-        |            ELSE base_slug || '-' || (rn - 1) END AS slug
-        |FROM r
+        |       CASE WHEN rn2 = 1 THEN candidate
+        |            ELSE candidate || '-' || p_partkey END AS slug
+        |FROM c2
         |ORDER BY p_partkey""".stripMargin)),
     Q("q56_props_json", (s, d) => propsJson(s, d), Some(
       """SELECT event_type, COUNT(*) AS cnt,

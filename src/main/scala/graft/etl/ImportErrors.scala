@@ -51,7 +51,13 @@ object ImportErrors {
       val raw = col(c.column)
       val hasRaw = raw.isNotNull && length(trim(raw)) > 0 &&
         raw =!= Conversions.NullToken && raw =!= Conversions.IgnoreToken
-      val failed = hasRaw && c.convert(raw).isNull
+      // list conversions drop unparseable ELEMENTS rather than yielding
+      // null, so element loss is the failure signal there
+      val failed = c.convert(raw) match {
+        case conv if c.kind.startsWith("array") =>
+          hasRaw && (conv.isNull || size(conv) =!= size(split(raw, "[,;]")))
+        case conv => hasRaw && conv.isNull
+      }
       when(failed, struct(
         lit(c.column).as("column"),
         raw.as("raw_value"),

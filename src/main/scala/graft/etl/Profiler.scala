@@ -18,20 +18,24 @@ object Profiler {
     * distinct count, and min/max rendered as strings (cast AFTER the
     * typed min/max — lexicographic min of a numeric column is wrong). */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    // backticks: a profiled column named 'a.b' must not resolve as
+    // struct-field access on the derived '<name>__nn' aggregate aliases
+    def ref(name: String) = col(s"`$name`")
     val aggs = cols.flatMap { c =>
       Seq(
-        count(col(c)).as(s"${c}__nn"),
-        countDistinct(col(c)).as(s"${c}__nd"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
+        count(ref(c)).as(s"${c}__nn"),
+        countDistinct(ref(c)).as(s"${c}__nd"),
+        min(ref(c)).cast("string").as(s"${c}__min"),
+        max(ref(c)).cast("string").as(s"${c}__max"))
     }
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(cols.map(c => struct(
         lit(c).as("col_name"),
-        col(s"${c}__nn").as("n_nonnull"),
-        col(s"${c}__nd").as("n_distinct"),
-        col(s"${c}__min").as("min_value"),
-        col(s"${c}__max").as("max_value"))): _*)).as("s"))
+        ref(s"${c}__nn").as("n_nonnull"),
+        ref(s"${c}__nd").as("n_distinct"),
+        ref(s"${c}__min").as("min_value"),
+        ref(s"${c}__max").as("max_value"))): _*)).as("s"))
       .select(col("s.*"))
   }
 }

@@ -98,11 +98,24 @@ object Upsert {
     // the reference imports (100-row batches) this window is fine.
     val maxId = Option(snapshot.agg(max(col(cfg.surrogate))).head.get(0))
       .map(_.toString.toLong).getOrElse(0L)
-    val wNew = Window.orderBy(cfg.keyPriority.filter(resolved.columns.contains)
-      .map(col) :+ monotonically_increasing_id(): _*)
+    val keyCols = cfg.keyPriority.filter(resolved.columns.contains)
+    // docstring step 1 for INSERTS: duplicate unresolved key tuples
+    // collapse to one entity, last occurrence winning — without this,
+    // each duplicate new key would mint its own surrogate (the resolved
+    // rows get the same treatment in the per-__key dedup below). Rows
+    // whose keys overlap only partially (e.g. same name, different sku)
+    // still insert separately — the sequential reference would resolve
+    // the second against the first's fresh row, a regime the set-based
+    // form (constant resolution state per batch) does not model.
+    val wInsDedup = Window.partitionBy(keyCols.map(col): _*).orderBy(
+      (if (cfg.incomingOrder.nonEmpty) cfg.incomingOrder.map(col(_).desc)
+       else Seq(monotonically_increasing_id().desc)): _*)
+    val wNew = Window.orderBy(keyCols.map(col) :+ monotonically_increasing_id(): _*)
     // new surrogates are dense above the snapshot max, numbered over the
     // insert set only (the update rows must not shift the sequence)
     val newRows = resolved.filter(col(IsNewCol))
+      .withColumn("__ins_rn", row_number().over(wInsDedup))
+      .filter(col("__ins_rn") === 1).drop("__ins_rn")
       .withColumn("__key", lit(maxId) + row_number().over(wNew))
     val oldRows = resolved.filter(!col(IsNewCol))
       .withColumn("__key", col(ResolvedCol))

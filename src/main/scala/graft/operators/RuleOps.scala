@@ -95,7 +95,11 @@ object RuleOps {
     * there we fall back to an anchored `rlike`. */
   private def like(c: Column, wildcard: String): Column =
     if (wildcard.indexOf('%') < 0 && wildcard.indexOf('_') < 0)
-      lower(c).like(Wildcard.toLikePattern(wildcard))
+      // Column.like has no ESCAPE overload and defaults to backslash, so
+      // the pattern must use BACKSLASH escaping — Wildcard.toLikePattern
+      // targets the reference's ESCAPE '/' convention and would make '/'
+      // or '\' in the value silently never match here
+      lower(c).like(wildcard.replace("\\", "\\\\").replace('*', '%').replace('?', '_'))
     else lower(c).rlike(Wildcard.toRegex(wildcard))
 
   private def in(c: Column, value: Any): Column = value match {

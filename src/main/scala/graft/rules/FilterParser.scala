@@ -98,7 +98,18 @@ object FilterParser {
 
     def parseUnary(): Node = {
       skipWs()
-      if (sym("!(")) { val g = group(closeAlreadyOpen = true); negate(g) }
+      // '!' then optional whitespace then '(' — requiring the literal
+      // two-char token '!(' would make '! (...)' silently parse the '!'
+      // as a value term and drop the negation
+      if (!eof && s.charAt(pos) == '!') {
+        val save = pos
+        pos += 1
+        skipWs()
+        if (!eof && s.charAt(pos) == '(') {
+          pos += 1
+          negate(group(closeAlreadyOpen = true))
+        } else { pos = save; term() }
+      }
       else if (!eof && s.charAt(pos) == '(') { pos += 1; group(closeAlreadyOpen = true) }
       else term()
     }

@@ -51,7 +51,12 @@ object RuleSets {
       case "int" => raw.trim.toLong
       case "float" | "money" => raw.trim.toDouble
       case "bool" => Seq("1", "true", "on", "yes").contains(raw.trim.toLowerCase)
-      case "datetime" => java.sql.Timestamp.valueOf(raw.trim)
+      case "datetime" =>
+        // accept date-only values too (the reference's Convert<DateTime>
+        // does; Timestamp.valueOf alone requires a time component)
+        val t = raw.trim
+        scala.util.Try(java.sql.Timestamp.valueOf(t)).getOrElse(
+          java.sql.Timestamp.valueOf(java.time.LocalDate.parse(t).atStartOfDay()))
       case "int[]" => split(raw).map(_.toLong)
       case "float[]" => split(raw).map(_.toDouble)
       case "string[]" => split(raw)

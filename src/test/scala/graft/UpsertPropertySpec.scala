@@ -37,7 +37,7 @@ class UpsertPropertySpec extends AnyFunSuite {
       .groupBy(_.name).view.mapValues(_.minBy(r => (r.display_order, r.id)).id).toMap
     val ids = snap.map(_.id).toSet
     var vals = snap.map(r => r.id -> r.v).toMap
-    var inserts = Vector.empty[(String, String, Double)]
+    var inserts = Vector.empty[(java.lang.Long, String, String, Double)]
     inc.sortBy(_.__ord).foreach { r =>
       val resolved: Option[Long] =
         Option(r.id).map(_.longValue).filter(ids.contains)
@@ -45,11 +45,15 @@ class UpsertPropertySpec extends AnyFunSuite {
           .orElse(Option(r.name).flatMap(byNameOrder.get))
       resolved match {
         case Some(id) => vals = vals.updated(id, r.v)
-        case None if r.name != null => inserts :+= ((r.sku, r.name, r.v))
+        case None if r.name != null => inserts :+= ((r.id, r.sku, r.name, r.v))
         case None => () // insert without name: skipped
       }
     }
-    (vals, inserts)
+    // duplicate exact key tuples collapse to one insert, last wins —
+    // mirroring the loader's batch dedup (step 1) for unresolved rows
+    val deduped = inserts.groupBy(t => (t._1, t._2, t._3))
+      .map(_._2.last).map(t => (t._2, t._3, t._4)).toSeq
+    (vals, deduped)
   }
 
   test("set-based upsert == sequential row-at-a-time oracle (30 random cases)") {
