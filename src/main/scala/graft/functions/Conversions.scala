@@ -52,18 +52,25 @@ object Conversions {
   def decimalOf(c: Column, commaDecimal: Boolean = false): Column = {
     val normalized =
       if (commaDecimal) regexp_replace(regexp_replace(c, "\\.", ""), ",", ".")
-      else c
+      // invariant culture allows thousands separators ('1,234.56' — .NET
+      // NumberStyles.Number includes AllowThousands, leniently placed);
+      // try_cast alone would null every grouped-format amount
+      else regexp_replace(c, ",", "")
     normalized.try_cast(DoubleType)
   }
 
   /** List cell `"1,2,3,4"` or `"1;2;3;4"` → array<int>
     * (`DataReaderTests.cs:81`: both separators accepted). */
-  def intList(c: Column): Column =
-    when(c.isNull || length(trim(c)) === 0, lit(null).cast(ArrayType(IntegerType)))
+  def intList(c: Column): Column = {
+    // honor the in-band [NULL]/[IGNORE] markers like every scalar
+    // conversion — a '[NULL]' cell must become SQL null, not []
+    val cc = nullifyTokens(c)
+    when(cc.isNull || length(trim(cc)) === 0, lit(null).cast(ArrayType(IntegerType)))
       .otherwise(
         filter(
-          transform(split(c, "[,;]"), s => trim(s).try_cast(IntegerType)),
+          transform(split(cc, "[,;]"), s => trim(s).try_cast(IntegerType)),
           x => x.isNotNull))
+  }
 
   /** GUID validation: 36-char canonical form or null. */
   def guid(c: Column): Column =

@@ -57,11 +57,15 @@ object Multimodal {
       StructField("feature_checksum", LongType, nullable = false)))
     val enc = Encoders.row(outSchema)
     media.select("media_id", "payload").mapPartitions { rows =>
-      // per-partition setup happens once (codec init in production)
-      rows.map { r =>
-        val id = r.getLong(0)
-        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-        Row(id, fakeDecode(bytes), checksum(bytes))
+      // per-partition setup happens once (codec init in production).
+      // null ids (dirty cast upstream) are skipped like null payloads —
+      // getLong on a null cell would NPE and kill the whole job
+      rows.flatMap { r =>
+        if (r.isNullAt(0)) None
+        else {
+          val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          Some(Row(r.getLong(0), fakeDecode(bytes), checksum(bytes)))
+        }
       }
     }(enc)
   }
@@ -112,6 +116,8 @@ object Multimodal {
     val enc = Encoders.row(outSchema)
     media.select("media_id", "payload").mapPartitions { rows =>
       rows.flatMap { r =>
+        if (r.isNullAt(0)) Iterator.empty
+        else {
         val id = r.getLong(0)
         val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
         val nFrames = (bytes.length + frameBytes - 1) / frameBytes
@@ -119,6 +125,7 @@ object Multimodal {
           val from = i * frameBytes
           val until = math.min(from + frameBytes, bytes.length)
           Row(id, i, java.util.Arrays.copyOfRange(bytes, from, until))
+        }
         }
       }
     }(enc)
@@ -136,12 +143,14 @@ object Multimodal {
       StructField("resized_bytes", LongType, nullable = false)))
     val enc = Encoders.row(outSchema)
     media.select("media_id", "payload").mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-        val out = if (bytes.length <= maxBytes) bytes
-          else java.util.Arrays.copyOfRange(bytes, 0, maxBytes)
-        Row(id, out, bytes.length.toLong, out.length.toLong)
+      rows.flatMap { r =>
+        if (r.isNullAt(0)) None
+        else {
+          val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          val out = if (bytes.length <= maxBytes) bytes
+            else java.util.Arrays.copyOfRange(bytes, 0, maxBytes)
+          Some(Row(r.getLong(0), out, bytes.length.toLong, out.length.toLong))
+        }
       }
     }(enc)
   }

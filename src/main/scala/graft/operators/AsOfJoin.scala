@@ -51,13 +51,21 @@ object AsOfJoin {
       s"direction must be backward|forward|nearest, got $direction")
     val carried = (rightTs +: valueCols).distinct
     val rStruct = StructType(carried.map(c => right.schema(c).copy(name = c)))
+    // NULL partition keys: an equi/ASOF join matches nothing on NULL, but
+    // Window.partitionBy groups NULLs together (null-key lefts would match
+    // null-key rights AND pile the whole null population into one straggler
+    // task) — route null-key left rows AROUND the union and drop null-key
+    // rights entirely
+    val leftNullKey = left.filter(col(partition).isNull)
+    val leftGood = left.filter(col(partition).isNotNull)
     // a NULL right timestamp satisfies neither <= nor >= — drop the row
     // here, or nulls-first ordering would park it at the partition head
     // where the backward window happily attaches it
-    val rightTagged = right.filter(col(rightTs).isNotNull).select(
-      col(partition), col(rightTs).as("__ts"), lit(0).as("__side"),
-      struct(carried.map(col): _*).as("__r"))
-    val leftTagged = left.select(
+    val rightTagged = right
+      .filter(col(partition).isNotNull && col(rightTs).isNotNull).select(
+        col(partition), col(rightTs).as("__ts"), lit(0).as("__side"),
+        struct(carried.map(col): _*).as("__r"))
+    val leftTagged = leftGood.select(
       (left.columns.map(col).toSeq :+ col(leftTs).as("__ts") :+
         lit(1).as("__side") :+ lit(null).cast(rStruct).as("__r")): _*)
     val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
@@ -105,8 +113,14 @@ object AsOfJoin {
     }
 
     val finalCols = carried.map(c => matched.getField(c).as(s"asof_$c"))
-    withDirs
+    val joined = withDirs
       .filter(col("__side") === 1)
       .select(left.columns.map(col).toSeq ++ finalCols: _*)
+    // null-key left rows come back with no match, preserving left-join
+    // row semantics
+    val passThrough = leftNullKey.select(
+      left.columns.map(col).toSeq ++ carried.map(c =>
+        lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
+    joined.unionByName(passThrough)
   }
 }

@@ -83,8 +83,12 @@ object DomainFilters {
     * broadcasts) just the keys. */
   def applyVisibilityFilter(df: DataFrame, restrictedFlag: Column,
       mapping: DataFrame, dfKey: String, mappingKey: String): DataFrame = {
-    val unrestricted = df.filter(!restrictedFlag)
-    val restrictedHit = df.filter(restrictedFlag)
+    // NULL flag = unrestricted (the reference's bool is non-nullable, so
+    // NULL only arises from dirty ingestion; both raw filters are
+    // null-rejecting and would silently drop the row from BOTH branches)
+    val restricted = coalesce(restrictedFlag, lit(false))
+    val unrestricted = df.filter(!restricted)
+    val restrictedHit = df.filter(restricted)
       .join(mapping.select(col(mappingKey)),
         col(dfKey) === col(mappingKey), "left_semi")
     unrestricted.unionByName(restrictedHit)

@@ -46,4 +46,16 @@ object Hierarchy {
   def subtree(flattened: DataFrame, rootPath: String, sep: String = "/"): DataFrame =
     flattened.filter(col("path") === rootPath ||
       col("path").startsWith(rootPath + sep))
+
+  /** Integrity probe: nodes `flatten` can NEVER reach from the roots —
+    * orphaned parent references (parent deleted upstream), self-parented
+    * rows, and cycle members. `flatten` drops them silently (exactly like
+    * the recursive-CTE oracle restating it), so pipelines ingesting dirty
+    * adjacency lists should assert this frame is empty — or route it to
+    * the error channel — before trusting the flattened tree. */
+  def orphans(edges: DataFrame, idCol: String = "id",
+      parentCol: String = "parent_id", nameCol: String = "name",
+      maxDepth: Int = 20): DataFrame =
+    edges.join(flatten(edges, idCol, parentCol, nameCol, maxDepth)
+      .select(col(idCol)), Seq(idCol), "left_anti")
 }

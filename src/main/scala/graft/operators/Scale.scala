@@ -17,13 +17,17 @@ object Scale {
     *
     * Use when a handful of keys dominate (AQE skew-join handles sort-merge
     * splits automatically, but salting also fixes skewed aggregations and
-    * broadcast-ineligible cases). Salt is derived from a hash of the whole
-    * left row id via `rand(seed)`-free arithmetic so re-execution is
-    * deterministic per row. */
+    * broadcast-ineligible cases). Salt comes from the per-row monotonic
+    * id (identical duplicate rows — the common hot-key shape — must land
+    * on DIFFERENT salts; a content hash sends them all to one). */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int, seed: Int = 42): DataFrame = {
+    // salt from a per-ROW id, NOT a content hash: hot keys routinely come
+    // as fully identical rows, which hash to ONE salt and defeat the
+    // split entirely. The id is layout-dependent, but salt placement
+    // never affects results — only distribution.
     val salted = left.withColumn("__salt",
-      pmod(hash(struct(left.columns.map(col).toSeq: _*), lit(seed)), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val replicated = right
       .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
@@ -37,7 +41,7 @@ object Scale {
   def saltedAgg(df: DataFrame, key: String, salts: Int,
       partials: Seq[(Column, Column => Column, String)], seed: Int = 42): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(hash(struct(df.columns.map(col).toSeq: _*), lit(seed)), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val partial = salted.groupBy(col(key), col("__salt"))
       .agg(partials.head._1.as(partials.head._3),
         partials.tail.map(p => p._1.as(p._3)): _*)

@@ -35,18 +35,6 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
-  /** Token n-gram shingles (default 3): distinctive units for MinHash —
-    * unigram bags are far too coarse for near-dup detection (any two docs
-    * over a shared vocabulary look similar). Docs shorter than n shingle
-    * to their whole normalized text. */
-  def shingles(textCol: Column, n: Int = 3): Column = {
-    val toks = TextFunctions.tokens(textCol)
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
-
   /** MinHash signature column: array of k minima over the shingle-hash
     * set, computed by the custom primitive-loop Catalyst expression
     * (graft.functions.MinHashShingleSig) — the higher-order-function
@@ -62,17 +50,34 @@ object Dedup {
     * Shuffles: one explode+hash per row (narrow), one self-join keyed on
     * the band bucket, one distinct. No cross product. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, rowsPerBand: Int = 4, minEstJaccard: Double = 0.0): DataFrame = {
+      bands: Int = 4, rowsPerBand: Int = 4, minEstJaccard: Double = 0.0,
+      maxBucketSize: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), k).as("sig"))
+    // empty/whitespace-only documents all share one degenerate signature
+    // (zero shingles hash identically) — at crawl scale that is millions
+    // of docs in ONE bucket, i.e. a quadratic candidate clique; route
+    // them out (exact dedup handles identical empties)
+    val sigs = df
+      .filter(size(TextFunctions.tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), k).as("sig"))
     // both self-join sides re-derive the signatures — one cheap primitive
     // pass each (at cluster scale, persist the signature frame to storage
     // between stages instead)
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded0 = sigs.select(col("id"), col("sig"),
         explode(array((0 until bands).map(lit): _*)).as("band"))
       .withColumn("bucket", xxhash64(col("band"),
         concat_ws(",", slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))))
+    // standard LSH guard: a bucket of M near-identical docs would emit
+    // M²/2 pairs from the self-join; skip over-full buckets (the docs
+    // inside them are candidates via their OTHER bands, and boilerplate
+    // cliques belong to exact dedup, not pairwise scoring)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    val banded = banded0
+      .withColumn("__bsz", count(lit(1)).over(wB))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
     val a = banded.select(col("id").as("id1"), col("sig").as("sig1"),
       col("band"), col("bucket"))
     val b = banded.select(col("id").as("id2"), col("sig").as("sig2"),

@@ -13,7 +13,13 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-  private val toksSql = s"string_split($norm, ' ')"
+  // empty-text parity with TextFunctions.tokensOf: DuckDB string_split('')
+  // returns [''] (len 1) where Spark returns [] — without the CASE, empty
+  // or whitespace-only documents tokenize differently in the oracle than
+  // in the engine (phantom '' tokens join in the jaccard oracles, ratios
+  // divide by 1 instead of nulling)
+  private val toksSql =
+    s"(CASE WHEN length($norm) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split($norm, ' ') END)"
 
   /** Exact-dedup groups (hash group-by). */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
