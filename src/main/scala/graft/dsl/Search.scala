@@ -50,8 +50,11 @@ object Search {
   /** Compile the filter surface only (no paging) — the shared frame. */
   def compileFiltered(df: DataFrame, q: Query): DataFrame = {
     val termPred: Option[Column] = q.term.map { t =>
+      // a term with NO configured fields matches NOTHING — defaulting to
+      // true would silently return the whole dataset as "hits" for any
+      // query whose caller forgot to set termFields (fail-open search)
       q.termFields.map(f => lower(col(f)).contains(t.toLowerCase))
-        .reduceOption(_ || _).getOrElse(lit(true))
+        .reduceOption(_ || _).getOrElse(lit(false))
     }
     val structured = q.filters.map(FilterExpr.compile(_, col))
     val should = q.shouldFilters.map(FilterExpr.compile(_, col))
@@ -72,10 +75,16 @@ object Search {
     val filtered = compileFiltered(df, q).cache()
     try {
       val total = filtered.count()
-      val maxPage = math.max(0, ((total - 1) / math.max(1, q.pageSize)).toInt)
-      val page = math.min(q.pageIndex, maxPage)
+      // fix-up covers BOTH directions: negative/oversized pageIndex and
+      // non-positive pageSize all fall back to a valid page instead of
+      // throwing from offset(-n)/limit(-n); offset computed in Long so a
+      // huge page × size cannot overflow Int into a negative offset
+      val size = math.max(1, q.pageSize)
+      val maxPage = math.max(0, ((total - 1) / size).toInt)
+      val page = math.min(math.max(0, q.pageIndex), maxPage)
+      val off = math.min(page.toLong * size, Int.MaxValue.toLong).toInt
       val hits = filtered.orderBy(sortCols(q): _*)
-        .offset(page * q.pageSize).limit(q.pageSize)
+        .offset(off).limit(size)
       // materialize page + facets off the cached frame before unpersisting
       // (these are report-sized: pageSize and maxChoices rows)
       val facetFrames = q.facets.map { f =>
@@ -91,9 +100,13 @@ object Search {
 
   /** One-shot page compile without the count round (for oracle-checkable
     * deterministic output). */
-  def pageOf(df: DataFrame, q: Query): DataFrame =
+  def pageOf(df: DataFrame, q: Query): DataFrame = {
+    val size = math.max(1, q.pageSize)
+    val off = math.min(math.max(0, q.pageIndex).toLong * size,
+      Int.MaxValue.toLong).toInt
     compileFiltered(df, q).orderBy(sortCols(q): _*)
-      .offset(q.pageIndex * q.pageSize).limit(q.pageSize)
+      .offset(off).limit(size)
+  }
 
   /** Facet counts off the shared filtered frame. */
   def facetOf(df: DataFrame, q: Query, facet: Facet): DataFrame =

@@ -15,7 +15,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object FilterQueries {
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private def dec(c: org.apache.spark.sql.Column) = c.try_cast(DecimalType(18, 2)) // try_cast: NaN/Inf/overflow row -> null, not an ANSI job kill
 
   /** J2: left outer join to aggregated child with null-coalesced measures —
     * the `DataExporter.GetEntitiesQuery` newsletter⟕customer shape

@@ -66,13 +66,40 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Idempotence guards for the fallback branch: the nested-loop join we
     * emit for over-wide intervals still matches this rule's pattern.
-    * Belt and suspenders: the tag survives transform copies
-    * (makeCopy/withNewChildren), and the `__graft_wide` marker column on
-    * the fallback's right child survives rules that REBUILD join trees
-    * from scratch (ReorderJoin flattens and reconstructs inner joins,
-    * dropping tags) — without a structural guard the rule would re-fire
-    * on its own output every fixed-point iteration. */
+    * The tag survives ordinary transform copies, but NOT rules that
+    * rebuild join trees from scratch (ReorderJoin), and any alias/marker
+    * scheme gets folded away (FoldablePropagation turns an always-true
+    * marker attribute into a literal, BooleanSimplification removes it,
+    * pruning drops the column). The guard that actually survives is the
+    * span-cap FILTER itself — `bucket(hi) - bucket(lo) > N` references
+    * real columns, so no rule can fold it, and it is semantically
+    * load-bearing, so nothing removes it. `hasGraftShape` detects it
+    * anywhere in the join subtree. */
   private[plans] val FallbackTag = TreeNodeTag[Unit]("graft.rangeJoin.fallback")
+
+  /** A bucket-arithmetic expression: floor over unix_millis — the shape
+    * only this rule's rewrite produces (or a user hand-writing the same
+    * decomposition, which equally must not be re-rewritten). */
+  private def isBucketArith(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[UnixMillis]) && e.exists(_.isInstanceOf[Floor])
+
+  private def isSpanCap(e: Expression): Boolean = e match {
+    case GreaterThan(Subtract(a, b, _), Literal(_, _)) =>
+      isBucketArith(a) && isBucketArith(b)
+    case LessThanOrEqual(Subtract(a, b, _), Literal(_, _)) =>
+      isBucketArith(a) && isBucketArith(b)
+    case _ => false
+  }
+
+  /** True when the subtree already contains this rule's output (the
+    * narrow branch's bucket filter or the wide fallback's span-cap
+    * filter). Conservative: also suppresses the rewrite for hand-written
+    * bucket decompositions, which is exactly right. */
+  private def hasGraftShape(p: LogicalPlan): Boolean = p.exists {
+    case f: Filter =>
+      splitConjunctivePredicates(f.condition).exists(isSpanCap)
+    case _ => false
+  }
 
   /** floor(unix_millis(ts) / bucketMs) as a long — identical arithmetic
     * to operators.RangeJoin so the two forms bucket consistently. */
@@ -113,7 +140,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // matches) — the standard Catalyst guard for subtree-duplicating
     // rules is to fire only on deterministic plans.
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if j.resolved && !hasBucketAlias(j) &&
+        if j.resolved && !hasBucketAlias(j) && !hasGraftShape(j) &&
           j.getTagValue(FallbackTag).isEmpty &&
           left.deterministic && right.deterministic =>
       val conjuncts = splitConjunctivePredicates(cond)
@@ -160,14 +187,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           // neither — they contribute no matches either way). The marker
           // projection is the structural idempotence guard (see
           // FallbackTag doc).
-          val wideMarker = Alias(Literal(true), "__graft_wide")()
-          val wideRight = Project(right.output :+ wideMarker,
-            Filter(GreaterThan(span, maxLit), right))
-          // the always-true marker joins the CONDITION so column pruning
-          // cannot strip it (an unreferenced marker column would be
-          // projected away, losing the structural guard)
-          val fallback = Join(left, wideRight, Inner,
-            Some(And(cond, wideMarker.toAttribute)), hint)
+          val wideRight = Filter(GreaterThan(span, maxLit), right)
+          val fallback = Join(left, wideRight, Inner, Some(cond), hint)
           fallback.setTagValue(FallbackTag, ())
           val wideBranch = Project(j.output, fallback)
 
@@ -176,13 +197,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       }
   }
 
-  /** Idempotence guard: don't re-fire on a join we already rewrote —
-    * neither the bucketed narrow branch nor the marked wide fallback
-    * (whose marker lives in the join condition, surviving both column
-    * pruning and join-tree reconstruction). */
+  /** Fast-path idempotence guard for the narrow branch (its bucket
+    * attributes are join keys, so their names survive every optimizer
+    * rule); `hasGraftShape` is the robust guard covering both branches. */
   private def hasBucketAlias(j: Join): Boolean =
     j.left.output.exists(_.name == "__graft_bucket_l") ||
-      j.right.output.exists(a =>
-        a.name == "__graft_bucket_r" || a.name == "__graft_wide") ||
-      j.condition.exists(_.references.exists(_.name == "__graft_wide"))
+      j.right.output.exists(_.name == "__graft_bucket_r")
 }

@@ -33,7 +33,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Reports {
 
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec(c: Column): Column = c.try_cast(DecimalType(18, 2)) // try_cast: dirty row -> null, not an ANSI job kill
 
   /** Exact money aggregate with an engine-stable output type: sum the
     * per-element decimal(18,2) casts (associative — immune to float

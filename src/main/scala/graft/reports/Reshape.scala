@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Reshape {
 
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec(c: Column): Column = c.try_cast(DecimalType(18, 2)) // try_cast: NaN/Inf/overflow row -> null, not an ANSI job kill
 
   /** Pivot: year × order-status revenue matrix with explicit pivot values. */
   def statusPivot(s: SparkSession, dir: String): DataFrame =

@@ -17,7 +17,7 @@ import java.sql.Timestamp
   */
 object Tpch {
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private def dec(c: org.apache.spark.sql.Column) = c.try_cast(DecimalType(18, 2)) // try_cast: NaN/Inf/overflow row -> null, not an ANSI job kill
   private def ts(s: String) = lit(Timestamp.valueOf(s))
 
   /** Discounted revenue in EXACT decimal arithmetic: round each 2dp input

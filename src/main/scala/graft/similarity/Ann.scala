@@ -29,16 +29,20 @@ object Ann {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** -1.0 when either vector has zero norm — the raw division yields
-    * NaN, and Spark orders NaN as the LARGEST double, so an unguarded
-    * zero vector would outrank every real match in descending cosine
-    * rankings; pinned to -1.0 it bottom-ranks AND matches DuckDB's
-    * list_cosine_similarity byte-for-byte (the oracle gate is a
-    * value-level compare, so NULL-vs--1.0 would fail it even with
-    * identical rankings). */
+  /** -1.0 whenever the division cannot produce a real cosine — zero
+    * norms (0/0 = NaN), NaN vector elements (denom NaN; note `NaN =!= 0`
+    * is TRUE under Spark's NaN-largest semantics, so a denom check alone
+    * misses it), and Inf elements (Inf/Inf = NaN). Spark orders NaN as
+    * the LARGEST double, so one corrupt embedding would otherwise become
+    * the rank-1 neighbor of EVERY query and pair with every row in
+    * near-dup output. Pinned to -1.0 it bottom-ranks (and matches
+    * DuckDB's list_cosine_similarity on the zero-vector case, keeping
+    * the value-level oracle parity). The magnitude check bounds fp noise:
+    * any |raw| beyond 1+1e-6 is corruption, not a cosine. */
   def cosine(a: Column, b: Column): Column = {
-    val denom = norm(a) * norm(b)
-    when(denom =!= 0d, dot(a, b) / denom).otherwise(lit(-1.0))
+    // try_divide: ANSI mode THROWS on double x/0 — null here, then pinned
+    val raw = try_divide(dot(a, b), norm(a) * norm(b))
+    when(!isnan(raw) && abs(raw) <= 1.000001d, raw).otherwise(lit(-1.0))
   }
 
   /** Exact brute-force cosine top-k for each query vector.
@@ -82,10 +86,15 @@ object Ann {
     val b0 = withNorm.select(col("id").as("id2"), col("v").as("v2"), col("n").as("n2"))
     val b = if (broadcastRight) broadcast(b0) else b0
     a.join(b, col("id1") < col("id2"))
-      // same zero-norm guard as `cosine` (-1.0, not NaN)
-      .withColumn("cos", round(when(col("n1") * col("n2") =!= 0d,
-        dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
-        .otherwise(lit(-1.0)), 4))
+      // same zero-norm/NaN/Inf guard as `cosine` (-1.0, never NaN —
+      // NaN >= minCos is TRUE under Spark's NaN-largest comparison, so an
+      // unguarded corrupt row would pair with the whole corpus)
+      .withColumn("__raw",
+        try_divide(dot(col("v1"), col("v2")), col("n1") * col("n2")))
+      .withColumn("cos", round(
+        when(!isnan(col("__raw")) && abs(col("__raw")) <= 1.000001d,
+          col("__raw")).otherwise(lit(-1.0)), 4))
+      .drop("__raw")
       .filter(col("cos") >= minCos)
       .select(col("id1"), col("id2"), col("cos"))
   }

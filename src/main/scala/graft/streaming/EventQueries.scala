@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventQueries {
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private def dec(c: org.apache.spark.sql.Column) = c.try_cast(DecimalType(18, 2)) // try_cast: NaN/Inf/overflow row -> null, not an ANSI job kill
 
   /** Daily × event-type bucketed aggregation — the A7 dashboard shape over
     * the event stream. One hash-aggregate shuffle on (day, type). */

@@ -35,7 +35,10 @@ object EventStreams {
   def dedupStream(events: DataFrame, keyCols: Seq[String],
       watermarkCol: String = "ts", delay: String = "1 hour"): DataFrame =
     events.withWatermark(watermarkCol, delay)
-      .dropDuplicates(keyCols :+ watermarkCol)
+      // dedup on the KEY ALONE: appending the watermark column would let a
+      // redelivered event with a restamped timestamp sail through (the
+      // batch twin dedups per key); WithinWatermark keeps state bounded
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Tumbling-window counts per event type with late-data watermark —
     * shared shape with EventQueries.dailyByType. */
@@ -45,7 +48,12 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
         col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total_value"))
+      // decimal sum like the batch twin (dailyByType): a raw double sum is
+      // shuffle-order-dependent, so streaming totals would drift from the
+      // batch pipeline they are reconciled against
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").try_cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(start: Long, last: Long, n: Long)
@@ -81,12 +89,23 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1))
-                case Some(s) =>
+                // merge anywhere within the session's gap-extended span:
+                // a LATE cross-batch event must extend start backward and
+                // never move `last` backward (t - s.last <= gap alone
+                // would set last=t for any earlier event, emitting
+                // end-before-start sessions and spurious splits)
+                case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>
+                  cur = Some(SessionState(
+                    math.min(s.start, t), math.max(s.last, t), s.n + 1))
+                case Some(s) if t > s.last + gapMs =>
                   closed :+= SessionOut(user, new java.sql.Timestamp(s.start),
                     new java.sql.Timestamp(s.last), s.n)
                   cur = Some(SessionState(t, t, 1))
+                case Some(_) =>
+                  // very-late event, beyond the current session's backward
+                  // reach: its own (already closed) single-event session
+                  closed :+= SessionOut(user, new java.sql.Timestamp(t),
+                    new java.sql.Timestamp(t), 1)
                 case None =>
                   cur = Some(SessionState(t, t, 1))
               }
@@ -168,6 +187,9 @@ object EventStreams {
       watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
+      // a null value would sort FIRST under the struct ordering (null
+      // smallest) and displace the real top event from every window
+      .filter(col("value").isNotNull)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window).as("win"))
       .agg(graft.functions.TopKAgg.topK(struct(
         (-col("value")).as("nv"),
