@@ -55,7 +55,15 @@ object Bench {
     val total = results.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
     val passTotals = passes.map(_.map(_._2).sum).map(t => f"$t%.2f").mkString("[", ",", "]")
+    // verbose line first (full query names, methodology) for humans reading
+    // the whole log…
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":$coldTotal,"pass_totals_sec":$passTotals,"methodology":"per-query full physical-plan execution (queryExecution.toRdd.count) at local[$cpus]; one untimed warmup pass (codegen/JIT), then three measured passes, per-query median reported; first post-warmup pass total in cold_total_sec"}""")
+    // …then a COMPACT headline as the very last line: the driver captures
+    // only the tail of stdout (≈2000 chars), so this line — short qNN keys,
+    // 3-decimal values — must fit there in full to be machine-parseable.
+    val qsShort = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","cold":$coldTotal%.2f,"passes":$passTotals,"method":"toRdd.count median-of-3 after warmup","queries":$qsShort}""")
     spark.stop()
   }
 }

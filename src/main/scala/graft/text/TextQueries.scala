@@ -298,6 +298,142 @@ object TextQueries {
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
 
+  /** Cross-document duplicated-SPAN dedup stats — the line-level dedup pass
+    * of web-corpus curation (RefinedWeb drops duplicated lines; C4 drops
+    * repeated three-sentence spans). This corpus has no newlines, so
+    * fixed-width n-token spans stand in for lines; the pipeline shape is
+    * identical. A span is "duplicated" when it appears verbatim in ≥2
+    * documents; a document's dup-token count is the number of token
+    * POSITIONS covered by at least one duplicated span.
+    *
+    * Scale shape: spans are a bounded per-doc explosion (~1 row per
+    * token); the duplicated-gram set needs ONE hash aggregation keyed by
+    * gram, covered positions dedup per (doc, pos) before the per-doc
+    * count — every shuffle is keyed by gram or doc_id, no global sort, no
+    * driver state. At 100 TB the gram→count aggregate is the big shuffle;
+    * hashing grams to 128-bit (as q30 does for whole docs) keeps rows
+    * narrow, and the final join prunes to dup grams only (a small
+    * fraction of all grams in real corpora). */
+  def spanDedupStats(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val spans = toks
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (n - 1), lit(1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", slice(col("toks"), col("i"), lit(n))).as("g"))
+    val dupGrams = spans
+      .groupBy(col("g")).agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("g"))
+    val covered = spans.join(dupGrams, Seq("g"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (n - 1), lit(1))).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_tokens"))
+    toks.select(col("doc_id"), size(col("toks")).as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        round(coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
+          nullif(col("n_tokens"), lit(0)).cast("double"), 4).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic per-source quota balancing ("domain mix"): every source
+    * contributes exactly min-source-count documents, chosen by ranking each
+    * source's docs on md5(id) — a reproducible uniform order with no RNG
+    * state, so the mix is identical across engines, runs and cluster
+    * sizes.
+    *
+    * The exact quota costs a per-source ROW_NUMBER (shuffle by source +
+    * per-group sort). At 100 TB with few giant sources that sort is the
+    * bottleneck AND the partition-per-source skews — the approximate scale
+    * path is q71's md5-THRESHOLD sampling at rate quota/count (pure scan,
+    * no sort), accepting ±√n quota jitter. */
+  def sourceMixSample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val quota = d.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .agg(min(col("c")).as("quota"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    d.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(quota))
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TF-IDF top-k terms per document (tf × ln((N+1)/(df+1)), the
+    * +1-smoothed idf): the keyword-extraction / relevance-weighting pass.
+    * Ranking compares the 4dp-ROUNDED score (then token) so the rank is
+    * identical across engines regardless of last-ulp ln() differences.
+    * Two hash aggregations (doc×token, then token) + a broadcast of the
+    * vocabulary-sized df table back onto the tf rows — at 100 TB the df
+    * table is vocab-sized (≪ corpus), so the broadcast holds; the top-k
+    * window partitions by doc_id, never global. */
+  def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    tf.join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") *
+        log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("score"), col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  /** MinHash accuracy harness: for every pair in the q35/q69 subset, the
+    * 8-permutation md5-minhash AGREEMENT estimate of 3-gram-shingle
+    * Jaccard next to the EXACT shingle Jaccard — the calibration query a
+    * dedup-threshold choice runs before committing to a signature width.
+    * Engine-neutral hashing (q90's one-permutation md5 slices), so the
+    * estimate itself is value-checked against SQL; zero-overlap pairs are
+    * kept (left join) because false-positive estimates on them are exactly
+    * what the calibration must surface. */
+  def minhashEstVsExact(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val subset = Tables.documents(s, dir).filter(col("doc_id") % 25 === 0)
+    val sh = shingleRows(subset, n).distinct()
+    val hashed = sh.select(
+      col("doc_id") +: (0 to 7).map { j =>
+        val seedHash = md5(concat(lit((j / 4).toString), lit("|"), col("g")))
+        substring(seedHash, (j % 4) * 8 + 1, 8).as(s"h$j")
+      }: _*)
+    val aggs = (0 to 7).map(j => min(col(s"h$j")).as(s"m$j"))
+    val mins = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val a = mins.select(
+      col("doc_id").as("id1") +: (0 to 7).map(j => col(s"m$j").as(s"a$j")): _*)
+    val b = mins.select(
+      col("doc_id").as("id2") +: (0 to 7).map(j => col(s"m$j").as(s"b$j")): _*)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val inter = sh.select(col("doc_id").as("id1"), col("g"))
+      .join(sh.select(col("doc_id").as("id2"), col("g")), Seq("g"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("i"))
+    val matches = (0 to 7)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val iC = coalesce(col("i"), lit(0L))
+    a.crossJoin(broadcast(b)).filter(col("id1") < col("id2"))
+      .join(inter, Seq("id1", "id2"), "left")
+      .join(sz.select(col("doc_id").as("id1"), col("nsh").as("n1")), Seq("id1"))
+      .join(sz.select(col("doc_id").as("id2"), col("nsh").as("n2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        round(matches.cast("double") / lit(8), 4).as("jac_est"),
+        round(iC.cast("double") / (col("n1") + col("n2") - iC).cast("double"), 4)
+          .as("jac_exact"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** MinHash+LSH near-dup candidates (no SQL oracle — hash-based). */
   def minhashCandidates(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text",
@@ -514,6 +650,78 @@ object TextQueries {
          |      UNION SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src)
          |SELECT id AS doc_id FROM r GROUP BY id HAVING id = MIN(reach)
          |ORDER BY doc_id""".stripMargin)),
+    Q("q94_span_dedup", (s, d) => spanDedupStats(s, d), Some(
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |spans AS (SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS g
+         |          FROM tok, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+         |          WHERE len(t) >= 5),
+         |dup AS (SELECT g FROM spans GROUP BY g
+         |        HAVING COUNT(DISTINCT doc_id) >= 2),
+         |cov AS (SELECT DISTINCT s.doc_id, p
+         |        FROM spans s JOIN dup USING (g),
+         |             UNNEST(generate_series(s.i, s.i + 4)) AS v(p)),
+         |agg AS (SELECT doc_id, COUNT(*) AS nd FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tokens,
+         |       CAST(COALESCE(a.nd, 0) AS BIGINT) AS n_dup_tokens,
+         |       round(COALESCE(a.nd, 0) /
+         |             CAST(nullif(len(t.t), 0) AS DOUBLE), 4) AS dup_frac
+         |FROM tok t LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)),
+    Q("q95_source_mix", (s, d) => sourceMixSample(s, d), Some(
+      """WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+        |q AS (SELECT MIN(c) AS quota FROM c),
+        |r AS (SELECT doc_id, source,
+        |             ROW_NUMBER() OVER (PARTITION BY source
+        |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM documents)
+        |SELECT doc_id, source, CAST(rk AS INT) AS rk
+        |FROM r, q WHERE rk <= quota
+        |ORDER BY doc_id""".stripMargin)),
+    Q("q96_tfidf", (s, d) => tfidfTopTerms(s, d), Some(
+      s"""WITH tf AS (SELECT doc_id, tok AS token, COUNT(*) AS tf
+         |            FROM (SELECT doc_id, unnest($toksSql) AS tok
+         |                  FROM documents) u
+         |            GROUP BY doc_id, tok),
+         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (SELECT tf.doc_id, tf.token, tf.tf,
+         |                  round(tf.tf * ln((n.n_docs + 1) /
+         |                        CAST(df.df + 1 AS DOUBLE)), 4) AS score
+         |           FROM tf JOIN df USING (token), n),
+         |r AS (SELECT doc_id, token, tf, score,
+         |             ROW_NUMBER() OVER (PARTITION BY doc_id
+         |               ORDER BY score DESC, token) AS rn
+         |      FROM scored)
+         |SELECT doc_id, token, tf, score, CAST(rn AS INT) AS rn
+         |FROM r WHERE rn <= 5
+         |ORDER BY doc_id, rn""".stripMargin)),
+    Q("q99_minhash_est", (s, d) => minhashEstVsExact(s, d), Some(
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents
+         |             WHERE doc_id % 25 = 0),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+         |       FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+         |       WHERE len(t) >= 3),
+         |hj AS (SELECT doc_id, j,
+         |              substr(md5((j // 4) || '|' || g), (j % 4) * 8 + 1, 8) AS h
+         |       FROM sh, UNNEST(generate_series(0, 7)) AS p(j)),
+         |mins AS (SELECT doc_id, j, MIN(h) AS m FROM hj GROUP BY doc_id, j),
+         |sig AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |               SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS matches
+         |        FROM mins a JOIN mins b ON a.j = b.j AND a.doc_id < b.doc_id
+         |        GROUP BY a.doc_id, b.doc_id),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+         |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT s.id1, s.id2,
+         |       round(CAST(s.matches AS DOUBLE) / 8, 4) AS jac_est,
+         |       round(COALESCE(i.i, 0) /
+         |             CAST(s1.n + s2.n - COALESCE(i.i, 0) AS DOUBLE), 4) AS jac_exact
+         |FROM sig s
+         |LEFT JOIN inter i ON s.id1 = i.id1 AND s.id2 = i.id2
+         |JOIN sz s1 ON s.id1 = s1.doc_id
+         |JOIN sz s2 ON s.id2 = s2.doc_id
+         |ORDER BY s.id1, s.id2""".stripMargin)),
     Q("q36_minhash_candidates", (s, d) => minhashCandidates(s, d), None),
     Q("q37_simhashes", (s, d) => simhashes(s, d), None)
   )
