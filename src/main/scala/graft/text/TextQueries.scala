@@ -311,8 +311,11 @@ object TextQueries {
     * gram, covered positions dedup per (doc, pos) before the per-doc
     * count — every shuffle is keyed by gram or doc_id, no global sort, no
     * driver state. At 100 TB the gram→count aggregate is the big shuffle;
-    * hashing grams to 128-bit (as q30 does for whole docs) keeps rows
-    * narrow, and the final join prunes to dup grams only (a small
+    * grams shuffle as their xxhash64 (8 bytes instead of a ~40-byte
+    * string — the string is dropped before any exchange; a cross-doc
+    * 64-bit collision, p≈n²/2⁶⁵, could only over-mark one span as
+    * duplicated, and the DuckDB gate re-checks exact values at every
+    * tested SF), and the final join prunes to dup grams only (a small
     * fraction of all grams in real corpora). */
   def spanDedupStats(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
     val toks = Tables.documents(s, dir)
@@ -322,12 +325,12 @@ object TextQueries {
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1), size(col("toks")) - (n - 1), lit(1))).as("i"))
       .select(col("doc_id"), col("i"),
-        concat_ws(" ", slice(col("toks"), col("i"), lit(n))).as("g"))
+        xxhash64(concat_ws(" ", slice(col("toks"), col("i"), lit(n)))).as("gh"))
     val dupGrams = spans
-      .groupBy(col("g")).agg(count_distinct(col("doc_id")).as("nd"))
+      .groupBy(col("gh")).agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
-      .select(col("g"))
-    val covered = spans.join(dupGrams, Seq("g"))
+      .select(col("gh"))
+    val covered = spans.join(dupGrams, Seq("gh"))
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + (n - 1), lit(1))).as("pos"))
       .distinct()
@@ -372,7 +375,12 @@ object TextQueries {
     * Two hash aggregations (doc×token, then token) + a broadcast of the
     * vocabulary-sized df table back onto the tf rows — at 100 TB the df
     * table is vocab-sized (≪ corpus), so the broadcast holds; the top-k
-    * window partitions by doc_id, never global. */
+    * is the bounded-heap aggregate (`functions.TopKStructs`): map-side
+    * partial heaps shuffle ≤k rows per (task × doc) instead of the window
+    * form sorting every doc's full term list after a full shuffle. Struct
+    * order (-score, token) = ORDER BY score DESC, token — total because
+    * token is unique within a doc, so the ranking is deterministic (score
+    * ≥ 0, so the negation never produces a mixed ±0.0). */
   def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val docs = Tables.documents(s, dir)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -380,15 +388,17 @@ object TextQueries {
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
     tf.join(broadcast(df), Seq("token"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", round(col("tf") *
         log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("doc_id"), col("token"), col("tf"), col("score"), col("rn"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-col("score")).as("neg"), col("token").as("token"),
+          col("tf").as("tf"), col("score").as("score")), k).as("tk"))
+      .select(col("doc_id"), posexplode(col("tk")))
+      .select(col("doc_id"), col("col.token").as("token"), col("col.tf").as("tf"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rn"))
       .orderBy(col("doc_id"), col("rn"))
   }
 
