@@ -312,11 +312,17 @@ object TextQueries {
     * count — every shuffle is keyed by gram or doc_id, no global sort, no
     * driver state. At 100 TB the gram→count aggregate is the big shuffle;
     * grams shuffle as their xxhash64 (8 bytes instead of a ~40-byte
-    * string — the string is dropped before any exchange; a cross-doc
-    * 64-bit collision, p≈n²/2⁶⁵, could only over-mark one span as
-    * duplicated, and the DuckDB gate re-checks exact values at every
-    * tested SF), and the final join prunes to dup grams only (a small
-    * fraction of all grams in real corpora). */
+    * string — the string is dropped before any exchange). 64-bit
+    * collisions are NOT negligible at design scale: ~1e13 distinct
+    * 5-grams put the birthday bound at n²/2⁶⁵ ≈ 2.7M colliding gram
+    * PAIRS, each of which can falsely mark its spans as cross-doc
+    * duplicates — but that is ~2.7M mislabeled spans out of 1e13
+    * (dup_frac error ~1e-7 per corpus, zero at every tested SF, where
+    * the DuckDB gate re-checks exact values). If exact parity beyond
+    * tested SFs matters, swap `gh` to a 128-bit hash (md5 high/low
+    * longs, as q30 does for whole docs) at ~2× the hash+shuffle width.
+    * The final join prunes to dup grams only (a small fraction of all
+    * grams in real corpora). */
   def spanDedupStats(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
@@ -375,7 +381,8 @@ object TextQueries {
     * Two hash aggregations (doc×token, then token) + a broadcast of the
     * vocabulary-sized df table back onto the tf rows — at 100 TB the df
     * table is vocab-sized (≪ corpus), so the broadcast holds; the top-k
-    * is the bounded-heap aggregate (`functions.TopKStructs`): map-side
+    * is the bounded-heap aggregate (`TopKAgg.topK`, backed by
+    * `functions.TopKStructs`): map-side
     * partial heaps shuffle ≤k rows per (task × doc) instead of the window
     * form sorting every doc's full term list after a full shuffle. Struct
     * order (-score, token) = ORDER BY score DESC, token — total because
