@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -122,5 +123,62 @@ object AsOfJoin {
       left.columns.map(col).toSeq ++ carried.map(c =>
         lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
     joined.unionByName(passThrough)
+  }
+
+  /** Same surface and semantics as [[asOf]], executed by the NATIVE
+    * physical operator (`plans.AsOfJoinExec` via `plans.AsOfJoinPlan` +
+    * `plans.AsOfJoinStrategy` — the custom-SparkPlan tier). Prefer this
+    * form at scale: each side shuffles/sorts independently on the key (a
+    * side already partitioned or sorted on it skips that work — the
+    * union form never can), rows stay narrow through the exchange, and
+    * the output keeps the LEFT side's partitioning for downstream reuse.
+    * AsOfJoinNativeSpec pins native == window-form equality over dirty
+    * inputs (null keys/timestamps, duplicate timestamps, every direction
+    * × tolerance). */
+  def asOfNative(left: DataFrame, right: DataFrame, partition: String,
+      leftTs: String, rightTs: String, valueCols: Seq[String] = Seq.empty,
+      direction: String = "backward",
+      toleranceMs: Option[Long] = None): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    val spark = left.sparkSession
+    // works in plain sessions too, not only extension-installed ones
+    GraftBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    val carried = (rightTs +: valueCols).distinct
+    // prune + pre-filter the right side BEFORE the custom node so the
+    // parquet scan reads only the joined columns (no optimizer rule
+    // prunes through an unknown operator): null keys/timestamps match
+    // nothing, dropping them here also keeps them out of the shuffle
+    val rightPruned = right
+      .filter(col(partition).isNotNull && col(rightTs).isNotNull)
+      .select((partition +: carried).distinct.map(col): _*)
+    val lPlan = GraftBridge.analyzed(left)
+    val rPlanRaw = GraftBridge.analyzed(rightPruned)
+    // Self-join safety: when both sides scan the same relation, the
+    // analyzer's DeduplicateRelations renews the right subtree's
+    // attribute ids but does NOT remap a custom node's expressions
+    // (it only knows built-in joins). An alias Project gives the right
+    // side fresh, STABLE ids: renewal rewrites the aliases' child
+    // references and stops there, so the ids this node captures stay
+    // valid. (Execution is additionally id-proof — the exec binds each
+    // side positionally against its own child only.)
+    val rPlan =
+      if (lPlan.outputSet.intersect(rPlanRaw.outputSet).isEmpty) rPlanRaw
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rPlanRaw.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rPlanRaw)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String): Attribute =
+      p.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found among ${p.output.map(_.name).mkString(", ")}"))
+    val carriedAttrs = carried.map(attr(rPlan, _))
+    val outAttrs = carriedAttrs.map(a =>
+      AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
+    GraftBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      Seq(attr(lPlan, partition)), Seq(attr(rPlan, partition)),
+      attr(lPlan, leftTs), attr(rPlan, rightTs),
+      carriedAttrs, outAttrs, direction, toleranceMs.map(_ * 1000L)))
   }
 }

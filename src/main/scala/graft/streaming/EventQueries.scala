@@ -131,6 +131,24 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** The three as-of shapes again through the NATIVE physical operator
+    * (plans.AsOfJoinExec — custom LogicalPlan/Strategy/SparkPlan tier):
+    * same DuckDB oracles as q57/q91/q93, so the merge-join execution
+    * path is value-gated end-to-end, not just spec-compared. */
+  private def clicksErrorsNative(s: SparkSession, dir: String,
+      direction: String, tolMs: Option[Long], outName: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"))
+    graft.operators.AsOfJoin.asOfNative(clicks, errors, "user_id", "ts", "ts",
+        direction = direction, toleranceMs = tolMs)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_ts").as(outName))
+      .orderBy(col("event_id"))
+  }
+
   /** Bucketed range join: clicks landing inside the 10-minute window
     * after each error, counted per error — executed as a hash equi-join
     * on time buckets with the exact range predicate residual
@@ -228,6 +246,35 @@ object EventQueries {
         |          AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 1 HOUR) AS next_error_ts
         |FROM events c WHERE c.event_type = 'click'
         |ORDER BY c.event_id""".stripMargin)),
+    Q("q97_asof_native", (s, d) =>
+      clicksErrorsNative(s, d, "backward", None, "last_error_ts"), Some(
+      """SELECT c.event_id, c.user_id, c.ts, e.ts AS last_error_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        |ORDER BY c.event_id""".stripMargin)),
+    Q("q98_asof_native_forward", (s, d) =>
+      clicksErrorsNative(s, d, "forward", Some(3600000L), "next_error_ts"), Some(
+      """SELECT c.event_id, c.user_id, c.ts,
+        |       (SELECT MIN(e.ts) FROM events e
+        |        WHERE e.event_type = 'error' AND e.user_id = c.user_id
+        |          AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 1 HOUR) AS next_error_ts
+        |FROM events c WHERE c.event_type = 'click'
+        |ORDER BY c.event_id""".stripMargin)),
+    Q("q100_asof_native_nearest", (s, d) =>
+      clicksErrorsNative(s, d, "nearest", None, "near_error_ts"), Some(
+      """SELECT event_id, user_id, ts,
+        |  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR ts - b_ts <= f_ts - ts)
+        |       THEN b_ts
+        |       WHEN f_ts IS NOT NULL THEN f_ts END AS near_error_ts
+        |FROM (SELECT c.event_id, c.user_id, c.ts,
+        |        (SELECT MAX(e.ts) FROM events e WHERE e.event_type = 'error'
+        |           AND e.user_id = c.user_id AND e.ts <= c.ts) AS b_ts,
+        |        (SELECT MIN(e.ts) FROM events e WHERE e.event_type = 'error'
+        |           AND e.user_id = c.user_id AND e.ts >= c.ts) AS f_ts
+        |      FROM (SELECT event_id, user_id, ts FROM events
+        |            WHERE event_type = 'click') c) t
+        |ORDER BY event_id""".stripMargin)),
     Q("q57_asof_join", (s, d) => clicksAsOfErrors(s, d), Some(
       """SELECT c.event_id, c.user_id, c.ts, e.ts AS last_error_ts
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c

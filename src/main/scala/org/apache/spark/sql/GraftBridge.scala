@@ -24,4 +24,26 @@ object GraftBridge {
     case c: classic.SparkSession => Some(c.sessionUUID)
     case _ => None
   }
+
+  /** The analyzed logical plan of a DataFrame — the resolved-attribute
+    * tree custom logical operators are built from. */
+  def analyzed(df: Dataset[_]): catalyst.plans.logical.LogicalPlan = df match {
+    case d: classic.Dataset[_] => d.queryExecution.analyzed
+    case other => throw new IllegalArgumentException(
+      s"expected a classic Dataset, got ${other.getClass.getName}")
+  }
+
+  /** `Dataset.ofRows` is `private[sql]`: wrap a custom LogicalPlan back
+    * into the public DataFrame API. */
+  def ofRows(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently add a planner strategy to the session's experimental
+    * hooks — the runtime fallback for sessions built without
+    * `spark.sql.extensions=graft.GraftExtensions`. */
+  def addStrategy(spark: SparkSession, s: execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(s)) exp.extraStrategies = exp.extraStrategies :+ s
+  }
 }
