@@ -1,6 +1,7 @@
 package graft.reports
 
 import graft.{Q, Tables}
+import graft.functions.MoneyFns
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -19,15 +20,19 @@ object Tpch {
 
   private def dec(c: org.apache.spark.sql.Column) = c.try_cast(DecimalType(18, 2)) // try_cast: NaN/Inf/overflow row -> null, not an ANSI job kill
   private def ts(s: String) = lit(Timestamp.valueOf(s))
+  private def cents(c: org.apache.spark.sql.Column) = MoneyFns.unscaledCents(c)
 
-  /** Discounted revenue in EXACT decimal arithmetic: round each 2dp input
-    * to decimal FIRST, multiply in decimal (exact 4dp product). Computing
-    * `price * (1 - discount)` in double and THEN rounding to 2dp is
-    * engine-unstable: near-midpoint double products round differently in
-    * Spark vs DuckDB (two elements in 600k flipped a cent at sf0.1). */
-  private def discountedRev: org.apache.spark.sql.Column =
-    dec(col("l_extendedprice")) *
-      (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount")))
+  /** Discounted revenue as an EXACT unscaled scale-4 integer:
+    * cents(price) × (100 − cents(discount)) — the same exact value as
+    * the decimal form dec(price)×(1−dec(disc)) without per-row
+    * BigDecimal work (see MoneyFns.unscaledCents). Rounding each 2dp
+    * input FIRST matters: computing `price * (1 - discount)` in double
+    * and THEN rounding is engine-unstable — near-midpoint double
+    * products round differently in Spark vs DuckDB (two elements in
+    * 600k flipped a cent at sf0.1). Sum with
+    * `MoneyFns.sumUnscaled(_, 4)`. */
+  private def revU: org.apache.spark.sql.Column =
+    cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
 
   /** Q3 shape — shipping-priority: segment-filtered customers ⋈ open
     * orders ⋈ late-shipped items, revenue top-10. */
@@ -40,11 +45,11 @@ object Tpch {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
     val li = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") > ts("2000-01-01 00:00:00"))
-      .select(col("l_orderkey"), discountedRev.as("rev"))
+      .select(col("l_orderkey"), revU.as("rev_u"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .agg(MoneyFns.sumUnscaled(col("rev_u"), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -64,7 +69,7 @@ object Tpch {
         col("o_orderdate") < ts("1998-01-01 00:00:00"))
       .select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
-      discountedRev.as("rev"))
+      revU.as("rev_u"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp),
@@ -72,7 +77,7 @@ object Tpch {
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .agg(MoneyFns.sumUnscaled(col("rev_u"), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -127,32 +132,51 @@ object Tpch {
       .agg(avg(col("l_quantity")).as("aq"))
     li.join(broadcast(avgQ), col("l_partkey") === col("pk"))
       .filter(col("l_quantity") < lit(0.2) * col("aq"))
-      .agg(round(sum(dec(col("l_extendedprice"))) / 7.0, 2).as("avg_yearly"),
+      .agg(round(MoneyFns.sumUnscaled(cents(col("l_extendedprice")), 2) / 7.0, 2)
+          .as("avg_yearly"),
         count(lit(1)).as("cnt"))
   }
 
   /** Q1 shape — pricing summary: per (returnflag, linestatus) the full
-    * aggregate battery. The three-factor charge stays EXACT decimal:
-    * price×(1−disc) is decimal(.,4), shrunk to DECIMAL(15,4) (values fit
-    * with headroom) so the ×(1+tax) product stays under precision 38 in
-    * both engines; averages divide the exact decimal sums as doubles
-    * (identical operands ⇒ identical quotients — no rounding needed). */
+    * aggregate battery, all EXACT via the unscaled-integer kernel
+    * (MoneyFns): qty/price/disc are scale-2 integers, rev = price_u ×
+    * (100−disc_u) scale-4, charge = rev_u × (100+tax_u) scale-6 — all
+    * exact long products with ~10⁷ headroom — summed in decimal(28,0)
+    * and shifted once per group. Same values as the decimal battery
+    * (sum of decimal(.,4)/(.,6) products cast to double) at ~4× less
+    * per-row cost; averages divide the exact sums as doubles (identical
+    * operands ⇒ identical quotients — no rounding needed). */
   def pricingSummary(s: SparkSession, dir: String): DataFrame = {
-    val revD = dec(col("l_extendedprice")) *
-      (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount")))
-    val charge = revD.cast(DecimalType(15, 4)) *
-      (lit(1).cast(DecimalType(3, 2)) + dec(col("l_tax")))
-    val cnt = count(lit(1))
-    Tables.lineitem(s, dir)
+    val qtyU = cents(col("l_quantity"))
+    val priceU = cents(col("l_extendedprice"))
+    val chargeU = revU * (lit(100L) + cents(col("l_tax")))
+    // Two-level aggregation: level 1 sums pure LONGS per (group,
+    // partition) — map-side only, since _p is constant within a task, so
+    // each task emits ≤|groups| rows and the per-row path never touches a
+    // Decimal (measured ~2× the all-decimal-sum battery). Safe at scale:
+    // a partition holds ≤~10⁷ rows (maxPartitionBytes-bounded) × ≤2·10¹¹
+    // per scale-6 charge ⇒ ≤2·10¹⁸ < 2⁶³, and ANSI sum(long) THROWS
+    // rather than wraps if a pathological partition ever exceeded it.
+    // Level 2 merges the few partial rows in decimal — unbounded, exact.
+    val partials = Tables.lineitem(s, dir)
+      .withColumn("_p", spark_partition_id())
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("_p"))
+      .agg(sum(qtyU).as("q_u"), sum(priceU).as("p_u"), sum(revU).as("r_u"),
+        sum(chargeU).as("c_u"), sum(cents(col("l_discount"))).as("d_u"),
+        count(lit(1)).as("n"))
+    def tot(c: String, scale: Int) = (sum(col(c).cast(DecimalType(28, 0))) *
+      lit(java.math.BigDecimal.valueOf(1L, scale))).cast("double")
+    val cnt = sum(col("n"))
+    partials
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(revD).cast("double").as("sum_disc_price"),
-        sum(charge).cast("double").as("sum_charge"),
-        (sum(dec(col("l_quantity"))).cast("double") / cnt).as("avg_qty"),
-        (sum(dec(col("l_extendedprice"))).cast("double") / cnt).as("avg_price"),
-        (sum(dec(col("l_discount"))).cast("double") / cnt).as("avg_disc"),
+        tot("q_u", 2).as("sum_qty"),
+        tot("p_u", 2).as("sum_base_price"),
+        tot("r_u", 4).as("sum_disc_price"),
+        tot("c_u", 6).as("sum_charge"),
+        (tot("q_u", 2) / cnt).as("avg_qty"),
+        (tot("p_u", 2) / cnt).as("avg_price"),
+        (tot("d_u", 2) / cnt).as("avg_disc"),
         cnt.as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -164,8 +188,9 @@ object Tpch {
     Tables.lineitem(s, dir)
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .agg(
-        ((lit(100.0) * sum(when(col("p_type").startsWith("PROMO"), discountedRev))
-          .cast("double")) / sum(discountedRev).cast("double")).as("promo_share"),
+        ((lit(100.0) * MoneyFns.sumUnscaled(
+          when(col("p_type").startsWith("PROMO"), revU), 4)) /
+          MoneyFns.sumUnscaled(revU, 4)).as("promo_share"),
         count(lit(1)).as("cnt"))
   }
 
@@ -175,7 +200,7 @@ object Tpch {
     * the cut line is engine-stable. */
   def richIdleCustomers(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
-    val thr = c.agg((sum(dec(col("c_acctbal"))).cast("double") /
+    val thr = c.agg((MoneyFns.sumUnscaled(cents(col("c_acctbal")), 2) /
       count(lit(1))).as("avg_bal"))
     c.crossJoin(broadcast(thr))
       .filter(col("c_acctbal") > col("avg_bal"))
@@ -184,7 +209,7 @@ object Tpch {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("cnt"),
-        sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+        MoneyFns.sumUnscaled(cents(col("c_acctbal")), 2).as("total_bal"))
       .orderBy(col("c_nationkey"))
   }
 

