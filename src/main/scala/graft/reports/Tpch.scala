@@ -213,6 +213,145 @@ object Tpch {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Q7 shape — volume shipping between two nations: the fact table is
+    * pruned FIRST by the broadcast supplier⋈nation join (only the two
+    * nations' suppliers survive — a ~2/25 selectivity applied before the
+    * only fact-fact shuffle), then joined to orders on the shuffle key and
+    * to the broadcast customer side; the cross-pair (n1→n2 or n2→n1)
+    * residual runs on the joined row. Revenue is the exact unscaled-cents
+    * kernel. */
+  def volumeShipping(s: SparkSession, dir: String,
+      n1: String = "NATION_10", n2: String = "NATION_12"): DataFrame = {
+    val nat = Tables.nation(s, dir)
+      .filter(col("n_name").isin(n1, n2))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"), revU.as("rev_u"))
+    li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+        (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(MoneyFns.sumUnscaled(col("rev_u"), 4).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Q8 shape — market share: one nation's suppliers' share of a region's
+    * revenue for one part type, per order year. The share divides two
+    * branches of the SAME exact decimal sum (conditional numerator), so
+    * the quotient is engine-stable. The part filter broadcasts and prunes
+    * the fact scan before any shuffle. */
+  def marketShare(s: SparkSession, dir: String, nation: String = "NATION_3",
+      region: String = "AMERICA", ptype: String = "ECONOMY"): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_type") === ptype)
+      .select(col("p_partkey"))
+    val reg = Tables.region(s, dir).filter(col("r_name") === region)
+    val natC = Tables.nation(s, dir)
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(natC), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val natS = Tables.nation(s, dir).select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), revU.as("rev_u"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg((MoneyFns.sumUnscaled(
+        when(col("supp_nation") === nation, col("rev_u")), 4) /
+        MoneyFns.sumUnscaled(col("rev_u"), 4)).as("mkt_share"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Q10 shape — returned-item report: revenue lost to returns per
+    * customer in a half-year order window, top 20. Orders are date-pruned
+    * at the scan; the returnflag filter prunes lineitem; customer/nation
+    * dims broadcast onto the aggregated (not raw) rows. */
+  def returnedItems(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1997-07-01 00:00:00"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revU.as("rev_u"))
+    val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    val agg = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(MoneyFns.sumUnscaled(col("rev_u"), 4).as("revenue"))
+    agg.join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q15 shape — top supplier(s): per-supplier revenue over a quarter,
+    * then keep the rows equal to the global max (scalar-aggregate
+    * broadcast — the view + MAX(view) shape). Both sides of the equality
+    * are the same exact unscaled sum cast to double, so the comparison is
+    * engine-stable. */
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-04-01 00:00:00"))
+      .groupBy(col("l_suppkey"))
+      .agg(MoneyFns.sumUnscaled(revU, 4).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("mx"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("sk"), col("s_name"))),
+        col("l_suppkey") === col("sk"))
+      .select(col("l_suppkey").as("s_suppkey"), col("s_name"),
+        col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Q18 shape — large-quantity orders: IN over a grouped HAVING. The
+    * quantity sum per order is ONE fact shuffle; the orders join reuses
+    * that orderkey partitioning; customer broadcasts onto the k surviving
+    * rows. Quantities are integer-valued doubles, so the sums and the
+    * threshold compare exactly. */
+  def largeOrders(s: SparkSession, dir: String, minQty: Double = 150.0): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Q13 shape — customer order-count distribution: aggregate OF an
     * aggregate (two chained hash aggregations; the second groups on the
     * first's measure — the count-of-counts histogram shape). */
@@ -227,6 +366,82 @@ object Tpch {
       .orderBy(col("custdist").desc, col("c_count").desc)
 
   val qs: Seq[Q] = Seq(
+    Q("q101_volume_shipping", (s, d) => volumeShipping(s, d), Some(
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       EXTRACT(year FROM l_shipdate) AS l_year,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((sn.n_name = 'NATION_10' AND cn.n_name = 'NATION_12')
+        |    OR (sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_10'))
+        |GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+    Q("q102_market_share", (s, d) => marketShare(s, d), Some(
+      """SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+        |       CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+        |                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |                          * (1.00 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+        |       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                  * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share,
+        |       COUNT(*) AS cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE p_type = 'ECONOMY'
+        |  AND EXISTS (SELECT 1 FROM customer
+        |              JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |              JOIN region ON cn.n_regionkey = r_regionkey
+        |              WHERE c_custkey = o_custkey AND r_name = 'AMERICA')
+        |GROUP BY EXTRACT(year FROM o_orderdate)
+        |ORDER BY o_year""".stripMargin)),
+    Q("q103_returned_items", (s, d) => returnedItems(s, d), Some(
+      """SELECT c_custkey, c_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       c_acctbal, n_name
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin)),
+    Q("q104_top_supplier", (s, d) => topSupplier(s, d), Some(
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                  * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT l_suppkey AS s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = supplier.s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin)),
+    Q("q105_large_orders", (s, d) => largeOrders(s, d), Some(
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o_totalprice, SUM(l_quantity) AS total_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |HAVING SUM(l_quantity) > 150.0
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin)),
     Q("q83_cust_distribution", (s, d) => custDistribution(s, d), Some(
       """SELECT c_count, COUNT(*) AS custdist
         |FROM (SELECT c_custkey, COUNT(o_custkey) AS c_count

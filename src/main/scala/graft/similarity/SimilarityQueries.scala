@@ -55,7 +55,65 @@ object SimilarityQueries {
         "vec_id", "embedding", minCos = 0.35, broadcastRight = true)
       .orderBy(col("id1"), col("id2"))
 
+  /** Sign-random-projection signature with ENGINE-NEUTRAL hyperplanes —
+    * the cross-engine verification twin of q41's `SigExpr.srpSignature`
+    * custom expression. Same SRP logic (signature bit b = sign of the
+    * projection onto hyperplane b), but the Rademacher ±1 hyperplane
+    * entries derive from md5 parity (w(b,j) = +1 iff the first hex digit
+    * of md5("b|j") is even) and the projection is computed over
+    * EXACT-QUANTIZED elements (floor(e·10⁶ + 0.5) as long — the same
+    * double-in, long-out determinism as MoneyFns.unscaledCents), so the
+    * integer sums are order-independent and the sign test restates
+    * bit-identically in DuckDB SQL. Chain q107 (signature) + q90
+    * (banding) + q40 (exact rescoring): every stage of the LSH-ANN
+    * pipeline (q41) is value-level oracle-checked even though q41's own
+    * production hash is not SQL-expressible.
+    *
+    * Plan shape: one narrow posexplode pass (|V|×64 element rows, each
+    * computing 16 md5-parity weights inline), ONE vec_id hash aggregate
+    * carrying 16 long counters with map-side partials — no joins, no
+    * driver state. The production path (q41) does the whole signature in
+    * one JIT-compiled expression with zero explosion. */
+  def srpPortable(s: SparkSession, dir: String, bits: Int = 16): DataFrame = {
+    val el = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("j"),
+        floor(col("col").cast("double") * 1000000 + 0.5).cast("long").as("q"))
+    val sums = (0 until bits).map { b =>
+      val even = ascii(substring(
+        md5(concat(lit(s"$b|"), col("j").cast("string"))), 1, 1)) % 2 === 0
+      sum(col("q") * when(even, 1L).otherwise(-1L)).as(s"s$b")
+    }
+    val agg = el.groupBy(col("vec_id")).agg(sums.head, sums.tail: _*)
+    val sig = concat((0 until bits).map(b =>
+      when(col(s"s$b") > 0, "1").otherwise("0")): _*)
+    agg.select(col("vec_id"), sig.as("srp_sig")).orderBy(col("vec_id"))
+  }
+
+  private def srpPortableOracle(bits: Int = 16): String = {
+    val sums = (0 until bits).map { b =>
+      s"SUM(q * (CASE WHEN ascii(substr(md5('$b|' || j), 1, 1)) % 2 = 0 " +
+        s"THEN 1 ELSE -1 END)) AS s$b"
+    }.mkString(",\n    ")
+    val sig = (0 until bits).map(b => s"CASE WHEN s$b > 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")")
+    s"""WITH el AS (
+       |  SELECT vec_id,
+       |         generate_subscripts(embedding, 1) - 1 AS j,
+       |         CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 1000000 + 0.5)
+       |              AS BIGINT) AS q
+       |  FROM embeddings
+       |), sums AS (
+       |  SELECT vec_id,
+       |    $sums
+       |  FROM el GROUP BY vec_id
+       |)
+       |SELECT vec_id, $sig AS srp_sig FROM sums ORDER BY vec_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q107_srp_portable", (s, d) => srpPortable(s, d),
+      Some(srpPortableOracle())),
     Q("q75_embedding_neardup", (s, d) => embeddingNearDups(s, d), Some(
       """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |           FROM embeddings WHERE vec_id % 5 = 0)

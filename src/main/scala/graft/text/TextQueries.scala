@@ -209,6 +209,69 @@ object TextQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** SimHash with an ENGINE-NEUTRAL hash (md5 hex digits as the per-token
+    * bit source): the cross-engine verification twin of q37's
+    * `SimHashExpr` custom expression — same bit-majority logic (per bit:
+    * Σ over the token MULTISET of ±1 by the token-hash bit; sign of the
+    * sum is the signature bit), but every stage restates in DuckDB SQL,
+    * so the simhash algorithm itself is value-level oracle-checked.
+    *
+    * The 32 bits come from the first 8 hex digits of md5(token): digit j,
+    * bit k = floor(digit_j / 2^k) % 2 — pure strpos/ascii/floor
+    * arithmetic both engines share. Plan shape: one narrow explode pass
+    * (token rows), ONE doc_id hash aggregate carrying 32 long counters
+    * with map-side partials, then a projection to the bit string. The
+    * production path stays q37 (one JIT-compiled pass per row, no
+    * explode); use THIS query to cross-check its logic. */
+  def simhashPortable(s: SparkSession, dir: String): DataFrame = {
+    val tokRows = Tables.documents(s, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("hex", md5(col("tok")))
+    // digit value of hex char j (0-indexed): ascii-based, no conv()
+    def digit(j: Int) = {
+      val a = ascii(substring(col("hex"), j + 1, 1))
+      when(a <= 57, a - 48).otherwise(a - 87)
+    }
+    val sums = (0 to 7).flatMap { j =>
+      (0 to 3).map { k =>
+        val bit = floor(digit(j) / lit(math.pow(2, k))) % 2
+        sum(when(bit === 1, 1).otherwise(-1)).as(s"b${j * 4 + k}")
+      }
+    }
+    val agg = tokRows.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val sig = concat((0 to 31).map(i =>
+      when(col(s"b$i") > 0, "1").otherwise("0")): _*)
+    agg.select(col("doc_id"), sig.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def simhashPortableOracle: String = {
+    val digitSql = (j: Int) =>
+      s"(CASE WHEN ascii(substr(hex, ${j + 1}, 1)) <= 57 " +
+        s"THEN ascii(substr(hex, ${j + 1}, 1)) - 48 " +
+        s"ELSE ascii(substr(hex, ${j + 1}, 1)) - 87 END)"
+    val sums = (0 to 7).flatMap { j =>
+      (0 to 3).map { k =>
+        val p = math.pow(2, k).toInt
+        s"SUM(CASE WHEN floor(${digitSql(j)} / $p.0) % 2 = 1 THEN 1 ELSE -1 END) AS b${j * 4 + k}"
+      }
+    }.mkString(",\n    ")
+    val sig = (0 to 31).map(i => s"CASE WHEN b$i > 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok FROM documents
+       |), hashed AS (
+       |  SELECT doc_id, md5(tok) AS hex FROM toks
+       |), sums AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM hashed GROUP BY doc_id
+       |)
+       |SELECT doc_id, $sig AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+
   /** Sequence-packing index: assign each document a (bin, offset) position
     * in the concatenation of all token streams in doc_id order, bins of
     * `budget` tokens — the index a packed-pretraining dataset uses to
@@ -756,6 +819,8 @@ object TextQueries {
          |JOIN sz s2 ON s.id2 = s2.doc_id
          |ORDER BY s.id1, s.id2""".stripMargin)),
     Q("q36_minhash_candidates", (s, d) => minhashCandidates(s, d), None),
-    Q("q37_simhashes", (s, d) => simhashes(s, d), None)
+    Q("q37_simhashes", (s, d) => simhashes(s, d), None),
+    Q("q106_simhash_portable", (s, d) => simhashPortable(s, d),
+      Some(simhashPortableOracle))
   )
 }
