@@ -144,6 +144,35 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Decontamination with BLOOM-FILTER scan pruning — q86's semantics
+    * through the runtime-filter shape Spark itself uses for big joins
+    * (`functions.BloomFns`). The benchmark shingle set is aggregated into
+    * a ~10-bits/key sketch; the corpus side probes the sketch INSIDE the
+    * scan stage (codegen'd `might_contain`, no shuffle), so only rows
+    * that probably match reach the exact join. False positives are
+    * eliminated by that exact join — results are IDENTICAL to q86's
+    * unpruned plan (same oracle), only the row volume entering the
+    * shuffle changes.
+    *
+    * At 100 TB this is the decontamination shape that survives a
+    * benchmark set too large to broadcast as a hash relation: GBs of
+    * eval-set shingle strings compress to an O(MB) bloom that ships to
+    * every executor as a literal, exactly like `InjectRuntimeFilter`'s
+    * scalar-subquery bloom. The two driver actions (count + sketch
+    * collect) move kilobytes — the sketch, never data rows. */
+  def contaminationBloom(s: SparkSession, dir: String, n: Int = 4): DataFrame = {
+    val sh = shingleRows(Tables.documents(s, dir), n)
+    val bench = sh.filter(col("doc_id") < 5).select(col("g")).distinct()
+    val nKeys = math.max(bench.count(), 1L)
+    val probe = graft.functions.BloomFns.buildProbe(bench, "g", nKeys)
+    sh.filter(col("doc_id") >= 5)
+      .filter(probe(col("g")))
+      .join(bench, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("g")).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style repetition filters: per-document top-bigram fraction and
     * duplicate-trigram fraction, plus the keep flag (top-bigram ≤ 0.2 AND
     * dup-trigram ≤ 0.1 — the published rule-of-thumb thresholds). Two
@@ -586,6 +615,17 @@ object TextQueries {
          |       CAST(pre % 512 AS BIGINT) AS off
          |FROM c ORDER BY doc_id""".stripMargin)),
     Q("q86_contamination", (s, d) => contamination(s, d), Some(
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, array_to_string(t[i:i+3], ' ') AS g
+         |       FROM tok, UNNEST(generate_series(1, len(t) - 3)) AS s(i)
+         |       WHERE len(t) >= 4),
+         |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 5),
+         |hits AS (SELECT sh.doc_id, COUNT(DISTINCT sh.g) AS n_hits
+         |         FROM sh JOIN bench USING (g)
+         |         WHERE sh.doc_id >= 5 GROUP BY sh.doc_id)
+         |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits FROM hits
+         |ORDER BY doc_id""".stripMargin)),
+    Q("q108_bloom_contamination", (s, d) => contaminationBloom(s, d), Some(
       s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
          |sh AS (SELECT doc_id, array_to_string(t[i:i+3], ' ') AS g
          |       FROM tok, UNNEST(generate_series(1, len(t) - 3)) AS s(i)
