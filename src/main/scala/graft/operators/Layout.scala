@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical data layout for scan pruning — the write-side half of the
+  * 100 TB story. Partition pruning (IVF index) and bucketing (ScaleSpec)
+  * cover equality keys; Z-ORDERING covers RANGE predicates over several
+  * columns at once: interleave the bits of per-column bucket ranks into
+  * one space-filling-curve key, range-partition and sort the write by
+  * it, and every output file/row-group ends up covering a small
+  * HYPER-RECTANGLE of the value space instead of a thin slice of one
+  * column. Parquet min/max statistics then skip most row groups for a
+  * selective filter on ANY of the curve's columns — a single-column sort
+  * gives that for the leading column only.
+  *
+  * All pure Column arithmetic (width_bucket + shifts), so the curve key
+  * costs one narrow projection; the layout write is one range shuffle —
+  * the same cost as any sorted write.
+  */
+object Layout {
+
+  /** Equi-width bucket rank of `c` in [0, 2^bits): width_bucket over the
+    * [lo, hi] range, clamped (values at/above hi land in the top bucket,
+    * nulls in bucket 0 so they cluster together). */
+  def bucketRank(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    val n = 1 << bits
+    val wb = width_bucket(c.cast("double"), lit(lo), lit(hi), lit(n))
+    coalesce(greatest(least(wb, lit(n)) - 1, lit(0)), lit(0)).cast("long")
+  }
+
+  /** Interleave the low `bits` bits of k rank columns into a Z-value:
+    * bit i of rank j lands at curve bit (i*k + j). */
+  def zValue(ranks: Seq[Column], bits: Int): Column = {
+    val k = ranks.size
+    require(k >= 1 && bits * k <= 62, s"curve needs $bits*$k bits")
+    val terms = for {
+      i <- 0 until bits
+      (r, j) <- ranks.zipWithIndex
+    } yield shiftleft(shiftright(r, i).bitwiseAND(lit(1L)), i * k + j)
+    terms.reduce(_ + _)
+  }
+
+  /** Z-order `df` by `cols` and write `numFiles` parquet files: one
+    * min/max pass (two doubles per column to the driver — statistics,
+    * not data), one narrow projection for the curve key, one range
+    * shuffle. At cluster scale this is the nightly compaction job's
+    * layout; readers need no cooperation — parquet row-group stats do
+    * the skipping. */
+  def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
+      numFiles: Int, bits: Int = 8): Unit = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val st = df.agg(aggs.head, aggs.tail: _*).head()
+    val ranks = cols.zipWithIndex.map { case (c, i) =>
+      val lo = st.getDouble(2 * i)
+      val hi = st.getDouble(2 * i + 1)
+      // degenerate range: single constant bucket keeps the curve valid
+      if (hi > lo) bucketRank(col(c), lo, hi, bits) else lit(0L)
+    }
+    df.withColumn("__z", zValue(ranks, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -42,10 +42,12 @@ object TextFunctions {
     * rolling-hash analog; md5 keeps it oracle-checkable cross-engine). */
   def fingerprint(c: Column): Column = md5(normalize(c))
 
-  /** Ratio of punctuation chars to total length, 4 decimals. */
+  /** Ratio of punctuation chars to total length, 4 decimals.
+    * `translate` (plain char-set deletion) instead of a regexp_replace:
+    * same chars removed, no per-row regex engine on the 100 TB scan. */
   def punctRatio(c: Column): Column = {
     val total = length(c)
-    val punct = total - length(regexp_replace(c, "[.,;:!?]", ""))
+    val punct = total - length(translate(c, ".,;:!?", ""))
     round(punct.cast(DoubleType) / nullif(total, lit(0)).cast(DoubleType), 4)
   }
 
