@@ -203,25 +203,28 @@ object TextQueries {
     * whose hash no SQL engine reproduces, hence its rows-only check), but
     * every stage here restates in DuckDB SQL, so the banding logic itself
     * is value-level oracle-checked end to end. 8 permutations × 2 bands
-    * of 4 rows; candidates = distinct same-bucket pairs. The md5-per-
-    * (perm × shingle) cost is ~8× a custom one-pass signature — use the
-    * custom expression in production and THIS query as its cross-engine
-    * verification harness. */
+    * of 4 rows; candidates = distinct same-bucket pairs. ONE md5 per
+    * shingle covers all 8 permutations (16-bit digest slices), so the
+    * portable hash costs a single digest pass — still ~2× a custom
+    * one-pass signature; use the custom expression in production and
+    * THIS query as its cross-engine verification harness. */
   def minhashBandingPortable(s: SparkSession, dir: String): DataFrame = {
     // no shingle-dedup pass: MIN is duplicate-insensitive, so the oracle's
     // DISTINCT shingles and this multiset agree — one shuffle saved.
     // The 8 permutation hashes are COLUMNS of one projection (not an
     // exploded ×8 row blowup), so the single doc_id shuffle carries
     // shingle-count rows and the minima combine map-side.
-    // TWO md5 calls per shingle (one per band seed), each sliced into four
-    // 8-hex (32-bit) permutation columns — the one-permutation-hashing
-    // trick: fixed-width hex substrings compare lexicographically like
-    // the numbers they encode, so each slice's min is a valid minhash.
+    // ONE md5 call per shingle, sliced into eight 4-hex (16-bit)
+    // permutation columns — the one-permutation-hashing trick:
+    // fixed-width hex substrings compare lexicographically like the
+    // numbers they encode, so each slice's min is a valid minhash.
+    // (16-bit slices collide more than 32-bit ones — harmless here: more
+    // shared minima only make the banding slightly more permissive, and
+    // the oracle restates the identical slices.)
     val sh = shingleRows(Tables.documents(s, dir), 3)
     val hashed = sh.select(
       col("doc_id") +: (0 to 7).map { j =>
-        val seedHash = md5(concat(lit((j / 4).toString), lit("|"), col("g")))
-        substring(seedHash, (j % 4) * 8 + 1, 8).as(s"h$j")
+        substring(md5(col("g")), j * 4 + 1, 4).as(s"h$j")
       }: _*)
     val aggs = (0 to 7).map(j => min(col(s"h$j")).as(s"m$j"))
     val mins = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
@@ -591,7 +594,7 @@ object TextQueries {
          |       FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
          |       WHERE len(t) >= 3),
          |hj AS (SELECT doc_id, j,
-         |              substr(md5((j // 4) || '|' || g), (j % 4) * 8 + 1, 8) AS h
+         |              substr(md5(g), j * 4 + 1, 4) AS h
          |       FROM sh, UNNEST(generate_series(0, 7)) AS p(j)),
          |mins AS (SELECT doc_id, j, MIN(h) AS m FROM hj GROUP BY doc_id, j),
          |buckets AS (SELECT doc_id, j // 4 AS band,
