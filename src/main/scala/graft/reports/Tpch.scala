@@ -96,12 +96,15 @@ object Tpch {
     // co-occurrence counts are symmetric: count each unordered pair once
     // (a < b — halves the pair rows through the count shuffle), then
     // mirror the counted pairs for the per-source ranking
+    // sorted basket + suffix-slice explode: emits each a<b pair ONCE
+    // (half the generated rows of explode×explode + filter, no residual
+    // comparison); sort_array is per-row over order-bounded sets
     val half = Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("parts"))
-      .select(explode(col("parts")).as("part_a"), col("parts"))
-      .select(col("part_a"), explode(col("parts")).as("part_b"))
-      .filter(col("part_a") < col("part_b"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(posexplode(col("parts")).as(Seq("i", "part_a")), col("parts"))
+      .select(col("part_a"),
+        explode(slice(col("parts"), col("i") + 2, size(col("parts")))).as("part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_orders"))
     val pairs = half.unionByName(half.select(

@@ -61,9 +61,9 @@ object Dedup {
       .filter(size(TextFunctions.tokens(col(textCol))) > 0)
       .select(col(idCol).as("id"),
         minhashSignature(col(textCol), k).as("sig"))
-    // both self-join sides re-derive the signatures — one cheap primitive
-    // pass each (at cluster scale, persist the signature frame to storage
-    // between stages instead)
+    // NOTE: this operator materializes the banded-signature frame when
+    // called (localCheckpoint below) — the signature pass runs once, not
+    // once per downstream consumer
     val banded0 = sigs.select(col("id"), col("sig"),
         explode(array((0 until bands).map(lit): _*)).as("band"))
       .withColumn("bucket", xxhash64(col("band"),
@@ -71,13 +71,23 @@ object Dedup {
     // standard LSH guard: a bucket of M near-identical docs would emit
     // M²/2 pairs from the self-join; skip over-full buckets (the docs
     // inside them are candidates via their OTHER bands, and boilerplate
-    // cliques belong to exact dedup, not pairwise scoring)
-    val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bucket"))
-    val banded = banded0
-      .withColumn("__bsz", count(lit(1)).over(wB))
-      .filter(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
+    // cliques belong to exact dedup, not pairwise scoring).
+    // Broadcast ANTI-JOIN against the over-full bucket ids, not a
+    // count-over-window: the window form shuffles AND sorts the whole
+    // banded frame an extra time, while the aggregate's map-side partials
+    // shuffle one row per (band, bucket) and the over-full set — rare by
+    // construction — broadcasts back onto the unshuffled frame.
+    // the banded frame is consumed three times (guard count + both join
+    // sides); materialize it ONCE — it is (docs × bands) rows of
+    // (id, sig, bucket), the frame a cluster deployment would persist to
+    // storage between the signature and join stages anyway. Without this
+    // every consumer recomputes tokenize+minhash over the corpus.
+    val bandedM = banded0.localCheckpoint(true)
+    val overFull = bandedM.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val banded = bandedM.join(broadcast(overFull), Seq("band", "bucket"), "left_anti")
     val a = banded.select(col("id").as("id1"), col("sig").as("sig1"),
       col("band"), col("bucket"))
     val b = banded.select(col("id").as("id2"), col("sig").as("sig2"),

@@ -186,9 +186,14 @@ object TextQueries {
     val bi = grams(2)
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+    // NOT count_distinct(g) + count(*): mixing distinct and plain
+    // aggregates plans an Expand (doubles every gram row through the
+    // shuffle). Two chained plain aggregates get both measures from the
+    // per-(doc, gram) counts with map-side partials and no expansion.
     val tri = grams(3)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c3"))
       .groupBy(col("doc_id"))
-      .agg(count_distinct(col("g")).as("d"), count(lit(1)).as("tot3"))
+      .agg(count(lit(1)).as("d"), sum(col("c3")).as("tot3"))
     val top = round(col("mx") / col("tot").cast("double"), 4)
     val dup = round(lit(1.0) - col("d") / col("tot3").cast("double"), 4)
     bi.join(tri, "doc_id")
@@ -422,12 +427,18 @@ object TextQueries {
   def spanDedupStats(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    // spans feeds BOTH the dup-gram aggregate and the coverage join —
+    // materialize it once (localCheckpoint) or the tokenize+explode+hash
+    // pass runs twice. Rows are (doc_id, i, gh): ~24 bytes per token
+    // position, the frame a cluster pipeline would persist to storage
+    // between the two stages.
     val spans = toks
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1), size(col("toks")) - (n - 1), lit(1))).as("i"))
       .select(col("doc_id"), col("i"),
         xxhash64(concat_ws(" ", slice(col("toks"), col("i"), lit(n)))).as("gh"))
+      .localCheckpoint(true)
     // "in ≥2 docs" as min(doc)≠max(doc): ONE plain aggregate with map-side
     // partials, instead of count_distinct's two-round expansion (measured
     // ~0.3s cheaper at sf0.1, and one less shuffle at any scale)
@@ -502,9 +513,14 @@ object TextQueries {
   def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val docs = Tables.documents(s, dir)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // tf feeds BOTH the df aggregate and the scoring join — materialize
+    // it once (localCheckpoint) or the tokenize+explode+count pass runs
+    // twice. (A cluster pipeline persists the doc×term frame to storage
+    // here; same structure.)
     val tf = docs
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), Seq("token"))
       .crossJoin(broadcast(nDocs))
