@@ -215,6 +215,56 @@ object EventStreams {
         s"r.ts BETWEEN l.ts - INTERVAL $lookback AND l.ts"))
   }
 
+  final case class AsOfEvent(kind: Int, key: Long, ts: java.sql.Timestamp,
+      v: Double)
+  /** Last right row per key. The full Timestamp is kept (NOT epoch millis
+    * — `Timestamp.getTime` drops the microsecond component parquet event
+    * times carry; ordering uses `micros`). */
+  final case class AsOfLast(ts: java.sql.Timestamp, v: Double)
+  final case class AsOfOut(key: Long, ts: java.sql.Timestamp, v: Double,
+      right_ts: Option[java.sql.Timestamp], right_v: Option[Double])
+
+  /** Streaming BACKWARD as-of join — the continuous twin of
+    * `operators.AsOfJoin.asOf(direction = "backward")`: each left event is
+    * enriched with the latest right event of the same key at-or-before its
+    * timestamp. The two inputs arrive as one tagged union (kind 0 = right,
+    * 1 = left); per key the state is ONE (ts, value) pair — the last right
+    * row seen — constant regardless of volume, the streaming expression of
+    * the batch carry-forward window.
+    *
+    * In-batch rows sort by (ts, kind), so a right row at the same
+    * timestamp applies before the left row reads it (matching the batch
+    * `rightTs <= leftTs` semantics). Cross-batch, a right row that arrives
+    * AFTER a left row it should have enriched cannot retro-correct it —
+    * the same late-data trade every streaming enrichment documents; the
+    * batch twin is the reconciliation path. */
+  def asofStream(tagged: Dataset[AsOfEvent]): Dataset[AsOfOut] = {
+    import tagged.sparkSession.implicits._
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfLast, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[AsOfEvent], state: GroupState[AsOfLast]) =>
+          // (ts, kind, v): rights before lefts at equal ts (backward
+          // tie-attach), and equal-ts rights apply in value order so the
+          // LAST (largest) wins — the batch form's `__r` struct tiebreak
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.kind, e.v))
+          var last = state.getOption
+          val out = Vector.newBuilder[AsOfOut]
+          sorted.foreach { e =>
+            if (e.kind == 0) {
+              // rights can interleave out of order within a batch only via
+              // the sort above; across batches keep the max-ts right
+              if (last.forall(l => micros(l.ts) <= micros(e.ts)))
+                last = Some(AsOfLast(e.ts, e.v))
+            } else {
+              out += AsOfOut(key, e.ts, e.v, last.map(_.ts), last.map(_.v))
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Run a windowed-count stream to a named in-memory sink until all
     * currently-available input is processed (local smoke path). */
   def runToMemory(spark: SparkSession, sourceDir: String, queryName: String,

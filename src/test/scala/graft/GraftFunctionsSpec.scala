@@ -156,6 +156,46 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(streamed.getOrElse("view", 0L) > 0)
   }
 
+  test("streaming as-of enrichment matches the batch backward as-of join") {
+    import graft.streaming.EventStreams
+    import graft.operators.AsOfJoin
+    val events = Tables.events(spark, TestSpark.sfDir)
+    // left = clicks, right = views of the same user: "what did this user
+    // last look at when they clicked" — the classic as-of enrichment
+    val left = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    val right = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    val tagged = right.select(lit(0).as("kind"), col("user_id").as("key"),
+        col("ts"), col("value").as("v"))
+      .unionByName(left.select(lit(1).as("kind"), col("user_id").as("key"),
+        col("ts"), col("value").as("v")))
+      .filter(col("key").isNotNull && col("ts").isNotNull && col("v").isNotNull)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-asof-stream").toString
+    tagged.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema("kind INT, key LONG, ts TIMESTAMP, v DOUBLE").parquet(tmp)
+      .as[EventStreams.AsOfEvent]
+    val q = EventStreams.asofStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_smoke").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("asof_smoke")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+        Option(r.getTimestamp(3)), Option(r.get(4)).map(_.toString.toDouble)))
+    val lf = left.filter(col("user_id").isNotNull && col("ts").isNotNull &&
+      col("value").isNotNull)
+    val rf = right.filter(col("user_id").isNotNull && col("ts").isNotNull &&
+      col("value").isNotNull)
+    val batch = AsOfJoin.asOf(lf, rf, "user_id", "ts", "ts", Seq("value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+        Option(r.getTimestamp(3)), Option(r.get(4)).map(_.toString.toDouble)))
+    assert(streamed.toSet == batch.toSet)
+    assert(streamed.exists(_._4.isDefined), "no enriched rows — vacuous test")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup drops in-horizon duplicates") {
     import graft.streaming.EventStreams
     val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
