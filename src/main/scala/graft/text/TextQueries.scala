@@ -202,6 +202,70 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The END-TO-END corpus-curation pipeline — every per-document gate of
+    * a C4/Gopher-style training-data filter composed into ONE query:
+    * language-ID (target 'en'), quality (stopword ratio + length),
+    * repetition (top-bigram / duplicate-trigram), benchmark
+    * decontamination (4-gram overlap with the eval set = docs 0-4, which
+    * are themselves excluded), and exact-dup keeper selection. Output is
+    * one row per document with each gate's verdict and the final keep
+    * flag — the lineage a curation run must log per document.
+    *
+    * Every signal reuses the already-oracle-checked building block
+    * (q33/q32/q87/q86/q30), so the composition itself is value-checked.
+    * Scale shape: the flat signals are ONE narrow scan; bigram/trigram/
+    * shingle measures shuffle on doc_id(+gram) with map-side partials;
+    * the bench side broadcasts; keeper selection is one fingerprint
+    * aggregate. All thresholds compare 4dp-ROUNDED ratios computed
+    * identically in both engines. */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs
+      .withColumn("nt", TextFunctions.normalize(col("text")))
+      .withColumn("toks", TextFunctions.tokensOf(col("nt")))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        TextFunctions.stopwordRatioOf(col("toks")).as("sw"),
+        TextFunctions.langId(col("text")).as("pred"),
+        md5(col("nt")).as("fp"))
+    def grams(m: Int) = shingleRows(docs, m, minTokens = Some(3))
+    val bi = grams(2)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+    val tri = grams(3)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c3"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("d"), sum(col("c3")).as("tot3"))
+    val sh = shingleRows(docs, 4)
+    val bench = sh.filter(col("doc_id") < 5).select(col("g")).distinct()
+    val contaminated = sh.filter(col("doc_id") >= 5)
+      .join(broadcast(bench), Seq("g"))
+      .select(col("doc_id")).distinct()
+      .withColumn("__cont", lit(1))
+    val keepers = base.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+    val top = round(col("mx") / col("tot").cast("double"), 4)
+    val dup = round(lit(1.0) - col("d") / col("tot3").cast("double"), 4)
+    base
+      .join(bi, Seq("doc_id"), "left")
+      .join(tri, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .join(keepers, Seq("fp"))
+      .select(col("doc_id"),
+        (col("pred") === "en").cast("int").as("lang_ok"),
+        (coalesce(col("sw"), lit(0.0)) >= 0.05 && col("n_tokens") >= 20)
+          .cast("int").as("quality_ok"),
+        // docs too short to measure (no trigram rows) pass the repetition
+        // gate — the length gate already rejects them
+        (coalesce(top, lit(0.0)) <= 0.2 && coalesce(dup, lit(0.0)) <= 0.1)
+          .cast("int").as("repetition_ok"),
+        (col("doc_id") >= 5 && col("__cont").isNull).cast("int").as("not_contaminated"),
+        (col("doc_id") === col("keeper")).cast("int").as("is_keeper"))
+      .withColumn("keep",
+        (col("lang_ok") === 1 && col("quality_ok") === 1 &&
+          col("repetition_ok") === 1 && col("not_contaminated") === 1 &&
+          col("is_keeper") === 1).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash + LSH banding with an ENGINE-NEUTRAL hash (md5 over
     * "perm|shingle", lexicographic string minima): structurally identical
     * to the xxhash64-based `Dedup.minhashCandidates` scale path (q36 —
@@ -880,6 +944,57 @@ object TextQueries {
     Q("q36_minhash_candidates", (s, d) => minhashCandidates(s, d), None),
     Q("q37_simhashes", (s, d) => simhashes(s, d), None),
     Q("q106_simhash_portable", (s, d) => simhashPortable(s, d),
-      Some(simhashPortableOracle))
+      Some(simhashPortableOracle)),
+    Q("q109_curation", (s, d) => curationPipeline(s, d), Some(
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length($norm) = 0 THEN 0
+         |         ELSE CAST(len($toksSql) AS INT) END AS n_tokens,
+         |    round(len(list_filter($toksSql,
+         |            x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+         |          / CAST(nullif(len($toksSql), 0) AS DOUBLE), 4) AS sw,
+         |    $langCaseSql AS pred,
+         |    md5($norm) AS fp
+         |  FROM documents),
+         |tok AS (SELECT doc_id, $toksSql AS t FROM documents
+         |        WHERE len($toksSql) >= 3),
+         |b AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+         |      FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS s(i)),
+         |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM b GROUP BY doc_id, g),
+         |bs AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM bc GROUP BY doc_id),
+         |t3 AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+         |       FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS s(i)),
+         |ts AS (SELECT doc_id, COUNT(DISTINCT g) AS d, COUNT(*) AS tot3
+         |       FROM t3 GROUP BY doc_id),
+         |tok4 AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh4 AS (SELECT doc_id, array_to_string(t[i:i+3], ' ') AS g
+         |        FROM tok4, UNNEST(generate_series(1, len(t) - 3)) AS s(i)
+         |        WHERE len(t) >= 4),
+         |bench AS (SELECT DISTINCT g FROM sh4 WHERE doc_id < 5),
+         |cont AS (SELECT DISTINCT sh4.doc_id FROM sh4 JOIN bench USING (g)
+         |         WHERE sh4.doc_id >= 5),
+         |keepers AS (SELECT fp, MIN(doc_id) AS keeper FROM base GROUP BY fp),
+         |flags AS (
+         |  SELECT base.doc_id,
+         |    CASE WHEN pred = 'en' THEN 1 ELSE 0 END AS lang_ok,
+         |    CASE WHEN coalesce(sw, 0) >= 0.05 AND n_tokens >= 20
+         |         THEN 1 ELSE 0 END AS quality_ok,
+         |    CASE WHEN coalesce(round(mx / CAST(bs.tot AS DOUBLE), 4), 0) <= 0.2
+         |          AND coalesce(round(1.0 - d / CAST(tot3 AS DOUBLE), 4), 0) <= 0.1
+         |         THEN 1 ELSE 0 END AS repetition_ok,
+         |    CASE WHEN base.doc_id >= 5 AND cont.doc_id IS NULL
+         |         THEN 1 ELSE 0 END AS not_contaminated,
+         |    CASE WHEN base.doc_id = k.keeper THEN 1 ELSE 0 END AS is_keeper
+         |  FROM base
+         |  LEFT JOIN bs ON base.doc_id = bs.doc_id
+         |  LEFT JOIN ts ON base.doc_id = ts.doc_id
+         |  LEFT JOIN cont ON base.doc_id = cont.doc_id
+         |  JOIN keepers k ON base.fp = k.fp)
+         |SELECT doc_id, lang_ok, quality_ok, repetition_ok, not_contaminated,
+         |       is_keeper,
+         |       CAST(lang_ok = 1 AND quality_ok = 1 AND repetition_ok = 1
+         |            AND not_contaminated = 1 AND is_keeper = 1 AS INT) AS keep
+         |FROM flags
+         |ORDER BY doc_id""".stripMargin))
   )
 }
