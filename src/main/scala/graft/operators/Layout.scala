@@ -54,10 +54,14 @@ object Layout {
       max(col(c).cast("double")).as(s"__mx_$c")))
     val st = df.agg(aggs.head, aggs.tail: _*).head()
     val ranks = cols.zipWithIndex.map { case (c, i) =>
-      val lo = st.getDouble(2 * i)
-      val hi = st.getDouble(2 * i + 1)
-      // degenerate range: single constant bucket keeps the curve valid
-      if (hi > lo) bucketRank(col(c), lo, hi, bits) else lit(0L)
+      // all-null / non-castable column ⇒ null stats; degenerate range ⇒
+      // single constant bucket — either way the curve stays valid
+      if (st.isNullAt(2 * i) || st.isNullAt(2 * i + 1)) lit(0L)
+      else {
+        val lo = st.getDouble(2 * i)
+        val hi = st.getDouble(2 * i + 1)
+        if (hi > lo) bucketRank(col(c), lo, hi, bits) else lit(0L)
+      }
     }
     df.withColumn("__z", zValue(ranks, bits))
       .repartitionByRange(numFiles, col("__z"))

@@ -55,6 +55,16 @@ class LayoutSpec extends AnyFunSuite {
     assert(zX * 2 < 999.0, s"z-order x-span $zX spans ~the whole axis")
   }
 
+  test("degenerate columns (all-null, constant) don't break the curve") {
+    val p = "/tmp/graft_layout_degenerate"
+    val weird = spark.range(100).select(
+      col("id").as("x"),
+      lit(null).cast("double").as("allnull"),
+      lit(7L).as("const"))
+    Layout.zorderWrite(weird, Seq("x", "allnull", "const"), p, numFiles = 2)
+    assert(spark.read.parquet(p).count() == 100L)
+  }
+
   test("row-group stats skip data for a selective filter on the second column") {
     val zp = "/tmp/graft_layout_z"
     val xp = "/tmp/graft_layout_xsort"
