@@ -189,7 +189,53 @@ object EventQueries {
       .orderBy(col("err_id"))
   }
 
+  /** Incremental (snapshot + delta) rollup driven through
+    * `etl.Incremental`: the event history is processed as `slices`
+    * successive high-water-marked deltas, each aggregated alone and
+    * merged into the running snapshot — the cron re-run pattern
+    * (SURVEY §2.10). The DuckDB oracle is the ONE-SHOT aggregate over
+    * the full history, so the gate proves fold == full recompute
+    * exactly (additive long counts + decimal sums; the average derives
+    * at read time). */
+  def incrementalRollup(s: SparkSession, dir: String, slices: Int = 4): DataFrame = {
+    import graft.etl.Incremental
+    val events = graft.Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+    // deterministic slice boundaries from the data's own time range —
+    // the two driver-side values are exactly the hwm bookkeeping a
+    // scheduled pipeline persists between runs
+    val mm = events.agg(min(col("ts")), max(col("ts"))).head
+    val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    // interior marks from epoch millis; the FINAL mark is the exact max
+    // timestamp (getTime truncates microseconds — a millis-derived last
+    // mark would exclude the max row)
+    val marks = (1 until slices).map(i =>
+      new java.sql.Timestamp(lo + (hi - lo) * i / slices)) :+ mm.getTimestamp(1)
+    var snapshot: Option[org.apache.spark.sql.DataFrame] = None
+    var hwm: Option[java.sql.Timestamp] = None
+    marks.foreach { m =>
+      val delta = Incremental.deltaSlice(events, "ts", hwm, m)
+      val deltaAgg = Incremental.aggregateDelta(delta, Seq("event_type"), "value")
+      snapshot = Some(snapshot.fold(deltaAgg)(p =>
+        Incremental.merge(p, deltaAgg, Seq("event_type"))))
+      hwm = Some(m)
+    }
+    Incremental.withDerived(snapshot.get)
+      .select(col("event_type"), col("cnt"),
+        col("total").cast("double").as("total_value"),
+        round(col("avg_value"), 4).as("avg_value"))
+      .orderBy(col("event_type"))
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q110_incremental", (s, d) => incrementalRollup(s, d), Some(
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |             / COUNT(*), 4) AS avg_value
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)),
     Q("q89_funnel", (s, d) => funnel(s, d), Some(
       """WITH o AS (
         |  SELECT user_id, event_id, ts, event_type,
