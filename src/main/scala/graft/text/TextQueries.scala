@@ -220,22 +220,33 @@ object TextQueries {
     * identically in both engines. */
   def curationPipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val base = docs
+    // tokenize ONCE: the (doc_id, toks) frame feeds the flat signals and
+    // all three n-gram measures (bigram, trigram, 4-gram shingles) —
+    // without it each measure re-runs normalize+split over the corpus.
+    // (Cluster pipeline: persist the tokenized frame between stages.)
+    val toks = docs
       .withColumn("nt", TextFunctions.normalize(col("text")))
-      .withColumn("toks", TextFunctions.tokensOf(col("nt")))
+      .select(col("doc_id"), col("nt"), TextFunctions.tokensOf(col("nt")).as("toks"))
+      .localCheckpoint(true)
+    val base = toks.select(col("doc_id"),
+      size(col("toks")).as("n_tokens"),
+      TextFunctions.stopwordRatioOf(col("toks")).as("sw"),
+      graft.functions.LangIdExpr.langIdOfTokens(col("toks"),
+        TextFunctions.LangMarkers).as("pred"),
+      md5(col("nt")).as("fp"))
+    def grams(m: Int, minTokens: Int) = toks
+      .filter(size(col("toks")) >= minTokens)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (m - 1), lit(1))).as("i"))
       .select(col("doc_id"),
-        size(col("toks")).as("n_tokens"),
-        TextFunctions.stopwordRatioOf(col("toks")).as("sw"),
-        TextFunctions.langId(col("text")).as("pred"),
-        md5(col("nt")).as("fp"))
-    def grams(m: Int) = shingleRows(docs, m, minTokens = Some(3))
-    val bi = grams(2)
+        concat_ws(" ", slice(col("toks"), col("i"), lit(m))).as("g"))
+    val bi = grams(2, 3)
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
-    val tri = grams(3)
+    val tri = grams(3, 3)
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c3"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("d"), sum(col("c3")).as("tot3"))
-    val sh = shingleRows(docs, 4)
+    val sh = grams(4, 4)
     val bench = sh.filter(col("doc_id") < 5).select(col("g")).distinct()
     val contaminated = sh.filter(col("doc_id") >= 5)
       .join(broadcast(bench), Seq("g"))
