@@ -48,6 +48,26 @@ object Reshape {
         "metric", "value")
       .orderBy(col("p_partkey"), col("metric"))
 
+  /** RANGE-framed time window: 7-day trailing spend per customer at each
+    * order — the time-based sibling of q67's ROWS frame. The frame bound
+    * is an event-TIME range (`rangeBetween` over epoch seconds), so
+    * same-instant orders aggregate together regardless of row order —
+    * rows-framed trailing sums are nondeterministic under timestamp
+    * ties, range-framed ones are not. One shuffle (customer), per-group
+    * sort, exact decimal accumulation cast at the boundary. */
+  def trailingSpend(s: SparkSession, dir: String, days: Int = 7): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-days.toLong * 86400L, 0L)
+    Tables.orders(s, dir)
+      .withColumn("trailing_spend",
+        sum(dec(col("o_totalprice"))).over(w).cast("double"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_day"),
+        col("trailing_spend"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** INTERSECT / EXCEPT: nations present in both customer and supplier
     * bases vs customer-only, tagged and unioned. */
   def nationSetOps(s: SparkSession, dir: String): DataFrame = {
@@ -93,6 +113,15 @@ object Reshape {
   }
 
   val qs: Seq[Q] = Seq(
+    Q("q111_trailing_spend", (s, d) => trailingSpend(s, d), Some(
+      """SELECT o_orderkey, o_custkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_day,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate
+        |         RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+        |         AS DOUBLE) AS trailing_spend
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin)),
     Q("q63_status_pivot", (s, d) => statusPivot(s, d), Some(
       """SELECT CAST(year(o_orderdate) AS INT) AS yr,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F'

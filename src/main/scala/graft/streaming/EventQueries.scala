@@ -227,7 +227,32 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Daily carry-forward resample of each user's event-value series
+    * (operators.Resample over the as-of machinery): one row per
+    * (user, day) between the user's first and last event, carrying the
+    * latest value at-or-before that day's midnight. */
+  def resampleDaily(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Resample.dailyCarryForward(
+        graft.Tables.events(s, dir), "user_id", "ts", Seq("value"))
+      .select(col("user_id"),
+        date_format(col("grid_ts"), "yyyy-MM-dd").as("day"),
+        col("asof_value"))
+      .orderBy(col("user_id"), col("day"))
+
   val qs: Seq[Q] = Seq(
+    Q("q112_resample", (s, d) => resampleDaily(s, d), Some(
+      """WITH b AS (SELECT user_id, date_trunc('day', MIN(ts)) AS lo, MAX(ts) AS hi
+        |           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |           GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS gts
+        |         FROM b),
+        |obs AS (SELECT user_id, ts, value FROM events
+        |        WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        |SELECT g.user_id, strftime(g.gts, '%Y-%m-%d') AS day,
+        |       e.value AS asof_value
+        |FROM grid g
+        |ASOF LEFT JOIN obs e ON g.user_id = e.user_id AND g.gts >= e.ts
+        |ORDER BY g.user_id, day""".stripMargin)),
     Q("q110_incremental", (s, d) => incrementalRollup(s, d), Some(
       """SELECT event_type, COUNT(*) AS cnt,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
