@@ -168,17 +168,37 @@ object AsOfJoin {
         rPlanRaw.output.map(a =>
           org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rPlanRaw)
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-        name: String): Attribute =
-      p.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        name: String): Attribute = {
+      val matches = p.output.filter(_.name.equalsIgnoreCase(name))
+      // duplicate names (e.g. a join carrying `ts` from both sides) must
+      // error like the window form's col(name) does — a silent find-first
+      // would bind an arbitrary column and join plausibly-but-wrong
+      if (matches.size > 1) throw new IllegalArgumentException(
+        s"column $name is ambiguous: ${matches.size} attributes match " +
+          s"among ${p.output.map(_.name).mkString(", ")}")
+      matches.headOption.getOrElse(
         throw new IllegalArgumentException(
           s"column $name not found among ${p.output.map(_.name).mkString(", ")}"))
+    }
+    // the exec reads time values as raw longs (TimestampType micros) —
+    // fail at call time for other types instead of a mid-job
+    // ClassCastException in executor tasks (the window form accepts e.g.
+    // DateType; widen here if ever needed)
+    def requireTs(a: Attribute, side: String): Unit =
+      require(a.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType],
+        s"asOfNative needs a TimestampType $side time column, " +
+          s"got ${a.dataType.simpleString} for ${a.name}")
+    val lTsAttr = attr(lPlan, leftTs)
+    val rTsAttr = attr(rPlan, rightTs)
+    requireTs(lTsAttr, "left")
+    requireTs(rTsAttr, "right")
     val carriedAttrs = carried.map(attr(rPlan, _))
     val outAttrs = carriedAttrs.map(a =>
       AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
     GraftBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
       lPlan, rPlan,
       Seq(attr(lPlan, partition)), Seq(attr(rPlan, partition)),
-      attr(lPlan, leftTs), attr(rPlan, rightTs),
+      lTsAttr, rTsAttr,
       carriedAttrs, outAttrs, direction, toleranceMs.map(_ * 1000L)))
   }
 }

@@ -204,13 +204,15 @@ object EventQueries {
     // deterministic slice boundaries from the data's own time range —
     // the two driver-side values are exactly the hwm bookkeeping a
     // scheduled pipeline persists between runs
-    val mm = events.agg(min(col("ts")), max(col("ts"))).head
-    val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
-    // interior marks from epoch millis; the FINAL mark is the exact max
-    // timestamp (getTime truncates microseconds — a millis-derived last
-    // mark would exclude the max row)
+    // the FINAL mark is the exact history high-water mark
+    // (Incremental.highWaterMark — Timestamp.getTime truncates
+    // microseconds, so a millis-derived last mark would exclude the max
+    // row); interior marks are approximate epoch-millis splits
+    val end = Incremental.highWaterMark(events, "ts").get
+    val lo = events.agg(min(col("ts"))).head.getTimestamp(0).getTime
+    val hi = end.getTime
     val marks = (1 until slices).map(i =>
-      new java.sql.Timestamp(lo + (hi - lo) * i / slices)) :+ mm.getTimestamp(1)
+      new java.sql.Timestamp(lo + (hi - lo) * i / slices)) :+ end
     var snapshot: Option[org.apache.spark.sql.DataFrame] = None
     var hwm: Option[java.sql.Timestamp] = None
     marks.foreach { m =>

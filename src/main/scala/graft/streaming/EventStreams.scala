@@ -252,9 +252,12 @@ object EventStreams {
           val out = Vector.newBuilder[AsOfOut]
           sorted.foreach { e =>
             if (e.kind == 0) {
-              // rights can interleave out of order within a batch only via
-              // the sort above; across batches keep the max-ts right
-              if (last.forall(l => micros(l.ts) <= micros(e.ts)))
+              // keep the max-(ts, v) right across batches: at equal ts the
+              // LARGER value must win (the batch form's `__r` struct
+              // tiebreak) — a bare <= would let a later-arriving equal-ts
+              // right with a smaller value overwrite it
+              if (last.forall(l => micros(l.ts) < micros(e.ts) ||
+                  (micros(l.ts) == micros(e.ts) && l.v <= e.v)))
                 last = Some(AsOfLast(e.ts, e.v))
             } else {
               out += AsOfOut(key, e.ts, e.v, last.map(_.ts), last.map(_.v))

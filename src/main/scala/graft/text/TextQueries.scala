@@ -162,12 +162,17 @@ object TextQueries {
     * collect) move kilobytes — the sketch, never data rows. */
   def contaminationBloom(s: SparkSession, dir: String, n: Int = 4): DataFrame = {
     val sh = shingleRows(Tables.documents(s, dir), n)
+    // the bench shingle set is read three times (count, sketch build,
+    // exact-join side) — materialize it ONCE; it is eval-set-sized by
+    // definition. The doc_id < 5 filter pushes to the scan, so this pass
+    // shingles 5 documents, not the corpus.
     val bench = sh.filter(col("doc_id") < 5).select(col("g")).distinct()
+      .localCheckpoint(true)
     val nKeys = math.max(bench.count(), 1L)
     val probe = graft.functions.BloomFns.buildProbe(bench, "g", nKeys)
     sh.filter(col("doc_id") >= 5)
       .filter(probe(col("g")))
-      .join(bench, Seq("g"))
+      .join(broadcast(bench), Seq("g"))
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("g")).as("n_hits"))
       .orderBy(col("doc_id"))

@@ -96,6 +96,23 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     assert(got(3L) == "2024-01-01 10:30:00.0")
   }
 
+  test("fail-fast: ambiguous column names and non-timestamp time columns") {
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 09:00:00")))
+      .toDF("k", "t", "t2").withColumnRenamed("t2", "t") // two columns named t
+    val r = Seq((1L, ts("2024-01-01 09:30:00"))).toDF("k", "rt")
+    val eAmb = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(l, r, "k", "t", "rt")
+    }
+    assert(eAmb.getMessage.contains("ambiguous"))
+    // DateType time column: the window form accepts it, the native exec
+    // reads raw micros longs — must reject at call time, not mid-job
+    val lDate = Seq((1L, java.sql.Date.valueOf("2024-01-01"))).toDF("k", "d")
+    val eTyp = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(lDate, r, "k", "d", "rt")
+    }
+    assert(eTyp.getMessage.contains("TimestampType"))
+  }
+
   test("plan: native exec present, no window, left partitioning reused downstream") {
     val left = (1 to 100).map(i =>
       (i.toLong, (i % 5).toLong, ts(f"2024-01-01 ${10 + i % 12}%02d:00:00"))).toDF("id", "k", "t")

@@ -14,11 +14,13 @@ class IncrementalSpec extends AnyFunSuite {
     .filter(col("ts").isNotNull)
 
   test("hwm slices partition the history exactly (no loss, no double-count)") {
-    val mm = events.agg(min(col("ts")), max(col("ts"))).head
-    val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
-    // final mark = exact max ts: getTime truncates the micros component
+    // final mark = the exact history high-water mark (getTime truncates
+    // the micros component, so a millis-derived bound drops the max row)
+    val end = Incremental.highWaterMark(events, "ts").get
+    val lo = events.agg(min(col("ts"))).head.getTimestamp(0).getTime
+    val hi = end.getTime
     val marks = (1 until 3).map(i =>
-      new java.sql.Timestamp(lo + (hi - lo) * i / 3)) :+ mm.getTimestamp(1)
+      new java.sql.Timestamp(lo + (hi - lo) * i / 3)) :+ end
     var hwm: Option[java.sql.Timestamp] = None
     var total = 0L
     marks.foreach { m =>
@@ -30,10 +32,10 @@ class IncrementalSpec extends AnyFunSuite {
 
   test("daily folds == weekly folds == full recompute, value-identical") {
     def fold(slices: Int): Seq[(String, Long, java.math.BigDecimal)] = {
-      val mm = events.agg(min(col("ts")), max(col("ts"))).head
-      val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+      val end = Incremental.highWaterMark(events, "ts").get
+      val lo = events.agg(min(col("ts"))).head.getTimestamp(0).getTime
       val marks = (1 until slices).map(i =>
-        new java.sql.Timestamp(lo + (hi - lo) * i / slices)) :+ mm.getTimestamp(1)
+        new java.sql.Timestamp(lo + (end.getTime - lo) * i / slices)) :+ end
       var snap: Option[org.apache.spark.sql.DataFrame] = None
       var hwm: Option[java.sql.Timestamp] = None
       marks.foreach { m =>

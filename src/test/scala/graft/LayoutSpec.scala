@@ -19,6 +19,19 @@ class LayoutSpec extends AnyFunSuite {
     (col("id") * 7919 % 1000).as("x"),
     (col("id") * 104729 % 1000).as("y"))
 
+  // both layouts written ONCE per suite run into a fresh temp dir — a
+  // fixed /tmp path would let a test run in isolation read stale parquet
+  // from an earlier checkout and assert against data this code never wrote
+  private lazy val (zp, xp) = {
+    val base = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val z = s"$base/z"
+    val x = s"$base/xsort"
+    Layout.zorderWrite(data, Seq("x", "y"), z, numFiles = 16)
+    data.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(x)
+    (z, x)
+  }
+
   private def perFileRange(path: String, c: String): Double = {
     val spans = spark.read.parquet(path)
       .withColumn("__f", input_file_name())
@@ -35,11 +48,6 @@ class LayoutSpec extends AnyFunSuite {
   }
 
   test("z-ordered files cover small ranges of BOTH columns") {
-    val zp = "/tmp/graft_layout_z"
-    val xp = "/tmp/graft_layout_xsort"
-    Layout.zorderWrite(data, Seq("x", "y"), zp, numFiles = 16)
-    data.repartitionByRange(16, col("x")).sortWithinPartitions("x")
-      .write.mode("overwrite").parquet(xp)
     // x-sort: y spans the full range in every file; z-order: both axes
     // bounded. 16 files over a 2-bit-deep effective split → expect ~4×
     // tighter y ranges; assert a conservative 2×.
@@ -56,7 +64,7 @@ class LayoutSpec extends AnyFunSuite {
   }
 
   test("degenerate columns (all-null, constant) don't break the curve") {
-    val p = "/tmp/graft_layout_degenerate"
+    val p = java.nio.file.Files.createTempDirectory("graft-layout-deg").toString + "/p"
     val weird = spark.range(100).select(
       col("id").as("x"),
       lit(null).cast("double").as("allnull"),
@@ -66,8 +74,6 @@ class LayoutSpec extends AnyFunSuite {
   }
 
   test("row-group stats skip data for a selective filter on the second column") {
-    val zp = "/tmp/graft_layout_z"
-    val xp = "/tmp/graft_layout_xsort"
     val pred = col("y").between(100, 150)
     val zRows = scanOutputRows(spark.read.parquet(zp).filter(pred))
     val sRows = scanOutputRows(spark.read.parquet(xp).filter(pred))
