@@ -26,7 +26,11 @@ object Layout {
   def bucketRank(c: Column, lo: Double, hi: Double, bits: Int): Column = {
     val n = 1 << bits
     val wb = width_bucket(c.cast("double"), lit(lo), lit(hi), lit(n))
-    coalesce(greatest(least(wb, lit(n)) - 1, lit(0)), lit(0)).cast("long")
+    // null/NaN handled FIRST: least/greatest SKIP nulls (least(null, n)
+    // = n), so a trailing coalesce would drop nulls into the TOP bucket,
+    // not bucket 0 as documented
+    when(wb.isNull, lit(0L))
+      .otherwise(greatest(least(wb, lit(n)) - 1, lit(0)).cast("long"))
   }
 
   /** Interleave the low `bits` bits of k rank columns into a Z-value:
