@@ -445,6 +445,42 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget data mixing — the pretraining-mix pass: given per-source
+    * target WEIGHTS and a global token budget (a fraction of the corpus),
+    * sample each source at rate min(1, budget·share / available) with the
+    * deterministic md5-threshold rule (q71), so over-represented sources
+    * downsample toward their target share and under-represented ones keep
+    * everything (the clamp). Weights derive from the source name (src<i>
+    * ⇒ i+1), normalized over the sources actually present — no hardcoded
+    * source census.
+    *
+    * Scale shape: per-source token mass is one aggregate (map-side
+    * partials); the rate table is |sources| rows and broadcasts; the
+    * sampling pass is a narrow scan filter. All rate arithmetic is the
+    * same IEEE expression tree in both engines, floored to an integer
+    * threshold before the comparison. */
+  def tokenMix(s: SparkSession, dir: String, budgetFrac: Double = 0.5): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
+    val bySrc = d.groupBy(col("source")).agg(sum(col("nt")).as("toks_s"))
+      .withColumn("w", expr("cast(substring(source, 4) as int)") + 1)
+    val tot = bySrc.agg(sum(col("toks_s")).as("total"), sum(col("w")).as("sumw"))
+    val rate = least(lit(1.0),
+      (lit(budgetFrac) * col("total") *
+        (col("w").cast("double") / col("sumw").cast("double"))) /
+        col("toks_s").cast("double"))
+    val rates = bySrc.crossJoin(broadcast(tot))
+      .withColumn("thr", floor(rate * 65536).cast("int"))
+      .select(col("source"), col("thr"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int")
+    d.join(broadcast(rates), Seq("source"))
+      .filter(bucket < col("thr"))
+      .groupBy(col("source"), col("thr"))
+      .agg(count(lit(1)).as("docs_kept"), sum(col("nt")).as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
   /** Whitespace vs BPE-ish subword token counts per document (the
     * pre-tokenizer comparison a vocab-budget analysis runs). */
   def subwordCounts(s: SparkSession, dir: String): DataFrame =
@@ -961,6 +997,27 @@ object TextQueries {
     Q("q37_simhashes", (s, d) => simhashes(s, d), None),
     Q("q106_simhash_portable", (s, d) => simhashPortable(s, d),
       Some(simhashPortableOracle)),
+    Q("q113_token_mix", (s, d) => tokenMix(s, d), Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(CASE WHEN length($norm) = 0 THEN 0
+         |                   ELSE len($toksSql) END AS BIGINT) AS nt
+         |  FROM documents),
+         |s AS (SELECT source, SUM(nt) AS toks_s,
+         |             CAST(substring(source, 4) AS INT) + 1 AS w
+         |      FROM d GROUP BY source),
+         |t AS (SELECT SUM(toks_s) AS total, SUM(w) AS sumw FROM s),
+         |r AS (SELECT source,
+         |             CAST(floor(least(1.0,
+         |               (0.5 * total * (CAST(w AS DOUBLE) / CAST(sumw AS DOUBLE)))
+         |               / CAST(toks_s AS DOUBLE)) * 65536) AS INT) AS thr
+         |      FROM s, t),
+         |k AS (SELECT d.source, r.thr, d.nt FROM d JOIN r USING (source)
+         |      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT < r.thr)
+         |SELECT source, thr, COUNT(*) AS docs_kept,
+         |       CAST(SUM(nt) AS BIGINT) AS tokens_kept
+         |FROM k GROUP BY source, thr
+         |ORDER BY source""".stripMargin)),
     Q("q109_curation", (s, d) => curationPipeline(s, d), Some(
       s"""WITH base AS (
          |  SELECT doc_id,
