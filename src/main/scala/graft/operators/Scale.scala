@@ -10,6 +10,24 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Mergeable HLL sketch rollup — the pre-aggregation pattern for
+    * distinct counts at 100 TB: sketch each fine-grained bucket ONCE
+    * (one pass over the events), then answer any coarser-grained
+    * distinct-count question by merging the stored sketches
+    * (register-wise max — |buckets| rows, no rescan). HLL union of
+    * sub-sketches is EXACTLY the sketch of the union at equal lgK, so
+    * rolled-up estimates are bit-identical to direct sketching, not
+    * merely close (pinned in ScaleSpec). Uses Spark 4's built-in
+    * Datasketches functions. */
+  def sketchBuckets(df: DataFrame, bucket: Column, value: Column): DataFrame =
+    df.groupBy(bucket.as("bucket"))
+      .agg(hll_sketch_agg(value).as("sk"))
+
+  /** Merge stored bucket sketches up to a coarser grain and estimate. */
+  def sketchRollup(sketches: DataFrame, coarser: Column): DataFrame =
+    sketches.groupBy(coarser.as("grain"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_distinct"))
+
   /** Skew-salted equi-join: the left (skewed, large) side gets a random
     * salt in [0, salts); the right side is replicated across all salt
     * values; the join key becomes (key, salt), splitting each hot key's

@@ -21,6 +21,33 @@ class ScaleSpec extends AnyFunSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("HLL sketch rollup: merged daily sketches == direct sketch, ~exact") {
+    // the mergeable-sketch pattern: sketch each day once, answer weekly
+    // distinct-user questions by merging stored sketches — no event
+    // rescan. HLL union is register-wise max, so the rolled-up estimate
+    // must be BIT-IDENTICAL to sketching the week directly (same lgK),
+    // not merely close.
+    val ev = Tables.events(spark, TestSpark.sfDir).filter(col("ts").isNotNull)
+    val daily = Scale.sketchBuckets(ev, date_trunc("day", col("ts")), col("user_id"))
+    val weeklyRolled = Scale
+      .sketchRollup(daily, date_trunc("week", col("bucket")))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val weeklyDirect = ev
+      .groupBy(date_trunc("week", col("ts")).as("grain"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(weeklyRolled == weeklyDirect, "rollup must equal direct sketching")
+    val exact = ev
+      .groupBy(date_trunc("week", col("ts")).as("grain"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    weeklyRolled.foreach { case (wk, est) =>
+      val ex = exact(wk)
+      assert(math.abs(est - ex).toDouble / ex < 0.05, s"week $wk est=$est exact=$ex")
+    }
+    assert(weeklyRolled.nonEmpty)
+  }
+
   test("saltedJoin returns the same rows as a plain join") {
     val left = (1 to 1000).map(i => (i % 3, i)).toDF("k", "v") // 3 hot keys
     val right = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "name")
