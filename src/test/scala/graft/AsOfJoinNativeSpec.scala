@@ -113,6 +113,43 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     assert(eTyp.getMessage.contains("TimestampType"))
   }
 
+  test("bucketed tables satisfy the native as-of's distribution: no shuffle") {
+    // the operator's reason to exist at scale: ClusteredDistribution per
+    // side means a table already bucketed on the key joins WITHOUT any
+    // exchange — the union+window form can never skip that shuffle
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("graft_asof_l", "graft_asof_r").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = java.nio.file.Paths.get(wh, t)
+      if (java.nio.file.Files.exists(p))
+        org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+    }
+    (1 to 2000).map(i => ((i % 40).toLong,
+        ts(f"2024-01-${1 + i % 28}%02d 10:00:00"), i.toLong))
+      .toDF("k", "t", "id")
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k", "t")
+      .format("parquet").saveAsTable("graft_asof_l")
+    (1 to 500).map(i => ((i % 40).toLong,
+        ts(f"2024-01-${1 + i % 28}%02d 09:30:00"), i.toDouble))
+      .toDF("k", "rt", "v")
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k", "rt")
+      .format("parquet").saveAsTable("graft_asof_r")
+    val joined = AsOfJoin.asOfNative(
+      spark.table("graft_asof_l"), spark.table("graft_asof_r"),
+      "k", "t", "rt", Seq("v"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin ["), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected shuffle-free bucketed as-of:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"bucketing not used:\n$plan")
+    // and values still match the window form on the same input
+    val viaWindow = AsOfJoin.asOf(
+      spark.table("graft_asof_l"), spark.table("graft_asof_r"),
+      "k", "t", "rt", Seq("v"))
+    assert(sortedRows(joined) == sortedRows(viaWindow))
+  }
+
   test("plan: native exec present, no window, left partitioning reused downstream") {
     val left = (1 to 100).map(i =>
       (i.toLong, (i % 5).toLong, ts(f"2024-01-01 ${10 + i % 12}%02d:00:00"))).toDF("id", "k", "t")
