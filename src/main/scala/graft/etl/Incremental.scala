@@ -43,10 +43,16 @@ object Incremental {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"))
 
-  /** High-water mark of a slice (max event time) — persist it with the
-    * snapshot; the next run's delta filter is `ts > hwm`. */
-  def highWaterMark(df: DataFrame, tsCol: String): Option[java.sql.Timestamp] =
-    Option(df.agg(max(col(tsCol))).head.getTimestamp(0))
+  /** Time bounds of a slice in ONE aggregate scan: (min, max) event time.
+    * The max IS the high-water mark to persist with the snapshot (the
+    * next run's delta filter is `ts > hwm`); both Timestamps keep full
+    * microsecond precision (only `.getTime` truncates). One job — don't
+    * run separate min and max aggregates over the history. */
+  def timeBounds(df: DataFrame,
+      tsCol: String): Option[(java.sql.Timestamp, java.sql.Timestamp)] = {
+    val r = df.agg(min(col(tsCol)), max(col(tsCol))).head
+    if (r.isNullAt(0)) None else Some((r.getTimestamp(0), r.getTimestamp(1)))
+  }
 
   /** The delta slice between two high-water marks (lower exclusive,
     * upper inclusive — rows AT the stored mark were already processed). */

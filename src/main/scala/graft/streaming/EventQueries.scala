@@ -204,13 +204,12 @@ object EventQueries {
     // deterministic slice boundaries from the data's own time range —
     // the two driver-side values are exactly the hwm bookkeeping a
     // scheduled pipeline persists between runs
-    // the FINAL mark is the exact history high-water mark
-    // (Incremental.highWaterMark — Timestamp.getTime truncates
-    // microseconds, so a millis-derived last mark would exclude the max
-    // row); interior marks are approximate epoch-millis splits
-    val end = Incremental.highWaterMark(events, "ts").get
-    val lo = events.agg(min(col("ts"))).head.getTimestamp(0).getTime
-    val hi = end.getTime
+    // ONE bounds scan; the FINAL mark is the exact max Timestamp (the
+    // history high-water mark — `.getTime` truncates microseconds, so a
+    // millis-derived last mark would exclude the max row); interior
+    // marks are approximate epoch-millis splits
+    val (first, end) = Incremental.timeBounds(events, "ts").get
+    val (lo, hi) = (first.getTime, end.getTime)
     val marks = (1 until slices).map(i =>
       new java.sql.Timestamp(lo + (hi - lo) * i / slices)) :+ end
     var snapshot: Option[org.apache.spark.sql.DataFrame] = None

@@ -260,7 +260,11 @@ object EventStreams {
                   (micros(l.ts) == micros(e.ts) && l.v <= e.v)))
                 last = Some(AsOfLast(e.ts, e.v))
             } else {
-              out += AsOfOut(key, e.ts, e.v, last.map(_.ts), last.map(_.v))
+              // a LATE left (cross-batch) must not read a stored right
+              // from its future — backward semantics require
+              // right_ts <= left_ts, exactly like the batch form
+              val m = last.filter(l => micros(l.ts) <= micros(e.ts))
+              out += AsOfOut(key, e.ts, e.v, m.map(_.ts), m.map(_.v))
             }
           }
           last.foreach(state.update)

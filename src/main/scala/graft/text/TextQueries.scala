@@ -120,8 +120,16 @@ object TextQueries {
     * tokens-per-doc, not corpus size. */
   private def shingleRows(docs: DataFrame, n: Int,
       minTokens: Option[Int] = None): DataFrame =
-    docs
-      .withColumn("toks", TextFunctions.tokens(col("text")))
+    shingleRowsOf(
+      docs.withColumn("toks", TextFunctions.tokens(col("text"))),
+      n, minTokens)
+
+  /** Shingles over an ALREADY-TOKENIZED (doc_id, toks) frame — the ONE
+    * shingle expression tree; `shingleRows` and the curation pipeline
+    * both delegate here so their shingling can never diverge. */
+  private def shingleRowsOf(toks: DataFrame, n: Int,
+      minTokens: Option[Int] = None): DataFrame =
+    toks
       .filter(size(col("toks")) >= minTokens.getOrElse(n))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1), size(col("toks")) - (n - 1), lit(1))).as("i"))
@@ -239,12 +247,8 @@ object TextQueries {
       graft.functions.LangIdExpr.langIdOfTokens(col("toks"),
         TextFunctions.LangMarkers).as("pred"),
       md5(col("nt")).as("fp"))
-    def grams(m: Int, minTokens: Int) = toks
-      .filter(size(col("toks")) >= minTokens)
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(1), size(col("toks")) - (m - 1), lit(1))).as("i"))
-      .select(col("doc_id"),
-        concat_ws(" ", slice(col("toks"), col("i"), lit(m))).as("g"))
+    def grams(m: Int, minTokens: Int) =
+      shingleRowsOf(toks, m, Some(minTokens))
     val bi = grams(2, 3)
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
@@ -460,8 +464,11 @@ object TextQueries {
     * same IEEE expression tree in both engines, floored to an integer
     * threshold before the comparison. */
   def tokenMix(s: SparkSession, dir: String, budgetFrac: Double = 0.5): DataFrame = {
+    // tokenize once: d feeds both the rate subtree and the sampling join —
+    // without the checkpoint the normalize+split scan runs twice
     val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
       TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
+      .localCheckpoint(true)
     val bySrc = d.groupBy(col("source")).agg(sum(col("nt")).as("toks_s"))
       .withColumn("w", expr("cast(substring(source, 4) as int)") + 1)
     val tot = bySrc.agg(sum(col("toks_s")).as("total"), sum(col("w")).as("sumw"))

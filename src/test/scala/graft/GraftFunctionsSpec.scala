@@ -196,6 +196,39 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming as-of: a late left never reads a right from its future") {
+    import graft.streaming.EventStreams
+    // two micro-batches via maxFilesPerTrigger=1: batch 1 stores a right
+    // at ts=100; batch 2 delivers a LATE left at ts=50 (must NOT match —
+    // backward semantics need right_ts <= left_ts) and a left at ts=150
+    // (must match the stored right)
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof-late").toString
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    Seq((0, 1L, t("2024-01-01 10:00:00"), 1.0))
+      .toDF("kind", "key", "ts", "v").coalesce(1)
+      .write.mode("append").parquet(dir)
+    Thread.sleep(1100) // distinct file mtimes → deterministic batch order
+    Seq((1, 1L, t("2024-01-01 09:00:00"), 7.0),
+        (1, 1L, t("2024-01-01 11:00:00"), 8.0))
+      .toDF("kind", "key", "ts", "v").coalesce(1)
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema("kind INT, key LONG, ts TIMESTAMP, v DOUBLE").parquet(dir)
+      .as[EventStreams.AsOfEvent]
+    val q = EventStreams.asofStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_late").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_late")
+      .collect().map(r => r.getTimestamp(1).toString ->
+        Option(r.get(4)).map(_.toString.toDouble)).toMap
+    assert(got("2024-01-01 09:00:00.0").isEmpty,
+      "late left must not be enriched by a future right")
+    assert(got("2024-01-01 11:00:00.0").contains(1.0))
+  }
+
   test("streaming dedup drops in-horizon duplicates") {
     import graft.streaming.EventStreams
     val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString

@@ -16,9 +16,8 @@ class IncrementalSpec extends AnyFunSuite {
   test("hwm slices partition the history exactly (no loss, no double-count)") {
     // final mark = the exact history high-water mark (getTime truncates
     // the micros component, so a millis-derived bound drops the max row)
-    val end = Incremental.highWaterMark(events, "ts").get
-    val lo = events.agg(min(col("ts"))).head.getTimestamp(0).getTime
-    val hi = end.getTime
+    val (first, end) = Incremental.timeBounds(events, "ts").get
+    val (lo, hi) = (first.getTime, end.getTime)
     val marks = (1 until 3).map(i =>
       new java.sql.Timestamp(lo + (hi - lo) * i / 3)) :+ end
     var hwm: Option[java.sql.Timestamp] = None
@@ -32,8 +31,8 @@ class IncrementalSpec extends AnyFunSuite {
 
   test("daily folds == weekly folds == full recompute, value-identical") {
     def fold(slices: Int): Seq[(String, Long, java.math.BigDecimal)] = {
-      val end = Incremental.highWaterMark(events, "ts").get
-      val lo = events.agg(min(col("ts"))).head.getTimestamp(0).getTime
+      val (first, end) = Incremental.timeBounds(events, "ts").get
+      val lo = first.getTime
       val marks = (1 until slices).map(i =>
         new java.sql.Timestamp(lo + (end.getTime - lo) * i / slices)) :+ end
       var snap: Option[org.apache.spark.sql.DataFrame] = None
