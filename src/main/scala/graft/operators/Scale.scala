@@ -28,6 +28,28 @@ object Scale {
     sketches.groupBy(coarser.as("grain"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_distinct"))
 
+  /** Count-min frequency sketches per bucket — the heavy-hitter companion
+    * to the HLL rollup: sketch each fine-grained bucket once, answer
+    * coarser "how often did X appear" questions by merging the stored
+    * sketches (counter-wise ADD, so the merge is exact — a merged
+    * estimate equals sketching the union directly with the same
+    * params/seed). Fixed seed keeps results reproducible. */
+  def cmsBuckets(df: DataFrame, bucket: Column, value: Column,
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42): DataFrame =
+    df.groupBy(bucket.as("bucket"))
+      .agg(count_min_sketch(value, lit(eps), lit(confidence), lit(seed)).as("cms"))
+
+  /** Merge stored bucket sketches on the driver (|buckets| rows of ~KB
+    * sketch bytes — statistics, not data) and estimate one item's count. */
+  def cmsMergedCount(sketches: DataFrame, item: Long): Long = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val merged = sketches.select(col("cms")).collect()
+      .map(r => CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
+      .reduceLeft { (a, b) => a.mergeInPlace(b); a }
+    merged.estimateCount(java.lang.Long.valueOf(item))
+  }
+
   /** Skew-salted equi-join: the left (skewed, large) side gets a random
     * salt in [0, salts); the right side is replicated across all salt
     * values; the join key becomes (key, salt), splitting each hot key's

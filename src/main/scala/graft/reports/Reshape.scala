@@ -48,6 +48,25 @@ object Reshape {
         "metric", "value")
       .orderBy(col("p_partkey"), col("metric"))
 
+  /** Skew-salted aggregation through the driver gate: per-returnflag
+    * totals computed via `Scale.saltedAgg` — the fact shuffles on
+    * (flag, salt) so each of the THREE hot keys (maximal skew: |keys| ≪
+    * cores) spreads across 16 reducers, then the tiny salted partials
+    * re-reduce. The oracle is the plain GROUP BY: salting must be
+    * invisible in the values (decimal partials make the two-level sum
+    * exact, so this is bit-identical, not approximately right). */
+  def saltedFlagTotals(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.saltedAgg(
+        Tables.lineitem(s, dir).select(col("l_returnflag").as("flag"),
+          col("l_quantity")),
+        "flag", salts = 16,
+        Seq(
+          (sum(dec(col("l_quantity"))), (c: Column) => sum(c), "sum_qty"),
+          (count(lit(1)), (c: Column) => sum(c), "cnt")))
+      .select(col("flag"), col("sum_qty").cast("double").as("sum_qty"),
+        col("cnt"))
+      .orderBy(col("flag"))
+
   /** RANGE-framed time window: 7-day trailing spend per customer at each
     * order — the time-based sibling of q67's ROWS frame. The frame bound
     * is an event-TIME range (`rangeBetween` over epoch seconds), so
@@ -113,6 +132,13 @@ object Reshape {
   }
 
   val qs: Seq[Q] = Seq(
+    Q("q114_salted_agg", (s, d) => saltedFlagTotals(s, d), Some(
+      """SELECT l_returnflag AS flag,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY flag""".stripMargin)),
     Q("q111_trailing_spend", (s, d) => trailingSpend(s, d), Some(
       """SELECT o_orderkey, o_custkey,
         |       strftime(o_orderdate, '%Y-%m-%d') AS o_day,

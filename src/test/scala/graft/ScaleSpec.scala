@@ -48,6 +48,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(weeklyRolled.nonEmpty)
   }
 
+  test("count-min rollup: merged daily sketches bound item frequencies") {
+    val ev = Tables.events(spark, TestSpark.sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+    val daily = Scale.cmsBuckets(ev, date_trunc("day", col("ts")), col("user_id"))
+    val hot = ev.groupBy(col("user_id")).count()
+      .orderBy(col("count").desc, col("user_id")).head
+    val (user, exact) = (hot.getLong(0), hot.getLong(1))
+    val total = ev.count()
+    val est = Scale.cmsMergedCount(daily, user)
+    // CMS never under-counts; over-count bounded by eps × stream length
+    assert(est >= exact, s"CMS under-counted: est=$est exact=$exact")
+    assert(est <= exact + math.ceil(0.001 * total).toLong + 1,
+      s"CMS over-count beyond eps bound: est=$est exact=$exact total=$total")
+    // merging is counter-wise add ⇒ identical to sketching everything at once
+    val direct = Scale.cmsMergedCount(
+      Scale.cmsBuckets(ev, lit(1), col("user_id")), user)
+    assert(est == direct, "merged-from-daily must equal direct sketching")
+  }
+
   test("saltedJoin returns the same rows as a plain join") {
     val left = (1 to 1000).map(i => (i % 3, i)).toDF("k", "v") // 3 hot keys
     val right = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "name")
