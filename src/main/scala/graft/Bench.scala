@@ -37,12 +37,12 @@ object Bench {
     // sort and limit) and iterates the result rows — df.count() would let
     // Catalyst prune projections and drop sorts, under-measuring
     // projection-heavy and ordered queries.
-    // SPARK_GRAFT_ONLY=q55,q69 (prefix match) narrows the set for local
-    // iteration; unset (the driver's invocation) runs everything
+    // SPARK_GRAFT_ONLY=q55,q69 (query-id token match) narrows the set for
+    // local iteration; unset (the driver's invocation) runs everything
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
     def selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
-      only.forall(_.exists(n.startsWith)) }
+      Registry.selectedBy(only, n) }
     def runAll(): Seq[(String, Double)] =
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -49,4 +49,14 @@ object Registry {
 
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** SPARK_GRAFT_ONLY selector, shared by Bench and Verify: a token
+    * matches on the query-id boundary (`q10` selects `q10_segment_facet`
+    * but NOT `q100_asof_native_nearest`) or as an exact/underscore-safe
+    * prefix (`q10_seg` still narrows). A bare numeric prefix matching
+    * every qN* was an easy targeting footgun. */
+  def selectedBy(only: Option[Seq[String]], name: String): Boolean =
+    only.forall(_.exists(p =>
+      name == p || name.startsWith(p + "_") ||
+        (p.contains("_") && name.startsWith(p))))
 }

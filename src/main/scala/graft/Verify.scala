@@ -17,12 +17,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // SPARK_GRAFT_ONLY=q101,q102 (prefix match) narrows the dump for local
-    // iteration; unset (the driver's invocation) dumps everything
+    // SPARK_GRAFT_ONLY=q101,q102 (query-id token match) narrows the dump
+    // for local iteration; unset (the driver's invocation) dumps everything
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
     SparkEntry.queries
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .filter { case (n, _) => Registry.selectedBy(only, n) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -42,13 +42,21 @@ object BloomFns {
     * predicate for a column. The build collects ONE row (the serialized
     * sketch — kilobytes, not data; `BloomFilterMightContain` requires a
     * constant/scalar-subquery bloom side, which is exactly how Spark's
-    * own runtime-filter rule ships it to executors). */
+    * own runtime-filter rule ships it to executors).
+    *
+    * The probe is ONLY valid as a pre-filter ahead of an exact inner
+    * join: it may pass false positives (never false negatives), so
+    * negating it or using it as a left-join guard is incorrect by
+    * construction. An EMPTY build side yields `lit(false)` (nothing can
+    * match the empty set) rather than a null sketch whose
+    * `might_contain(null, x)` would silently null out every row. */
   def buildProbe(keys: DataFrame, keyCol: String,
       expectedItems: Long, bitsPerKey: Int = 10): Column => Column = {
     val bytes = keys
       .agg(bloomAgg(org.apache.spark.sql.functions.col(keyCol),
         expectedItems, expectedItems * bitsPerKey))
       .head.getAs[Array[Byte]](0)
-    (c: Column) => mightContain(bytes, c)
+    if (bytes == null) (_: Column) => org.apache.spark.sql.functions.lit(false)
+    else (c: Column) => mightContain(bytes, c)
   }
 }

@@ -40,14 +40,17 @@ object Scale {
       .agg(count_min_sketch(value, lit(eps), lit(confidence), lit(seed)).as("cms"))
 
   /** Merge stored bucket sketches on the driver (|buckets| rows of ~KB
-    * sketch bytes — statistics, not data) and estimate one item's count. */
+    * sketch bytes — statistics, not data) and estimate one item's count.
+    * No sketches (empty frame, or every cms cell null — e.g. a bucket
+    * aggregated over zero rows) means the item was never seen: 0. */
   def cmsMergedCount(sketches: DataFrame, item: Long): Long = {
     import org.apache.spark.util.sketch.CountMinSketch
-    val merged = sketches.select(col("cms")).collect()
-      .map(r => CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
-      .reduceLeft { (a, b) => a.mergeInPlace(b); a }
-    merged.estimateCount(java.lang.Long.valueOf(item))
+    val parsed = sketches.select(col("cms")).collect()
+      .flatMap(r => Option(r.getAs[Array[Byte]](0)))
+      .map(b => CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
+    if (parsed.isEmpty) 0L
+    else parsed.reduceLeft { (a, b) => a.mergeInPlace(b); a }
+      .estimateCount(java.lang.Long.valueOf(item))
   }
 
   /** Skew-salted equi-join: the left (skewed, large) side gets a random

@@ -208,7 +208,19 @@ object EventQueries {
     // history high-water mark — `.getTime` truncates microseconds, so a
     // millis-derived last mark would exclude the max row); interior
     // marks are approximate epoch-millis splits
-    val (first, end) = Incremental.timeBounds(events, "ts").get
+    // no timestamped rows at all → the rollup over an empty history is
+    // empty (exactly what the one-shot oracle aggregate would return),
+    // not a NoSuchElementException out of the bounds Option
+    val bounds = Incremental.timeBounds(events, "ts")
+    if (bounds.isEmpty) {
+      import org.apache.spark.sql.types._
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("event_type", StringType),
+          StructField("cnt", LongType),
+          StructField("total_value", DoubleType),
+          StructField("avg_value", DoubleType))))
+    }
+    val (first, end) = bounds.get
     val (lo, hi) = (first.getTime, end.getTime)
     val marks = (1 until slices).map(i =>
       new java.sql.Timestamp(lo + (hi - lo) * i / slices)) :+ end

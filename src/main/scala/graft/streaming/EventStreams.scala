@@ -262,7 +262,16 @@ object EventStreams {
             } else {
               // a LATE left (cross-batch) must not read a stored right
               // from its future — backward semantics require
-              // right_ts <= left_ts, exactly like the batch form
+              // right_ts <= left_ts, exactly like the batch form.
+              // Known divergence from the batch twin: state keeps ONLY the
+              // max-(ts, v) right per key, so a cross-batch late left whose
+              // ts precedes the stored right gets a NULL match even when an
+              // OLDER right existed in an earlier batch (the batch form
+              // would attach it). Enriching late lefts exactly would need a
+              // bounded per-key history of rights (keep the last N within
+              // the lateness horizon); this single-value state is the
+              // documented trade, and the batch twin is the reconciliation
+              // path for both late-right and late-left corrections.
               val m = last.filter(l => micros(l.ts) <= micros(e.ts))
               out += AsOfOut(key, e.ts, e.v, m.map(_.ts), m.map(_.v))
             }

@@ -79,6 +79,25 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(chunks.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("cmsMergedCount: no sketches (empty frame / null cells) means never seen = 0") {
+    import org.apache.spark.sql.functions._
+    val empty = Seq.empty[Array[Byte]].toDF("cms")
+    assert(graft.operators.Scale.cmsMergedCount(empty, 42L) == 0L)
+    val nulls = Seq((1, null.asInstanceOf[Array[Byte]])).toDF("k", "cms")
+    assert(graft.operators.Scale.cmsMergedCount(nulls, 42L) == 0L)
+  }
+
+  test("incrementalRollup on an empty/all-null-ts events table returns empty, typed") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_ev").toString
+    Tables.events(spark, TestSpark.sfDir).filter(lit(false))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.streaming.EventQueries.incrementalRollup(spark, dir)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq ==
+      Seq("event_type", "cnt", "total_value", "avg_value"))
+  }
+
   test("stratified sampling is deterministic and respects per-stratum rates") {
     val a = graft.text.TextQueries.stratifiedSample(spark, TestSpark.sfDir).collect()
     val b = graft.text.TextQueries.stratifiedSample(spark, TestSpark.sfDir).collect()
