@@ -41,8 +41,11 @@ object Bench {
     // local iteration; unset (the driver's invocation) runs everything
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-    def selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
-      Registry.selectedBy(only, n) }
+    // registry queries + bench-only fast-path variants (q36f/q37f/q41f:
+    // the xxhash expression forms whose oracle-gated twins use md5)
+    def selected = (SparkEntry.queries.toSeq ++
+        Registry.benchExtras.map(q => q.name -> q.run)).sortBy(_._1)
+      .filter { case (n, _) => Registry.selectedBy(only, n) }
     def runAll(): Seq[(String, Double)] =
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -50,6 +50,19 @@ object Registry {
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
+  /** Bench-only fast-path variants: the xxhash custom-expression forms of
+    * the minhash/simhash/SRP operators whose hashes no SQL engine
+    * reproduces. Their REGISTERED q36/q37/q41 twins run the same pipeline
+    * with engine-neutral md5 hashing and carry the DuckDB oracle (so the
+    * correctness gate shows zero unchecked rows); these entries keep the
+    * production expressions' throughput measured every round. Excluded
+    * from Verify — their logic is value-checked through the portable
+    * twins and asserted equivalent in the expression specs. */
+  def benchExtras: Seq[Q] = Seq(
+    Q("q36f_minhash_fast", (s, d) => text.TextQueries.minhashCandidates(s, d)),
+    Q("q37f_simhash_fast", (s, d) => text.TextQueries.simhashes(s, d)),
+    Q("q41f_ann_lsh_fast", (s, d) => similarity.SimilarityQueries.annLsh(s, d)))
+
   /** SPARK_GRAFT_ONLY selector, shared by Bench and Verify: a token
     * matches on the query-id boundary (`q10` selects `q10_segment_facet`
     * but NOT `q100_asof_native_nearest`) or as an exact/underscore-safe

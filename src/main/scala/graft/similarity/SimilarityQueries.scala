@@ -16,14 +16,76 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  /** LSH-bucketed ANN for the same queries (no oracle — recall depends on
-    * the hash buckets; exactness is asserted in unit tests instead). */
+  /** LSH-bucketed ANN, BENCH fast path (SigExpr's one-pass xxhash-mix
+    * hyperplanes — no SQL engine reproduces them, so this form is spec-
+    * and bench-covered while `annLshPortable` carries the oracle gate;
+    * see Registry.benchExtras). */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Ann.lshTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
         k = 10, bits = 4)
       .orderBy(col("query_id"), col("rn"))
   }
+
+  /** The REGISTERED, fully oracle-checked form of the LSH-ANN operator
+    * (q41): identical pipeline to `Ann.lshTopK` — signature both sides,
+    * bucket equi-join, exact cosine rescore, per-query top-k — but the
+    * 4-bit signature is the ENGINE-NEUTRAL SRP of q107 (md5-parity ±1
+    * hyperplanes over exact-quantized elements), so recall, bucketing and
+    * ranking all restate in DuckDB SQL. The signature here comes from one
+    * explode + aggregate pass and joins back onto the vectors; the
+    * production path computes it per-row in one JIT'd expression with no
+    * explosion (that trade is exactly why the fast path exists). */
+  def annLshPortable(s: SparkSession, dir: String, bits: Int = 4,
+      k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val sigs = srpSigs(e, bits).withColumnRenamed("srp_sig", "__sig")
+    val sigd = e.join(sigs, Seq("vec_id"))
+    val q = sigd.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("__qv"),
+        col("__sig"))
+    val scored = sigd.join(broadcast(q), Seq("__sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(Ann.cosine(col("embedding"), col("__qv")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  private def annLshPortableOracle(bits: Int = 4, k: Int = 10): String =
+    s"""WITH el AS (
+       |  SELECT vec_id,
+       |         generate_subscripts(embedding, 1) - 1 AS j,
+       |         CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 1000000 + 0.5)
+       |              AS BIGINT) AS q
+       |  FROM embeddings
+       |), sums AS (
+       |  SELECT vec_id,
+       |    ${srpSumsSql(bits)}
+       |  FROM el GROUP BY vec_id
+       |), sig AS (
+       |  SELECT vec_id, ${srpSigSql(bits)} AS s FROM sums
+       |), v AS (
+       |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, sig.s
+       |  FROM embeddings e JOIN sig USING (vec_id)
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id,
+       |         round(list_cosine_similarity(v.emb, q.emb), 4) AS cos
+       |  FROM v JOIN v q ON v.s = q.s
+       |  WHERE q.vec_id < 3 AND v.vec_id <> q.vec_id
+       |)
+       |SELECT query_id, vec_id, cos, rn FROM (
+       |  SELECT query_id, vec_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored) t
+       |WHERE rn <= $k
+       |ORDER BY query_id, rn""".stripMargin
 
   /** IVF-pruned ANN for the same queries. Unlike the LSH variant this IS
     * DuckDB-oracle-checked: the deterministic coarse quantizer (smallest-id
@@ -74,8 +136,14 @@ object SimilarityQueries {
     * carrying 16 long counters with map-side partials — no joins, no
     * driver state. The production path (q41) does the whole signature in
     * one JIT-compiled expression with zero explosion. */
-  def srpPortable(s: SparkSession, dir: String, bits: Int = 16): DataFrame = {
-    val el = Tables.embeddings(s, dir)
+  def srpPortable(s: SparkSession, dir: String, bits: Int = 16): DataFrame =
+    srpSigs(Tables.embeddings(s, dir), bits).orderBy(col("vec_id"))
+
+  /** The portable SRP signature frame (vec_id, srp_sig bit string) —
+    * shared by q107 (signatures, 16 bits) and q41 (LSH bucketing,
+    * 4 bits). */
+  private def srpSigs(embeddings: DataFrame, bits: Int): DataFrame = {
+    val el = embeddings
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").as("j"),
         floor(col("col").cast("double") * 1000000 + 0.5).cast("long").as("q"))
@@ -87,16 +155,24 @@ object SimilarityQueries {
     val agg = el.groupBy(col("vec_id")).agg(sums.head, sums.tail: _*)
     val sig = concat((0 until bits).map(b =>
       when(col(s"s$b") > 0, "1").otherwise("0")): _*)
-    agg.select(col("vec_id"), sig.as("srp_sig")).orderBy(col("vec_id"))
+    agg.select(col("vec_id"), sig.as("srp_sig"))
   }
 
-  private def srpPortableOracle(bits: Int = 16): String = {
-    val sums = (0 until bits).map { b =>
+  /** SQL fragments of the portable SRP — shared by the q107 and q41
+    * oracles so the two restatements can never drift apart. */
+  private def srpSumsSql(bits: Int): String =
+    (0 until bits).map { b =>
       s"SUM(q * (CASE WHEN ascii(substr(md5('$b|' || j), 1, 1)) % 2 = 0 " +
         s"THEN 1 ELSE -1 END)) AS s$b"
     }.mkString(",\n    ")
-    val sig = (0 until bits).map(b => s"CASE WHEN s$b > 0 THEN '1' ELSE '0' END")
+
+  private def srpSigSql(bits: Int): String =
+    (0 until bits).map(b => s"CASE WHEN s$b > 0 THEN '1' ELSE '0' END")
       .mkString("concat(", ", ", ")")
+
+  private def srpPortableOracle(bits: Int = 16): String = {
+    val sums = srpSumsSql(bits)
+    val sig = srpSigSql(bits)
     s"""WITH el AS (
        |  SELECT vec_id,
        |         generate_subscripts(embedding, 1) - 1 AS j,
@@ -135,7 +211,8 @@ object SimilarityQueries {
         |  JOIN embeddings q ON q.vec_id < 3 AND e.vec_id <> q.vec_id) t
         |WHERE rn <= 10
         |ORDER BY query_id, rn""".stripMargin)),
-    Q("q41_ann_lsh", (s, d) => annLsh(s, d), None),
+    Q("q41_ann_lsh", (s, d) => annLshPortable(s, d),
+      Some(annLshPortableOracle())),
     Q("q85_ivf_topk", (s, d) => annIvf(s, d), Some(
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |cents AS (SELECT vec_id AS cent_id, e AS cv FROM v ORDER BY vec_id LIMIT 16),

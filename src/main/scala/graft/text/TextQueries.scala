@@ -344,7 +344,12 @@ object TextQueries {
     * with map-side partials, then a projection to the bit string. The
     * production path stays q37 (one JIT-compiled pass per row, no
     * explode); use THIS query to cross-check its logic. */
-  def simhashPortable(s: SparkSession, dir: String): DataFrame = {
+  def simhashPortable(s: SparkSession, dir: String): DataFrame =
+    simhashPortableSigs(s, dir).orderBy(col("doc_id"))
+
+  /** The portable signature frame (doc_id, simhash bit string) — shared
+    * by q106 (signatures) and q37 (banded near-dup candidates). */
+  private def simhashPortableSigs(s: SparkSession, dir: String): DataFrame = {
     val tokRows = Tables.documents(s, dir)
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .filter(size(col("toks")) > 0)
@@ -365,22 +370,30 @@ object TextQueries {
     val sig = concat((0 to 31).map(i =>
       when(col(s"b$i") > 0, "1").otherwise("0")): _*)
     agg.select(col("doc_id"), sig.as("simhash"))
-      .orderBy(col("doc_id"))
   }
 
-  private def simhashPortableOracle: String = {
+  /** SQL fragments of the portable simhash — shared by the q106 and q37
+    * oracles so the two restatements can never drift apart. */
+  private def simhashSumsSql: String = {
     val digitSql = (j: Int) =>
       s"(CASE WHEN ascii(substr(hex, ${j + 1}, 1)) <= 57 " +
         s"THEN ascii(substr(hex, ${j + 1}, 1)) - 48 " +
         s"ELSE ascii(substr(hex, ${j + 1}, 1)) - 87 END)"
-    val sums = (0 to 7).flatMap { j =>
+    (0 to 7).flatMap { j =>
       (0 to 3).map { k =>
         val p = math.pow(2, k).toInt
         s"SUM(CASE WHEN floor(${digitSql(j)} / $p.0) % 2 = 1 THEN 1 ELSE -1 END) AS b${j * 4 + k}"
       }
     }.mkString(",\n    ")
-    val sig = (0 to 31).map(i => s"CASE WHEN b$i > 0 THEN '1' ELSE '0' END")
+  }
+
+  private def simhashSigSql: String =
+    (0 to 31).map(i => s"CASE WHEN b$i > 0 THEN '1' ELSE '0' END")
       .mkString("concat(", ", ", ")")
+
+  private def simhashPortableOracle: String = {
+    val sums = simhashSumsSql
+    val sig = simhashSigSql
     s"""WITH toks AS (
        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents
        |), hashed AS (
@@ -701,17 +714,160 @@ object TextQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** MinHash+LSH near-dup candidates (no SQL oracle — hash-based). */
+  /** MinHash+LSH near-dup candidates, BENCH fast path (xxhash64 custom
+    * expression — no SQL engine reproduces the hash, so this form is
+    * spec- and bench-covered while `minhashCandidatesPortable` carries
+    * the oracle gate; see Registry.benchExtras). */
   def minhashCandidates(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text",
         minEstJaccard = 0.25)
       .orderBy(col("id1"), col("id2"))
 
-  /** SimHash fingerprints (no SQL oracle — hash-based). */
+  /** SimHash fingerprints, BENCH fast path (xxhash-based custom
+    * expression; the oracle-gated forms are q37/q106). */
   def simhashes(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
       .orderBy(col("doc_id"))
+
+  /** The REGISTERED, fully oracle-checked form of the minhash-candidate
+    * operator (q36): the complete `Dedup.minhashCandidates` pipeline —
+    * signature → band buckets → bucket self-join → signature-agreement
+    * estimate filter — with the ENGINE-NEUTRAL md5 hash so every stage
+    * restates in DuckDB SQL. 8 one-permutation 16-bit md5 slices banded
+    * as 4 bands × 2 rows (q90 keeps the complementary 2 × 4 banding with
+    * no estimate filter, so the two queries value-check different
+    * band/row trade-offs), estimate = slice agreement / 8, kept at
+    * ≥ 0.5 (with 2-row bands a single band match only guarantees 2/8 —
+    * the filter must prune, exactly like the production path's
+    * minEstJaccard). Plan shape matches the production operator: one
+    * shingle pass, one doc_id aggregate, one (band, bucket) self-join —
+    * no cross product. */
+  def minhashCandidatesPortable(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(Tables.documents(s, dir), 3)
+    val hashed = sh.select(
+      col("doc_id") +: (0 to 7).map { j =>
+        substring(md5(col("g")), j * 4 + 1, 4).as(s"h$j")
+      }: _*)
+    val aggs = (0 to 7).map(j => min(col(s"h$j")).as(s"m$j"))
+    // consumed by both self-join sides → materialize once
+    val mins = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true)
+    def bucketOf(js: Range) = md5(concat_ws(",", js.map(j => col(s"m$j")): _*))
+    val buckets = mins.select(
+      col("doc_id") +: (0 to 7).map(j => col(s"m$j")) :+
+        explode(array((0 to 3).map(b =>
+          struct(lit(b).as("band"),
+            bucketOf(b * 2 to b * 2 + 1).as("bucket"))): _*)).as("bb"): _*)
+      .select(col("doc_id") +: (0 to 7).map(j => col(s"m$j")) :+
+        col("bb.band").as("band") :+ col("bb.bucket").as("bucket"): _*)
+    val a = buckets.select(
+      col("doc_id").as("id1") +: (0 to 7).map(j => col(s"m$j").as(s"a$j")) :+
+        col("band") :+ col("bucket"): _*)
+    val b = buckets.select(
+      col("doc_id").as("id2") +: (0 to 7).map(j => col(s"m$j").as(s"b$j")) :+
+        col("band") :+ col("bucket"): _*)
+    val matches = (0 to 7)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(matches.cast("double") / lit(8), 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .distinct()
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private def minhashCandidatesOracle: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+       |       FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+       |       WHERE len(t) >= 3),
+       |hj AS (SELECT doc_id, j, substr(md5(g), j * 4 + 1, 4) AS h
+       |       FROM sh, UNNEST(generate_series(0, 7)) AS p(j)),
+       |mins AS (SELECT doc_id, j, MIN(h) AS m FROM hj GROUP BY doc_id, j),
+       |buckets AS (SELECT doc_id, j // 2 AS band,
+       |                   md5(string_agg(m, ',' ORDER BY j)) AS bucket
+       |            FROM mins GROUP BY doc_id, j // 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |         FROM buckets a JOIN buckets b
+       |           ON a.band = b.band AND a.bucket = b.bucket
+       |         WHERE a.doc_id < b.doc_id),
+       |agree AS (SELECT c.id1, c.id2,
+       |                 SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS matches
+       |          FROM cand c
+       |          JOIN mins ma ON ma.doc_id = c.id1
+       |          JOIN mins mb ON mb.doc_id = c.id2 AND mb.j = ma.j
+       |          GROUP BY c.id1, c.id2)
+       |SELECT id1, id2, round(matches / 8.0, 4) AS est_jaccard
+       |FROM agree
+       |WHERE matches >= 4
+       |ORDER BY id1, id2""".stripMargin
+
+  /** SimHash near-dup CANDIDATES (q37) — the step the reference-scale
+    * simhash dedup runs after fingerprinting (Manku-style: documents are
+    * near-dups when their signatures agree on all but a few bits; band
+    * the signature so every pair within the hamming budget shares at
+    * least one identical band, then verify the distance exactly on the
+    * candidates). Portable md5-bit-majority signature (identical bit
+    * logic to q106, which stays the signature-only twin), 4 bands of
+    * 8 bits, hamming ≤ 2 kept ("all but
+    * a couple of bits agree" — with this corpus's shared vocabulary a
+    * looser budget stops discriminating: ≤ 6 admits ~1M of the 12.5M
+    * possible pairs at sf0.1, ≤ 2 keeps ~20k). Plan shape: the q106 aggregate, then one
+    * (band, band-bits) self-join over |docs| × 4 band rows — never the
+    * all-pairs hamming matrix. */
+  def simhashCandidatesPortable(s: SparkSession, dir: String): DataFrame = {
+    // consumed by both self-join sides → materialize the signature once
+    val sigs = simhashPortableSigs(s, dir).localCheckpoint(true)
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+        explode(array((0 to 3).map(lit): _*)).as("band"))
+      .withColumn("bkey", substring(col("simhash"), col("band") * 8 + 1, lit(8)))
+    val a = bands.select(col("doc_id").as("id1"), col("simhash").as("s1"),
+      col("band"), col("bkey"))
+    val b = bands.select(col("doc_id").as("id2"), col("simhash").as("s2"),
+      col("band"), col("bkey"))
+    val hamming = (1 to 32)
+      .map(i => when(substring(col("s1"), i, 1) =!= substring(col("s2"), i, 1), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), hamming.cast("long").as("hamming"))
+      .filter(col("hamming") <= 2)
+      .distinct()
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private def simhashCandidatesOracle: String = {
+    val hamming = (1 to 32)
+      .map(i => s"(CASE WHEN substr(s1, $i, 1) <> substr(s2, $i, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok FROM documents
+       |), hashed AS (
+       |  SELECT doc_id, md5(tok) AS hex FROM toks
+       |), sums AS (
+       |  SELECT doc_id,
+       |    ${simhashSumsSql}
+       |  FROM hashed GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id, ${simhashSigSql} AS sh FROM sums
+       |), bands AS (
+       |  SELECT doc_id, j AS band, substr(sh, j * 8 + 1, 8) AS bkey, sh
+       |  FROM sig, UNNEST(generate_series(0, 3)) AS g(j)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |         a.sh AS s1, b.sh AS s2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.doc_id < b.doc_id
+       |)
+       |SELECT id1, id2, hamming FROM (
+       |  SELECT id1, id2, CAST($hamming AS BIGINT) AS hamming FROM cand) t
+       |WHERE hamming <= 2
+       |ORDER BY id1, id2""".stripMargin
+  }
 
   private def langScoreSql(markers: Seq[String]): String =
     s"len(list_filter($toksSql, x -> x IN (${markers.map(m => s"'$m'").mkString(", ")})))"
@@ -1000,8 +1156,10 @@ object TextQueries {
          |JOIN sz s1 ON s.id1 = s1.doc_id
          |JOIN sz s2 ON s.id2 = s2.doc_id
          |ORDER BY s.id1, s.id2""".stripMargin)),
-    Q("q36_minhash_candidates", (s, d) => minhashCandidates(s, d), None),
-    Q("q37_simhashes", (s, d) => simhashes(s, d), None),
+    Q("q36_minhash_candidates", (s, d) => minhashCandidatesPortable(s, d),
+      Some(minhashCandidatesOracle)),
+    Q("q37_simhash_candidates", (s, d) => simhashCandidatesPortable(s, d),
+      Some(simhashCandidatesOracle)),
     Q("q106_simhash_portable", (s, d) => simhashPortable(s, d),
       Some(simhashPortableOracle)),
     Q("q113_token_mix", (s, d) => tokenMix(s, d), Some(

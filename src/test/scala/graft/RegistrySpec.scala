@@ -16,13 +16,18 @@ class RegistrySpec extends AnyFunSuite {
     assert(Registry.oracleSql.keySet.subsetOf(Registry.queries.keySet))
   }
 
-  Registry.all.foreach { q =>
+  (Registry.all ++ Registry.benchExtras).foreach { q =>
     test(s"${q.name} runs at sf0.001") {
       val df = q.run(spark, TestSpark.sfDir)
       assert(df.columns.nonEmpty)
       val n = df.count()
       if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
     }
+  }
+
+  test("every registered query is oracle-checked (no rows-only gaps)") {
+    val unchecked = Registry.all.filter(_.oracle.isEmpty).map(_.name)
+    assert(unchecked.isEmpty, s"queries without oracle: $unchecked")
   }
 
   test("entry returns rows") {
