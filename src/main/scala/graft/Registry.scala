@@ -38,6 +38,7 @@ object Registry {
       reports.Reshape.qs ++
       operators.FilterQueries.qs ++
       etl.EtlQueries.qs ++
+      etl.FileGate.qs ++
       text.TextQueries.qs ++
       streaming.EventQueries.qs ++
       similarity.SimilarityQueries.qs ++

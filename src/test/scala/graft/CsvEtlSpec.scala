@@ -83,6 +83,15 @@ class CsvEtlSpec extends AnyFunSuite {
     assert(ColumnMap.parseSourceName("Name") == ("Name", None))
   }
 
+  test("FileGate fixture is the golden resource, byte for byte") {
+    val resource = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource("/testdata.csv").getPath)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(graft.etl.FileGate.csvContent == resource,
+      "q115's embedded fixture drifted from src/test/resources/testdata.csv")
+  }
+
   test("skip/take honors file order") {
     val df = CsvSource.read(spark, getClass.getResource("/testdata.csv").getPath,
       CsvSource.excelFriendly.copy(skip = 1, take = Some(2)))
