@@ -60,8 +60,32 @@ object FileGate {
     * reader (untyped staging) and the lazy conversion layer. Timestamps
     * render as formatted strings (engine-stable), the int list as a
     * comma-joined string. */
-  def csvIngest(s: SparkSession, dir: String): DataFrame = {
-    val raw = CsvSource.read(s, ensureFixture(), CsvSource.excelFriendly)
+  def csvIngest(s: SparkSession, dir: String): DataFrame =
+    convertFixture(CsvSource.read(s, ensureFixture(), CsvSource.excelFriendly))
+
+  /** S2: the SAME golden table as a generated .xlsx workbook through the
+    * distributed `ExcelSource` reader and the same conversions — the
+    * `DataReaderTests.cs:22-82` parity contract (CSV and xlsx of one
+    * table must parse identically), enforced by giving q118 the exact
+    * q115 oracle: DuckDB's read_csv over the CSV fixture must match the
+    * xlsx parse cell-for-cell. The workbook is generated from the parsed
+    * CSV fixture (5 rows collected driver-side — fixture construction,
+    * not the data path) and exercises both numeric and shared-string
+    * cells. */
+  def xlsxIngest(s: SparkSession, dir: String): DataFrame = {
+    val csv = CsvSource.read(s, ensureFixture(), CsvSource.excelFriendly)
+    val header = csv.columns.toSeq
+    val data = csv.collect().toSeq
+      .map(r => (0 until r.length).map(i =>
+        if (r.isNullAt(i)) null else r.getString(i)))
+    val path = "/tmp/graft_gate/testdata.xlsx"
+    ExcelSource.writeFixture(path, header +: data)
+    convertFixture(ExcelSource.read(s, path))
+  }
+
+  /** The shared conversion projection (§2.7 lazy typing over untyped
+    * staging) — q115 (CSV) and q118 (xlsx) run the identical tree. */
+  private def convertFixture(raw: DataFrame): DataFrame = {
     val il = Conversions.intList(col("IntList"))
     raw.select(
       Conversions.intOf(col("Id")).as("id"),
@@ -185,5 +209,8 @@ object FileGate {
   val qs: Seq[Q] = Seq(
     Q("q115_csv_ingest", (s, d) => csvIngest(s, d), Some(csvIngestOracle)),
     Q("q116_csv_roundtrip", (s, d) => csvRoundTrip(s, d), Some(csvRoundTripOracle)),
-    Q("q117_xml_roundtrip", (s, d) => xmlRoundTrip(s, d), Some(xmlRoundTripOracle)))
+    Q("q117_xml_roundtrip", (s, d) => xmlRoundTrip(s, d), Some(xmlRoundTripOracle)),
+    // q118 shares q115's oracle VERBATIM: that IS the parity contract —
+    // the xlsx parse must match what DuckDB reads from the CSV twin
+    Q("q118_xlsx_ingest", (s, d) => xlsxIngest(s, d), Some(csvIngestOracle)))
 }
