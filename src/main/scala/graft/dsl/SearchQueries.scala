@@ -29,6 +29,33 @@ object SearchQueries {
   def searchFacet(s: SparkSession, dir: String): DataFrame =
     Search.facetOf(Tables.part(s, dir), partsQuery, Search.Facet("p_brand", 10))
 
+  /** §2.11 IRule, distributed bridge: a cart-rule SET segments customers
+    * ({SpentAmount ≥ 200000 AND OrderCount ≥ 5} OR SpentAmount ≥ 800000
+    * — the `SpentAmountRule`/`OrderCountRule` relational conditions
+    * compiled to Columns by `CartRules.Segment`), composed with a search
+    * DSL Must filter. The driver-side evaluator (`CartRules.evalExpr` —
+    * the `CompositeRule` fold) carries the per-session semantics and is
+    * truth-table-tested in CartRuleSpec; this query proves the SAME rule
+    * tree also evaluates as one distributed pass. */
+  def cartRuleSegment(s: SparkSession, dir: String): DataFrame = {
+    import graft.rules.CartRules._
+    import java.math.{BigDecimal => JBD}
+    val rule: CartExpr = Group(and = false, Seq(
+      Group(and = true, Seq(
+        Leaf(SpentAmount(NumOp.Ge, new JBD(200000))),
+        Leaf(OrderCount(NumOp.Ge, 5)))),
+      Leaf(SpentAmount(NumOp.Ge, new JBD(800000)))))
+    val stats = Segment.customerStats(Tables.customer(s, dir), Tables.orders(s, dir))
+    val q = Search.Query(
+      filters = Seq(FilterExpr.Pred("c_mktsegment", RuleOps.In,
+        Seq("AUTOMOBILE", "BUILDING"))),
+      idField = "c_custkey")
+    Search.compileFiltered(stats.filter(Segment.exprColumn(rule)), q)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("spent"), col("order_cnt"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** S6: raw-SQL escape hatch — temp view + spark.sql (the analog of
     * `DataProvider` SQL passthrough). */
   def rawSql(s: SparkSession, dir: String): DataFrame = {
@@ -106,6 +133,20 @@ object SearchQueries {
         |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sa
         |  FROM orders GROUP BY o_custkey) t ON c_custkey = o_custkey
         |WHERE COALESCE(cc, 0) >= 3 AND COALESCE(sa, 0) >= 300000
+        |ORDER BY c_custkey""".stripMargin)),
+    Q("q119_cart_rule_segment", (s, d) => cartRuleSegment(s, d), Some(
+      """WITH st AS (
+        |  SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+        |         CAST(COALESCE(SUM(CASE WHEN o.o_orderstatus = 'F'
+        |                THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END), 0)
+        |              AS DOUBLE) AS spent,
+        |         COUNT(o.o_orderkey) AS order_cnt
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT c_custkey, c_name, c_mktsegment, spent, order_cnt
+        |FROM st
+        |WHERE ((spent >= 200000 AND order_cnt >= 5) OR spent >= 800000)
+        |  AND c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
         |ORDER BY c_custkey""".stripMargin))
   )
 }
