@@ -103,6 +103,40 @@ object EtlQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** §2.9 export expansion end to end (ExportExpand): parts keyed %10=0
+    * act as grouped parents whose children are the two following keys;
+    * parts keyed %7=0 carry two active variant combinations (combo A
+    * overrides sku and price — exact decimal +10.00 — combo B only the
+    * sku, price inherits). Grouped parents disappear in favor of their
+    * children (duplicates collapse), then each combination becomes its
+    * own row with a composite unique_id. Every derivation is from the
+    * part table itself so DuckDB restates the whole expansion. */
+  def exportExpanded(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.part(s, dir).select(
+      col("p_partkey"),
+      concat(lit("P-"), col("p_partkey")).as("sku"),
+      col("p_retailprice").cast("decimal(18,2)").as("price"),
+      when(col("p_partkey") % 10 === 0, "grouped").otherwise("simple").as("ptype"))
+    val assoc = base.filter(col("ptype") === "grouped")
+      .select(col("p_partkey").as("parent_id"),
+        explode(array(col("p_partkey") + 1, col("p_partkey") + 2)).as("p_partkey"))
+      .join(base, Seq("p_partkey"))
+    val flat = ExportExpand.expandGrouped(base, assoc, "p_partkey", "ptype")
+    val combos = base.filter(col("p_partkey") % 7 === 0)
+      .select(col("p_partkey"), col("sku"), col("price"),
+        explode(array(lit(1), lit(2))).as("combo_id"))
+      .select(col("p_partkey"), col("combo_id"),
+        concat(col("sku"),
+          when(col("combo_id") === 1, "-A").otherwise("-B")).as("__ov_sku"),
+        when(col("combo_id") === 1, col("price") + lit(BigDecimal("10.00")))
+          .otherwise(lit(null).cast("decimal(18,2)")).as("__ov_price"))
+    ExportExpand.combinationsAsProducts(flat, combos, "p_partkey",
+        overrides = Seq("sku", "price"))
+      .select(col("unique_id"), col("p_partkey"), col("sku"),
+        col("price").cast("double").as("price"))
+      .orderBy(col("p_partkey"), col("unique_id"))
+  }
+
   /** Pre-import data profile of the customer table (one aggregation
     * pass for all columns — see Profiler). */
   def customerProfile(s: SparkSession, dir: String): DataFrame =
@@ -111,6 +145,34 @@ object EtlQueries {
       .orderBy(col("col_name"))
 
   val qs: Seq[Q] = Seq(
+    Q("q120_export_expansion", (s, d) => exportExpanded(s, d), Some(
+      """WITH base AS (
+        |  SELECT p_partkey, 'P-' || p_partkey AS sku,
+        |         CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+        |         CASE WHEN p_partkey % 10 = 0 THEN 'grouped'
+        |              ELSE 'simple' END AS ptype
+        |  FROM part),
+        |childkeys AS (
+        |  SELECT p_partkey AS parent_id, p_partkey + j AS p_partkey
+        |  FROM base, UNNEST([1, 2]) AS t(j) WHERE ptype = 'grouped'),
+        |children AS (
+        |  SELECT b.* FROM base b JOIN childkeys ck USING (p_partkey)),
+        |flat AS (
+        |  SELECT DISTINCT * FROM (
+        |    SELECT * FROM base WHERE ptype <> 'grouped'
+        |    UNION ALL SELECT * FROM children)),
+        |combos AS (
+        |  SELECT p_partkey, j AS combo_id,
+        |         sku || (CASE WHEN j = 1 THEN '-A' ELSE '-B' END) AS sku_ov,
+        |         CASE WHEN j = 1 THEN price + 10.00 ELSE NULL END AS price_ov
+        |  FROM base, UNNEST([1, 2]) AS t(j) WHERE p_partkey % 7 = 0)
+        |SELECT CASE WHEN c.combo_id IS NULL THEN CAST(f.p_partkey AS VARCHAR)
+        |            ELSE f.p_partkey || '-' || c.combo_id END AS unique_id,
+        |       f.p_partkey,
+        |       COALESCE(c.sku_ov, f.sku) AS sku,
+        |       CAST(COALESCE(c.price_ov, f.price) AS DOUBLE) AS price
+        |FROM flat f LEFT JOIN combos c USING (p_partkey)
+        |ORDER BY p_partkey, unique_id""".stripMargin)),
     Q("q78_profile", (s, d) => customerProfile(s, d), Some(
       Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
         .sorted
