@@ -17,11 +17,42 @@ import graft.rules.FilterExpr
   */
 object QueryStringFactory {
 
+  /** Per-LANGUAGE alias mapping (`CatalogSearchQueryAliasMapper.cs`):
+    * every lookup tries the requested language first and falls back to
+    * the language-NEUTRAL entry (languageId 0) — the exact TryGetValue
+    * cascade of `GetAttributeIdByAlias` / `GetAttributeOptionIdByAlias`
+    * (CatalogSearchQueryAliasMapper.cs:35-67). Field aliases map URL
+    * parameter names to columns ("farbe" and "color" → p_brand); VALUE
+    * aliases map localized facet-value tokens to canonical stored values
+    * ("rot"@de and "red"@en → the one value the column actually holds),
+    * so differently-localized URLs compile to the SAME descriptor. */
+  final case class AliasMapper(
+      /** (languageId, alias) → field; languageId 0 = neutral. */
+      fields: Map[(Int, String), String] = Map.empty,
+      /** (languageId, field, valueAlias) → canonical value. */
+      values: Map[(Int, String, String), Any] = Map.empty) {
+
+    private def cascade[K, V](m: Map[K, V], keyed: Int => K, languageId: Int): Option[V] =
+      m.get(keyed(languageId))
+        .orElse(if (languageId != 0) m.get(keyed(0)) else None)
+
+    def fieldOf(alias: String, languageId: Int = 0): Option[String] =
+      cascade[(Int, String), String](fields, l => (l, alias), languageId)
+
+    def valueOf(field: String, valueAlias: String, languageId: Int = 0): Option[Any] =
+      cascade[(Int, String, String), Any](values, l => (l, field, valueAlias), languageId)
+  }
+
   final case class Config(
       termFields: Seq[String],
       idField: String = "id",
-      /** URL alias → column name (the alias mapper). */
+      /** URL alias → column name (language-neutral shorthand; entries
+        * merge into `aliases` as languageId-0 rows). */
       fieldAliases: Map[String, String] = Map.empty,
+      /** Per-language alias layer; looked up before `fieldAliases`. */
+      aliases: AliasMapper = AliasMapper(),
+      /** The request's working language (0 = neutral). */
+      languageId: Int = 0,
       /** alias used for the price/range parameter (reference: "p"). */
       rangeParam: String = "p",
       rangeField: String = "price",
@@ -60,11 +91,19 @@ object QueryStringFactory {
     val aliasFilters: Seq[FilterExpr.Node] = params.toSeq
       .filterNot { case (k, _) => Reserved.contains(k) || k == cfg.rangeParam }
       .flatMap { case (k, v) =>
-        cfg.fieldAliases.get(k).map { field =>
-          val values = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-          val coerced: Seq[Any] = values.map(s => s.toLongOption.getOrElse(s): Any)
-          FilterExpr.Pred(field, RuleOps.In, coerced)
-        }
+        cfg.aliases.fieldOf(k, cfg.languageId)
+          .orElse(cfg.fieldAliases.get(k))
+          .map { field =>
+            val values = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            // localized facet-value aliases resolve to canonical stored
+            // values (language → neutral cascade); unmapped tokens stay
+            // literal with the numeric coercion of the base factory
+            val coerced: Seq[Any] = values.map { s =>
+              cfg.aliases.valueOf(field, s, cfg.languageId)
+                .getOrElse(s.toLongOption.getOrElse(s): Any)
+            }
+            FilterExpr.Pred(field, RuleOps.In, coerced)
+          }
       }
     Search.Query(
       term = term,

@@ -55,6 +55,50 @@ class RuleSetSpec extends AnyFunSuite {
     assert(r.hits.select("id").as[Long].collect().toSeq == Seq(1L, 4L))
   }
 
+  test("per-language aliases: two localized URLs compile to the same descriptor") {
+    // CatalogSearchQueryAliasMapper semantics: field aliases and facet-
+    // VALUE aliases are both per-language with a neutral (0) fallback
+    val mapper = QueryStringFactory.AliasMapper(
+      fields = Map(
+        (0, "country") -> "country_id",
+        (1, "country") -> "country_id", // en
+        (2, "land") -> "country_id"),   // de
+      values = Map(
+        (1, "country_id", "narnia") -> 2L,
+        (2, "country_id", "narnien") -> 2L))
+    def cfgFor(lang: Int) = QueryStringFactory.Config(
+      termFields = Seq("name"), idField = "id",
+      aliases = mapper, languageId = lang, rangeField = "spent")
+    val en = QueryStringFactory.fromParams(Map("country" -> "narnia"), cfgFor(1))
+    val de = QueryStringFactory.fromParams(Map("land" -> "narnien"), cfgFor(2))
+    assert(en.filters == de.filters,
+      "differently-localized URLs must produce the identical descriptor")
+    assert(en.filters == Seq(graft.rules.FilterExpr.Pred(
+      "country_id", graft.operators.RuleOps.In, Seq(2L))))
+    val enHits = Search.run(customers, en)
+    val deHits = Search.run(customers, de)
+    assert(enHits.hits.select("id").as[Long].collect().toSeq ==
+      deHits.hits.select("id").as[Long].collect().toSeq)
+    assert(enHits.totalHits > 0)
+  }
+
+  test("alias cascade falls back to the language-neutral entry") {
+    val mapper = QueryStringFactory.AliasMapper(
+      fields = Map((0, "c") -> "country_id", (2, "c") -> "name"),
+      values = Map((0, "country_id", "somewhere") -> 3L))
+    // language 9 has no entries of its own → neutral field + neutral value
+    val cfg = QueryStringFactory.Config(termFields = Seq("name"), idField = "id",
+      aliases = mapper, languageId = 9, rangeField = "spent")
+    val q = QueryStringFactory.fromParams(Map("c" -> "somewhere,4"), cfg)
+    assert(q.filters == Seq(graft.rules.FilterExpr.Pred(
+      "country_id", graft.operators.RuleOps.In, Seq(3L, 4L))))
+    // language 2 OVERRIDES the field alias; unmapped values stay literal
+    val q2 = QueryStringFactory.fromParams(Map("c" -> "alice"),
+      cfg.copy(languageId = 2))
+    assert(q2.filters == Seq(graft.rules.FilterExpr.Pred(
+      "name", graft.operators.RuleOps.In, Seq("alice"))))
+  }
+
   test("open-ended range: p=100-") {
     val cfg = QueryStringFactory.Config(termFields = Seq("name"),
       idField = "id", rangeField = "spent")
