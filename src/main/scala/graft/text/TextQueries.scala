@@ -548,18 +548,17 @@ object TextQueries {
     * an interval-union window per doc — every shuffle is keyed by gram or
     * doc_id, no global sort, no
     * driver state. At 100 TB the gram→min/max aggregate is the big shuffle;
-    * grams shuffle as their xxhash64 (8 bytes instead of a ~40-byte
-    * string — the string is dropped before any exchange). 64-bit
-    * collisions are NOT negligible at design scale: ~1e13 distinct
-    * 5-grams put the birthday bound at n²/2⁶⁵ ≈ 2.7M colliding gram
-    * PAIRS, each of which can falsely mark its spans as cross-doc
-    * duplicates — but that is ~2.7M mislabeled spans out of 1e13
-    * (dup_frac error ~1e-7 per corpus, zero at every tested SF, where
-    * the DuckDB gate re-checks exact values). If exact parity beyond
-    * tested SFs matters, swap `gh` to a 128-bit hash (md5 high/low
-    * longs, as q30 does for whole docs) at ~2× the hash+shuffle width.
-    * The final join prunes to dup grams only (a small fraction of all
-    * grams in real corpora). */
+    * grams shuffle as a 16-byte md5 digest (unhex(md5) binary — not the
+    * ~40-byte gram string, which is dropped before any exchange, and not
+    * a 64-bit hash: at design scale ~1e13 distinct 5-grams put the
+    * 64-bit birthday bound at n²/2⁶⁵ ≈ 2.7M colliding gram PAIRS, each
+    * able to falsely mark its spans as cross-doc duplicates. That error
+    * was only ~1e-7 of the corpus, but doubling the key width makes the
+    * bound n²/2¹²⁹ ≈ 1e-13 expected collisions — exact parity at ANY
+    * feasible corpus size for one extra 8-byte word per shuffle row
+    * (xxhash64 remains the right trade when an approximate dup_frac is
+    * acceptable). The final join prunes to dup grams only (a small
+    * fraction of all grams in real corpora). */
   def spanDedupStats(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
@@ -573,7 +572,7 @@ object TextQueries {
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1), size(col("toks")) - (n - 1), lit(1))).as("i"))
       .select(col("doc_id"), col("i"),
-        xxhash64(concat_ws(" ", slice(col("toks"), col("i"), lit(n)))).as("gh"))
+        unhex(md5(concat_ws(" ", slice(col("toks"), col("i"), lit(n))))).as("gh"))
       .localCheckpoint(true)
     // "in ≥2 docs" as min(doc)≠max(doc): ONE plain aggregate with map-side
     // partials, instead of count_distinct's two-round expansion (measured
