@@ -818,30 +818,40 @@ object TextQueries {
     * (band, band-bits) self-join over |docs| × 4 band rows — never the
     * all-pairs hamming matrix. */
   def simhashCandidatesPortable(s: SparkSession, dir: String): DataFrame = {
+    // the signature as ONE 32-bit integer (string bit i ⇒ weight
+    // 2^(31-i)): band keys come from shifts and the hamming distance is
+    // a single xor+popcount per pair. Per-pair cost is THE scale knob
+    // here — the candidate join is skewed by construction (shared
+    // vocabulary concentrates signatures into few band buckets, so
+    // millions of pairs can land in one bucket/task); a per-character
+    // comparison over the 32-char bit string was ~10× this whole
+    // query's budget at sf0.1.
     // consumed by both self-join sides → materialize the signature once
-    val sigs = simhashPortableSigs(s, dir).localCheckpoint(true)
-    val bands = sigs.select(col("doc_id"), col("simhash"),
+    val sigs = simhashPortableSigs(s, dir)
+      .withColumn("iv", conv(col("simhash"), 2, 10).cast("long"))
+      .select(col("doc_id"), col("iv"))
+      .localCheckpoint(true)
+    val bands = sigs.select(col("doc_id"), col("iv"),
         explode(array((0 to 3).map(lit): _*)).as("band"))
-      .withColumn("bkey", substring(col("simhash"), col("band") * 8 + 1, lit(8)))
-    val a = bands.select(col("doc_id").as("id1"), col("simhash").as("s1"),
+      .withColumn("bkey",
+        expr("shiftright(iv, (3 - band) * 8)").bitwiseAND(lit(255L)))
+    val a = bands.select(col("doc_id").as("id1"), col("iv").as("iv1"),
       col("band"), col("bkey"))
-    val b = bands.select(col("doc_id").as("id2"), col("simhash").as("s2"),
+    val b = bands.select(col("doc_id").as("id2"), col("iv").as("iv2"),
       col("band"), col("bkey"))
-    val hamming = (1 to 32)
-      .map(i => when(substring(col("s1"), i, 1) =!= substring(col("s2"), i, 1), 1)
-        .otherwise(0))
-      .reduce(_ + _)
     a.join(b, Seq("band", "bkey"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), hamming.cast("long").as("hamming"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("iv1").bitwiseXOR(col("iv2"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 2)
       .distinct()
       .orderBy(col("id1"), col("id2"))
   }
 
   private def simhashCandidatesOracle: String = {
-    val hamming = (1 to 32)
-      .map(i => s"(CASE WHEN substr(s1, $i, 1) <> substr(s2, $i, 1) THEN 1 ELSE 0 END)")
+    // integer signature from the bit-majority sums: bit i ⇒ 2^(31-i)
+    val iv = (0 to 31)
+      .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << (31 - i)}::BIGINT ELSE 0::BIGINT END)")
       .mkString(" + ")
     s"""WITH toks AS (
        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents
@@ -852,18 +862,19 @@ object TextQueries {
        |    ${simhashSumsSql}
        |  FROM hashed GROUP BY doc_id
        |), sig AS (
-       |  SELECT doc_id, ${simhashSigSql} AS sh FROM sums
+       |  SELECT doc_id, CAST($iv AS BIGINT) AS iv FROM sums
        |), bands AS (
-       |  SELECT doc_id, j AS band, substr(sh, j * 8 + 1, 8) AS bkey, sh
+       |  SELECT doc_id, iv, j AS band, (iv >> ((3 - j) * 8)) & 255 AS bkey
        |  FROM sig, UNNEST(generate_series(0, 3)) AS g(j)
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
-       |         a.sh AS s1, b.sh AS s2
+       |         a.iv AS iv1, b.iv AS iv2
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
        |  WHERE a.doc_id < b.doc_id
        |)
        |SELECT id1, id2, hamming FROM (
-       |  SELECT id1, id2, CAST($hamming AS BIGINT) AS hamming FROM cand) t
+       |  SELECT id1, id2, CAST(bit_count(xor(iv1, iv2)) AS BIGINT) AS hamming
+       |  FROM cand) t
        |WHERE hamming <= 2
        |ORDER BY id1, id2""".stripMargin
   }
