@@ -102,4 +102,32 @@ object TextFunctions {
     * DuckDB oracle states the identical CASE-chain logic. */
   def langId(c: Column): Column =
     graft.functions.LangIdExpr.langIdOfTokens(tokens(c), LangMarkers)
+
+  /** PII scrubbing (training-data curation gate): pattern set chosen to
+    * be portable between Java regex and RE2 (no lookbehind/backrefs) so
+    * the scrub restates in SQL engines. Redaction order matters and is
+    * fixed — emails first (they contain digits and dots that the later
+    * patterns would otherwise bite into), then IPv4, then long digit
+    * runs (account/phone/card-shaped ids). All three are codegen'd
+    * `regexp_replace`/`regexp_count` expressions: the scrub is one
+    * narrow projection pass over the corpus, no shuffle. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val LongDigitsRe = "\\b\\d{9,}\\b"
+
+  def piiRedact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      LongDigitsRe, "<ID>")
+
+  /** (emails, ips, long-digit-runs) match counts, same pattern order. */
+  def piiCounts(c: Column): Seq[Column] = {
+    val afterEmail = regexp_replace(c, EmailRe, "<EMAIL>")
+    Seq(
+      regexp_count(c, lit(EmailRe)),
+      regexp_count(afterEmail, lit(Ipv4Re)),
+      regexp_count(regexp_replace(afterEmail, Ipv4Re, "<IP>"), lit(LongDigitsRe)))
+  }
 }

@@ -879,6 +879,67 @@ object TextQueries {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** PII scrubbing gate (q121): the synthetic corpus carries no PII, so
+    * the query INJECTS deterministic synthetic PII (an email, an IPv4,
+    * or an account-shaped digit run, keyed by doc_id) and proves the
+    * scrubber removes exactly it — the inject-then-scrub harness a real
+    * pipeline validates its redaction stage with (realistic free-text
+    * cases live in TextFunctionsSpec). Output: per-doc match counts by
+    * category plus the md5 of the redacted text, all restated in the
+    * DuckDB oracle. One narrow projection pass, no shuffle. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val injected = d.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now")))
+        .when(col("doc_id") % 5 === 1,
+          concat(col("text"), lit(" from 10.0."),
+            (col("doc_id") % 256).cast("string"), lit(".7")))
+        .when(col("doc_id") % 5 === 2,
+          concat(col("text"), lit(" acct "),
+            (col("doc_id") + 1000000000L).cast("string")))
+        .otherwise(col("text")).as("t"))
+    val counts = TextFunctions.piiCounts(col("t"))
+    injected.select(col("doc_id"),
+        counts(0).cast("long").as("n_email"),
+        counts(1).cast("long").as("n_ip"),
+        counts(2).cast("long").as("n_id"),
+        md5(TextFunctions.piiRedact(col("t"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def piiScrubOracle: String = {
+    val email = TextFunctions.EmailRe
+    val ip = TextFunctions.Ipv4Re
+    val digits = TextFunctions.LongDigitsRe
+    s"""WITH inj AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0
+       |           THEN text || ' contact user' || doc_id || '@example.com now'
+       |         WHEN doc_id % 5 = 1
+       |           THEN text || ' from 10.0.' || (doc_id % 256) || '.7'
+       |         WHEN doc_id % 5 = 2
+       |           THEN text || ' acct ' || (doc_id + 1000000000)
+       |         ELSE text END AS t
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id, t,
+       |         regexp_replace(t, '$email', '<EMAIL>', 'g') AS t1
+       |  FROM inj),
+       |st2 AS (
+       |  SELECT doc_id, t, t1,
+       |         regexp_replace(t1, '$ip', '<IP>', 'g') AS t2
+       |  FROM st)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_email,
+       |       CAST(len(regexp_extract_all(t1, '$ip')) AS BIGINT) AS n_ip,
+       |       CAST(len(regexp_extract_all(t2, '$digits')) AS BIGINT) AS n_id,
+       |       md5(regexp_replace(t2, '$digits', '<ID>', 'g')) AS redacted_md5
+       |FROM st2
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def langScoreSql(markers: Seq[String]): String =
     s"len(list_filter($toksSql, x -> x IN (${markers.map(m => s"'$m'").mkString(", ")})))"
 
@@ -1111,6 +1172,7 @@ object TextQueries {
          |             CAST(nullif(len(t.t), 0) AS DOUBLE), 4) AS dup_frac
          |FROM tok t LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin)),
+    Q("q121_pii_scrub", (s, d) => piiScrub(s, d), Some(piiScrubOracle)),
     Q("q95_source_mix", (s, d) => sourceMixSample(s, d), Some(
       """WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
         |q AS (SELECT MIN(c) AS quota FROM c),

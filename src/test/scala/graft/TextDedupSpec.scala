@@ -87,6 +87,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und"))
   }
 
+  test("PII scrubber redacts emails, IPs, digit runs; leaves clean text alone") {
+    val df = Seq(
+      (1L, "mail me at jane.doe+spam@mail.example.org or JOHN@X.CO today"),
+      (2L, "server 192.168.1.254 and 10.0.0.1 are internal"),
+      (3L, "card 4111111111111111 acct 123456789 short 12345678"),
+      (4L, "nothing sensitive here, just 42 and 3.14"),
+      (5L, "mixed: bob@corp.io from 172.16.0.9 ref 9876543210")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextFunctions.piiRedact(col("text")).as("red"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1) == "mail me at <EMAIL> or <EMAIL> today")
+    assert(out(2) == "server <IP> and <IP> are internal")
+    // 16-digit card and 9-digit account redact; 8 digits is below the bar
+    assert(out(3) == "card <ID> acct <ID> short 12345678")
+    assert(out(4) == "nothing sensitive here, just 42 and 3.14")
+    assert(out(5) == "mixed: <EMAIL> from <IP> ref <ID>")
+    val counts = df.select(col("doc_id") +:
+        TextFunctions.piiCounts(col("text")).zip(Seq("e", "i", "d"))
+          .map { case (c, n) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(counts(1) == ((2, 0, 0)))
+    assert(counts(2) == ((0, 2, 0)))
+    assert(counts(3) == ((0, 0, 2)))
+    assert(counts(4) == ((0, 0, 0)))
+    assert(counts(5) == ((1, 1, 1)))
+  }
+
   test("quality signals on a punctuated doc") {
     val df = Seq((1L, "Hello, world! This is a test.")).toDF("doc_id", "text")
     val r = df.select(
