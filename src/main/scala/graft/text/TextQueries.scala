@@ -879,6 +879,68 @@ object TextQueries {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** Unigram LM surprisal scoring (q122) — the relational form of the
+    * CCNet/KenLM-style "perplexity filter": train a unigram LM on the
+    * corpus itself (one vocabulary aggregate), score every document by
+    * its mean per-token surprisal -log2 p(token) in bits. Low bits ≈
+    * stereotypical text, high bits ≈ rare-token soup; a curation
+    * pipeline thresholds both tails. (A real deployment swaps the
+    * corpus LM for one trained on a trusted reference corpus — the plan
+    * shape below is unchanged: the LM is a broadcast-sized table.)
+    *
+    * Determinism across engines: per-token surprisal is ONE log2 call
+    * quantized to an integer (×10000, rounded) BEFORE the per-doc sum,
+    * so the cross-row accumulation is integer (order-independent —
+    * float sums would differ between Spark's partial aggregation order
+    * and DuckDB's); the final mean divides the exact integer sum.
+    *
+    * Plan shape: tokenize once (the frame is consumed by the vocab
+    * aggregate AND the scoring join → localCheckpoint), one token-keyed
+    * aggregate for the LM, LM broadcast back onto token rows, one
+    * doc_id aggregate. At 100 TB the vocabulary is still
+    * broadcast-sized (natural-language vocab grows ~logarithmically)
+    * and the big shuffle is the doc_id partial-aggregated sum. */
+  def unigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .localCheckpoint(true)
+    val tf = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum(col("cnt")).as("total"))
+    val lm = tf.crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(-log2(col("cnt").cast("double") / col("total").cast("double"))
+          * 10000, 0).cast("long").as("sq"))
+    tok.join(broadcast(lm), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("sq")).as("sq_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        // round in INTEGER space (1e-4-bit units) then divide by an exact
+        // power of ten: round(double, 4) sits on different half-even/away
+        // boundaries in different engines for quotients like 4.90595, but
+        // round(x, 0) of the same IEEE quotient agrees everywhere and the
+        // final /10000.0 maps equal longs to bit-identical doubles
+        (round(col("sq_sum").cast("double") / col("n_tokens"), 0).cast("long")
+          / 10000.0).as("bits_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def unigramSurprisalOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |tf AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+       |tot AS (SELECT SUM(cnt) AS total FROM tf),
+       |lm AS (SELECT tok,
+       |              CAST(round(-log2(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+       |                         * 10000, 0) AS BIGINT) AS sq
+       |       FROM tf, tot)
+       |SELECT t.doc_id,
+       |       COUNT(*) AS n_tokens,
+       |       CAST(round(SUM(lm.sq) / CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT)
+       |         / 10000.0 AS bits_per_token
+       |FROM tok t JOIN lm USING (tok)
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   /** PII scrubbing gate (q121): the synthetic corpus carries no PII, so
     * the query INJECTS deterministic synthetic PII (an email, an IPv4,
     * or an account-shaped digit run, keyed by doc_id) and proves the
@@ -1173,6 +1235,8 @@ object TextQueries {
          |FROM tok t LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin)),
     Q("q121_pii_scrub", (s, d) => piiScrub(s, d), Some(piiScrubOracle)),
+    Q("q122_lm_surprisal", (s, d) => unigramSurprisal(s, d),
+      Some(unigramSurprisalOracle)),
     Q("q95_source_mix", (s, d) => sourceMixSample(s, d), Some(
       """WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
         |q AS (SELECT MIN(c) AS quota FROM c),
