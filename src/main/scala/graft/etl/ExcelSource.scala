@@ -38,8 +38,10 @@ object ExcelSource {
     val bin = spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
     // schema pass: first file by path (deterministic), driver-side
-    val firstRows = parseWorkbook(
-      bin.orderBy(col("path")).select(col("content")).head.getAs[Array[Byte]](0))
+    val first = bin.orderBy(col("path")).select(col("content")).take(1)
+    if (first.isEmpty)
+      throw new IllegalArgumentException(s"no .xlsx files found under $path")
+    val firstRows = parseWorkbook(first(0).getAs[Array[Byte]](0))
     val width = if (firstRows.isEmpty) 0 else firstRows.map(_.length).max
     val names: Seq[String] =
       if (cfg.hasHeaders) {

@@ -77,6 +77,14 @@ class ExcelEtlSpec extends AnyFunSuite {
     assert(r2.isNullAt(1) && r2.getString(2) == "v2")
   }
 
+  test("empty input dir fails with a clear message, not a head() crash") {
+    val p = java.nio.file.Files.createTempDirectory("graft_xlsx_empty").toString
+    val e = intercept[IllegalArgumentException] {
+      ExcelSource.read(spark, p)
+    }
+    assert(e.getMessage.contains("no .xlsx files"))
+  }
+
   test("a directory of workbooks reads distributed, rows unioned") {
     val dir = s"$tmp/many"
     ExcelSource.writeFixture(s"$dir/part1.xlsx",
