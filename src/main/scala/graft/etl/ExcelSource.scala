@@ -32,10 +32,16 @@ object ExcelSource {
       defaultColumnPrefix: String = "Column")
 
   /** Read all .xlsx files under `path` (file or directory) as one
-    * all-string DataFrame. */
+    * all-string DataFrame. Schema (names and width) comes from the
+    * FIRST file by path — the same first-file-inference contract as the
+    * CSV datasource's header pass; later files' extra trailing columns
+    * are dropped and missing ones read as null, exactly like PERMISSIVE
+    * CSV against an inferred schema. */
   def read(spark: SparkSession, path: String,
       cfg: ExcelConfig = ExcelConfig()): DataFrame = {
-    val bin = spark.read.format("binaryFile").load(path)
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx")
+      .load(path)
       .select(col("path"), col("content"))
     // schema pass: first file by path (deterministic), driver-side
     val first = bin.orderBy(col("path")).select(col("content")).take(1)
@@ -81,7 +87,7 @@ object ExcelSource {
         val n = e.getName
         if (n == "xl/sharedStrings.xml") shared = parseSharedStrings(zin.readAllBytes())
         else if (n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml") &&
-            (sheetName == null || n < sheetName)) {
+            (sheetName == null || sheetBefore(n, sheetName))) {
           sheet = zin.readAllBytes(); sheetName = n
         }
         e = zin.getNextEntry
@@ -90,6 +96,21 @@ object ExcelSource {
     if (sheet == null)
       throw new IllegalArgumentException("no worksheet found in xlsx stream")
     parseSheet(sheet, shared)
+  }
+
+  /** First-worksheet selection: sheet indices compare NUMERICALLY
+    * ("sheet2.xml" before "sheet10.xml" — lexicographic order would pick
+    * sheet10), non-numeric names fall back to string order. Sheet files
+    * are conventionally named sheetN.xml in index order; full
+    * workbook.xml.rels resolution is the escape hatch if a producer
+    * violates that. */
+  private def sheetBefore(a: String, b: String): Boolean = {
+    def num(n: String): Option[Int] =
+      "sheet(\\d+)\\.xml$".r.findFirstMatchIn(n).map(_.group(1).toInt)
+    (num(a), num(b)) match {
+      case (Some(x), Some(y)) => x < y
+      case _ => a < b
+    }
   }
 
   private def xmlReader(bytes: Array[Byte]): javax.xml.stream.XMLStreamReader = {
@@ -162,7 +183,10 @@ object ExcelSource {
                 nextIdx = cellIdx + 1
                 cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
                 sb.clear(); inText = false
-              case "v" | "t" => inText = true; sb.clear()
+              // no sb.clear() here: an inlineStr cell may carry several
+              // rich-text <t> runs that must CONCATENATE (clearing per run
+              // kept only the last one; the buffer resets per cell above)
+              case "v" | "t" => inText = true
               case _ => ()
             }
           case CHARACTERS | CDATA if inText => sb.append(r.getText)

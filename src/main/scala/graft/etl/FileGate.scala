@@ -78,6 +78,9 @@ object FileGate {
     val data = csv.collect().toSeq
       .map(r => (0 until r.length).map(i =>
         if (r.isNullAt(i)) null else r.getString(i)))
+    // fixture content is SF-independent, so concurrent runs write the
+    // same bytes — the shared path is harmless here (unlike the
+    // SF-dependent round-trip scratch dirs, which are SF-scoped)
     val path = "/tmp/graft_gate/testdata.xlsx"
     ExcelSource.writeFixture(path, header +: data)
     convertFixture(ExcelSource.read(s, path))
@@ -159,9 +162,12 @@ object FileGate {
         col("o_orderpriority")),
       orderBy = Seq(col("o_orderkey")),
       limit = Some(200)))
-    Providers("csv")(src.coalesce(1), "/tmp/graft_gate/csv_roundtrip", None)
-    CsvSource.read(s, "/tmp/graft_gate/csv_roundtrip",
-        CsvConfig(skip = 25, take = Some(150)))
+    // scratch path scoped by SF-dir name: a Verify run and a test run at
+    // DIFFERENT SFs can no longer overwrite each other's round-trip files
+    // mid-read (concurrent same-SF runs still share, by design)
+    val path = s"/tmp/graft_gate/${new java.io.File(dir).getName}/csv_roundtrip"
+    Providers("csv")(src.coalesce(1), path, None)
+    CsvSource.read(s, path, CsvConfig(skip = 25, take = Some(150)))
       .select(
         col("o_orderkey").cast("long").as("o_orderkey"),
         col("o_custkey").cast("long").as("o_custkey"),
@@ -190,8 +196,9 @@ object FileGate {
       .select(col("c_custkey"), col("c_name"),
         col("c_acctbal").cast("decimal(18,2)").as("c_acctbal"), col("n_name"))
       .orderBy(col("c_custkey")).limit(150)
-    Providers("xml")(src.coalesce(1), "/tmp/graft_gate/xml_roundtrip", None)
-    ExportPipeline.readXml(s, "/tmp/graft_gate/xml_roundtrip")
+    val path = s"/tmp/graft_gate/${new java.io.File(dir).getName}/xml_roundtrip"
+    Providers("xml")(src.coalesce(1), path, None)
+    ExportPipeline.readXml(s, path)
       .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
         col("c_acctbal").cast("double").as("acctbal"), col("n_name"))
       .orderBy(col("c_custkey"))

@@ -85,6 +85,45 @@ class ExcelEtlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no .xlsx files"))
   }
 
+  test("hand-built workbook: inlineStr rich-text runs concatenate; sheet2 < sheet10") {
+    // built by hand (not via writeFixture) to exercise reader paths the
+    // fixture writer never produces: inline strings with multiple <t>
+    // runs, and sheet files whose numeric order differs from string order
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_raw").toString
+    val p = s"$dir/raw.xlsx"
+    val sheet2 =
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>K</t></is></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><r><t>Hello </t></r><r><t>World</t></r></is></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val sheet10 =
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>WRONG</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val zout = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(p)))
+    def put(name: String, content: String): Unit = {
+      zout.putNextEntry(new java.util.zip.ZipEntry(name))
+      zout.write(content.getBytes("UTF-8")); zout.closeEntry()
+    }
+    // sheet10 FIRST in the archive and lexicographically before sheet2
+    put("xl/worksheets/sheet10.xml", sheet10)
+    put("xl/worksheets/sheet2.xml", sheet2)
+    zout.close()
+    val df = ExcelSource.read(spark, p)
+    assert(df.columns.toSeq == Seq("K"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("Hello World"))
+  }
+
+  test("non-xlsx files in the directory are ignored (pathGlobFilter)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_mixed").toString
+    ExcelSource.writeFixture(s"$dir/data.xlsx", Seq(Seq("Id"), Seq("1")))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/readme.txt"), "not a workbook")
+    val df = ExcelSource.read(spark, dir)
+    assert(df.count() == 1 && df.columns.toSeq == Seq("Id"))
+  }
+
   test("a directory of workbooks reads distributed, rows unioned") {
     val dir = s"$tmp/many"
     ExcelSource.writeFixture(s"$dir/part1.xlsx",
