@@ -213,7 +213,34 @@ object FileGate {
       |ORDER BY c_custkey
       |LIMIT 150""".stripMargin
 
+  /** K2/K3 (structured sink): extract → JSON-lines provider → schema'd
+    * read back — completes the provider-trio round trips (CSV q116,
+    * XML q117, JSON here). Money rides as an exact 2dp decimal into the
+    * JSON text and reads back as double. */
+  def jsonRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val src = sup.join(nat, sup("s_nationkey") === nat("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("s_acctbal").cast("decimal(18,2)").as("acctbal"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+    val path = s"/tmp/graft_gate/${new java.io.File(dir).getName}/json_roundtrip"
+    Providers("json")(src.coalesce(1), path, None)
+    s.read.schema("s_suppkey LONG, s_name STRING, acctbal DOUBLE, n_name STRING")
+      .json(path)
+      .orderBy(col("s_suppkey"))
+  }
+
+  private def jsonRoundTripOracle: String =
+    """SELECT s_suppkey, s_name,
+      |       CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+      |       n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY s_suppkey""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q123_json_roundtrip", (s, d) => jsonRoundTrip(s, d),
+      Some(jsonRoundTripOracle)),
     Q("q115_csv_ingest", (s, d) => csvIngest(s, d), Some(csvIngestOracle)),
     Q("q116_csv_roundtrip", (s, d) => csvRoundTrip(s, d), Some(csvRoundTripOracle)),
     Q("q117_xml_roundtrip", (s, d) => xmlRoundTrip(s, d), Some(xmlRoundTripOracle)),
