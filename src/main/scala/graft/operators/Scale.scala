@@ -111,4 +111,29 @@ object Scale {
   def bucketedJoin(spark: org.apache.spark.sql.SparkSession, leftTable: String,
       rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+
+  /** Footer-statistics aggregate: global MIN/MAX/COUNT answered from
+    * parquet row-group METADATA — zero data pages read. At 100 TB this
+    * is the difference between a seconds-long footer sweep and a full
+    * corpus scan for "what's the key range / row count of this table"
+    * (exactly the pre-import profile questions). Runs in a child session
+    * with the V2 parquet reader + `parquet.aggregatePushdown` so the
+    * engine-wide read path is untouched, and REQUIRES the pushdown to
+    * have engaged — a silent fallback to scanning would defeat the
+    * point (unsupported shapes: filters, nested fields, some timestamp
+    * encodings). */
+  def footerStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("cnt")
+    val out = s2.read.parquet(path).agg(aggs.head, aggs.tail: _*)
+    require(out.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+      s"aggregate pushdown did not engage for $path ($cols) — " +
+        "the query would scan data pages instead of footers")
+    out
+  }
 }

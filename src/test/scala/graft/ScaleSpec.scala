@@ -67,6 +67,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(est == direct, "merged-from-daily must equal direct sketching")
   }
 
+  test("footerStats answers min/max/count from parquet metadata only") {
+    val path = s"${TestSpark.sfDir}/lineitem.parquet"
+    val stats = Scale.footerStats(spark, path, Seq("l_quantity", "l_orderkey"))
+    // the helper REQUIREs PushedAggregation in the plan; values must
+    // equal the classic full-scan aggregation
+    val r = stats.head()
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+    val exact = li.agg(
+      min(col("l_quantity")), max(col("l_quantity")),
+      min(col("l_orderkey")), max(col("l_orderkey")),
+      count(lit(1))).head()
+    assert(r.getDouble(0) == exact.getDouble(0)) // min qty
+    assert(r.getDouble(1) == exact.getDouble(1)) // max qty
+    assert(r.getLong(2) == exact.getLong(2))     // min orderkey
+    assert(r.getLong(3) == exact.getLong(3))     // max orderkey
+    assert(r.getLong(4) == exact.getLong(4))     // count
+  }
+
   test("saltedJoin returns the same rows as a plain join") {
     val left = (1 to 1000).map(i => (i % 3, i)).toDF("k", "v") // 3 hot keys
     val right = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "name")
