@@ -56,6 +56,38 @@ object SearchQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** F7 end to end (q124): a LOCALIZED URL query string through the
+    * alias-mapping factory (`CatalogSearchQueryFactory.CreateFromQueryAsync`
+    * conventions: q/i/s/o params, range filter, aliased IN filters with
+    * per-language facet-value aliases) compiled to a Search.Query and
+    * paged — the whole front door on the oracle gate, not just specs.
+    * German parameter names and value tokens resolve through the
+    * language-2 alias layer to the same canonical descriptor an English
+    * URL would produce. */
+  def queryStringSearch(s: SparkSession, dir: String): DataFrame = {
+    val mapper = QueryStringFactory.AliasMapper(
+      fields = Map((0, "size") -> "p_size", (2, "groesse") -> "p_size",
+        (0, "brand") -> "p_brand", (2, "marke") -> "p_brand"),
+      values = Map((2, "p_size", "klein") -> 10L, (2, "p_size", "gross") -> 40L))
+    val cfg = QueryStringFactory.Config(
+      termFields = Seq("p_name", "p_type"),
+      idField = "p_partkey",
+      aliases = mapper,
+      languageId = 2,
+      rangeParam = "p",
+      rangeField = "p_retailprice",
+      sortAliases = Map("price" -> "p_retailprice"))
+    val q = QueryStringFactory.fromParams(Map(
+      "q" -> "red",
+      "groesse" -> "klein,gross,25",
+      "p" -> "900-",
+      "o" -> "price-desc",
+      "i" -> "1", "s" -> "15"), cfg)
+    Search.pageOf(Tables.part(s, dir), q)
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        col("p_retailprice"))
+  }
+
   /** S6: raw-SQL escape hatch — temp view + spark.sql (the analog of
     * `DataProvider` SQL passthrough). */
   def rawSql(s: SparkSession, dir: String): DataFrame = {
@@ -134,6 +166,14 @@ object SearchQueries {
         |  FROM orders GROUP BY o_custkey) t ON c_custkey = o_custkey
         |WHERE COALESCE(cc, 0) >= 3 AND COALESCE(sa, 0) >= 300000
         |ORDER BY c_custkey""".stripMargin)),
+    Q("q124_querystring_search", (s, d) => queryStringSearch(s, d), Some(
+      """SELECT p_partkey, p_name, p_size, p_retailprice
+        |FROM part
+        |WHERE (lower(p_name) LIKE '%red%' OR lower(p_type) LIKE '%red%')
+        |  AND p_size IN (10, 40, 25)
+        |  AND p_retailprice >= 900
+        |ORDER BY p_retailprice DESC, p_partkey
+        |LIMIT 15 OFFSET 0""".stripMargin)),
     Q("q119_cart_rule_segment", (s, d) => cartRuleSegment(s, d), Some(
       """WITH st AS (
         |  SELECT c.c_custkey, c.c_name, c.c_mktsegment,
