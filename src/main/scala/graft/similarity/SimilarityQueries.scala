@@ -187,7 +187,95 @@ object SimilarityQueries {
        |SELECT vec_id, $sig AS srp_sig FROM sums ORDER BY vec_id""".stripMargin
   }
 
+  /** Int8 embedding quantization + recall audit (q125): per-vector
+    * symmetric int8 quantization (scale = max|e|/127 — the standard
+    * flat-PQ baseline that cuts vector memory/scan IO 4× at serving
+    * scale), then the query-side audit every deployment runs before
+    * switching: brute-force top-k over DEQUANTIZED vectors vs exact
+    * top-k, recall@k per query. All arithmetic restates in SQL
+    * (quantize = round(e/scale), dequantize = q*scale, rounded-cosine
+    * ranking with id tiebreaks), so the oracle value-checks both the
+    * quantizer and the recall accounting. HOF lambdas keep this
+    * expression-level; a production path would move the quantize/dot
+    * into one primitive-loop expression like VectorExpr. */
+  def quantizedRecall(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val scale = aggregate(col("embedding"),
+      lit(0.0d), (acc, x) => greatest(acc, abs(x.cast("double")))) / 127d
+    val deq = e.select(col("vec_id"), col("embedding"), scale.as("s"))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") / col("s"), 0) * col("s")).as("dq"))
+    val q = deq.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("dq").as("qv"))
+    def topk(vectors: DataFrame, vecCol: String, qCol: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      vectors.join(broadcast(q.withColumnRenamed("qv", "__q")),
+          col("vec_id") =!= col("query_id"))
+        .withColumn("cos", round(Ann.cosine(col(vecCol), col("__q")), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("query_id"), col("vec_id"))
+    }
+    // quantized ranking vs exact ranking → intersection size per query.
+    // The EXACT side must rank dequantized-query vs full vectors? No:
+    // exact = full-precision both sides (the pre-switch truth), quantized
+    // = dequantized both sides (what the compressed index serves).
+    val exact = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k)
+      .select(col("query_id"), col("vec_id"))
+    val quant = topk(deq.select(col("vec_id"), col("dq")), "dq", "qv")
+    exact.join(quant.withColumnRenamed("vec_id", "qvid"),
+        exact("query_id") === quant("query_id") &&
+          col("vec_id") === col("qvid"), "left")
+      .groupBy(exact("query_id"))
+      .agg(count(lit(1)).as("k_exact"),
+        count(col("qvid")).as("hits"))
+      .select(col("query_id"), col("k_exact"), col("hits"),
+        round(col("hits").cast("double") / col("k_exact"), 4).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  private def quantizedRecallOracle(k: Int = 10): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), dq AS (
+       |  SELECT vec_id,
+       |         list_transform(e, x -> round(x / s, 0) * s) AS d
+       |  FROM (SELECT vec_id, e,
+       |               list_max(list_transform(e, x -> abs(x))) / 127 AS s
+       |        FROM v)
+       |), exact AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.vec_id AS query_id, v.vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |             round(list_cosine_similarity(v.e, q.e), 4) DESC, v.vec_id) AS rn
+       |    FROM v JOIN v q ON q.vec_id < 3 AND v.vec_id <> q.vec_id) t
+       |  WHERE rn <= $k
+       |), quant AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.vec_id AS query_id, v.vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |             round(list_cosine_similarity(v.d, q.d), 4) DESC, v.vec_id) AS rn
+       |    FROM dq v JOIN dq q ON q.vec_id < 3 AND v.vec_id <> q.vec_id) t
+       |  WHERE rn <= $k
+       |)
+       |SELECT e.query_id,
+       |       COUNT(*) AS k_exact,
+       |       CAST(SUM(CASE WHEN qt.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS hits,
+       |       round(SUM(CASE WHEN qt.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |             / CAST(COUNT(*) AS DOUBLE), 4) AS recall
+       |FROM exact e LEFT JOIN quant qt
+       |  ON e.query_id = qt.query_id AND e.vec_id = qt.vec_id
+       |GROUP BY e.query_id
+       |ORDER BY e.query_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q125_quantized_recall", (s, d) => quantizedRecall(s, d),
+      Some(quantizedRecallOracle())),
     Q("q107_srp_portable", (s, d) => srpPortable(s, d),
       Some(srpPortableOracle())),
     Q("q75_embedding_neardup", (s, d) => embeddingNearDups(s, d), Some(
