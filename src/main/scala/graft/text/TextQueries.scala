@@ -462,6 +462,45 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test split (q126): every dataset release
+    * assigns each document to exactly one split by thresholding a
+    * uniform content-independent hash of its id — reproducible across
+    * runs, engines and cluster sizes, stable under re-partitioning, and
+    * immune to the classic leakage bug of RNG-based splits re-rolled per
+    * job. 90/5/5 on the 16-bit md5 bucket (the q71 idiom); output is the
+    * per-source × split doc and token accounting a release manifest
+    * records. One scan + one small aggregate. */
+  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int")
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(bucket < (65536 * 90 / 100), "train")
+          .when(bucket < (65536 * 95 / 100), "val")
+          .otherwise("test"))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  private def splitAssignOracle: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+       |                   < ${65536 * 90 / 100} THEN 'train'
+       |              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+       |                   < ${65536 * 95 / 100} THEN 'val'
+       |              ELSE 'test' END AS split,
+       |         CAST(CASE WHEN length($norm) = 0 THEN 0
+       |                   ELSE len($toksSql) END AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT source, split, COUNT(*) AS docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS tokens
+       |FROM d
+       |GROUP BY source, split
+       |ORDER BY source, split""".stripMargin
+
   /** Token-budget data mixing — the pretraining-mix pass: given per-source
     * target WEIGHTS and a global token budget (a fraction of the corpus),
     * sample each source at rate min(1, budget·share / available) with the
@@ -1235,6 +1274,7 @@ object TextQueries {
          |FROM tok t LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin)),
     Q("q121_pii_scrub", (s, d) => piiScrub(s, d), Some(piiScrubOracle)),
+    Q("q126_split_assign", (s, d) => splitAssign(s, d), Some(splitAssignOracle)),
     Q("q122_lm_surprisal", (s, d) => unigramSurprisal(s, d),
       Some(unigramSurprisalOracle)),
     Q("q95_source_mix", (s, d) => sourceMixSample(s, d), Some(
