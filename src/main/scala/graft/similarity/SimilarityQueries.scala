@@ -219,10 +219,9 @@ object SimilarityQueries {
         .filter(col("rn") <= k)
         .select(col("query_id"), col("vec_id"))
     }
-    // quantized ranking vs exact ranking → intersection size per query.
-    // The EXACT side must rank dequantized-query vs full vectors? No:
-    // exact = full-precision both sides (the pre-switch truth), quantized
-    // = dequantized both sides (what the compressed index serves).
+    // exact ranking = full precision both sides (the pre-switch truth);
+    // quantized ranking = dequantized both sides (what the compressed
+    // index actually serves, query included)
     val exact = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 3),
         "vec_id", "embedding", k)
       .select(col("query_id"), col("vec_id"))
