@@ -246,7 +246,11 @@ object ExcelSource {
         case '&' => "&amp;"
         case '<' => "&lt;"
         case '>' => "&gt;"
-        case c   => c.toString
+        // XML 1.0 forbids most C0 controls even escaped — emitting them
+        // raw would write a workbook no parser (ours included) can read;
+        // U+FFFD marks the spot instead of corrupting the file
+        case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' => "�"
+        case c => c.toString
       }
     val sharedIdx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def sharedOf(s: String): Int =
