@@ -11,10 +11,19 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   *
   * Spark mapping per the survey: a driver-side fetch into a staging
   * directory, then a distributed `binaryFile` read — the relational core
-  * never performs network I/O inside tasks. This container has no egress,
-  * so the fetch supports `file:` URIs (and is the seam where an HTTP
-  * client plugs in); the binaryFile scan is the real, distributed part. */
+  * never performs network I/O inside tasks. The fetch handles `file:`
+  * URIs and real `http(s):` GETs (JDK HttpClient; non-2xx or network
+  * failure marks the item failed, mirroring `DownloadManager`'s
+  * per-item success flag at DownloadManager.cs:57 — a bad URL skips one
+  * item, never the import). This container has no egress, so the spec
+  * exercises the HTTP path against a loopback server; the binaryFile
+  * scan is the distributed part either way. */
 object Download {
+
+  private lazy val http = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10))
+    .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+    .build()
 
   /** Fetch a set of URIs into targetDir; returns (uri, localPath, ok). */
   def fetchAll(uris: Seq[String], targetDir: String): Seq[(String, String, Boolean)] = {
@@ -23,12 +32,23 @@ object Download {
     uris.map { u =>
       try {
         val src = java.net.URI.create(u)
-        require(src.getScheme == "file", s"no egress: unsupported scheme ${src.getScheme}")
         val name = Paths.get(src.getPath).getFileName.toString
         val dst = dir.resolve(name)
-        Files.copy(Paths.get(src.getPath), dst, StandardCopyOption.REPLACE_EXISTING)
+        src.getScheme match {
+          case "file" =>
+            Files.copy(Paths.get(src.getPath), dst, StandardCopyOption.REPLACE_EXISTING)
+          case "http" | "https" =>
+            val resp = http.send(
+              java.net.http.HttpRequest.newBuilder(src)
+                .timeout(java.time.Duration.ofSeconds(30)).GET().build(),
+              java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+            require(resp.statusCode / 100 == 2, s"HTTP ${resp.statusCode} for $u")
+            Files.write(dst, resp.body())
+          case other =>
+            throw new IllegalArgumentException(s"unsupported scheme $other")
+        }
         (u, dst.toString, true)
-      } catch { case e: Exception => (u, "", false) }
+      } catch { case _: Exception => (u, "", false) }
     }
   }
 

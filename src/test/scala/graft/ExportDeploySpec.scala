@@ -108,6 +108,38 @@ class ExportDeploySpec extends AnyFunSuite {
     assert(bin.columns.toSet == Set("path", "modificationTime", "length", "content"))
   }
 
+  test("download source: real HTTP GET against a loopback server") {
+    import graft.etl.Download
+    // the container has no egress, but the HTTP client path is fully
+    // exercised against a localhost server (JDK built-in HttpServer)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val payload = "id;v\n1;a\n2;b\n".getBytes("UTF-8")
+    server.createContext("/data.csv", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(200, payload.length.toLong)
+      ex.getResponseBody.write(payload); ex.close()
+    })
+    server.createContext("/missing.csv", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(404, -1); ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val staged = tmp("graft-dl-http")
+      val res = Download.fetchAll(Seq(
+        s"http://127.0.0.1:$port/data.csv",
+        s"http://127.0.0.1:$port/missing.csv"), staged)
+      assert(res.head._3, "200 fetch must succeed")
+      assert(!res(1)._3, "404 marks the ITEM failed, not the batch")
+      val text = new String(java.nio.file.Files.readAllBytes(
+        Paths.get(res.head._2)), "UTF-8")
+      assert(text == "id;v\n1;a\n2;b\n")
+      // staged file flows into the ordinary distributed CSV read
+      val df = graft.etl.CsvSource.read(spark, res.head._2)
+      assert(df.count() == 2 && df.columns.toSeq == Seq("id", "v"))
+    } finally server.stop(0)
+  }
+
   test("file name pattern expansion") {
     assert(Deploy.expandFileName("%profile%-%seq%-%timestamp%.csv",
       "orders", 7, "20260812") == "orders-0007-20260812.csv")
