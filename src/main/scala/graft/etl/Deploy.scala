@@ -12,9 +12,10 @@ import scala.jdk.CollectionConverters._
   *
   * Deployment is post-processing outside the relational engine (the
   * reference runs it after the export writes files); kept as a thin util:
-  * local-folder publishing and zip archiving are implemented, remote
-  * transports (FTP/HTTP/email) are interface stubs — this container has no
-  * egress, and a production deployment would plug transport clients in. */
+  * local-folder publishing, zip archiving, and HTTP publishing are
+  * implemented (the HTTP path is loopback-tested — no egress here);
+  * FTP/email transports stay out, as no offline server exists to drive
+  * them against, and a production deployment plugs those clients in. */
 object Deploy {
 
   /** Publisher seam (IFilePublisher analog). */
@@ -27,6 +28,53 @@ object Deploy {
       Files.createDirectories(dir)
       files.foreach(f => Files.copy(f, dir.resolve(f.getFileName.toString),
         StandardCopyOption.REPLACE_EXISTING))
+    }
+  }
+
+  /** HttpFilePublisher analog (HttpFilePublisher.cs:37-80): POST the
+    * produced files to an endpoint — either ONE multipart/form-data
+    * request carrying every file (field names "file 1".."file N" with the
+    * original filenames, the reference's MultipartFormDataPost mode) or
+    * one plain POST per file (SimplePost). A missing scheme defaults to
+    * http://, and a non-2xx response fails the deployment (the reference
+    * records the HTTP status as the deployment error). Tested against a
+    * loopback server (no egress in this container); FTP/email transports
+    * remain out — no offline server exists to drive them against. */
+  final class HttpPublisher(url: String, multipart: Boolean = true)
+      extends Publisher {
+    private val target = java.net.URI.create(
+      if (url.matches("(?i)^https?://.*")) url else s"http://$url")
+
+    override def publish(files: Seq[Path]): Unit = {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def post(contentType: String, body: Array[Byte]): Unit = {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(target)
+            .header("Content-Type", contentType)
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.discarding())
+        require(resp.statusCode / 100 == 2,
+          s"HTTP ${resp.statusCode} deploying to $target")
+      }
+      if (multipart) {
+        val boundary = "graft-" + java.util.UUID.randomUUID().toString
+        val sep = "\r\n"
+        val bos = new java.io.ByteArrayOutputStream()
+        files.zipWithIndex.foreach { case (f, i) =>
+          bos.write((s"--$boundary$sep" +
+            s"""Content-Disposition: form-data; name="file ${i + 1}"; """ +
+            s"""filename="${f.getFileName}"$sep""" +
+            s"Content-Type: application/octet-stream$sep$sep").getBytes("UTF-8"))
+          bos.write(Files.readAllBytes(f))
+          bos.write(sep.getBytes("UTF-8"))
+        }
+        bos.write(s"--$boundary--$sep".getBytes("UTF-8"))
+        post(s"multipart/form-data; boundary=$boundary", bos.toByteArray)
+      } else {
+        files.foreach(f =>
+          post("application/octet-stream", Files.readAllBytes(f)))
+      }
     }
   }
 

@@ -140,6 +140,46 @@ class ExportDeploySpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("HTTP publisher: multipart carries every file in one POST; simple posts per file") {
+    import graft.etl.Deploy
+    val requests = new java.util.concurrent.CopyOnWriteArrayList[(String, Array[Byte])]
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/up", (ex: com.sun.net.httpserver.HttpExchange) => {
+      requests.add((ex.getRequestHeaders.getFirst("Content-Type"),
+        ex.getRequestBody.readAllBytes()))
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.createContext("/forbidden", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(403, -1); ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val dir = tmp("graft-http-deploy")
+      java.nio.file.Files.writeString(Paths.get(dir, "part-0.csv"), "a;1")
+      java.nio.file.Files.writeString(Paths.get(dir, "part-1.csv"), "b;2")
+      val files = Deploy.outputFiles(dir)
+      // multipart: ONE request, both filenames and payloads in the body
+      new Deploy.HttpPublisher(s"127.0.0.1:$port/up").publish(files)
+      assert(requests.size == 1)
+      val (ct, body) = (requests.get(0)._1, new String(requests.get(0)._2, "UTF-8"))
+      assert(ct.startsWith("multipart/form-data; boundary="))
+      assert(body.contains("filename=\"part-0.csv\"") && body.contains("a;1"))
+      assert(body.contains("filename=\"part-1.csv\"") && body.contains("b;2"))
+      assert(body.contains("name=\"file 1\"") && body.contains("name=\"file 2\""))
+      // simple mode: one POST per file
+      requests.clear()
+      new Deploy.HttpPublisher(s"http://127.0.0.1:$port/up", multipart = false)
+        .publish(files)
+      assert(requests.size == 2)
+      // non-2xx fails the deployment
+      intercept[IllegalArgumentException] {
+        new Deploy.HttpPublisher(s"127.0.0.1:$port/forbidden").publish(files)
+      }
+    } finally server.stop(0)
+  }
+
   test("file name pattern expansion") {
     assert(Deploy.expandFileName("%profile%-%seq%-%timestamp%.csv",
       "orders", 7, "20260812") == "orders-0007-20260812.csv")
