@@ -45,13 +45,20 @@ object Deploy {
     private val target = java.net.URI.create(
       if (url.matches("(?i)^https?://.*")) url else s"http://$url")
 
+    /** RFC 2183-safe filename token: quotes/CR/LF in a name (the pattern
+      * expansion substitutes user-supplied %profile% text) must not be
+      * able to break part framing or inject fake boundaries. */
+    private def safeName(n: String): String =
+      n.replace("\\", "\\\\").replace("\"", "%22")
+        .replace("\r", "").replace("\n", "")
+
     override def publish(files: Seq[Path]): Unit = {
-      val client = java.net.http.HttpClient.newHttpClient()
-      def post(contentType: String, body: Array[Byte]): Unit = {
-        val resp = client.send(
+      def post(contentType: String,
+          body: java.net.http.HttpRequest.BodyPublisher): Unit = {
+        val resp = Deploy.httpClient.send(
           java.net.http.HttpRequest.newBuilder(target)
             .header("Content-Type", contentType)
-            .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+            .POST(body)
             .build(),
           java.net.http.HttpResponse.BodyHandlers.discarding())
         require(resp.statusCode / 100 == 2,
@@ -60,23 +67,38 @@ object Deploy {
       if (multipart) {
         val boundary = "graft-" + java.util.UUID.randomUUID().toString
         val sep = "\r\n"
-        val bos = new java.io.ByteArrayOutputStream()
-        files.zipWithIndex.foreach { case (f, i) =>
-          bos.write((s"--$boundary$sep" +
-            s"""Content-Disposition: form-data; name="file ${i + 1}"; """ +
-            s"""filename="${f.getFileName}"$sep""" +
-            s"Content-Type: application/octet-stream$sep$sep").getBytes("UTF-8"))
-          bos.write(Files.readAllBytes(f))
-          bos.write(sep.getBytes("UTF-8"))
-        }
-        bos.write(s"--$boundary--$sep".getBytes("UTF-8"))
-        post(s"multipart/form-data; boundary=$boundary", bos.toByteArray)
+        // STREAMED multipart body: headers interleave with per-file
+        // streams via SequenceInputStream, so a multi-GB export never
+        // buffers on the driver heap (an export is the thing being
+        // deployed — it can be as big as the data)
+        val parts: Seq[() => java.io.InputStream] =
+          files.zipWithIndex.flatMap { case (f, i) =>
+            val head = (s"--$boundary$sep" +
+              s"""Content-Disposition: form-data; name="file ${i + 1}"; """ +
+              s"""filename="${safeName(f.getFileName.toString)}"$sep""" +
+              s"Content-Type: application/octet-stream$sep$sep").getBytes("UTF-8")
+            Seq(() => new java.io.ByteArrayInputStream(head),
+              () => Files.newInputStream(f),
+              () => new java.io.ByteArrayInputStream(sep.getBytes("UTF-8")))
+          } :+ (() => new java.io.ByteArrayInputStream(
+            s"--$boundary--$sep".getBytes("UTF-8")))
+        post(s"multipart/form-data; boundary=$boundary",
+          java.net.http.HttpRequest.BodyPublishers.ofInputStream(() =>
+            new java.io.SequenceInputStream(
+              java.util.Collections.enumeration(
+                parts.map(_.apply()).asJava))))
       } else {
         files.foreach(f =>
-          post("application/octet-stream", Files.readAllBytes(f)))
+          post("application/octet-stream",
+            java.net.http.HttpRequest.BodyPublishers.ofFile(f)))
       }
     }
   }
+
+  private lazy val httpClient = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10))
+    .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+    .build()
 
   /** List the data files of a Spark output directory (skips _SUCCESS/CRCs). */
   def outputFiles(outputDir: String): Seq[Path] = {

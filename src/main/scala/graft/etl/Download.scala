@@ -33,7 +33,13 @@ object Download {
       try {
         val src = java.net.URI.create(u)
         val name = Paths.get(src.getPath).getFileName.toString
-        val dst = dir.resolve(name)
+        // staged name = short URI digest + original filename: two URLs
+        // ending in the same segment (cdn/a/img.jpg, cdn/b/img.jpg — the
+        // product-image case) must stage to DIFFERENT files, not silently
+        // clobber each other while both report ok
+        val dst = dir.resolve(
+          java.util.UUID.nameUUIDFromBytes(u.getBytes("UTF-8"))
+            .toString.take(8) + "-" + name)
         src.getScheme match {
           case "file" =>
             Files.copy(Paths.get(src.getPath), dst, StandardCopyOption.REPLACE_EXISTING)
@@ -41,9 +47,14 @@ object Download {
             val resp = http.send(
               java.net.http.HttpRequest.newBuilder(src)
                 .timeout(java.time.Duration.ofSeconds(30)).GET().build(),
-              java.net.http.HttpResponse.BodyHandlers.ofByteArray())
-            require(resp.statusCode / 100 == 2, s"HTTP ${resp.statusCode} for $u")
-            Files.write(dst, resp.body())
+              // straight to disk — a large asset never buffers on the heap
+              java.net.http.HttpResponse.BodyHandlers.ofFile(dst))
+            if (resp.statusCode / 100 != 2) {
+              // the handler wrote the ERROR body to dst — remove it, or
+              // the staged dir would feed an error page into binaryFile
+              Files.deleteIfExists(dst)
+              throw new IllegalStateException(s"HTTP ${resp.statusCode} for $u")
+            }
           case other =>
             throw new IllegalArgumentException(s"unsupported scheme $other")
         }

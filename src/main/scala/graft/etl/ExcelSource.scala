@@ -40,7 +40,8 @@ object ExcelSource {
   def read(spark: SparkSession, path: String,
       cfg: ExcelConfig = ExcelConfig()): DataFrame = {
     val bin = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.xlsx")
+      // case-insensitive: Windows producers routinely emit .XLSX
+      .option("pathGlobFilter", "*.[xX][lL][sS][xX]")
       .load(path)
       .select(col("path"), col("content"))
     // schema pass: first file by path (deterministic), driver-side
@@ -100,18 +101,20 @@ object ExcelSource {
 
   /** First-worksheet selection: sheet indices compare NUMERICALLY
     * ("sheet2.xml" before "sheet10.xml" — lexicographic order would pick
-    * sheet10), non-numeric names fall back to string order. Sheet files
-    * are conventionally named sheetN.xml in index order; full
-    * workbook.xml.rels resolution is the escape hatch if a producer
-    * violates that. */
-  private def sheetBefore(a: String, b: String): Boolean = {
-    def num(n: String): Option[Int] =
-      "sheet(\\d+)\\.xml$".r.findFirstMatchIn(n).map(_.group(1).toInt)
-    (num(a), num(b)) match {
-      case (Some(x), Some(y)) => x < y
-      case _ => a < b
+    * sheet10), non-numeric names after all numeric ones, by string. The
+    * key is a TOTAL order (numeric magnitude compares as digit-length
+    * then digits — no integer parsing, so an absurd 20-digit index can
+    * not crash the read). Sheet files are conventionally named
+    * sheetN.xml in index order; full workbook.xml.rels resolution is the
+    * escape hatch if a producer violates that. */
+  private def sheetBefore(a: String, b: String): Boolean =
+    Ordering[(Int, Int, String)].lt(sheetKey(a), sheetKey(b))
+
+  private def sheetKey(n: String): (Int, Int, String) =
+    "sheet(\\d+)\\.xml$".r.findFirstMatchIn(n) match {
+      case Some(m) => (0, m.group(1).length, m.group(1))
+      case None    => (1, 0, n)
     }
-  }
 
   private def xmlReader(bytes: Array[Byte]): javax.xml.stream.XMLStreamReader = {
     val f = javax.xml.stream.XMLInputFactory.newInstance()
@@ -128,6 +131,7 @@ object ExcelSource {
     val out = ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var inT = false
+    var phonetic = 0 // <rPh>/<phoneticPr> furigana runs are NOT cell text
     val r = xmlReader(bytes)
     try {
       while (r.hasNext) {
@@ -135,13 +139,15 @@ object ExcelSource {
           case START_ELEMENT =>
             r.getLocalName match {
               case "si" => sb.clear()
+              case "rPh" | "phoneticPr" => phonetic += 1
               case "t"  => inT = true
               case _    => ()
             }
-          case CHARACTERS | CDATA if inT => sb.append(r.getText)
+          case CHARACTERS | CDATA if inT && phonetic == 0 => sb.append(r.getText)
           case END_ELEMENT =>
             r.getLocalName match {
               case "t"  => inT = false
+              case "rPh" | "phoneticPr" => phonetic -= 1
               case "si" => out += sb.toString
               case _    => ()
             }
@@ -169,6 +175,7 @@ object ExcelSource {
     var nextIdx = 0
     var cellType = ""
     var inText = false
+    var phonetic = 0 // <rPh>/<phoneticPr> furigana runs are NOT cell text
     val r = xmlReader(bytes)
     try {
       while (r.hasNext) {
@@ -182,17 +189,19 @@ object ExcelSource {
                 cellIdx = if (ref == null) nextIdx else colIndexOf(ref)
                 nextIdx = cellIdx + 1
                 cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
-                sb.clear(); inText = false
+                sb.clear(); inText = false; phonetic = 0
+              case "rPh" | "phoneticPr" => phonetic += 1
               // no sb.clear() here: an inlineStr cell may carry several
               // rich-text <t> runs that must CONCATENATE (clearing per run
               // kept only the last one; the buffer resets per cell above)
               case "v" | "t" => inText = true
               case _ => ()
             }
-          case CHARACTERS | CDATA if inText => sb.append(r.getText)
+          case CHARACTERS | CDATA if inText && phonetic == 0 => sb.append(r.getText)
           case END_ELEMENT =>
             r.getLocalName match {
               case "v" | "t" => inText = false
+              case "rPh" | "phoneticPr" => phonetic -= 1
               case "c" =>
                 val raw = sb.toString
                 val value = cellType match {

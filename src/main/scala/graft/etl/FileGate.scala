@@ -47,12 +47,19 @@ object FileGate {
     * process after Verify, so both sides must name the same file). */
   val fixtureCsvPath = "/tmp/graft_gate/testdata.csv"
 
-  /** Write the fixture (idempotent) and return its path. */
+  /** Write the fixture (idempotent) and return its path. Temp file +
+    * ATOMIC_MOVE: concurrent runs share this path, and a plain
+    * truncate-then-write would expose a half-written file to a reader
+    * in the other process even though the bytes are identical. */
   def ensureFixture(): String = {
     val p = java.nio.file.Paths.get(fixtureCsvPath)
     java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p,
+    val tmp = java.nio.file.Files.createTempFile(p.getParent, ".testdata", ".csv")
+    java.nio.file.Files.write(tmp,
       csvContent.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     fixtureCsvPath
   }
 
@@ -78,11 +85,17 @@ object FileGate {
     val data = csv.collect().toSeq
       .map(r => (0 until r.length).map(i =>
         if (r.isNullAt(i)) null else r.getString(i)))
-    // fixture content is SF-independent, so concurrent runs write the
-    // same bytes — the shared path is harmless here (unlike the
-    // SF-dependent round-trip scratch dirs, which are SF-scoped)
+    // fixture content is SF-independent (concurrent runs write the same
+    // bytes), but the REWRITE must still be atomic: write to a temp name
+    // and move over the shared path so a reader in another process never
+    // sees a half-written zip
     val path = "/tmp/graft_gate/testdata.xlsx"
-    ExcelSource.writeFixture(path, header +: data)
+    val tmp = s"$path.${java.util.UUID.randomUUID()}.tmp"
+    ExcelSource.writeFixture(tmp, header +: data)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     convertFixture(ExcelSource.read(s, path))
   }
 

@@ -206,26 +206,16 @@ object SimilarityQueries {
       .select(col("vec_id"),
         transform(col("embedding"),
           x => round(x.cast("double") / col("s"), 0) * col("s")).as("dq"))
-    val q = deq.filter(col("vec_id") < 3)
-      .select(col("vec_id").as("query_id"), col("dq").as("qv"))
-    def topk(vectors: DataFrame, vecCol: String, qCol: String) = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      vectors.join(broadcast(q.withColumnRenamed("qv", "__q")),
-          col("vec_id") =!= col("query_id"))
-        .withColumn("cos", round(Ann.cosine(col(vecCol), col("__q")), 4))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k)
-        .select(col("query_id"), col("vec_id"))
-    }
     // exact ranking = full precision both sides (the pre-switch truth);
     // quantized ranking = dequantized both sides (what the compressed
-    // index actually serves, query included)
+    // index actually serves, query included) — both through the ONE
+    // ranking implementation so the contracts cannot drift
     val exact = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 3),
         "vec_id", "embedding", k)
       .select(col("query_id"), col("vec_id"))
-    val quant = topk(deq.select(col("vec_id"), col("dq")), "dq", "qv")
+    val quant = Ann.bruteForceTopK(deq, deq.filter(col("vec_id") < 3),
+        "vec_id", "dq", k)
+      .select(col("query_id"), col("vec_id"))
     exact.join(quant.withColumnRenamed("vec_id", "qvid"),
         exact("query_id") === quant("query_id") &&
           col("vec_id") === col("qvid"), "left")

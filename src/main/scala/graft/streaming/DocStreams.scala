@@ -51,8 +51,8 @@ object DocStreams {
     val q = curationGates(readDocStream(spark, sourceDir))
       .writeStream.outputMode("append").format("memory")
       .queryName(queryName).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop() // a failed batch must not leak a running query
     spark.table(queryName)
   }
 }
