@@ -217,10 +217,13 @@ object EventStreams {
 
   final case class AsOfEvent(kind: Int, key: Long, ts: java.sql.Timestamp,
       v: Double)
-  /** Last right row per key. The full Timestamp is kept (NOT epoch millis
-    * — `Timestamp.getTime` drops the microsecond component parquet event
-    * times carry; ordering uses `micros`). */
+  /** One right row in the per-key history. The full Timestamp is kept
+    * (NOT epoch millis — `Timestamp.getTime` drops the microsecond
+    * component parquet event times carry; ordering uses `micros`). */
   final case class AsOfLast(ts: java.sql.Timestamp, v: Double)
+  /** Per-key state: the most recent rights, DESC by ts, one entry per
+    * distinct ts (max v — the batch tiebreak), bounded. */
+  final case class AsOfHist(rights: List[AsOfLast])
   final case class AsOfOut(key: Long, ts: java.sql.Timestamp, v: Double,
       right_ts: Option[java.sql.Timestamp], right_v: Option[Double])
 
@@ -228,55 +231,53 @@ object EventStreams {
     * `operators.AsOfJoin.asOf(direction = "backward")`: each left event is
     * enriched with the latest right event of the same key at-or-before its
     * timestamp. The two inputs arrive as one tagged union (kind 0 = right,
-    * 1 = left); per key the state is ONE (ts, value) pair — the last right
-    * row seen — constant regardless of volume, the streaming expression of
-    * the batch carry-forward window.
+    * 1 = left); per key the state is a BOUNDED history of the most recent
+    * `historySize` rights (one entry per distinct ts, max value — the
+    * batch tiebreak), so a cross-batch LATE left still enriches exactly
+    * like the batch form as long as its matching right is within the
+    * history window. Beyond eviction a late left gets a null match and a
+    * right that arrives after a left it should have enriched cannot
+    * retro-correct it — the residual late-data trades every streaming
+    * enrichment documents; the batch twin is the reconciliation path.
+    * State stays constant-size per key regardless of volume.
     *
-    * In-batch rows sort by (ts, kind), so a right row at the same
-    * timestamp applies before the left row reads it (matching the batch
-    * `rightTs <= leftTs` semantics). Cross-batch, a right row that arrives
-    * AFTER a left row it should have enriched cannot retro-correct it —
-    * the same late-data trade every streaming enrichment documents; the
-    * batch twin is the reconciliation path. */
-  def asofStream(tagged: Dataset[AsOfEvent]): Dataset[AsOfOut] = {
+    * In-batch rows sort by (ts, kind, v), so a right row at the same
+    * timestamp applies before the left row reads it and equal-ts rights
+    * apply in value order with the LARGEST winning (the batch `__r`
+    * struct tiebreak). */
+  def asofStream(tagged: Dataset[AsOfEvent],
+      historySize: Int = 32): Dataset[AsOfOut] = {
     import tagged.sparkSession.implicits._
     tagged.groupByKey(_.key)
-      .flatMapGroupsWithState[AsOfLast, AsOfOut](
+      .flatMapGroupsWithState[AsOfHist, AsOfOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[AsOfEvent], state: GroupState[AsOfLast]) =>
-          // (ts, kind, v): rights before lefts at equal ts (backward
-          // tie-attach), and equal-ts rights apply in value order so the
-          // LAST (largest) wins — the batch form's `__r` struct tiebreak
+        (key: Long, rows: Iterator[AsOfEvent], state: GroupState[AsOfHist]) =>
           val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.kind, e.v))
-          var last = state.getOption
+          var hist: List[AsOfLast] =
+            state.getOption.map(_.rights).getOrElse(Nil) // DESC by ts
+          // insert keeping DESC order, max v per ts, bounded length —
+          // eviction drops the OLDEST entries
+          def insert(e: AsOfEvent): Unit = {
+            val (newer, rest) = hist.span(r => micros(r.ts) > micros(e.ts))
+            val merged = rest match {
+              case r :: tail if micros(r.ts) == micros(e.ts) =>
+                (if (r.v >= e.v) r else AsOfLast(e.ts, e.v)) :: tail
+              case _ => AsOfLast(e.ts, e.v) :: rest
+            }
+            hist = (newer ::: merged).take(historySize)
+          }
           val out = Vector.newBuilder[AsOfOut]
           sorted.foreach { e =>
-            if (e.kind == 0) {
-              // keep the max-(ts, v) right across batches: at equal ts the
-              // LARGER value must win (the batch form's `__r` struct
-              // tiebreak) — a bare <= would let a later-arriving equal-ts
-              // right with a smaller value overwrite it
-              if (last.forall(l => micros(l.ts) < micros(e.ts) ||
-                  (micros(l.ts) == micros(e.ts) && l.v <= e.v)))
-                last = Some(AsOfLast(e.ts, e.v))
-            } else {
-              // a LATE left (cross-batch) must not read a stored right
-              // from its future — backward semantics require
-              // right_ts <= left_ts, exactly like the batch form.
-              // Known divergence from the batch twin: state keeps ONLY the
-              // max-(ts, v) right per key, so a cross-batch late left whose
-              // ts precedes the stored right gets a NULL match even when an
-              // OLDER right existed in an earlier batch (the batch form
-              // would attach it). Enriching late lefts exactly would need a
-              // bounded per-key history of rights (keep the last N within
-              // the lateness horizon); this single-value state is the
-              // documented trade, and the batch twin is the reconciliation
-              // path for both late-right and late-left corrections.
-              val m = last.filter(l => micros(l.ts) <= micros(e.ts))
+            if (e.kind == 0) insert(e)
+            else {
+              // first history entry at-or-before the left ts = the max
+              // right ts <= left ts (backward semantics; a late left can
+              // never read a right from its future)
+              val m = hist.find(r => micros(r.ts) <= micros(e.ts))
               out += AsOfOut(key, e.ts, e.v, m.map(_.ts), m.map(_.v))
             }
           }
-          last.foreach(state.update)
+          if (hist.nonEmpty) state.update(AsOfHist(hist))
           out.result().iterator
       }
   }

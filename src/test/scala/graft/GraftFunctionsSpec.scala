@@ -204,12 +204,20 @@ class GraftFunctionsSpec extends AnyFunSuite {
     // (must match the stored right)
     val dir = java.nio.file.Files.createTempDirectory("graft-asof-late").toString
     val t = (s: String) => java.sql.Timestamp.valueOf(s)
-    Seq((0, 1L, t("2024-01-01 10:00:00"), 1.0))
+    // key 1: only a right at 10:00 — the 09:00 late left has NOTHING
+    // at-or-before it and must stay null. key 2: rights at 08:00 AND
+    // 10:00 — the bounded history lets the 09:00 late left bind to the
+    // 08:00 right exactly like the batch form (single-value state used
+    // to null it).
+    Seq((0, 1L, t("2024-01-01 10:00:00"), 1.0),
+        (0, 2L, t("2024-01-01 08:00:00"), 2.0),
+        (0, 2L, t("2024-01-01 10:00:00"), 3.0))
       .toDF("kind", "key", "ts", "v").coalesce(1)
       .write.mode("append").parquet(dir)
     Thread.sleep(1100) // distinct file mtimes → deterministic batch order
     Seq((1, 1L, t("2024-01-01 09:00:00"), 7.0),
-        (1, 1L, t("2024-01-01 11:00:00"), 8.0))
+        (1, 1L, t("2024-01-01 11:00:00"), 8.0),
+        (1, 2L, t("2024-01-01 09:00:00"), 9.0))
       .toDF("kind", "key", "ts", "v").coalesce(1)
       .write.mode("append").parquet(dir)
     val stream = spark.readStream
@@ -222,11 +230,13 @@ class GraftFunctionsSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
     val got = spark.table("asof_late")
-      .collect().map(r => r.getTimestamp(1).toString ->
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString) ->
         Option(r.get(4)).map(_.toString.toDouble)).toMap
-    assert(got("2024-01-01 09:00:00.0").isEmpty,
+    assert(got((1L, "2024-01-01 09:00:00.0")).isEmpty,
       "late left must not be enriched by a future right")
-    assert(got("2024-01-01 11:00:00.0").contains(1.0))
+    assert(got((1L, "2024-01-01 11:00:00.0")).contains(1.0))
+    assert(got((2L, "2024-01-01 09:00:00.0")).contains(2.0),
+      "late left must enrich from an OLDER right still in the history")
   }
 
   test("streaming dedup drops in-horizon duplicates") {
