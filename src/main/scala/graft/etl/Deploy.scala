@@ -82,11 +82,18 @@ object Deploy {
               () => new java.io.ByteArrayInputStream(sep.getBytes("UTF-8")))
           } :+ (() => new java.io.ByteArrayInputStream(
             s"--$boundary--$sep".getBytes("UTF-8")))
+        // LAZY enumeration: one stream open at a time — eagerly opening
+        // every part would hold an FD per export file for the whole
+        // upload (thousands of part files = FD exhaustion before byte 1)
         post(s"multipart/form-data; boundary=$boundary",
-          java.net.http.HttpRequest.BodyPublishers.ofInputStream(() =>
+          java.net.http.HttpRequest.BodyPublishers.ofInputStream(() => {
+            val it = parts.iterator
             new java.io.SequenceInputStream(
-              java.util.Collections.enumeration(
-                parts.map(_.apply()).asJava))))
+              new java.util.Enumeration[java.io.InputStream] {
+                override def hasMoreElements: Boolean = it.hasNext
+                override def nextElement(): java.io.InputStream = it.next()()
+              })
+          }))
       } else {
         files.foreach(f =>
           post("application/octet-stream",
@@ -95,10 +102,8 @@ object Deploy {
     }
   }
 
-  private lazy val httpClient = java.net.http.HttpClient.newBuilder()
-    .connectTimeout(java.time.Duration.ofSeconds(10))
-    .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
-    .build()
+  /** Shared with the download source — one client, one config. */
+  private def httpClient = Download.http
 
   /** List the data files of a Spark output directory (skips _SUCCESS/CRCs). */
   def outputFiles(outputDir: String): Seq[Path] = {

@@ -20,7 +20,9 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * scan is the distributed part either way. */
 object Download {
 
-  private lazy val http = java.net.http.HttpClient.newBuilder()
+  /** One JDK client for every driver-side HTTP path (Deploy shares it —
+    * a config change must not be able to diverge between the two). */
+  private[etl] lazy val http = java.net.http.HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(10))
     .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
     .build()
@@ -33,27 +35,36 @@ object Download {
       try {
         val src = java.net.URI.create(u)
         val name = Paths.get(src.getPath).getFileName.toString
-        // staged name = short URI digest + original filename: two URLs
+        // staged name = FULL URI digest + original filename: two URLs
         // ending in the same segment (cdn/a/img.jpg, cdn/b/img.jpg — the
         // product-image case) must stage to DIFFERENT files, not silently
-        // clobber each other while both report ok
+        // clobber each other while both report ok; a truncated digest
+        // would birthday-collide at crawl scale
         val dst = dir.resolve(
           java.util.UUID.nameUUIDFromBytes(u.getBytes("UTF-8"))
-            .toString.take(8) + "-" + name)
+            .toString + "-" + name)
         src.getScheme match {
           case "file" =>
             Files.copy(Paths.get(src.getPath), dst, StandardCopyOption.REPLACE_EXISTING)
           case "http" | "https" =>
-            val resp = http.send(
-              java.net.http.HttpRequest.newBuilder(src)
-                .timeout(java.time.Duration.ofSeconds(30)).GET().build(),
-              // straight to disk — a large asset never buffers on the heap
-              java.net.http.HttpResponse.BodyHandlers.ofFile(dst))
-            if (resp.statusCode / 100 != 2) {
-              // the handler wrote the ERROR body to dst — remove it, or
-              // the staged dir would feed an error page into binaryFile
+            // streamed to disk (never buffered on the heap); TRUNCATE so a
+            // re-fetch of a shorter body leaves no stale tail. ANY failure
+            // — non-2xx, timeout, mid-transfer reset — must remove the
+            // partial file, or readBinary over the staging dir would
+            // ingest bytes whose item reported failed.
+            try {
+              val resp = http.send(
+                java.net.http.HttpRequest.newBuilder(src)
+                  .timeout(java.time.Duration.ofSeconds(30)).GET().build(),
+                java.net.http.HttpResponse.BodyHandlers.ofFile(dst,
+                  java.nio.file.StandardOpenOption.CREATE,
+                  java.nio.file.StandardOpenOption.WRITE,
+                  java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
+              if (resp.statusCode / 100 != 2)
+                throw new IllegalStateException(s"HTTP ${resp.statusCode} for $u")
+            } catch { case e: Exception =>
               Files.deleteIfExists(dst)
-              throw new IllegalStateException(s"HTTP ${resp.statusCode} for $u")
+              throw e
             }
           case other =>
             throw new IllegalArgumentException(s"unsupported scheme $other")

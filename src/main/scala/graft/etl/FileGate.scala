@@ -47,21 +47,29 @@ object FileGate {
     * process after Verify, so both sides must name the same file). */
   val fixtureCsvPath = "/tmp/graft_gate/testdata.csv"
 
-  /** Write the fixture (idempotent) and return its path. Temp file +
-    * ATOMIC_MOVE: concurrent runs share this path, and a plain
-    * truncate-then-write would expose a half-written file to a reader
-    * in the other process even though the bytes are identical. */
-  def ensureFixture(): String = {
-    val p = java.nio.file.Paths.get(fixtureCsvPath)
+  /** Atomic publish: produce the content at a temp sibling, then move it
+    * over the shared path. Concurrent runs share these fixture paths, and
+    * a plain truncate-then-write would expose a half-written file to a
+    * reader in the other process even when the bytes are identical. The
+    * temp file is removed if production or the move fails. */
+  private def atomicWrite(path: String)(produce: java.nio.file.Path => Unit): String = {
+    val p = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(p.getParent)
-    val tmp = java.nio.file.Files.createTempFile(p.getParent, ".testdata", ".csv")
-    java.nio.file.Files.write(tmp,
-      csvContent.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, p,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    fixtureCsvPath
+    val tmp = p.getParent.resolve(
+      s".${p.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+    try {
+      produce(tmp)
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+    path
   }
+
+  /** Write the fixture (idempotent) and return its path. */
+  def ensureFixture(): String =
+    atomicWrite(fixtureCsvPath)(tmp => java.nio.file.Files.write(tmp,
+      csvContent.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit)
 
   /** S1 + §2.7 conversions: golden fixture through the distributed CSV
     * reader (untyped staging) and the lazy conversion layer. Timestamps
@@ -86,16 +94,9 @@ object FileGate {
       .map(r => (0 until r.length).map(i =>
         if (r.isNullAt(i)) null else r.getString(i)))
     // fixture content is SF-independent (concurrent runs write the same
-    // bytes), but the REWRITE must still be atomic: write to a temp name
-    // and move over the shared path so a reader in another process never
-    // sees a half-written zip
-    val path = "/tmp/graft_gate/testdata.xlsx"
-    val tmp = s"$path.${java.util.UUID.randomUUID()}.tmp"
-    ExcelSource.writeFixture(tmp, header +: data)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-      java.nio.file.Paths.get(path),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // bytes), but the rewrite must still be atomic — see atomicWrite
+    val path = atomicWrite("/tmp/graft_gate/testdata.xlsx")(tmp =>
+      ExcelSource.writeFixture(tmp.toString, header +: data))
     convertFixture(ExcelSource.read(s, path))
   }
 
