@@ -186,7 +186,13 @@ object ExcelSource {
                 cells.clear(); nextIdx = 0
               case "c" =>
                 val ref = r.getAttributeValue(null, "r")
-                cellIdx = if (ref == null) nextIdx else colIndexOf(ref)
+                // A malformed r="12" (no column letters) yields -1; fall
+                // back to sequential position instead of crashing the
+                // whole read with an opaque AIOOBE in the executor flatMap.
+                cellIdx = if (ref == null) nextIdx else {
+                  val byRef = colIndexOf(ref)
+                  if (byRef < 0) nextIdx else byRef
+                }
                 nextIdx = cellIdx + 1
                 cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
                 sb.clear(); inText = false; phonetic = 0

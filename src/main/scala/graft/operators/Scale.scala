@@ -131,7 +131,14 @@ object Scale {
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
       count(lit(1)).as("cnt")
     val out = s2.read.parquet(path).agg(aggs.head, aggs.tail: _*)
-    require(out.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+    // The V2 ParquetScan prints "PushedAggregation: []" even when nothing
+    // was pushed, so presence of the label proves nothing — require a
+    // NON-EMPTY pushed list (an actual MIN/MAX/COUNT inside the brackets)
+    // so this fails loudly when an unsupported shape silently degrades to
+    // a data-page scan.
+    val planStr = out.queryExecution.executedPlan.toString
+    require(
+      "PushedAggregation: \\[(MIN|MAX|COUNT)".r.findFirstIn(planStr).isDefined,
       s"aggregate pushdown did not engage for $path ($cols) — " +
         "the query would scan data pages instead of footers")
     out
