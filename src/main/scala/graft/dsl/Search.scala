@@ -39,7 +39,11 @@ object Search {
       facets: Seq[Facet] = Seq.empty,
       /** Deterministic tiebreak / default order (reference defaults to Id —
         * `ApplyOrdering`, LinqCatalogSearchService.cs:877-887). */
-      idField: String = "id")
+      idField: String = "id",
+      /** J3: when set, the term search becomes the two-table OR-join
+        * against localized values + distinct instead of a single-table
+        * predicate (ApplySearchTerm, LinqCatalogSearchService.cs:556-601). */
+      localized: Option[Localized.Source] = None)
 
   final case class Result(
       hits: DataFrame,
@@ -49,19 +53,22 @@ object Search {
 
   /** Compile the filter surface only (no paging) — the shared frame. */
   def compileFiltered(df: DataFrame, q: Query): DataFrame = {
-    val termPred: Option[Column] = q.term.map { t =>
-      // a term with NO configured fields matches NOTHING — defaulting to
-      // true would silently return the whole dataset as "hits" for any
-      // query whose caller forgot to set termFields (fail-open search)
-      q.termFields.map(f => lower(col(f)).contains(t.toLowerCase))
-        .reduceOption(_ || _).getOrElse(lit(false))
+    val termed: DataFrame = (q.term, q.localized) match {
+      case (Some(t), Some(src)) => Localized.termSearch(df, q, t, src)
+      case (Some(t), None) =>
+        // a term with NO configured fields matches NOTHING — defaulting to
+        // true would silently return the whole dataset as "hits" for any
+        // query whose caller forgot to set termFields (fail-open search)
+        df.filter(q.termFields.map(f => lower(col(f)).contains(t.toLowerCase))
+          .reduceOption(_ || _).getOrElse(lit(false)))
+      case _ => df
     }
     val structured = q.filters.map(FilterExpr.compile(_, col))
     val should = q.shouldFilters.map(FilterExpr.compile(_, col))
       .reduceOption(_ || _)
     val mustNot = q.mustNotFilters.map(FilterExpr.compile(_, col))
       .map(p => !coalesce(p, lit(false)))
-    (termPred.toSeq ++ structured ++ should.toSeq ++ mustNot).foldLeft(df)(_ filter _)
+    (structured ++ should.toSeq ++ mustNot).foldLeft(termed)(_ filter _)
   }
 
   private def sortCols(q: Query): Seq[Column] =

@@ -88,6 +88,27 @@ object SearchQueries {
         col("p_retailprice"))
   }
 
+  /** J3 end to end (q127): the exact localized term-search shape — product
+    * ⟕ localized-values OR-join + distinct (ApplySearchTerm,
+    * LinqCatalogSearchService.cs:556-601 + :345-348). "rot" appears in NO
+    * plain column, so every hit proves the localized join fired; part keys
+    * divisible by 6 carry BOTH a matching Name and ShortDescription row,
+    * so the pre-distinct frame is strictly larger (the multiplication
+    * Distinct must collapse); the language-1 "rotfremd" rows also contain
+    * the term, so a leak past the language filter changes the result. */
+  def localizedTermSearch(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir)
+    val q = Search.Query(
+      term = Some("rot"),
+      termFields = Seq("p_name", "p_type"),
+      idField = "p_partkey",
+      localized = Some(Localized.Source(
+        Localized.syntheticProperties(part), languageId = 2)))
+    Search.compileFiltered(part, q)
+      .select(col("p_partkey"), col("p_name"), col("p_type"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** S6: raw-SQL escape hatch — temp view + spark.sql (the analog of
     * `DataProvider` SQL passthrough). */
   def rawSql(s: SparkSession, dir: String): DataFrame = {
@@ -174,6 +195,30 @@ object SearchQueries {
         |  AND p_retailprice >= 900
         |ORDER BY p_retailprice DESC, p_partkey
         |LIMIT 15 OFFSET 0""".stripMargin)),
+    Q("q127_localized_search", (s, d) => localizedTermSearch(s, d), Some(
+      """WITH lp AS (
+        |  SELECT p_partkey AS entity_id, 2 AS language_id,
+        |         'Product' AS locale_key_group, 'Name' AS locale_key,
+        |         replace(p_name, 'red', 'rot') AS locale_value
+        |  FROM part WHERE p_partkey % 2 = 0
+        |  UNION ALL
+        |  SELECT p_partkey, 2, 'Product', 'ShortDescription',
+        |         'Kurz: ' || replace(p_name, 'red', 'rot')
+        |  FROM part WHERE p_partkey % 3 = 0
+        |  UNION ALL
+        |  SELECT p_partkey, 1, 'Product', 'Name',
+        |         replace(p_name, 'red', 'rotfremd')
+        |  FROM part)
+        |SELECT DISTINCT p.p_partkey, p.p_name, p.p_type, p.p_size
+        |FROM part p
+        |LEFT JOIN (SELECT * FROM lp
+        |           WHERE language_id = 2 AND locale_key_group = 'Product') l
+        |  ON p.p_partkey = l.entity_id
+        |WHERE lower(p.p_name) LIKE '%rot%' OR lower(p.p_type) LIKE '%rot%'
+        |   OR (l.locale_key = 'Name' AND lower(l.locale_value) LIKE '%rot%')
+        |   OR (l.locale_key = 'ShortDescription'
+        |       AND lower(l.locale_value) LIKE '%rot%')
+        |ORDER BY p_partkey""".stripMargin)),
     Q("q119_cart_rule_segment", (s, d) => cartRuleSegment(s, d), Some(
       """WITH st AS (
         |  SELECT c.c_custkey, c.c_name, c.c_mktsegment,

@@ -1,8 +1,9 @@
 package graft
 
-import graft.dsl.Search
+import graft.dsl.{Localized, Search}
 import graft.operators.RuleOps
 import graft.rules.FilterExpr
+import org.apache.spark.sql.functions.lower
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Search-DSL engine tests mirroring the reference's search-service suite
@@ -62,5 +63,56 @@ class SearchSpec extends AnyFunSuite {
     val r = Search.run(products, q)
     val f = r.facets("kind").collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(f == Map("odd" -> 6L, "even" -> 5L))   // 1,11,13,15,17,19 / 10,12,14,16,18
+  }
+
+  // --- J3: localized term search (ApplySearchTerm two-table OR-join) ---
+
+  // lp fixture: id 2 has TWO matching German rows (Name + ShortDescription
+  // both contain "stiefel") → join multiplies, distinct must collapse;
+  // id 3 matches ONLY via its localized Name; id 5's FRENCH row contains
+  // the term → must NOT leak into a German search; id 7 has a German row
+  // in another key group → must not match either.
+  private def lpRows = Seq(
+    (2L, 2, "Product", "Name", "Stiefel rot"),
+    (2L, 2, "Product", "ShortDescription", "Kurz: stiefel"),
+    (3L, 2, "Product", "Name", "Winterstiefel"),
+    (5L, 1, "Product", "Name", "le stiefel"),
+    (7L, 2, "Category", "Name", "stiefelwaren"))
+    .toDF("entity_id", "language_id", "locale_key_group", "locale_key", "locale_value")
+
+  private def lpQuery(lang: Int) = Search.Query(
+    term = Some("stiefel"),
+    termFields = Seq("name"),
+    localized = Some(Localized.Source(lpRows, languageId = lang)))
+
+  test("J3: localized-only match found, duplicates collapsed, one plain match kept") {
+    // plain side: name "Product 1".contains("stiefel") never holds; add a
+    // product whose PLAIN name matches to prove the OR keeps both sides
+    val prods = products.union(Seq(
+      (21L, "Stiefelhaus 21", "SKU-21", "odd", 210.0)).toDF(products.columns: _*))
+    val hits = Search.compileFiltered(prods, lpQuery(lang = 2))
+    val ids = hits.select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(2L, 3L, 21L))               // 5 (french) and 7 (group) excluded
+    assert(ids.distinct == ids)                   // the double-match on id 2 collapsed
+  }
+
+  test("J3: the pre-distinct join really multiplies (grouping was required)") {
+    val src = Localized.Source(lpRows, languageId = 2)
+    val q = lpQuery(lang = 2)
+    val prods = products
+    val lp = lpRows.filter($"language_id" === 2 && $"locale_key_group" === "Product")
+    val preDistinct = prods.join(lp, prods("id") === lp("entity_id"), "left")
+      .filter(lp("locale_value").isNotNull &&
+        lower(lp("locale_value")).contains("stiefel"))
+      .count()
+    val postDistinct = Localized.termSearch(prods, q, "stiefel", src).count()
+    assert(preDistinct == 3)                      // id 2 twice + id 3 once
+    assert(postDistinct == 2)
+  }
+
+  test("J3: languageId 0 (no working language) skips the localized join") {
+    val hits = Search.compileFiltered(products, lpQuery(lang = 0))
+    assert(hits.count() == 0)                     // plain names never match
+    assert(!hits.queryExecution.optimizedPlan.toString.toLowerCase.contains("join"))
   }
 }
