@@ -88,6 +88,33 @@ object SearchQueries {
         col("p_retailprice"))
   }
 
+  /** §2.11 IRule breadth, distributed (q128): the round-8 cart rules with
+    * a relational surface — BillingCountry (c_nationkey as the address
+    * country), PaidBy In/NotIn (o_orderpriority as the per-order payment
+    * method), PurchasedProduct (l_partkey across the customer's order
+    * items) — composed with SpentAmount over `Segment.customerProfile`
+    * and evaluated for EVERY customer in one distributed pass. The same
+    * tree evaluates driver-side through `CartRules.evalExpr`; CartRuleSpec
+    * asserts both paths agree row for row. */
+  def cartRuleProfileSegment(s: SparkSession, dir: String): DataFrame = {
+    import graft.rules.CartRules._
+    import java.math.{BigDecimal => JBD}
+    val rule: CartExpr = Group(and = false, Seq(
+      Group(and = true, Seq(
+        Leaf(BillingCountry(ListOp.In, 1L to 8L)),
+        Leaf(PaidBy(ListOp.In, Seq("1-URGENT", "2-HIGH"))),
+        Leaf(PurchasedProduct(ListOp.In, 1L to 40L)))),
+      Group(and = true, Seq(
+        Leaf(SpentAmount(NumOp.Ge, new JBD(900000))),
+        Leaf(PaidBy(ListOp.NotIn, Seq("5-LOW")))))))
+    val prof = Segment.customerProfile(Tables.customer(s, dir),
+      Tables.orders(s, dir), Tables.lineitem(s, dir))
+    prof.filter(Segment.exprColumn(rule))
+      .select(col("c_custkey"), col("c_name"), col("country"),
+        col("spent"), col("order_cnt"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** J3 end to end (q127): the exact localized term-search shape — product
     * ⟕ localized-values OR-join + distinct (ApplySearchTerm,
     * LinqCatalogSearchService.cs:556-601 + :345-348). "rot" appears in NO
@@ -195,6 +222,30 @@ object SearchQueries {
         |  AND p_retailprice >= 900
         |ORDER BY p_retailprice DESC, p_partkey
         |LIMIT 15 OFFSET 0""".stripMargin)),
+    Q("q128_cart_rule_profile", (s, d) => cartRuleProfileSegment(s, d), Some(
+      """WITH prof AS (
+        |  SELECT c.c_custkey, c.c_name, CAST(c.c_nationkey AS BIGINT) AS country,
+        |         CAST(COALESCE(SUM(CASE WHEN o.o_orderstatus = 'F'
+        |                THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END), 0)
+        |              AS DOUBLE) AS spent,
+        |         COUNT(o.o_orderkey) AS order_cnt
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT c_custkey, c_name, country, spent, order_cnt
+        |FROM prof p
+        |WHERE (p.country <> 0 AND p.country BETWEEN 1 AND 8
+        |       AND EXISTS (SELECT 1 FROM orders o
+        |                   WHERE o.o_custkey = p.c_custkey
+        |                     AND o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+        |       AND EXISTS (SELECT 1 FROM orders o
+        |                   JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |                   WHERE o.o_custkey = p.c_custkey
+        |                     AND l.l_partkey BETWEEN 1 AND 40))
+        |   OR (p.spent >= 900000
+        |       AND EXISTS (SELECT 1 FROM orders o
+        |                   WHERE o.o_custkey = p.c_custkey
+        |                     AND o.o_orderpriority NOT IN ('5-LOW')))
+        |ORDER BY c_custkey""".stripMargin)),
     Q("q127_localized_search", (s, d) => localizedTermSearch(s, d), Some(
       """WITH lp AS (
         |  SELECT p_partkey AS entity_id, 2 AS language_id,
