@@ -12,10 +12,12 @@ import scala.jdk.CollectionConverters._
   *
   * Deployment is post-processing outside the relational engine (the
   * reference runs it after the export writes files); kept as a thin util:
-  * local-folder publishing, zip archiving, and HTTP publishing are
-  * implemented (the HTTP path is loopback-tested — no egress here);
-  * FTP/email transports stay out, as no offline server exists to drive
-  * them against, and a production deployment plugs those clients in. */
+  * local-folder publishing, zip archiving, HTTP, FTP and email-queue
+  * publishing are implemented. HTTP and FTP speak the real protocols and
+  * are loopback-tested (no egress here); the email publisher QUEUES
+  * messages exactly like the reference (EmailFilePublisher builds
+  * QueuedEmail rows — it never talks SMTP itself; a send worker drains
+  * the queue later). */
 object Deploy {
 
   /** Publisher seam (IFilePublisher analog). */
@@ -104,6 +106,143 @@ object Deploy {
 
   /** Shared with the download source — one client, one config. */
   private def httpClient = Download.http
+
+  /** FtpFilePublisher analog (FtpFilePublisher.cs:14-66): upload the
+    * produced files over FTP. A missing scheme defaults to ftp:// and a
+    * custom port applies only when the URL names one, like the
+    * reference; the target path is the URL's path with a trailing slash
+    * (`_rootPath`). Speaks the classic control/data protocol directly
+    * over sockets — USER/PASS login, TYPE I, then one PASV + STOR round
+    * per file with the file STREAMED onto the data socket (never
+    * buffered: an export can be as big as the data). FTPS (`UseSsl`)
+    * is not wired — the container has no TLS peer to test against;
+    * the seam is the `dataSocket` factory below. */
+  final class FtpPublisher(url: String, username: String, password: String)
+      extends Publisher {
+
+    override def publish(files: Seq[Path]): Unit = {
+      val clean = url.replace('\\', '/')
+      val uri = java.net.URI.create(
+        if (clean.matches("(?i)^ftps?://.*")) clean else s"ftp://$clean")
+      val port = if (uri.getPort > 0) uri.getPort else 21
+      val root = Option(uri.getPath).filter(_.nonEmpty).getOrElse("/") match {
+        case p if p.endsWith("/") => p
+        case p => p + "/"
+      }
+      val sock = new java.net.Socket(uri.getHost, port)
+      try {
+        sock.setSoTimeout(30000)
+        val in = new BufferedInputStream(sock.getInputStream)
+        val out = new BufferedOutputStream(sock.getOutputStream)
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "ISO-8859-1"))
+
+        /** One (possibly multi-line "nnn-…nnn ") reply: (code, full text). */
+        def reply(): (Int, String) = {
+          val first = reader.readLine()
+          require(first != null && first.length >= 3, "FTP control channel closed")
+          val code = first.substring(0, 3)
+          val sb = new StringBuilder(first)
+          if (first.length > 3 && first.charAt(3) == '-') {
+            var line = ""
+            while ({
+              line = reader.readLine()
+              require(line != null, "FTP control channel closed mid-reply")
+              sb.append('\n').append(line)
+              !(line.startsWith(code) && line.length > 3 && line.charAt(3) == ' ')
+            }) ()
+          }
+          (code.toInt, sb.toString)
+        }
+        def cmd(c: String, expect: Int*): (Int, String) = {
+          out.write((c + "\r\n").getBytes("ISO-8859-1")); out.flush()
+          val r = reply()
+          require(expect.contains(r._1), s"FTP ${c.takeWhile(_ != ' ')} → ${r._2}")
+          r
+        }
+
+        require(reply()._1 == 220, "no FTP greeting")
+        if (cmd(s"USER $username", 331, 230)._1 == 331) cmd(s"PASS $password", 230)
+        cmd("TYPE I", 200)
+
+        files.foreach { f =>
+          // 227 Entering Passive Mode (h1,h2,h3,h4,p1,p2)
+          val (_, pasv) = cmd("PASV", 227)
+          val m = "\\((\\d+),(\\d+),(\\d+),(\\d+),(\\d+),(\\d+)\\)".r
+            .findFirstMatchIn(pasv)
+            .getOrElse(throw new IllegalStateException(s"unparsable PASV: $pasv"))
+          val host = (1 to 4).map(m.group).mkString(".")
+          val dataPort = m.group(5).toInt * 256 + m.group(6).toInt
+          cmd(s"STOR $root${f.getFileName}", 150, 125)
+          val data = new java.net.Socket(host, dataPort)
+          try {
+            val ds = new BufferedOutputStream(data.getOutputStream)
+            Files.copy(f, ds)
+            ds.flush()
+          } finally data.close()
+          val (done, text) = reply()
+          require(done == 226 || done == 250, s"FTP STOR did not complete: $text")
+        }
+        cmd("QUIT", 221)
+      } finally sock.close()
+    }
+  }
+
+  // ---- email deployment (queue semantics, EmailFilePublisher.cs) -------
+
+  /** `QueuedEmailAttachment` analog: name + mapped mime type + blob. */
+  final case class EmailAttachment(name: String, mimeType: String, blob: Array[Byte])
+
+  /** `QueuedEmail` analog. Body mirrors the reference quirk of being the
+    * SUBJECT text (EmailFilePublisher.cs:52: `Body =
+    * deployment.EmailSubject.NaIfEmpty()`). */
+  final case class QueuedEmail(from: String, to: String, subject: String,
+      body: String, attachments: Seq[EmailAttachment])
+
+  /** Queue seam — the reference's `_db.QueuedEmails` + per-email
+    * `SaveChangesAsync` ("Blob data could be large, so better not bulk
+    * commit here"): enqueue is called once per recipient, not batched. */
+  trait EmailQueue { def enqueue(email: QueuedEmail): Unit }
+
+  final class InMemoryEmailQueue extends EmailQueue {
+    val queued = new java.util.concurrent.ConcurrentLinkedQueue[QueuedEmail]()
+    override def enqueue(email: QueuedEmail): Unit = queued.add(email)
+  }
+
+  /** `MimeTypes.MapNameToMimeType` for the formats this engine exports. */
+  def mimeOf(name: String): String =
+    name.toLowerCase.replaceAll("^.*\\.", "") match {
+      case "csv"           => "text/csv"
+      case "xml"           => "application/xml"
+      case "json"          => "application/json"
+      case "txt"           => "text/plain"
+      case "zip"           => "application/zip"
+      case "xlsx"          => "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+      case _               => "application/octet-stream"
+    }
+
+  /** EmailFilePublisher analog (EmailFilePublisher.cs:28-77): split the
+    * recipient list on ',', keep only well-formed addresses, and when
+    * none remain do NOTHING (the reference returns silently). One
+    * QueuedEmail per recipient, each carrying every deployment file as
+    * a blob attachment with its mapped mime type; empty subject becomes
+    * "n/a" (`NaIfEmpty`) for subject AND body. */
+  final class EmailPublisher(queue: EmailQueue, addresses: String,
+      from: String, subject: String) extends Publisher {
+    private val emailRe = "^[^@\\s,]+@[^@\\s,]+\\.[^@\\s,]+$".r
+
+    override def publish(files: Seq[Path]): Unit = {
+      val tos = addresses.split(',').map(_.trim)
+        .filter(a => emailRe.pattern.matcher(a).matches)
+      if (tos.isEmpty) return
+      val subj = if (subject == null || subject.trim.isEmpty) "n/a" else subject
+      val attachments = files.map(f => EmailAttachment(
+        f.getFileName.toString, mimeOf(f.getFileName.toString),
+        Files.readAllBytes(f)))
+      tos.foreach(to =>
+        queue.enqueue(QueuedEmail(from, to, subj, subj, attachments)))
+    }
+  }
 
   /** List the data files of a Spark output directory (skips _SUCCESS/CRCs). */
   def outputFiles(outputDir: String): Seq[Path] = {

@@ -184,4 +184,70 @@ class ExportDeploySpec extends AnyFunSuite {
     assert(Deploy.expandFileName("%profile%-%seq%-%timestamp%.csv",
       "orders", 7, "20260812") == "orders-0007-20260812.csv")
   }
+
+  test("FTP publisher: real protocol round-trip against a loopback server") {
+    val ftp = new LoopbackFtp("deploy", "secret")
+    try {
+      val dir = tmp("graft-ftp-deploy")
+      java.nio.file.Files.writeString(Paths.get(dir, "feed-0.csv"), "a;1\nb;2")
+      // binary payload proves TYPE I streaming is byte-exact
+      val binary = Array.tabulate[Byte](4096)(i => (i % 251).toByte)
+      java.nio.file.Files.write(Paths.get(dir, "feed-1.bin"), binary)
+      val files = Deploy.outputFiles(dir)
+      new Deploy.FtpPublisher(
+        s"ftp://127.0.0.1:${ftp.port}/exports/shop", "deploy", "secret")
+        .publish(files)
+      // rootPath gets its trailing slash appended, like the reference
+      assert(new String(ftp.stored.get("/exports/shop/feed-0.csv"), "UTF-8")
+        == "a;1\nb;2")
+      assert(ftp.stored.get("/exports/shop/feed-1.bin").toSeq == binary.toSeq)
+    } finally ftp.close()
+  }
+
+  test("FTP publisher: missing scheme defaults to ftp://, bad login fails") {
+    val ftp = new LoopbackFtp("deploy", "secret")
+    try {
+      val dir = tmp("graft-ftp-auth")
+      java.nio.file.Files.writeString(Paths.get(dir, "f.csv"), "x")
+      val files = Deploy.outputFiles(dir)
+      new Deploy.FtpPublisher(s"127.0.0.1:${ftp.port}/out", "deploy", "secret")
+        .publish(files)
+      assert(ftp.stored.containsKey("/out/f.csv"))
+      val ex = intercept[IllegalArgumentException] {
+        new Deploy.FtpPublisher(s"127.0.0.1:${ftp.port}/out", "deploy", "WRONG")
+          .publish(files)
+      }
+      assert(ex.getMessage.contains("530"))
+    } finally ftp.close()
+  }
+
+  test("email publisher queues one message per valid recipient with blob attachments") {
+    val dir = tmp("graft-mail-deploy")
+    java.nio.file.Files.writeString(Paths.get(dir, "feed.csv"), "id;v\n1;a")
+    java.nio.file.Files.writeString(Paths.get(dir, "feed.xml"), "<products/>")
+    val files = Deploy.outputFiles(dir)
+    val q = new Deploy.InMemoryEmailQueue
+    new Deploy.EmailPublisher(q,
+      "ops@example.com, not-an-email, second@example.com",
+      from = "shop@example.com", subject = "Nightly feed").publish(files)
+    val mails = q.queued.toArray(Array.empty[Deploy.QueuedEmail])
+    assert(mails.map(_.to).toSeq == Seq("ops@example.com", "second@example.com"))
+    val m = mails.head
+    assert(m.from == "shop@example.com")
+    assert(m.subject == "Nightly feed" && m.body == "Nightly feed")
+    assert(m.attachments.map(a => a.name -> a.mimeType).toMap ==
+      Map("feed.csv" -> "text/csv", "feed.xml" -> "application/xml"))
+    assert(new String(m.attachments.head.blob, "UTF-8") == "id;v\n1;a")
+    // empty subject becomes n/a for subject AND body (the reference quirk)
+    val q2 = new Deploy.InMemoryEmailQueue
+    new Deploy.EmailPublisher(q2, "ops@example.com", "shop@example.com", "")
+      .publish(files)
+    val n = q2.queued.peek()
+    assert(n.subject == "n/a" && n.body == "n/a")
+    // no valid recipients → publish is a silent no-op
+    val q3 = new Deploy.InMemoryEmailQueue
+    new Deploy.EmailPublisher(q3, "nope, also@nope", "shop@example.com", "s")
+      .publish(files)
+    assert(q3.queued.isEmpty)
+  }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import java.io.{BufferedOutputStream, BufferedReader, InputStreamReader}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.util.concurrent.ConcurrentHashMap
+
+/** Minimal loopback FTP server — the no-egress way to drive the REAL
+  * FtpPublisher protocol path (same trick as the loopback HttpServer for
+  * HTTP deployment): USER/PASS auth, TYPE, PASV, STOR, QUIT, one data
+  * connection per transfer. Stores uploads in memory keyed by the STOR
+  * path. Test scope only. */
+final class LoopbackFtp(user: String, pass: String) extends AutoCloseable {
+  private val server =
+    new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
+  val port: Int = server.getLocalPort
+  val stored = new ConcurrentHashMap[String, Array[Byte]]()
+  @volatile private var running = true
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val s = server.accept()
+        val t = new Thread(() => handle(s))
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Exception => () } // socket closed on shutdown
+    }
+  })
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def handle(sock: Socket): Unit = {
+    try {
+      sock.setSoTimeout(30000)
+      val in = new BufferedReader(
+        new InputStreamReader(sock.getInputStream, "ISO-8859-1"))
+      val out = new BufferedOutputStream(sock.getOutputStream)
+      def send(line: String): Unit = {
+        out.write((line + "\r\n").getBytes("ISO-8859-1")); out.flush()
+      }
+      send("220 graft loopback FTP ready")
+      var pendingUser: String = null
+      var authed = false
+      var dataServer: ServerSocket = null
+      var line = in.readLine()
+      while (line != null) {
+        val sp = line.indexOf(' ')
+        val cmd = (if (sp < 0) line else line.substring(0, sp)).toUpperCase
+        val arg = if (sp < 0) "" else line.substring(sp + 1)
+        cmd match {
+          case "USER" =>
+            pendingUser = arg; send("331 password required")
+          case "PASS" =>
+            if (pendingUser == user && arg == pass) {
+              authed = true; send("230 logged in")
+            } else send("530 login incorrect")
+          case "TYPE" => send("200 type set")
+          case "PASV" =>
+            if (!authed) send("530 not logged in")
+            else {
+              if (dataServer != null) dataServer.close()
+              dataServer = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+              val p = dataServer.getLocalPort
+              send(s"227 Entering Passive Mode (127,0,0,1,${p / 256},${p % 256})")
+            }
+          case "STOR" =>
+            if (!authed) send("530 not logged in")
+            else if (dataServer == null) send("425 use PASV first")
+            else {
+              send("150 opening data connection")
+              val data = dataServer.accept()
+              try stored.put(arg, data.getInputStream.readAllBytes())
+              finally { data.close(); dataServer.close(); dataServer = null }
+              send("226 transfer complete")
+            }
+          case "QUIT" =>
+            send("221 bye"); sock.close(); return
+          case _ => send("502 not implemented")
+        }
+        line = in.readLine()
+      }
+    } catch { case _: Exception => () } // connection torn down
+    finally { try sock.close() catch { case _: Exception => () } }
+  }
+
+  override def close(): Unit = { running = false; server.close() }
+}
