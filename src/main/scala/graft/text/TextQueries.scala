@@ -61,11 +61,30 @@ object TextQueries {
       .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
-  /** Exact n-gram (token) Jaccard pairs over a deterministic subset —
+  /** Deterministic COUNT-CAPPED audit sample: the first `n` documents by
+    * (md5(doc_id), doc_id) — a uniform engine-reproducible order with no
+    * RNG state. The cap is the point: the quadratic audits below (exact
+    * Jaccard pairs, minhash calibration) run over THIS sample, so their
+    * pair count is O(n²) for a FIXED n no matter how the corpus grows —
+    * a `doc_id % k` modulus is a rate, not a bound, and turns the same
+    * audits into corpus-scale cross products at 100×. Spark plans the
+    * sort+limit as a distributed partial top-n (TakeOrderedAndProject);
+    * the repartition spreads the n docs back across the cluster for the
+    * downstream shingle explosion. */
+  private def auditSample(docs: DataFrame, n: Int = 200): DataFrame =
+    docs.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(n)
+      .repartition(col("doc_id"))
+
+  /** The matching DuckDB table expression (same order, same cap). */
+  private val auditSampleSql =
+    "SELECT * FROM documents ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 200"
+
+  /** Exact n-gram (token) Jaccard pairs over the capped audit sample —
     * the verifier path; LSH (q36) is the scale path. */
   def jaccardSubset(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(
-        Tables.documents(s, dir).filter(col("doc_id") % 25 === 0),
+        auditSample(Tables.documents(s, dir)),
         "doc_id", "text", minJaccard = 0.3)
       .orderBy(col("id1"), col("id2"))
 
@@ -83,13 +102,17 @@ object TextQueries {
         count(lit(1)).as("cnt"))
       .orderBy(col("lang"))
 
-  /** Near-dup clustering: exact-jaccard edges over the deterministic
-    * subset → connected components; the component label is the keeper id
+  /** Near-dup clustering: exact-jaccard edges over the capped audit
+    * sample → connected components; the component label is the keeper id
     * (min doc in the cluster). Oracle: DuckDB recursive-CTE reachability
-    * closure over the same edges. */
+    * closure over the same edges. (The PRODUCTION composition at corpus
+    * scale is LSH candidates → verify → cluster, q36/q84; this registry
+    * form keeps the exact-edge variant oracle-checked on a bounded
+    * sample.) */
   def nearDupClusters(s: SparkSession, dir: String,
       minJaccard: Double = 0.3): DataFrame = {
-    val subset = Tables.documents(s, dir).filter(col("doc_id") % 25 === 0)
+    val subset = auditSample(Tables.documents(s, dir))
+      .localCheckpoint(eager = true) // feeds edges AND the vertex set
     val edges = Dedup.jaccardPairs(subset, "doc_id", "text", minJaccard)
       .select(col("id1").as("src"), col("id2").as("dst"))
     Dedup.connectedComponents(edges, subset.select(col("doc_id").as("id")))
@@ -717,9 +740,11 @@ object TextQueries {
     * Engine-neutral hashing (q90's one-permutation md5 slices), so the
     * estimate itself is value-checked against SQL; zero-overlap pairs are
     * kept (left join) because false-positive estimates on them are exactly
-    * what the calibration must surface. */
+    * what the calibration must surface. The all-pairs cross product runs
+    * over the COUNT-CAPPED `auditSample` (never a rate-based subset), so
+    * the pair count stays O(n²) for fixed n at any corpus size. */
   def minhashEstVsExact(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
-    val subset = Tables.documents(s, dir).filter(col("doc_id") % 25 === 0)
+    val subset = auditSample(Tables.documents(s, dir))
     val sh = shingleRows(subset, n).distinct()
     val hashed = sh.select(
       col("doc_id") +: (0 to 7).map { j =>
@@ -1158,7 +1183,7 @@ object TextQueries {
          |FROM documents
          |ORDER BY doc_id""".stripMargin)),
     Q("q35_jaccard_pairs", (s, d) => jaccardSubset(s, d), Some(
-      s"""WITH d AS (SELECT doc_id, $norm AS nt FROM documents WHERE doc_id % 25 = 0),
+      s"""WITH d AS (SELECT doc_id, $norm AS nt FROM ($auditSampleSql) s0),
          |t AS (SELECT DISTINCT doc_id AS id, tok
          |      FROM (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM d) u),
          |sz AS (SELECT id, COUNT(*) AS n FROM t GROUP BY id),
@@ -1181,8 +1206,7 @@ object TextQueries {
         |GROUP BY lang
         |ORDER BY lang""".stripMargin)),
     Q("q69_neardup_clusters", (s, d) => nearDupClusters(s, d), Some(
-      s"""WITH RECURSIVE d AS (SELECT doc_id, $norm AS nt FROM documents
-         |                     WHERE doc_id % 25 = 0),
+      s"""WITH RECURSIVE d AS (SELECT doc_id, $norm AS nt FROM ($auditSampleSql) s0),
          |t AS (SELECT DISTINCT doc_id AS id, tok
          |      FROM (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM d) u),
          |sz AS (SELECT id, COUNT(*) AS n FROM t GROUP BY id),
@@ -1239,8 +1263,7 @@ object TextQueries {
          |ORDER BY freq DESC, token
          |LIMIT 100""".stripMargin)),
     Q("q84_neardup_keepers", (s, d) => nearDupKeepers(s, d), Some(
-      s"""WITH RECURSIVE d AS (SELECT doc_id, $norm AS nt FROM documents
-         |                     WHERE doc_id % 25 = 0),
+      s"""WITH RECURSIVE d AS (SELECT doc_id, $norm AS nt FROM ($auditSampleSql) s0),
          |t AS (SELECT DISTINCT doc_id AS id, tok
          |      FROM (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM d) u),
          |sz AS (SELECT id, COUNT(*) AS n FROM t GROUP BY id),
@@ -1306,8 +1329,7 @@ object TextQueries {
          |FROM r WHERE rn <= 5
          |ORDER BY doc_id, rn""".stripMargin)),
     Q("q99_minhash_est", (s, d) => minhashEstVsExact(s, d), Some(
-      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents
-         |             WHERE doc_id % 25 = 0),
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM ($auditSampleSql) s0),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
          |       FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
          |       WHERE len(t) >= 3),
