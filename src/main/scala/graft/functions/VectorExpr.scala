@@ -55,9 +55,70 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Symmetric int8 quantize→dequantize round trip as ONE primitive loop:
+  * scale = max|x|/127, out_i = round(x_i/scale) * scale — the flat-PQ
+  * serving transform of q125's recall audit.
+  *
+  * Why custom (the q125 scaladoc's own promotion note): the composable
+  * form `transform(e, x -> round(x/s, 0) * s)` with `s =
+  * aggregate(e, 0.0, greatest(acc, abs(x)))/127` is TWO CodegenFallback
+  * HOFs — boxed interpreted lambdas per element per row, which is the
+  * hot path when a real corpus is quantized, not just an audit's. This
+  * loop reads the ArrayData directly; rounding replicates Spark's
+  * `round(x, 0)` bit for bit (HALF_UP on `BigDecimal.valueOf`, NaN and
+  * infinities passed through), so expression == HOF output exactly on
+  * every non-degenerate vector, which AnnSpec asserts. A ZERO vector
+  * (scale 0) yields defined NaN elements here, where the HOF form dies
+  * on ANSI divide-by-zero. */
+case class QuantDequantI8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[GraftBridge.AbstractType] =
+    Seq(GraftBridge.floatOrDoubleArray)
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val f = isFloat
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(if (f) x.getFloat(i).toDouble else x.getDouble(i))
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val scale = maxAbs / 127d
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val v = (if (f) x.getFloat(i).toDouble else x.getDouble(i)) / scale
+      val r =
+        if (v.isNaN || v.isInfinite) v // Spark RoundBase passes these through
+        else java.math.BigDecimal.valueOf(v)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+      out(i) = r * scale
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantDequantI8 =
+    copy(child = newChild)
+}
+
 object VectorExpr {
   /** Dot product of two array<float>/array<double> columns (double out). */
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(
       DotProductF(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Int8 quantize→dequantize round trip (array<double> out). */
+  def quantDequantI8(v: Column): Column =
+    GraftBridge.column(QuantDequantI8(GraftBridge.expression(v)))
 }

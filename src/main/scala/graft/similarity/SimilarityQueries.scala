@@ -195,17 +195,15 @@ object SimilarityQueries {
     * top-k, recall@k per query. All arithmetic restates in SQL
     * (quantize = round(e/scale), dequantize = q*scale, rounded-cosine
     * ranking with id tiebreaks), so the oracle value-checks both the
-    * quantizer and the recall accounting. HOF lambdas keep this
-    * expression-level; a production path would move the quantize/dot
-    * into one primitive-loop expression like VectorExpr. */
+    * quantizer and the recall accounting. The round trip runs through
+    * the primitive-loop `QuantDequantI8` expression (the production
+    * path — one ArrayData pass, no boxed lambdas); the composable HOF
+    * form below stays as the spec cross-check (AnnSpec asserts
+    * expression == HOF element for element). */
   def quantizedRecall(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val scale = aggregate(col("embedding"),
-      lit(0.0d), (acc, x) => greatest(acc, abs(x.cast("double")))) / 127d
-    val deq = e.select(col("vec_id"), col("embedding"), scale.as("s"))
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") / col("s"), 0) * col("s")).as("dq"))
+    val deq = e.select(col("vec_id"),
+      graft.functions.VectorExpr.quantDequantI8(col("embedding")).as("dq"))
     // exact ranking = full precision both sides (the pre-switch truth);
     // quantized ranking = dequantized both sides (what the compressed
     // index actually serves, query included) — both through the ONE
@@ -225,6 +223,15 @@ object SimilarityQueries {
       .select(col("query_id"), col("k_exact"), col("hits"),
         round(col("hits").cast("double") / col("k_exact"), 4).as("recall"))
       .orderBy(col("query_id"))
+  }
+
+  /** The composable-HOF form of the int8 round trip — kept ONLY as the
+    * spec cross-check for `QuantDequantI8` (two CodegenFallback lambdas;
+    * never on the query path). */
+  def quantDequantHof(embedding: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scale = aggregate(embedding,
+      lit(0.0d), (acc, x) => greatest(acc, abs(x.cast("double")))) / 127d
+    transform(embedding, x => round(x.cast("double") / scale, 0) * scale)
   }
 
   private def quantizedRecallOracle(k: Int = 10): String =

@@ -118,4 +118,32 @@ class AnnSpec extends AnyFunSuite {
     // (0,1)/(1,4) score 0.9937 — below 0.995; only the identical pair stays
     assert(pairs == Set((0L, 4L)))
   }
+
+  test("QuantDequantI8 primitive loop == the HOF round trip, element for element") {
+    import graft.functions.VectorExpr
+    import graft.similarity.SimilarityQueries
+    // real embeddings (float, 64-dim) — the actual q125 input, not a toy
+    val e = Tables.embeddings(spark, TestSpark.sfDir).limit(200)
+    val both = e.select(
+        VectorExpr.quantDequantI8(col("embedding")).as("fast"),
+        SimilarityQueries.quantDequantHof(col("embedding")).as("ref"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val fast = r.getSeq[Double](0)
+      val ref = r.getSeq[Double](1)
+      assert(fast.length == ref.length)
+      fast.zip(ref).foreach { case (a, b) =>
+        assert(java.lang.Double.compare(a, b) == 0, s"$a != $b") }
+    }
+    // zero vector (scale 0): the expression yields DEFINED NaN elements;
+    // the HOF form dies on ANSI divide-by-zero — one more reason the
+    // primitive loop is the production path
+    val zv = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val z = zv.select(VectorExpr.quantDequantI8(col("embedding")).as("fast")).head()
+    assert(z.getSeq[Double](0).forall(_.isNaN))
+    intercept[ArithmeticException] {
+      zv.select(SimilarityQueries.quantDequantHof(col("embedding")).as("ref")).head()
+    }
+  }
 }
