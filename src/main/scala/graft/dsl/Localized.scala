@@ -45,9 +45,15 @@ object Localized {
     *    hash-partitioned by that id.
     */
   def termSearch(df: DataFrame, q: Search.Query, term: String, src: Source): DataFrame = {
-    val t = term.toLowerCase
+    // the reference's joined path knows only StartsWith vs Contains —
+    // "SearchMode.ExactMatch doesn't make sense here" (.cs:567) folds to
+    // the Contains branch, exactly like the C# if/else
+    val mode = q.mode match {
+      case Search.TermMode.StartsWith => Search.TermMode.StartsWith
+      case _                          => Search.TermMode.Contains
+    }
     val prodPred: Column = q.termFields
-      .map(f => lower(df(f)).contains(t))
+      .map(f => Search.termPred(df(f), term, mode))
       .reduceOption(_ || _).getOrElse(lit(false))
     // languageId 0 means "no working language": the reference's localized
     // disjuncts are all `languageId != 0 && …` → false, no join needed
@@ -55,7 +61,8 @@ object Localized {
     val lp = src.lp.filter(col("language_id") === src.languageId &&
       col("locale_key_group") === src.keyGroup)
     val lpPred: Column = src.localeKeys
-      .map(k => lp("locale_key") === k && lower(lp("locale_value")).contains(t))
+      .map(k => lp("locale_key") === k &&
+        Search.termPred(lp("locale_value"), term, mode))
       .reduceOption(_ || _).getOrElse(lit(false))
     df.join(lp, df(q.idField) === lp("entity_id"), "left")
       .filter(prodPred || lpPred)

@@ -43,6 +43,23 @@ object QueryStringFactory {
       cascade[(Int, String, String), Any](values, l => (l, field, valueAlias), languageId)
   }
 
+  /** One facet group the factory models from the URL — the `AddFacet`
+    * table of CatalogSearchQueryFactory.cs:279-345: a group kind, its
+    * language-NEUTRAL URL token (c/m/p/r/a/n), the backing column, and
+    * the descriptor knobs (multiselect, FacetSorting, MinHitCount,
+    * MaxChoicesCount, display order). `kind` "price" parses a range,
+    * "rating" a single lower bound; every other kind is a multi-value
+    * id list. */
+  final case class FacetSpec(
+      kind: String,
+      param: String,
+      field: String,
+      isMultiSelect: Boolean = true,
+      sorting: String = "hits",
+      minHitCount: Int = 1,
+      maxChoices: Int = 20,
+      displayOrder: Int = 0)
+
   final case class Config(
       termFields: Seq[String],
       idField: String = "id",
@@ -58,9 +75,45 @@ object QueryStringFactory {
       rangeField: String = "price",
       /** sort alias → column name. */
       sortAliases: Map[String, String] = Map.empty,
-      defaultPageSize: Int = 50)
+      defaultPageSize: Int = 50,
+      /** Term match mode + fuzzy flag (`new CatalogSearchQuery(fields,
+        * term, searchSettings.SearchMode)`; `ISearchQuery.IsFuzzySearch`). */
+      mode: Search.TermMode = Search.TermMode.Contains,
+      fuzzy: Boolean = false,
+      /** Facet groups to model; each also emits its filter when its URL
+        * token carries values. */
+      facetSpecs: Seq[FacetSpec] = Seq.empty,
+      /** (languageId, kind) → localized URL token — the
+        * `GetCommonFacetAliasByGroupKind` cascade (language first, then
+        * neutral mapping, then the spec's built-in token — the C# `alias
+        * ?? "c"` fallback). */
+      facetParamAliases: Map[(Int, String), String] = Map.empty,
+      /** (languageId, token) → sort; localized sort tokens with the
+        * neutral-language fallback, tried before `sortAliases`. */
+      sortValueAliases: Map[(Int, String), Search.Sort] = Map.empty)
 
   private val Reserved = Set("q", "i", "s", "o")
+
+  /** `TryParseRange` (SearchQueryFactoryBase.cs:72-91): "from~to",
+    * "from[~]", "~to" — plus the '-' form this factory accepted before.
+    * Reversed bounds swap-normalize (ConvertPrice, .cs:450-455). */
+  private def parseRange(raw: String): Option[(Option[Double], Option[Double])] = {
+    val sep = if (raw.contains("~")) "~" else "-"
+    val parts = raw.split(sep, -1).map(_.trim).take(2)
+    if (parts.length < 1) return None
+    val lo0 = parts.headOption.filter(_.nonEmpty).flatMap(_.toDoubleOption)
+    val hi0 = parts.lift(1).filter(_.nonEmpty).flatMap(_.toDoubleOption)
+    (lo0, hi0) match {
+      case (None, None) => None
+      case (Some(a), Some(b)) if a > b => Some((Some(b), Some(a)))
+      case other => Some(other)
+    }
+  }
+
+  private def rangeFilters(field: String,
+      r: (Option[Double], Option[Double])): Seq[FilterExpr.Node] =
+    r._1.map(v => FilterExpr.Pred(field, RuleOps.GreaterThanOrEqualTo, v)).toSeq ++
+      r._2.map(v => FilterExpr.Pred(field, RuleOps.LessThanOrEqualTo, v)).toSeq
 
   def fromParams(params: Map[String, String], cfg: Config): Search.Query = {
     val term = params.get("q").filter(_.nonEmpty)
@@ -71,25 +124,72 @@ object QueryStringFactory {
     val pageSize = params.get("s").flatMap(_.toIntOption).map(s => math.max(1, s))
       .getOrElse(cfg.defaultPageSize)
     val sorts = params.get("o").toSeq.flatMap { o =>
-      val (fieldPart, desc) =
-        if (o.endsWith("-desc")) (o.dropRight(5), true)
-        else if (o.endsWith("-asc")) (o.dropRight(4), false)
-        else (o, false)
-      val field = cfg.sortAliases.getOrElse(fieldPart, fieldPart)
-      Seq(Search.Sort(field, desc))
+      // localized sort token first (language → neutral), then the
+      // suffix grammar over sortAliases
+      cfg.sortValueAliases.get((cfg.languageId, o))
+        .orElse(if (cfg.languageId != 0) cfg.sortValueAliases.get((0, o)) else None)
+        .map(Seq(_))
+        .getOrElse {
+          val (fieldPart, desc) =
+            if (o.endsWith("-desc")) (o.dropRight(5), true)
+            else if (o.endsWith("-asc")) (o.dropRight(4), false)
+            else (o, false)
+          val field = cfg.sortAliases.getOrElse(fieldPart, fieldPart)
+          Seq(Search.Sort(field, desc))
+        }
     }
-    val rangeFilter: Seq[FilterExpr.Node] = params.get(cfg.rangeParam).toSeq.flatMap { p =>
-      val parts = p.split("-", -1)
-      if (parts.length != 2) Seq.empty
-      else {
-        val lo = parts(0).trim match { case "" => None; case v => v.toDoubleOption }
-        val hi = parts(1).trim match { case "" => None; case v => v.toDoubleOption }
-        lo.map(v => FilterExpr.Pred(cfg.rangeField, RuleOps.GreaterThanOrEqualTo, v)).toSeq ++
-          hi.map(v => FilterExpr.Pred(cfg.rangeField, RuleOps.LessThanOrEqualTo, v)).toSeq
+
+    // ---- facet modelling (ConvertPrice/Category/Manufacturer/Rating) ----
+    def facetParam(spec: FacetSpec): String =
+      cfg.facetParamAliases.get((cfg.languageId, spec.kind))
+        .orElse(if (cfg.languageId != 0)
+          cfg.facetParamAliases.get((0, spec.kind)) else None)
+        .getOrElse(spec.param)
+    val facetBound: Seq[(FacetSpec, String, Option[String])] =
+      cfg.facetSpecs.map(spec => {
+        val p = facetParam(spec)
+        (spec, p, params.get(p).filter(_.nonEmpty))
+      })
+    val facetParams: Set[String] = facetBound.map(_._2).toSet
+    val facetFilters: Seq[FilterExpr.Node] = facetBound.flatMap {
+      case (_, _, None) => Seq.empty
+      case (spec, _, Some(raw)) => spec.kind match {
+        case "price" =>
+          parseRange(raw).map(rangeFilters(spec.field, _)).getOrElse(Seq.empty)
+        case "rating" => // WithRating(fromRate, null): lower bound only
+          raw.toDoubleOption
+            .map(v => FilterExpr.Pred(spec.field, RuleOps.GreaterThanOrEqualTo, v))
+            .toSeq
+        case _ =>
+          val vals: Seq[Any] = raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            .map(s => cfg.aliases.valueOf(spec.field, s, cfg.languageId)
+              .getOrElse(s.toLongOption.getOrElse(s): Any))
+          if (vals.isEmpty) Seq.empty
+          else Seq(FilterExpr.Pred(spec.field, RuleOps.In, vals))
       }
     }
+    // a descriptor is emitted for EVERY spec (AddFacet runs whether or
+    // not the token carried values); URL-selected values are marked
+    val facets: Seq[Search.Facet] = facetBound.map { case (spec, _, raw) =>
+      val selected: Seq[Any] = (spec.kind, raw) match {
+        case (_, None) => Seq.empty
+        case ("price", Some(r)) => parseRange(r).toSeq.map(x => x: Any)
+        case ("rating", Some(r)) => r.toDoubleOption.toSeq.map(x => x: Any)
+        case (_, Some(r)) => r.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          .map(s => cfg.aliases.valueOf(spec.field, s, cfg.languageId)
+            .getOrElse(s.toLongOption.getOrElse(s): Any))
+      }
+      Search.Facet(spec.field, spec.maxChoices, spec.minHitCount,
+        spec.isMultiSelect, spec.sorting, selected, spec.displayOrder)
+    }
+
+    val rangeFilter: Seq[FilterExpr.Node] =
+      if (cfg.facetSpecs.exists(_.kind == "price")) Seq.empty // spec owns it
+      else params.get(cfg.rangeParam).toSeq.flatMap(p =>
+        parseRange(p).map(rangeFilters(cfg.rangeField, _)).getOrElse(Seq.empty))
     val aliasFilters: Seq[FilterExpr.Node] = params.toSeq
-      .filterNot { case (k, _) => Reserved.contains(k) || k == cfg.rangeParam }
+      .filterNot { case (k, _) =>
+        Reserved.contains(k) || k == cfg.rangeParam || facetParams.contains(k) }
       .flatMap { case (k, v) =>
         cfg.aliases.fieldOf(k, cfg.languageId)
           .orElse(cfg.fieldAliases.get(k))
@@ -108,10 +208,13 @@ object QueryStringFactory {
     Search.Query(
       term = term,
       termFields = cfg.termFields,
-      filters = rangeFilter ++ aliasFilters,
+      filters = rangeFilter ++ facetFilters ++ aliasFilters,
       sorts = sorts,
       pageIndex = pageIndex,
       pageSize = pageSize,
-      idField = cfg.idField)
+      facets = facets,
+      idField = cfg.idField,
+      mode = cfg.mode,
+      fuzzy = cfg.fuzzy)
   }
 }

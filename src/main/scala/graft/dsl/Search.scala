@@ -18,9 +18,30 @@ object Search {
 
   final case class Sort(field: String, descending: Boolean = false)
 
+  /** `SearchMode` (Platform/Search/SearchEnums.cs:3-19): how the term
+    * matches a field — exact, prefix, or wildcard/contains. */
+  sealed trait TermMode
+  object TermMode {
+    case object Exact extends TermMode
+    case object StartsWith extends TermMode
+    case object Contains extends TermMode
+  }
+
   /** Facet descriptor (`FacetDescriptor.cs:17-116`): count rows per value
-    * of a dimension, top maxChoices by count. */
-  final case class Facet(field: String, maxChoices: Int = 20)
+    * of a dimension — top maxChoices after dropping values under
+    * minHitCount, ordered by hits or label (`FacetSorting`); `selected`
+    * carries the URL-selected values the factory marks `IsSelected` on
+    * (descriptor state for rendering, not a filter — the filter is
+    * emitted separately, exactly like `ConvertCategory/Manufacturer`). */
+  final case class Facet(
+      field: String,
+      maxChoices: Int = 20,
+      minHitCount: Int = 1,
+      isMultiSelect: Boolean = true,
+      /** "hits" = HitsDesc, "label" = LabelAsc (FacetSorting). */
+      sorting: String = "hits",
+      selected: Seq[Any] = Seq.empty,
+      displayOrder: Int = 0)
 
   final case class Query(
       term: Option[String] = None,
@@ -43,7 +64,14 @@ object Search {
       /** J3: when set, the term search becomes the two-table OR-join
         * against localized values + distinct instead of a single-table
         * predicate (ApplySearchTerm, LinqCatalogSearchService.cs:556-601). */
-      localized: Option[Localized.Source] = None)
+      localized: Option[Localized.Source] = None,
+      /** Term match mode (`CatalogSearchQuery(fields, term, mode)`). */
+      mode: TermMode = TermMode.Contains,
+      /** `ISearchQuery.IsFuzzySearch`: carried on the query for providers
+        * that support it (the indexed provider); the relational compiler
+        * ignores it exactly like the reference's LINQ service, which
+        * never reads the flag. */
+      fuzzy: Boolean = false)
 
   final case class Result(
       hits: DataFrame,
@@ -59,7 +87,7 @@ object Search {
         // a term with NO configured fields matches NOTHING — defaulting to
         // true would silently return the whole dataset as "hits" for any
         // query whose caller forgot to set termFields (fail-open search)
-        df.filter(q.termFields.map(f => lower(col(f)).contains(t.toLowerCase))
+        df.filter(q.termFields.map(f => termPred(col(f), t, q.mode))
           .reduceOption(_ || _).getOrElse(lit(false)))
       case _ => df
     }
@@ -69,6 +97,16 @@ object Search {
     val mustNot = q.mustNotFilters.map(FilterExpr.compile(_, col))
       .map(p => !coalesce(p, lit(false)))
     (structured ++ should.toSeq ++ mustNot).foldLeft(termed)(_ filter _)
+  }
+
+  /** One case-insensitive term disjunct in the requested mode. */
+  private[dsl] def termPred(field: Column, term: String, mode: TermMode): Column = {
+    val t = term.toLowerCase
+    mode match {
+      case TermMode.Exact      => lower(field) === t
+      case TermMode.StartsWith => lower(field).startsWith(t)
+      case TermMode.Contains   => lower(field).contains(t)
+    }
   }
 
   private def sortCols(q: Query): Seq[Column] =
@@ -95,11 +133,7 @@ object Search {
       // materialize page + facets off the cached frame before unpersisting
       // (these are report-sized: pageSize and maxChoices rows)
       val facetFrames = q.facets.map { f =>
-        f.field -> filtered.groupBy(col(f.field).as("value"))
-          .agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("value"))
-          .limit(f.maxChoices)
-          .localCheckpoint(eager = true)
+        f.field -> facetFrame(filtered, f).localCheckpoint(eager = true)
       }.toMap
       Result(hits.localCheckpoint(eager = true), total, page, facetFrames)
     } finally filtered.unpersist(blocking = false)
@@ -117,8 +151,19 @@ object Search {
 
   /** Facet counts off the shared filtered frame. */
   def facetOf(df: DataFrame, q: Query, facet: Facet): DataFrame =
-    compileFiltered(df, q).groupBy(col(facet.field).as("value"))
+    facetFrame(compileFiltered(df, q), facet)
+
+  private def facetFrame(filtered: DataFrame, f: Facet): DataFrame = {
+    val counted = filtered.groupBy(col(f.field).as("value"))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("value"))
-      .limit(facet.maxChoices)
+    // MinHitCount (FacetDescriptor.cs): values under the floor drop out
+    // BEFORE the choice cap; the default 1 adds no predicate
+    val floored = if (f.minHitCount > 1)
+      counted.filter(col("cnt") >= f.minHitCount) else counted
+    val ordered = f.sorting match {
+      case "label" => floored.orderBy(col("value"))           // LabelAsc
+      case _       => floored.orderBy(col("cnt").desc, col("value")) // HitsDesc
+    }
+    ordered.limit(f.maxChoices)
+  }
 }

@@ -136,6 +136,35 @@ object SearchQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** F7/A8 modelling surface (q129): a FRENCH facet-carrying URL through
+    * the full factory — per-language facet PARAM aliases ("prix" resolves
+    * to the price group through the GetCommonFacetAliasByGroupKind
+    * cascade), the reference's "from~to" range grammar with REVERSED
+    * bounds (factory swap-normalizes, ConvertPrice.cs:450-455), a
+    * localized sort token, and facet-descriptor emission from the spec
+    * table (AddFacet runs for every group whether or not its token is in
+    * the URL — the brand facet below carries no selection). Output is the
+    * brand facet of the filtered frame: min-hit floor 2, LabelAsc,
+    * 8 choices. */
+  def queryStringFacetSearch(s: SparkSession, dir: String): DataFrame = {
+    val cfg = QueryStringFactory.Config(
+      termFields = Seq("p_name", "p_type"),
+      idField = "p_partkey",
+      languageId = 3,
+      facetSpecs = Seq(
+        QueryStringFactory.FacetSpec("price", "p", "p_retailprice"),
+        QueryStringFactory.FacetSpec("brand", "m", "p_brand",
+          sorting = "label", minHitCount = 2, maxChoices = 8)),
+      facetParamAliases = Map((3, "price") -> "prix", (3, "brand") -> "marque"),
+      sortValueAliases = Map((3, "prix-croissant") -> Search.Sort("p_retailprice")))
+    val q = QueryStringFactory.fromParams(Map(
+      "q" -> "red",
+      "prix" -> "1500~500", // reversed bounds — the factory swap-normalizes
+      "o" -> "prix-croissant"), cfg)
+    Search.facetOf(Tables.part(s, dir), q,
+      q.facets.find(_.field == "p_brand").get)
+  }
+
   /** S6: raw-SQL escape hatch — temp view + spark.sql (the analog of
     * `DataProvider` SQL passthrough). */
   def rawSql(s: SparkSession, dir: String): DataFrame = {
@@ -222,6 +251,15 @@ object SearchQueries {
         |  AND p_retailprice >= 900
         |ORDER BY p_retailprice DESC, p_partkey
         |LIMIT 15 OFFSET 0""".stripMargin)),
+    Q("q129_querystring_facet", (s, d) => queryStringFacetSearch(s, d), Some(
+      """SELECT p_brand AS value, COUNT(*) AS cnt
+        |FROM part
+        |WHERE (lower(p_name) LIKE '%red%' OR lower(p_type) LIKE '%red%')
+        |  AND p_retailprice >= 500 AND p_retailprice <= 1500
+        |GROUP BY p_brand
+        |HAVING COUNT(*) >= 2
+        |ORDER BY value
+        |LIMIT 8""".stripMargin)),
     Q("q128_cart_rule_profile", (s, d) => cartRuleProfileSegment(s, d), Some(
       """WITH prof AS (
         |  SELECT c.c_custkey, c.c_name, CAST(c.c_nationkey AS BIGINT) AS country,

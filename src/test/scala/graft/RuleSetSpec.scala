@@ -114,4 +114,117 @@ class RuleSetSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSeq
     assert(got == Seq(1L))
   }
+
+  // --- round-8 modelling surface: parity table vs the C# factory rules ---
+
+  test("TryParseRange grammar: from~to, from~, ~to, reversed bounds swap") {
+    import graft.rules.FilterExpr.Pred
+    import graft.operators.RuleOps.{GreaterThanOrEqualTo => Ge, LessThanOrEqualTo => Le}
+    val cfg = QueryStringFactory.Config(termFields = Seq("name"),
+      idField = "id", rangeField = "spent")
+    def filtersOf(p: String) =
+      QueryStringFactory.fromParams(Map("p" -> p), cfg).filters
+    assert(filtersOf("10~500") == Seq(Pred("spent", Ge, 10.0), Pred("spent", Le, 500.0)))
+    assert(filtersOf("10~") == Seq(Pred("spent", Ge, 10.0)))
+    assert(filtersOf("~500") == Seq(Pred("spent", Le, 500.0)))
+    // ConvertPrice normalization: min > max swaps
+    assert(filtersOf("500~10") == Seq(Pred("spent", Ge, 10.0), Pred("spent", Le, 500.0)))
+    assert(filtersOf("junk") == Seq.empty)
+  }
+
+  test("search mode + fuzzy flag flow from config onto the query") {
+    val cfg = QueryStringFactory.Config(termFields = Seq("name"), idField = "id",
+      mode = Search.TermMode.StartsWith, fuzzy = true)
+    val q = QueryStringFactory.fromParams(Map("q" -> "ali"), cfg)
+    assert(q.mode == Search.TermMode.StartsWith && q.fuzzy)
+    // StartsWith: 'ali' prefixes alice only; Contains would also be just
+    // alice here, so check the negative: 'lic' matches via Contains, not
+    // via StartsWith
+    val prefix = Search.run(customers, q)
+    assert(prefix.hits.select("id").as[Long].collect().toSeq == Seq(1L))
+    val sub = QueryStringFactory.fromParams(Map("q" -> "lic"), cfg)
+    assert(Search.run(customers, sub).totalHits == 0)
+    assert(Search.run(customers,
+      sub.copy(mode = Search.TermMode.Contains)).totalHits == 1)
+    // Exact mode: full-string case-insensitive equality
+    val exact = QueryStringFactory.fromParams(Map("q" -> "ALICE"),
+      cfg.copy(mode = Search.TermMode.Exact))
+    assert(Search.run(customers, exact).totalHits == 1)
+    assert(Search.run(customers, exact.copy(term = Some("alic"))).totalHits == 0)
+  }
+
+  test("facet specs: descriptor always emitted, filter only when token present") {
+    import graft.dsl.QueryStringFactory.FacetSpec
+    val cfg = QueryStringFactory.Config(termFields = Seq("name"), idField = "id",
+      facetSpecs = Seq(
+        FacetSpec("brand", "m", "country_id", sorting = "label",
+          minHitCount = 2, maxChoices = 5),
+        FacetSpec("price", "p", "spent"),
+        FacetSpec("rating", "r", "spent")))
+    // no tokens in the URL → descriptors still emitted, no filters, no
+    // selections (AddFacet runs unconditionally in the reference)
+    val bare = QueryStringFactory.fromParams(Map.empty, cfg)
+    assert(bare.facets.map(_.field) == Seq("country_id", "spent", "spent"))
+    assert(bare.filters.isEmpty && bare.facets.forall(_.selected.isEmpty))
+    assert(bare.facets.head.minHitCount == 2 &&
+      bare.facets.head.sorting == "label" && bare.facets.head.maxChoices == 5)
+    // with tokens: id-list filter + selection marks; rating is a lower
+    // bound (WithRating(fromRate, null))
+    val q = QueryStringFactory.fromParams(
+      Map("m" -> "2,3", "r" -> "100"), cfg)
+    assert(q.filters.contains(graft.rules.FilterExpr.Pred(
+      "country_id", graft.operators.RuleOps.In, Seq(2L, 3L))))
+    assert(q.filters.contains(graft.rules.FilterExpr.Pred(
+      "spent", graft.operators.RuleOps.GreaterThanOrEqualTo, 100.0)))
+    assert(q.facets.head.selected == Seq(2L, 3L))
+  }
+
+  test("facet param aliases cascade language → neutral → built-in token") {
+    import graft.dsl.QueryStringFactory.FacetSpec
+    val cfg = QueryStringFactory.Config(termFields = Seq("name"), idField = "id",
+      languageId = 3,
+      facetSpecs = Seq(FacetSpec("brand", "m", "country_id")),
+      facetParamAliases = Map((3, "brand") -> "marque", (0, "brand") -> "brand"))
+    def inFilter(q: Search.Query) = q.filters.headOption
+    // language-3 token wins
+    assert(inFilter(QueryStringFactory.fromParams(Map("marque" -> "2"), cfg))
+      .contains(graft.rules.FilterExpr.Pred(
+        "country_id", graft.operators.RuleOps.In, Seq(2L))))
+    // unknown language falls to neutral mapping
+    assert(inFilter(QueryStringFactory.fromParams(Map("brand" -> "2"),
+      cfg.copy(languageId = 9))).isDefined)
+    // no mappings at all → the spec's built-in token ("m")
+    assert(inFilter(QueryStringFactory.fromParams(Map("m" -> "2"),
+      cfg.copy(facetParamAliases = Map.empty))).isDefined)
+    // the facet param never leaks into the generic alias-IN path
+    val q = QueryStringFactory.fromParams(Map("marque" -> "2"), cfg)
+    assert(q.filters.size == 1)
+  }
+
+  test("localized sort tokens cascade and beat the suffix grammar") {
+    val cfg = QueryStringFactory.Config(termFields = Seq("name"), idField = "id",
+      languageId = 3,
+      sortAliases = Map("price" -> "spent"),
+      sortValueAliases = Map(
+        (3, "prix-croissant") -> Search.Sort("spent"),
+        (0, "cheapest") -> Search.Sort("spent")))
+    assert(QueryStringFactory.fromParams(Map("o" -> "prix-croissant"), cfg).sorts
+      == Seq(Search.Sort("spent")))
+    // neutral fallback for an unmapped language
+    assert(QueryStringFactory.fromParams(Map("o" -> "cheapest"),
+      cfg.copy(languageId = 9)).sorts == Seq(Search.Sort("spent")))
+    // suffix grammar still handles unlocalized tokens
+    assert(QueryStringFactory.fromParams(Map("o" -> "price-desc"), cfg).sorts
+      == Seq(Search.Sort("spent", descending = true)))
+  }
+
+  test("facet computation honors minHitCount and LabelAsc sorting") {
+    val q = Search.Query(idField = "id",
+      facets = Seq(Search.Facet("country_id", maxChoices = 5,
+        minHitCount = 2, sorting = "label")))
+    val r = Search.run(customers, q)
+    val vals = r.facets("country_id").collect().map(x => x.getInt(0) -> x.getLong(1))
+    // only country 2 has >= 2 customers (alice, dave)
+    assert(vals.toSeq == Seq(2 -> 2L))
+  }
 }
