@@ -115,4 +115,57 @@ class SearchSpec extends AnyFunSuite {
     assert(hits.count() == 0)                     // plain names never match
     assert(!hits.queryExecution.optimizedPlan.toString.toLowerCase.contains("join"))
   }
+
+  // --- §3.1 provider seam (CatalogSearchService.SearchAsync dispatch) ---
+
+  test("provider seam: registered provider serves; direct/missing-index falls back") {
+    import graft.dsl.{InvertedIndexProvider, SearchProvider, SearchService}
+    val scope = "test-scope"
+    val q = Search.Query(term = Some("product"), termFields = Seq("name"),
+      sorts = Seq(Search.Sort("id")), pageSize = 50, idField = "id")
+    try {
+      // the index knows only ids 1 and 2 — if the provider path runs, the
+      // result set proves it (the direct contains-scan would find all 20)
+      val index = Seq((1L, "product"), (2L, "product")).toDF("id", "token")
+      SearchService.register(scope, new InvertedIndexProvider(index))
+      val viaProvider = SearchService.search(products, q, scope)
+      assert(viaProvider.totalHits == 2)
+      // direct = true bypasses the provider (SearchDirectAsync)
+      val direct = SearchService.search(products, q, scope, direct = true)
+      assert(direct.totalHits == 20)
+      // a provider whose index store does not exist is skipped
+      SearchService.register(scope, new SearchProvider {
+        val name = "unbuilt"
+        val indexExists = false
+        def search(df: org.apache.spark.sql.DataFrame, q: Search.Query) =
+          fail("an index-less provider must never serve")
+      })
+      assert(SearchService.search(products, q, scope).totalHits == 20)
+      // no provider registered for the scope at all
+      assert(SearchService.search(products, q, "other-scope").totalHits == 20)
+    } finally SearchService.unregister(scope)
+  }
+
+  test("inverted-index build + token search agree with direct search on whole tokens") {
+    import graft.dsl.{InvertedIndexProvider, SearchService}
+    val scope = "test-idx"
+    try {
+      val index = InvertedIndexProvider.build(products, "id", Seq("name", "sku"))
+      SearchService.register(scope, new InvertedIndexProvider(index))
+      // "7" is a whole token of no name ("Product 7" tokenizes to
+      // [product, 7]) — token search finds exactly id 7; the direct
+      // substring scan ALSO matches 17 ("Product 17"): the honest
+      // index-vs-LIKE semantic difference, both asserted
+      val q = Search.Query(term = Some("7"), termFields = Seq("name"),
+        sorts = Seq(Search.Sort("id")), idField = "id")
+      val viaIndex = SearchService.search(products, q, scope)
+      assert(viaIndex.hits.select("id").as[Long].collect().toSeq == Seq(7L))
+      val direct = SearchService.search(products, q, scope, direct = true)
+      assert(direct.hits.select("id").as[Long].collect().toSeq == Seq(7L, 17L))
+      // structured filters/paging run in the SHARED compiler on both paths
+      val filtered = q.copy(term = Some("product"),
+        filters = Seq(FilterExpr.Pred("kind", RuleOps.IsEqualTo, "even")))
+      assert(SearchService.search(products, filtered, scope).totalHits == 10)
+    } finally SearchService.unregister(scope)
+  }
 }
