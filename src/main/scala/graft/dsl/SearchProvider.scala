@@ -53,16 +53,30 @@ object SearchService {
   *
   * Semantics are TOKEN matches (an index looks up terms), vs the direct
   * path's substring contains — the same honest difference the reference
-  * has between its Lucene provider and the LINQ fallback. */
-final class InvertedIndexProvider(index: DataFrame) extends SearchProvider {
+  * has between its Lucene provider and the LINQ fallback.
+  *
+  * This provider CONSUMES `Query.fuzzy` (the whole point of the seam:
+  * the relational path cannot): a fuzzy search matches every vocabulary
+  * token within `maxEdits` Levenshtein of the term. The edit-distance
+  * scan runs over the DISTINCT vocabulary first — vocabulary-sized, ≪
+  * corpus and ≪ postings — and only the surviving tokens join back to
+  * the posting table, so fuzzy costs one small scan + the same posting
+  * semi-join as the exact path. */
+final class InvertedIndexProvider(index: DataFrame, maxEdits: Int = 1)
+    extends SearchProvider {
   override val name = "inverted-index"
   override def indexExists: Boolean = index != null
 
   override def search(df: DataFrame, q: Search.Query): Search.Result =
     q.term match {
       case Some(t) =>
-        val ids = index.filter(col("token") === t.toLowerCase)
-          .select(col("id"))
+        val matched =
+          if (q.fuzzy) {
+            val tokens = index.select(col("token")).distinct()
+              .filter(levenshtein(col("token"), lit(t.toLowerCase)) <= maxEdits)
+            index.join(tokens, Seq("token"), "left_semi")
+          } else index.filter(col("token") === t.toLowerCase)
+        val ids = matched.select(col("id"))
         val pruned = df.join(ids, df(q.idField) === ids("id"), "left_semi")
         Search.run(pruned, q.copy(term = None))
       case None => Search.run(df, q)

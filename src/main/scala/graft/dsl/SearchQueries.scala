@@ -165,6 +165,29 @@ object SearchQueries {
       q.facets.find(_.field == "p_brand").get)
   }
 
+  /** §3.1 provider seam end to end (q130): a FUZZY search through the
+    * registered inverted-index provider — the flag the relational path
+    * ignores (like the reference's LINQ service) and only an indexed
+    * engine can serve. "rad" matches every vocabulary token within one
+    * Levenshtein edit ("red"), resolved on the DISTINCT vocabulary first
+    * and joined back to the postings; the pruned frame then pages through
+    * the shared compiler. Oracle: the same index built in SQL with an
+    * EXISTS over levenshtein ≤ 1 (both engines implement classic edit
+    * distance). */
+  def fuzzySearch(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir)
+    val scope = "q130-fuzzy"
+    SearchService.register(scope, new InvertedIndexProvider(
+      InvertedIndexProvider.build(part, "p_partkey", Seq("p_name", "p_type"))))
+    try {
+      val q = Search.Query(term = Some("rad"), termFields = Seq("p_name", "p_type"),
+        fuzzy = true, sorts = Seq(Search.Sort("p_partkey")), pageSize = 50,
+        idField = "p_partkey")
+      SearchService.search(part, q, scope).hits
+        .select(col("p_partkey"), col("p_name"), col("p_type"))
+    } finally SearchService.unregister(scope)
+  }
+
   /** S6: raw-SQL escape hatch — temp view + spark.sql (the analog of
     * `DataProvider` SQL passthrough). */
   def rawSql(s: SparkSession, dir: String): DataFrame = {
@@ -251,6 +274,20 @@ object SearchQueries {
         |  AND p_retailprice >= 900
         |ORDER BY p_retailprice DESC, p_partkey
         |LIMIT 15 OFFSET 0""".stripMargin)),
+    Q("q130_fuzzy_search", (s, d) => fuzzySearch(s, d), Some(
+      """WITH idx AS (
+        |  SELECT DISTINCT p_partkey AS id,
+        |         unnest(string_split(lower(p_name), ' ')) AS token FROM part
+        |  UNION
+        |  SELECT DISTINCT p_partkey AS id,
+        |         unnest(string_split(lower(p_type), ' ')) AS token FROM part)
+        |SELECT p_partkey, p_name, p_type
+        |FROM part
+        |WHERE EXISTS (SELECT 1 FROM idx
+        |              WHERE idx.id = p_partkey
+        |                AND levenshtein(idx.token, 'rad') <= 1)
+        |ORDER BY p_partkey
+        |LIMIT 50""".stripMargin)),
     Q("q129_querystring_facet", (s, d) => queryStringFacetSearch(s, d), Some(
       """SELECT p_brand AS value, COUNT(*) AS cnt
         |FROM part

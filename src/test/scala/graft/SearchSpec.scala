@@ -168,4 +168,33 @@ class SearchSpec extends AnyFunSuite {
       assert(SearchService.search(products, filtered, scope).totalHits == 10)
     } finally SearchService.unregister(scope)
   }
+
+  test("fuzzy flag: consumed by the index provider, ignored by the direct path") {
+    import graft.dsl.{InvertedIndexProvider, SearchService}
+    val scope = "test-fuzzy"
+    try {
+      SearchService.register(scope, new InvertedIndexProvider(
+        InvertedIndexProvider.build(products, "id", Seq("sku"))))
+      // 'SKU-20' misspelled as 'sku-29' is one edit away
+      val q = Search.Query(term = Some("sku-29"), termFields = Seq("sku"),
+        fuzzy = true, sorts = Seq(Search.Sort("id")), idField = "id")
+      val viaProvider = SearchService.search(products, q, scope)
+      // within one edit: sku-29 → sku-20..sku-2/sku-9/sku-19... exact set:
+      val expect = (1 to 20).map(i => s"sku-$i")
+        .filter(s => editDist(s, "sku-29") <= 1).size
+      assert(viaProvider.totalHits == expect && viaProvider.totalHits > 0)
+      // the direct path ignores fuzzy (reference LINQ semantics): a
+      // substring scan for the misspelling finds nothing
+      assert(SearchService.search(products, q, scope, direct = true).totalHits == 0)
+    } finally SearchService.unregister(scope)
+  }
+
+  private def editDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }
