@@ -806,8 +806,15 @@ object TextQueries {
     * minEstJaccard). Plan shape matches the production operator: one
     * shingle pass, one doc_id aggregate, one (band, bucket) self-join —
     * no cross product. */
-  def minhashCandidatesPortable(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(Tables.documents(s, dir), 3)
+  def minhashCandidatesPortable(s: SparkSession, dir: String): DataFrame =
+    minhashCandidatePairs(shingleRows(Tables.documents(s, dir), 3))
+      .orderBy(col("id1"), col("id2"))
+
+  /** The candidate stage without the final sort — shared by q36 and the
+    * q131 end-to-end pipeline, which passes its already-materialized
+    * DISTINCT shingle frame (per-doc minima are duplicate-insensitive,
+    * so both inputs hash identically). */
+  private def minhashCandidatePairs(sh: DataFrame): DataFrame = {
     val hashed = sh.select(
       col("doc_id") +: (0 to 7).map { j =>
         substring(md5(col("g")), j * 4 + 1, 4).as(s"h$j")
@@ -839,7 +846,41 @@ object TextQueries {
         round(matches.cast("double") / lit(8), 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
       .distinct()
-      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** The PRODUCTION dedup composition end to end (q131) — the shape a
+    * 100-TB corpus actually runs, every stage bounded:
+    *   1. LSH candidates (the q36 operator: bucket join, never all-pairs);
+    *   2. exact shingle-Jaccard verification on the CANDIDATES ONLY —
+    *      shingles join the pair list by id, so the intersection work is
+    *      |candidates| × shared-shingles, not a corpus self-join (this is
+    *      where q35's exact verifier belongs in production, estimator
+    *      proposes → exact confirms: the 4 est-≥0.5 false positives at
+    *      sf0.1 die here);
+    *   3. connected components (min-label pointer jumping) over the
+    *      verified edges, every document labeled, keeper = min id of its
+    *      cluster (keep flag = the dedup decision per document). */
+  def lshDedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // four consumers (candidate stage, two verify join sides, sizes) →
+    // tokenize + shingle ONCE
+    val sh = shingleRows(docs, 3).distinct().localCheckpoint(eager = true)
+    val cand = minhashCandidatePairs(sh).select(col("id1"), col("id2"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("id1"), col("g")), Seq("id1"))
+      .join(sh.select(col("doc_id").as("id2"), col("g")), Seq("id2", "g"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("i"))
+    val edges = inter
+      .join(sz.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(sz.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .filter(round(col("i").cast("double") /
+        (col("n1") + col("n2") - col("i")).cast("double"), 4) >= 0.5)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    Dedup.connectedComponents(edges, docs.select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("component"),
+        (col("id") === col("component")).as("keep"))
+      .orderBy(col("doc_id"))
   }
 
   private def minhashCandidatesOracle: String =
@@ -1356,6 +1397,44 @@ object TextQueries {
          |ORDER BY s.id1, s.id2""".stripMargin)),
     Q("q36_minhash_candidates", (s, d) => minhashCandidatesPortable(s, d),
       Some(minhashCandidatesOracle)),
+    Q("q131_lsh_dedup_pipeline", (s, d) => lshDedupPipeline(s, d), Some(
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+         |       FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+         |       WHERE len(t) >= 3),
+         |hj AS (SELECT doc_id, j, substr(md5(g), j * 4 + 1, 4) AS h
+         |       FROM sh, UNNEST(generate_series(0, 7)) AS p(j)),
+         |mins AS (SELECT doc_id, j, MIN(h) AS m FROM hj GROUP BY doc_id, j),
+         |buckets AS (SELECT doc_id, j // 2 AS band,
+         |                   md5(string_agg(m, ',' ORDER BY j)) AS bucket
+         |            FROM mins GROUP BY doc_id, j // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM buckets a JOIN buckets b
+         |           ON a.band = b.band AND a.bucket = b.bucket
+         |         WHERE a.doc_id < b.doc_id),
+         |agree AS (SELECT c.id1, c.id2,
+         |                 SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS matches
+         |          FROM cand c JOIN mins ma ON ma.doc_id = c.id1
+         |          JOIN mins mb ON mb.doc_id = c.id2 AND mb.j = ma.j
+         |          GROUP BY c.id1, c.id2),
+         |cand2 AS (SELECT id1, id2 FROM agree WHERE matches >= 4),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.id1, c.id2, COUNT(*) AS i
+         |          FROM cand2 c JOIN sh a ON a.doc_id = c.id1
+         |          JOIN sh b ON b.doc_id = c.id2 AND b.g = a.g
+         |          GROUP BY c.id1, c.id2),
+         |e0 AS (SELECT i.id1, i.id2
+         |       FROM inter i JOIN sz s1 ON i.id1 = s1.doc_id
+         |       JOIN sz s2 ON i.id2 = s2.doc_id
+         |       WHERE round(i.i / CAST(s1.n + s2.n - i.i AS DOUBLE), 4) >= 0.5),
+         |e AS (SELECT id1 AS src, id2 AS dst FROM e0
+         |      UNION SELECT id2, id1 FROM e0),
+         |r AS (SELECT doc_id AS id, doc_id AS reach FROM documents
+         |      UNION SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src)
+         |SELECT id AS doc_id, CAST(MIN(reach) AS BIGINT) AS component,
+         |       id = MIN(reach) AS keep
+         |FROM r GROUP BY id
+         |ORDER BY doc_id""".stripMargin)),
     Q("q37_simhash_candidates", (s, d) => simhashCandidatesPortable(s, d),
       Some(simhashCandidatesOracle)),
     Q("q106_simhash_portable", (s, d) => simhashPortable(s, d),
