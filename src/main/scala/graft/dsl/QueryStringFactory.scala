@@ -95,18 +95,27 @@ object QueryStringFactory {
   private val Reserved = Set("q", "i", "s", "o")
 
   /** `TryParseRange` (SearchQueryFactoryBase.cs:72-91): "from~to",
-    * "from[~]", "~to" — plus the '-' form this factory accepted before.
+    * "from[~]", "~to". The legacy '-' form this factory accepted before
+    * is kept but restricted to its old exactly-two-parts shape
+    * ("10-50", "10-", "-50") so a bare "500" stays unparsed and negative
+    * values ("-10--5") don't silently mis-parse as an upper bound.
     * Reversed bounds swap-normalize (ConvertPrice, .cs:450-455). */
   private def parseRange(raw: String): Option[(Option[Double], Option[Double])] = {
-    val sep = if (raw.contains("~")) "~" else "-"
-    val parts = raw.split(sep, -1).map(_.trim).take(2)
-    if (parts.length < 1) return None
-    val lo0 = parts.headOption.filter(_.nonEmpty).flatMap(_.toDoubleOption)
-    val hi0 = parts.lift(1).filter(_.nonEmpty).flatMap(_.toDoubleOption)
-    (lo0, hi0) match {
-      case (None, None) => None
-      case (Some(a), Some(b)) if a > b => Some((Some(b), Some(a)))
-      case other => Some(other)
+    def bounds(parts: Array[String]): Option[(Option[Double], Option[Double])] = {
+      val lo0 = parts.headOption.filter(_.nonEmpty).flatMap(_.toDoubleOption)
+      val hi0 = parts.lift(1).filter(_.nonEmpty).flatMap(_.toDoubleOption)
+      (lo0, hi0) match {
+        case (None, None) => None
+        case (Some(a), Some(b)) if a > b => Some((Some(b), Some(a)))
+        case other => Some(other)
+      }
+    }
+    if (raw.contains("~")) bounds(raw.split("~", -1).map(_.trim).take(2))
+    else {
+      val parts = raw.split("-", -1).map(_.trim)
+      if (parts.length != 2 || parts.exists(p => p.nonEmpty && p.toDoubleOption.isEmpty))
+        None
+      else bounds(parts)
     }
   }
 
@@ -183,8 +192,15 @@ object QueryStringFactory {
         spec.isMultiSelect, spec.sorting, selected, spec.displayOrder)
     }
 
+    // The price facet owns the range parameter only when its RESOLVED
+    // URL token is the legacy rangeParam, or when its token actually
+    // carried values this request; otherwise (e.g. a localized "prix"
+    // token absent from the URL) the legacy rangeParam still parses, so
+    // old URLs keep their range filter instead of silently dropping it.
+    val priceOwnsRangeParam = facetBound.exists { case (spec, p, raw) =>
+      spec.kind == "price" && (p == cfg.rangeParam || raw.isDefined) }
     val rangeFilter: Seq[FilterExpr.Node] =
-      if (cfg.facetSpecs.exists(_.kind == "price")) Seq.empty // spec owns it
+      if (priceOwnsRangeParam) Seq.empty // spec owns it
       else params.get(cfg.rangeParam).toSeq.flatMap(p =>
         parseRange(p).map(rangeFilters(cfg.rangeField, _)).getOrElse(Seq.empty))
     val aliasFilters: Seq[FilterExpr.Node] = params.toSeq

@@ -133,7 +133,8 @@ object Search {
       // materialize page + facets off the cached frame before unpersisting
       // (these are report-sized: pageSize and maxChoices rows)
       val facetFrames = q.facets.map { f =>
-        f.field -> facetFrame(filtered, f).localCheckpoint(eager = true)
+        f.field -> facetFrame(facetBase(df, filtered, q, f), f)
+          .localCheckpoint(eager = true)
       }.toMap
       Result(hits.localCheckpoint(eager = true), total, page, facetFrames)
     } finally filtered.unpersist(blocking = false)
@@ -151,7 +152,26 @@ object Search {
 
   /** Facet counts off the shared filtered frame. */
   def facetOf(df: DataFrame, q: Query, facet: Facet): DataFrame =
-    facetFrame(compileFiltered(df, q), facet)
+    facetFrame(facetBase(df, compileFiltered(df, q), q, facet), facet)
+
+  private def referencesField(n: FilterExpr.Node, field: String): Boolean =
+    n match {
+      case FilterExpr.Pred(m, _, _)     => m == field
+      case FilterExpr.Group(_, cs, _)   => cs.exists(referencesField(_, field))
+    }
+
+  /** The frame a facet's choices are counted on. Multiselect facets count
+    * on the frame filtered by every predicate EXCEPT their own selection
+    * (standard faceted search — otherwise sibling choices drop to zero
+    * under the facet's own filter); single-select facets and facets with
+    * no selection share the fully-filtered frame. */
+  private def facetBase(df: DataFrame, filtered: DataFrame, q: Query,
+      f: Facet): DataFrame =
+    if (f.isMultiSelect && f.selected.nonEmpty &&
+        q.filters.exists(referencesField(_, f.field)))
+      compileFiltered(df, q.copy(
+        filters = q.filters.filterNot(referencesField(_, f.field))))
+    else filtered
 
   private def facetFrame(filtered: DataFrame, f: Facet): DataFrame = {
     val counted = filtered.groupBy(col(f.field).as("value"))

@@ -188,6 +188,30 @@ object SearchQueries {
     } finally SearchService.unregister(scope)
   }
 
+  /** §3.2(b) end to end (q132): a persisted PRODUCT rule set evaluated
+    * through the `SearchRules` rewriter — each rule row becomes a
+    * `Search.Query` builder call via the descriptor table
+    * (`ProductRuleProvider.LoadDescriptorsAsync` →
+    * `SearchFilterExpressionGroup.ApplyFilters`) and the result runs
+    * through the UNCHANGED §3.1 pipeline. The set exercises all three
+    * rewrite shapes: In-lists (Manufacturer, nested ProductType subset),
+    * an operator-sensitive range (Price ≥), and the NE → MustNot
+    * equality collapse (StockQuantity != 25, the `from==to` + forbidden
+    * path of `WithStockQuantity`). */
+  def ruleSetSearch(s: SparkSession, dir: String): DataFrame = {
+    import graft.rules.{RuleSets, SearchRules}
+    val set = RuleSets.RuleSet(rules = Seq(
+      RuleSets.Rule("Manufacturer", "In",
+        "Brand#1,Brand#2,Brand#3,Brand#4,Brand#5", "string[]", displayOrder = 1),
+      RuleSets.Rule("Price", ">=", "905", "money", displayOrder = 2),
+      RuleSets.Rule("StockQuantity", "!=", "25", "int", displayOrder = 3)),
+      subsets = Seq(RuleSets.RuleSet(rules = Seq(
+        RuleSets.Rule("ProductType", "In", "PROMO,STANDARD", "string[]")))))
+    Search.pageOf(Tables.part(s, dir), SearchRules.searchQuery(set))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"), col("p_retailprice"))
+  }
+
   /** S6: raw-SQL escape hatch — temp view + spark.sql (the analog of
     * `DataProvider` SQL passthrough). */
   def rawSql(s: SparkSession, dir: String): DataFrame = {
@@ -288,6 +312,14 @@ object SearchQueries {
         |                AND levenshtein(idx.token, 'rad') <= 1)
         |ORDER BY p_partkey
         |LIMIT 50""".stripMargin)),
+    Q("q132_rule_search", (s, d) => ruleSetSearch(s, d), Some(
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part
+        |WHERE p_brand IN ('Brand#1','Brand#2','Brand#3','Brand#4','Brand#5')
+        |  AND p_retailprice >= 905
+        |  AND NOT (p_size = 25)
+        |  AND p_type IN ('PROMO','STANDARD')
+        |ORDER BY p_partkey""".stripMargin)),
     Q("q129_querystring_facet", (s, d) => queryStringFacetSearch(s, d), Some(
       """SELECT p_brand AS value, COUNT(*) AS cnt
         |FROM part

@@ -173,9 +173,12 @@ object Deploy {
             .getOrElse(throw new IllegalStateException(s"unparsable PASV: $pasv"))
           val host = (1 to 4).map(m.group).mkString(".")
           val dataPort = m.group(5).toInt * 256 + m.group(6).toInt
-          cmd(s"STOR $root${f.getFileName}", 150, 125)
+          // Connect the data socket BEFORE issuing STOR: many servers only
+          // emit the 150/125 preliminary reply after accepting the data
+          // connection, so the reverse order can deadlock until SoTimeout.
           val data = new java.net.Socket(host, dataPort)
           try {
+            cmd(s"STOR $root${f.getFileName}", 150, 125)
             val ds = new BufferedOutputStream(data.getOutputStream)
             Files.copy(f, ds)
             ds.flush()

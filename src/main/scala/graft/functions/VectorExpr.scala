@@ -77,7 +77,11 @@ case class QuantDequantI8(child: Expression)
   override def inputTypes: Seq[GraftBridge.AbstractType] =
     Seq(GraftBridge.floatOrDoubleArray)
 
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  /** Null elements propagate (matching the HOF cross-check form, where
+    * `transform`'s lambda null-propagates and `greatest` skips nulls in
+    * the scale aggregate), so containsNull mirrors the input's. */
+  override def dataType: DataType = ArrayType(DoubleType,
+    containsNull = child.dataType.asInstanceOf[ArrayType].containsNull)
 
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -89,20 +93,25 @@ case class QuantDequantI8(child: Expression)
     var maxAbs = 0.0
     var i = 0
     while (i < n) {
-      val v = math.abs(if (f) x.getFloat(i).toDouble else x.getDouble(i))
-      if (v > maxAbs) maxAbs = v
+      if (!x.isNullAt(i)) {
+        val v = math.abs(if (f) x.getFloat(i).toDouble else x.getDouble(i))
+        if (v > maxAbs) maxAbs = v
+      }
       i += 1
     }
     val scale = maxAbs / 127d
-    val out = new Array[Double](n)
+    val out = new Array[Any](n)
     i = 0
     while (i < n) {
-      val v = (if (f) x.getFloat(i).toDouble else x.getDouble(i)) / scale
-      val r =
-        if (v.isNaN || v.isInfinite) v // Spark RoundBase passes these through
-        else java.math.BigDecimal.valueOf(v)
-          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
-      out(i) = r * scale
+      if (x.isNullAt(i)) out(i) = null
+      else {
+        val v = (if (f) x.getFloat(i).toDouble else x.getDouble(i)) / scale
+        val r =
+          if (v.isNaN || v.isInfinite) v // Spark RoundBase passes these through
+          else java.math.BigDecimal.valueOf(v)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        out(i) = r * scale
+      }
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

@@ -145,5 +145,17 @@ class AnnSpec extends AnyFunSuite {
     intercept[ArithmeticException] {
       zv.select(SimilarityQueries.quantDequantHof(col("embedding")).as("ref")).head()
     }
+    // null elements propagate (ADVICE r8): [3.0, null, -1.5] keeps its
+    // null and scales off the non-null max, matching the HOF form where
+    // transform null-propagates and greatest skips nulls
+    val nv = Seq(Tuple1(Array[java.lang.Double](3.0, null, -1.5)))
+      .toDF("embedding")
+    val nRes = nv.select(VectorExpr.quantDequantI8(col("embedding")).as("fast"))
+      .head().getSeq[java.lang.Double](0)
+    val nRef = nv.select(SimilarityQueries.quantDequantHof(col("embedding")).as("ref"))
+      .head().getSeq[java.lang.Double](0)
+    assert(nRes(1) == null && nRef(1) == null)
+    assert(nRes.zip(nRef).forall { case (a, b) =>
+      (a == null && b == null) || java.lang.Double.compare(a, b) == 0 })
   }
 }

@@ -60,6 +60,8 @@ final class LoopbackFtp(user: String, pass: String) extends AutoCloseable {
             else {
               if (dataServer != null) dataServer.close()
               dataServer = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+              dataServer.setSoTimeout(10000) // a non-connecting client fails fast
+
               val p = dataServer.getLocalPort
               send(s"227 Entering Passive Mode (127,0,0,1,${p / 256},${p % 256})")
             }
@@ -67,8 +69,13 @@ final class LoopbackFtp(user: String, pass: String) extends AutoCloseable {
             if (!authed) send("530 not logged in")
             else if (dataServer == null) send("425 use PASV first")
             else {
-              send("150 opening data connection")
+              // Like real servers (vsftpd, proftpd): the 150 preliminary
+              // reply is only emitted AFTER the data connection is
+              // accepted, so a client that waits for 150 before
+              // connecting would deadlock here — the order bug ADVICE r8
+              // flagged in FtpPublisher.
               val data = dataServer.accept()
+              send("150 opening data connection")
               try stored.put(arg, data.getInputStream.readAllBytes())
               finally { data.close(); dataServer.close(); dataServer = null }
               send("226 transfer complete")

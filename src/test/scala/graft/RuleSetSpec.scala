@@ -227,4 +227,116 @@ class RuleSetSpec extends AnyFunSuite {
     // only country 2 has >= 2 customers (alice, dave)
     assert(vals.toSeq == Seq(2 -> 2L))
   }
+
+  // --- round-9: the RuleSet => Search.Query rewriter (§3.2(b)) ---------
+
+  test("search-rewriter parity table vs the C# descriptor mappings") {
+    import graft.dsl.Search
+    import graft.rules.{RuleSets, SearchRules}
+    import graft.rules.FilterExpr.Pred
+    import graft.operators.RuleOps._
+    def q(rules: RuleSets.Rule*) = SearchRules.rewrite(
+      RuleSets.RuleSet(rules = rules), SearchRules.productDescriptors,
+      Search.Query(idField = "p_partkey"))
+    // priceFilter: eq → Must equality (from==to collapse, Mandatory)
+    assert(q(RuleSets.Rule("Price", "=", "910", "money")).filters
+      == Seq(Pred("p_retailprice", IsEqualTo, 910.0)))
+    // NE → MustNot equality (the 'forbidden' collapse)
+    val ne = q(RuleSets.Rule("StockQuantity", "!=", "25", "int"))
+    assert(ne.filters.isEmpty &&
+      ne.mustNotFilters == Seq(Pred("p_size", IsEqualTo, 25L)))
+    // the four inequalities map to half-open bounds
+    assert(q(RuleSets.Rule("Price", ">", "905", "money")).filters
+      == Seq(Pred("p_retailprice", GreaterThan, 905.0)))
+    assert(q(RuleSets.Rule("StockQuantity", "<=", "30", "int")).filters
+      == Seq(Pred("p_size", LessThanOrEqualTo, 30L)))
+    // an operator outside the lambda's dispatch leaves the query UNCHANGED
+    // (each reference filter lambda ends in `return ctx.Query`)
+    val noop = q(RuleSets.Rule("Price", "Like", "9*", "string"))
+    assert(noop.filters.isEmpty && noop.mustNotFilters.isEmpty)
+    // In-list descriptors reject other operators (declared Operators array)
+    intercept[IllegalArgumentException] {
+      q(RuleSets.Rule("Manufacturer", ">=", "Brand#1", "string"))
+    }
+    // unknown rule name → no descriptor (the provider has no entry)
+    intercept[IllegalArgumentException] {
+      q(RuleSets.Rule("NoSuchRule", "=", "1", "int"))
+    }
+    // display order controls fold order; subsets flatten into the AND fold
+    val multi = SearchRules.rewrite(RuleSets.RuleSet(
+      rules = Seq(
+        RuleSets.Rule("Price", ">=", "905", "money", displayOrder = 2),
+        RuleSets.Rule("Manufacturer", "In", "Brand#1,Brand#2", "string[]",
+          displayOrder = 1)),
+      subsets = Seq(RuleSets.RuleSet(rules = Seq(
+        RuleSets.Rule("ProductType", "In", "PROMO", "string[]"))))),
+      SearchRules.productDescriptors, Search.Query(idField = "p_partkey"))
+    assert(multi.filters == Seq(
+      Pred("p_brand", In, Seq("Brand#1", "Brand#2")),
+      Pred("p_retailprice", GreaterThanOrEqualTo, 905.0),
+      Pred("p_type", In, Seq("PROMO"))))
+    // OR groups are rejected loudly (LinqCatalogSearchService parity)
+    intercept[IllegalArgumentException] {
+      SearchRules.rewrite(RuleSets.RuleSet(andCombined = false),
+        SearchRules.productDescriptors, Search.Query())
+    }
+  }
+
+  test("rewritten rule set evaluates through the ordinary search pipeline") {
+    import graft.dsl.Search
+    import graft.rules.{RuleSets, SearchRules}
+    // a custom descriptor table over the spec's customer frame, including
+    // the boolean flag shape (PublishedOnly analog → tax_exempt)
+    val descriptors = Map(
+      "Spent" -> SearchRules.range("Spent", "spent"),
+      "TaxExempt" -> SearchRules.flag("TaxExempt", "tax_exempt"),
+      "Country" -> SearchRules.inList("Country", "country_id"))
+    val set = RuleSets.RuleSet(rules = Seq(
+      RuleSets.Rule("Spent", ">=", "100", "money"),
+      RuleSets.Rule("TaxExempt", "=", "false", "bool")))
+    val q = SearchRules.rewrite(set, descriptors, Search.Query(
+      sorts = Seq(Search.Sort("id")), idField = "id"))
+    val got = Search.pageOf(customers, q).select("id").as[Long].collect().toSeq
+    assert(got == Seq(3L)) // carol: spent 999, not exempt
+  }
+
+  // --- round-9 ADVICE regressions -------------------------------------
+
+  test("legacy '-' range grammar needs exactly two non-negative parts") {
+    import graft.rules.FilterExpr.Pred
+    import graft.operators.RuleOps.{GreaterThanOrEqualTo => Ge, LessThanOrEqualTo => Le}
+    val cfg = QueryStringFactory.Config(termFields = Seq("name"),
+      idField = "id", rangeField = "spent")
+    def filtersOf(p: String) =
+      QueryStringFactory.fromParams(Map("p" -> p), cfg).filters
+    assert(filtersOf("10-50") == Seq(Pred("spent", Ge, 10.0), Pred("spent", Le, 50.0)))
+    assert(filtersOf("-50") == Seq(Pred("spent", Le, 50.0))) // documented open end
+    // a bare value is NOT a legacy range (the old grammar required two parts)
+    assert(filtersOf("500") == Seq.empty)
+    // negative values cannot mis-parse into bounds
+    assert(filtersOf("-10--5") == Seq.empty)
+    // the '~' reference grammar still accepts a bare lower bound
+    assert(filtersOf("500~") == Seq(Pred("spent", Ge, 500.0)))
+  }
+
+  test("legacy rangeParam still parses when the price facet token is absent") {
+    import graft.rules.FilterExpr.Pred
+    import graft.operators.RuleOps.{GreaterThanOrEqualTo => Ge, LessThanOrEqualTo => Le}
+    val cfg = QueryStringFactory.Config(termFields = Seq("name"),
+      idField = "id", rangeField = "spent", languageId = 3,
+      facetSpecs = Seq(QueryStringFactory.FacetSpec("price", "p", "spent")),
+      facetParamAliases = Map((3, "price") -> "prix"))
+    // the price facet resolves to 'prix'; a legacy URL carrying p=10~50
+    // must still produce the range filter instead of dropping it
+    val legacy = QueryStringFactory.fromParams(Map("p" -> "10~50"), cfg)
+    assert(legacy.filters == Seq(Pred("spent", Ge, 10.0), Pred("spent", Le, 50.0)))
+    // when the facet token IS present, the spec owns the range (no doubling)
+    val viaFacet = QueryStringFactory.fromParams(
+      Map("prix" -> "10~50", "p" -> "1~2"), cfg)
+    assert(viaFacet.filters == Seq(Pred("spent", Ge, 10.0), Pred("spent", Le, 50.0)))
+    // and when the resolved token IS the rangeParam, the spec also owns it
+    val neutral = QueryStringFactory.fromParams(Map("p" -> "10~50"),
+      cfg.copy(languageId = 0))
+    assert(neutral.filters == Seq(Pred("spent", Ge, 10.0), Pred("spent", Le, 50.0)))
+  }
 }

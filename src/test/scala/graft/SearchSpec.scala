@@ -189,6 +189,31 @@ class SearchSpec extends AnyFunSuite {
     } finally SearchService.unregister(scope)
   }
 
+  test("multiselect facet counts exclude the facet's own selection") {
+    // URL selected kind=even → hard filter on the hits, but the facet's
+    // OWN counts must come from the frame WITHOUT that filter (standard
+    // faceted search: sibling choices stay visible); a single-select
+    // facet keeps post-selection counts
+    val sel = FilterExpr.Pred("kind", RuleOps.In, Seq("even"))
+    val price = FilterExpr.Pred("price", RuleOps.GreaterThan, 100.0)
+    val multi = Search.Query(idField = "id", filters = Seq(sel, price),
+      facets = Seq(Search.Facet("kind", sorting = "label",
+        isMultiSelect = true, selected = Seq("even"))))
+    val r = Search.run(products, multi)
+    // hits honor both filters: even ids > 10 → 12,14,16,18,20
+    assert(r.totalHits == 5)
+    // counts honor only the price filter: ids 11..20 → 5 even, 5 odd
+    val counts = r.facets("kind").collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(counts == Map("even" -> 5L, "odd" -> 5L))
+    // single-select: counts stay post-selection (only 'even' survives)
+    val single = Search.run(products, multi.copy(facets = Seq(Search.Facet(
+      "kind", sorting = "label", isMultiSelect = false, selected = Seq("even")))))
+    val sc = single.facets("kind").collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(sc == Map("even" -> 5L))
+  }
+
   private def editDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
       if (i == 0) j else if (j == 0) i else 0)
