@@ -144,7 +144,66 @@ object EtlQueries {
         Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"))
       .orderBy(col("col_name"))
 
+  /** §2.9 projection config surface end to end (q133): an export profile
+    * carrying the DECLARATIVE `ExportProjection` fields — language 2
+    * translation overlay with entity-value fallback (even keys carry a
+    * localized Name, ShortDescription exists only for keys divisible by
+    * 3 and only as a translation), the
+    * `ManufacturerAndNameAndShortDescription` description-merge chain
+    * (brand ⊕ name ⊕ short, empty-skipping `Grow`), critical-character
+    * removal (the ':' of the "Kurz:" prefix), and per-currency price
+    * conversion (EUR at 0.92, exact decimal product, money-rounded).
+    * The language-1 "rotfremd" rows of the shared synthetic table gate
+    * language isolation: a leak changes every odd key's name. */
+  def exportProjected(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir)
+    val lp = graft.dsl.Localized.syntheticProperties(part)
+    val projected = ExportPipeline.applyProjection(
+      part, "p_partkey",
+      ExportPipeline.Projection(
+        languageId = Some(2),
+        localizedColumns = Map(
+          "Name" -> "p_name", "ShortDescription" -> "short_description"),
+        currency = Some(("EUR", 0.92)),
+        priceColumns = Seq("p_retailprice"),
+        descriptionMerging = "ManufacturerAndNameAndShortDescription",
+        nameColumn = "p_name",
+        manufacturerColumn = "p_brand",
+        removeCriticalCharacters = true,
+        criticalCharacters = Seq(":")),
+      localized = Some(lp))
+    projected
+      .select(col("p_partkey"), col("p_name"), col("short_description"),
+        col("description"), col("p_retailprice"), col("currency_code"))
+      .orderBy(col("p_partkey"))
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q133_export_projection", (s, d) => exportProjected(s, d), Some(
+      """WITH lp AS (
+        |  SELECT p_partkey AS entity_id, 'Name' AS locale_key,
+        |         replace(p_name, 'red', 'rot') AS locale_value
+        |  FROM part WHERE p_partkey % 2 = 0
+        |  UNION ALL
+        |  SELECT p_partkey, 'ShortDescription',
+        |         'Kurz: ' || replace(p_name, 'red', 'rot')
+        |  FROM part WHERE p_partkey % 3 = 0),
+        |loc AS (
+        |  SELECT entity_id,
+        |         max(CASE WHEN locale_key = 'Name' THEN locale_value END) AS name_l,
+        |         max(CASE WHEN locale_key = 'ShortDescription' THEN locale_value END) AS short_l
+        |  FROM lp GROUP BY entity_id)
+        |SELECT p.p_partkey,
+        |       COALESCE(l.name_l, p.p_name) AS p_name,
+        |       l.short_l AS short_description,
+        |       replace(p.p_brand || ' ' || COALESCE(l.name_l, p.p_name) ||
+        |         (CASE WHEN l.short_l IS NULL OR l.short_l = '' THEN ''
+        |               ELSE ' ' || l.short_l END), ':', '') AS description,
+        |       CAST(round(CAST(p.p_retailprice AS DECIMAL(18,2)) *
+        |         CAST(0.92 AS DECIMAL(8,4)), 2) AS DOUBLE) AS p_retailprice,
+        |       'EUR' AS currency_code
+        |FROM part p LEFT JOIN loc l ON p.p_partkey = l.entity_id
+        |ORDER BY p.p_partkey""".stripMargin)),
     Q("q120_export_expansion", (s, d) => exportExpanded(s, d), Some(
       """WITH base AS (
         |  SELECT p_partkey, 'P-' || p_partkey AS sku,

@@ -92,6 +92,139 @@ object ExportPipeline {
     w.parquet(path)
   }
 
+  /** `ExportProjection` analog (Domain/ExportProjection.cs:18-170) — the
+    * DECLARATIVE projection config a profile carries, compiled onto the
+    * extracted frame by `applyProjection`:
+    *  - `languageId` + `localizedColumns`: per-language value pick with
+    *    entity-value fallback (`ctx.GetTranslation`,
+    *    DataExporter.DynamicEntity.cs — translation if present, else the
+    *    entity's own value; a locale key with no base column appears as a
+    *    new nullable column);
+    *  - `currency` + `priceColumns`: per-currency price conversion in the
+    *    projection (`ctx.ContextCurrency`, DataExporter.cs:332 — prices
+    *    multiply by the exchange rate, money-rounded to 2dp, and the
+    *    export carries the currency code);
+    *  - `descriptionMerging` + critical-character removal: the
+    *    `ApplyProductDescription` chain
+    *    (DataExporter.DynamicProduct.cs:579-655) — see `mergedDescription`
+    *    for the enum's eight cases;
+    *  - `brandFallback`: `Projection.Brand`, applied where the brand
+    *    column is null/empty. */
+  final case class Projection(
+      languageId: Option[Int] = None,
+      keyGroup: String = "Product",
+      /** locale key → target column (overlaid when it exists, created
+        * nullable when it doesn't). */
+      localizedColumns: Map[String, String] = Map.empty,
+      /** (currency code, exchange rate from the store currency). */
+      currency: Option[(String, Double)] = None,
+      priceColumns: Seq[String] = Seq.empty,
+      currencyCodeColumn: String = "currency_code",
+      /** ExportDescriptionMerging enum token; "None" emits no column. */
+      descriptionMerging: String = "None",
+      descriptionColumn: String = "description",
+      nameColumn: String = "name",
+      shortDescriptionColumn: String = "short_description",
+      fullDescriptionColumn: String = "full_description",
+      manufacturerColumn: String = "manufacturer",
+      removeCriticalCharacters: Boolean = false,
+      criticalCharacters: Seq[String] = Seq.empty,
+      brandFallback: Option[String] = None,
+      brandColumn: String = "brand")
+
+  /** `.Grow(other, " ")`: append when the addition is non-empty, keep
+    * the base when it is — null- and empty-safe on both sides. */
+  private def grow(a: Column, b: Column): Column = {
+    val aEmpty = a.isNull || a === ""
+    val bEmpty = b.isNull || b === ""
+    when(bEmpty, coalesce(a, lit(""))).otherwise(
+      when(aEmpty, b).otherwise(concat(a, lit(" "), b)))
+  }
+
+  /** The `ExportDescriptionMerging` switch (ExportEnums.cs:51-61,
+    * applied at DataExporter.DynamicProduct.cs:586-632). Note the
+    * reference's `ShortDescriptionOrNameIfEmpty` branch actually reads
+    * the FULL description first — mirrored faithfully. */
+  private def mergedDescription(p: Projection, has: String => Boolean): Column = {
+    def c(name: String): Column = if (has(name)) col(name) else lit(null)
+    def nonEmpty(x: Column): Column = when(x.isNull || x === "", lit(null)).otherwise(x)
+    val (name, short, full, manu) = (c(p.nameColumn), c(p.shortDescriptionColumn),
+      c(p.fullDescriptionColumn), c(p.manufacturerColumn))
+    p.descriptionMerging match {
+      case "None"                        => lit("")
+      case "ShortDescriptionOrNameIfEmpty" =>
+        coalesce(nonEmpty(full), nonEmpty(short), nonEmpty(name), lit(""))
+      case "ShortDescription"            => coalesce(short, lit(""))
+      case "Description"                 => coalesce(full, lit(""))
+      case "NameAndShortDescription"     => grow(name, short)
+      case "NameAndDescription"          => grow(name, full)
+      case "ManufacturerAndNameAndShortDescription" => grow(grow(manu, name), short)
+      case "ManufacturerAndNameAndDescription"      => grow(grow(manu, name), full)
+      case other => throw new IllegalArgumentException(
+        s"unknown description merging '$other'")
+    }
+  }
+
+  /** Compile a `Projection` onto the extracted frame.
+    *
+    * Scale shape: the localized side is pre-filtered to ONE language +
+    * key group + the configured locale keys, pivoted to one row per
+    * entity (hash aggregate on the entity id), and broadcast when small —
+    * the translation overlay never shuffles the exported frame itself.
+    * Everything else is map-side column arithmetic. */
+  def applyProjection(df: DataFrame, idColumn: String, p: Projection,
+      localized: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    // 1. per-language overlay with entity-value fallback
+    var out = (p.languageId, localized) match {
+      case (Some(lang), Some(lp)) if p.localizedColumns.nonEmpty =>
+        val keys = p.localizedColumns.keys.toSeq
+        val slice = lp.filter(col("language_id") === lang &&
+          col("locale_key_group") === p.keyGroup &&
+          col("locale_key").isin(keys.map(x => x: Any): _*))
+        val aggs = keys.map(k =>
+          max(when(col("locale_key") === k, col("locale_value")))
+            .as(s"__loc_$k"))
+        val pivoted = slice.groupBy(col("entity_id").as("__loc_id"))
+          .agg(aggs.head, aggs.tail: _*)
+        val joined = df.join(broadcast(pivoted),
+          df(idColumn) === pivoted("__loc_id"), "left")
+        val overlaid = p.localizedColumns.foldLeft(joined) {
+          case (acc, (key, target)) =>
+            if (df.columns.contains(target))
+              acc.withColumn(target, coalesce(col(s"__loc_$key"), acc(target)))
+            else acc.withColumn(target, col(s"__loc_$key"))
+        }
+        overlaid.drop("__loc_id" +: keys.map(k => s"__loc_$k"): _*)
+      case _ => df
+    }
+    // 2. brand fallback (Projection.Brand)
+    p.brandFallback.foreach { fb =>
+      if (out.columns.contains(p.brandColumn))
+        out = out.withColumn(p.brandColumn,
+          when(col(p.brandColumn).isNull || col(p.brandColumn) === "", fb)
+            .otherwise(col(p.brandColumn)))
+    }
+    // 3. description merge chain + critical-character removal
+    if (p.descriptionMerging != "None") {
+      var desc = mergedDescription(p, out.columns.contains)
+      if (p.removeCriticalCharacters)
+        desc = p.criticalCharacters.foldLeft(desc)((d, ch) =>
+          regexp_replace(d, java.util.regex.Pattern.quote(ch), ""))
+      out = out.withColumn(p.descriptionColumn, desc)
+    }
+    // 4. per-currency price conversion: exact decimal product, money-
+    // rounded (HALF_UP on positive prices in both engines), double out
+    p.currency.foreach { case (code, rate) =>
+      p.priceColumns.foreach(pc =>
+        out = out.withColumn(pc,
+          round(col(pc).cast("decimal(18,2)") *
+            lit(rate).cast("decimal(8,4)"), 2).cast("double")))
+      out = out.withColumn(p.currencyCodeColumn, lit(code))
+    }
+    out
+  }
+
   /** Nested-struct projection helper (`DataExporter.DynamicProduct`
     * analog): group child rows as an array-of-structs column keyed by the
     * parent — "related collections as grouped/nested frames" (SURVEY §4). */

@@ -55,4 +55,74 @@ class ExportExpandSpec extends AnyFunSuite {
     assert(out.filter(col("unique_id") === "30-1")
       .head.getAs[Double]("price") == 99.0)
   }
+
+  // --- round-9: the declarative ExportProjection surface ---------------
+
+  private def catalog = Seq(
+    (1L, "Alpha", "", "Long alpha text", "BrandX", 100.0),
+    (2L, "Beta", "Beta short", "", "", 250.0),
+    (3L, "Gamma", "", "", "BrandZ", 19.99)
+  ).toDF("id", "name", "short_description", "full_description", "brand", "price")
+
+  private def lp = Seq(
+    (1L, 2, "Product", "Name", "Alpha-DE"),
+    (1L, 1, "Product", "Name", "Alpha-WRONG-LANG"), // must not leak
+    (2L, 2, "Product", "ShortDescription", "Beta kurz")
+  ).toDF("entity_id", "language_id", "locale_key_group", "locale_key", "locale_value")
+
+  test("description merging enum matches the reference switch") {
+    import graft.etl.ExportPipeline
+    def descOf(merging: String): Map[Long, String] = {
+      val out = ExportPipeline.applyProjection(catalog, "id",
+        ExportPipeline.Projection(descriptionMerging = merging,
+          manufacturerColumn = "brand"))
+      out.select("id", "description").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    // the reference's ShortDescriptionOrNameIfEmpty reads FULL first
+    assert(descOf("ShortDescriptionOrNameIfEmpty") ==
+      Map(1L -> "Long alpha text", 2L -> "Beta short", 3L -> "Gamma"))
+    assert(descOf("ShortDescription") == Map(1L -> "", 2L -> "Beta short", 3L -> ""))
+    assert(descOf("Description") == Map(1L -> "Long alpha text", 2L -> "", 3L -> ""))
+    // Grow skips empty additions (no dangling separators)
+    assert(descOf("NameAndShortDescription") ==
+      Map(1L -> "Alpha", 2L -> "Beta Beta short", 3L -> "Gamma"))
+    assert(descOf("ManufacturerAndNameAndDescription") ==
+      Map(1L -> "BrandX Alpha Long alpha text", 2L -> "Beta", 3L -> "BrandZ Gamma"))
+    // "None" is the config default: the projection adds NO description
+    // column at all (the reference's product-only description step)
+    val none = ExportPipeline.applyProjection(catalog, "id",
+      ExportPipeline.Projection(descriptionMerging = "None"))
+    assert(!none.columns.contains("description"))
+    intercept[IllegalArgumentException](descOf("NoSuchMerging"))
+  }
+
+  test("translation overlay falls back to entity values; wrong language never leaks") {
+    import graft.etl.ExportPipeline
+    val out = ExportPipeline.applyProjection(catalog, "id",
+      ExportPipeline.Projection(languageId = Some(2),
+        localizedColumns = Map("Name" -> "name", "ShortDescription" -> "short_description")),
+      localized = Some(lp))
+    val names = out.select("id", "name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(names == Map(1L -> "Alpha-DE", 2L -> "Beta", 3L -> "Gamma"))
+    val shorts = out.select("id", "short_description").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // id 2's translation OVERLAYS its entity value; 1/3 keep their own
+    assert(shorts == Map(1L -> "", 2L -> "Beta kurz", 3L -> ""))
+  }
+
+  test("brand fallback and currency conversion") {
+    import graft.etl.ExportPipeline
+    val out = ExportPipeline.applyProjection(catalog, "id",
+      ExportPipeline.Projection(
+        brandFallback = Some("Fallback Inc"),
+        currency = Some(("EUR", 0.5)), priceColumns = Seq("price")))
+    val rows = out.select("id", "brand", "price", "currency_code").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(rows.toSet == Set(
+      (1L, "BrandX", 50.0, "EUR"),
+      (2L, "Fallback Inc", 125.0, "EUR"),
+      (3L, "BrandZ", 10.0, "EUR"))) // 19.99 * 0.5 = 9.995 → HALF_UP 10.00
+  }
 }
