@@ -178,7 +178,46 @@ object EtlQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** K3 proved by a CONCRETE provider (q134): the feed projection of the
+    * registered `feed-xml` provider (`GmcXmlExportProvider` shape) over
+    * deterministic part-derived inputs — condition/availability enum
+    * mappings, SKU→MPN fallback, link templating, invariant money-string
+    * price. The XML sink/namespace round-trip is spec-asserted
+    * (ExportDeploySpec); this query oracle-checks every per-row mapping. */
+  def feedExport(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.part(s, dir).select(
+      col("p_partkey").as("id"),
+      col("p_name").as("title"),
+      concat(lit("P-"), col("p_partkey")).as("sku"),
+      col("p_brand").as("brand"),
+      when(col("p_partkey") % 10 === 0, "Used")
+        .when(col("p_partkey") % 10 === 1, "Refurbished")
+        .otherwise("New").as("condition"),
+      (col("p_size") - 5).as("stock"),
+      (col("p_partkey") % 2 === 0).as("preorder"),
+      col("p_retailprice").as("price"),
+      col("p_brand").as("group_id"))
+    FeedXml.project(items, FeedXml.Config()).orderBy(col("id"))
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q134_feed_provider", (s, d) => feedExport(s, d), Some(
+      """SELECT CAST(p_partkey AS VARCHAR) AS id,
+        |       p_name AS title,
+        |       'https://shop.example/p/' || CAST(p_partkey AS VARCHAR) AS link,
+        |       p_brand AS brand,
+        |       'P-' || CAST(p_partkey AS VARCHAR) AS mpn,
+        |       CASE WHEN p_partkey % 10 = 0 THEN 'used'
+        |            WHEN p_partkey % 10 = 1 THEN 'refurbished'
+        |            ELSE 'new' END AS condition,
+        |       CASE WHEN p_size - 5 <= 0 THEN
+        |              CASE WHEN p_partkey % 2 = 0 THEN 'preorder'
+        |                   ELSE 'out of stock' END
+        |            ELSE 'in stock' END AS availability,
+        |       CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR) || ' EUR' AS price,
+        |       p_brand AS item_group_id
+        |FROM part
+        |ORDER BY id""".stripMargin)),
     Q("q133_export_projection", (s, d) => exportProjected(s, d), Some(
       """WITH lp AS (
         |  SELECT p_partkey AS entity_id, 'Name' AS locale_key,

@@ -250,4 +250,40 @@ class ExportDeploySpec extends AnyFunSuite {
       .publish(files)
     assert(q3.queued.isEmpty)
   }
+
+  test("feed-xml provider: registry dispatch, g: namespace, field round-trip") {
+    import graft.etl.FeedXml
+    val out = tmp("feedxml")
+    val items = Seq(
+      (7L, "Widget", "SKU-7", "BrandA", "New", 3, false, 19.99, "BrandA"),
+      (8L, "Gadget", null.asInstanceOf[String], "BrandB", "Used", 0, true, 5.5, "BrandB"),
+      (9L, "Gizmo", "SKU-9", "BrandB", "Refurbished", -2, false, 100.0, "BrandB"))
+      .toDF("id", "title", "sku", "brand", "condition", "stock", "preorder",
+        "price", "group_id")
+    FeedXml.install()
+    // dispatch through the registry like any other format provider
+    graft.etl.Providers("feed-xml")(items, out, None)
+    val raw = graft.etl.Deploy.outputFiles(out)
+      .map(f => new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
+      .mkString("\n")
+    // the root channel declares the google namespace; items carry g: fields
+    assert(raw.contains("xmlns:g=\"http://base.google.com/ns/1.0\""))
+    assert(raw.contains("<g:availability>") && raw.contains("<g:price>"))
+    val back = ExportPipeline.readXml(spark, out, rowTag = "item")
+    assert(back.count() == 3)
+    val byId = back.collect().map(r =>
+      r.getAs[Any]("g:id").toString -> r).toMap
+    // null SKU falls back to the id (UsesSkuAsMpnFallback)
+    assert(byId("8").getAs[String]("g:mpn") == "8")
+    assert(byId("7").getAs[String]("g:mpn") == "SKU-7")
+    // condition + availability mappings
+    assert(byId("8").getAs[String]("g:condition") == "used")
+    assert(byId("9").getAs[String]("g:condition") == "refurbished")
+    assert(byId("8").getAs[String]("g:availability") == "preorder")
+    assert(byId("9").getAs[String]("g:availability") == "out of stock")
+    assert(byId("7").getAs[String]("g:availability") == "in stock")
+    // invariant money string with the configured currency
+    assert(byId("8").getAs[String]("g:price") == "5.50 EUR")
+    assert(byId("7").getAs[String]("link") == "https://shop.example/p/7")
+  }
 }
