@@ -202,7 +202,96 @@ object FilterQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Deterministic media-file frame derived from `documents` — the
+    * `MediaFile` entity shape for the q135 battery (no RNG; every column
+    * reproducible in DuckDB). */
+  private[operators] def mediaFiles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id").as("id"),
+      when(col("doc_id") % 50 < 2, lit(null).cast("long"))
+        .otherwise(col("doc_id") % 7 + 1).as("folder_id"),
+      concat(lit("file-"), col("doc_id")).as("name"),
+      col("source").as("alt"),
+      when(col("doc_id") % 4 === 0, "image")
+        .when(col("doc_id") % 4 === 1, "video")
+        .when(col("doc_id") % 4 === 2, "audio")
+        .otherwise("document").as("media_type"),
+      when(col("doc_id") % 4 === 0, "jpg")
+        .when(col("doc_id") % 4 === 1, "mp4")
+        .when(col("doc_id") % 4 === 2, "mp3")
+        .otherwise("pdf").as("extension"),
+      when(col("doc_id") % 4 === 0, "image/jpeg")
+        .when(col("doc_id") % 4 === 1, "video/mp4")
+        .when(col("doc_id") % 4 === 2, "audio/mpeg")
+        .otherwise("application/pdf").as("mime_type"),
+      (col("n_chars") * 700).as("pixel_size"),
+      (col("doc_id") % 10 === 0).as("hidden"),
+      (col("doc_id") % 13 === 0).as("deleted"),
+      (col("doc_id") % 17 === 0).as("is_transient"))
+
+  /** The static media folder tree: 1=media{2=products{4=shoes,5=shirts
+    * {7=summer}},3=blog{6=drafts}}. Deep search under 2 → {2,4,5,7}. */
+  private def mediaFolders(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, null.asInstanceOf[java.lang.Long], "media"),
+      (2L, java.lang.Long.valueOf(1L), "products"),
+      (3L, java.lang.Long.valueOf(1L), "blog"),
+      (4L, java.lang.Long.valueOf(2L), "shoes"),
+      (5L, java.lang.Long.valueOf(2L), "shirts"),
+      (6L, java.lang.Long.valueOf(3L), "drafts"),
+      (7L, java.lang.Long.valueOf(5L), "summer"))
+      .toDF("id", "parent_id", "name")
+  }
+
+  /** F2 media battery end to end (q135): `MediaSearcher.PrepareQuery` —
+    * DEEP folder search under folder 2 (flattened-tree subtree semi-join),
+    * the MIME-type IN chain, the Small+Medium image-dimension OR-chain
+    * over pixel-size buckets, an explicit hidden=false flag, and the
+    * default deleted=false gate (no filter/special-folder verdict). */
+  def mediaSearchBattery(s: SparkSession, dir: String): DataFrame = {
+    val q = MediaSearch.Query(
+      folderId = Some(2L), deepSearch = true,
+      filter = MediaSearch.Filter(
+        mimeTypes = Seq("image/jpeg", "video/mp4"),
+        dimensions = Seq("Small", "Medium"),
+        hidden = Some(false)))
+    MediaSearch.prepareQuery(mediaFiles(s, dir), q,
+        folders = Some(mediaFolders(s)))
+      .select(col("id"), col("name"), col("folder_id"),
+        col("mime_type"), col("pixel_size"))
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q135_media_search", (s, d) => mediaSearchBattery(s, d), Some(
+      """WITH RECURSIVE folders(id, parent_id) AS (
+        |  SELECT * FROM (VALUES (1, NULL), (2, 1), (3, 1), (4, 2),
+        |                        (5, 2), (6, 3), (7, 5)) AS t(id, parent_id)),
+        |sub(id) AS (
+        |  SELECT 2 UNION ALL
+        |  SELECT f.id FROM folders f JOIN sub ON f.parent_id = sub.id),
+        |media AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN doc_id % 50 < 2 THEN NULL
+        |              ELSE doc_id % 7 + 1 END AS folder_id,
+        |         'file-' || doc_id AS name,
+        |         CASE WHEN doc_id % 4 = 0 THEN 'image/jpeg'
+        |              WHEN doc_id % 4 = 1 THEN 'video/mp4'
+        |              WHEN doc_id % 4 = 2 THEN 'audio/mpeg'
+        |              ELSE 'application/pdf' END AS mime_type,
+        |         n_chars * 700 AS pixel_size,
+        |         doc_id % 10 = 0 AS hidden,
+        |         doc_id % 13 = 0 AS deleted
+        |  FROM documents)
+        |SELECT id, name, folder_id, mime_type, pixel_size
+        |FROM media
+        |WHERE folder_id IN (SELECT id FROM sub)
+        |  AND mime_type IN ('image/jpeg', 'video/mp4')
+        |  AND ((pixel_size > 50000 AND pixel_size <= 250000)
+        |       OR (pixel_size > 250000 AND pixel_size <= 1000000))
+        |  AND hidden = false
+        |  AND deleted = false
+        |ORDER BY id""".stripMargin)),
     Q("q50_visibility", (s, d) => visibilityFilter(s, d), Some(
       """SELECT c_custkey, c_name
         |FROM customer
