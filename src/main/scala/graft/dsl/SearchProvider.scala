@@ -57,25 +57,53 @@ object SearchService {
   *
   * This provider CONSUMES `Query.fuzzy` (the whole point of the seam:
   * the relational path cannot): a fuzzy search matches every vocabulary
-  * token within `maxEdits` Levenshtein of the term. The edit-distance
-  * scan runs over the DISTINCT vocabulary first — vocabulary-sized, ≪
-  * corpus and ≪ postings — and only the surviving tokens join back to
-  * the posting table, so fuzzy costs one small scan + the same posting
-  * semi-join as the exact path. */
-final class InvertedIndexProvider(index: DataFrame, maxEdits: Int = 1)
+  * token within `maxEdits` Levenshtein of the term.
+  *
+  * Fuzzy candidate generation has two gears:
+  *  - with a DELETION INDEX (symmetric-delete style: every vocabulary
+  *    token keyed by itself and each of its 1-deletions, built once at
+  *    index time), the term's own 1-deletion neighborhood — at most
+  *    `len+1` keys, computed driver-side — looks candidates up by KEY
+  *    EQUALITY; `levenshtein` runs only on the candidate tokens as a
+  *    verify residual (two different-position deletions can meet at the
+  *    same key with true distance 2). Any edit-1 neighbor provably
+  *    shares a key (substitution → same-position deletes; insert/delete
+  *    → one-side delete), so recall is exact.
+  *  - without one, the fallback scans the DISTINCT vocabulary with
+  *    `levenshtein` — vocabulary-sized, ≪ corpus and ≪ postings; correct
+  *    at any plausible vocabulary, but a linear scan per query where the
+  *    deletion index pays hash lookups.
+  * Either way only surviving tokens join back to the posting table, so
+  * fuzzy costs one small candidate step + the same posting semi-join as
+  * the exact path. */
+final class InvertedIndexProvider(index: DataFrame,
+    deletionIndex: Option[DataFrame] = None, maxEdits: Int = 1)
     extends SearchProvider {
+  require(deletionIndex.isEmpty || maxEdits == 1,
+    "the 1-deletion neighborhood index only serves maxEdits = 1")
+
   override val name = "inverted-index"
   override def indexExists: Boolean = index != null
+
+  /** Candidate vocabulary tokens within `maxEdits` of the term. */
+  private[graft] def fuzzyTokens(term: String): DataFrame =
+    deletionIndex match {
+      case Some(dk) =>
+        val keys = InvertedIndexProvider.deletionKeys(term)
+        dk.filter(col("dkey").isin(keys.map(x => x: Any): _*))
+          .select(col("token")).distinct()
+          .filter(levenshtein(col("token"), lit(term)) <= maxEdits)
+      case None =>
+        index.select(col("token")).distinct()
+          .filter(levenshtein(col("token"), lit(term)) <= maxEdits)
+    }
 
   override def search(df: DataFrame, q: Search.Query): Search.Result =
     q.term match {
       case Some(t) =>
         val matched =
-          if (q.fuzzy) {
-            val tokens = index.select(col("token")).distinct()
-              .filter(levenshtein(col("token"), lit(t.toLowerCase)) <= maxEdits)
-            index.join(tokens, Seq("token"), "left_semi")
-          } else index.filter(col("token") === t.toLowerCase)
+          if (q.fuzzy) index.join(fuzzyTokens(t.toLowerCase), Seq("token"), "left_semi")
+          else index.filter(col("token") === t.toLowerCase)
         val ids = matched.select(col("id"))
         val pruned = df.join(ids, df(q.idField) === ids("id"), "left_semi")
         Search.run(pruned, q.copy(term = None))
@@ -92,5 +120,27 @@ object InvertedIndexProvider {
         explode(split(lower(col(f)), "\\s+")).as("token")))
       .reduce(_ union _)
       .filter(length(col("token")) > 0)
+      .distinct()
+
+  /** The 1-deletion neighborhood of one string: itself plus every
+    * single-character deletion (the query-side key set, ≤ len+1 keys). */
+  private[graft] def deletionKeys(s: String): Seq[String] =
+    (s +: s.indices.map(i => s.substring(0, i) + s.substring(i + 1))).distinct
+
+  /** Index-time deletion keys over the DISTINCT vocabulary: (dkey, token)
+    * rows — one explode over per-position deletes, distinct, sized ~
+    * (avg token length + 1) × vocabulary. Built once next to the posting
+    * table; at 100 TB both persist bucketed so fuzzy lookups are
+    * hash-partition-local. */
+  def buildDeletions(index: DataFrame): DataFrame =
+    index.select(col("token")).distinct()
+      .select(col("token"),
+        explode(sequence(lit(-1), length(col("token")) - 1)).as("i"))
+      .select(col("token"),
+        when(col("i") < 0, col("token"))
+          .otherwise(concat(
+            expr("substring(token, 1, i)"),
+            expr("substring(token, i + 2)"))).as("dkey"))
+      .select(col("dkey"), col("token"))
       .distinct()
 }

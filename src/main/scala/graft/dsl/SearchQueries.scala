@@ -177,8 +177,12 @@ object SearchQueries {
   def fuzzySearch(s: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(s, dir)
     val scope = "q130-fuzzy"
+    // round 9: candidates come from the 1-deletion-neighborhood index
+    // (key-equality lookups + levenshtein verify residual) instead of a
+    // vocabulary-wide levenshtein scan; the oracle is unchanged
+    val idx = InvertedIndexProvider.build(part, "p_partkey", Seq("p_name", "p_type"))
     SearchService.register(scope, new InvertedIndexProvider(
-      InvertedIndexProvider.build(part, "p_partkey", Seq("p_name", "p_type"))))
+      idx, Some(InvertedIndexProvider.buildDeletions(idx))))
     try {
       val q = Search.Query(term = Some("rad"), termFields = Seq("p_name", "p_type"),
         fuzzy = true, sorts = Seq(Search.Sort("p_partkey")), pageSize = 50,

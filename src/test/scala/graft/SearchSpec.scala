@@ -189,6 +189,43 @@ class SearchSpec extends AnyFunSuite {
     } finally SearchService.unregister(scope)
   }
 
+  test("deletion-neighborhood fuzzy candidates == vocabulary-scan candidates") {
+    import graft.dsl.InvertedIndexProvider
+    val idx = InvertedIndexProvider.build(products, "id", Seq("sku", "name"))
+    val scan = new InvertedIndexProvider(idx)
+    val dels = InvertedIndexProvider.buildDeletions(idx)
+    val keyed = new InvertedIndexProvider(idx, Some(dels))
+    // every query term shape: exact token, substitution, insertion,
+    // deletion, distance-2 (must be rejected by the verify residual)
+    for (term <- Seq("sku-7", "sku-29", "skuu-2", "sk-2", "xku-2x", "product")) {
+      val viaScan = scan.fuzzyTokens(term).collect().map(_.getString(0)).toSet
+      val viaKeys = keyed.fuzzyTokens(term).collect().map(_.getString(0)).toSet
+      assert(viaKeys == viaScan, s"term '$term'")
+    }
+    // the deletion gear must NOT scan the vocabulary with levenshtein:
+    // its plan filters the deletion-key table by key equality (dkey IN …)
+    // and applies levenshtein only on the candidate aggregate above it
+    val plan = keyed.fuzzyTokens("sku-29").queryExecution.analyzed.toString
+    val dkeyLine = plan.linesIterator.indexWhere(l =>
+      l.contains("Filter dkey") && l.contains(" IN ("))
+    val levLine = plan.linesIterator.indexWhere(_.contains("levenshtein"))
+    assert(dkeyLine >= 0, plan)
+    assert(levLine >= 0 && levLine < dkeyLine, plan) // verify sits ABOVE the lookup
+    // a same-key pair at true distance 2 exists and is filtered: both
+    // 'ab-1x' and 'xab-1' delete to 'ab-1' but sit 2 edits apart
+    assert(InvertedIndexProvider.deletionKeys("ab-1x").contains("ab-1"))
+    // end-to-end: the q130 shape returns identical hits on both gears
+    val q = Search.Query(term = Some("sku-29"), termFields = Seq("sku"),
+      fuzzy = true, sorts = Seq(Search.Sort("id")), idField = "id")
+    val a = scan.search(products, q).hits.select("id").as[Long].collect().toSeq
+    val b = keyed.search(products, q).hits.select("id").as[Long].collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // the neighborhood index only claims edit distance 1
+    intercept[IllegalArgumentException] {
+      new InvertedIndexProvider(idx, Some(dels), maxEdits = 2)
+    }
+  }
+
   test("multiselect facet counts exclude the facet's own selection") {
     // URL selected kind=even → hard filter on the hits, but the facet's
     // OWN counts must come from the frame WITHOUT that filter (standard
