@@ -35,6 +35,9 @@ object GenSf1 {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS); read it the way the
+      // engine does (nanos surface as long, normalized to micros below)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -84,7 +87,14 @@ object GenSf1 {
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * O))
         .withColumn("l_partkey", col("l_partkey") + lit(i * P))
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * S))), "lineitem")
-    write(rep(events)((df, i) =>
+    // normalize the nanos long to a micros timestamp once (same div-1000
+    // conversion as graft.Tables.events; micro-aligned, lossless), so the
+    // sf1 copy is an ordinary TIMESTAMP column
+    val eventsTs =
+      if (events.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else events
+    write(rep(eventsTs)((df, i) =>
       df.withColumn("event_id", col("event_id") + lit(i * E))
         .withColumn("user_id", col("user_id") + lit(i * C))), "events")
 
