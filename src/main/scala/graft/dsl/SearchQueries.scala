@@ -216,6 +216,26 @@ object SearchQueries {
         col("p_type"), col("p_size"), col("p_retailprice"))
   }
 
+  /** A8 multiselect semantics end to end (q136): a brand facet whose OWN
+    * selection is active as a filter — standard faceted search computes
+    * the facet's choice counts on the frame WITHOUT that selection
+    * (sibling choices stay visible for the user to widen), while the
+    * hits honor it (ADVICE r8; `Facet.isMultiSelect`). The oracle counts
+    * under term+size filters only, proving the brand filter was excluded
+    * from its own facet's counting frame. */
+  def multiselectFacet(s: SparkSession, dir: String): DataFrame = {
+    val q = Search.Query(
+      term = Some("red"),
+      termFields = Seq("p_name", "p_type"),
+      filters = Seq(
+        FilterExpr.Pred("p_brand", RuleOps.In, Seq("Brand#1", "Brand#2", "Brand#3")),
+        FilterExpr.Pred("p_size", RuleOps.GreaterThanOrEqualTo, 10)),
+      idField = "p_partkey")
+    Search.facetOf(Tables.part(s, dir), q,
+      Search.Facet("p_brand", maxChoices = 10, sorting = "label",
+        isMultiSelect = true, selected = Seq("Brand#1", "Brand#2", "Brand#3")))
+  }
+
   /** S6: raw-SQL escape hatch — temp view + spark.sql (the analog of
     * `DataProvider` SQL passthrough). */
   def rawSql(s: SparkSession, dir: String): DataFrame = {
@@ -316,6 +336,14 @@ object SearchQueries {
         |                AND levenshtein(idx.token, 'rad') <= 1)
         |ORDER BY p_partkey
         |LIMIT 50""".stripMargin)),
+    Q("q136_multiselect_facet", (s, d) => multiselectFacet(s, d), Some(
+      """SELECT p_brand AS value, COUNT(*) AS cnt
+        |FROM part
+        |WHERE (lower(p_name) LIKE '%red%' OR lower(p_type) LIKE '%red%')
+        |  AND p_size >= 10
+        |GROUP BY p_brand
+        |ORDER BY value
+        |LIMIT 10""".stripMargin)),
     Q("q132_rule_search", (s, d) => ruleSetSearch(s, d), Some(
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
         |FROM part

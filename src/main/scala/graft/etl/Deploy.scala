@@ -108,34 +108,57 @@ object Deploy {
   private def httpClient = Download.http
 
   /** FtpFilePublisher analog (FtpFilePublisher.cs:14-66): upload the
-    * produced files over FTP. A missing scheme defaults to ftp:// and a
-    * custom port applies only when the URL names one, like the
+    * produced files over FTP(S). A missing scheme defaults to ftp:// and
+    * a custom port applies only when the URL names one, like the
     * reference; the target path is the URL's path with a trailing slash
     * (`_rootPath`). Speaks the classic control/data protocol directly
     * over sockets — USER/PASS login, TYPE I, then one PASV + STOR round
     * per file with the file STREAMED onto the data socket (never
-    * buffered: an export can be as big as the data). FTPS (`UseSsl`)
-    * is not wired — the container has no TLS peer to test against;
-    * the seam is the `dataSocket` factory below. */
-  final class FtpPublisher(url: String, username: String, password: String)
+    * buffered: an export can be as big as the data).
+    *
+    * FTPS (`FtpFilePublisher` `UseSsl`, i.e. .NET `EnableSsl`): an
+    * ftps:// scheme (or an explicit `sslContext`) upgrades the control
+    * channel via explicit AUTH TLS before login and protects every data
+    * connection with PBSZ 0 + PROT P, wrapping each PASV data socket in
+    * client-mode TLS — loopback-tested against a self-signed TLS peer
+    * in ExportDeploySpec. `sslContext` is the trust seam: production
+    * verifies against the platform default, tests pin the loopback
+    * certificate. */
+  final class FtpPublisher(url: String, username: String, password: String,
+      sslContext: Option[javax.net.ssl.SSLContext] = None)
       extends Publisher {
+
+    private def tlsWrap(plain: java.net.Socket, host: String): java.net.Socket = {
+      val ctx = sslContext.getOrElse(javax.net.ssl.SSLContext.getDefault)
+      val s = ctx.getSocketFactory
+        .createSocket(plain, host, plain.getPort, true)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      s.setUseClientMode(true)
+      s.startHandshake()
+      s
+    }
 
     override def publish(files: Seq[Path]): Unit = {
       val clean = url.replace('\\', '/')
       val uri = java.net.URI.create(
         if (clean.matches("(?i)^ftps?://.*")) clean else s"ftp://$clean")
+      val useSsl = "ftps".equalsIgnoreCase(uri.getScheme) || sslContext.isDefined
       val port = if (uri.getPort > 0) uri.getPort else 21
       val root = Option(uri.getPath).filter(_.nonEmpty).getOrElse("/") match {
         case p if p.endsWith("/") => p
         case p => p + "/"
       }
-      val sock = new java.net.Socket(uri.getHost, port)
+      var sock = new java.net.Socket(uri.getHost, port)
       try {
         sock.setSoTimeout(30000)
-        val in = new BufferedInputStream(sock.getInputStream)
-        val out = new BufferedOutputStream(sock.getOutputStream)
-        val reader = new java.io.BufferedReader(
-          new java.io.InputStreamReader(in, "ISO-8859-1"))
+        var out: BufferedOutputStream = null
+        var reader: java.io.BufferedReader = null
+        def bind(): Unit = {
+          out = new BufferedOutputStream(sock.getOutputStream)
+          reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+            new BufferedInputStream(sock.getInputStream), "ISO-8859-1"))
+        }
+        bind()
 
         /** One (possibly multi-line "nnn-…nnn ") reply: (code, full text). */
         def reply(): (Int, String) = {
@@ -162,6 +185,14 @@ object Deploy {
         }
 
         require(reply()._1 == 220, "no FTP greeting")
+        if (useSsl) {
+          // explicit FTPS: upgrade BEFORE credentials cross the wire
+          cmd("AUTH TLS", 234)
+          sock = tlsWrap(sock, uri.getHost)
+          bind()
+          cmd("PBSZ 0", 200)
+          cmd("PROT P", 200)
+        }
         if (cmd(s"USER $username", 331, 230)._1 == 331) cmd(s"PASS $password", 230)
         cmd("TYPE I", 200)
 
@@ -176,9 +207,15 @@ object Deploy {
           // Connect the data socket BEFORE issuing STOR: many servers only
           // emit the 150/125 preliminary reply after accepting the data
           // connection, so the reverse order can deadlock until SoTimeout.
-          val data = new java.net.Socket(host, dataPort)
+          // Under PROT P the payload channel is TLS-wrapped too — but the
+          // handshake happens AFTER the 150 (the server only wraps its
+          // end once the transfer is announced; both sides handshaking at
+          // connect time would deadlock against each other).
+          val plainData = new java.net.Socket(host, dataPort)
+          var data: java.net.Socket = plainData
           try {
             cmd(s"STOR $root${f.getFileName}", 150, 125)
+            if (useSsl) data = tlsWrap(plainData, host)
             val ds = new BufferedOutputStream(data.getOutputStream)
             Files.copy(f, ds)
             ds.flush()

@@ -251,6 +251,56 @@ class ExportDeploySpec extends AnyFunSuite {
     assert(q3.queued.isEmpty)
   }
 
+  test("FTPS publisher: AUTH TLS control upgrade + PROT P data channel round-trip") {
+    // self-signed loopback certificate via the JDK's own keytool
+    val ksPath = java.nio.file.Files.createTempDirectory("ftps").resolve("ks.p12")
+    val keytool = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "keytool").toString
+    val gen = new ProcessBuilder(keytool, "-genkeypair", "-alias", "ftps",
+      "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
+      "-keystore", ksPath.toString, "-storepass", "changeit",
+      "-dname", "CN=localhost", "-validity", "1").redirectErrorStream(true).start()
+    assert(gen.waitFor() == 0, "keytool keypair generation failed")
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val fis = java.nio.file.Files.newInputStream(ksPath)
+    try ks.load(fis, "changeit".toCharArray) finally fis.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks)
+    val serverCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    serverCtx.init(kmf.getKeyManagers, null, null)
+    val clientCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    clientCtx.init(null, tmf.getTrustManagers, null) // pins the loopback cert
+
+    val payload = Array.tabulate[Byte](4096)(i => (i * 13 % 251).toByte)
+    val dir = java.nio.file.Files.createTempDirectory("ftpsout")
+    val f = dir.resolve("export.bin")
+    java.nio.file.Files.write(f, payload)
+    val server = new LoopbackFtp("deploy", "secret", Some(serverCtx))
+    try {
+      new Deploy.FtpPublisher(s"ftps://127.0.0.1:${server.port}/drop",
+        "deploy", "secret", Some(clientCtx)).publish(Seq(f))
+      assert(server.stored.containsKey("/drop/export.bin"))
+      assert(server.stored.get("/drop/export.bin").sameElements(payload))
+      // wrong password still fails cleanly over TLS
+      intercept[IllegalArgumentException] {
+        new Deploy.FtpPublisher(s"ftps://127.0.0.1:${server.port}/drop",
+          "deploy", "WRONG", Some(clientCtx)).publish(Seq(f))
+      }
+      // an untrusting client refuses the self-signed peer (the trust
+      // seam actually verifies — no silent trust-all)
+      val strict = javax.net.ssl.SSLContext.getInstance("TLS")
+      strict.init(null, null, null) // platform default trust
+      intercept[Exception] {
+        new Deploy.FtpPublisher(s"ftps://127.0.0.1:${server.port}/drop",
+          "deploy", "secret", Some(strict)).publish(Seq(f))
+      }
+    } finally server.close()
+  }
+
   test("feed-xml provider: registry dispatch, g: namespace, field round-trip") {
     import graft.etl.FeedXml
     val out = tmp("feedxml")

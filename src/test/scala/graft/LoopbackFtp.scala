@@ -8,8 +8,12 @@ import java.util.concurrent.ConcurrentHashMap
   * FtpPublisher protocol path (same trick as the loopback HttpServer for
   * HTTP deployment): USER/PASS auth, TYPE, PASV, STOR, QUIT, one data
   * connection per transfer. Stores uploads in memory keyed by the STOR
-  * path. Test scope only. */
-final class LoopbackFtp(user: String, pass: String) extends AutoCloseable {
+  * path. With an `ssl` context it also speaks explicit FTPS: AUTH TLS
+  * upgrades the control channel (server-mode wrap), PBSZ/PROT are
+  * accepted, and each data connection is TLS-wrapped after accept —
+  * the loopback peer the FTPS path is tested against. Test scope only. */
+final class LoopbackFtp(user: String, pass: String,
+    ssl: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
   private val server =
     new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
   val port: Int = server.getLocalPort
@@ -29,18 +33,34 @@ final class LoopbackFtp(user: String, pass: String) extends AutoCloseable {
   acceptor.setDaemon(true)
   acceptor.start()
 
-  private def handle(sock: Socket): Unit = {
+  private def tlsWrapServer(plain: Socket): Socket = {
+    val s = ssl.get.getSocketFactory
+      .createSocket(plain, null, plain.getPort, true)
+      .asInstanceOf[javax.net.ssl.SSLSocket]
+    s.setUseClientMode(false)
+    s.startHandshake()
+    s
+  }
+
+  private def handle(sock0: Socket): Unit = {
+    var sock = sock0
     try {
       sock.setSoTimeout(30000)
-      val in = new BufferedReader(
-        new InputStreamReader(sock.getInputStream, "ISO-8859-1"))
-      val out = new BufferedOutputStream(sock.getOutputStream)
+      var in: BufferedReader = null
+      var out: BufferedOutputStream = null
+      def bind(): Unit = {
+        in = new BufferedReader(
+          new InputStreamReader(sock.getInputStream, "ISO-8859-1"))
+        out = new BufferedOutputStream(sock.getOutputStream)
+      }
+      bind()
       def send(line: String): Unit = {
         out.write((line + "\r\n").getBytes("ISO-8859-1")); out.flush()
       }
       send("220 graft loopback FTP ready")
       var pendingUser: String = null
       var authed = false
+      var protP = false
       var dataServer: ServerSocket = null
       var line = in.readLine()
       while (line != null) {
@@ -48,6 +68,13 @@ final class LoopbackFtp(user: String, pass: String) extends AutoCloseable {
         val cmd = (if (sp < 0) line else line.substring(0, sp)).toUpperCase
         val arg = if (sp < 0) "" else line.substring(sp + 1)
         cmd match {
+          case "AUTH" if ssl.isDefined && arg.equalsIgnoreCase("TLS") =>
+            send("234 proceed with negotiation")
+            sock = tlsWrapServer(sock)
+            bind()
+          case "PBSZ" => send("200 PBSZ=0")
+          case "PROT" =>
+            protP = arg.equalsIgnoreCase("P"); send("200 protection level set")
           case "USER" =>
             pendingUser = arg; send("331 password required")
           case "PASS" =>
@@ -73,11 +100,15 @@ final class LoopbackFtp(user: String, pass: String) extends AutoCloseable {
               // reply is only emitted AFTER the data connection is
               // accepted, so a client that waits for 150 before
               // connecting would deadlock here — the order bug ADVICE r8
-              // flagged in FtpPublisher.
-              val data = dataServer.accept()
+              // flagged in FtpPublisher. Under PROT P the accepted socket
+              // is TLS-wrapped after the 150 (matching the client, which
+              // handshakes only once the transfer is announced).
+              var data = dataServer.accept()
               send("150 opening data connection")
-              try stored.put(arg, data.getInputStream.readAllBytes())
-              finally { data.close(); dataServer.close(); dataServer = null }
+              try {
+                if (protP) data = tlsWrapServer(data)
+                stored.put(arg, data.getInputStream.readAllBytes())
+              } finally { data.close(); dataServer.close(); dataServer = null }
               send("226 transfer complete")
             }
           case "QUIT" =>
