@@ -226,4 +226,55 @@ object Ann {
       .filter(col("rn") <= k)
       .select(col("query_id"), col(idCol), col("cos"), col("rn"))
   }
+
+  /** Distributed spherical k-means trainer (Lloyd's iterations) — the
+    * offline centroid job `ivfTopK`'s scaladoc defers to ("a production
+    * deployment would swap in k-means centroids computed offline").
+    *
+    * Each iteration is two distributed passes:
+    *  1. ASSIGN: broadcast the k centroids onto the corpus and take the
+    *     per-vector argmax cosine via `max_by` (map-side partial argmax;
+    *     the one shuffle carries |V| pre-reduced rows — the same shape
+    *     as `ivfAssign`, with the same 4dp-rounded cosine + centroid-id
+    *     tiebreak so ties are deterministic);
+    *  2. RECOMPUTE: per-element means via posexplode → (cell, dim)
+    *     aggregate. Elements are quantized to integer micro-units BEFORE
+    *     summing (floor(x·10⁶ + 0.5) as long), so the sum is exact and
+    *     order-independent — double summation would drift with partition
+    *     order and break cross-engine reproducibility; the mean divides
+    *     the exact integer sum as a double, which every engine computes
+    *     identically.
+    *
+    * Init is the k smallest-id vectors (the IVF convention — no RNG, so
+    * a SQL oracle can restate the whole training run). A cluster that
+    * loses every member simply disappears (classic Lloyd's; k shrinks).
+    * Scale: centroids broadcast (k rows); each iteration is one narrow
+    * corpus pass + one (k × dim)-sized aggregate — no corpus shuffle
+    * beyond the |V|-row argmax reduction. */
+  def kmeansTrain(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val v = vectors.select(col(idCol).as("__vid"),
+      col(vecCol).cast("array<double>").as("__v"))
+    var cents = v.orderBy(col("__vid")).limit(k)
+      .select(col("__vid").as("cent_id"), col("__v").as("centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = v.join(broadcast(
+          cents.select(col("cent_id"), col("centroid").as("__cv"))))
+        .withColumn("__cc", round(cosine(col("__v"), col("__cv")), 4))
+        .groupBy(col("__vid"))
+        .agg(max_by(struct(col("cent_id"), col("__v").as("__m")),
+          struct(col("__cc"), (-col("cent_id")).as("__nc"))).as("__best"))
+        .select(col("__best.cent_id").as("cent_id"), col("__best.__m").as("__v"))
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .withColumn("__xq", floor(col("__x") * 1000000d + 0.5d).cast("long"))
+        .groupBy(col("cent_id"), col("__pos"))
+        .agg(sum(col("__xq")).as("__s"), count(lit(1)).as("__n"))
+        .withColumn("__m", col("__s").cast("double") / col("__n") / 1000000d)
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__pm"))
+        .select(col("cent_id"), expr("transform(__pm, p -> p.__m)").as("centroid"))
+    }
+    cents
+  }
 }

@@ -269,7 +269,56 @@ object SimilarityQueries {
        |GROUP BY e.query_id
        |ORDER BY e.query_id""".stripMargin
 
+  /** Distributed k-means training end to end (q137): two Lloyd's
+    * iterations over the embeddings (spherical assignment with the IVF
+    * tiebreak, exact micro-unit means), output as the final centroids in
+    * long format — every element of every centroid value-checked, so a
+    * single mis-assigned vector anywhere in either iteration fails the
+    * hash. Both engines floor identical doubles (the mean divides exact
+    * integer sums), so no rounding-boundary drift. */
+  def kmeansCentroids(s: SparkSession, dir: String): DataFrame =
+    Ann.kmeansTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, iters = 2)
+      .select(col("cent_id"), posexplode(col("centroid")).as(Seq("pos", "m")))
+      .select(col("cent_id"), col("pos"),
+        floor(col("m") * 1000000d + 0.5d).cast("long").as("val_micro"))
+      .orderBy(col("cent_id"), col("pos"))
+
+  private def kmeansOracle(k: Int = 8): String = {
+    // one Lloyd's iteration: assign to argmax rounded cosine (centroid-id
+    // tiebreak), then exact micro-unit per-dimension means
+    def iter(cin: String, aout: String, cout: String): String =
+      s"""$aout AS (
+         |  SELECT vid, e, cent_id FROM (
+         |    SELECT v.vid, v.e, c.cent_id,
+         |           ROW_NUMBER() OVER (PARTITION BY v.vid
+         |             ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC,
+         |                      c.cent_id) AS rn
+         |    FROM v CROSS JOIN $cin c) t WHERE rn = 1),
+         |$cout AS (
+         |  SELECT cent_id, list(m ORDER BY pos) AS cv FROM (
+         |    SELECT cent_id, pos, CAST(SUM(xq) AS DOUBLE) / COUNT(*) / 1000000 AS m
+         |    FROM (
+         |      SELECT cent_id, generate_subscripts(e, 1) - 1 AS pos,
+         |             CAST(floor(unnest(e) * 1000000 + 0.5) AS BIGINT) AS xq
+         |      FROM $aout) x
+         |    GROUP BY 1, 2) t
+         |  GROUP BY cent_id)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |c0 AS (
+       |  SELECT vid AS cent_id, e AS cv FROM v ORDER BY vid LIMIT $k),
+       |${iter("c0", "a1", "c1")},
+       |${iter("c1", "a2", "c2")}
+       |SELECT cent_id, generate_subscripts(cv, 1) - 1 AS pos,
+       |       CAST(floor(unnest(cv) * 1000000 + 0.5) AS BIGINT) AS val_micro
+       |FROM c2
+       |ORDER BY cent_id, pos""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q137_kmeans_train", (s, d) => kmeansCentroids(s, d),
+      Some(kmeansOracle())),
     Q("q125_quantized_recall", (s, d) => quantizedRecall(s, d),
       Some(quantizedRecallOracle())),
     Q("q107_srp_portable", (s, d) => srpPortable(s, d),

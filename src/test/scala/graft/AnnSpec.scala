@@ -158,4 +158,31 @@ class AnnSpec extends AnyFunSuite {
     assert(nRes.zip(nRef).forall { case (a, b) =>
       (a == null && b == null) || java.lang.Double.compare(a, b) == 0 })
   }
+
+  test("kmeansTrain recovers planted directional clusters") {
+    // three tight direction cones; ids arranged so the three smallest-id
+    // seeds land one in each cone (0→+x, 1→+y, 2→+z)
+    def jitter(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, j) => x + 0.01f * ((i + j) % 3) }
+    val xs = Seq(Array(10f, 0f, 0f), Array(0f, 10f, 0f), Array(0f, 0f, 10f))
+    val data = (0 until 30).map(i => (i.toLong, jitter(xs(i % 3), i)))
+      .toDF("vec_id", "embedding")
+    val cents = graft.similarity.Ann.kmeansTrain(
+      data, "vec_id", "embedding", k = 3, iters = 3).collect()
+    assert(cents.length == 3)
+    // each centroid points at its cone's axis: the dominant component is
+    // ~10, the off-axis components stay near the jitter scale
+    cents.foreach { r =>
+      val c = r.getSeq[Double](1)
+      val mx = c.max
+      assert(mx > 9.0 && c.count(_ > 1.0) == 1, c.mkString(","))
+    }
+    // the three dominant axes are distinct (one centroid per cone)
+    val axes = cents.map(_.getSeq[Double](1).zipWithIndex.maxBy(_._1)._2).toSet
+    assert(axes == Set(0, 1, 2))
+    // k larger than the data: no empty-cluster rows are invented
+    val tiny = (0 until 2).map(i => (i.toLong, xs(i))).toDF("vec_id", "embedding")
+    assert(graft.similarity.Ann.kmeansTrain(
+      tiny, "vec_id", "embedding", k = 5, iters = 2).count() <= 2)
+  }
 }
