@@ -142,6 +142,17 @@ object Ann {
     vectors.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).as("cent_id"), col(vecCol).as("__cv"))
 
+  /** IVF served from EXTERNALLY-TRAINED centroids (`kmeansTrain` output:
+    * cent_id + centroid) — the production composition train → index →
+    * query; build and probe plan shapes are identical to `ivfTopK`,
+    * only the centroid source changes. */
+  def ivfTopKWith(cents: DataFrame, vectors: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val c = cents.select(col("cent_id"), col("centroid").as("__cv"))
+    ivfQuery(ivfAssign(vectors, idCol, vecCol, c), c,
+      queries, idCol, vecCol, k, nprobe)
+  }
+
   /** Nearest-centroid cell assignment (rounded cosine, centroid-id
     * tiebreak) — the IVF build pass. max_by aggregation, NOT a window:
     * the argmax combines map-side (partial max per partition), so the

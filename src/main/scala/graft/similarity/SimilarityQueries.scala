@@ -316,7 +316,75 @@ object SimilarityQueries {
        |ORDER BY cent_id, pos""".stripMargin
   }
 
+  /** The full production ANN composition (q138): kmeansTrain centroids →
+    * IVF cell assignment → nprobe probe → exact top-k — train, index and
+    * query value-checked as ONE pipeline (q137 checks the training in
+    * isolation; q85 checks IVF over the deterministic seed centroids). */
+  def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cents = Ann.kmeansTrain(e, "vec_id", "embedding", k = 8, iters = 2)
+    Ann.ivfTopKWith(cents, e, e.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 10, nprobe = 3)
+  }
+
+  private def ivfTrainedOracle(): String = {
+    def iter(cin: String, aout: String, cout: String): String =
+      s"""$aout AS (
+         |  SELECT vid, e, cent_id FROM (
+         |    SELECT v.vid, v.e, c.cent_id,
+         |           ROW_NUMBER() OVER (PARTITION BY v.vid
+         |             ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC,
+         |                      c.cent_id) AS rn
+         |    FROM v CROSS JOIN $cin c) t WHERE rn = 1),
+         |$cout AS (
+         |  SELECT cent_id, list(m ORDER BY pos) AS cv FROM (
+         |    SELECT cent_id, pos, CAST(SUM(xq) AS DOUBLE) / COUNT(*) / 1000000 AS m
+         |    FROM (
+         |      SELECT cent_id, generate_subscripts(e, 1) - 1 AS pos,
+         |             CAST(floor(unnest(e) * 1000000 + 0.5) AS BIGINT) AS xq
+         |      FROM $aout) x
+         |    GROUP BY 1, 2) t
+         |  GROUP BY cent_id)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |c0 AS (
+       |  SELECT vid AS cent_id, e AS cv FROM v ORDER BY vid LIMIT 8),
+       |${iter("c0", "a1", "c1")},
+       |${iter("c1", "a2", "c2")},
+       |assigned AS (
+       |  -- a FRESH assignment against the FINAL centroids (the index
+       |  -- build pass; a2 was the training assignment against c1)
+       |  SELECT vid AS vec_id, e, cent_id AS cell FROM (
+       |    SELECT v.vid, v.e, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vid
+       |             ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC,
+       |                      c.cent_id) AS rn
+       |    FROM v CROSS JOIN c2 c) t WHERE rn = 1),
+       |q AS (SELECT vid AS query_id, e AS qv FROM v WHERE vid < 3),
+       |qcells AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT q.query_id, q.qv, c.cent_id AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 4) DESC,
+       |                      c.cent_id) AS qrn
+       |    FROM q CROSS JOIN c2 c) t WHERE qrn <= 3),
+       |scored AS (
+       |  SELECT qc.query_id, a.vec_id,
+       |         round(list_cosine_similarity(a.e, qc.qv), 4) AS cos
+       |  FROM assigned a JOIN qcells qc ON a.cell = qc.cell
+       |  WHERE a.vec_id <> qc.query_id)
+       |SELECT query_id, vec_id, cos, rn FROM (
+       |  SELECT query_id, vec_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored) t
+       |WHERE rn <= 10
+       |ORDER BY query_id, rn""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q138_ivf_trained", (s, d) => annIvfTrained(s, d),
+      Some(ivfTrainedOracle())),
     Q("q137_kmeans_train", (s, d) => kmeansCentroids(s, d),
       Some(kmeansOracle())),
     Q("q125_quantized_recall", (s, d) => quantizedRecall(s, d),
