@@ -382,7 +382,94 @@ object SimilarityQueries {
        |ORDER BY query_id, rn""".stripMargin
   }
 
+  /** Embedding-space outlier detection (q140): assign every vector to
+    * its trained centroid, then flag vectors whose similarity to their
+    * own centroid falls 2σ below the cell mean — the curation op that
+    * drops mislabeled/noise embeddings before training. Moments are
+    * EXACT integer sums over the 4dp-similarity micro-units (sum, sum of
+    * squares, n per cell — map-side combinable, cell-count-sized
+    * output), so mean/σ are identical doubles in both engines and the
+    * 2σ comparison cannot drift. Composes q137's trainer; cells
+    * broadcast; one narrow corpus pass. */
+  def embeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cents = Ann.kmeansTrain(e, "vec_id", "embedding", k = 8, iters = 2)
+      .select(col("cent_id"), col("centroid").as("__cv"))
+    // map-side argmax (the ivfAssign shape): the one shuffle carries |V|
+    // pre-reduced rows, never the |V|×k exploded frame
+    val assigned = e.join(broadcast(cents))
+      .withColumn("__cc", round(Ann.cosine(col("embedding"), col("__cv")), 4))
+      .withColumn("__ccq", floor(col("__cc") * 10000d + 0.5d).cast("long"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id"), col("__ccq")),
+        struct(col("__cc"), (-col("cent_id")).as("__nc"))).as("__b"))
+      .select(col("vec_id"), col("__b.cent_id").as("cell"),
+        col("__b.__ccq").as("ccq"))
+    val moments = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("ccq")).as("s"),
+        sum(col("ccq") * col("ccq")).as("sq"))
+      .withColumn("mean", col("s").cast("double") / col("n"))
+      .withColumn("sd", sqrt((col("n") * col("sq") - col("s") * col("s"))
+        .cast("double")) / col("n"))
+    assigned.join(broadcast(moments.select(col("cell"), col("mean"), col("sd"))),
+        Seq("cell"))
+      .filter(col("ccq").cast("double") < col("mean") - lit(2.0) * col("sd"))
+      .select(col("vec_id"), col("cell"), col("ccq"))
+      .orderBy(col("vec_id"))
+  }
+
+  private def outlierOracle(): String = {
+    def iter(cin: String, aout: String, cout: String): String =
+      s"""$aout AS (
+         |  SELECT vid, e, cent_id FROM (
+         |    SELECT v.vid, v.e, c.cent_id,
+         |           ROW_NUMBER() OVER (PARTITION BY v.vid
+         |             ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC,
+         |                      c.cent_id) AS rn
+         |    FROM v CROSS JOIN $cin c) t WHERE rn = 1),
+         |$cout AS (
+         |  SELECT cent_id, list(m ORDER BY pos) AS cv FROM (
+         |    SELECT cent_id, pos, CAST(SUM(xq) AS DOUBLE) / COUNT(*) / 1000000 AS m
+         |    FROM (
+         |      SELECT cent_id, generate_subscripts(e, 1) - 1 AS pos,
+         |             CAST(floor(unnest(e) * 1000000 + 0.5) AS BIGINT) AS xq
+         |      FROM $aout) x
+         |    GROUP BY 1, 2) t
+         |  GROUP BY cent_id)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |c0 AS (
+       |  SELECT vid AS cent_id, e AS cv FROM v ORDER BY vid LIMIT 8),
+       |${iter("c0", "a1", "c1")},
+       |${iter("c1", "a2", "c2")},
+       |assigned AS (
+       |  SELECT vid AS vec_id, cent_id AS cell,
+       |         CAST(floor(cc * 10000 + 0.5) AS BIGINT) AS ccq
+       |  FROM (
+       |    SELECT v.vid, c.cent_id,
+       |           round(list_cosine_similarity(v.e, c.cv), 4) AS cc,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vid
+       |             ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC,
+       |                      c.cent_id) AS rn
+       |    FROM v CROSS JOIN c2 c) t WHERE rn = 1),
+       |moments AS (
+       |  SELECT cell, COUNT(*) AS n,
+       |         CAST(SUM(ccq) AS BIGINT) AS s,
+       |         CAST(SUM(ccq * ccq) AS BIGINT) AS sq
+       |  FROM assigned GROUP BY cell),
+       |stats AS (
+       |  SELECT cell, CAST(s AS DOUBLE) / n AS mean,
+       |         sqrt(CAST(n * sq - s * s AS DOUBLE)) / n AS sd
+       |  FROM moments)
+       |SELECT a.vec_id, a.cell, a.ccq
+       |FROM assigned a JOIN stats st USING (cell)
+       |WHERE CAST(a.ccq AS DOUBLE) < st.mean - 2.0 * st.sd
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q140_embedding_outliers", (s, d) => embeddingOutliers(s, d),
+      Some(outlierOracle())),
     Q("q138_ivf_trained", (s, d) => annIvfTrained(s, d),
       Some(ivfTrainedOracle())),
     Q("q137_kmeans_train", (s, d) => kmeansCentroids(s, d),

@@ -1120,7 +1120,70 @@ object TextQueries {
     s"CASE WHEN $total = 0 THEN 'und' $whens ELSE '${scores.last._1}' END"
   }
 
+  /** Per-source ADAPTIVE quality gate (q139): keep documents scoring at
+    * or above their OWN source's median stopword ratio — the curation
+    * pattern where thresholds adapt per domain instead of one global
+    * cutoff (a global cut over-prunes clean domains and under-prunes
+    * noisy ones).
+    *
+    * Scale shape: NO corpus-wide window. Scores are 4dp ratios (low
+    * cardinality), so the median comes from a per-(source, score) COUNT
+    * aggregate — map-side combinable — with the cumulative walk running
+    * over the TINY (source × distinct-score) frame; each source's
+    * threshold (smallest score whose doubled running count reaches the
+    * total: pure integer logic, no engine-dependent quantile
+    * interpolation) broadcasts back onto the corpus as one equi-join.
+    * Null scores (empty docs) are excluded explicitly — Spark sorts
+    * nulls first, DuckDB last, so leaving them in the walk would shift
+    * cumulative counts between engines. */
+  def qualityGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, dir)
+      .withColumn("toks", TextFunctions.tokensOf(
+        TextFunctions.normalize(col("text"))))
+      .select(col("doc_id"), col("source"),
+        TextFunctions.stopwordRatioOf(col("toks")).as("score"))
+      .filter(col("score").isNotNull)
+    val counts = scored.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("n"))
+    val cum = counts
+      .withColumn("cum", sum(col("n"))
+        .over(Window.partitionBy(col("source")).orderBy(col("score"))))
+      .withColumn("tot", sum(col("n"))
+        .over(Window.partitionBy(col("source"))))
+    val thresholds = cum.filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("source")).agg(min(col("score")).as("thr"))
+    scored.join(broadcast(thresholds), Seq("source"))
+      .filter(col("score") >= col("thr"))
+      .select(col("doc_id"), col("source"), col("score"), col("thr"))
+      .orderBy(col("doc_id"))
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q139_quality_gate", (s, d) => qualityGate(s, d), Some(
+      s"""WITH scored AS (
+         |  SELECT doc_id, source,
+         |         round(len(list_filter($toksSql,
+         |                 x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+         |               / CAST(nullif(len($toksSql), 0) AS DOUBLE), 4) AS score
+         |  FROM documents
+         |  WHERE round(len(list_filter($toksSql,
+         |            x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+         |          / CAST(nullif(len($toksSql), 0) AS DOUBLE), 4) IS NOT NULL),
+         |counts AS (
+         |  SELECT source, score, COUNT(*) AS n FROM scored GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT source, score, n,
+         |         SUM(n) OVER (PARTITION BY source ORDER BY score) AS cum,
+         |         SUM(n) OVER (PARTITION BY source) AS tot
+         |  FROM counts),
+         |thr AS (
+         |  SELECT source, min(score) AS thr FROM cum
+         |  WHERE cum * 2 >= tot GROUP BY source)
+         |SELECT s.doc_id, s.source, s.score, t.thr
+         |FROM scored s JOIN thr t USING (source)
+         |WHERE s.score >= t.thr
+         |ORDER BY s.doc_id""".stripMargin)),
     Q("q90_minhash_banding", (s, d) => minhashBandingPortable(s, d), Some(
       s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
