@@ -1138,12 +1138,16 @@ object TextQueries {
     * cumulative counts between engines. */
   def qualityGate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // scored feeds BOTH the threshold subtree (via the broadcast) and the
+    // final join probe — localCheckpoint so the tokenize+score scan runs
+    // once, not once per consumer (the q36/q94 multi-consumer pattern)
     val scored = Tables.documents(s, dir)
       .withColumn("toks", TextFunctions.tokensOf(
         TextFunctions.normalize(col("text"))))
       .select(col("doc_id"), col("source"),
         TextFunctions.stopwordRatioOf(col("toks")).as("score"))
       .filter(col("score").isNotNull)
+      .localCheckpoint(eager = true)
     val counts = scored.groupBy(col("source"), col("score"))
       .agg(count(lit(1)).as("n"))
     val cum = counts
