@@ -1163,7 +1163,58 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Distributed BPE merge training end to end (q141): four merge rounds
+    * over the top-100 corpus vocabulary, output as the final symbol
+    * representations of the 30 most frequent words — any divergence in
+    * ANY round's pair counts, argmax tiebreak, or merge application
+    * changes downstream representations and fails the hash. The oracle
+    * unrolls all four rounds in SQL, scalar-subquery argmax per round,
+    * with the same two-pass literal fuse. */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val vocab = vocabTopK(s, dir, 100).withColumnRenamed("token", "word")
+    val (_, reps) = Bpe.train(vocab, rounds = 4)
+    reps.orderBy(col("freq").desc, col("word")).limit(30)
+      .select(col("word"), col("freq"), col("rep"))
+  }
+
+  private def bpeOracleSql(rounds: Int = 4): String = {
+    def pairs(reps: String, out: String) =
+      s"""$out AS MATERIALIZED (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS w
+         |  FROM (SELECT freq, string_split(rep, ' ') AS syms FROM $reps) t,
+         |       UNNEST(range(1, len(syms))) AS u(i)
+         |  GROUP BY 1, 2)""".stripMargin
+    def best(p: String, out: String) =
+      s"$out AS MATERIALIZED (SELECT l, r FROM $p ORDER BY w DESC, l, r LIMIT 1)"
+    def fused(b: String, inner: String) =
+      s"""replace(' ' || $inner || ' ',
+         |        ' ' || (SELECT l FROM $b) || ' ' || (SELECT r FROM $b) || ' ',
+         |        ' ' || (SELECT l FROM $b) || (SELECT r FROM $b) || ' ')""".stripMargin
+    def reps(prev: String, b: String, out: String) =
+      s"""$out AS MATERIALIZED (
+         |  SELECT word, freq, trim(${fused(b, fused(b, "rep"))}) AS rep
+         |  FROM $prev)""".stripMargin
+    val roundsSql = (1 to rounds).map { k =>
+      Seq(pairs(s"reps${k - 1}", s"p$k"), best(s"p$k", s"b$k"),
+        reps(s"reps${k - 1}", s"b$k", s"reps$k")).mkString(",\n")
+    }.mkString(",\n")
+    s"""WITH vocab AS MATERIALIZED (
+       |  SELECT tok AS word, COUNT(*) AS freq
+       |  FROM (SELECT unnest($toksSql) AS tok FROM documents
+       |        WHERE length($norm) > 0)
+       |  GROUP BY tok ORDER BY freq DESC, word LIMIT 100),
+       |reps0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |         trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS rep
+       |  FROM vocab),
+       |$roundsSql
+       |SELECT word, freq, rep FROM reps$rounds
+       |ORDER BY freq DESC, word
+       |LIMIT 30""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q141_bpe_train", (s, d) => bpeTrain(s, d), Some(bpeOracleSql())),
     Q("q139_quality_gate", (s, d) => qualityGate(s, d), Some(
       s"""WITH scored AS (
          |  SELECT doc_id, source,
