@@ -44,6 +44,21 @@ object Bpe {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("freq")).as("w"))
 
+  /** ENCODE: apply an already-trained merge list, in rank order, to any
+    * word table — the tokenization half of BPE. Pure column arithmetic
+    * (the merges are known strings, so no per-round driver decision):
+    * one two-pass fuse per merge, chained in one projection over the
+    * DISTINCT word table; corpus tokenization is then a broadcast join
+    * of word → subword-sequence onto the token stream. */
+  def encode(words: DataFrame, merges: Seq[(Int, String, String, Long)]): DataFrame =
+    merges.sortBy(_._1).foldLeft(seed(words)) { case (df, (_, l, r, _)) =>
+      require(!l.contains("'") && !r.contains("'"),
+        s"symbol with quote cannot be fused: '$l' '$r'")
+      def fuse(in: String): String =
+        s"replace(concat(' ', $in, ' '), ' $l $r ', ' $l$r ')"
+      df.withColumn("rep", trim(expr(fuse(fuse("rep")))))
+    }
+
   /** Train `rounds` merges; returns (merge table, final representations).
     * Merge list rows: (round, left, right, weight). */
   def train(words: DataFrame, rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {

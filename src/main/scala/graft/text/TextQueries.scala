@@ -1213,7 +1213,78 @@ object TextQueries {
        |LIMIT 30""".stripMargin
   }
 
+  /** BPE ENCODE end to end (q142): the four q141-trained merges applied
+    * to the FULL corpus vocabulary (not just the training top-100), then
+    * the corpus re-counted at the subword level — train on a sample,
+    * tokenize everything, the production BPE deployment shape. Output is
+    * the top-50 subword units by frequency-weighted occurrences. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val vocabAll = Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val (merges, _) = Bpe.train(
+      vocabTopK(s, dir, 100).withColumnRenamed("token", "word"), rounds = 4)
+    Bpe.encode(vocabAll, merges)
+      .select(col("freq"), explode(split(col("rep"), " ")).as("subword"))
+      .groupBy(col("subword")).agg(sum(col("freq")).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("subword"))
+      .limit(50)
+  }
+
+  private def bpeEncodeOracleSql(rounds: Int = 4): String = {
+    // the q141 training chain verbatim (top-100 vocab → b1..b4), then the
+    // SAME merges applied to the unrestricted vocabulary
+    def fused(b: String, inner: String) =
+      s"""replace(' ' || $inner || ' ',
+         |        ' ' || (SELECT l FROM $b) || ' ' || (SELECT r FROM $b) || ' ',
+         |        ' ' || (SELECT l FROM $b) || (SELECT r FROM $b) || ' ')""".stripMargin
+    def pairs(reps: String, out: String) =
+      s"""$out AS MATERIALIZED (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS w
+         |  FROM (SELECT freq, string_split(rep, ' ') AS syms FROM $reps) t,
+         |       UNNEST(range(1, len(syms))) AS u(i)
+         |  GROUP BY 1, 2)""".stripMargin
+    def best(p: String, out: String) =
+      s"$out AS MATERIALIZED (SELECT l, r FROM $p ORDER BY w DESC, l, r LIMIT 1)"
+    def reps(prev: String, b: String, out: String) =
+      s"""$out AS MATERIALIZED (
+         |  SELECT word, freq, trim(${fused(b, fused(b, "rep"))}) AS rep
+         |  FROM $prev)""".stripMargin
+    val trainSql = (1 to rounds).map { k =>
+      Seq(pairs(s"tr${k - 1}", s"p$k"), best(s"p$k", s"b$k"),
+        reps(s"tr${k - 1}", s"b$k", s"tr$k")).mkString(",\n")
+    }.mkString(",\n")
+    val applySql = (1 to rounds).map(k =>
+      reps(s"ap${k - 1}", s"b$k", s"ap$k")).mkString(",\n")
+    s"""WITH vocab AS MATERIALIZED (
+       |  SELECT tok AS word, COUNT(*) AS freq
+       |  FROM (SELECT unnest($toksSql) AS tok FROM documents
+       |        WHERE length($norm) > 0)
+       |  GROUP BY tok ORDER BY freq DESC, word LIMIT 100),
+       |tr0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |         trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS rep
+       |  FROM vocab),
+       |$trainSql,
+       |vocab_all AS MATERIALIZED (
+       |  SELECT tok AS word, COUNT(*) AS freq
+       |  FROM (SELECT unnest($toksSql) AS tok FROM documents
+       |        WHERE length($norm) > 0)
+       |  GROUP BY tok),
+       |ap0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |         trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS rep
+       |  FROM vocab_all),
+       |$applySql
+       |SELECT subword, CAST(SUM(freq) AS BIGINT) AS occurrences
+       |FROM (SELECT freq, unnest(string_split(rep, ' ')) AS subword FROM ap$rounds)
+       |GROUP BY subword
+       |ORDER BY occurrences DESC, subword
+       |LIMIT 50""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q142_bpe_encode", (s, d) => bpeEncode(s, d), Some(bpeEncodeOracleSql())),
     Q("q141_bpe_train", (s, d) => bpeTrain(s, d), Some(bpeOracleSql())),
     Q("q139_quality_gate", (s, d) => qualityGate(s, d), Some(
       s"""WITH scored AS (
