@@ -85,7 +85,10 @@ object FeedXml {
     * XML stream writer per PARTITION — the same writer pattern as the
     * reference provider, but one concurrent document per partition file
     * instead of one driver-side file (genuine per-partition imperative
-    * logic; null fields are skipped like `WriteString`'s null check). */
+    * logic; null fields are skipped like `WriteString`'s null check).
+    * Each partition's document assembles in memory before writing, so
+    * `recordsPerFile` doubles as the document-size bound — set it for
+    * feeds whose partitions would not fit an executor's heap. */
   def write(projected: DataFrame, path: String,
       recordsPerFile: Option[Int] = None, cfg: Config = Config()): Unit = {
     val spark = projected.sparkSession
