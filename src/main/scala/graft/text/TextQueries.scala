@@ -1138,13 +1138,24 @@ object TextQueries {
     * cumulative counts between engines. */
   def qualityGate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    adaptiveGate(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), col("score"), col("thr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The gate itself over ANY documents frame (doc_id, source, text) —
+    * returns the surviving rows with (doc_id, source, n_tokens, score,
+    * thr). Shared by q139 (whole corpus) and q143 (the curated subset). */
+  private def adaptiveGate(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // scored feeds BOTH the threshold subtree (via the broadcast) and the
     // final join probe — localCheckpoint so the tokenize+score scan runs
     // once, not once per consumer (the q36/q94 multi-consumer pattern)
-    val scored = Tables.documents(s, dir)
+    val scored = docs
       .withColumn("toks", TextFunctions.tokensOf(
         TextFunctions.normalize(col("text"))))
       .select(col("doc_id"), col("source"),
+        size(col("toks")).as("n_tokens"),
         TextFunctions.stopwordRatioOf(col("toks")).as("score"))
       .filter(col("score").isNotNull)
       .localCheckpoint(eager = true)
@@ -1159,8 +1170,23 @@ object TextQueries {
       .groupBy(col("source")).agg(min(col("score")).as("thr"))
     scored.join(broadcast(thresholds), Seq("source"))
       .filter(col("score") >= col("thr"))
-      .select(col("doc_id"), col("source"), col("score"), col("thr"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** The CAPSTONE composition (q143): raw corpus → q109's five curation
+    * gates → the q139 per-source adaptive quality gate ON THE SURVIVORS
+    * (thresholds re-derived from the curated subset, as a real pipeline
+    * would) → per-source training-corpus inventory. Every stage is a
+    * block whose own oracle is already green; this query value-checks
+    * the END-TO-END composition in one hash. */
+  def trainingCorpus(s: SparkSession, dir: String): DataFrame = {
+    val kept = curationPipeline(s, dir).filter(col("keep") === 1)
+      .select(col("doc_id"))
+    val curated = Tables.documents(s, dir).join(kept, Seq("doc_id"))
+    adaptiveGate(curated)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_kept"),
+        sum(col("n_tokens")).cast("long").as("tokens_total"))
+      .orderBy(col("source"))
   }
 
   /** Distributed BPE merge training end to end (q141): four merge rounds
@@ -1283,7 +1309,88 @@ object TextQueries {
        |LIMIT 50""".stripMargin
   }
 
+  /** The q109 curation CTE stack (base signals, repetition measures,
+    * contamination, exact-dedup keepers, per-doc flags) — shared by the
+    * q109 verdict oracle and the q143 end-to-end composition. */
+  private def curationFlagsCtes: String =
+    s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length($norm) = 0 THEN 0
+         |         ELSE CAST(len($toksSql) AS INT) END AS n_tokens,
+         |    round(len(list_filter($toksSql,
+         |            x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+         |          / CAST(nullif(len($toksSql), 0) AS DOUBLE), 4) AS sw,
+         |    $langCaseSql AS pred,
+         |    md5($norm) AS fp
+         |  FROM documents),
+         |tok AS (SELECT doc_id, $toksSql AS t FROM documents
+         |        WHERE len($toksSql) >= 3),
+         |b AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+         |      FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS s(i)),
+         |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM b GROUP BY doc_id, g),
+         |bs AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM bc GROUP BY doc_id),
+         |t3 AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+         |       FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS s(i)),
+         |ts AS (SELECT doc_id, COUNT(DISTINCT g) AS d, COUNT(*) AS tot3
+         |       FROM t3 GROUP BY doc_id),
+         |tok4 AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh4 AS (SELECT doc_id, array_to_string(t[i:i+3], ' ') AS g
+         |        FROM tok4, UNNEST(generate_series(1, len(t) - 3)) AS s(i)
+         |        WHERE len(t) >= 4),
+         |bench AS (SELECT DISTINCT g FROM sh4 WHERE doc_id < 5),
+         |cont AS (SELECT DISTINCT sh4.doc_id FROM sh4 JOIN bench USING (g)
+         |         WHERE sh4.doc_id >= 5),
+         |keepers AS (SELECT fp, MIN(doc_id) AS keeper FROM base GROUP BY fp),
+         |flags AS (
+         |  SELECT base.doc_id,
+         |    CASE WHEN pred = 'en' THEN 1 ELSE 0 END AS lang_ok,
+         |    CASE WHEN coalesce(sw, 0) >= 0.05 AND n_tokens >= 20
+         |         THEN 1 ELSE 0 END AS quality_ok,
+         |    CASE WHEN coalesce(round(mx / CAST(bs.tot AS DOUBLE), 4), 0) <= 0.2
+         |          AND coalesce(round(1.0 - d / CAST(tot3 AS DOUBLE), 4), 0) <= 0.1
+         |         THEN 1 ELSE 0 END AS repetition_ok,
+         |    CASE WHEN base.doc_id >= 5 AND cont.doc_id IS NULL
+         |         THEN 1 ELSE 0 END AS not_contaminated,
+         |    CASE WHEN base.doc_id = k.keeper THEN 1 ELSE 0 END AS is_keeper
+         |  FROM base
+         |  LEFT JOIN bs ON base.doc_id = bs.doc_id
+         |  LEFT JOIN ts ON base.doc_id = ts.doc_id
+         |  LEFT JOIN cont ON base.doc_id = cont.doc_id
+         |  JOIN keepers k ON base.fp = k.fp)
+         |""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q143_training_corpus", (s, d) => trainingCorpus(s, d), Some(
+      s"""$curationFlagsCtes,
+         |kept AS (
+         |  SELECT doc_id FROM flags
+         |  WHERE lang_ok = 1 AND quality_ok = 1 AND repetition_ok = 1
+         |    AND not_contaminated = 1 AND is_keeper = 1),
+         |scored AS (
+         |  SELECT d.doc_id, d.source,
+         |         CASE WHEN length($norm) = 0 THEN 0
+         |              ELSE CAST(len($toksSql) AS INT) END AS n_tokens,
+         |         round(len(list_filter($toksSql,
+         |                 x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+         |               / CAST(nullif(len($toksSql), 0) AS DOUBLE), 4) AS score
+         |  FROM documents d JOIN kept USING (doc_id)),
+         |scored2 AS (SELECT * FROM scored WHERE score IS NOT NULL),
+         |counts AS (
+         |  SELECT source, score, COUNT(*) AS n FROM scored2 GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT source, score, n,
+         |         SUM(n) OVER (PARTITION BY source ORDER BY score) AS cum,
+         |         SUM(n) OVER (PARTITION BY source) AS tot
+         |  FROM counts),
+         |thr AS (
+         |  SELECT source, min(score) AS thr FROM cum
+         |  WHERE cum * 2 >= tot GROUP BY source)
+         |SELECT s.source, COUNT(*) AS docs_kept,
+         |       CAST(SUM(s.n_tokens) AS BIGINT) AS tokens_total
+         |FROM scored2 s JOIN thr t USING (source)
+         |WHERE s.score >= t.thr
+         |GROUP BY s.source
+         |ORDER BY s.source""".stripMargin)),
     Q("q142_bpe_encode", (s, d) => bpeEncode(s, d), Some(bpeEncodeOracleSql())),
     Q("q141_bpe_train", (s, d) => bpeTrain(s, d), Some(bpeOracleSql())),
     Q("q139_quality_gate", (s, d) => qualityGate(s, d), Some(
@@ -1650,50 +1757,7 @@ object TextQueries {
          |FROM k GROUP BY source, thr
          |ORDER BY source""".stripMargin)),
     Q("q109_curation", (s, d) => curationPipeline(s, d), Some(
-      s"""WITH base AS (
-         |  SELECT doc_id,
-         |    CASE WHEN length($norm) = 0 THEN 0
-         |         ELSE CAST(len($toksSql) AS INT) END AS n_tokens,
-         |    round(len(list_filter($toksSql,
-         |            x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
-         |          / CAST(nullif(len($toksSql), 0) AS DOUBLE), 4) AS sw,
-         |    $langCaseSql AS pred,
-         |    md5($norm) AS fp
-         |  FROM documents),
-         |tok AS (SELECT doc_id, $toksSql AS t FROM documents
-         |        WHERE len($toksSql) >= 3),
-         |b AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
-         |      FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS s(i)),
-         |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM b GROUP BY doc_id, g),
-         |bs AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM bc GROUP BY doc_id),
-         |t3 AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
-         |       FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS s(i)),
-         |ts AS (SELECT doc_id, COUNT(DISTINCT g) AS d, COUNT(*) AS tot3
-         |       FROM t3 GROUP BY doc_id),
-         |tok4 AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |sh4 AS (SELECT doc_id, array_to_string(t[i:i+3], ' ') AS g
-         |        FROM tok4, UNNEST(generate_series(1, len(t) - 3)) AS s(i)
-         |        WHERE len(t) >= 4),
-         |bench AS (SELECT DISTINCT g FROM sh4 WHERE doc_id < 5),
-         |cont AS (SELECT DISTINCT sh4.doc_id FROM sh4 JOIN bench USING (g)
-         |         WHERE sh4.doc_id >= 5),
-         |keepers AS (SELECT fp, MIN(doc_id) AS keeper FROM base GROUP BY fp),
-         |flags AS (
-         |  SELECT base.doc_id,
-         |    CASE WHEN pred = 'en' THEN 1 ELSE 0 END AS lang_ok,
-         |    CASE WHEN coalesce(sw, 0) >= 0.05 AND n_tokens >= 20
-         |         THEN 1 ELSE 0 END AS quality_ok,
-         |    CASE WHEN coalesce(round(mx / CAST(bs.tot AS DOUBLE), 4), 0) <= 0.2
-         |          AND coalesce(round(1.0 - d / CAST(tot3 AS DOUBLE), 4), 0) <= 0.1
-         |         THEN 1 ELSE 0 END AS repetition_ok,
-         |    CASE WHEN base.doc_id >= 5 AND cont.doc_id IS NULL
-         |         THEN 1 ELSE 0 END AS not_contaminated,
-         |    CASE WHEN base.doc_id = k.keeper THEN 1 ELSE 0 END AS is_keeper
-         |  FROM base
-         |  LEFT JOIN bs ON base.doc_id = bs.doc_id
-         |  LEFT JOIN ts ON base.doc_id = ts.doc_id
-         |  LEFT JOIN cont ON base.doc_id = cont.doc_id
-         |  JOIN keepers k ON base.fp = k.fp)
+      s"""$curationFlagsCtes
          |SELECT doc_id, lang_ok, quality_ok, repetition_ok, not_contaminated,
          |       is_keeper,
          |       CAST(lang_ok = 1 AND quality_ok = 1 AND repetition_ok = 1
