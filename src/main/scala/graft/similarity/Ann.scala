@@ -39,11 +39,15 @@ object Ann {
     * DuckDB's list_cosine_similarity on the zero-vector case, keeping
     * the value-level oracle parity). The magnitude check bounds fp noise:
     * any |raw| beyond 1+1e-6 is corruption, not a cosine. */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
     // try_divide: ANSI mode THROWS on double x/0 — null here, then pinned
-    val raw = try_divide(dot(a, b), norm(a) * norm(b))
+    pinnedCos(try_divide(dot(a, b), norm(a) * norm(b)))
+
+  /** The guard above, applied to an already-computed raw quotient (the
+    * pair-scoring paths precompute norms once per row, so they divide
+    * explicitly rather than calling `cosine`). */
+  private def pinnedCos(raw: Column): Column =
     when(!isnan(raw) && abs(raw) <= 1.000001d, raw).otherwise(lit(-1.0))
-  }
 
   /** Exact brute-force cosine top-k for each query vector.
     *
@@ -89,14 +93,51 @@ object Ann {
       // same zero-norm/NaN/Inf guard as `cosine` (-1.0, never NaN —
       // NaN >= minCos is TRUE under Spark's NaN-largest comparison, so an
       // unguarded corrupt row would pair with the whole corpus)
-      .withColumn("__raw",
-        try_divide(dot(col("v1"), col("v2")), col("n1") * col("n2")))
-      .withColumn("cos", round(
-        when(!isnan(col("__raw")) && abs(col("__raw")) <= 1.000001d,
-          col("__raw")).otherwise(lit(-1.0)), 4))
-      .drop("__raw")
+      .withColumn("cos", round(pinnedCos(
+        try_divide(dot(col("v1"), col("v2")), col("n1") * col("n2"))), 4))
       .filter(col("cos") >= minCos)
       .select(col("id1"), col("id2"), col("cos"))
+  }
+
+  /** Semantic-dedup verdicts, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540: k-means-cluster the embedding space, then search
+    * for near-duplicates only WITHIN each cluster): assign every vector
+    * to its nearest trained centroid (`kmeansTrain` output), score
+    * pairwise cosine inside each cell, and mark the higher-id side of
+    * every pair with rounded cosine ≥ `minCos` as a duplicate.
+    *
+    * Scale: this is the composition that makes embedding dedup survive
+    * corpus scale — the quadratic term is bounded by the largest CELL,
+    * never the corpus (`nearDupPairs`' contract pushed through a
+    * clustering blocker, exactly like MinHash banding bounds the shingle
+    * path). Centroids broadcast; the assignment is `ivfAssign`'s map-side
+    * argmax (the one shuffle carries |V| pre-reduced rows); norms are
+    * computed once per row BEFORE the self-join; the pair join is an
+    * equi-join on the cell id. Skewed cells are visible in the cell
+    * histogram and split by raising k — the standard SemDeDup knob.
+    *
+    * Output: one verdict row per input vector — (idCol, cell, is_dup
+    * 0/1). Keeping `is_dup = 0` rows IS the deduplicated corpus; emitting
+    * verdicts instead lets one oracle value-check training, assignment,
+    * bounded pair scoring and the drop rule at once. */
+  def semanticDupVerdicts(vectors: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, minCos: Double): DataFrame = {
+    val c = cents.select(col("cent_id"), col("centroid").as("__cv"))
+    val assigned = ivfAssign(vectors, idCol, vecCol, c)
+      .withColumn("__n", norm(col(vecCol)))
+    val l = assigned.select(col("__cell"), col(idCol).as("__id1"),
+      col(vecCol).as("__v1"), col("__n").as("__n1"))
+    val r = assigned.select(col("__cell"), col(idCol).as("__id2"),
+      col(vecCol).as("__v2"), col("__n").as("__n2"))
+    val dups = l.join(r, Seq("__cell"))
+      .filter(col("__id1") < col("__id2"))
+      .withColumn("__cos", round(pinnedCos(
+        try_divide(dot(col("__v1"), col("__v2")), col("__n1") * col("__n2"))), 4))
+      .filter(col("__cos") >= minCos)
+      .select(col("__id2").as(idCol)).distinct()
+    assigned.join(dups.withColumn("__d", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("__cell").as("cell"),
+        coalesce(col("__d"), lit(0)).as("is_dup"))
   }
 
   /** Random-hyperplane LSH signature: `bits` sign bits of projections onto

@@ -284,26 +284,87 @@ object SimilarityQueries {
         floor(col("m") * 1000000d + 0.5d).cast("long").as("val_micro"))
       .orderBy(col("cent_id"), col("pos"))
 
+  /** One Lloyd's iteration as DuckDB CTEs (shared by every oracle that
+    * restates `Ann.kmeansTrain`): assign to argmax rounded cosine
+    * (centroid-id tiebreak), then exact micro-unit per-dimension means. */
+  private def iter(cin: String, aout: String, cout: String): String =
+    s"""$aout AS (
+       |  SELECT vid, e, cent_id FROM (
+       |    SELECT v.vid, v.e, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vid
+       |             ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC,
+       |                      c.cent_id) AS rn
+       |    FROM v CROSS JOIN $cin c) t WHERE rn = 1),
+       |$cout AS (
+       |  SELECT cent_id, list(m ORDER BY pos) AS cv FROM (
+       |    SELECT cent_id, pos, CAST(SUM(xq) AS DOUBLE) / COUNT(*) / 1000000 AS m
+       |    FROM (
+       |      SELECT cent_id, generate_subscripts(e, 1) - 1 AS pos,
+       |             CAST(floor(unnest(e) * 1000000 + 0.5) AS BIGINT) AS xq
+       |      FROM $aout) x
+       |    GROUP BY 1, 2) t
+       |  GROUP BY cent_id)""".stripMargin
+
+  /** Semantic dedup over trained clusters (q144): the SemDeDup
+    * composition — q137's k-means trainer partitions the embedding
+    * space, near-duplicate pairs are scored ONLY within each cluster
+    * (the quadratic term is cell-bounded, never corpus-bounded), and the
+    * higher-id side of every pair with rounded cosine ≥ 0.35 is marked
+    * a duplicate. One verdict row per vector, so the oracle
+    * value-checks training, assignment, the bounded pair scoring and
+    * the drop rule in one hash. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cents = Ann.kmeansTrain(e, "vec_id", "embedding", k = 8, iters = 2)
+    Ann.semanticDupVerdicts(e, "vec_id", "embedding", cents, minCos = 0.35)
+      .orderBy(col("vec_id"))
+  }
+
+  /** BENCH fast path of q144 (Registry.benchExtras): same SemDeDup
+    * pipeline, but k grows with the corpus (k = n/250, floor 8) so the
+    * per-cell pair count stays BOUNDED as the data scales — the actual
+    * production setting of the SemDeDup knob. The oracle-gated q144
+    * pins k=8 (a deterministic oracle needs a constant seed set), which
+    * makes its measured scaling exponent quadratic-in-cell-size by
+    * construction; this variant is the shape you would run at 100 TB,
+    * and its bench line is the evidence the knob works (the one count()
+    * here is a scalar corpus size driving a plan parameter, not data
+    * collection). */
+  def semanticDedupScaledK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val k = math.max(8L, e.count() / 250L).toInt
+    val cents = Ann.kmeansTrain(e, "vec_id", "embedding", k = k, iters = 2)
+    Ann.semanticDupVerdicts(e, "vec_id", "embedding", cents, minCos = 0.35)
+  }
+
+  private def semanticDedupOracle(minCos: Double = 0.35): String =
+    s"""WITH v AS (
+       |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |c0 AS (
+       |  SELECT vid AS cent_id, e AS cv FROM v ORDER BY vid LIMIT 8),
+       |${iter("c0", "a1", "c1")},
+       |${iter("c1", "a2", "c2")},
+       |assigned AS (
+       |  -- a FRESH assignment against the FINAL centroids (a2 was the
+       |  -- training assignment against c1)
+       |  SELECT vid AS vec_id, e, cent_id AS cell FROM (
+       |    SELECT v.vid, v.e, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vid
+       |             ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC,
+       |                      c.cent_id) AS rn
+       |    FROM v CROSS JOIN c2 c) t WHERE rn = 1),
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(list_cosine_similarity(a.e, b.e), 4) >= $minCos)
+       |SELECT a.vec_id, a.cell,
+       |       CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+       |         AS is_dup
+       |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   private def kmeansOracle(k: Int = 8): String = {
-    // one Lloyd's iteration: assign to argmax rounded cosine (centroid-id
-    // tiebreak), then exact micro-unit per-dimension means
-    def iter(cin: String, aout: String, cout: String): String =
-      s"""$aout AS (
-         |  SELECT vid, e, cent_id FROM (
-         |    SELECT v.vid, v.e, c.cent_id,
-         |           ROW_NUMBER() OVER (PARTITION BY v.vid
-         |             ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC,
-         |                      c.cent_id) AS rn
-         |    FROM v CROSS JOIN $cin c) t WHERE rn = 1),
-         |$cout AS (
-         |  SELECT cent_id, list(m ORDER BY pos) AS cv FROM (
-         |    SELECT cent_id, pos, CAST(SUM(xq) AS DOUBLE) / COUNT(*) / 1000000 AS m
-         |    FROM (
-         |      SELECT cent_id, generate_subscripts(e, 1) - 1 AS pos,
-         |             CAST(floor(unnest(e) * 1000000 + 0.5) AS BIGINT) AS xq
-         |      FROM $aout) x
-         |    GROUP BY 1, 2) t
-         |  GROUP BY cent_id)""".stripMargin
     s"""WITH v AS (
        |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |c0 AS (
@@ -328,23 +389,6 @@ object SimilarityQueries {
   }
 
   private def ivfTrainedOracle(): String = {
-    def iter(cin: String, aout: String, cout: String): String =
-      s"""$aout AS (
-         |  SELECT vid, e, cent_id FROM (
-         |    SELECT v.vid, v.e, c.cent_id,
-         |           ROW_NUMBER() OVER (PARTITION BY v.vid
-         |             ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC,
-         |                      c.cent_id) AS rn
-         |    FROM v CROSS JOIN $cin c) t WHERE rn = 1),
-         |$cout AS (
-         |  SELECT cent_id, list(m ORDER BY pos) AS cv FROM (
-         |    SELECT cent_id, pos, CAST(SUM(xq) AS DOUBLE) / COUNT(*) / 1000000 AS m
-         |    FROM (
-         |      SELECT cent_id, generate_subscripts(e, 1) - 1 AS pos,
-         |             CAST(floor(unnest(e) * 1000000 + 0.5) AS BIGINT) AS xq
-         |      FROM $aout) x
-         |    GROUP BY 1, 2) t
-         |  GROUP BY cent_id)""".stripMargin
     s"""WITH v AS (
        |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |c0 AS (
@@ -419,23 +463,6 @@ object SimilarityQueries {
   }
 
   private def outlierOracle(): String = {
-    def iter(cin: String, aout: String, cout: String): String =
-      s"""$aout AS (
-         |  SELECT vid, e, cent_id FROM (
-         |    SELECT v.vid, v.e, c.cent_id,
-         |           ROW_NUMBER() OVER (PARTITION BY v.vid
-         |             ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC,
-         |                      c.cent_id) AS rn
-         |    FROM v CROSS JOIN $cin c) t WHERE rn = 1),
-         |$cout AS (
-         |  SELECT cent_id, list(m ORDER BY pos) AS cv FROM (
-         |    SELECT cent_id, pos, CAST(SUM(xq) AS DOUBLE) / COUNT(*) / 1000000 AS m
-         |    FROM (
-         |      SELECT cent_id, generate_subscripts(e, 1) - 1 AS pos,
-         |             CAST(floor(unnest(e) * 1000000 + 0.5) AS BIGINT) AS xq
-         |      FROM $aout) x
-         |    GROUP BY 1, 2) t
-         |  GROUP BY cent_id)""".stripMargin
     s"""WITH v AS (
        |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |c0 AS (
@@ -468,6 +495,8 @@ object SimilarityQueries {
   }
 
   val qs: Seq[Q] = Seq(
+    Q("q144_semantic_dedup", (s, d) => semanticDedup(s, d),
+      Some(semanticDedupOracle())),
     Q("q140_embedding_outliers", (s, d) => embeddingOutliers(s, d),
       Some(outlierOracle())),
     Q("q138_ivf_trained", (s, d) => annIvfTrained(s, d),

@@ -185,4 +185,32 @@ class AnnSpec extends AnyFunSuite {
     assert(graft.similarity.Ann.kmeansTrain(
       tiny, "vec_id", "embedding", k = 5, iters = 2).count() <= 2)
   }
+
+  test("semanticDupVerdicts: within-cell drop rule, lowest id kept, " +
+      "cross-cell twins untouched") {
+    // three direction cones (one cell each): 20/21 duplicate 10 inside
+    // the +x cone, 31 duplicates 11 inside the +y cone, 12 sits alone
+    val data = Seq(
+      (10L, Array(10f, 0f, 0f)), (20L, Array(10f, 0.01f, 0f)),
+      (21L, Array(10f, 0f, 0.01f)),
+      (11L, Array(0f, 10f, 0f)), (31L, Array(0f, 10f, 0.01f)),
+      (12L, Array(0f, 0f, 10f))
+    ).toDF("vec_id", "embedding")
+    val cents = graft.similarity.Ann.kmeansTrain(
+      data, "vec_id", "embedding", k = 3, iters = 2)
+    val v = graft.similarity.Ann.semanticDupVerdicts(
+        data, "vec_id", "embedding", cents, minCos = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(v.size == 6)                      // one verdict row per vector
+    assert(v(10L) == 0 && v(20L) == 1 && v(21L) == 1) // +x cone: keep lowest id
+    assert(v(11L) == 0 && v(31L) == 1)                // +y cone: keep lowest id
+    assert(v(12L) == 0)                               // singleton cell
+    // a LOOSE threshold still cannot pair across cells: orthogonal
+    // exemplars stay kept even at minCos = -1 because the pair join is
+    // cell-keyed (the quadratic term is cell-bounded by construction)
+    val loose = graft.similarity.Ann.semanticDupVerdicts(
+        data, "vec_id", "embedding", cents, minCos = -1.0)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(loose(10L) == 0 && loose(11L) == 0 && loose(12L) == 0)
+  }
 }
