@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis / dedup queries over the documents table. The DuckDB
@@ -493,28 +493,37 @@ object TextQueries {
     * job. 90/5/5 on the 16-bit md5 bucket (the q71 idiom); output is the
     * per-source × split doc and token accounting a release manifest
     * records. One scan + one small aggregate. */
-  def splitAssign(s: SparkSession, dir: String): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast("int")
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("split",
-        when(bucket < (65536 * 90 / 100), "train")
-          .when(bucket < (65536 * 95 / 100), "val")
-          .otherwise("test"))
+      .withColumn("split", splitOf(col("doc_id")))
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"))
       .orderBy(col("source"), col("split"))
+
+  /** The q126 split rule as a column: 90/5/5 thresholds on the 16-bit
+    * md5 bucket of the id (shared by q126 and the q145 leakage audit —
+    * the audit MUST use the release's own assignment rule). */
+  private def splitOf(id: Column): Column = {
+    val bucket =
+      conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int")
+    when(bucket < (65536 * 90 / 100), "train")
+      .when(bucket < (65536 * 95 / 100), "val")
+      .otherwise("test")
   }
+
+  /** DuckDB restatement of `splitOf` over a doc_id column. */
+  private val splitCaseSql: String =
+    s"""CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+       |          < ${65536 * 90 / 100} THEN 'train'
+       |     WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+       |          < ${65536 * 95 / 100} THEN 'val'
+       |     ELSE 'test' END""".stripMargin
 
   private def splitAssignOracle: String =
     s"""WITH d AS (
        |  SELECT source,
-       |         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
-       |                   < ${65536 * 90 / 100} THEN 'train'
-       |              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
-       |                   < ${65536 * 95 / 100} THEN 'val'
-       |              ELSE 'test' END AS split,
+       |         $splitCaseSql AS split,
        |         CAST(CASE WHEN length($norm) = 0 THEN 0
        |                   ELSE len($toksSql) END AS BIGINT) AS n_tokens
        |  FROM documents)
@@ -865,23 +874,109 @@ object TextQueries {
     // four consumers (candidate stage, two verify join sides, sizes) →
     // tokenize + shingle ONCE
     val sh = shingleRows(docs, 3).distinct().localCheckpoint(eager = true)
-    val cand = minhashCandidatePairs(sh).select(col("id1"), col("id2"))
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("id1"), col("g")), Seq("id1"))
-      .join(sh.select(col("doc_id").as("id2"), col("g")), Seq("id2", "g"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("i"))
-    val edges = inter
-      .join(sz.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
-      .join(sz.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
-      .filter(round(col("i").cast("double") /
-        (col("n1") + col("n2") - col("i")).cast("double"), 4) >= 0.5)
+    val edges = verifiedNearDupEdges(sh)
       .select(col("id1").as("src"), col("id2").as("dst"))
     Dedup.connectedComponents(edges, docs.select(col("doc_id").as("id")))
       .select(col("id").as("doc_id"), col("component"),
         (col("id") === col("component")).as("keep"))
       .orderBy(col("doc_id"))
   }
+
+  /** Candidate-verified near-duplicate edges (the q131 stages 1–2,
+    * shared with the q145 leakage audit): LSH candidates from the banded
+    * minhash (bucket join, never all-pairs), then exact shingle-Jaccard
+    * confirmation computed ONLY on the candidates via two id-keyed joins
+    * against the shingle table. Returns (id1 < id2) verified pairs.
+    * `sh` must be the (doc_id, g) DISTINCT shingle frame, checkpointed
+    * by the caller (three consumers here). */
+  private def verifiedNearDupEdges(sh: DataFrame, minJ: Double = 0.5): DataFrame = {
+    val cand = minhashCandidatePairs(sh).select(col("id1"), col("id2"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("id1"), col("g")), Seq("id1"))
+      .join(sh.select(col("doc_id").as("id2"), col("g")), Seq("id2", "g"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(sz.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .filter(round(col("i").cast("double") /
+        (col("n1") + col("n2") - col("i")).cast("double"), 4) >= minJ)
+      .select(col("id1"), col("id2"))
+  }
+
+  /** Cross-split near-dup leakage audit (q145) — the release gate a
+    * training corpus runs after splitting: a test/val document with a
+    * near-duplicate in train silently inflates eval scores, so the audit
+    * joins the VERIFIED near-dup edges (the q131 candidate→confirm
+    * stages, never all-pairs) against the release's own split rule (the
+    * q126 `splitOf` assignment — auditing any other rule would audit the
+    * wrong release) and reports, per split: total docs, edges leaving
+    * the split, and distinct documents with a cross-split near-dup.
+    * Always |splits| rows — a clean corpus reports zeros rather than an
+    * empty frame.
+    *
+    * Scale shape: edges ≪ corpus (near-dup pairs), the audit joins are
+    * edge-sized, and the per-split rollup is 3 rows; the corpus-sized
+    * work is exactly the q131 candidate machinery it reuses. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sp = docs.select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+    val sh = shingleRows(docs, 3).distinct().localCheckpoint(eager = true)
+    // both directions of each edge feed the union → confirm ONCE
+    val edges = verifiedNearDupEdges(sh).localCheckpoint(eager = true)
+    val x = edges.select(col("id1").as("a"), col("id2").as("b"))
+      .union(edges.select(col("id2").as("a"), col("id1").as("b")))
+      .join(sp.select(col("doc_id").as("a"), col("split").as("sa")), Seq("a"))
+      .join(sp.select(col("doc_id").as("b"), col("split").as("sb")), Seq("b"))
+      .filter(col("sa") =!= col("sb"))
+    // two tiny aggregates chained, not count+count_distinct in one
+    // groupBy (the q87 Expand note)
+    val pairs = x.groupBy(col("sa")).agg(count(lit(1)).as("leaked_pairs"))
+    val ldocs = x.select(col("sa"), col("a")).distinct()
+      .groupBy(col("sa")).agg(count(lit(1)).as("leaked_docs"))
+    sp.groupBy(col("split")).agg(count(lit(1)).as("docs"))
+      .join(pairs.withColumnRenamed("sa", "split"), Seq("split"), "left")
+      .join(ldocs.withColumnRenamed("sa", "split"), Seq("split"), "left")
+      .select(col("split"), col("docs"),
+        coalesce(col("leaked_pairs"), lit(0L)).as("leaked_pairs"),
+        coalesce(col("leaked_docs"), lit(0L)).as("leaked_docs"))
+      .orderBy(col("split"))
+  }
+
+  /** The q131 stages 1–2 as DuckDB CTEs (shared by the q131 and q145
+    * oracles): shingles → banded minhash → candidates → estimate gate →
+    * exact-Jaccard confirmation; `e0` is the verified (id1 < id2) edge
+    * set — the SQL restatement of `verifiedNearDupEdges`. */
+  private def verifiedEdgeCtes: String =
+    s"""tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+       |       FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+       |       WHERE len(t) >= 3),
+       |hj AS (SELECT doc_id, j, substr(md5(g), j * 4 + 1, 4) AS h
+       |       FROM sh, UNNEST(generate_series(0, 7)) AS p(j)),
+       |mins AS (SELECT doc_id, j, MIN(h) AS m FROM hj GROUP BY doc_id, j),
+       |buckets AS (SELECT doc_id, j // 2 AS band,
+       |                   md5(string_agg(m, ',' ORDER BY j)) AS bucket
+       |            FROM mins GROUP BY doc_id, j // 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |         FROM buckets a JOIN buckets b
+       |           ON a.band = b.band AND a.bucket = b.bucket
+       |         WHERE a.doc_id < b.doc_id),
+       |agree AS (SELECT c.id1, c.id2,
+       |                 SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS matches
+       |          FROM cand c JOIN mins ma ON ma.doc_id = c.id1
+       |          JOIN mins mb ON mb.doc_id = c.id2 AND mb.j = ma.j
+       |          GROUP BY c.id1, c.id2),
+       |cand2 AS (SELECT id1, id2 FROM agree WHERE matches >= 4),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.id1, c.id2, COUNT(*) AS i
+       |          FROM cand2 c JOIN sh a ON a.doc_id = c.id1
+       |          JOIN sh b ON b.doc_id = c.id2 AND b.g = a.g
+       |          GROUP BY c.id1, c.id2),
+       |e0 AS (SELECT i.id1, i.id2
+       |       FROM inter i JOIN sz s1 ON i.id1 = s1.doc_id
+       |       JOIN sz s2 ON i.id2 = s2.doc_id
+       |       WHERE round(i.i / CAST(s1.n + s2.n - i.i AS DOUBLE), 4) >= 0.5)""".stripMargin
 
   private def minhashCandidatesOracle: String =
     s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
@@ -1694,35 +1789,7 @@ object TextQueries {
     Q("q36_minhash_candidates", (s, d) => minhashCandidatesPortable(s, d),
       Some(minhashCandidatesOracle)),
     Q("q131_lsh_dedup_pipeline", (s, d) => lshDedupPipeline(s, d), Some(
-      s"""WITH RECURSIVE tok AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
-         |       FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
-         |       WHERE len(t) >= 3),
-         |hj AS (SELECT doc_id, j, substr(md5(g), j * 4 + 1, 4) AS h
-         |       FROM sh, UNNEST(generate_series(0, 7)) AS p(j)),
-         |mins AS (SELECT doc_id, j, MIN(h) AS m FROM hj GROUP BY doc_id, j),
-         |buckets AS (SELECT doc_id, j // 2 AS band,
-         |                   md5(string_agg(m, ',' ORDER BY j)) AS bucket
-         |            FROM mins GROUP BY doc_id, j // 2),
-         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |         FROM buckets a JOIN buckets b
-         |           ON a.band = b.band AND a.bucket = b.bucket
-         |         WHERE a.doc_id < b.doc_id),
-         |agree AS (SELECT c.id1, c.id2,
-         |                 SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS matches
-         |          FROM cand c JOIN mins ma ON ma.doc_id = c.id1
-         |          JOIN mins mb ON mb.doc_id = c.id2 AND mb.j = ma.j
-         |          GROUP BY c.id1, c.id2),
-         |cand2 AS (SELECT id1, id2 FROM agree WHERE matches >= 4),
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT c.id1, c.id2, COUNT(*) AS i
-         |          FROM cand2 c JOIN sh a ON a.doc_id = c.id1
-         |          JOIN sh b ON b.doc_id = c.id2 AND b.g = a.g
-         |          GROUP BY c.id1, c.id2),
-         |e0 AS (SELECT i.id1, i.id2
-         |       FROM inter i JOIN sz s1 ON i.id1 = s1.doc_id
-         |       JOIN sz s2 ON i.id2 = s2.doc_id
-         |       WHERE round(i.i / CAST(s1.n + s2.n - i.i AS DOUBLE), 4) >= 0.5),
+      s"""WITH RECURSIVE $verifiedEdgeCtes,
          |e AS (SELECT id1 AS src, id2 AS dst FROM e0
          |      UNION SELECT id2, id1 FROM e0),
          |r AS (SELECT doc_id AS id, doc_id AS reach FROM documents
@@ -1731,6 +1798,25 @@ object TextQueries {
          |       id = MIN(reach) AS keep
          |FROM r GROUP BY id
          |ORDER BY doc_id""".stripMargin)),
+    Q("q145_split_leakage", (s, d) => splitLeakage(s, d), Some(
+      s"""WITH $verifiedEdgeCtes,
+         |sp AS (SELECT doc_id, $splitCaseSql AS split FROM documents),
+         |e2 AS (SELECT id1 AS a, id2 AS b FROM e0
+         |       UNION ALL SELECT id2, id1 FROM e0),
+         |x AS (SELECT s1.split AS sa, e2.a
+         |      FROM e2 JOIN sp s1 ON e2.a = s1.doc_id
+         |      JOIN sp s2 ON e2.b = s2.doc_id
+         |      WHERE s1.split <> s2.split),
+         |agg AS (SELECT sa AS split, CAST(COUNT(*) AS BIGINT) AS leaked_pairs,
+         |               CAST(COUNT(DISTINCT a) AS BIGINT) AS leaked_docs
+         |        FROM x GROUP BY sa),
+         |tot AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS docs
+         |        FROM sp GROUP BY split)
+         |SELECT t.split, t.docs,
+         |       CAST(COALESCE(a.leaked_pairs, 0) AS BIGINT) AS leaked_pairs,
+         |       CAST(COALESCE(a.leaked_docs, 0) AS BIGINT) AS leaked_docs
+         |FROM tot t LEFT JOIN agg a USING (split)
+         |ORDER BY t.split""".stripMargin)),
     Q("q37_simhash_candidates", (s, d) => simhashCandidatesPortable(s, d),
       Some(simhashCandidatesOracle)),
     Q("q106_simhash_portable", (s, d) => simhashPortable(s, d),

@@ -128,4 +128,44 @@ class TextDedupSpec extends AnyFunSuite {
 
   private def round(d: Double, n: Int): Double =
     BigDecimal(d).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("splitLeakage: planted cross-split near-dup caught, within-split " +
+      "near-dup and unique docs report zero") {
+    // re-derive the released split rule (16-bit md5 bucket, 90/5/5) to
+    // pick ids that land where the plant needs them
+    def splitOfId(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      val b = Integer.parseInt(hex, 16)
+      if (b < 65536 * 90 / 100) "train"
+      else if (b < 65536 * 95 / 100) "val" else "test"
+    }
+    val ids = (1L to 2000L).toList
+    val trainIds = ids.filter(splitOfId(_) == "train")
+    val testId = ids.find(splitOfId(_) == "test").get
+    val valId = ids.find(splitOfId(_) == "val").get
+    val dupText = "the quick brown fox jumps over the lazy sleeping dog today"
+    val otherDup = "spark engines shuffle partitions across the executor fleet nightly"
+    val dir = java.nio.file.Files.createTempDirectory("graft-leak").toString
+    Seq(
+      (trainIds(0), dupText, "en", "src0", dupText.length.toLong),   // leaks → test
+      (testId, dupText, "en", "src0", dupText.length.toLong),
+      (trainIds(1), otherDup, "en", "src0", otherDup.length.toLong), // within-split pair
+      (trainIds(2), otherDup, "en", "src0", otherDup.length.toLong),
+      (valId, "one entirely unrelated unique sentence with nothing shared here",
+        "en", "src0", 62L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.text.TextQueries.splitLeakage(spark, dir)
+      .collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r.keySet == Set("train", "val", "test"))
+    // (docs, leaked_pairs, leaked_docs): only the train↔test plant leaks;
+    // the train-internal near-dup pair and the unique val doc report zero
+    assert(r("train") == ((3L, 1L, 1L)))
+    assert(r("test") == ((1L, 1L, 1L)))
+    assert(r("val") == ((1L, 0L, 0L)))
+  }
 }
