@@ -303,6 +303,47 @@ object Ann {
     * Scale: centroids broadcast (k rows); each iteration is one narrow
     * corpus pass + one (k × dim)-sized aggregate — no corpus shuffle
     * beyond the |V|-row argmax reduction. */
+  /** Top principal direction of the vector column by power iteration
+    * over the EXACT integer covariance — the PCA-style statistic an
+    * embedding pipeline runs for whitening/compression diagnostics.
+    *
+    * One corpus pass computes the micro-unit integer moments
+    * (`GramMoments`: n, Σx, upper-tri Σxxᵀ — a ~17 KB buffer per
+    * partition, merged map-side), so the scaled covariance derives
+    * exactly as C = n·Σxxᵀ − (Σx)(Σx)ᵀ with zero float drift. The
+    * power iteration then runs DRIVER-SIDE on the dim×dim BigInt
+    * matrix (statistics-sized work, same adjudication as the sketch
+    * merges in operators/Scale.scala) with a fully INTEGER rescale per
+    * step — v ← ((C·v + m)·10⁶ div m) − 10⁶ where m = max|C·v| — so
+    * every intermediate is an exact integer a SQL engine reproduces
+    * (non-negative integer division is truncation everywhere; no
+    * engine-specific int128→double rounding on the path).
+    *
+    * Returns the direction as integers scaled to max|v| = 10⁶ (sign
+    * follows the all-ones start vector; deterministic). Zero-variance
+    * input returns the zero vector. */
+  def principalDirection(vectors: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 2): Array[Long] = {
+    val r = vectors
+      .agg(graft.functions.GramAgg.gramMoments(col(vecCol), dim).as("m"))
+      .head().getStruct(0)
+    val n = BigInt(r.getLong(0))
+    val sums = r.getSeq[Long](1).map(BigInt(_))
+    val prods = r.getSeq[Long](2).map(BigInt(_))
+    def pidx(i: Int, j: Int): Int = {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      a * dim - a * (a - 1) / 2 + (b - a)
+    }
+    val c = Array.tabulate(dim, dim)((i, j) => n * prods(pidx(i, j)) - sums(i) * sums(j))
+    var v = Array.fill(dim)(BigInt(1))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim)(i => (0 until dim).map(j => c(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max.max(BigInt(1))
+      v = w.map(x => (x + m) * 1000000 / m - 1000000)
+    }
+    v.map(_.toLong)
+  }
+
   def kmeansTrain(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     val v = vectors.select(col(idCol).as("__vid"),

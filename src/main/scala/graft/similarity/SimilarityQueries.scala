@@ -364,6 +364,58 @@ object SimilarityQueries {
        |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  /** PCA projection (q146): every vector's coordinate along the corpus
+    * top principal direction — the whitening/compression diagnostic an
+    * embedding pipeline computes before quantization or index build.
+    * `Ann.principalDirection` does one exact-integer moments pass + a
+    * driver-side BigInt power iteration (2 steps, integer rescale); the
+    * direction broadcasts back as a literal and the projection is one
+    * map-only pass (quantize · direction, exact long dot, scale, round).
+    * The oracle restates the ENTIRE run — moments, covariance, both
+    * iterations, projection — in integer SQL, so the only doubles on
+    * either side are the final /10¹² and round(·,4) on sub-2⁵³ exact
+    * integers. */
+  def pcaProjection(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val vq = Ann.principalDirection(e, "embedding", dim, iters = 2)
+    val terms = zip_with(col("embedding"), typedlit(vq.toSeq),
+      (x, w) => floor(x.cast("double") * 1000000d + lit(0.5d)).cast("long") * w)
+    e.select(col("vec_id"),
+        round(aggregate(terms, lit(0L), (a, y) => a + y).cast("double")
+          / 1000000000000d, 4).as("pc1"))
+      .orderBy(col("vec_id"))
+  }
+
+  private def pcaOracle(): String =
+    s"""WITH v AS (
+       |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT vid, generate_subscripts(e, 1) - 1 AS i,
+       |             CAST(floor(unnest(e) * 1000000 + 0.5) AS BIGINT) AS xq
+       |      FROM v),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+       |sx AS (SELECT i, SUM(xq) AS s FROM q GROUP BY i),
+       |sp AS (SELECT a.i AS i, b.i AS j, SUM(a.xq * b.xq) AS s
+       |       FROM q a JOIN q b ON a.vid = b.vid GROUP BY a.i, b.i),
+       |c AS (SELECT sp.i, sp.j, n.n * sp.s - si.s * sj.s AS cij
+       |      FROM sp CROSS JOIN n
+       |      JOIN sx si ON si.i = sp.i
+       |      JOIN sx sj ON sj.i = sp.j),
+       |w1 AS (SELECT i, SUM(cij) AS w FROM c GROUP BY i),
+       |m1 AS (SELECT GREATEST(MAX(ABS(w)), 1) AS m FROM w1),
+       |v1 AS (SELECT i, (w + m) * 1000000 // m - 1000000 AS vq
+       |       FROM w1 CROSS JOIN m1),
+       |w2 AS (SELECT c.i, SUM(c.cij * v1.vq) AS w
+       |       FROM c JOIN v1 ON v1.i = c.j GROUP BY c.i),
+       |m2 AS (SELECT GREATEST(MAX(ABS(w)), 1) AS m FROM w2),
+       |v2 AS (SELECT i, (w + m) * 1000000 // m - 1000000 AS vq
+       |       FROM w2 CROSS JOIN m2),
+       |p AS (SELECT q.vid, SUM(q.xq * v2.vq) AS pr
+       |      FROM q JOIN v2 ON v2.i = q.i GROUP BY q.vid)
+       |SELECT vid AS vec_id,
+       |       round(CAST(CAST(pr AS BIGINT) AS DOUBLE) / 1000000000000, 4) AS pc1
+       |FROM p ORDER BY vec_id""".stripMargin
+
   private def kmeansOracle(k: Int = 8): String = {
     s"""WITH v AS (
        |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -497,6 +549,8 @@ object SimilarityQueries {
   val qs: Seq[Q] = Seq(
     Q("q144_semantic_dedup", (s, d) => semanticDedup(s, d),
       Some(semanticDedupOracle())),
+    Q("q146_pca_projection", (s, d) => pcaProjection(s, d),
+      Some(pcaOracle())),
     Q("q140_embedding_outliers", (s, d) => embeddingOutliers(s, d),
       Some(outlierOracle())),
     Q("q138_ivf_trained", (s, d) => annIvfTrained(s, d),
