@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.text.TextFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Streaming document curation (SURVEY §2.10 × the training-data
@@ -53,6 +54,104 @@ object DocStreams {
       .queryName(queryName).start()
     try q.processAllAvailable()
     finally q.stop() // a failed batch must not leak a running query
+    spark.table(queryName)
+  }
+
+  final case class BucketRow(band: Int, bucket: String, doc_id: Long, sig: String)
+  final case class NearDupCand(id1: Long, id2: Long, est_jaccard: Double)
+
+  /** Per-document banded-minhash bucket rows as a STATELESS projection:
+    * the portable md5 signature of q36 (3-shingles → 8 4-hex-char minima
+    * → 4 bands of 2), computed per ROW with array HOFs instead of the
+    * batch explode + groupBy — no shuffle, so it runs unchanged on a
+    * streaming frame. Values are bit-identical to the batch path:
+    * `array_min` over the transformed shingle array is the same
+    * lexicographic minimum the batch `min` aggregate takes. Documents
+    * with fewer than 3 tokens carry no shingles and drop here, exactly
+    * like the batch `len(t) >= 3` gate. */
+  def minhashBuckets(docs: DataFrame): Dataset[BucketRow] = {
+    import docs.sparkSession.implicits._
+    val toks = TextFunctions.tokens(col("text"))
+    val grams = transform(
+      sequence(lit(1), size(col("toks")) - 2, lit(1)),
+      i => concat_ws(" ", slice(col("toks"), i, lit(3))))
+    val ms = (0 to 7).map { j =>
+      array_min(transform(col("grams"),
+        g => substring(md5(g), j * 4 + 1, 4))).as(s"m$j")
+    }
+    docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), grams.as("grams"))
+      .select(col("doc_id") +: ms: _*)
+      .select(col("doc_id"),
+        concat_ws(",", (0 to 7).map(j => col(s"m$j")): _*).as("sig"),
+        explode(array((0 to 3).map(b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws(",", col(s"m${b * 2}"), col(s"m${b * 2 + 1}")))
+              .as("bucket"))): _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("doc_id"), col("sig"))
+      .as[BucketRow]
+  }
+
+  /** Streaming LSH near-dup candidates — the incremental-ingest twin of
+    * the q36 batch operator: every arriving document is checked against
+    * EVERYTHING seen so far without reprocessing the corpus. State lives
+    * per (band, bucket) — the LSH invariant means any pair with
+    * estimated Jaccard ≥ the signature threshold shares at least one
+    * bucket, so bucket-local state is sufficient and the quadratic term
+    * stays bucket-bounded, exactly like the batch band join.
+    *
+    * Emits (id1 < id2, est_jaccard = signature agreement / 8, ≥ minEst)
+    * when the LATER document arrives; a pair sharing several bands emits
+    * once per shared band (consumers `dropDuplicates`, as the batch path
+    * does with `distinct()`). Within a trigger, documents process in
+    * doc_id order, so output is deterministic for a given file order.
+    *
+    * `maxPerBucket` caps state per bucket (first-arrival wins, later
+    * docs still PAIR against the stored set but are not stored) — the
+    * streaming form of the batch pipeline's degenerate-bucket routing;
+    * a production deployment would additionally age state out with an
+    * event-time TTL (`GroupStateTimeout`), which this local form leaves
+    * at NoTimeout. */
+  def lshCandidateStream(buckets: Dataset[BucketRow],
+      minEst: Double = 0.5, maxPerBucket: Int = 64): Dataset[NearDupCand] = {
+    import buckets.sparkSession.implicits._
+    buckets
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState[Vector[(Long, String)], NearDupCand](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), rows: Iterator[BucketRow],
+            state: GroupState[Vector[(Long, String)]]) =>
+          var stored = state.getOption.getOrElse(Vector.empty)
+          val out = scala.collection.mutable.ListBuffer.empty[NearDupCand]
+          rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (!stored.exists(_._1 == d.doc_id)) {
+              val dseg = d.sig.split(',')
+              stored.foreach { case (oid, osig) =>
+                val m = osig.split(',').zip(dseg).count { case (a, b) => a == b }
+                val est = m / 8.0
+                if (est >= minEst)
+                  out += NearDupCand(math.min(oid, d.doc_id),
+                    math.max(oid, d.doc_id), est)
+              }
+              if (stored.size < maxPerBucket) stored = stored :+ (d.doc_id, d.sig)
+            }
+          }
+          state.update(stored)
+          out.iterator
+      }
+  }
+
+  /** Drive the candidate stream over all currently-available files into
+    * a named in-memory sink (local smoke path, as `runCurationToMemory`). */
+  def runLshCandidatesToMemory(spark: SparkSession, sourceDir: String,
+      queryName: String): DataFrame = {
+    val q = lshCandidateStream(minhashBuckets(readDocStream(spark, sourceDir)))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(queryName).start()
+    try q.processAllAvailable()
+    finally q.stop()
     spark.table(queryName)
   }
 }

@@ -43,4 +43,71 @@ class DocStreamSpec extends AnyFunSuite {
     assert(afterFirst > 0 && total == docs.count(),
       s"afterFirst=$afterFirst total=$total expected=${docs.count()}")
   }
+
+  test("streaming LSH candidates equal the batch q36 candidate set") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lsh-stream").toString
+    Tables.documents(spark, TestSpark.sfDir)
+      .write.mode("overwrite").parquet(tmp)
+    val streamed = DocStreams
+      .runLshCandidatesToMemory(spark, tmp, "lsh_stream_smoke")
+      .select("id1", "id2", "est_jaccard").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.text.TextQueries
+      .minhashCandidatesPortable(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("streaming LSH: cross-batch near-dup pair found without reprocessing") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lsh-inc").toString
+    import spark.implicits._
+    val twinA = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    val twinB = "the quick brown fox jumps over the lazy sleeping dog today"
+    Seq((1L, twinA, "en", "src0", 60L),
+        (2L, "an entirely different first-batch document about spark shuffles",
+          "en", "src0", 63L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/b1")
+    val q = DocStreams
+      .lshCandidateStream(DocStreams.minhashBuckets(
+        DocStreams.readDocStream(spark, s"$tmp/b*")))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lsh_inc").start()
+    q.processAllAvailable()
+    assert(spark.table("lsh_inc").count() == 0) // nothing similar yet
+    Seq((3L, twinB, "en", "src0", 58L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/b2")
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("lsh_inc").select("id1", "id2").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L))) // the doc-1 twin, found on arrival of doc 3
+  }
+
+  test("streaming LSH: bucket state caps at maxPerBucket, pairing still emits") {
+    import spark.implicits._
+    val text = "identical identical identical identical identical identical"
+    // 5 byte-identical docs through a cap of 2: state stores the first two
+    // arrivals per bucket; every later arrival pairs against the stored
+    // two only → 2 + 2 + 2 = 6 pairs... but each doc pairs against BOTH
+    // stored docs: docs 3,4,5 × stored {1,2} = 6 pairs + the (1,2) pair
+    val df = (1L to 5L).map(i => (i, text, "en", "src0", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lsh-cap").toString
+    df.write.mode("overwrite").parquet(tmp)
+    val got = DocStreams
+      .lshCandidateStream(DocStreams.minhashBuckets(
+        DocStreams.readDocStream(spark, tmp)), maxPerBucket = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lsh_cap")
+    val q = got.start()
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("lsh_cap").select("id1", "id2").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L),
+      (1L, 5L), (2L, 5L)))
+  }
 }
