@@ -46,7 +46,7 @@ object Ann {
   /** The guard above, applied to an already-computed raw quotient (the
     * pair-scoring paths precompute norms once per row, so they divide
     * explicitly rather than calling `cosine`). */
-  private def pinnedCos(raw: Column): Column =
+  private[similarity] def pinnedCos(raw: Column): Column =
     when(!isnan(raw) && abs(raw) <= 1.000001d, raw).otherwise(lit(-1.0))
 
   /** Exact brute-force cosine top-k for each query vector.

@@ -364,6 +364,51 @@ object SimilarityQueries {
        |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  /** Semantic decontamination (q147) — the embedding-space twin of the
+    * q86 n-gram benchmark decontamination: corpus vectors whose cosine
+    * to ANY benchmark vector reaches the threshold are contaminated
+    * (eval items that survived into training data as paraphrases that
+    * exact n-gram matching misses). Benchmark = vec_id < 20 standing in
+    * for an eval set, exactly as q86 uses doc_id < 5.
+    *
+    * Scale shape: the benchmark side is tiny BY DEFINITION → broadcast
+    * nested-loop against it, per-row norms computed once each side, and
+    * the per-corpus-row rollup (max cosine, hit count) partial-aggregates
+    * map-side so the one shuffle carries |corpus| pre-reduced rows. At a
+    * benchmark too large to broadcast, the LSH-bucketed q41 machinery
+    * takes over — this is the exact-verification gear. */
+  def semanticDecontamination(s: SparkSession, dir: String,
+      minCos: Double = 0.35): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val bench = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("__bid"), col("embedding").as("__bv"))
+    val corpus = e.filter(col("vec_id") >= 20)
+      .withColumn("__n", Ann.norm(col("embedding")))
+    corpus.crossJoin(broadcast(bench.withColumn("__bn", Ann.norm(col("__bv")))))
+      .withColumn("__cos", round(Ann.pinnedCos(
+        try_divide(Ann.dot(col("embedding"), col("__bv")),
+          col("__n") * col("__bn"))), 4))
+      .groupBy(col("vec_id"))
+      .agg(max(col("__cos")).as("max_cos"),
+        sum(when(col("__cos") >= minCos, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("contaminated", (col("n_hits") > 0).cast("int"))
+      .orderBy(col("vec_id"))
+  }
+
+  private def decontaminationOracle(minCos: Double = 0.35): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |b AS (SELECT vec_id AS bid, e AS bv FROM v WHERE vec_id < 20),
+       |x AS (SELECT c.vec_id, round(list_cosine_similarity(c.e, b.bv), 4) AS cos
+       |      FROM v c CROSS JOIN b WHERE c.vec_id >= 20)
+       |SELECT vec_id, MAX(cos) AS max_cos,
+       |       CAST(SUM(CASE WHEN cos >= $minCos THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_hits,
+       |       CAST(CASE WHEN SUM(CASE WHEN cos >= $minCos THEN 1 ELSE 0 END) > 0
+       |            THEN 1 ELSE 0 END AS INT) AS contaminated
+       |FROM x GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin
+
   /** PCA projection (q146): every vector's coordinate along the corpus
     * top principal direction — the whitening/compression diagnostic an
     * embedding pipeline computes before quantization or index build.
@@ -551,6 +596,8 @@ object SimilarityQueries {
       Some(semanticDedupOracle())),
     Q("q146_pca_projection", (s, d) => pcaProjection(s, d),
       Some(pcaOracle())),
+    Q("q147_semantic_decontamination", (s, d) => semanticDecontamination(s, d),
+      Some(decontaminationOracle())),
     Q("q140_embedding_outliers", (s, d) => embeddingOutliers(s, d),
       Some(outlierOracle())),
     Q("q138_ivf_trained", (s, d) => annIvfTrained(s, d),

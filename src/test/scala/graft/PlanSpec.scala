@@ -76,4 +76,12 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles == 1, s"expected 1 aggregate shuffle, plan:\n$p")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
   }
+
+  test("q147: benchmark side broadcasts, rollup partial-aggregates below the shuffle") {
+    val p = plan("q147_semantic_decontamination")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_max") || p.contains("Partial"), p)
+    // the one hashpartitioning exchange is the |corpus|-row pre-reduced rollup
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
 }
