@@ -40,6 +40,7 @@ object Registry {
       etl.EtlQueries.qs ++
       etl.FileGate.qs ++
       text.TextQueries.qs ++
+      text.Retrieval.qs ++
       streaming.EventQueries.qs ++
       similarity.SimilarityQueries.qs ++
       multimodal.MultimodalQueries.qs ++

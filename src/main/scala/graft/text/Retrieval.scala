@@ -1,0 +1,143 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the documents table: the ranked-search
+  * counterpart of the reference's LINQ term search (`ApplySearchTerm`,
+  * `LinqCatalogSearchService.cs:556-600`, which only filters) and of the
+  * indexed-search provider seam (`dsl/SearchProvider.scala`). Where the
+  * reference delegates relevance to Lucene (the external "MegaSearch"
+  * module), a Spark-native engine ranks relationally: a distributed
+  * inverted index (one token-keyed aggregate), broadcast query terms, and
+  * a bounded-heap top-k — the retrieval pass a training-data pipeline
+  * runs for corpus exploration and eval-set mining.
+  */
+object Retrieval {
+
+  /** The fixed benchmark query set. One shared definition generates both
+    * the Spark literal frame and the DuckDB VALUES clause, so engine and
+    * oracle can never drift. Terms are already in the corpus-normal form
+    * (lowercase, single-space) — `TextFunctions.normalize` is identity on
+    * them, keeping query tokenization trivially identical in both engines. */
+  private val benchQueries: Seq[(Int, String)] = Seq(
+    0 -> "spark join shuffle",
+    1 -> "hash table scan",
+    2 -> "customer order line",
+    3 -> "stream window batch",
+    4 -> "vector")
+
+  private def queryTerms: Seq[(Int, String)] =
+    benchQueries.flatMap { case (id, text) => text.split(' ').distinct.map(id -> _) }
+
+  /** BM25 top-k retrieval (q148): Okapi BM25 with k1=1.2, b=0.75 and the
+    * +1-smoothed idf `ln((N - df + 0.5)/(df + 0.5) + 1)` (the Lucene
+    * variant, non-negative by construction).
+    *
+    * Determinism across engines (the q122/q96 discipline): every per-term
+    * contribution is computed over doubles derived from EXACT integer
+    * aggregates (tf, df, dl, N, total-token count) and engine-identical
+    * literals, then quantized to an integer (×10000, round) BEFORE the
+    * per-document sum — so the only cross-row accumulation is integer and
+    * order-independent, and the top-k ranks on (integer score, doc_id),
+    * a total order no float tie can perturb.
+    *
+    * Plan shape, and why it scales: the corpus is tokenized ONCE into the
+    * doc×term frame (one shuffle — this IS the inverted index, Parquet- or
+    * bucket-persisted in a deployment); per-doc lengths fall out of the
+    * same frame (partial-aggregated doc_id sum); the df table is
+    * vocabulary-sized (≪ corpus) and broadcasts; the query set broadcasts
+    * and its hash-join kills every non-matching posting row map-side, so
+    * the only rows that reach the doc-length join and the scoring
+    * aggregate are postings of query terms (the selective path of a real
+    * search engine); top-k per query is the bounded-heap aggregate
+    * (`TopKAgg.topK`) — ≤k rows shuffle per (task × query), never a
+    * per-query sort of the full candidate set. */
+  def bm25TopK(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25(s, Tables.documents(s, dir), queryTerms, k)
+
+  /** Core BM25 over any (doc_id, text) frame and (query_id, token) term
+    * set — separated so specs can rank a hand-built corpus against an
+    * independently-computed expectation. */
+  def bm25(s: SparkSession, docs: DataFrame, terms: Seq[(Int, String)],
+      k: Int): DataFrame = {
+    import s.implicits._
+    val tf = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds df, doclen AND the scoring join
+    val doclen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = doclen.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val qt = terms.toDF("query_id", "token")
+
+    val contrib = tf
+      .join(broadcast(qt), Seq("token"))
+      .join(doclen, Seq("doc_id"))
+      .join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1))
+      .withColumn("tfc",
+        col("tf").cast("double") * 2.2 /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+      .select(col("query_id"), col("doc_id"),
+        round(col("idf") * col("tfc") * 10000, 0).cast("long").as("c"))
+
+    contrib
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("iscore"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-col("iscore")).as("neg"), col("doc_id").as("doc_id")), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rn"),
+        ((-col("col.neg")) / 10000.0).as("score"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  private def queryTermsValuesSql: String =
+    queryTerms.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+
+  private def bm25OracleSql(k: Int = 10): String = {
+    val toksSql = TextQueries.toksSql
+    s"""WITH qt(query_id, token) AS (VALUES $queryTermsValuesSql),
+       |tf AS (SELECT doc_id, tok AS token, COUNT(*) AS tf
+       |       FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents) u
+       |       GROUP BY doc_id, tok),
+       |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+       |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dl),
+       |c AS (SELECT qt.query_id, tf.doc_id,
+       |             CAST(round(
+       |               ln((CAST(st.n_docs AS DOUBLE) - df.df + 0.5)
+       |                  / (CAST(df.df AS DOUBLE) + 0.5) + 1)
+       |               * (CAST(tf.tf AS DOUBLE) * 2.2
+       |                  / (CAST(tf.tf AS DOUBLE)
+       |                     + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+       |                              / (CAST(st.total_tokens AS DOUBLE)
+       |                                 / CAST(st.n_docs AS DOUBLE)))))
+       |               * 10000, 0) AS BIGINT) AS c
+       |      FROM tf JOIN qt USING (token)
+       |           JOIN dl USING (doc_id) JOIN df USING (token), st),
+       |sc AS (SELECT query_id, doc_id, SUM(c) AS iscore
+       |       FROM c GROUP BY query_id, doc_id),
+       |r AS (SELECT query_id, doc_id, iscore,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id
+       |               ORDER BY iscore DESC, doc_id) AS rn
+       |      FROM sc)
+       |SELECT query_id, doc_id, CAST(rn AS INT) AS rn, iscore / 10000.0 AS score
+       |FROM r WHERE rn <= $k
+       |ORDER BY query_id, rn""".stripMargin
+  }
+
+  def qs: Seq[Q] = Seq(
+    Q("q148_bm25_topk", (s, d) => bm25TopK(s, d), Some(bm25OracleSql())))
+}

@@ -18,7 +18,7 @@ object TextQueries {
   // or whitespace-only documents tokenize differently in the oracle than
   // in the engine (phantom '' tokens join in the jaccard oracles, ratios
   // divide by 1 instead of nulling)
-  private val toksSql =
+  private[text] val toksSql =
     s"(CASE WHEN length($norm) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split($norm, ' ') END)"
 
   /** Exact-dedup groups (hash group-by). */
