@@ -41,6 +41,7 @@ object Registry {
       etl.FileGate.qs ++
       text.TextQueries.qs ++
       text.Retrieval.qs ++
+      text.Classifier.qs ++
       streaming.EventQueries.qs ++
       similarity.SimilarityQueries.qs ++
       multimodal.MultimodalQueries.qs ++

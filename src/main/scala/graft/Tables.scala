@@ -71,20 +71,27 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = table(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame = table(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame = table(s, dir, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark cannot represent
-    * natively (micros only). Sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`; here the nanos long is
-    * converted to a micros timestamp (the generator writes micro-aligned
-    * values, so no precision is lost). */
+  /** The generator has written `ts` under two physical types across data
+    * drops: TIMESTAMP(NANOS) (no native Spark type — sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and the nanos long is
+    * converted here; values are micro-aligned, so no precision is lost)
+    * and TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark 4
+    * infers as TimestampNTZType. Both normalize to TimestampType so every
+    * consumer (window ops, the native as-of exec, streaming) sees ONE
+    * type; sessions run UTC, so the NTZ→TZ cast is value-preserving and
+    * matches how the DuckDB oracle reads the same naive timestamps. */
   def events(s: SparkSession, dir: String): DataFrame = {
     val raw = table(s, dir, "events")
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    if (raw.schema("ts").dataType == LongType)
-      // integer `div`, NOT `/`: epoch nanos (~1.7e18) exceed double's
-      // 52-bit mantissa, so float division drifts timestamps by ±256ns
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integer `div`, NOT `/`: epoch nanos (~1.7e18) exceed double's
+        // 52-bit mantissa, so float division drifts timestamps by ±256ns
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")

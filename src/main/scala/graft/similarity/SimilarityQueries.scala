@@ -395,6 +395,42 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Hard-negative mining (q150) — the contrastive-training data op: for
+    * each anchor vector, the top-k most-similar vectors of a DIFFERENT
+    * label above a similarity floor. High-cosine different-label rows are
+    * exactly the "hard negatives" an embedding trainer wants in-batch
+    * (easy negatives — low cosine — teach nothing; same-label rows are
+    * positives and must not leak into the negative set).
+    *
+    * Plan shape: anchors broadcast (mining runs per anchor batch); the
+    * label-mismatch predicate and the cosine floor run map-side inside the
+    * broadcast join, so only band survivors — a small fraction of the
+    * corpus by construction of the floor — reach the per-anchor top-k
+    * window. Partition sizes are bounded by the band population per
+    * anchor, never the corpus. At 100 TB the broadcast-NL scoring pass is
+    * the exhaustive gear; the LSH/IVF candidate paths (q41/q85) swap in
+    * upstream and feed the same band-filter + top-k tail. */
+  def hardNegatives(s: SparkSession, dir: String, minCos: Double = 0.25,
+      k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val anchors = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("__qv"),
+        col("label").as("__ql"))
+    val scored = e
+      .join(broadcast(anchors),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("__ql"))
+      .withColumn("cos", round(Ann.cosine(col("embedding"), col("__qv")), 4))
+      .filter(col("cos") >= minCos)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("label").as("neg_label"),
+        col("cos"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   private def decontaminationOracle(minCos: Double = 0.35): String =
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -596,6 +632,23 @@ object SimilarityQueries {
       Some(semanticDedupOracle())),
     Q("q146_pca_projection", (s, d) => pcaProjection(s, d),
       Some(pcaOracle())),
+    Q("q150_hard_negatives", (s, d) => hardNegatives(s, d), Some(
+      """SELECT query_id, vec_id, neg_label, cos, rn FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+        |         e.label AS neg_label,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(q.embedding AS DOUBLE[])), 4) AS cos,
+        |         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                        CAST(q.embedding AS DOUBLE[])), 4) DESC,
+        |           e.vec_id) AS rn
+        |  FROM embeddings e
+        |  JOIN embeddings q
+        |    ON q.vec_id < 8 AND e.vec_id <> q.vec_id AND e.label <> q.label
+        |  WHERE round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                     CAST(q.embedding AS DOUBLE[])), 4) >= 0.25) t
+        |WHERE rn <= 10
+        |ORDER BY query_id, rn""".stripMargin)),
     Q("q147_semantic_decontamination", (s, d) => semanticDecontamination(s, d),
       Some(decontaminationOracle())),
     Q("q140_embedding_outliers", (s, d) => embeddingOutliers(s, d),

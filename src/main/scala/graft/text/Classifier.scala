@@ -1,0 +1,110 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hashing-trick linear classifier inference — the fastText-style quality
+  * classifier every large pretraining pipeline runs over its corpus
+  * (GPT-3/LLaMA-style "quality filter" pass). The reference has no ML
+  * surface (its rule engine is the closest analog, `RuleOperator.cs`);
+  * this extends the §2 text battery per BASELINE.json's north star.
+  *
+  * Model shape: bag of word unigrams + bigrams, each feature hashed into
+  * a fixed bucket space (the hashing trick — collisions share a weight,
+  * so the weight table is CONSTANT-sized regardless of vocabulary), one
+  * integer weight per bucket, score = Σ weights, decision at 0. Weights
+  * here derive deterministically from md5 of the bucket id (a stand-in
+  * for trained parameters with the same lookup shape and full
+  * cross-engine reproducibility; a real deployment broadcasts the
+  * trained weight array and `element_at`s it — identical plan).
+  *
+  * Scale shape: the whole query is MAP-ONLY — tokens, bigrams, bucket
+  * hashes and the per-document weight sum are column expressions over
+  * each row in isolation (`aggregate` HOF, no explode), so nothing
+  * shuffles at any corpus size: 100 TB of text streams through one
+  * projection. The HOF lambda is interpreted (CodegenFallback) but the
+  * alternative — explode to a doc×feature frame and re-aggregate — pays
+  * a corpus-sized shuffle for codegen'd arithmetic, a bad trade; the
+  * spec asserts both paths agree (`ClassifierSpec`).
+  */
+object Classifier {
+
+  /** Bucket space: 3 hex chars = 4096 buckets. */
+  private val BucketHex = 3
+
+  /** bucket(f) ∈ [0, 4096): md5-hash of the feature string. */
+  private[graft] def bucketOf(f: Column): Column =
+    conv(substring(md5(concat(lit("f:"), f)), 1, BucketHex), 16, 10).cast("int")
+
+  /** weight(b) ∈ [-32768, 32767]: deterministic pseudo-weight of a
+    * bucket (md5 of the bucket id — the trained-parameter stand-in). */
+  private[graft] def weightOf(bucket: Column): Column =
+    conv(substring(md5(concat(lit("w:"), bucket.cast("string"))), 1, 4), 16, 10)
+      .cast("int") - 32768
+
+  /** Unigram + bigram feature array of a text column (fastText
+    * wordNgrams=2). Empty/one-token docs get no bigrams. */
+  private[graft] def features(text: Column): Column = {
+    val t = TextFunctions.tokens(text)
+    val n = greatest(size(t) - 1, lit(0))
+    val bigrams = zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
+      (a, b) => concat(a, lit(" "), b))
+    concat(t, bigrams)
+  }
+
+  /** Per-document score as one map-only expression: fold the feature
+    * array through bucket→weight, summing as LONG. */
+  private[graft] def scoreOf(text: Column): Column =
+    aggregate(features(text), lit(0L),
+      (acc, f) => acc + weightOf(bucketOf(f)).cast("long"))
+
+  /** q149: classifier verdict per document — id, feature count, integer
+    * score, keep/drop label. Deterministic at any parallelism (per-row
+    * arithmetic only). */
+  def classify(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(features(col("text"))).as("n_feats"),
+        scoreOf(col("text")).as("score"))
+      .withColumn("label", when(col("score") >= 0, "keep").otherwise("drop"))
+      .orderBy(col("doc_id"))
+
+  /** Explode-path twin of `classify` (doc×feature frame + hash-aggregate
+    * sum): the shape a pipeline uses when it also needs per-feature
+    * output (e.g. attribution). Spec-asserted equal to the map-only path;
+    * NOT registered — it shuffles the corpus for no benefit here. */
+  private[graft] def classifyExploded(docs: DataFrame): DataFrame = {
+    val f = docs.select(col("doc_id"),
+      explode_outer(features(col("text"))).as("f"))
+    f.groupBy(col("doc_id"))
+      .agg(coalesce(sum(when(col("f").isNotNull,
+          weightOf(bucketOf(col("f"))).cast("long"))), lit(0L)).as("score"),
+        count(col("f")).as("n_feats_l"))
+      .select(col("doc_id"), col("n_feats_l").cast("int").as("n_feats"),
+        col("score"))
+      .withColumn("label", when(col("score") >= 0, "keep").otherwise("drop"))
+  }
+
+  private val oracle: String = {
+    val toksSql = TextQueries.toksSql
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |f AS (SELECT doc_id,
+       |        list_concat(t, list_transform(range(1, len(t)),
+       |                                      i -> t[i] || ' ' || t[i+1])) AS feats
+       |      FROM tok),
+       |sc AS (SELECT doc_id,
+       |        CAST(len(feats) AS INT) AS n_feats,
+       |        CAST(coalesce(list_sum(list_transform(feats, f ->
+       |          ('0x' || substr(md5('w:' ||
+       |             CAST(('0x' || substr(md5('f:' || f), 1, $BucketHex))::INT
+       |                  AS VARCHAR)), 1, 4))::INT - 32768)), 0) AS BIGINT) AS score
+       |      FROM f)
+       |SELECT doc_id, n_feats, score,
+       |       CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  def qs: Seq[Q] = Seq(
+    Q("q149_hashed_classifier", (s, d) => classify(s, d), Some(oracle)))
+}
