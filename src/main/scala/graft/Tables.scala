@@ -89,7 +89,16 @@ object Tables {
         // integer `div`, NOT `/`: epoch nanos (~1.7e18) exceed double's
         // 52-bit mantissa, so float division drifts timestamps by ±256ns
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // The NTZ→TZ cast re-interprets wall-clock values in the SESSION
+        // zone; it is value-preserving only under UTC. Fail loudly on a
+        // misconfigured session instead of silently shifting timestamps.
+        val tz = s.conf.get("spark.sql.session.timeZone",
+          java.util.TimeZone.getDefault.getID)
+        require(tz == "UTC",
+          s"events: TimestampNTZ ts requires spark.sql.session.timeZone=UTC " +
+            s"(got '$tz') — the NTZ->TZ normalization would shift values")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }

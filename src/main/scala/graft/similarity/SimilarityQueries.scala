@@ -411,9 +411,9 @@ object SimilarityQueries {
     * the exhaustive gear; the LSH/IVF candidate paths (q41/q85) swap in
     * upstream and feed the same band-filter + top-k tail. */
   def hardNegatives(s: SparkSession, dir: String, minCos: Double = 0.25,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, anchorBound: Int = 8): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val anchors = e.filter(col("vec_id") < 8)
+    val anchors = e.filter(col("vec_id") < anchorBound)
       .select(col("vec_id").as("query_id"), col("embedding").as("__qv"),
         col("label").as("__ql"))
     val scored = e
@@ -430,6 +430,31 @@ object SimilarityQueries {
         col("cos"), col("rn"))
       .orderBy(col("query_id"), col("rn"))
   }
+
+  /** Oracle for `hardNegatives`, interpolated from the SAME parameter
+    * values as the Spark path (defaults shared via the signature) so a
+    * non-default call can regenerate a matching oracle instead of
+    * silently diverging from a hardcoded one. */
+  private[graft] def hardNegativesOracle(minCos: Double = 0.25, k: Int = 10,
+      anchorBound: Int = 8): String =
+    s"""SELECT query_id, vec_id, neg_label, cos, rn FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       |         e.label AS neg_label,
+       |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                      CAST(q.embedding AS DOUBLE[])), 4) AS cos,
+       |         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                        CAST(q.embedding AS DOUBLE[])), 4) DESC,
+       |           e.vec_id) AS rn
+       |  FROM embeddings e
+       |  JOIN embeddings q
+       |    ON q.vec_id < $anchorBound AND e.vec_id <> q.vec_id
+       |       AND e.label <> q.label
+       |  WHERE round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                     CAST(q.embedding AS DOUBLE[])), 4)
+       |        >= $minCos) t
+       |WHERE rn <= $k
+       |ORDER BY query_id, rn""".stripMargin
 
   private def decontaminationOracle(minCos: Double = 0.35): String =
     s"""WITH v AS (
@@ -632,23 +657,8 @@ object SimilarityQueries {
       Some(semanticDedupOracle())),
     Q("q146_pca_projection", (s, d) => pcaProjection(s, d),
       Some(pcaOracle())),
-    Q("q150_hard_negatives", (s, d) => hardNegatives(s, d), Some(
-      """SELECT query_id, vec_id, neg_label, cos, rn FROM (
-        |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-        |         e.label AS neg_label,
-        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                                      CAST(q.embedding AS DOUBLE[])), 4) AS cos,
-        |         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        |           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                                        CAST(q.embedding AS DOUBLE[])), 4) DESC,
-        |           e.vec_id) AS rn
-        |  FROM embeddings e
-        |  JOIN embeddings q
-        |    ON q.vec_id < 8 AND e.vec_id <> q.vec_id AND e.label <> q.label
-        |  WHERE round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                                     CAST(q.embedding AS DOUBLE[])), 4) >= 0.25) t
-        |WHERE rn <= 10
-        |ORDER BY query_id, rn""".stripMargin)),
+    Q("q150_hard_negatives", (s, d) => hardNegatives(s, d),
+      Some(hardNegativesOracle())),
     Q("q147_semantic_decontamination", (s, d) => semanticDecontamination(s, d),
       Some(decontaminationOracle())),
     Q("q140_embedding_outliers", (s, d) => embeddingOutliers(s, d),

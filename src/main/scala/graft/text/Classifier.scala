@@ -44,9 +44,12 @@ object Classifier {
       .cast("int") - 32768
 
   /** Unigram + bigram feature array of a text column (fastText
-    * wordNgrams=2). Empty/one-token docs get no bigrams. */
+    * wordNgrams=2). Empty/one-token docs get no bigrams. NULL text
+    * normalizes to '' (empty feature array → score 0, label 'keep'),
+    * matching the oracle's coalesce(list_sum(...), 0) — without this a
+    * NULL doc would score NULL here but 0 in DuckDB. */
   private[graft] def features(text: Column): Column = {
-    val t = TextFunctions.tokens(text)
+    val t = TextFunctions.tokens(coalesce(text, lit("")))
     val n = greatest(size(t) - 1, lit(0))
     val bigrams = zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
       (a, b) => concat(a, lit(" "), b))

@@ -213,4 +213,22 @@ class AnnSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(loose(10L) == 0 && loose(11L) == 0 && loose(12L) == 0)
   }
+
+  test("hardNegatives oracle is generated from the shared defaults and " +
+      "non-default parameters actually bind") {
+    // ADVICE r9: the registered oracle must be the interpolated form so a
+    // non-default call can regenerate a matching oracle instead of
+    // silently diverging from a hardcoded one.
+    val registered = Registry.all.find(_.name == "q150_hard_negatives").get
+    assert(registered.oracle.contains(
+      graft.similarity.SimilarityQueries.hardNegativesOracle()))
+    val rows = graft.similarity.SimilarityQueries
+      .hardNegatives(spark, TestSpark.sfDir,
+        minCos = 0.05, k = 3, anchorBound = 4)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) < 4))          // anchorBound
+    assert(rows.forall(_.getInt(4) <= 3))          // k
+    assert(rows.forall(_.getDouble(3) >= 0.05))    // minCos
+  }
 }

@@ -51,6 +51,22 @@ class ClassifierSpec extends AnyFunSuite {
     assert(r.getLong(1) == 0L)
   }
 
+  test("NULL document scores 0 / 0 feats, matching the oracle's coalesce") {
+    // ADVICE r9: scoreOf(NULL) used to return NULL (label 'drop') while
+    // the DuckDB oracle coalesces to 0 ('keep') — normalize NULL to ''.
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "alpha"))
+      .toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+        size(Classifier.features(col("text"))).as("n_feats"),
+        Classifier.scoreOf(col("text")).as("score"))
+      .withColumn("label", when(col("score") >= 0, "keep").otherwise("drop"))
+      .orderBy("doc_id").collect()
+    assert(!r(0).isNullAt(1) && r(0).getInt(1) == 0)
+    assert(!r(0).isNullAt(2) && r(0).getLong(2) == 0L)
+    assert(r(0).getString(3) == "keep")
+    assert(r(1).getInt(1) == 1) // non-null docs unaffected
+  }
+
   test("map-only path == explode path on the sf0.001 corpus") {
     val docs = Tables.documents(spark, TestSpark.sfDir)
     val a = Classifier.classify(spark, TestSpark.sfDir)

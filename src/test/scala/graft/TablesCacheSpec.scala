@@ -29,4 +29,23 @@ class TablesCacheSpec extends AnyFunSuite {
     assert(b.sparkSession eq sibling) // not a plan bound to another session
     assert(b.count() == a.count())
   }
+
+  test("events refuses a non-UTC session instead of silently shifting ts") {
+    // Only meaningful when the generator wrote MICROS/isAdjustedToUTC=false
+    // (Spark infers TimestampNTZ); the nanos-long drop is zone-independent.
+    val isNtz = Tables.table(spark, TestSpark.sfDir, "events")
+      .schema("ts").dataType.typeName == "timestamp_ntz"
+    assume(isNtz)
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val ex = intercept[IllegalArgumentException] {
+        Tables.events(spark, TestSpark.sfDir)
+      }
+      assert(ex.getMessage.contains("UTC"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+    // and the UTC path still works after restore
+    assert(Tables.events(spark, TestSpark.sfDir)
+      .schema("ts").dataType.typeName == "timestamp")
+  }
 }
