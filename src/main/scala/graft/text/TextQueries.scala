@@ -678,6 +678,61 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Boilerplate-segment removal (q151) — the C4/CCNet "line appears in
+    * ≥N documents" cleaning rule (C4 drops any line occurring ≥3 times in
+    * the corpus) re-expressed over fixed-width token segments, since this
+    * corpus has no newline structure; on real web text the segmenter
+    * swaps to split-on-'\n' and everything downstream is unchanged.
+    *
+    * Distinct from q94 span dedup: spans find PAIRWISE duplicated grams
+    * (overlapping windows, any 2 docs); boilerplate is a CORPUS-FREQUENCY
+    * verdict on non-overlapping segments — the "© 2024 · all rights
+    * reserved · cookie notice" filter, applied before dedup in a curation
+    * stack.
+    *
+    * Plan shape (corpus-bounded shuffles only, never all-pairs):
+    * segment rows → (1) distinct (seg, doc) pre-aggregate then a plain
+    * per-seg count — exact distinct-DOC frequency (a doc can repeat a
+    * segment) without count_distinct's two-round Expand, both rounds
+    * riding the same seg-keyed shuffle → (2) seg-keyed left join marking
+    * each occurrence against the ≥minDf survivors → (3) per-doc aggregate
+    * reassembling the kept text in seg_idx order (sort_array over
+    * collect_list — bounded by doc length). The segment frame feeds the
+    * df aggregate AND the mark join, so it materializes once
+    * (localCheckpoint — the q36/q94 multi-consumer pattern). At 100 TB
+    * the df aggregate would key on a 16-byte digest like q94 and persist
+    * the boilerplate set as a table; the string key here keeps the oracle
+    * value-checkable. */
+  def boilerplateStats(s: SparkSession, dir: String, w: Int = 3,
+      minDf: Int = 3): DataFrame = {
+    val segs = Tables.documents(s, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(w))))
+      .select(col("doc_id"), col("pos").cast("int").as("seg_idx"),
+        concat_ws(" ", slice(col("toks"), col("col") + 1, lit(w))).as("seg"),
+        size(slice(col("toks"), col("col") + 1, lit(w))).as("seg_len"))
+      .localCheckpoint(true)
+    val boiler = segs
+      .select(col("seg"), col("doc_id")).distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("seg"), lit(true).as("is_boiler"))
+    val marked = segs.join(boiler, Seq("seg"), "left")
+      .withColumn("is_boiler", coalesce(col("is_boiler"), lit(false)))
+    marked.groupBy(col("doc_id")).agg(
+        count(lit(1)).cast("int").as("n_segs"),
+        sum(when(col("is_boiler"), 1).otherwise(0)).cast("int").as("n_boiler"),
+        sum(when(col("is_boiler"), 0).otherwise(col("seg_len")))
+          .cast("int").as("n_tokens_kept"),
+        md5(concat_ws(" ", transform(
+          sort_array(collect_list(
+            when(!col("is_boiler"), struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")))).as("clean_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic per-source quota balancing ("domain mix"): every source
     * contributes exactly min-source-count documents, chosen by ranking each
     * source's docs on md5(id) — a reproducible uniform order with no RNG
@@ -1727,6 +1782,28 @@ object TextQueries {
          |       round(COALESCE(a.nd, 0) /
          |             CAST(nullif(len(t.t), 0) AS DOUBLE), 4) AS dup_frac
          |FROM tok t LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)),
+    Q("q151_boilerplate", (s, d) => boilerplateStats(s, d), Some(
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents
+         |           WHERE length($norm) > 0),
+         |seg AS (SELECT doc_id, CAST(i // 3 AS INT) AS seg_idx,
+         |               array_to_string(list_slice(toks, CAST(i + 1 AS INT),
+         |                 CAST(least(i + 3, len(toks)) AS INT)), ' ') AS seg,
+         |               CAST(len(list_slice(toks, CAST(i + 1 AS INT),
+         |                 CAST(least(i + 3, len(toks)) AS INT))) AS INT) AS seg_len
+         |        FROM d, unnest(range(0, len(toks), 3)) AS t(i)),
+         |df AS (SELECT seg, COUNT(*) AS df
+         |       FROM (SELECT DISTINCT seg, doc_id FROM seg) GROUP BY seg),
+         |m AS (SELECT s.*, (df.df >= 3) AS is_boiler
+         |      FROM seg s JOIN df USING (seg))
+         |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_segs,
+         |       CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS INT)
+         |         AS n_boiler,
+         |       CAST(SUM(CASE WHEN is_boiler THEN 0 ELSE seg_len END) AS INT)
+         |         AS n_tokens_kept,
+         |       md5(coalesce(string_agg(CASE WHEN NOT is_boiler THEN seg END,
+         |             ' ' ORDER BY seg_idx), '')) AS clean_hash
+         |FROM m GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin)),
     Q("q121_pii_scrub", (s, d) => piiScrub(s, d), Some(piiScrubOracle)),
     Q("q126_split_assign", (s, d) => splitAssign(s, d), Some(splitAssignOracle)),
