@@ -35,6 +35,7 @@ object Registry {
   def all: Seq[Q] =
     reports.Reports.qs ++
       reports.Tpch.qs ++
+      reports.Graph.qs ++
       reports.Reshape.qs ++
       operators.FilterQueries.qs ++
       etl.EtlQueries.qs ++

@@ -1,0 +1,118 @@
+package graft.reports
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over the co-purchase graph — the "related
+  * products" ranking a catalog pipeline runs offline (the reference's
+  * also-purchased surface, `ProductService.cs` cross-sell, generalized
+  * from q03's one-hop form to a whole-graph fixpoint).
+  *
+  * PageRank here is the Pregel-on-DataFrames shape: a persisted edge
+  * frame, a rank frame re-derived per superstep by one co-partitioned
+  * join + one key aggregate, no driver-side graph state. All arithmetic
+  * is integer micro-units with floor division — deterministic at any
+  * parallelism and engine-portable (Spark `div` == DuckDB `//` on
+  * non-negative longs), so the whole 3-iteration run is value-checkable
+  * against the oracle, like the BPE trainer (q141) and k-means (q137).
+  */
+object Graph {
+
+  /** Undirected distinct co-purchase edges, both directions: (src, dst)
+    * with per-src degree attached. Same basket bound as q55 — pairs come
+    * from the sorted per-order part set via suffix-slice explode (emits
+    * each a<b pair once; bounded by order size, never corpus-quadratic).
+    */
+  private def adjacency(s: SparkSession, dir: String): DataFrame = {
+    val half = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(posexplode(col("parts")).as(Seq("i", "a")), col("parts"))
+      .select(col("a"),
+        explode(slice(col("parts"), col("i") + 2, size(col("parts")))).as("b"))
+      .distinct()
+    half.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(half.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** PageRank (q152): 3 damped supersteps over the co-purchase graph,
+    * top-20 parts by final rank.
+    *
+    * Integer semantics (both engines): rank₀ = 10⁶ per node; each
+    * superstep sends `rank div degree` along every out-edge and sets
+    * rank' = 150000 + (85 · Σ contributions) div 100 — the 0.15/0.85
+    * damping in exact micro-units. The symmetrized graph has no dangling
+    * nodes (every node has degree ≥ 1 and receives ≥ 1 contribution), so
+    * no dangling-mass redistribution term is needed.
+    *
+    * Scale shape: the edge+degree frame materializes ONCE
+    * (localCheckpoint) and is the only corpus-sized state; each superstep
+    * is one src-keyed join + one dst-keyed hash aggregate — two shuffles
+    * per iteration, partitioned by node key, with map-side partial sums.
+    * Ranks re-checkpoint per superstep so lineage stays flat at any
+    * iteration count (the q69 pointer-jumping discipline). The final
+    * top-k is TakeOrderedAndProject (sort+limit), never a corpus-wide
+    * window. */
+  def copurchasePageRank(s: SparkSession, dir: String, iters: Int = 3,
+      k: Int = 20): DataFrame = {
+    val edges = adjacency(s, dir)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val adj = edges.join(deg, "src").localCheckpoint(true)
+    var ranks = adj.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(1000000L))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      ranks = adj.join(ranks, adj("src") === ranks("node"))
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("node"),
+          (lit(150000L) + expr("85 * sc div 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    val top = ranks
+      .join(deg.select(col("src").as("node"), col("deg")), Seq("node"))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(k)
+    top.withColumn("rn",
+        row_number().over(Window.orderBy(col("rank").desc, col("node"))))
+      .select(col("node").as("part_id"), col("deg"),
+        col("rank").as("rank3"), col("rn"))
+      .orderBy(col("rn"))
+  }
+
+  /** q152 oracle: the whole integer PageRank run unrolled — edge build,
+    * degrees, and all three supersteps — in DuckDB SQL. */
+  private def pagerankOracle(iters: Int = 3, k: Int = 20): String = {
+    def step(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT e.dst AS node,
+         |         CAST(150000 + (85 * CAST(SUM(r.rank // d.deg) AS BIGINT))
+         |              // 100 AS BIGINT) AS rank
+         |  FROM e JOIN $prev r ON e.src = r.node
+         |         JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst)""".stripMargin
+    val steps = (1 to iters).map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |e AS (SELECT a AS src, b AS dst FROM p
+       |      UNION ALL SELECT b AS src, a AS dst FROM p),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+       |$steps
+       |SELECT part_id, deg, rank3, rn FROM (
+       |  SELECT r.node AS part_id, d.deg AS deg, r.rank AS rank3,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY r.rank DESC, r.node)
+       |              AS INT) AS rn
+       |  FROM r$iters r JOIN deg d ON r.node = d.src) t
+       |WHERE rn <= $k
+       |ORDER BY rn""".stripMargin
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("q152_copurchase_pagerank", (s, d) => copurchasePageRank(s, d),
+      Some(pagerankOracle())))
+}
