@@ -344,6 +344,66 @@ object Ann {
     v.map(_.toLong)
   }
 
+  /** Product quantization ANN (q153) — the compressed-corpus search gear
+    * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011): the vector splits into `m` subspaces, each trained to
+    * its own `k`-codeword codebook via `kmeansTrain`; every corpus vector
+    * is then ENCODED as m small codes (here m·⌈log₂k⌉ = 4 bits per
+    * vector vs 64·32 for the raw floats), and queries score candidates
+    * through an ADC lookup table — score(q, x) = Σₘ ⟨qₘ, cm[codeₘ(x)]⟩ —
+    * without ever touching the original vectors again.
+    *
+    * Scale shape: training/encode are per-subspace broadcast-join passes
+    * (codebooks are k rows); the search-time corpus state is ONLY the
+    * codes table, and scoring is a map-only broadcast-LUT join over it
+    * with a per-query bounded top-k — the point of PQ at 100 TB is that
+    * this pass reads bytes-per-vector, not the embedding column.
+    * Composes with IVF (q138) as IVF-PQ: cells prune which code rows are
+    * scanned, unchanged here.
+    *
+    * Deterministic end to end (seeded codebooks, rounded-cosine argmax
+    * encode with cent_id tiebreak, fixed summation order in the ADC
+    * add), so the full train→encode→search run is value-checkable in
+    * SQL. */
+  def pqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int = 2, k: Int = 4, iters: Int = 2,
+      topk: Int = 10): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val parts = (0 until m).map { mi =>
+      val sv = vectors.select(col(idCol).as("__vid"),
+        slice(col(vecCol), mi * sub + 1, sub).as("__sv"))
+      val book = kmeansTrain(sv, "__vid", "__sv", k, iters)
+        .select(col("cent_id"), col("centroid").as("__cv"))
+      // fresh encode against the FINAL codebook (the ivfAssign shape:
+      // map-side max_by argmax, one pre-reduced shuffle row per vector)
+      val codes = sv.join(broadcast(book))
+        .withColumn("__cc", round(cosine(col("__sv"), col("__cv")), 4))
+        .groupBy(col("__vid"))
+        .agg(max_by(col("cent_id"),
+          struct(col("__cc"), (-col("cent_id")).as("__nc"))).as("__code"))
+      // ADC lookup table: query subvector · every codeword (|Q|·k rows)
+      val lut = queries
+        .select(col(idCol).as("query_id"),
+          slice(col(vecCol), mi * sub + 1, sub).cast("array<double>").as("__qs"))
+        .crossJoin(broadcast(book))
+        .select(col("query_id"), col("cent_id").as("__code"),
+          dot(col("__qs"), col("__cv")).as(s"__d$mi"))
+      codes.join(broadcast(lut), Seq("__code"))
+        .select(col("__vid"), col("query_id"), col(s"__d$mi"))
+    }
+    val joined = parts.reduce((a, b) => a.join(b, Seq("__vid", "query_id")))
+    val adc = round((0 until m).map(mi => col(s"__d$mi")).reduce(_ + _), 4)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    joined
+      .filter(col("__vid") =!= col("query_id"))
+      .select(col("query_id"), col("__vid").as("vec_id"), adc.as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topk)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   def kmeansTrain(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     val v = vectors.select(col(idCol).as("__vid"),

@@ -286,15 +286,18 @@ object SimilarityQueries {
 
   /** One Lloyd's iteration as DuckDB CTEs (shared by every oracle that
     * restates `Ann.kmeansTrain`): assign to argmax rounded cosine
-    * (centroid-id tiebreak), then exact micro-unit per-dimension means. */
-  private def iter(cin: String, aout: String, cout: String): String =
+    * (centroid-id tiebreak), then exact micro-unit per-dimension means.
+    * `vtab` selects the vector CTE — the PQ oracle trains per-subspace
+    * codebooks over sliced-vector CTEs through the same helper. */
+  private def iter(cin: String, aout: String, cout: String,
+      vtab: String = "v"): String =
     s"""$aout AS (
        |  SELECT vid, e, cent_id FROM (
        |    SELECT v.vid, v.e, c.cent_id,
        |           ROW_NUMBER() OVER (PARTITION BY v.vid
        |             ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC,
        |                      c.cent_id) AS rn
-       |    FROM v CROSS JOIN $cin c) t WHERE rn = 1),
+       |    FROM $vtab v CROSS JOIN $cin c) t WHERE rn = 1),
        |$cout AS (
        |  SELECT cent_id, list(m ORDER BY pos) AS cv FROM (
        |    SELECT cent_id, pos, CAST(SUM(xq) AS DOUBLE) / COUNT(*) / 1000000 AS m
@@ -584,6 +587,64 @@ object SimilarityQueries {
        |ORDER BY query_id, rn""".stripMargin
   }
 
+  /** Product-quantized ANN end to end (q153): per-subspace codebook
+    * training (two Lloyd's iterations each, through the SAME `iter`
+    * helper as q137/q138/q144), fresh argmax encode, ADC
+    * lookup-table scoring and per-query top-k — the whole compressed
+    * search pipeline value-checked in one hash. */
+  def pqSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    Ann.pqTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
+      dim, m = 2, k = 4, iters = 2, topk = 10)
+  }
+
+  /** q153 oracle: both subspace trainings, the fresh encode, the ADC
+    * LUTs and the top-k restated in DuckDB (dim 64 → subvectors
+    * e[1:32] / e[33:64], matching slice(embedding, 1|33, 32)). */
+  private def pqOracle(): String =
+    s"""WITH v AS (
+       |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |v0 AS (SELECT vid, e[1:32] AS e FROM v),
+       |v1 AS (SELECT vid, e[33:64] AS e FROM v),
+       |s0c0 AS (SELECT vid AS cent_id, e AS cv FROM v0 ORDER BY vid LIMIT 4),
+       |${iter("s0c0", "s0a1", "s0c1", "v0")},
+       |${iter("s0c1", "s0a2", "s0c2", "v0")},
+       |s1c0 AS (SELECT vid AS cent_id, e AS cv FROM v1 ORDER BY vid LIMIT 4),
+       |${iter("s1c0", "s1a1", "s1c1", "v1")},
+       |${iter("s1c1", "s1a2", "s1c2", "v1")},
+       |codes0 AS (SELECT vid, cent_id AS code FROM (
+       |  SELECT v.vid, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY v.vid
+       |           ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC,
+       |                    c.cent_id) AS rn
+       |  FROM v0 v CROSS JOIN s0c2 c) t WHERE rn = 1),
+       |codes1 AS (SELECT vid, cent_id AS code FROM (
+       |  SELECT v.vid, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY v.vid
+       |           ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC,
+       |                    c.cent_id) AS rn
+       |  FROM v1 v CROSS JOIN s1c2 c) t WHERE rn = 1),
+       |lut0 AS (SELECT q.vid AS query_id, c.cent_id AS code,
+       |                list_dot_product(q.e, c.cv) AS d
+       |         FROM v0 q CROSS JOIN s0c2 c WHERE q.vid < 3),
+       |lut1 AS (SELECT q.vid AS query_id, c.cent_id AS code,
+       |                list_dot_product(q.e, c.cv) AS d
+       |         FROM v1 q CROSS JOIN s1c2 c WHERE q.vid < 3),
+       |scored AS (
+       |  SELECT l0.query_id, c0.vid AS vec_id, round(l0.d + l1.d, 4) AS adc
+       |  FROM codes0 c0 JOIN codes1 c1 ON c0.vid = c1.vid
+       |  JOIN lut0 l0 ON l0.code = c0.code
+       |  JOIN lut1 l1 ON l1.code = c1.code AND l1.query_id = l0.query_id
+       |  WHERE c0.vid <> l0.query_id)
+       |SELECT query_id, vec_id, adc, rn FROM (
+       |  SELECT query_id, vec_id, adc,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY adc DESC, vec_id) AS rn
+       |  FROM scored) t
+       |WHERE rn <= 10
+       |ORDER BY query_id, rn""".stripMargin
+
   /** Embedding-space outlier detection (q140): assign every vector to
     * its trained centroid, then flag vectors whose similarity to their
     * own centroid falls 2σ below the cell mean — the curation op that
@@ -667,6 +728,7 @@ object SimilarityQueries {
       Some(ivfTrainedOracle())),
     Q("q137_kmeans_train", (s, d) => kmeansCentroids(s, d),
       Some(kmeansOracle())),
+    Q("q153_pq_search", (s, d) => pqSearch(s, d), Some(pqOracle())),
     Q("q125_quantized_recall", (s, d) => quantizedRecall(s, d),
       Some(quantizedRecallOracle())),
     Q("q107_srp_portable", (s, d) => srpPortable(s, d),

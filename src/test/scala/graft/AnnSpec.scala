@@ -214,6 +214,28 @@ class AnnSpec extends AnyFunSuite {
     assert(loose(10L) == 0 && loose(11L) == 0 && loose(12L) == 0)
   }
 
+  test("pqTopK: ADC ranks the planted near-twin first and scores through " +
+      "codes only") {
+    // two clean directions per subspace → 4 planted groups; 100/101 are
+    // near-twins of query 0 in BOTH subspaces, 102 matches in neither
+    def v(a: Float, b: Float, c: Float, d: Float) =
+      Array(a, b, c, d)
+    val data = Seq(
+      (0L, v(10f, 0f, 10f, 0f)), (1L, v(0f, 10f, 0f, 10f)),
+      (2L, v(10f, 0f, 0f, 10f)), (3L, v(0f, 10f, 10f, 0f)),
+      (100L, v(9f, 0.5f, 9f, 0.5f)), (101L, v(8f, 0.2f, 8f, 0.4f)),
+      (102L, v(0.1f, 9f, 0.2f, 9f))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.pqTopK(data, data.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", dim = 4, m = 2, k = 4, iters = 2, topk = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    // twins (and the seed vector sharing both codes) outrank the
+    // opposite-direction vector, which must not make top-3
+    val top = out.map(_._1).toSet
+    assert(out.nonEmpty && !top.contains(102L))
+    assert(top.intersect(Set(100L, 101L)).nonEmpty)
+  }
+
   test("hardNegatives oracle is generated from the shared defaults and " +
       "non-default parameters actually bind") {
     // ADVICE r9: the registered oracle must be the interpolated form so a
