@@ -201,6 +201,31 @@ object EtlQueries {
   }
 
   val qs: Seq[Q] = Seq(
+    Q("q154_scd2_history", (s, d) =>
+      Scd.type2(graft.Tables.events(s, d), "user_id", "event_type",
+          "ts", "event_id")
+        .orderBy(col("user_id"), col("version")), Some(
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, event_id, event_type, ts
+        |      FROM o WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+        |SELECT user_id,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS INT) AS version,
+        |       event_type AS attr,
+        |       epoch_us(ts) AS valid_from_us,
+        |       epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id)) AS valid_to_us,
+        |       CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id
+        |                                     ORDER BY ts, event_id) IS NULL
+        |            THEN 1 ELSE 0 END AS INT) AS is_current
+        |FROM c
+        |ORDER BY user_id, version""".stripMargin)),
     Q("q134_feed_provider", (s, d) => feedExport(s, d), Some(
       """SELECT CAST(p_partkey AS VARCHAR) AS id,
         |       p_name AS title,
