@@ -1179,6 +1179,88 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet perplexity bucketing (q155) — documents split per language
+    * into head / middle / tail by LM surprisal terciles (CCNet, arXiv
+    * 1911.00359 §4.3: head = most-predictable third, the slice usually
+    * kept for pretraining; tail = least predictable, dropped or
+    * down-weighted). Surprisal is the q122 integer-unit unigram block
+    * (a per-language KenLM drops into the `lm` seam unchanged);
+    * tercile cut points use the q139 histogram-threshold machinery —
+    * per-(lang, score) counts, a cumulative walk over the tiny distinct
+    * frame, thresholds broadcast back — so there is NO corpus-wide
+    * window anywhere: the corpus-sized passes are the token aggregate
+    * and the per-doc sum, both key-partitioned with map-side partials.
+    * Tercile rule (deterministic, tie-stable): t_k = min score with
+    * cum·3 ≥ k·total; bucket = head (≤t₁) / middle (≤t₂) / tail. */
+  def perplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .localCheckpoint(true)
+    val tf = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum(col("cnt")).as("total"))
+    val lm = tf.crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(-log2(col("cnt").cast("double") / col("total").cast("double"))
+          * 10000, 0).cast("long").as("sq"))
+    val perDoc = tok.join(broadcast(lm), Seq("tok"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("sq")).as("sq_sum"))
+      .select(col("doc_id"), col("lang"),
+        round(col("sq_sum").cast("double") / col("n_tokens"), 0)
+          .cast("long").as("sqm"))
+      .localCheckpoint(true)
+    val counts = perDoc.groupBy(col("lang"), col("sqm")).agg(count(lit(1)).as("n"))
+    val cum = counts
+      .withColumn("cum", sum(col("n"))
+        .over(Window.partitionBy(col("lang")).orderBy(col("sqm"))))
+      .withColumn("tot", sum(col("n"))
+        .over(Window.partitionBy(col("lang"))))
+    val t1 = cum.filter(col("cum") * 3 >= col("tot"))
+      .groupBy(col("lang")).agg(min(col("sqm")).as("t1"))
+    val t2 = cum.filter(col("cum") * 3 >= col("tot") * 2)
+      .groupBy(col("lang")).agg(min(col("sqm")).as("t2"))
+    perDoc
+      .join(broadcast(t1), Seq("lang")).join(broadcast(t2), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        (col("sqm") / 10000.0).as("bits_per_token"),
+        when(col("sqm") <= col("t1"), "head")
+          .when(col("sqm") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def perplexityBucketsOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
+       |tf AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+       |tot AS (SELECT SUM(cnt) AS total FROM tf),
+       |lm AS (SELECT tok,
+       |              CAST(round(-log2(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+       |                         * 10000, 0) AS BIGINT) AS sq
+       |       FROM tf, tot),
+       |pd AS (SELECT t.doc_id, t.lang,
+       |              CAST(round(SUM(lm.sq) / CAST(COUNT(*) AS DOUBLE), 0)
+       |                   AS BIGINT) AS sqm
+       |       FROM tok t JOIN lm USING (tok)
+       |       GROUP BY t.doc_id, t.lang),
+       |c AS (SELECT lang, sqm, COUNT(*) AS n FROM pd GROUP BY lang, sqm),
+       |cc AS (SELECT lang, sqm,
+       |              SUM(n) OVER (PARTITION BY lang ORDER BY sqm) AS cum,
+       |              SUM(n) OVER (PARTITION BY lang) AS tot
+       |       FROM c),
+       |t1 AS (SELECT lang, MIN(sqm) AS t1 FROM cc
+       |       WHERE cum * 3 >= tot GROUP BY lang),
+       |t2 AS (SELECT lang, MIN(sqm) AS t2 FROM cc
+       |       WHERE cum * 3 >= tot * 2 GROUP BY lang)
+       |SELECT pd.doc_id, pd.lang, pd.sqm / 10000.0 AS bits_per_token,
+       |       CASE WHEN pd.sqm <= t1.t1 THEN 'head'
+       |            WHEN pd.sqm <= t2.t2 THEN 'middle'
+       |            ELSE 'tail' END AS bucket
+       |FROM pd JOIN t1 USING (lang) JOIN t2 USING (lang)
+       |ORDER BY pd.doc_id""".stripMargin
+
   private def unigramSurprisalOracle: String =
     s"""WITH tok AS (
        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
@@ -1809,6 +1891,8 @@ object TextQueries {
     Q("q126_split_assign", (s, d) => splitAssign(s, d), Some(splitAssignOracle)),
     Q("q122_lm_surprisal", (s, d) => unigramSurprisal(s, d),
       Some(unigramSurprisalOracle)),
+    Q("q155_perplexity_buckets", (s, d) => perplexityBuckets(s, d),
+      Some(perplexityBucketsOracle)),
     Q("q95_source_mix", (s, d) => sourceMixSample(s, d), Some(
       """WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
         |q AS (SELECT MIN(c) AS quota FROM c),
