@@ -365,43 +365,100 @@ object Ann {
     * encode with cent_id tiebreak, fixed summation order in the ADC
     * add), so the full train→encode→search run is value-checkable in
     * SQL. */
-  def pqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, dim: Int, m: Int = 2, k: Int = 4, iters: Int = 2,
-      topk: Int = 10): DataFrame = {
+  /** Per-subspace (codes, LUT) pairs: codes = (\_\_vid, \_\_code) from the
+    * fresh argmax encode against the final codebook (the ivfAssign
+    * shape: map-side max_by, one pre-reduced shuffle row per vector);
+    * LUT = (query_id, \_\_code, \_\_d) query·codeword dots (|Q|·k rows,
+    * broadcast-sized by construction). */
+  private def pqParts(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, k: Int,
+      iters: Int): Seq[(DataFrame, DataFrame)] = {
     require(m > 0 && dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
-    val parts = (0 until m).map { mi =>
+    (0 until m).map { mi =>
       val sv = vectors.select(col(idCol).as("__vid"),
         slice(col(vecCol), mi * sub + 1, sub).as("__sv"))
       val book = kmeansTrain(sv, "__vid", "__sv", k, iters)
         .select(col("cent_id"), col("centroid").as("__cv"))
-      // fresh encode against the FINAL codebook (the ivfAssign shape:
-      // map-side max_by argmax, one pre-reduced shuffle row per vector)
       val codes = sv.join(broadcast(book))
         .withColumn("__cc", round(cosine(col("__sv"), col("__cv")), 4))
         .groupBy(col("__vid"))
         .agg(max_by(col("cent_id"),
           struct(col("__cc"), (-col("cent_id")).as("__nc"))).as("__code"))
-      // ADC lookup table: query subvector · every codeword (|Q|·k rows)
       val lut = queries
         .select(col(idCol).as("query_id"),
           slice(col(vecCol), mi * sub + 1, sub).cast("array<double>").as("__qs"))
         .crossJoin(broadcast(book))
         .select(col("query_id"), col("cent_id").as("__code"),
-          dot(col("__qs"), col("__cv")).as(s"__d$mi"))
-      codes.join(broadcast(lut), Seq("__code"))
-        .select(col("__vid"), col("query_id"), col(s"__d$mi"))
+          dot(col("__qs"), col("__cv")).as("__d"))
+      (codes, lut)
     }
-    val joined = parts.reduce((a, b) => a.join(b, Seq("__vid", "query_id")))
+  }
+
+  private def pqTail(scored: DataFrame, m: Int, topk: Int): DataFrame = {
     val adc = round((0 until m).map(mi => col(s"__d$mi")).reduce(_ + _), 4)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id"))
-    joined
+    scored
       .filter(col("__vid") =!= col("query_id"))
       .select(col("query_id"), col("__vid").as("vec_id"), adc.as("adc"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topk)
       .orderBy(col("query_id"), col("rn"))
+  }
+
+  def pqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int = 2, k: Int = 4, iters: Int = 2,
+      topk: Int = 10): DataFrame = {
+    val parts = pqParts(vectors, queries, idCol, vecCol, dim, m, k, iters)
+      .zipWithIndex.map { case ((codes, lut), mi) =>
+        codes.join(broadcast(lut), Seq("__code"))
+          .select(col("__vid"), col("query_id"), col("__d").as(s"__d$mi"))
+      }
+    pqTail(parts.reduce((a, b) => a.join(b, Seq("__vid", "query_id"))), m, topk)
+  }
+
+  /** IVF-PQ (q156) — the FAISS IVFPQ composition (by_residual=false):
+    * the trained coarse quantizer (q137/q138 gear) PRUNES which vectors
+    * are scored at all (nprobe cells per query), and the PQ codes table
+    * (q153 gear) supplies the scores via broadcast ADC LUTs — so the
+    * query-time pass touches only the candidate slice of the corpus and
+    * reads only codes, never the embedding column. Residual encoding
+    * (codebooks trained on x − centroid) drops into `pqParts`'s `sv`
+    * seam; every plan shape is unchanged.
+    *
+    * Candidate flow: cells(\_\_vid, \_\_cell) ⋈ broadcast probe list →
+    * per-subspace code join + broadcast LUT join → bounded per-query
+    * top-k. All corpus-sized frames are keyed by vector id or cell;
+    * nothing quadratic, nothing corpus-wide-windowed. */
+  def ivfPqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int = 2, k: Int = 4, iters: Int = 2,
+      nlist: Int = 8, nprobe: Int = 3, topk: Int = 10): DataFrame = {
+    val coarse = kmeansTrain(vectors, idCol, vecCol, nlist, iters)
+      .select(col("cent_id"), col("centroid").as("__cv"))
+    val cells = ivfAssign(vectors, idCol, vecCol, coarse)
+      .select(col(idCol).as("__vid"), col("__cell"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__qc").desc, col("cent_id"))
+    val qcells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .join(broadcast(coarse))
+      .withColumn("__qc", round(cosine(col("__qv"), col("__cv")), 4))
+      .withColumn("__qrn", row_number().over(wProbe))
+      .filter(col("__qrn") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("__cell"))
+    val cand = cells.join(broadcast(qcells), Seq("__cell"))
+      .select(col("__vid"), col("query_id"))
+    val parts = pqParts(vectors, queries, idCol, vecCol, dim, m, k, iters)
+    val scored = parts.zipWithIndex.foldLeft(cand) {
+      case (acc, ((codes, lut), mi)) =>
+        acc.join(codes.withColumnRenamed("__code", s"__c$mi"), Seq("__vid"))
+          .join(broadcast(lut
+            .select(col("query_id"), col("__code").as(s"__c$mi"),
+              col("__d").as(s"__d$mi"))),
+            Seq("query_id", s"__c$mi"))
+    }
+    pqTail(scored, m, topk)
   }
 
   def kmeansTrain(vectors: DataFrame, idCol: String, vecCol: String,

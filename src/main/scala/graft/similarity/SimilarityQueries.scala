@@ -599,13 +599,11 @@ object SimilarityQueries {
       dim, m = 2, k = 4, iters = 2, topk = 10)
   }
 
-  /** q153 oracle: both subspace trainings, the fresh encode, the ADC
-    * LUTs and the top-k restated in DuckDB (dim 64 → subvectors
+  /** Shared q153/q156 oracle fragment: subspace views, both codebook
+    * trainings, fresh encodes and ADC LUTs (dim 64 → subvectors
     * e[1:32] / e[33:64], matching slice(embedding, 1|33, 32)). */
-  private def pqOracle(): String =
-    s"""WITH v AS (
-       |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |v0 AS (SELECT vid, e[1:32] AS e FROM v),
+  private def pqSubspaceCtes: String =
+    s"""v0 AS (SELECT vid, e[1:32] AS e FROM v),
        |v1 AS (SELECT vid, e[33:64] AS e FROM v),
        |s0c0 AS (SELECT vid AS cent_id, e AS cv FROM v0 ORDER BY vid LIMIT 4),
        |${iter("s0c0", "s0a1", "s0c1", "v0")},
@@ -630,13 +628,13 @@ object SimilarityQueries {
        |         FROM v0 q CROSS JOIN s0c2 c WHERE q.vid < 3),
        |lut1 AS (SELECT q.vid AS query_id, c.cent_id AS code,
        |                list_dot_product(q.e, c.cv) AS d
-       |         FROM v1 q CROSS JOIN s1c2 c WHERE q.vid < 3),
-       |scored AS (
-       |  SELECT l0.query_id, c0.vid AS vec_id, round(l0.d + l1.d, 4) AS adc
-       |  FROM codes0 c0 JOIN codes1 c1 ON c0.vid = c1.vid
-       |  JOIN lut0 l0 ON l0.code = c0.code
-       |  JOIN lut1 l1 ON l1.code = c1.code AND l1.query_id = l0.query_id
-       |  WHERE c0.vid <> l0.query_id)
+       |         FROM v1 q CROSS JOIN s1c2 c WHERE q.vid < 3)""".stripMargin
+
+  /** Shared q153/q156 oracle tail: ADC sum + per-query top-k over a
+    * `scored`-producing candidate CTE body. */
+  private def pqTopKSql(scoredBody: String): String =
+    s"""scored AS (
+       |$scoredBody)
        |SELECT query_id, vec_id, adc, rn FROM (
        |  SELECT query_id, vec_id, adc,
        |         ROW_NUMBER() OVER (PARTITION BY query_id
@@ -644,6 +642,63 @@ object SimilarityQueries {
        |  FROM scored) t
        |WHERE rn <= 10
        |ORDER BY query_id, rn""".stripMargin
+
+  private def pqOracle(): String =
+    s"""WITH v AS (
+       |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$pqSubspaceCtes,
+       |${pqTopKSql(
+      """  SELECT l0.query_id, c0.vid AS vec_id, round(l0.d + l1.d, 4) AS adc
+        |  FROM codes0 c0 JOIN codes1 c1 ON c0.vid = c1.vid
+        |  JOIN lut0 l0 ON l0.code = c0.code
+        |  JOIN lut1 l1 ON l1.code = c1.code AND l1.query_id = l0.query_id
+        |  WHERE c0.vid <> l0.query_id""".stripMargin)}""".stripMargin
+
+  /** q156 oracle: the coarse quantizer (training, fresh cell assignment,
+    * probe list — the q138 CTEs) prunes candidates; the PQ fragment
+    * (the q153 CTEs) scores them; same ADC top-k tail. */
+  private def ivfPqOracle(): String =
+    s"""WITH v AS (
+       |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |c0 AS (
+       |  SELECT vid AS cent_id, e AS cv FROM v ORDER BY vid LIMIT 8),
+       |${iter("c0", "a1", "c1")},
+       |${iter("c1", "a2", "c2")},
+       |assigned AS (
+       |  SELECT vid, cent_id AS cell FROM (
+       |    SELECT v.vid, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vid
+       |             ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC,
+       |                      c.cent_id) AS rn
+       |    FROM v CROSS JOIN c2 c) t WHERE rn = 1),
+       |qcells AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vid AS query_id, c.cent_id AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vid
+       |             ORDER BY round(list_cosine_similarity(q.e, c.cv), 4) DESC,
+       |                      c.cent_id) AS qrn
+       |    FROM v q CROSS JOIN c2 c WHERE q.vid < 3) t WHERE qrn <= 3),
+       |cand AS (
+       |  SELECT qc.query_id, a.vid
+       |  FROM assigned a JOIN qcells qc ON a.cell = qc.cell),
+       |$pqSubspaceCtes,
+       |${pqTopKSql(
+      """  SELECT cd.query_id, cd.vid AS vec_id, round(l0.d + l1.d, 4) AS adc
+        |  FROM cand cd
+        |  JOIN codes0 c0 ON c0.vid = cd.vid
+        |  JOIN codes1 c1 ON c1.vid = cd.vid
+        |  JOIN lut0 l0 ON l0.code = c0.code AND l0.query_id = cd.query_id
+        |  JOIN lut1 l1 ON l1.code = c1.code AND l1.query_id = cd.query_id
+        |  WHERE cd.vid <> cd.query_id""".stripMargin)}""".stripMargin
+
+  /** IVF-PQ composed search (q156): coarse prune + compressed-domain
+    * scoring — see `Ann.ivfPqTopK`. */
+  def ivfPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    Ann.ivfPqTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
+      dim, m = 2, k = 4, iters = 2, nlist = 8, nprobe = 3, topk = 10)
+  }
 
   /** Embedding-space outlier detection (q140): assign every vector to
     * its trained centroid, then flag vectors whose similarity to their
@@ -729,6 +784,7 @@ object SimilarityQueries {
     Q("q137_kmeans_train", (s, d) => kmeansCentroids(s, d),
       Some(kmeansOracle())),
     Q("q153_pq_search", (s, d) => pqSearch(s, d), Some(pqOracle())),
+    Q("q156_ivfpq_search", (s, d) => ivfPqSearch(s, d), Some(ivfPqOracle())),
     Q("q125_quantized_recall", (s, d) => quantizedRecall(s, d),
       Some(quantizedRecallOracle())),
     Q("q107_srp_portable", (s, d) => srpPortable(s, d),

@@ -236,6 +236,18 @@ class AnnSpec extends AnyFunSuite {
     assert(top.intersect(Set(100L, 101L)).nonEmpty)
   }
 
+  test("ivfPqTopK with nprobe = nlist degenerates to exactly pqTopK") {
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+    val q = e.filter(col("vec_id") < 3)
+    val full = Ann.pqTopK(e, q, "vec_id", "embedding", dim = 64,
+        m = 2, k = 4, iters = 2, topk = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val probed = Ann.ivfPqTopK(e, q, "vec_id", "embedding", dim = 64,
+        m = 2, k = 4, iters = 2, nlist = 8, nprobe = 8, topk = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(probed.toSeq == full.toSeq) // pruning off ⇒ identical ranking
+  }
+
   test("hardNegatives oracle is generated from the shared defaults and " +
       "non-default parameters actually bind") {
     // ADVICE r9: the registered oracle must be the interpolated form so a
