@@ -1261,6 +1261,79 @@ object TextQueries {
        |FROM pd JOIN t1 USING (lang) JOIN t2 USING (lang)
        |ORDER BY pd.doc_id""".stripMargin
 
+  /** DSIR importance weighting (q157) — data selection via importance
+    * resampling (Xie et al., arXiv 2302.03169), hashed-unigram variant:
+    * documents from the raw pool are scored by how target-like their
+    * hashed n-gram distribution is, log w(x) = Σ_tokens log
+    * p_T(b)/p_R(b) with add-one smoothing over the 4096-bucket space
+    * (the same md5 bucket hash as the q149 classifier, so one SQL
+    * restatement idiom serves both). Target = doc_id < 20 (the
+    * benchmark-set convention of q86/q147); docs with positive log
+    * weight are more target-like than raw-like and marked selected —
+    * the deterministic core of DSIR's resampling step (the Gumbel-top-k
+    * draw adds an RNG on top of exactly these weights).
+    *
+    * Determinism: the per-bucket log-ratio is computed from EXACT
+    * integer counts — both engines divide identical sub-2⁵³ integer
+    * products, so log2 sees identical doubles (the q122 parity
+    * pattern), then quantizes to 1e-4-bit units; per-doc scores are
+    * integer sums of those units.
+    *
+    * Scale shape: ONE bucket-keyed aggregate (target/raw counted in the
+    * same pass via conditional sums — no second shuffle), a ≤4096-row
+    * weight table broadcast back onto token rows, one doc_id aggregate.
+    * The token frame feeds the count and score passes → localCheckpoint. */
+  def dsirWeights(s: SparkSession, dir: String, targetBound: Int = 20): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .withColumn("b", Classifier.bucketOf(col("tok")))
+      .localCheckpoint(true)
+    val counts = tok.groupBy(col("b")).agg(
+      sum(when(col("doc_id") < targetBound, 1L).otherwise(0L)).as("ct"),
+      sum(when(col("doc_id") >= targetBound, 1L).otherwise(0L)).as("cr"))
+    val tot = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val w = counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(log2(((col("ct") + 1L) * (col("tr") + 4096L)).cast("double") /
+            ((col("cr") + 1L) * (col("tt") + 4096L)).cast("double")) * 10000, 0)
+          .cast("long").as("w"))
+    tok.filter(col("doc_id") >= targetBound)
+      .join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("units"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("units") / 10000.0).as("logw"),
+        (col("units") > 0).cast("int").as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def dsirOracle(targetBound: Int = 20): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |tb AS (SELECT doc_id,
+       |              ('0x' || substr(md5('f:' || tok), 1, 3))::INT AS b
+       |       FROM tok),
+       |c AS (SELECT b,
+       |             CAST(SUM(CASE WHEN doc_id < $targetBound THEN 1 ELSE 0 END)
+       |                  AS BIGINT) AS ct,
+       |             CAST(SUM(CASE WHEN doc_id >= $targetBound THEN 1 ELSE 0 END)
+       |                  AS BIGINT) AS cr
+       |      FROM tb GROUP BY b),
+       |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+       |               CAST(SUM(cr) AS BIGINT) AS tr FROM c),
+       |w AS (SELECT b,
+       |             CAST(round(log2(CAST((ct + 1) * (tr + 4096) AS DOUBLE)
+       |                           / CAST((cr + 1) * (tt + 4096) AS DOUBLE))
+       |                        * 10000, 0) AS BIGINT) AS w
+       |      FROM c, tot)
+       |SELECT t.doc_id, COUNT(*) AS n_tokens,
+       |       CAST(SUM(w.w) AS BIGINT) / 10000.0 AS logw,
+       |       CAST(CASE WHEN SUM(w.w) > 0 THEN 1 ELSE 0 END AS INT) AS selected
+       |FROM tb t JOIN w USING (b)
+       |WHERE t.doc_id >= $targetBound
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   private def unigramSurprisalOracle: String =
     s"""WITH tok AS (
        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
@@ -1893,6 +1966,7 @@ object TextQueries {
       Some(unigramSurprisalOracle)),
     Q("q155_perplexity_buckets", (s, d) => perplexityBuckets(s, d),
       Some(perplexityBucketsOracle)),
+    Q("q157_dsir_weights", (s, d) => dsirWeights(s, d), Some(dsirOracle())),
     Q("q95_source_mix", (s, d) => sourceMixSample(s, d), Some(
       """WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
         |q AS (SELECT MIN(c) AS quota FROM c),
