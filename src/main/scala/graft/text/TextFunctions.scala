@@ -61,6 +61,11 @@ object TextFunctions {
   private def occurrences(toks: Column, members: Seq[String]): Column =
     members.map(m => size(toks) - size(array_remove(toks, m))).reduce(_ + _)
 
+  /** Integer stopword occurrence count over a token array (the numerator
+    * of [[stopwordRatioOf]]; the Gopher-rules battery compares it as an
+    * integer to keep rule verdicts parity-exact). */
+  def stopwordCountOf(toks: Column): Column = occurrences(toks, Stopwords)
+
   /** Fraction of tokens that are stopwords, 4 decimals. */
   def stopwordRatio(c: Column): Column = stopwordRatioOf(tokens(c))
 

@@ -48,6 +48,79 @@ object TextQueries {
         TextFunctions.avgTokenLenOf(col("nt"), col("toks")).as("avg_token_len"))
       .orderBy(col("doc_id"))
 
+  /** Gopher quality-rule battery (q158) — the document-level filters of
+    * Gopher/MassiveText (Rae et al., arXiv 2112.11446, Table A1) as one
+    * declarative map-only pass: token-count bounds, mean-word-length
+    * bounds, minimum stopword evidence, and the alphabetic-word
+    * fraction. (The line-shaped rules — bullet/ellipsis line fractions —
+    * need newline structure this corpus lacks; they slot in beside the
+    * others as further conditional sums when the segmenter is line-based,
+    * cf. q151.)
+    *
+    * Every rule is evaluated in INTEGER space (3·n ≤ Σlen ≤ 10·n instead
+    * of 3 ≤ Σlen/n ≤ 10; 5·n_alpha ≥ 4·n), so verdicts cannot drift on a
+    * division boundary between engines. The alphabetic count is the one
+    * HOF (per-token regex) — a rule that genuinely needs per-element
+    * matching; everything else stays inside whole-stage codegen via the
+    * array_remove occurrence trick. No shuffle anywhere: the battery is
+    * a projection, exactly what a 100-TB curation scan wants. */
+  def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("nt", TextFunctions.normalize(col("text")))
+      .withColumn("toks", TextFunctions.tokensOf(col("nt")))
+    val n = size(col("toks"))
+    val sumLen = when(n > 0, length(col("nt")) - (n - lit(1))).otherwise(lit(0))
+    val nStop = TextFunctions.stopwordCountOf(col("toks"))
+    val nAlpha = size(filter(col("toks"), t => t.rlike("[a-z]")))
+    d.select(col("doc_id"), n.as("n_tokens"), sumLen.as("sum_len"),
+        nStop.as("n_stop"), nAlpha.as("n_alpha"))
+      .withColumn("r_count",
+        (col("n_tokens") >= 30 && col("n_tokens") <= 100000).cast("int"))
+      .withColumn("r_wordlen",
+        (col("sum_len") >= col("n_tokens") * 3 &&
+          col("sum_len") <= col("n_tokens") * 10).cast("int"))
+      .withColumn("r_stop", (col("n_stop") >= 2).cast("int"))
+      .withColumn("r_alpha", (col("n_alpha") * 5 >= col("n_tokens") * 4).cast("int"))
+      .withColumn("keep",
+        (col("r_count") === 1 && col("r_wordlen") === 1 &&
+          col("r_stop") === 1 && col("r_alpha") === 1).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def gopherOracle: String = {
+    val stops = TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, $toksSql AS toks, length($norm) AS nchars
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |             CAST(len(toks) AS INT) AS n_tokens,
+       |             CAST(CASE WHEN len(toks) > 0
+       |                  THEN nchars - (len(toks) - 1) ELSE 0 END AS INT)
+       |               AS sum_len,
+       |             CAST(len(list_filter(toks, t -> t IN ($stops))) AS INT)
+       |               AS n_stop,
+       |             CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+       |                  AS INT) AS n_alpha
+       |      FROM d)
+       |SELECT doc_id, n_tokens, sum_len, n_stop, n_alpha,
+       |       CAST(CASE WHEN n_tokens >= 30 AND n_tokens <= 100000
+       |            THEN 1 ELSE 0 END AS INT) AS r_count,
+       |       CAST(CASE WHEN sum_len >= n_tokens * 3
+       |                  AND sum_len <= n_tokens * 10
+       |            THEN 1 ELSE 0 END AS INT) AS r_wordlen,
+       |       CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INT) AS r_stop,
+       |       CAST(CASE WHEN n_alpha * 5 >= n_tokens * 4
+       |            THEN 1 ELSE 0 END AS INT) AS r_alpha,
+       |       CAST(CASE WHEN n_tokens >= 30 AND n_tokens <= 100000
+       |                  AND sum_len >= n_tokens * 3
+       |                  AND sum_len <= n_tokens * 10
+       |                  AND n_stop >= 2
+       |                  AND n_alpha * 5 >= n_tokens * 4
+       |            THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Language-ID heuristic vs the labeled lang column. */
   def langIdPredictions(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -1967,6 +2040,7 @@ object TextQueries {
     Q("q155_perplexity_buckets", (s, d) => perplexityBuckets(s, d),
       Some(perplexityBucketsOracle)),
     Q("q157_dsir_weights", (s, d) => dsirWeights(s, d), Some(dsirOracle())),
+    Q("q158_gopher_rules", (s, d) => gopherRules(s, d), Some(gopherOracle)),
     Q("q95_source_mix", (s, d) => sourceMixSample(s, d), Some(
       """WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
         |q AS (SELECT MIN(c) AS quota FROM c),
