@@ -64,8 +64,14 @@ object TextQueries {
     * matching; everything else stays inside whole-stage codegen via the
     * array_remove occurrence trick. No shuffle anywhere: the battery is
     * a projection, exactly what a 100-TB curation scan wants. */
-  def gopherRules(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+  def gopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherVerdictsOf(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** The battery over ANY (doc_id, text) frame — a stateless projection,
+    * so it runs unchanged under Structured Streaming (DocStreamSpec
+    * asserts stream == batch row for row). */
+  def gopherVerdictsOf(docs: DataFrame): DataFrame = {
+    val d = docs
       .withColumn("nt", TextFunctions.normalize(col("text")))
       .withColumn("toks", TextFunctions.tokensOf(col("nt")))
     val n = size(col("toks"))
@@ -84,7 +90,6 @@ object TextQueries {
       .withColumn("keep",
         (col("r_count") === 1 && col("r_wordlen") === 1 &&
           col("r_stop") === 1 && col("r_alpha") === 1).cast("int"))
-      .orderBy(col("doc_id"))
   }
 
   private def gopherOracle: String = {
@@ -120,6 +125,49 @@ object TextQueries {
        |FROM m
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** n-gram novelty scoring (q159) — per document, the fraction of its
+    * DISTINCT n-grams that occur in no other document: the corpus-side
+    * memorization/freshness audit (a near-zero-novelty doc is
+    * assembled from corpus-common text; a near-1.0 doc is genuinely
+    * new material — the complement of q94's duplicated-span view,
+    * gram-set-based instead of coverage-interval-based).
+    *
+    * Plan shape: the distinct (doc, gram) frame (bounded by doc length)
+    * feeds the gram document-frequency aggregate AND the score join →
+    * localCheckpoint; df counts are plain COUNT over the pre-distinct
+    * frame (gram-keyed shuffle, map-side partials), and the per-doc
+    * rollup is the one doc-keyed aggregate. At 100 TB grams shuffle as
+    * 16-byte digests exactly like q94 (string keys here keep the
+    * oracle value-checkable). */
+  def ngramNovelty(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val dg = shingleRows(Tables.documents(s, dir), n).distinct()
+      .localCheckpoint(true)
+    val df = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    dg.join(df, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_grams").cast("double"), 4)
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def ngramNoveltyOracle: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+       |      FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+       |      WHERE len(t) >= 3),
+       |df AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g)
+       |SELECT doc_id, COUNT(*) AS n_grams,
+       |       CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_unique,
+       |       round(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+       |             / CAST(COUNT(*) AS DOUBLE), 4) AS novelty
+       |FROM g JOIN df USING (g)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** Language-ID heuristic vs the labeled lang column. */
   def langIdPredictions(s: SparkSession, dir: String): DataFrame =
@@ -2041,6 +2089,8 @@ object TextQueries {
       Some(perplexityBucketsOracle)),
     Q("q157_dsir_weights", (s, d) => dsirWeights(s, d), Some(dsirOracle())),
     Q("q158_gopher_rules", (s, d) => gopherRules(s, d), Some(gopherOracle)),
+    Q("q159_ngram_novelty", (s, d) => ngramNovelty(s, d),
+      Some(ngramNoveltyOracle)),
     Q("q95_source_mix", (s, d) => sourceMixSample(s, d), Some(
       """WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
         |q AS (SELECT MIN(c) AS quota FROM c),

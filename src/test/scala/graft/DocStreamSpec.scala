@@ -24,6 +24,23 @@ class DocStreamSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming Gopher rule battery equals the batch run exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gopher").toString
+    Tables.documents(spark, TestSpark.sfDir)
+      .write.mode("overwrite").parquet(tmp)
+    val q = graft.text.TextQueries
+      .gopherVerdictsOf(DocStreams.readDocStream(spark, tmp))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gopher_stream").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("gopher_stream")
+      .orderBy(col("doc_id")).collect().toSeq
+    val batch = graft.text.TextQueries
+      .gopherVerdictsOf(Tables.documents(spark, TestSpark.sfDir))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("incremental arrival: a second file batch appends without reprocessing") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-docs-inc").toString
     val docs = Tables.documents(spark, TestSpark.sfDir)
