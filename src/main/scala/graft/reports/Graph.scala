@@ -47,32 +47,41 @@ object Graph {
     * nodes (every node has degree ≥ 1 and receives ≥ 1 contribution), so
     * no dangling-mass redistribution term is needed.
     *
-    * Scale shape: the edge+degree frame materializes ONCE
-    * (localCheckpoint) and is the only corpus-sized state; each superstep
-    * is one src-keyed join + one dst-keyed hash aggregate — two shuffles
-    * per iteration, partitioned by node key, with map-side partial sums.
+    * Scale shape: the edge frame materializes ONCE (localCheckpoint) and
+    * is the only corpus-sized state; each superstep is a broadcast-hash
+    * join of the node-sized rank frame into the edges (map-side — the
+    * edges are never re-shuffled) plus the ONE dst-keyed hash aggregate
+    * with map-side partial sums that PageRank fundamentally needs.
     * Ranks re-checkpoint per superstep so lineage stays flat at any
     * iteration count (the q69 pointer-jumping discipline). The final
     * top-k is TakeOrderedAndProject (sort+limit), never a corpus-wide
     * window. */
   def copurchasePageRank(s: SparkSession, dir: String, iters: Int = 3,
       k: Int = 20): DataFrame = {
-    val edges = adjacency(s, dir)
+    // the edge frame materializes ONCE; degree lives on the NODE-sized
+    // rank frame, not on every edge row — so each superstep is a
+    // broadcast-hash join (map-side, no edge shuffle, contribution
+    // rank div deg computed from the broadcast side) plus the one
+    // dst-keyed aggregate PageRank fundamentally needs. Rank frames are
+    // node-count-sized: broadcastable for any catalog-scale graph (1e7
+    // nodes ≈ 240 MB); past that, swap the broadcast for a join against
+    // edges pre-partitioned by src — the aggregate stage is unchanged.
+    val edges = adjacency(s, dir).localCheckpoint(true)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val adj = edges.join(deg, "src").localCheckpoint(true)
-    var ranks = adj.select(col("src").as("node")).distinct()
-      .withColumn("rank", lit(1000000L))
+      .select(col("src").as("node"), col("deg"))
       .localCheckpoint(true)
+    var ranks = deg.withColumn("rank", lit(1000000L))
     for (_ <- 1 to iters) {
-      ranks = adj.join(ranks, adj("src") === ranks("node"))
+      val contrib = edges.join(broadcast(ranks), edges("src") === ranks("node"))
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
         .select(col("dst").as("node"),
           (lit(150000L) + expr("85 * sc div 100")).as("rank"))
-        .localCheckpoint(true)
+      // re-attach the static degree for the next superstep's broadcast;
+      // per-step checkpoint keeps lineage flat at any iteration count
+      ranks = deg.join(contrib, Seq("node")).localCheckpoint(true)
     }
     val top = ranks
-      .join(deg.select(col("src").as("node"), col("deg")), Seq("node"))
       .orderBy(col("rank").desc, col("node"))
       .limit(k)
     top.withColumn("rn",
