@@ -1080,6 +1080,61 @@ object TextQueries {
       .select(col("id1"), col("id2"))
   }
 
+  /** Contrastive training-pair builder (q160) — the SimCSE-style pair
+    * table an embedding trainer consumes: positives are the VERIFIED
+    * near-dup edges (the q131 candidate→confirm machinery — texts known
+    * to mean the same thing), negatives are deterministic pseudo-random
+    * doc pairings with no RNG state: adjacent documents in md5 order
+    * WITHIN 256 hash buckets (a partition-bounded window — never a
+    * corpus-wide sort), anti-joined against the positive set so a true
+    * near-dup can never be mislabeled 0. Every engine, run and cluster
+    * size produces the identical pair table.
+    *
+    * Scale shape: positives reuse the banded-LSH path (edges ≪ corpus);
+    * the negative window is bounded by bucket population (~n/256); the
+    * anti-join is edge-sized. Output ~1 negative per doc — the 1:1
+    * in-batch ratio; more negatives per anchor = more buckets or lead
+    * offsets, same shapes. */
+  def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val sh = shingleRows(docs, 3).distinct().localCheckpoint(eager = true)
+    val pos = verifiedNearDupEdges(sh)
+      .select(col("id1").as("a"), col("id2").as("b"))
+      .localCheckpoint(eager = true)
+    val h = docs.select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("bkt", substring(col("h"), 1, 2))
+    val w = Window.partitionBy(col("bkt")).orderBy(col("h"), col("doc_id"))
+    val neg = h.withColumn("nxt", lead(col("doc_id"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(least(col("doc_id"), col("nxt")).as("a"),
+        greatest(col("doc_id"), col("nxt")).as("b"))
+      .join(pos, Seq("a", "b"), "left_anti")
+    pos.withColumn("label", lit(1))
+      .unionByName(neg.withColumn("label", lit(0)))
+      .orderBy(col("a"), col("b"))
+  }
+
+  private def contrastivePairsOracle: String =
+    s"""WITH $verifiedEdgeCtes,
+       |hh AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+       |              substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bkt
+       |       FROM documents),
+       |nx AS (SELECT doc_id,
+       |              lead(doc_id) OVER (PARTITION BY bkt
+       |                                 ORDER BY h, doc_id) AS nxt
+       |       FROM hh),
+       |np AS (SELECT least(doc_id, nxt) AS a, greatest(doc_id, nxt) AS b
+       |       FROM nx WHERE nxt IS NOT NULL),
+       |neg AS (SELECT a, b FROM np
+       |        WHERE NOT EXISTS (SELECT 1 FROM e0
+       |                          WHERE e0.id1 = np.a AND e0.id2 = np.b))
+       |SELECT a, b, label FROM (
+       |  SELECT id1 AS a, id2 AS b, 1 AS label FROM e0
+       |  UNION ALL SELECT a, b, 0 AS label FROM neg) t
+       |ORDER BY a, b""".stripMargin
+
   /** Cross-split near-dup leakage audit (q145) — the release gate a
     * training corpus runs after splitting: a test/val document with a
     * near-duplicate in train silently inflates eval scores, so the audit
@@ -2091,6 +2146,8 @@ object TextQueries {
     Q("q158_gopher_rules", (s, d) => gopherRules(s, d), Some(gopherOracle)),
     Q("q159_ngram_novelty", (s, d) => ngramNovelty(s, d),
       Some(ngramNoveltyOracle)),
+    Q("q160_contrastive_pairs", (s, d) => contrastivePairs(s, d),
+      Some(contrastivePairsOracle)),
     Q("q95_source_mix", (s, d) => sourceMixSample(s, d), Some(
       """WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
         |q AS (SELECT MIN(c) AS quota FROM c),
