@@ -120,6 +120,52 @@ object EventStreams {
       }
   }
 
+  final case class ChangeEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, event_type: String)
+  /** Open SCD2 version per key: attr (None = NULL attribute), valid-from
+    * micros, version ordinal — CONSTANT size per key. */
+  final case class ScdState(attr: Option[String], fromUs: Long, version: Int)
+  final case class ScdClosed(user_id: Long, version: Int, attr: String,
+      valid_from_us: Long, valid_to_us: Long)
+
+  /** Streaming SCD type-2 — the incremental-CDC twin of `etl.Scd.type2`:
+    * each change CLOSES the key's open version (emitted with its
+    * valid_to) and opens the next; unchanged-attr events collapse into
+    * the open run exactly like the batch operator. Append mode emits
+    * closed versions only — the open (is_current) version lives in
+    * state until its closing change arrives, which IS the CDC contract
+    * (a warehouse merge upserts the open row separately).
+    *
+    * Events inside a micro-batch process in (ts, event_id) order;
+    * across batches per-key ordered arrival is assumed — the change-log
+    * semantics of every CDC source (Debezium/binlog readers are per-key
+    * ordered). State is one small case class per key regardless of
+    * event volume. */
+  def scdStream(events: Dataset[ChangeEvent]): Dataset[ScdClosed] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdState, ScdClosed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[ChangeEvent], state: GroupState[ScdState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var closed = Vector.empty[ScdClosed]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            cur match {
+              case Some(s) if s.attr == Option(e.event_type) => // run collapses
+              case Some(s) =>
+                closed :+= ScdClosed(user, s.version, s.attr.orNull, s.fromUs, t)
+                cur = Some(ScdState(Option(e.event_type), t, s.version + 1))
+              case None =>
+                cur = Some(ScdState(Option(e.event_type), t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   final case class FunnelEvent(user_id: Long, event_id: Long,
       ts: java.sql.Timestamp, event_type: String)
   /** Per-user funnel progress: last view / last qualified click (epoch

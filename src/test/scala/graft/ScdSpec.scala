@@ -56,6 +56,59 @@ class ScdSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("A", "B")) // event_id 1 first despite same ts
   }
 
+  test("streaming SCD2 closed versions == batch non-current versions") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.EventStreams
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scd").toString
+    Tables.events(spark, TestSpark.sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema("user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING")
+      .parquet(tmp)
+      .as[EventStreams.ChangeEvent](org.apache.spark.sql.Encoders
+        .product[EventStreams.ChangeEvent])
+    val q = EventStreams.scdStream(stream).writeStream
+      .outputMode("append").format("memory").queryName("scd_stream").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("scd_stream")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val batch = Scd.type2(Tables.events(spark, TestSpark.sfDir),
+        "user_id", "event_type", "ts", "event_id")
+      .filter(col("is_current") === 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("streaming SCD2 closes versions across micro-batches incrementally") {
+    import graft.streaming.EventStreams
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scd-inc").toString
+    Seq((1L, 1L, ts(1000000L), "A"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/b1")
+    val stream = spark.readStream
+      .schema("user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING")
+      .parquet(s"$tmp/b*")
+      .as[EventStreams.ChangeEvent](org.apache.spark.sql.Encoders
+        .product[EventStreams.ChangeEvent])
+    val q = EventStreams.scdStream(stream).writeStream
+      .outputMode("append").format("memory").queryName("scd_inc").start()
+    q.processAllAvailable()
+    assert(spark.table("scd_inc").count() == 0) // version 1 still open
+    Seq((1L, 2L, ts(5000000L), "B"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/b2")
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("scd_inc").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    // the arrival of B closed version 1 (A) at B's timestamp
+    assert(out.toSeq == Seq((1L, 1, "A", 1000000L, 5000000L)))
+  }
+
   test("both window passes ride ONE key shuffle") {
     val plan = Scd.type2(Tables.events(spark, TestSpark.sfDir),
         "user_id", "event_type", "ts", "event_id")
