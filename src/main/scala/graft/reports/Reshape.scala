@@ -89,6 +89,70 @@ object Reshape {
 
   /** INTERSECT / EXCEPT: nations present in both customer and supplier
     * bases vs customer-only, tagged and unioned. */
+  /** Trailing-window anomaly detection (q161) — per user, flag events
+    * whose value sits more than 2σ from the mean of that user's PRIOR
+    * events in a 7-day RANGE window (current row and its ts-ties
+    * excluded via the `-1`-micro upper bound — no self-contamination,
+    * and the frame is tie-deterministic, unlike a ROWS frame). The
+    * streaming-observability op a pipeline runs over its own telemetry.
+    *
+    * Determinism: values quantize to integer cents FIRST
+    * (floor(x·100+0.5), the kmeans idiom), so the window SUM/SUM-of-
+    * squares are exact integers no matter what order a segment-tree
+    * window aggregator adds them in; the 2σ test compares doubles
+    * derived from those identical integers — (v·n−s)² > 4·(n·q−s²) —
+    * i.e. variance math without ever dividing, so no rounding boundary
+    * exists. Cold start: fewer than 5 priors ⇒ never anomalous.
+    *
+    * Scale shape: one user-keyed shuffle + per-user range frame
+    * (bounded by events-per-user·window, not corpus); map-only
+    * everywhere else. */
+  def valueAnomaly(s: SparkSession, dir: String, days: Int = 7,
+      minPrior: Int = 5): DataFrame = {
+    val windowUs = days * 86400000000L
+    val e = graft.Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"),
+        floor(col("value") * 100 + 0.5d).cast("long").as("vc"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-windowUs, -1L)
+    val n = col("n_prior").cast("double")
+    val sPr = col("s_prior").cast("double")
+    val q = col("q_prior").cast("double")
+    e.withColumn("n_prior", count(lit(1)).over(w))
+      .withColumn("s_prior", sum(col("vc")).over(w))
+      .withColumn("q_prior", sum(col("vc") * col("vc")).over(w))
+      .select(col("user_id"), col("event_id"), col("vc"), col("n_prior"),
+        when(col("n_prior") >= minPrior &&
+            pow(col("vc").cast("double") * n - sPr, 2) >
+              lit(4d) * (n * q - sPr * sPr), 1)
+          .otherwise(0).cast("int").as("is_anomaly"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private def valueAnomalyOracle(days: Int = 7, minPrior: Int = 5): String = {
+    val windowUs = days * 86400000000L
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+       |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+       |  FROM events),
+       |w AS (SELECT user_id, event_id, vc,
+       |             CAST(COUNT(*) OVER win AS BIGINT) AS n_prior,
+       |             CAST(SUM(vc) OVER win AS BIGINT) AS s_prior,
+       |             CAST(SUM(vc * vc) OVER win AS BIGINT) AS q_prior
+       |      FROM e WINDOW win AS (
+       |        PARTITION BY user_id ORDER BY tus
+       |        RANGE BETWEEN $windowUs PRECEDING AND 1 PRECEDING))
+       |SELECT user_id, event_id, vc, n_prior,
+       |       CAST(CASE WHEN n_prior >= $minPrior AND
+       |            POWER(CAST(vc AS DOUBLE) * n_prior - s_prior, 2) >
+       |            4.0 * (CAST(n_prior AS DOUBLE) * CAST(q_prior AS DOUBLE)
+       |                   - CAST(s_prior AS DOUBLE) * CAST(s_prior AS DOUBLE))
+       |            THEN 1 ELSE 0 END AS INT) AS is_anomaly
+       |FROM w
+       |ORDER BY user_id, event_id""".stripMargin
+  }
+
   def nationSetOps(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
     val su = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
@@ -132,6 +196,8 @@ object Reshape {
   }
 
   val qs: Seq[Q] = Seq(
+    Q("q161_value_anomaly", (s, d) => valueAnomaly(s, d),
+      Some(valueAnomalyOracle())),
     Q("q114_salted_agg", (s, d) => saltedFlagTotals(s, d), Some(
       """SELECT l_returnflag AS flag,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
