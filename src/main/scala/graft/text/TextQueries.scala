@@ -1653,6 +1653,66 @@ object TextQueries {
       .filter(col("score") >= col("thr"))
   }
 
+  /** Cross-source score calibration (q162) — every document's quality
+    * score mapped to its MIDRANK percentile within its own source
+    * (basis points, integer): sources have different score
+    * distributions (a news domain's median stopword ratio is not a
+    * forum's), so a single global threshold over raw scores
+    * systematically over-prunes some sources; calibrating to per-source
+    * percentiles first makes one global cut comparable everywhere —
+    * the continuous generalization of q139's median gate.
+    *
+    * pct_bp = (2·cum − n) · 5000 div tot — the midrank (ties share
+    * their group's midpoint), computed entirely in integer space with
+    * floor division, so both engines agree exactly. Same scale shape
+    * as q139/q155: the corpus passes are the score scan and the
+    * broadcast join back; the percentile machinery runs on the tiny
+    * (source, score) histogram. */
+  def scoreCalibration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, dir)
+      .withColumn("toks", TextFunctions.tokensOf(
+        TextFunctions.normalize(col("text"))))
+      .select(col("doc_id"), col("source"),
+        TextFunctions.stopwordRatioOf(col("toks")).as("score"))
+      .filter(col("score").isNotNull)
+      .localCheckpoint(eager = true)
+    val counts = scored.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("n"))
+    val pct = counts
+      .withColumn("cum", sum(col("n"))
+        .over(Window.partitionBy(col("source")).orderBy(col("score"))))
+      .withColumn("tot", sum(col("n"))
+        .over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("score"),
+        expr("(2 * cum - n) * 5000 div tot").as("pct_bp"))
+    scored.join(broadcast(pct), Seq("source", "score"))
+      .select(col("doc_id"), col("source"), col("score"), col("pct_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def scoreCalibrationOracle: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |         round(len(list_filter($toksSql,
+       |                 x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+       |               / CAST(nullif(len($toksSql), 0) AS DOUBLE), 4) AS score
+       |  FROM documents
+       |  WHERE round(len(list_filter($toksSql,
+       |            x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+       |          / CAST(nullif(len($toksSql), 0) AS DOUBLE), 4) IS NOT NULL),
+       |counts AS (
+       |  SELECT source, score, COUNT(*) AS n FROM scored GROUP BY 1, 2),
+       |p AS (
+       |  SELECT source, score,
+       |         CAST((2 * SUM(n) OVER (PARTITION BY source ORDER BY score) - n)
+       |              * 5000 // SUM(n) OVER (PARTITION BY source) AS BIGINT)
+       |           AS pct_bp
+       |  FROM counts)
+       |SELECT s.doc_id, s.source, s.score, p.pct_bp
+       |FROM scored s JOIN p USING (source, score)
+       |ORDER BY s.doc_id""".stripMargin
+
   /** The CAPSTONE composition (q143): raw corpus → q109's five curation
     * gates → the q139 per-source adaptive quality gate ON THE SURVIVORS
     * (thresholds re-derived from the curated subset, as a real pipeline
@@ -2148,6 +2208,8 @@ object TextQueries {
       Some(ngramNoveltyOracle)),
     Q("q160_contrastive_pairs", (s, d) => contrastivePairs(s, d),
       Some(contrastivePairsOracle)),
+    Q("q162_score_calibration", (s, d) => scoreCalibration(s, d),
+      Some(scoreCalibrationOracle)),
     Q("q95_source_mix", (s, d) => sourceMixSample(s, d), Some(
       """WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
         |q AS (SELECT MIN(c) AS quota FROM c),
