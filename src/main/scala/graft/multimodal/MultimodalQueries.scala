@@ -37,7 +37,55 @@ object MultimodalQueries {
         substring(hex(col("frame")), 1, 16).as("frame_hex16"))
       .orderBy(col("media_id"), col("frame_idx"))
 
+  /** Cross-media frame dedup (q163) — the video-side near-dup audit:
+    * every frame (all frames, everyNth=1) hashes, and a frame whose
+    * hash appears in ≥2 distinct media is a duplicate (intro/outro/
+    * stock-footage detection — the binary twin of q151's text
+    * boilerplate rule, frequency-keyed instead of pairwise). Report per
+    * media: frames, duplicated frames, fraction.
+    *
+    * Scale shape: the frame frame (bounded by payload size) checkpoints
+    * once for the hash-frequency aggregate and the mark join; frames
+    * shuffle as md5 digests of their hex image, never raw bytes; the
+    * (hash, media) pre-distinct rides the hash-keyed shuffle (the q151
+    * pattern). Real decoders swap into the frameSample seam; every
+    * shape downstream is byte-agnostic. */
+  def frameDedup(s: SparkSession, dir: String): DataFrame = {
+    val frames = Multimodal.frameSample(
+        Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text"),
+        frameBytes = 256, everyNth = 1)
+      .select(col("media_id"), md5(hex(col("frame"))).as("fh"))
+      .localCheckpoint(eager = true)
+    val df = frames.select(col("fh"), col("media_id")).distinct()
+      .groupBy(col("fh")).agg(count(lit(1)).as("nm"))
+    frames.join(df, Seq("fh"))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("nm") >= 2, 1L).otherwise(0L)).as("n_dup_frames"))
+      .select(col("media_id"), col("n_frames"), col("n_dup_frames"),
+        round(col("n_dup_frames").cast("double") /
+          col("n_frames").cast("double"), 4).as("dup_frac"))
+      .orderBy(col("media_id"))
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q163_frame_dedup", (s, d) => frameDedup(s, d), Some(
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |                  octet_length(encode(text)) AS n
+        |           FROM documents),
+        |f AS (SELECT doc_id AS media_id,
+        |             md5(substr(hx, CAST(i * 512 + 1 AS INT), 512)) AS fh
+        |      FROM b, unnest(range(0, CAST(ceil(n / 256.0) AS BIGINT), 1)) AS t(i)),
+        |df AS (SELECT fh, COUNT(*) AS nm
+        |       FROM (SELECT DISTINCT fh, media_id FROM f) GROUP BY fh)
+        |SELECT media_id, COUNT(*) AS n_frames,
+        |       CAST(SUM(CASE WHEN nm >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_frames,
+        |       round(SUM(CASE WHEN nm >= 2 THEN 1 ELSE 0 END)
+        |             / CAST(COUNT(*) AS DOUBLE), 4) AS dup_frac
+        |FROM f JOIN df USING (fh)
+        |GROUP BY media_id
+        |ORDER BY media_id""".stripMargin)),
     Q("q76_frame_sample", (s, d) => frameSamples(s, d), Some(
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
         |                  octet_length(encode(text)) AS n
