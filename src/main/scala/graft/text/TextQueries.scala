@@ -1058,6 +1058,45 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Soft-dedup sampling weights (q164) — instead of DROPPING near-dups
+    * (q131's keep flag), weight every document by the inverse of its
+    * near-dup cluster size (basis points, integer floor-div): sampling
+    * proportional to weight then gives each distinct content item equal
+    * expected mass while keeping all copies available — the reweighting
+    * alternative to hard dedup (SoftDeDup, arXiv 2407.06654; also the
+    * fix for dedup-vs-diversity tension in mixture tuning). Composes
+    * the q131 cluster machinery unchanged; the only additions are a
+    * component-count-sized size aggregate and a component-keyed join
+    * that reuses the clustering's own partitioning. */
+  def softDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = shingleRows(docs, 3).distinct().localCheckpoint(eager = true)
+    val edges = verifiedNearDupEdges(sh)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    val comp = Dedup.connectedComponents(edges, docs.select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("component"))
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    comp.join(sizes, Seq("component"))
+      .select(col("doc_id"), col("component"), col("csize"),
+        expr("10000 div csize").as("weight_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def softDedupOracle: String =
+    s"""WITH RECURSIVE $verifiedEdgeCtes,
+       |e AS (SELECT id1 AS src, id2 AS dst FROM e0
+       |      UNION SELECT id2, id1 FROM e0),
+       |r AS (SELECT doc_id AS id, doc_id AS reach FROM documents
+       |      UNION SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src),
+       |comp AS (SELECT id AS doc_id, CAST(MIN(reach) AS BIGINT) AS component
+       |         FROM r GROUP BY id),
+       |cs AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+       |       FROM comp GROUP BY component)
+       |SELECT c.doc_id, c.component, cs.csize,
+       |       CAST(10000 // cs.csize AS BIGINT) AS weight_bp
+       |FROM comp c JOIN cs USING (component)
+       |ORDER BY c.doc_id""".stripMargin
+
   /** Candidate-verified near-duplicate edges (the q131 stages 1–2,
     * shared with the q145 leakage audit): LSH candidates from the banded
     * minhash (bucket join, never all-pairs), then exact shingle-Jaccard
@@ -2210,6 +2249,8 @@ object TextQueries {
       Some(contrastivePairsOracle)),
     Q("q162_score_calibration", (s, d) => scoreCalibration(s, d),
       Some(scoreCalibrationOracle)),
+    Q("q164_softdedup_weights", (s, d) => softDedupWeights(s, d),
+      Some(softDedupOracle)),
     Q("q95_source_mix", (s, d) => sourceMixSample(s, d), Some(
       """WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
         |q AS (SELECT MIN(c) AS quota FROM c),
