@@ -1058,6 +1058,60 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Distributed bigram LM estimation (q165) — count-based conditional
+    * next-token distributions, the classic corpus-scale LM job (and the
+    * n>1 generalization of q122's unigram LM): c(w₁,w₂) and c(w₁) from
+    * two hash aggregates, P(w₂|w₁) as integer basis points
+    * (cnt·10000 div c₁ — floor-div, engine-exact), reported as the
+    * top-k continuations of the top-`topContext` contexts.
+    *
+    * Scale shape: the bigram aggregate is the one corpus-sized shuffle
+    * (map-side combined; key = two tokens); context totals ride a
+    * second, vocabulary-sized aggregate; the top-context filter
+    * broadcasts; final ranking windows run over topContext·vocab-slice
+    * rows, never the corpus. */
+  def bigramLm(s: SparkSession, dir: String, topContext: Int = 20,
+      topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bi = toks
+      .select(posexplode(slice(col("toks"), lit(1), size(col("toks")) - 1))
+        .as(Seq("i", "w1")), col("toks"))
+      .select(col("w1"), element_at(col("toks"), col("i") + 2).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true)
+    val c1 = bi.groupBy(col("w1")).agg(sum(col("cnt")).as("c1"))
+    val topCtx = c1.orderBy(col("c1").desc, col("w1")).limit(topContext)
+    val w = Window.partitionBy(col("w1"))
+      .orderBy(col("cnt").desc, col("w2"))
+    bi.join(broadcast(topCtx), Seq("w1"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("w1"), col("c1"), col("w2"), col("cnt"),
+        expr("cnt * 10000 div c1").as("prob_bp"), col("rn"))
+      .orderBy(col("w1"), col("rn"))
+  }
+
+  private def bigramLmOracle(topContext: Int = 20, topK: Int = 3): String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents
+       |             WHERE len($toksSql) >= 2),
+       |bi AS (SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS cnt
+       |       FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+       |       GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS c1 FROM bi GROUP BY w1),
+       |ctx AS (SELECT w1, c1 FROM c1 ORDER BY c1 DESC, w1 LIMIT $topContext),
+       |ranked AS (
+       |  SELECT b.w1, ctx.c1, b.w2, CAST(b.cnt AS BIGINT) AS cnt,
+       |         CAST(b.cnt * 10000 // ctx.c1 AS BIGINT) AS prob_bp,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY b.w1
+       |                ORDER BY b.cnt DESC, b.w2) AS INT) AS rn
+       |  FROM bi b JOIN ctx USING (w1))
+       |SELECT w1, c1, w2, cnt, prob_bp, rn FROM ranked
+       |WHERE rn <= $topK
+       |ORDER BY w1, rn""".stripMargin
+
   /** Soft-dedup sampling weights (q164) — instead of DROPPING near-dups
     * (q131's keep flag), weight every document by the inverse of its
     * near-dup cluster size (basis points, integer floor-div): sampling
@@ -2251,6 +2305,7 @@ object TextQueries {
       Some(scoreCalibrationOracle)),
     Q("q164_softdedup_weights", (s, d) => softDedupWeights(s, d),
       Some(softDedupOracle)),
+    Q("q165_bigram_lm", (s, d) => bigramLm(s, d), Some(bigramLmOracle())),
     Q("q95_source_mix", (s, d) => sourceMixSample(s, d), Some(
       """WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
         |q AS (SELECT MIN(c) AS quota FROM c),
