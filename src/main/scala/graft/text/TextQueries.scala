@@ -1058,6 +1058,53 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic multi-epoch shuffle order (q166) — the data-loader
+    * contract of reproducible training: each epoch permutes the corpus
+    * differently, but identically on every engine, run and cluster
+    * size, with no RNG state. Epoch e orders documents by
+    * md5(doc_id:e); the shard is a hash bucket of the same digest and
+    * the in-shard position is a rank within (epoch, shard) — i.e. the
+    * file and offset a sharded dataset writer would emit.
+    *
+    * Scale shape: map-only digesting; the only heavy op is the
+    * per-(epoch, shard) rank, whose partitions are corpus/nShards —
+    * the shard count is the scale knob (hundreds of shards on a real
+    * cluster keeps every partition writer-file-sized, and the rank IS
+    * the write-time sort the loader needs anyway). */
+  def epochShuffle(s: SparkSession, dir: String, epochs: Int = 2,
+      nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+      .crossJoin(broadcast(
+        s.range(0, epochs).select(col("id").cast("int").as("epoch"))))
+      .withColumn("h", md5(concat(col("doc_id").cast("string"),
+        lit(":"), col("epoch").cast("string"))))
+      .withColumn("shard",
+        (conv(substring(col("h"), 1, 2), 16, 10).cast("int") % nShards))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    d.withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("epoch"), col("shard"), col("pos"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
+  private def epochShuffleOracle(epochs: Int = 2, nShards: Int = 8): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, e.epoch,
+       |         md5(CAST(doc_id AS VARCHAR) || ':' ||
+       |             CAST(e.epoch AS VARCHAR)) AS h
+       |  FROM documents,
+       |       (SELECT CAST(unnest(range(0, $epochs)) AS INT) AS epoch) e),
+       |s AS (SELECT doc_id, epoch, h,
+       |             CAST(('0x' || substr(h, 1, 2))::INT % $nShards AS INT)
+       |               AS shard
+       |      FROM d)
+       |SELECT doc_id, epoch, shard,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+       |                               ORDER BY h, doc_id) AS INT) AS pos
+       |FROM s
+       |ORDER BY epoch, shard, pos""".stripMargin
+
   /** Distributed bigram LM estimation (q165) — count-based conditional
     * next-token distributions, the classic corpus-scale LM job (and the
     * n>1 generalization of q122's unigram LM): c(w₁,w₂) and c(w₁) from
@@ -2306,6 +2353,8 @@ object TextQueries {
     Q("q164_softdedup_weights", (s, d) => softDedupWeights(s, d),
       Some(softDedupOracle)),
     Q("q165_bigram_lm", (s, d) => bigramLm(s, d), Some(bigramLmOracle())),
+    Q("q166_epoch_shuffle", (s, d) => epochShuffle(s, d),
+      Some(epochShuffleOracle())),
     Q("q95_source_mix", (s, d) => sourceMixSample(s, d), Some(
       """WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
         |q AS (SELECT MIN(c) AS quota FROM c),
