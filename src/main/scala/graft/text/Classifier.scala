@@ -64,12 +64,22 @@ object Classifier {
 
   /** q149: classifier verdict per document — id, feature count, integer
     * score, keep/drop label. Deterministic at any parallelism (per-row
-    * arithmetic only). */
+    * arithmetic only).
+    *
+    * Scoring runs through the one-pass `functions.ClassifierScore`
+    * expression (the HOF column chain `scoreOf` stays as the spec
+    * cross-check — ClassifierSpec asserts bit-equality on the corpus);
+    * the feature COUNT needs no feature array at all: unigrams +
+    * bigrams of n tokens is 2n−1 for n ≥ 1, else 0. NULL text
+    * normalizes to '' exactly like `features`. */
   def classify(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .withColumn("toks",
+        TextFunctions.tokens(coalesce(col("text"), lit(""))))
       .select(col("doc_id"),
-        size(features(col("text"))).as("n_feats"),
-        scoreOf(col("text")).as("score"))
+        when(size(col("toks")) === 0, 0)
+          .otherwise(size(col("toks")) * 2 - 1).as("n_feats"),
+        graft.functions.ClassifierScore.score(col("toks")).as("score"))
       .withColumn("label", when(col("score") >= 0, "keep").otherwise("drop"))
       .orderBy(col("doc_id"))
 

@@ -51,6 +51,24 @@ class ClassifierSpec extends AnyFunSuite {
     assert(r.getLong(1) == 0L)
   }
 
+  test("ClassifierScore expression == the HOF column chain, doc for doc") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .withColumn("toks", graft.text.TextFunctions.tokens(
+        coalesce(col("text"), lit(""))))
+    val rows = docs.select(col("doc_id"),
+        graft.functions.ClassifierScore.score(col("toks")).as("fast"),
+        Classifier.scoreOf(col("text")).as("hof"),
+        when(size(col("toks")) === 0, 0)
+          .otherwise(size(col("toks")) * 2 - 1).as("nf_arith"),
+        size(Classifier.features(col("text"))).as("nf_array"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"score mismatch doc ${r.getLong(0)}")
+      assert(r.getInt(3) == r.getInt(4), s"n_feats mismatch doc ${r.getLong(0)}")
+    }
+  }
+
   test("NULL document scores 0 / 0 feats, matching the oracle's coalesce") {
     // ADVICE r9: scoreOf(NULL) used to return NULL (label 'drop') while
     // the DuckDB oracle coalesces to 0 ('keep') — normalize NULL to ''.
