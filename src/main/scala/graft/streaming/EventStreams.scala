@@ -166,6 +166,61 @@ object EventStreams {
       }
   }
 
+  final case class ValueEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+  /** Trailing window per key: (micros, cents) pairs inside the last
+    * `windowUs` — bounded by events-per-window, evicted on every
+    * arrival. */
+  final case class AnomalyState(tus: Vector[Long], vc: Vector[Long])
+  final case class AnomalyOut(user_id: Long, event_id: Long, vc: Long,
+      n_prior: Long, is_anomaly: Int)
+
+  /** Streaming trailing-window anomaly detection — the incremental twin
+    * of `reports.Reshape.valueAnomaly` (q161): same integer-cent
+    * quantization, same strictly-before-with-tie-exclusion window
+    * ([t−7d, t−1] micros), same divisionless 2σ test, evaluated on
+    * arrival from a bounded per-key buffer instead of a window frame.
+    * In-batch events process in (ts, event_id) order; per-key ordered
+    * arrival across batches is the telemetry-source contract (same as
+    * scdStream). State is O(events in the trailing window) per key. */
+  def anomalyStream(events: Dataset[ValueEvent],
+      windowUs: Long = 7L * 86400000000L,
+      minPrior: Int = 5): Dataset[AnomalyOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomalyState, AnomalyOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[ValueEvent], state: GroupState[AnomalyState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(AnomalyState(Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[AnomalyOut]
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            val vc = math.floor(e.value * 100 + 0.5d).toLong
+            // stats over [t - window, t - 1]: evict below, exclude ties at t
+            val keepFrom = st.tus.indexWhere(_ >= t - windowUs) match {
+              case -1 => st.tus.size
+              case i => i
+            }
+            st = AnomalyState(st.tus.drop(keepFrom), st.vc.drop(keepFrom))
+            var n = 0L; var s = 0L; var q = 0L
+            var i = 0
+            while (i < st.tus.size) {
+              if (st.tus(i) <= t - 1) { n += 1; s += st.vc(i); q += st.vc(i) * st.vc(i) }
+              i += 1
+            }
+            val nd = n.toDouble
+            val flag = if (n >= minPrior &&
+              math.pow(vc.toDouble * nd - s.toDouble, 2) >
+                4d * (nd * q.toDouble - s.toDouble * s.toDouble)) 1 else 0
+            out += AnomalyOut(user, e.event_id, vc, n, flag)
+            st = AnomalyState(st.tus :+ t, st.vc :+ vc)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class FunnelEvent(user_id: Long, event_id: Long,
       ts: java.sql.Timestamp, event_type: String)
   /** Per-user funnel progress: last view / last qualified click (epoch

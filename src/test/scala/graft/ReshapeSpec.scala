@@ -67,4 +67,28 @@ class ReshapeSpec extends AnyFunSuite {
       assert(math.abs(totals.max - expected(c)) < 1e-6)
     }
   }
+
+  test("streaming anomaly detection == the batch RANGE-window run") {
+    import graft.streaming.EventStreams
+    val tmp = java.nio.file.Files.createTempDirectory("graft-anom").toString
+    Tables.events(spark, TestSpark.sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema("user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE")
+      .parquet(tmp)
+      .as[EventStreams.ValueEvent](org.apache.spark.sql.Encoders
+        .product[EventStreams.ValueEvent])
+    val q = EventStreams.anomalyStream(stream).writeStream
+      .outputMode("append").format("memory").queryName("anom_stream").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("anom_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    val batch = reports.Reshape.valueAnomaly(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    assert(streamed.exists(_._5 == 1), "no anomalies flagged — vacuous")
+  }
 }
