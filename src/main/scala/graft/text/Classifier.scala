@@ -99,7 +99,7 @@ object Classifier {
       .withColumn("label", when(col("score") >= 0, "keep").otherwise("drop"))
   }
 
-  private val oracle: String = {
+  private[text] val oracle: String = {
     val toksSql = TextQueries.toksSql
     s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
        |f AS (SELECT doc_id,

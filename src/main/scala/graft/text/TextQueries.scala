@@ -1105,6 +1105,62 @@ object TextQueries {
        |FROM s
        |ORDER BY epoch, shard, pos""".stripMargin
 
+  /** Composite curation decision table (q167) — the ensemble verdict a
+    * production filter stack actually ships: per raw-pool document, the
+    * Gopher rule battery (q158), the hashed quality classifier (q149),
+    * the CCNet perplexity bucket (q155) and DSIR target-likeness (q157)
+    * side by side, plus the gates-passed count and a majority keep
+    * (n_gates >= 2 — DSIR selection and the stand-in classifier are
+    * evidence, not vetoes). Each block is oracle-green in isolation; this query
+    * value-checks the ENSEMBLE in one hash, the q143 composition
+    * discipline applied to the advanced gates. All four blocks share
+    * one scan shape (map-only or histogram-bounded), so the ensemble
+    * stays a handful of key-partitioned passes over the corpus. */
+  def curationDecision(s: SparkSession, dir: String,
+      targetBound: Int = 20): DataFrame = {
+    val g = gopherVerdictsOf(Tables.documents(s, dir))
+      .select(col("doc_id"), col("keep").as("g_keep"))
+    val c = Classifier.classify(s, dir)
+      .select(col("doc_id"),
+        (col("label") === "keep").cast("int").as("c_keep"))
+    val p = perplexityBuckets(s, dir)
+      .select(col("doc_id"), col("bucket").as("p_bucket"))
+    val d = dsirWeights(s, dir, targetBound)
+      .select(col("doc_id"), col("selected").as("d_selected"))
+    d.join(g, Seq("doc_id")).join(c, Seq("doc_id")).join(p, Seq("doc_id"))
+      .withColumn("n_gates",
+        (col("g_keep") + col("c_keep") +
+          (col("p_bucket") =!= "tail").cast("int") + col("d_selected"))
+          .cast("int"))
+      .select(col("doc_id"), col("g_keep"), col("c_keep"), col("p_bucket"),
+        col("d_selected"), col("n_gates"),
+        (col("n_gates") >= 2).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q167 oracle: the four blocks' full oracles embedded as CTE
+    * subqueries (each already hash-verified standalone), joined on
+    * doc_id with the composed verdict. */
+  private def curationDecisionOracle: String =
+    s"""WITH gop AS ($gopherOracle),
+       |cls AS (${Classifier.oracle}),
+       |ppl AS ($perplexityBucketsOracle),
+       |dsr AS (${dsirOracle()})
+       |SELECT doc_id, g_keep, c_keep, p_bucket, d_selected, n_gates,
+       |       CAST(CASE WHEN n_gates >= 2 THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM (
+       |  SELECT d.doc_id, g.keep AS g_keep,
+       |         CAST(CASE WHEN c.label = 'keep' THEN 1 ELSE 0 END AS INT)
+       |           AS c_keep,
+       |         p.bucket AS p_bucket, d.selected AS d_selected,
+       |         CAST(g.keep
+       |              + CASE WHEN c.label = 'keep' THEN 1 ELSE 0 END
+       |              + CASE WHEN p.bucket <> 'tail' THEN 1 ELSE 0 END
+       |              + d.selected AS INT) AS n_gates
+       |  FROM dsr d JOIN gop g USING (doc_id) JOIN cls c USING (doc_id)
+       |       JOIN ppl p USING (doc_id)) t
+       |ORDER BY doc_id""".stripMargin
+
   /** Distributed bigram LM estimation (q165) — count-based conditional
     * next-token distributions, the classic corpus-scale LM job (and the
     * n>1 generalization of q122's unigram LM): c(w₁,w₂) and c(w₁) from
@@ -2355,6 +2411,8 @@ object TextQueries {
     Q("q165_bigram_lm", (s, d) => bigramLm(s, d), Some(bigramLmOracle())),
     Q("q166_epoch_shuffle", (s, d) => epochShuffle(s, d),
       Some(epochShuffleOracle())),
+    Q("q167_curation_decision", (s, d) => curationDecision(s, d),
+      Some(curationDecisionOracle)),
     Q("q95_source_mix", (s, d) => sourceMixSample(s, d), Some(
       """WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
         |q AS (SELECT MIN(c) AS quota FROM c),
