@@ -84,4 +84,43 @@ class PlanSpec extends AnyFunSuite {
     // the one hashpartitioning exchange is the |corpus|-row pre-reduced rollup
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
+
+  test("q151: no Expand from distinct-doc counting; segment frame scans once") {
+    val p = plan("q151_boilerplate")
+    assert(!p.contains("Expand"), "count_distinct Expand crept in:\n" + p)
+    // the checkpointed segment frame appears as scans of an existing RDD
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"), p)
+  }
+
+  test("q153/q156: ADC LUTs and probe lists broadcast; no cartesian product") {
+    Seq("q153_pq_search", "q156_ivfpq_search").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("q157: the bucket weight table broadcasts back onto token rows") {
+    val p = plan("q157_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Expand"), p)
+  }
+
+  test("q161: the anomaly window rides ONE user-keyed exchange") {
+    val p = plan("q161_value_anomaly")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q165: context filter broadcasts; ranking window is post-filter") {
+    val p = plan("q165_bigram_lm")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // top-context pick
+  }
+
+  test("q166: epoch explode is a broadcast nested-loop, ranks partition by " +
+      "(epoch, shard)") {
+    val p = plan("q166_epoch_shuffle")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Exchange hashpartitioning\\(epoch".r.findFirstIn(p).isDefined, p)
+  }
 }
