@@ -153,6 +153,52 @@ object Reshape {
        |ORDER BY user_id, event_id""".stripMargin
   }
 
+  /** Exact distributed percentiles from an integer histogram (q168) —
+    * p50/p95/p99 of event value per event type, the telemetry-SLO
+    * rollup. Values quantize to cents, so the histogram's cardinality
+    * is value-range-bounded (not corpus-bounded): one corpus-sized
+    * hash aggregate builds per-(type, cents) counts with map-side
+    * combine, and the percentile walk — pₖ = min v with cum·100 ≥
+    * k·total, all integer — runs over that small frame. Exact answers
+    * with sketch-sized state; the mergeable-sketch alternative for
+    * UNBOUNDED value domains is `operators.Scale`'s CMS/HLL gear. */
+  def valuePercentiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5d).cast("long").as("vc"))
+      .groupBy(col("event_type"), col("vc")).agg(count(lit(1)).as("n"))
+    val cum = h
+      .withColumn("cum", sum(col("n"))
+        .over(Window.partitionBy(col("event_type")).orderBy(col("vc"))))
+      .withColumn("tot", sum(col("n"))
+        .over(Window.partitionBy(col("event_type"))))
+    def pct(k: Int) =
+      min(when(col("cum") * 100 >= col("tot") * k, col("vc"))).as(s"p$k")
+    cum.groupBy(col("event_type"))
+      .agg(max(col("tot")).as("n_events"), pct(50), pct(95), pct(99))
+      .orderBy(col("event_type"))
+  }
+
+  private def valuePercentilesOracle: String =
+    s"""WITH h AS (
+       |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+       |         COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |c AS (SELECT event_type, vc,
+       |             SUM(n) OVER (PARTITION BY event_type ORDER BY vc) AS cum,
+       |             SUM(n) OVER (PARTITION BY event_type) AS tot
+       |      FROM h)
+       |SELECT event_type, CAST(MAX(tot) AS BIGINT) AS n_events,
+       |       CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN vc END) AS BIGINT)
+       |         AS p50,
+       |       CAST(MIN(CASE WHEN cum * 100 >= tot * 95 THEN vc END) AS BIGINT)
+       |         AS p95,
+       |       CAST(MIN(CASE WHEN cum * 100 >= tot * 99 THEN vc END) AS BIGINT)
+       |         AS p99
+       |FROM c GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   def nationSetOps(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
     val su = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
@@ -198,6 +244,8 @@ object Reshape {
   val qs: Seq[Q] = Seq(
     Q("q161_value_anomaly", (s, d) => valueAnomaly(s, d),
       Some(valueAnomalyOracle())),
+    Q("q168_value_percentiles", (s, d) => valuePercentiles(s, d),
+      Some(valuePercentilesOracle)),
     Q("q114_salted_agg", (s, d) => saltedFlagTotals(s, d), Some(
       """SELECT l_returnflag AS flag,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
