@@ -1105,6 +1105,77 @@ object TextQueries {
        |FROM s
        |ORDER BY epoch, shard, pos""".stripMargin
 
+  /** Per-source corpus datasheet (q169) — the "datasheets for datasets"
+    * inventory a corpus release ships: per source, document and token
+    * counts, language coverage, exact-duplicate share, and the median
+    * document length. Every statistic uses an already-established
+    * integer-exact shape: distinct-language and dup counts are
+    * pre-distinct/pre-grouped aggregates CHAINED (never count_distinct
+    * mixed into a plain aggregate — the q87 Expand rule), and the
+    * median comes from the per-(source, length) histogram walk
+    * (q139/q155/q168 machinery), so nothing is corpus-windowed and
+    * everything hash-matches. */
+  def corpusDatasheet(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        md5(col("text")).as("h"),
+        TextFunctions.tokenCount(col("text")).as("nt"))
+      .localCheckpoint(eager = true)
+    val base = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("nt")).as("tokens"))
+    val langs = d.select(col("source"), col("lang")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_langs"))
+    val dups = d.groupBy(col("source"), col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .groupBy(col("source")).agg(sum(col("c")).as("dup_docs"))
+    val med = d.groupBy(col("source"), col("nt")).agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n"))
+        .over(Window.partitionBy(col("source")).orderBy(col("nt"))))
+      .withColumn("tot", sum(col("n"))
+        .over(Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(min(when(col("cum") * 2 >= col("tot"), col("nt"))).as("median_tokens"))
+    base.join(langs, Seq("source"))
+      .join(dups, Seq("source"), "left")
+      .join(med, Seq("source"))
+      .select(col("source"), col("docs"), col("tokens"), col("n_langs"),
+        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"),
+        col("median_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private def corpusDatasheetOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, lang, md5(text) AS h,
+       |         CASE WHEN length($norm) = 0 THEN 0
+       |              ELSE len($toksSql) END AS nt
+       |  FROM documents),
+       |base AS (SELECT source, COUNT(*) AS docs,
+       |                CAST(SUM(nt) AS BIGINT) AS tokens
+       |         FROM d GROUP BY source),
+       |langs AS (SELECT source, COUNT(*) AS n_langs
+       |          FROM (SELECT DISTINCT source, lang FROM d) GROUP BY source),
+       |dups AS (SELECT source, CAST(SUM(c) AS BIGINT) AS dup_docs
+       |         FROM (SELECT source, h, COUNT(*) AS c FROM d GROUP BY 1, 2)
+       |         WHERE c >= 2 GROUP BY source),
+       |med AS (SELECT source,
+       |               CAST(MIN(CASE WHEN cum * 2 >= tot THEN nt END) AS INT)
+       |                 AS median_tokens
+       |        FROM (SELECT source, nt,
+       |                     SUM(n) OVER (PARTITION BY source ORDER BY nt) AS cum,
+       |                     SUM(n) OVER (PARTITION BY source) AS tot
+       |              FROM (SELECT source, nt, COUNT(*) AS n
+       |                    FROM d GROUP BY 1, 2) h) c
+       |        GROUP BY source)
+       |SELECT b.source, b.docs, b.tokens, l.n_langs,
+       |       CAST(COALESCE(du.dup_docs, 0) AS BIGINT) AS dup_docs,
+       |       m.median_tokens
+       |FROM base b JOIN langs l USING (source)
+       |     LEFT JOIN dups du USING (source)
+       |     JOIN med m USING (source)
+       |ORDER BY b.source""".stripMargin
+
   /** Composite curation decision table (q167) — the ensemble verdict a
     * production filter stack actually ships: per raw-pool document, the
     * Gopher rule battery (q158), the hashed quality classifier (q149),
@@ -2413,6 +2484,8 @@ object TextQueries {
       Some(epochShuffleOracle())),
     Q("q167_curation_decision", (s, d) => curationDecision(s, d),
       Some(curationDecisionOracle)),
+    Q("q169_corpus_datasheet", (s, d) => corpusDatasheet(s, d),
+      Some(corpusDatasheetOracle)),
     Q("q95_source_mix", (s, d) => sourceMixSample(s, d), Some(
       """WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
         |q AS (SELECT MIN(c) AS quota FROM c),
