@@ -825,8 +825,14 @@ object TextQueries {
     * the boilerplate set as a table; the string key here keeps the oracle
     * value-checkable. */
   def boilerplateStats(s: SparkSession, dir: String, w: Int = 3,
+      minDf: Int = 3): DataFrame =
+    boilerplateOf(Tables.documents(s, dir), w, minDf)
+
+  /** The boilerplate pass over ANY (doc_id, text) frame (EdgeCaseSpec
+    * drives the all-boiler and no-boiler corners through this). */
+  private[graft] def boilerplateOf(docs: DataFrame, w: Int = 3,
       minDf: Int = 3): DataFrame = {
-    val segs = Tables.documents(s, dir)
+    val segs = docs
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), col("toks"),
