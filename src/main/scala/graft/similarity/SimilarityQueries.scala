@@ -110,12 +110,23 @@ object SimilarityQueries {
   /** Embedding-cosine near-dup pairs over the deterministic subset — the
     * exact verifier path of embedding dedup (the corpus-scale path blocks
     * by LSH signature first and verifies candidates with this scoring). */
-  def embeddingNearDups(s: SparkSession, dir: String): DataFrame =
-    Ann.nearDupPairs(
-        Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
-        // subset is small by construction → explicit broadcast is safe here
+  /** q75: brute-force near-dup audit over a COUNT-CAPPED sample — the
+    * first `cap` vectors by (md5(vec_id), vec_id), the same bound-not-
+    * rate rule the r8 fix applied to the text audits (q35/q69/q84/q99).
+    * The previous `vec_id % 5` filter was a RATE: its pair count grew
+    * quadratically with the corpus (measured exponent 0.8 in the r10
+    * sf1 scale-proof); the capped sample is O(cap²) at ANY corpus size.
+    * The production near-dup paths remain q41/q144/q147. */
+  def embeddingNearDups(s: SparkSession, dir: String,
+      cap: Int = 100): DataFrame = {
+    val sample = Tables.embeddings(s, dir)
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(cap)
+    Ann.nearDupPairs(sample,
+        // capped sample → explicit broadcast is safe by construction
         "vec_id", "embedding", minCos = 0.35, broadcastRight = true)
       .orderBy(col("id1"), col("id2"))
+  }
 
   /** Sign-random-projection signature with ENGINE-NEUTRAL hyperplanes —
     * the cross-engine verification twin of q41's `SigExpr.srpSignature`
@@ -791,7 +802,8 @@ object SimilarityQueries {
       Some(srpPortableOracle())),
     Q("q75_embedding_neardup", (s, d) => embeddingNearDups(s, d), Some(
       """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-        |           FROM embeddings WHERE vec_id % 5 = 0)
+        |           FROM embeddings
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100)
         |SELECT a.vec_id AS id1, b.vec_id AS id2,
         |       round(list_cosine_similarity(a.e, b.e), 4) AS cos
         |FROM s a JOIN s b ON a.vec_id < b.vec_id
