@@ -272,7 +272,41 @@ object SearchQueries {
         col("completed_order_count"), col("spent_amount").cast("double").as("spent_amount"))
       .orderBy(col("c_custkey"))
 
+  /** Incremental inverted-index maintenance (q170) — the search-engine
+    * refresh contract: the postings table is SET-semantic, so merging a
+    * delta batch's postings into the base index (union + distinct) must
+    * equal rebuilding the index from the whole corpus. This query runs
+    * the INCREMENTAL side in Spark (base = 90% of docs, delta = the
+    * rest, both through `InvertedIndexProvider.build`, merged set-wise)
+    * and the oracle runs the FULL REBUILD in DuckDB — hash equality IS
+    * the refresh-correctness proof. Output: the top-200 document
+    * frequencies of the merged index (bounded, deterministic order).
+    * At 100 TB both index generations persist bucketed by token, so the
+    * merge is hash-partition-local with no re-shuffle of the base. */
+  def indexRefresh(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = InvertedIndexProvider.build(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", Seq("text"))
+    val delta = InvertedIndexProvider.build(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", Seq("text"))
+    base.unionByName(delta).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(200)
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q170_index_refresh", (s, d) => indexRefresh(s, d), Some(
+      """WITH p AS (
+        |  SELECT DISTINCT doc_id, tok AS token
+        |  FROM (SELECT doc_id,
+        |               unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |        FROM documents) t
+        |  WHERE length(tok) > 0)
+        |SELECT token, COUNT(*) AS df
+        |FROM p GROUP BY token
+        |ORDER BY df DESC, token
+        |LIMIT 200""".stripMargin)),
     Q("q45_search_page", (s, d) => searchPage(s, d), Some(
       """SELECT p_partkey, p_name, p_type, p_size, p_retailprice
         |FROM part
