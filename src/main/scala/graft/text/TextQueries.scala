@@ -1111,6 +1111,91 @@ object TextQueries {
        |FROM s
        |ORDER BY epoch, shard, pos""".stripMargin
 
+  /** Sparse TF-IDF cosine similarity join (q171) — the inverted-index
+    * similarity measure between documents: 3-gram shingle features,
+    * integer-quantized idf weights, candidate pairs generated ONLY
+    * through shared features whose document frequency is ≤ maxDf (the
+    * stop-list rule every sparse similarity join ships: a feature in
+    * half the corpus pairs everything with everything and carries no
+    * signal — dropping it bounds the join at Σ df² ≤ maxDf·|postings|
+    * instead of quadratic). Complements the minhash path (q36 finds
+    * probable near-dups; this scores a weighted similarity exactly) and
+    * the dense path (q40 embeddings).
+    *
+    * Determinism: idf quantizes to 1e-4-bit units from exact integer
+    * (N, df) — the q122 pattern; weights and norms are exact long
+    * sums; the final cosine divides doubles derived from those longs.
+    * Norms are over the PRUNED vectors (both engines, same rule). */
+  def sparseCosinePairs(s: SparkSession, dir: String, maxDf: Int = 20,
+      k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val tf = shingleRows(docs, 3)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true)
+    val df = tf.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val total = docs.agg(count(lit(1)).as("n"))
+    val w = tf.join(df, Seq("g")).crossJoin(broadcast(total))
+      .select(col("doc_id"), col("g"),
+        (col("tf") * round(log2(col("n").cast("double") /
+          col("df").cast("double")) * 10000, 0).cast("long")).as("w"))
+      .localCheckpoint(eager = true)
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).as("nrm2"))
+    val dots = w.select(col("doc_id").as("id1"), col("g"), col("w").as("w1"))
+      .join(w.select(col("doc_id").as("id2"), col("g"), col("w").as("w2")),
+        Seq("g"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(sum(col("w1") * col("w2")).as("dot"))
+    val scored = dots
+      .join(norms.select(col("doc_id").as("id1"), col("nrm2").as("n1")), Seq("id1"))
+      .join(norms.select(col("doc_id").as("id2"), col("nrm2").as("n2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        round(col("dot").cast("double") /
+          (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))), 4)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("id1"), col("id2"))
+      .limit(k)
+    scored.withColumn("rn", row_number().over(
+        Window.orderBy(col("cos").desc, col("id1"), col("id2"))))
+      .orderBy(col("rn"))
+  }
+
+  private def sparseCosineOracle(maxDf: Int = 20, k: Int = 50): String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |g AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+       |      FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+       |      WHERE len(t) >= 3),
+       |tf AS (SELECT doc_id, g, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+       |dfq AS (SELECT g, COUNT(*) AS df FROM tf GROUP BY g
+       |        HAVING COUNT(*) <= $maxDf),
+       |tot AS (SELECT COUNT(*) AS n FROM documents),
+       |w AS (SELECT tf.doc_id, tf.g,
+       |             CAST(tf.tf * CAST(round(log2(CAST(tot.n AS DOUBLE)
+       |                    / CAST(dfq.df AS DOUBLE)) * 10000, 0) AS BIGINT)
+       |                  AS BIGINT) AS w
+       |      FROM tf JOIN dfq USING (g), tot),
+       |nrm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS nrm2
+       |        FROM w GROUP BY doc_id),
+       |dots AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |                CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+       |         FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id
+       |         GROUP BY 1, 2),
+       |scored AS (SELECT d.id1, d.id2,
+       |                  round(CAST(d.dot AS DOUBLE) /
+       |                        (sqrt(CAST(n1.nrm2 AS DOUBLE))
+       |                         * sqrt(CAST(n2.nrm2 AS DOUBLE))), 4) AS cos
+       |           FROM dots d
+       |           JOIN nrm n1 ON d.id1 = n1.doc_id
+       |           JOIN nrm n2 ON d.id2 = n2.doc_id
+       |           ORDER BY cos DESC, d.id1, d.id2 LIMIT $k)
+       |SELECT id1, id2, cos,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, id1, id2) AS INT)
+       |         AS rn
+       |FROM scored
+       |ORDER BY rn""".stripMargin
+
   /** Per-source corpus datasheet (q169) — the "datasheets for datasets"
     * inventory a corpus release ships: per source, document and token
     * counts, language coverage, exact-duplicate share, and the median
@@ -2492,6 +2577,8 @@ object TextQueries {
       Some(curationDecisionOracle)),
     Q("q169_corpus_datasheet", (s, d) => corpusDatasheet(s, d),
       Some(corpusDatasheetOracle)),
+    Q("q171_sparse_cosine", (s, d) => sparseCosinePairs(s, d),
+      Some(sparseCosineOracle())),
     Q("q95_source_mix", (s, d) => sourceMixSample(s, d), Some(
       """WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
         |q AS (SELECT MIN(c) AS quota FROM c),
