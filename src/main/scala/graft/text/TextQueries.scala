@@ -1416,6 +1416,64 @@ object TextQueries {
        |FROM comp c JOIN cs USING (component)
        |ORDER BY c.doc_id""".stripMargin
 
+  /** Quality-aware dedup keeper selection (q172) — q131's clustering
+    * with a smarter keeper rule: instead of the lowest id, each near-dup
+    * cluster keeps its HIGHEST-QUALITY member (q139's stopword-ratio
+    * score, lowest-id tiebreak; NULL scores rank below everything) —
+    * what a curation pipeline actually wants from dedup: drop the
+    * mangled copies, keep the clean one. Keeper = map-side max_by per
+    * component (pre-reduced shuffle rows), joined back on the
+    * clustering's own component key; singleton clusters keep
+    * themselves. */
+  def qualityAwareDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = shingleRows(docs, 3).distinct().localCheckpoint(eager = true)
+    val edges = verifiedNearDupEdges(sh)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    val comp = Dedup.connectedComponents(edges, docs.select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("component"))
+    val scored = docs
+      .withColumn("toks", TextFunctions.tokensOf(
+        TextFunctions.normalize(col("text"))))
+      .select(col("doc_id"),
+        coalesce(TextFunctions.stopwordRatioOf(col("toks")), lit(-1.0))
+          .as("score"))
+    val withScore = comp.join(scored, Seq("doc_id"))
+    val keepers = withScore.groupBy(col("component"))
+      .agg(max_by(col("doc_id"),
+        struct(col("score"), (-col("doc_id")).as("__nd"))).as("keeper"))
+    withScore.join(keepers, Seq("component"))
+      .select(col("doc_id"), col("component"), col("score"),
+        (col("doc_id") === col("keeper")).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def qualityAwareDedupOracle: String =
+    s"""WITH RECURSIVE $verifiedEdgeCtes,
+       |e AS (SELECT id1 AS src, id2 AS dst FROM e0
+       |      UNION SELECT id2, id1 FROM e0),
+       |r AS (SELECT doc_id AS id, doc_id AS reach FROM documents
+       |      UNION SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src),
+       |comp AS (SELECT id AS doc_id, CAST(MIN(reach) AS BIGINT) AS component
+       |         FROM r GROUP BY id),
+       |sc AS (SELECT doc_id,
+       |              coalesce(round(len(list_filter($toksSql,
+       |                        x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+       |                      / CAST(nullif(len($toksSql), 0) AS DOUBLE), 4),
+       |                -1.0) AS score
+       |       FROM documents),
+       |best AS (SELECT component, doc_id AS keeper FROM (
+       |  SELECT c.component, c.doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY c.component
+       |           ORDER BY s.score DESC, c.doc_id) AS rn
+       |  FROM comp c JOIN sc s USING (doc_id)) t WHERE rn = 1)
+       |SELECT c.doc_id, c.component, s.score,
+       |       CAST(CASE WHEN c.doc_id = b.keeper THEN 1 ELSE 0 END AS INT)
+       |         AS keep
+       |FROM comp c JOIN sc s USING (doc_id)
+       |     JOIN best b USING (component)
+       |ORDER BY c.doc_id""".stripMargin
+
   /** Candidate-verified near-duplicate edges (the q131 stages 1–2,
     * shared with the q145 leakage audit): LSH candidates from the banded
     * minhash (bucket join, never all-pairs), then exact shingle-Jaccard
@@ -2579,6 +2637,8 @@ object TextQueries {
       Some(corpusDatasheetOracle)),
     Q("q171_sparse_cosine", (s, d) => sparseCosinePairs(s, d),
       Some(sparseCosineOracle())),
+    Q("q172_quality_dedup", (s, d) => qualityAwareDedup(s, d),
+      Some(qualityAwareDedupOracle)),
     Q("q95_source_mix", (s, d) => sourceMixSample(s, d), Some(
       """WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
         |q AS (SELECT MIN(c) AS quota FROM c),
