@@ -176,6 +176,39 @@ object TextQueries {
         TextFunctions.langId(col("text")).as("predicted"))
       .orderBy(col("doc_id"))
 
+  /** Language-ID confusion matrix (q173) — the evaluation rollup of the
+    * q33 heuristic against the labeled lang column: one (label,
+    * predicted) cell per combination with count and per-label recall in
+    * integer basis points ((hits·10⁴) div label-total — floor-div,
+    * engine-exact). The model-evaluation query every classifier in the
+    * curation stack needs; one corpus scan, one tiny aggregate. */
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pred = Tables.documents(s, dir)
+      .select(col("lang"), TextFunctions.langId(col("text")).as("predicted"))
+    val cells = pred.groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("predicted"), col("n"),
+        expr("CASE WHEN lang = predicted THEN n * 10000 div tot " +
+          "ELSE 0 END").as("recall_bp"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  private def langIdConfusionOracle: String = {
+    s"""WITH p AS (SELECT lang, $langCaseSql AS predicted FROM documents),
+       |c AS (SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY 1, 2),
+       |t AS (SELECT lang, predicted, n,
+       |             SUM(n) OVER (PARTITION BY lang) AS tot
+       |      FROM c)
+       |SELECT lang, predicted, n,
+       |       CAST(CASE WHEN lang = predicted THEN n * 10000 // tot
+       |            ELSE 0 END AS BIGINT) AS recall_bp
+       |FROM t
+       |ORDER BY lang, predicted""".stripMargin
+  }
+
   /** Document fingerprinting (md5 of normalized text). */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -2639,6 +2672,8 @@ object TextQueries {
       Some(sparseCosineOracle())),
     Q("q172_quality_dedup", (s, d) => qualityAwareDedup(s, d),
       Some(qualityAwareDedupOracle)),
+    Q("q173_langid_confusion", (s, d) => langIdConfusion(s, d),
+      Some(langIdConfusionOracle)),
     Q("q95_source_mix", (s, d) => sourceMixSample(s, d), Some(
       """WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
         |q AS (SELECT MIN(c) AS quota FROM c),
