@@ -121,7 +121,109 @@ object Graph {
        |ORDER BY rn""".stripMargin
   }
 
+  /** Triangle counting (q175) over the SUPPORT-FILTERED co-purchase
+    * graph: an edge {a,b} exists when parts a and b appear together in at
+    * least `minSupport` distinct orders (the standard noise filter before
+    * clustering-coefficient / community analysis of a cross-sell graph —
+    * one shared basket is coincidence, repeated co-purchase is signal).
+    * Output: the top-k parts by triangle participation (each triangle
+    * counted at all three corners) plus the global triangle total.
+    *
+    * Scale shape: pairs come from the same per-order sorted-set
+    * suffix-slice explode as q55/q152 (bounded by basket size, never
+    * corpus-quadratic), and support filtering happens IN the same
+    * aggregate that dedups pairs — one shuffle builds the graph. The
+    * wedge enumeration is DEGREE-ORIENTED (each undirected edge is
+    * directed from its (degree, id)-smaller endpoint, ties by id), the
+    * classic bound that caps per-node wedge fan-out at O(√m) on any
+    * degree distribution — an id-ordered orientation would instead let
+    * one popular part generate degree² wedges. The closing-edge probe is
+    * an equi-join on (u, v), which is exactly one oriented direction
+    * because orientation is a total order. Triangle identity is
+    * orientation-invariant, so the id-ordered DuckDB oracle reproduces
+    * the result set exactly. */
+  def copurchaseTriangles(s: SparkSession, dir: String, minSupport: Int = 2,
+      k: Int = 10): DataFrame = {
+    val pairs = graft.Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(posexplode(col("parts")).as(Seq("i", "a")), col("parts"))
+      .select(col("a"),
+        explode(slice(col("parts"), col("i") + 2, size(col("parts")))).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .select(col("a"), col("b"))
+      .localCheckpoint(true)
+    val deg = pairs.select(col("a").as("n"))
+      .unionByName(pairs.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // direct each edge from its (degree, id)-smaller endpoint; carry the
+    // dst endpoint's (degree, id) so the wedge join can order endpoints
+    // by the SAME total order without a global relabeling pass
+    val da = deg.select(col("n").as("a"), col("d").as("dda"))
+    val db = deg.select(col("n").as("b"), col("d").as("ddb"))
+    val oriented = pairs.join(da, "a").join(db, "b")
+      .select(
+        when(col("dda") < col("ddb") ||
+          (col("dda") === col("ddb") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst"), col("ddb").as("dd")))
+          .otherwise(
+            struct(col("b").as("src"), col("a").as("dst"), col("dda").as("dd")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+      .localCheckpoint(true)
+    val e1 = oriented.select(col("src"), col("dst").as("u"), col("dd").as("du"))
+    val e2 = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("src").as("x"), col("u"), col("v"))
+    val tris = wedges.join(
+        oriented.select(col("src").as("u"), col("dst").as("v")), Seq("u", "v"))
+      .select(col("x"), col("u"), col("v"))
+      .localCheckpoint(true)
+    val total = tris.agg(count(lit(1)).as("total_tris"))
+    val corners = tris.select(explode(array(col("x"), col("u"), col("v"))).as("part_id"))
+      .groupBy(col("part_id")).agg(count(lit(1)).as("tris"))
+    // top-k first (TakeOrderedAndProject), THEN the rank window over the
+    // k-row result — never a corpus-wide single-partition window
+    corners
+      .orderBy(col("tris").desc, col("part_id"))
+      .limit(k)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("tris").desc, col("part_id"))))
+      .crossJoin(broadcast(total))
+      .select(col("part_id"), col("tris"), col("total_tris"), col("rn"))
+      .orderBy(col("rn"))
+  }
+
+  /** q175 oracle: id-ordered triangle enumeration (orientation-invariant
+    * — must equal the degree-oriented distributed run exactly). */
+  private def trianglesOracle(minSupport: Int = 2, k: Int = 10): String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |p AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+       |      FROM op a JOIN op b
+       |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |t AS (SELECT e1.a AS x, e1.b AS u, e2.b AS v
+       |      FROM p e1 JOIN p e2 ON e1.a = e2.a AND e1.b < e2.b
+       |      JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b),
+       |corners AS (SELECT x AS part_id FROM t
+       |            UNION ALL SELECT u FROM t
+       |            UNION ALL SELECT v FROM t),
+       |pc AS (SELECT part_id, CAST(COUNT(*) AS BIGINT) AS tris
+       |       FROM corners GROUP BY part_id),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_tris FROM t)
+       |SELECT part_id, tris, total_tris, rn FROM (
+       |  SELECT part_id, tris,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY tris DESC, part_id) AS INT) AS rn
+       |  FROM pc) r, tot
+       |WHERE rn <= $k
+       |ORDER BY rn""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q152_copurchase_pagerank", (s, d) => copurchasePageRank(s, d),
-      Some(pagerankOracle())))
+      Some(pagerankOracle())),
+    Q("q175_triangle_count", (s, d) => copurchaseTriangles(s, d),
+      Some(trianglesOracle())))
 }

@@ -252,7 +252,59 @@ object EventQueries {
         col("asof_value"))
       .orderBy(col("user_id"), col("day"))
 
+  /** Weekly retention cohorts (q176): users grouped by first-active week;
+    * for each (cohort, weeks-since-cohort) cell, how many of the cohort's
+    * users were active — the standard cohort-retention matrix every
+    * product-analytics pipeline materializes from an event stream.
+    *
+    * Scale shape: the corpus reduces to the distinct (user, week) frame
+    * FIRST (one user-keyed shuffle; everything downstream is user-sized,
+    * not event-sized), first-week derives from it with a map-side-combined
+    * re-aggregate, and cohort sizes are a week-cardinality frame that
+    * BROADCASTS back onto the cells — the event table is scanned once and
+    * shuffled once no matter how many weeks the matrix spans. */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame =
+    retentionCohortsOf(Tables.events(s, dir))
+
+  def retentionCohortsOf(events: DataFrame): DataFrame = {
+    val uw = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
+      .distinct()
+      .localCheckpoint(true)
+    val first = uw.groupBy(col("user_id")).agg(min(col("aw")).as("cw"))
+    val sizes = first.groupBy(col("cw")).agg(count(lit(1)).as("cohort_users"))
+    uw.join(first, Seq("user_id"))
+      .groupBy(col("cw"),
+        (datediff(col("aw"), col("cw")) / 7).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(sizes), Seq("cw"))
+      .select(
+        date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("active_users"), col("cohort_users"),
+        round(col("active_users") * lit(100.0) / col("cohort_users"), 4)
+          .as("retained_pct"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q176_retention_cohorts", (s, d) => retentionCohorts(s, d), Some(
+      """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
+        |            FROM events),
+        |f AS (SELECT user_id, MIN(aw) AS cw FROM uw GROUP BY user_id),
+        |sz AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_users
+        |       FROM f GROUP BY cw),
+        |cells AS (SELECT f.cw,
+        |                 CAST(date_diff('day', f.cw, uw.aw) // 7 AS INT)
+        |                   AS week_offset,
+        |                 CAST(COUNT(*) AS BIGINT) AS active_users
+        |          FROM uw JOIN f USING (user_id)
+        |          GROUP BY 1, 2)
+        |SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week, c.week_offset,
+        |       c.active_users, sz.cohort_users,
+        |       round(c.active_users * 100.0 / sz.cohort_users, 4)
+        |         AS retained_pct
+        |FROM cells c JOIN sz USING (cw)
+        |ORDER BY cohort_week, week_offset""".stripMargin)),
     Q("q112_resample", (s, d) => resampleDaily(s, d), Some(
       """WITH b AS (SELECT user_id, date_trunc('day', MIN(ts)) AS lo, MAX(ts) AS hi
         |           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL

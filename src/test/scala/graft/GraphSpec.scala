@@ -33,4 +33,33 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
     assert(got.toSeq == expTop)
   }
+
+  test("degree-oriented triangle count == driver brute force (orientation-invariant)") {
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+      .select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted)
+    // support >= 2 edges, a < b
+    val support = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    byOrder.values.foreach(parts =>
+      for (i <- parts.indices; j <- i + 1 until parts.size)
+        support((parts(i), parts(j))) = support.getOrElse((parts(i), parts(j)), 0) + 1)
+    // NB: `support.collect { case (e, c) ... => e }` would rebuild a MAP
+    // (e is a pair), silently collapsing keys — filter+keySet instead
+    val edges = support.filter(_._2 >= 2).keySet.toSet
+    // brute-force closure over id-sorted wedges
+    val bySrc = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted)
+    val tris = for {
+      (x, nbrs) <- bySrc.toSeq
+      i <- nbrs.indices; j <- i + 1 until nbrs.size
+      if edges.contains((nbrs(i), nbrs(j)))
+    } yield (x, nbrs(i), nbrs(j))
+    val perNode = tris.flatMap { case (a, b, c) => Seq(a, b, c) }
+      .groupBy(identity).view.mapValues(_.size.toLong)
+    val expTop = perNode.toSeq.sortBy { case (n, t) => (-t, n) }.take(10)
+      .zipWithIndex.map { case ((n, t), i) => (n, t, tris.size.toLong, i + 1) }
+    val got = reports.Graph.copurchaseTriangles(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == expTop)
+  }
 }
