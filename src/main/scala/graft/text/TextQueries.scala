@@ -2349,7 +2349,92 @@ object TextQueries {
          |  JOIN keepers k ON base.fp = k.fp)
          |""".stripMargin
 
+  /** Winnowing fingerprint near-dup candidates (q174) — the MOSS
+    * content-sketch route to substring-level duplicate detection
+    * (Schleimer/Wilkerson/Aiken SIGMOD'03), complementing token-set
+    * MinHash (q36): any shared substring of ≥ w+k−1 = 21 normalized
+    * chars guarantees a shared fingerprint, so it catches copied
+    * PASSAGES even when whole-document token sets diverge.
+    *
+    * Fingerprints come from the one-pass `WinnowFingerprints` expression
+    * (map-side; sketch density ~2/(w+1) per char — the only rows that
+    * reach a shuffle). Pairing is the bucketed-postings shape shared with
+    * q36/q171: per-hash document lists, DF-CAPPED at `dfCap` (a ubiquitous
+    * boilerplate fingerprint would otherwise create one quadratic
+    * bucket; at the cap the pair volume is bounded by Σ df² ≤ dfCap ·
+    * Σ df — linear in sketch volume), pair score = shared fingerprint
+    * count, reported with the overlap coefficient against the smaller
+    * sketch. The md5-prefix gram hash is engine-portable, so the ENTIRE
+    * pipeline — sketch selection included — is value-checked by the
+    * window-enumeration oracle. */
+  def winnowPairs(s: SparkSession, dir: String, k: Int = 16, w: Int = 6,
+      dfCap: Int = 20, minShared: Int = 3, minOverlap: Double = 0.2): DataFrame = {
+    val fps = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowExpr.winnowOf(
+          TextFunctions.normalize(col("text")), k, w)).as("f"))
+      .select(col("doc_id"), col("f.h").as("h"))
+      .distinct()
+      .localCheckpoint(eager = true) // consumers: fc, df, both pair sides
+    val fc = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val rareH = fps.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("h"))
+    val rare = fps.join(rareH, Seq("h"))
+    val pairs = rare.select(col("h"), col("doc_id").as("id1"))
+      .join(rare.select(col("h"), col("doc_id").as("id2")), Seq("h"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+    pairs
+      .join(fc.select(col("doc_id").as("id1"), col("nfp").as("nf1")), Seq("id1"))
+      .join(fc.select(col("doc_id").as("id2"), col("nfp").as("nf2")), Seq("id2"))
+      .filter(col("shared_fps") * lit(1.0) / least(col("nf1"), col("nf2"))
+        >= minOverlap)
+      .select(col("id1"), col("id2"), col("shared_fps"),
+        round(col("shared_fps") * lit(1.0) / least(col("nf1"), col("nf2")), 4)
+          .as("overlap"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** q174 oracle: winnowing by explicit window enumeration — every gram
+    * joins each of the w windows covering it, per-window argmin by
+    * (hash ASC, pos DESC), distinct selections, then the same df-capped
+    * postings pairing. */
+  private def winnowOracle(k: Int = 16, w: Int = 6, dfCap: Int = 20,
+      minShared: Int = 3, minOverlap: Double = 0.2): String =
+    s"""WITH n AS (SELECT doc_id, $norm AS t FROM documents),
+       |g AS (SELECT doc_id, i AS pos, substring(md5(substring(t, i, $k)), 1, 8) AS h
+       |      FROM n, LATERAL unnest(generate_series(1, length(t) - ${k - 1}))
+       |        AS u(i)
+       |      WHERE length(t) >= $k),
+       |gc AS (SELECT doc_id, COUNT(*) AS gcnt FROM g GROUP BY doc_id),
+       |wins AS (SELECT g.doc_id, g.pos - o.off AS win, g.pos, g.h
+       |         FROM g JOIN gc USING (doc_id),
+       |              LATERAL unnest(generate_series(0, ${w - 1})) AS o(off)
+       |         WHERE g.pos - o.off >= 1
+       |           AND g.pos - o.off <= greatest(1, gc.gcnt - ${w - 1})),
+       |sel AS (SELECT doc_id, win, pos, h,
+       |               ROW_NUMBER() OVER (PARTITION BY doc_id, win
+       |                 ORDER BY h, pos DESC) AS rn
+       |        FROM wins),
+       |fpd AS (SELECT DISTINCT doc_id, h FROM sel WHERE rn = 1),
+       |fc AS (SELECT doc_id, COUNT(*) AS nfp FROM fpd GROUP BY doc_id),
+       |df AS (SELECT h, COUNT(*) AS df FROM fpd GROUP BY h),
+       |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+       |          FROM fpd a JOIN fpd b ON a.h = b.h AND a.doc_id < b.doc_id
+       |          JOIN df ON df.h = a.h
+       |          WHERE df.df <= $dfCap
+       |          GROUP BY 1, 2 HAVING COUNT(*) >= $minShared)
+       |SELECT p.id1, p.id2, CAST(p.shared AS BIGINT) AS shared_fps,
+       |       round(p.shared * 1.0 / least(f1.nfp, f2.nfp), 4) AS overlap
+       |FROM pairs p JOIN fc f1 ON f1.doc_id = p.id1
+       |             JOIN fc f2 ON f2.doc_id = p.id2
+       |WHERE p.shared * 1.0 / least(f1.nfp, f2.nfp) >= $minOverlap
+       |ORDER BY p.id1, p.id2""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q174_winnow_candidates", (s, d) => winnowPairs(s, d),
+      Some(winnowOracle())),
     Q("q143_training_corpus", (s, d) => trainingCorpus(s, d), Some(
       s"""$curationFlagsCtes,
          |kept AS (

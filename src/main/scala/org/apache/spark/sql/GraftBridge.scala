@@ -13,6 +13,7 @@ object GraftBridge {
     * expose the handful of expected-input shapes graft expressions need so
     * they can declare `inputTypes` (analysis-time type checking). */
   type AbstractType = types.AbstractDataType
+  val string: AbstractType = types.StringType
   val stringArray: AbstractType = types.ArrayType(types.StringType)
   val longArray: AbstractType = types.ArrayType(types.LongType)
   val floatOrDoubleArray: AbstractType = types.TypeCollection(
