@@ -2396,6 +2396,115 @@ object TextQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Weighted sampling WITHOUT replacement (q178) — the Efraimidis–
+    * Spirakis A-Res scheme: each document draws key = ln(uᵢ)/wᵢ from a
+    * deterministic per-doc uniform uᵢ ∈ (0,1] (md5-derived, seed-free) and
+    * the k LARGEST keys form the sample, which provably equals sequential
+    * weighted draws without replacement (Efraimidis & Spirakis, IPL 97(5),
+    * 2006). Weight = document length — the "sample long documents
+    * preferentially, but give every doc a chance" curriculum draw, the
+    * non-uniform complement of q71's stratified and q95's equal-quota
+    * samples.
+    *
+    * Scale shape: keys are map-side arithmetic on the scan (no shuffle);
+    * the top-k plans as TakeOrderedAndProject — per-partition heaps of k
+    * rows merged on ONE reducer, the only correct distributed shape for
+    * a global weighted draw (a corpus-wide sort would shuffle everything;
+    * per-partition quotas would bias the draw). The rank window then runs
+    * over k rows, never the corpus. */
+  def weightedSample(s: SparkSession, dir: String, k: Int = 200): DataFrame = {
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        greatest(col("n_chars"), lit(1L)).as("weight"),
+        // u in (0,1]: 48 md5 bits + 1 over 2^48
+        ((conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("long") + 1L) / lit(281474976710656.0)).as("u"))
+      .withColumn("es_key", log(col("u")) / col("weight"))
+    keyed
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("es_key").desc, col("doc_id"))))
+      .select(col("rn"), col("doc_id"), col("source"), col("weight"),
+        round(col("es_key"), 6).as("es_key"))
+      .orderBy(col("rn"))
+  }
+
+  private def weightedSampleOracle(k: Int = 200): String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, source, greatest(n_chars, 1) AS weight,
+       |         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+       |             + 1) / 281474976710656.0) / greatest(n_chars, 1) AS es_key
+       |  FROM documents),
+       |r AS (SELECT keyed.*,
+       |             CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id)
+       |                  AS INT) AS rn
+       |      FROM keyed)
+       |SELECT rn, doc_id, source, CAST(weight AS BIGINT) AS weight,
+       |       round(es_key, 6) AS es_key
+       |FROM r WHERE rn <= $k
+       |ORDER BY rn""".stripMargin
+
+  /** Temperature-scaled source rebalancing (q180) — the multilingual-
+    * corpus mixing rule (pᵢ ∝ fᵢ^α): sampling shares proportional to the
+    * α-power of each source's token share flatten the head and lift the
+    * tail. α = 1/2 here, so the share math runs on `sqrt` — the ONE
+    * transcendental IEEE 754 requires correctly rounded, making every
+    * derived threshold bit-identical across engines (α = 0.3's `pow`
+    * carries no such guarantee). Document selection then hashes into
+    * per-source keep-rates exactly like q113's budget mix: bucket =
+    * 16 md5 bits, keep iff bucket < floor(rate · 65536).
+    *
+    * Scale shape: per-source token totals are one map-side-combined
+    * aggregate; the share table is source-cardinality-sized and
+    * BROADCASTS back onto the scan; selection is a map-side filter. */
+  def temperatureMix(s: SparkSession, dir: String,
+      budgetFrac: Double = 0.5): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
+      .localCheckpoint(true)
+    val bySrc = d.groupBy(col("source")).agg(sum(col("nt")).as("toks_s"))
+    val tot = bySrc.agg(sum(col("toks_s")).as("total"),
+      sum(sqrt(col("toks_s").cast("double"))).as("sum_sq"))
+    val rate = least(lit(1.0),
+      (lit(budgetFrac) * col("total") *
+        (sqrt(col("toks_s").cast("double")) / col("sum_sq"))) /
+        col("toks_s").cast("double"))
+    val rates = bySrc.crossJoin(broadcast(tot))
+      .withColumn("thr", floor(rate * 65536).cast("int"))
+      .select(col("source"), col("thr"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int")
+    d.join(broadcast(rates), Seq("source"))
+      .filter(bucket < col("thr"))
+      .groupBy(col("source"), col("thr"))
+      .agg(count(lit(1)).as("docs_kept"), sum(col("nt")).as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
+  private def temperatureMixOracle(budgetFrac: Double = 0.5): String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |                  CAST(CASE WHEN length($norm) = 0 THEN 0
+       |                            ELSE len($toksSql) END AS BIGINT) AS nt
+       |           FROM documents),
+       |b AS (SELECT source, SUM(nt) AS toks_s FROM d GROUP BY source),
+       |t AS (SELECT SUM(toks_s) AS total, SUM(sqrt(CAST(toks_s AS DOUBLE)))
+       |        AS sum_sq FROM b),
+       |rates AS (SELECT b.source,
+       |                 CAST(floor(least(1.0,
+       |                   ($budgetFrac * t.total *
+       |                    (sqrt(CAST(b.toks_s AS DOUBLE)) / t.sum_sq)) /
+       |                   CAST(b.toks_s AS DOUBLE)) * 65536) AS INT) AS thr
+       |          FROM b, t)
+       |SELECT d.source, r.thr, COUNT(*) AS docs_kept,
+       |       CAST(SUM(d.nt) AS BIGINT) AS tokens_kept
+       |FROM d JOIN rates r ON d.source = r.source
+       |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INT < r.thr
+       |GROUP BY d.source, r.thr
+       |ORDER BY d.source""".stripMargin
+
   /** q174 oracle: winnowing by explicit window enumeration — every gram
     * joins each of the w windows covering it, per-window argmin by
     * (hash ASC, pos DESC), distinct selections, then the same df-capped
@@ -2435,6 +2544,10 @@ object TextQueries {
   val qs: Seq[Q] = Seq(
     Q("q174_winnow_candidates", (s, d) => winnowPairs(s, d),
       Some(winnowOracle())),
+    Q("q178_weighted_sample", (s, d) => weightedSample(s, d),
+      Some(weightedSampleOracle())),
+    Q("q180_temperature_mix", (s, d) => temperatureMix(s, d),
+      Some(temperatureMixOracle())),
     Q("q143_training_corpus", (s, d) => trainingCorpus(s, d), Some(
       s"""$curationFlagsCtes,
          |kept AS (
