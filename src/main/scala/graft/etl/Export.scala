@@ -84,6 +84,16 @@ object ExportPipeline {
 
   /** Parquet sink, optionally hash-partitioned by columns (the per-store
     * export loop becomes partitionBy). */
+  /** ORC sink — the columnar alternative to parquet for warehouses on
+    * ORC-native stacks (Spark-built-in source: predicate pushdown,
+    * column pruning, and vectorized reads all apply on read-back). */
+  def writeOrc(df: DataFrame, path: String,
+      recordsPerFile: Option[Int] = None): Unit = {
+    var w = df.write.mode("overwrite")
+    recordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toLong))
+    w.orc(path)
+  }
+
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Seq.empty,
       recordsPerFile: Option[Int] = None): Unit = {
     var w = df.write.mode("overwrite")

@@ -252,7 +252,38 @@ object FileGate {
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |ORDER BY s_suppkey""".stripMargin
 
+  /** K3 breadth: extract → ORC provider → native ORC read-back. ORC is
+    * type-preserving (unlike the CSV/XML round trips there is no re-parse
+    * step), so the contract is exact reproduction of the source query —
+    * and the read-back scan keeps pushdown/pruning/vectorization like any
+    * columnar source (PlanSpec-style guarantees apply unchanged). */
+  def orcRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val src = ExportPipeline.extract(Tables.lineitem(s, dir), ExportPipeline.Profile(
+      filters = Seq(col("l_returnflag") === "R"),
+      projection = Seq(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(18,2)").cast("double").as("quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
+        col("l_linestatus")),
+      orderBy = Seq(col("l_orderkey"), col("l_linenumber")),
+      limit = Some(300)))
+    val path = s"/tmp/graft_gate/${new java.io.File(dir).getName}/orc_roundtrip"
+    Providers("orc")(src.coalesce(1), path, None)
+    s.read.orc(path)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+  private def orcRoundTripOracle: String =
+    """SELECT l_orderkey, l_linenumber,
+      |       CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS quantity,
+      |       strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+      |       l_linestatus
+      |FROM lineitem
+      |WHERE l_returnflag = 'R'
+      |ORDER BY l_orderkey, l_linenumber
+      |LIMIT 300""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q179_orc_roundtrip", (s, d) => orcRoundTrip(s, d),
+      Some(orcRoundTripOracle)),
     Q("q123_json_roundtrip", (s, d) => jsonRoundTrip(s, d),
       Some(jsonRoundTripOracle)),
     Q("q115_csv_ingest", (s, d) => csvIngest(s, d), Some(csvIngestOracle)),

@@ -14,7 +14,8 @@ object Providers {
     "csv" -> ((df, path, rpf) => ExportPipeline.writeCsv(df, path, recordsPerFile = rpf)),
     "json" -> ((df, path, rpf) => ExportPipeline.writeJson(df, path, rpf)),
     "xml" -> ((df, path, rpf) => ExportPipeline.writeXml(df, path, recordsPerFile = rpf)),
-    "parquet" -> ((df, path, rpf) => ExportPipeline.writeParquet(df, path, recordsPerFile = rpf)))
+    "parquet" -> ((df, path, rpf) => ExportPipeline.writeParquet(df, path, recordsPerFile = rpf)),
+    "orc" -> ((df, path, rpf) => ExportPipeline.writeOrc(df, path, rpf)))
 
   def register(systemName: String, p: Provider): Unit =
     synchronized { registry += systemName.toLowerCase -> p }

@@ -84,11 +84,16 @@ class ExportDeploySpec extends AnyFunSuite {
 
   test("provider registry dispatches formats and rejects unknown ones") {
     import graft.etl.{ExportPipeline => EP, Providers}
-    assert(Providers.names == Seq("csv", "json", "parquet", "xml"))
+    assert(Providers.names == Seq("csv", "json", "orc", "parquet", "xml"))
     val out = tmp("graft-prov") + "/out"
     Providers.export(Seq((1, "a"), (2, "b")).toDF("id", "v"),
       EP.Profile(orderBy = Seq(col("id"))), "json", out)
     assert(spark.read.json(out).count() == 2)
+    val orcOut = tmp("graft-prov-orc") + "/out"
+    Providers.export(Seq((1, "a"), (2, "b")).toDF("id", "v"),
+      EP.Profile(orderBy = Seq(col("id"))), "orc", orcOut)
+    assert(spark.read.orc(orcOut).orderBy(col("id")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a"), (2, "b")))
     intercept[IllegalArgumentException](Providers("xml-unknown"))
     Providers.register("nullsink", (_, _, _) => ())
     Providers("nullsink")(Seq((1, "a")).toDF("id", "v"), "/dev/null", None)
