@@ -123,4 +123,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert("Exchange hashpartitioning\\(epoch".r.findFirstIn(p).isDefined, p)
   }
+
+  test("q176: cohort sizes broadcast; the corpus shuffles on user keys only") {
+    val p = plan("q176_retention_cohorts")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // no exchange keyed on the (cohort, offset) cell grid's join key —
+    // the only hash exchanges carry user_id or aggregate keys
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q178: the weighted draw is TakeOrderedAndProject, never a global sort") {
+    val p = plan("q178_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!"Exchange rangepartitioning".r.findFirstIn(
+      p.linesIterator.takeWhile(!_.contains("TakeOrdered")).mkString).isDefined, p)
+  }
+
+  test("q180: the rate table broadcasts; selection is a map-side filter") {
+    val p = plan("q180_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q174: pair join keys on fingerprint hash, never a cross product") {
+    // the sketch frame is checkpointed (fingerprinting already ran map-side
+    // in the checkpoint job — WinnowSpec covers the expression); here guard
+    // the pairing: hash-keyed joins only
+    val p = plan("q174_winnow_candidates")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin \\[h#".r.findFirstIn(p).isDefined ||
+      "hashpartitioning\\(h#".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q175: the support filter prunes inside the pair aggregate; " +
+      "top-k is sort+limit not a corpus window") {
+    val p = plan("q175_triangle_count")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
