@@ -138,6 +138,96 @@ object Retrieval {
        |ORDER BY query_id, rn""".stripMargin
   }
 
+  /** Heavy hitters with an exact answer (q181): a Misra–Gries sketch pass
+    * proposes candidates (cap-bounded state, map-side mergeable — the
+    * vocabulary never shuffles), then an exact count confirms them over a
+    * broadcast-filtered corpus and keeps tokens with cnt · k > n. The
+    * sketch cap (200) exceeds k (50), so the n/cap undercount bound
+    * guarantees no true heavy hitter is missed — the final output is
+    * EXACT, the sketch only prunes the key space (the LSH-then-verify
+    * discipline applied to frequency estimation; at 100 TB the exact
+    * full-vocabulary aggregate this replaces is itself TB-sized state). */
+  def heavyHitters(s: SparkSession, dir: String, k: Int = 50,
+      sketchCap: Int = 200): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokensOf(
+        TextFunctions.normalize(col("text")))).as("token"))
+      .localCheckpoint(eager = true) // two passes: sketch, exact confirm
+    val sketch = toks.agg(
+      graft.functions.MisraGriesAgg.mgCandidates(col("token"), sketchCap)
+        .as("cand"),
+      count(lit(1)).as("n_tokens"))
+    val cands = sketch.select(explode(col("cand")).as("token"),
+      col("n_tokens"))
+    toks.join(broadcast(cands), Seq("token"))
+      .groupBy(col("token"), col("n_tokens"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > col("n_tokens"))
+      .select(col("token"), col("cnt"), col("n_tokens"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  private def heavyHittersOracle(k: Int = 50): String =
+    s"""WITH tok AS (SELECT unnest(${TextQueries.toksSql}) AS token
+       |             FROM documents),
+       |n AS (SELECT COUNT(*) AS n_tokens FROM tok),
+       |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
+       |SELECT c.token, c.cnt, n.n_tokens
+       |FROM c, n
+       |WHERE c.cnt * $k > n.n_tokens
+       |ORDER BY c.cnt DESC, c.token""".stripMargin
+
+  /** Positional phrase search (q182): exact consecutive-token phrase
+    * matching through a positional inverted index — the retrieval
+    * operation BM25's bag-of-words scoring cannot express. Postings are
+    * (doc, pos) pairs for the PHRASE'S OWN TERMS only (the filter prunes
+    * before anything shuffles); term i joins the anchor on
+    * (doc, pos − i), so every join is equi-keyed on the same
+    * (doc_id, pos) pair — after the first shuffle the remaining joins
+    * reuse the partitioning. Overlapping matches count per start
+    * position. */
+  def phraseSearch(s: SparkSession, dir: String,
+      phrase: String = "big order scan"): DataFrame = {
+    val words = phrase.split(" ").toSeq
+    val postings = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(TextFunctions.tokensOf(
+        TextFunctions.normalize(col("text")))).as(Seq("pos", "token")))
+      .filter(col("token").isin(words: _*))
+      .localCheckpoint(eager = true) // one consumer per phrase term
+    var m = postings.filter(col("token") === words.head)
+      .select(col("doc_id"), col("pos"))
+    for (i <- 1 until words.size) {
+      m = m.join(
+        postings.filter(col("token") === words(i))
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+        Seq("doc_id", "pos"))
+    }
+    m.groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def phraseSearchOracle(phrase: String = "big order scan"): String = {
+    val words = phrase.split(" ")
+    val joins = (1 until words.length).map(i =>
+      s"JOIN t t$i ON t$i.doc_id = p0.doc_id AND t$i.pos = p0.pos + $i " +
+        s"AND t$i.token = '${words(i)}'").mkString("\n|       ")
+    s"""WITH d AS (SELECT doc_id, ${TextQueries.toksSql} AS toks
+       |           FROM documents),
+       |t AS (SELECT doc_id, i AS pos, toks[i] AS token
+       |      FROM d, LATERAL unnest(generate_series(1, len(toks))) AS u(i)),
+       |p0 AS (SELECT doc_id, pos FROM t WHERE token = '${words(0)}'),
+       |m AS (SELECT p0.doc_id, p0.pos
+       |      FROM p0
+       |       $joins)
+       |SELECT doc_id, COUNT(*) AS n_matches
+       |FROM m GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def qs: Seq[Q] = Seq(
-    Q("q148_bm25_topk", (s, d) => bm25TopK(s, d), Some(bm25OracleSql())))
+    Q("q148_bm25_topk", (s, d) => bm25TopK(s, d), Some(bm25OracleSql())),
+    Q("q181_heavy_hitters", (s, d) => heavyHitters(s, d),
+      Some(heavyHittersOracle())),
+    Q("q182_phrase_search", (s, d) => phraseSearch(s, d),
+      Some(phraseSearchOracle())))
 }
