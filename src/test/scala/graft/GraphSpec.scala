@@ -62,4 +62,29 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
     assert(got.toSeq == expTop)
   }
+
+  test("Apriori candidate pruning loses no frequent triple (vs brute force)") {
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+      .select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = li.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted)
+      .values.toSeq
+    // brute force: count EVERY basket triple, keep support >= 2
+    val sup3 = scala.collection.mutable.Map.empty[(Long, Long, Long), Int]
+    baskets.foreach { p =>
+      for (i <- p.indices; j <- i + 1 until p.size; l <- j + 1 until p.size) {
+        val t = (p(i), p(j), p(l))
+        sup3(t) = sup3.getOrElse(t, 0) + 1
+      }
+    }
+    val expL3 = sup3.filter(_._2 >= 2).toSeq
+      .map { case ((a, b, c), s) => (a, b, c, s.toLong) }
+      .sortBy { case (a, b, c, s) => (-s, a, b, c) }.take(20)
+      .zipWithIndex.map { case ((a, b, c, s), i) => (a, b, c, s, i + 1) }
+    val got = reports.Graph.frequentItemsets(spark, TestSpark.sfDir)
+      .filter("isize = 3").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getInt(5)))
+    assert(got.toSeq == expL3)
+  }
 }
