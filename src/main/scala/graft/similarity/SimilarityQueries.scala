@@ -779,7 +779,137 @@ object SimilarityQueries {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** Maximal Marginal Relevance re-ranking (q184) — the diversity-aware
+    * selection every retrieval/RAG pipeline runs AFTER top-k search
+    * (Carbonell & Goldstein, SIGIR'98): greedily pick k results maximizing
+    * λ·rel(c) − (1−λ)·max sim(c, already-selected), so near-duplicate hits
+    * don't crowd the result list. The first pick is the plain relevance
+    * argmax; ties break by vec_id.
+    *
+    * Scale shape: the candidate POOL per query is bounded (top-`pool` from
+    * the existing brute-force/ANN search — the expensive corpus-wide stage
+    * that already has its own scale path), so the pool² pairwise-similarity
+    * frame and the O(k·pool) greedy are per-query-bounded work: sims key
+    * on query_id, and the greedy runs inside ONE `flatMapGroups` per query
+    * — embarrassingly parallel across queries, no driver loop, no
+    * corpus-sized state. All scoring arithmetic runs on 4dp-rounded
+    * cosines (the q40 parity contract), so the entire greedy — every
+    * intermediate argmax — is value-checked by the unrolled oracle. */
+  def mmrRerank(s: SparkSession, dir: String, k: Int = 10, pool: Int = 30,
+      lam: Double = 0.7): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cands = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = pool)
+    val cv = cands.join(e, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("cos").as("rel"),
+        col("embedding"))
+    val a = cv.select(col("query_id"), col("vec_id").as("va"),
+      col("rel").as("rel_a"), col("embedding").as("ea"))
+    val b = cv.select(col("query_id"), col("vec_id").as("vb"),
+      col("embedding").as("eb"))
+    val sims = a.join(b, Seq("query_id")).filter(col("va") =!= col("vb"))
+      .select(col("query_id"), col("va"), col("rel_a"), col("vb"),
+        round(Ann.cosine(col("ea"), col("eb")), 4).as("sim"))
+    import s.implicits._
+    val picked = sims
+      .select(col("query_id").cast("long"), col("va"), col("rel_a"),
+        col("vb"), col("sim"))
+      .as[(Long, Long, Double, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val rows = it.toArray
+        val rel = scala.collection.mutable.Map.empty[Long, Double]
+        val sim = scala.collection.mutable.Map.empty[(Long, Long), Double]
+        rows.foreach { case (_, va, ra, vb, sm) =>
+          rel(va) = ra; sim((va, vb)) = sm
+        }
+        val remaining = scala.collection.mutable.SortedSet(rel.keys.toSeq: _*)
+        val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        while (sel.size < k && remaining.nonEmpty) {
+          val best = remaining.iterator.map { c =>
+            val sc =
+              if (sel.isEmpty) rel(c)
+              else lam * rel(c) - (1 - lam) * sel.iterator.map(x => sim((c, x._1))).max
+            (c, sc)
+          }.minBy { case (c, sc) => (-sc, c) }
+          sel += best
+          remaining -= best._1
+        }
+        sel.iterator.zipWithIndex.map { case ((v, sc), i) => (qid, v, i + 1, sc) }
+      }
+      .toDF("query_id", "vec_id", "rn", "mmr_raw")
+    picked
+      .select(col("query_id"), col("vec_id"), col("rn"),
+        round(col("mmr_raw"), 4).as("mmr"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** q184 oracle: the greedy UNROLLED — k chained (max-sim, score, argmax)
+    * CTE triples over the same 4dp-rounded pool/sims frames. */
+  private def mmrOracle(k: Int = 10, pool: Int = 30, lam: Double = 0.7): String = {
+    val steps = (2 to k).map { i =>
+      s"""m$i AS MATERIALIZED (
+         |        SELECT s.query_id, s.va AS vec_id, MAX(s.sim) AS ms
+         |        FROM sims s JOIN sel${i - 1} t
+         |          ON s.query_id = t.query_id AND s.vb = t.vec_id
+         |        WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+         |                          WHERE x.query_id = s.query_id
+         |                            AND x.vec_id = s.va)
+         |        GROUP BY 1, 2),
+         |p$i AS MATERIALIZED (
+         |        SELECT query_id, vec_id, sc FROM (
+         |          SELECT m.query_id, m.vec_id,
+         |                 $lam * p.rel - ${1 - lam} * m.ms AS sc,
+         |                 ROW_NUMBER() OVER (PARTITION BY m.query_id
+         |                   ORDER BY $lam * p.rel - ${1 - lam} * m.ms DESC,
+         |                            m.vec_id) AS rn
+         |          FROM m$i m JOIN pool p
+         |            ON p.query_id = m.query_id AND p.vec_id = m.vec_id) z
+         |        WHERE rn = 1),
+         |sel$i AS MATERIALIZED (
+         |          SELECT * FROM sel${i - 1}
+         |          UNION ALL
+         |          SELECT query_id, vec_id, sc AS mmr, $i AS rk FROM p$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |pool AS MATERIALIZED (
+       |  SELECT query_id, vec_id, cos AS rel FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       |           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                        CAST(q.embedding AS DOUBLE[])), 4)
+       |             AS cos,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                          CAST(q.embedding AS DOUBLE[])), 4)
+       |               DESC, e.vec_id) AS rn
+       |    FROM ev e
+       |    JOIN ev q ON q.vec_id < 3 AND e.vec_id <> q.vec_id) t
+       |  WHERE rn <= $pool),
+       |sims AS MATERIALIZED (
+       |  SELECT p1.query_id, p1.vec_id AS va, p2.vec_id AS vb,
+       |         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                      CAST(eb.embedding AS DOUBLE[])), 4)
+       |           AS sim
+       |  FROM pool p1 JOIN pool p2
+       |    ON p1.query_id = p2.query_id AND p1.vec_id <> p2.vec_id
+       |  JOIN ev ea ON ea.vec_id = p1.vec_id
+       |  JOIN ev eb ON eb.vec_id = p2.vec_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT query_id, vec_id, rel AS mmr, 1 AS rk FROM (
+       |    SELECT query_id, vec_id, rel,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY rel DESC, vec_id) AS rn
+       |    FROM pool) z
+       |  WHERE rn = 1),
+       |$steps
+       |SELECT query_id, vec_id, CAST(rk AS INT) AS rn, round(mmr, 4) AS mmr
+       |FROM sel$k
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q184_mmr_rerank", (s, d) => mmrRerank(s, d), Some(mmrOracle())),
     Q("q144_semantic_dedup", (s, d) => semanticDedup(s, d),
       Some(semanticDedupOracle())),
     Q("q146_pca_projection", (s, d) => pcaProjection(s, d),
