@@ -286,7 +286,70 @@ object EventQueries {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Session path mining (q186): the most common 3-event sequences WITHIN
+    * q39's gap-based sessions — the navigation-pattern rollup funnels
+    * (q89) can't express because funnels fix the step types up front.
+    * Consecutive-event trigrams come from two LEADs inside the session
+    * window; sequences never cross a session boundary.
+    *
+    * Scale shape: the session index and both LEADs ride ONE user-keyed
+    * exchange (the session window's (user, sid) clustering is satisfied
+    * by the user partitioning — no second shuffle); the trigram count is
+    * a low-cardinality hash aggregate (|event types|³ keys) and top-k is
+    * TakeOrderedAndProject. */
+  def sessionPaths(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    sessionPathsOf(Tables.events(s, dir), k)
+
+  def sessionPathsOf(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = events
+      .withColumn("new_s",
+        when(unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w)
+          > 1800000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(wRun))
+    val w2 = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    sessions
+      .withColumn("e2", lead(col("event_type"), 1).over(w2))
+      .withColumn("e3", lead(col("event_type"), 2).over(w2))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("e1"), col("e2"), col("e3"))
+      .limit(k)
+      .withColumn("rn", row_number().over(Window.orderBy(
+        col("cnt").desc, col("e1"), col("e2"), col("e3"))))
+      .orderBy(col("rn"))
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q186_session_paths", (s, d) => sessionPaths(s, d), Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
+        |                (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM e),
+        |t AS (SELECT event_type AS e1,
+        |             LEAD(event_type, 1) OVER (PARTITION BY user_id, sid
+        |               ORDER BY ts, event_id) AS e2,
+        |             LEAD(event_type, 2) OVER (PARTITION BY user_id, sid
+        |               ORDER BY ts, event_id) AS e3
+        |      FROM s),
+        |c AS (SELECT e1, e2, e3, COUNT(*) AS cnt FROM t
+        |      WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |      GROUP BY 1, 2, 3),
+        |r AS (SELECT e1, e2, e3, cnt,
+        |             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, e1, e2, e3)
+        |                  AS INT) AS rn
+        |      FROM c)
+        |SELECT e1, e2, e3, cnt, rn FROM r WHERE rn <= 20
+        |ORDER BY rn""".stripMargin)),
     Q("q176_retention_cohorts", (s, d) => retentionCohorts(s, d), Some(
       """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
         |            FROM events),

@@ -2505,6 +2505,79 @@ object TextQueries {
        |GROUP BY d.source, r.thr
        |ORDER BY d.source""".stripMargin
 
+  /** PMI collocations (q185) — pointwise mutual information over adjacent
+    * token pairs (ln P(ab)/(P(a)P(b))), the corpus-linguistics ranking
+    * that surfaces COLLOCATIONS (pairs gluing together far beyond chance)
+    * where raw bigram counts (q165) just surface frequent words. Min-count
+    * 5 applies the standard sparse-PMI guard.
+    *
+    * Engine-exact ordering: the rank key is the PROBABILITY RATIO
+    * cnt·Nu²/(c(a)·c(b)·Nb) — one double expression over exact longs,
+    * identical in both engines operation for operation — with ln applied
+    * only to the 4dp-rounded OUTPUT column (ln is not correctly-rounded
+    * by IEEE; ordering by the monotone-equivalent ratio sidesteps it).
+    *
+    * Scale shape: bigram + unigram counts are two map-side-combined
+    * aggregates; the unigram table is vocabulary-sized and BROADCASTS
+    * onto bigram rows twice; top-k is TakeOrderedAndProject. */
+  def pmiCollocations(s: SparkSession, dir: String, minCount: Int = 5,
+      k: Int = 30): DataFrame = {
+    val tokall = Tables.documents(s, dir)
+      .select(TextFunctions.tokens(col("text")).as("toks"))
+      .localCheckpoint(eager = true) // consumers: unigrams, bigrams
+    val uni = tokall.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+    val nu = uni.agg(sum(col("c")).as("nu"))
+    val bi = tokall.filter(size(col("toks")) >= 2)
+      .select(posexplode(slice(col("toks"), lit(1), size(col("toks")) - 1))
+        .as(Seq("i", "w1")), col("toks"))
+      .select(col("w1"), element_at(col("toks"), col("i") + 2).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .localCheckpoint(eager = true)
+    val nb = bi.agg(sum(col("cnt")).as("nb"))
+    val scored = bi
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("ca"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("cb"))), Seq("w2"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .withColumn("ratio",
+        (col("cnt").cast("double") * col("nu") * col("nu")) /
+          (col("ca").cast("double") * col("cb") * col("nb")))
+    scored
+      .orderBy(col("ratio").desc, col("w1"), col("w2"))
+      .limit(k)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("ratio").desc, col("w1"), col("w2"))))
+      .select(col("w1"), col("w2"), col("cnt"),
+        round(log(col("ratio")), 4).as("pmi"), col("rn"))
+      .orderBy(col("rn"))
+  }
+
+  private def pmiOracle(minCount: Int = 5, k: Int = 30): String =
+    s"""WITH tokall AS (SELECT $toksSql AS t FROM documents),
+       |uni AS (SELECT tok AS w, COUNT(*) AS c
+       |        FROM (SELECT unnest(t) AS tok FROM tokall) u GROUP BY 1),
+       |nu AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM uni),
+       |bi AS (SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS cnt
+       |       FROM (SELECT t FROM tokall WHERE len(t) >= 2) tok2,
+       |            UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= $minCount),
+       |nb AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nb FROM bi),
+       |sc AS (SELECT b.w1, b.w2, b.cnt,
+       |              (CAST(b.cnt AS DOUBLE) * nu.nu * nu.nu) /
+       |              (CAST(ua.c AS DOUBLE) * ub.c * nb.nb) AS ratio
+       |       FROM bi b JOIN uni ua ON ua.w = b.w1
+       |                 JOIN uni ub ON ub.w = b.w2, nu, nb),
+       |r AS (SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt,
+       |             round(ln(ratio), 4) AS pmi,
+       |             CAST(ROW_NUMBER() OVER (ORDER BY ratio DESC, w1, w2)
+       |                  AS INT) AS rn
+       |      FROM sc)
+       |SELECT w1, w2, cnt, pmi, rn FROM r WHERE rn <= $k
+       |ORDER BY rn""".stripMargin
+
   /** q174 oracle: winnowing by explicit window enumeration — every gram
     * joins each of the w windows covering it, per-window argmin by
     * (hash ASC, pos DESC), distinct selections, then the same df-capped
@@ -2546,6 +2619,8 @@ object TextQueries {
       Some(winnowOracle())),
     Q("q178_weighted_sample", (s, d) => weightedSample(s, d),
       Some(weightedSampleOracle())),
+    Q("q185_pmi_collocations", (s, d) => pmiCollocations(s, d),
+      Some(pmiOracle())),
     Q("q180_temperature_mix", (s, d) => temperatureMix(s, d),
       Some(temperatureMixOracle())),
     Q("q143_training_corpus", (s, d) => trainingCorpus(s, d), Some(

@@ -41,6 +41,29 @@ class DocStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming winnow fingerprint extraction equals the batch run exactly") {
+    // the q174 sketch stage is a stateless Generate — it must run
+    // unchanged under Structured Streaming (incremental fingerprinting
+    // for a continuously-arriving corpus)
+    def fps(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      explode(graft.functions.WinnowExpr.winnowOf(
+        graft.text.TextFunctions.normalize(col("text")), 16, 6)).as("f"))
+      .select(col("doc_id"), col("f.pos").as("pos"), col("f.h").as("h"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    Tables.documents(spark, TestSpark.sfDir)
+      .write.mode("overwrite").parquet(tmp)
+    val q = fps(DocStreams.readDocStream(spark, tmp))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("winnow_stream").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("winnow_stream")
+      .orderBy(col("doc_id"), col("pos")).collect().toSeq
+    val batch = fps(Tables.documents(spark, TestSpark.sfDir))
+      .orderBy(col("doc_id"), col("pos")).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("incremental arrival: a second file batch appends without reprocessing") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-docs-inc").toString
     val docs = Tables.documents(spark, TestSpark.sfDir)
