@@ -39,6 +39,7 @@ object Registry {
       reports.Reshape.qs ++
       operators.FilterQueries.qs ++
       etl.EtlQueries.qs ++
+      etl.Constraints.qs ++
       etl.RecordLinkage.qs ++
       etl.FileGate.qs ++
       text.TextQueries.qs ++

@@ -307,11 +307,245 @@ object Graph {
        |      UNION ALL SELECT * FROM l3top WHERE rn <= $k)
        |ORDER BY isize, rn""".stripMargin
 
+  /** Support-filtered symmetrized co-purchase edges (the q175 graph,
+    * shared by LPA / BFS / link prediction): edge {a,b} iff the parts
+    * co-occur in ≥ minSupport distinct orders; emitted in BOTH
+    * directions. One shuffle builds it (pair dedup + support count in
+    * the same aggregate); materialized once per query via
+    * localCheckpoint. */
+  private def supportEdges(s: SparkSession, dir: String,
+      minSupport: Int): DataFrame = {
+    val pairs = graft.Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(posexplode(col("parts")).as(Seq("i", "a")), col("parts"))
+      .select(col("a"),
+        explode(slice(col("parts"), col("i") + 2, size(col("parts")))).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .select(col("a"), col("b"))
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** Community detection via SYNCHRONOUS label propagation (q188):
+    * label₀(v) = v; each round every node adopts the most frequent label
+    * among its neighbours' previous-round labels, ties broken by the
+    * SMALLEST label — the deterministic LPA variant (Raghavan et al.'s
+    * async coin-flip LPA is not value-checkable; synchronous min-tie is,
+    * and a FIXED round count sidesteps its known 2-cycle oscillation).
+    * Output: the top-k communities of the final labelling by size.
+    *
+    * Scale shape: per round exactly ONE node-keyed aggregate pair — the
+    * (dst, label) count and the per-dst argmax, both map-side-partial
+    * hash aggregates; the node-sized label frame BROADCASTS into the
+    * static edge frame (edges are never re-shuffled, the q152 superstep
+    * shape) and re-checkpoints per round to keep lineage flat. The
+    * argmax is max(struct(cnt, -label)) — an aggregate, not a
+    * partitioned window sort. */
+  def lpaCommunities(s: SparkSession, dir: String, minSupport: Int = 2,
+      rounds: Int = 3, k: Int = 20): DataFrame = {
+    val edges = supportEdges(s, dir, minSupport).localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = edges
+        .join(broadcast(labels), edges("src") === labels("node"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("lab"))
+        .localCheckpoint(true)
+    }
+    labels.groupBy(col("lab")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("lab"))
+      .limit(k)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("n_members").desc, col("lab"))))
+      .select(col("lab").as("community"), col("n_members"), col("rn"))
+      .orderBy(col("rn"))
+  }
+
+  /** q188 oracle: the synchronous rounds unrolled — per-round label
+    * counts with a QUALIFY argmax (cnt DESC, lab ASC = the same
+    * (cnt, -lab) struct-max order). */
+  private def lpaOracle(minSupport: Int = 2, rounds: Int = 3,
+      k: Int = 20): String = {
+    def step(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT e.dst AS node, r.lab AS lab
+         |  FROM e JOIN $prev r ON e.src = r.node
+         |  GROUP BY e.dst, r.lab
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.dst
+         |    ORDER BY COUNT(*) DESC, r.lab) = 1)""".stripMargin
+    val steps = (1 to rounds).map(i => step(s"l${i - 1}", s"l$i")).mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+       |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |e AS (SELECT a AS src, b AS dst FROM p
+       |      UNION ALL SELECT b AS src, a AS dst FROM p),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+       |$steps
+       |SELECT community, n_members, rn FROM (
+       |  SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, lab) AS INT)
+       |           AS rn
+       |  FROM l$rounds GROUP BY lab) t
+       |WHERE rn <= $k
+       |ORDER BY rn""".stripMargin
+  }
+
+  /** Multi-source BFS hop distances (q189): distance from the seed set
+    * (the `nSeeds` smallest part ids in the graph — deterministic at any
+    * SF) within `maxHops` rounds, reported as a hop-count histogram with
+    * `-1` = not reached within the horizon.
+    *
+    * Scale shape: the frontier-free "relax all" formulation — per round
+    * dist' = min(dist, min over in-neighbours dist+1) — is one broadcast
+    * join of the node-sized distance frame into the static edges plus
+    * one dst-keyed min aggregate; rounds = maxHops, so the edge frame is
+    * scanned maxHops times and never re-shuffled. (A frontier-delta
+    * formulation sends less data per round but adds a set-difference
+    * join; at a fixed 3-hop horizon relax-all is strictly fewer
+    * shuffles.) */
+  def bfsHops(s: SparkSession, dir: String, minSupport: Int = 2,
+      nSeeds: Int = 3, maxHops: Int = 3): DataFrame = {
+    val edges = supportEdges(s, dir, minSupport).localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var dist = nodes
+      .orderBy(col("node")).limit(nSeeds)
+      .select(col("node"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      dist = edges
+        .join(broadcast(dist), edges("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+        .unionByName(dist.select(col("node"), col("dist")))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    nodes.join(dist, Seq("node"), "left_outer")
+      .select(coalesce(col("dist"), lit(-1)).as("hops"))
+      .groupBy(col("hops")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("hops"))
+  }
+
+  /** q189 oracle: relax-all rounds unrolled in CTEs over the same
+    * support-filtered graph. */
+  private def bfsOracle(minSupport: Int = 2, nSeeds: Int = 3,
+      maxHops: Int = 3): String = {
+    def step(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT e.dst AS node, r.dist + 1 AS dist
+         |    FROM e JOIN $prev r ON e.src = r.node
+         |    UNION ALL SELECT node, dist FROM $prev) u
+         |  GROUP BY node)""".stripMargin
+    val steps = (1 to maxHops).map(i => step(s"d${i - 1}", s"d$i")).mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+       |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |e AS (SELECT a AS src, b AS dst FROM p
+       |      UNION ALL SELECT b AS src, a AS dst FROM p),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |d0 AS (SELECT node, 0 AS dist FROM nodes
+       |       ORDER BY node LIMIT $nSeeds),
+       |$steps
+       |SELECT hops, n_nodes FROM (
+       |  SELECT CAST(COALESCE(d.dist, -1) AS INT) AS hops,
+       |         CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |  FROM nodes n LEFT JOIN d$maxHops d ON n.node = d.node
+       |  GROUP BY 1) t
+       |ORDER BY hops""".stripMargin
+  }
+
+  /** Link prediction via the Resource-Allocation index (q190): for every
+    * NON-adjacent pair (u < v) with at least one common neighbour,
+    * RA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/deg(z) — Zhou/Lü/Zhang's
+    * resource-allocation variant of Adamic-Adar (1/deg instead of
+    * 1/ln deg), chosen because the reciprocal quantizes EXACTLY:
+    * per-term micro-units `1000000 div deg(z)` make the whole score an
+    * integer sum, engine-portable with no float-summation or
+    * ln-ulp drift. Output: top-k candidate edges by score.
+    *
+    * Scale shape: common neighbours enumerate as wedges u—z—v from the
+    * SUPPORT-FILTERED graph (the same Σ deg² bound the triangle count
+    * rides; support filtering is what keeps hub fan-out bounded), one
+    * (u,v)-keyed aggregate sums the scores, and existing edges drop out
+    * via a left-anti join onto the oriented edge list. Nothing
+    * corpus-quadratic: candidates are wedge-generated, never all-pairs. */
+  def linkPrediction(s: SparkSession, dir: String, minSupport: Int = 2,
+      k: Int = 20): DataFrame = {
+    val edges = supportEdges(s, dir, minSupport).localCheckpoint(true)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("z"), col("deg"))
+    // wedges through z, endpoints id-ordered u < v
+    val n1 = edges.select(col("src").as("z"), col("dst").as("u"))
+    val n2 = edges.select(col("src").as("z"), col("dst").as("v"))
+    val scored = n1.join(n2, Seq("z")).filter(col("u") < col("v"))
+      .join(broadcast(deg), Seq("z"))
+      .select(col("u"), col("v"), expr("1000000 div deg").as("w"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"), sum(col("w")).as("ra_micro"))
+    val existing = edges.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    scored.join(existing, Seq("u", "v"), "left_anti")
+      .orderBy(col("ra_micro").desc, col("u"), col("v"))
+      .limit(k)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("ra_micro").desc, col("u"), col("v"))))
+      .select(col("u"), col("v"), col("cn"), col("ra_micro"), col("rn"))
+      .orderBy(col("rn"))
+  }
+
+  /** q190 oracle: id-ordered wedge enumeration with the same integer
+    * micro-unit scoring. */
+  private def linkPredictionOracle(minSupport: Int = 2, k: Int = 20): String =
+    s"""WITH p AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+       |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |e AS (SELECT a AS src, b AS dst FROM p
+       |      UNION ALL SELECT b AS src, a AS dst FROM p),
+       |deg AS (SELECT src AS z, COUNT(*) AS deg FROM e GROUP BY src),
+       |w AS (SELECT n1.dst AS u, n2.dst AS v,
+       |             CAST(COUNT(*) AS BIGINT) AS cn,
+       |             CAST(SUM(1000000 // d.deg) AS BIGINT) AS ra_micro
+       |      FROM e n1 JOIN e n2 ON n1.src = n2.src AND n1.dst < n2.dst
+       |      JOIN deg d ON d.z = n1.src
+       |      GROUP BY 1, 2),
+       |cand AS (SELECT w.* FROM w
+       |         WHERE NOT EXISTS (SELECT 1 FROM p
+       |                           WHERE p.a = w.u AND p.b = w.v))
+       |SELECT u, v, cn, ra_micro, rn FROM (
+       |  SELECT u, v, cn, ra_micro,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY ra_micro DESC, u, v) AS INT)
+       |           AS rn
+       |  FROM cand) t
+       |WHERE rn <= $k
+       |ORDER BY rn""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q152_copurchase_pagerank", (s, d) => copurchasePageRank(s, d),
       Some(pagerankOracle())),
     Q("q175_triangle_count", (s, d) => copurchaseTriangles(s, d),
       Some(trianglesOracle())),
     Q("q183_frequent_itemsets", (s, d) => frequentItemsets(s, d),
-      Some(itemsetsOracle())))
+      Some(itemsetsOracle())),
+    Q("q188_lpa_communities", (s, d) => lpaCommunities(s, d),
+      Some(lpaOracle())),
+    Q("q189_bfs_hops", (s, d) => bfsHops(s, d),
+      Some(bfsOracle())),
+    Q("q190_link_prediction", (s, d) => linkPrediction(s, d),
+      Some(linkPredictionOracle())))
 }

@@ -87,4 +87,78 @@ class GraphSpec extends AnyFunSuite {
         r.getInt(5)))
     assert(got.toSeq == expL3)
   }
+
+  /** Shared driver-side build of the support>=2 symmetrized graph. */
+  private def driverGraph(): (Set[(Long, Long)], Map[Long, Seq[Long]]) = {
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+      .select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted)
+    val support = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    byOrder.values.foreach(parts =>
+      for (i <- parts.indices; j <- i + 1 until parts.size)
+        support((parts(i), parts(j))) =
+          support.getOrElse((parts(i), parts(j)), 0) + 1)
+    val half = support.filter(_._2 >= 2).keySet.toSet
+    val sym = half.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val nbrs = sym.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq.sorted).toMap
+    (half, nbrs)
+  }
+
+  test("synchronous min-tie LPA == driver recomputation") {
+    val (_, nbrs) = driverGraph()
+    var lab: Map[Long, Long] = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lab = nbrs.map { case (n, ns) =>
+        val counts = ns.map(lab).groupBy(identity).view.mapValues(_.size)
+        // most frequent neighbour label, ties by smallest label
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val expTop = lab.values.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (l, c) => (-c, l) }.take(20)
+      .zipWithIndex.map { case ((l, c), i) => (l, c, i + 1) }
+    val got = reports.Graph.lpaCommunities(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == expTop)
+  }
+
+  test("multi-source BFS hop histogram == driver BFS") {
+    val (_, nbrs) = driverGraph()
+    val seeds = nbrs.keys.toSeq.sorted.take(3)
+    val dist = scala.collection.mutable.Map[Long, Int](seeds.map(_ -> 0): _*)
+    var frontier = seeds.toSet
+    for (h <- 1 to 3) {
+      frontier = frontier.flatMap(nbrs).filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = h)
+    }
+    val exp = nbrs.keys.toSeq.map(n => dist.getOrElse(n, -1))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val got = reports.Graph.bfsHops(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq == exp)
+  }
+
+  test("RA link prediction == driver wedge scoring, no existing edges") {
+    val (half, nbrs) = driverGraph()
+    val deg = nbrs.view.mapValues(_.size.toLong).toMap
+    val scores = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    nbrs.foreach { case (z, ns) =>
+      for (i <- ns.indices; j <- i + 1 until ns.size) {
+        val key = (ns(i), ns(j))
+        val (cn, ra) = scores.getOrElse(key, (0L, 0L))
+        scores(key) = (cn + 1, ra + 1000000L / deg(z))
+      }
+    }
+    val expTop = scores.toSeq.filterNot { case (k, _) => half(k) }
+      .map { case ((u, v), (cn, ra)) => (u, v, cn, ra) }
+      .sortBy { case (u, v, _, ra) => (-ra, u, v) }.take(20)
+      .zipWithIndex.map { case ((u, v, cn, ra), i) => (u, v, cn, ra, i + 1) }
+    val got = reports.Graph.linkPrediction(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    assert(got.toSeq == expTop)
+  }
 }
