@@ -43,6 +43,7 @@ object Registry {
       etl.RecordLinkage.qs ++
       etl.FileGate.qs ++
       text.TextQueries.qs ++
+      text.SkipGram.qs ++
       text.Retrieval.qs ++
       text.Classifier.qs ++
       streaming.EventQueries.qs ++

@@ -233,7 +233,130 @@ object Reports {
     s"CASE $whens ELSE '>=1000' END"
   }
 
+  /** RFM customer segmentation (q191): recency / frequency / monetary
+    * quartile scores per purchasing customer, rolled up to named
+    * segments — the classic CRM cohort report (the reference's
+    * top-customer report generalized from one ranking to the full
+    * score cube).
+    *
+    * Quartile semantics: per metric, cut values c₁..c₃ are the smallest
+    * metric values whose cumulative customer count reaches ¼/½/¾ of all
+    * customers (integer test `cum·4 ≥ k·tot` — the q168 percentile
+    * walk); a customer scores 1 + Σ[x > cₖ], so TIED metric values
+    * always land in the same quartile (NTILE would split them by
+    * physical row order — not reproducible across engines). Recency
+    * score is reversed (recent = high).
+    *
+    * Scale shape: one customer-keyed aggregate builds the RFM frame
+    * (map-side partials); each metric's quartile cuts come from a
+    * VALUE-histogram (recency is calendar-bounded, frequency is
+    * max-orders-bounded, monetary quantizes to cents) whose cumulative
+    * walk runs over the histogram, never the customer frame; the three
+    * 1-row cut frames broadcast back into a map-side scoring pass. No
+    * corpus-sized sort or window anywhere. */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val mx = o.agg(max(col("o_orderdate")).as("ref"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(dec(col("o_totalprice"))).as("mon_dec"))
+      .crossJoin(broadcast(mx))
+      .select(col("o_custkey"),
+        datediff(col("ref"), col("last_order")).cast("long").as("recency"),
+        col("frequency"),
+        (col("mon_dec") * 100).cast("long").as("mon_cents"),
+        col("mon_dec"))
+      .localCheckpoint(true) // consumers: 3 histograms + scoring pass
+    val tot = cust.agg(count(lit(1)).as("tot"))
+    def cutsOf(vcol: String): DataFrame =
+      cust.groupBy(col(vcol).as("v")).agg(count(lit(1)).as("n"))
+        // histogram-sized window (value-bounded, NOT customer-bounded)
+        .withColumn("cum", sum(col("n")).over(Window.orderBy(col("v"))))
+        .crossJoin(broadcast(tot))
+        .agg(
+          min(when(col("cum") * 4 >= col("tot"), col("v"))).as(s"${vcol}_c1"),
+          min(when(col("cum") * 2 >= col("tot"), col("v"))).as(s"${vcol}_c2"),
+          min(when(col("cum") * 4 >= col("tot") * 3, col("v"))).as(s"${vcol}_c3"))
+    def scoreAsc(x: Column, p: String): Column =
+      lit(1) + (x > col(s"${p}_c1")).cast("int") +
+        (x > col(s"${p}_c2")).cast("int") +
+        (x > col(s"${p}_c3")).cast("int")
+    val scored = cust
+      .crossJoin(broadcast(cutsOf("recency")))
+      .crossJoin(broadcast(cutsOf("frequency")))
+      .crossJoin(broadcast(cutsOf("mon_cents")))
+      .select(col("o_custkey"), col("mon_dec"),
+        (lit(5) - scoreAsc(col("recency"), "recency")).as("r_score"),
+        scoreAsc(col("frequency"), "frequency").as("f_score"),
+        scoreAsc(col("mon_cents"), "mon_cents").as("m_score"))
+    val seg = when(col("r_score") >= 4 && col("f_score") >= 4 &&
+        col("m_score") >= 4, "champion")
+      .when(col("r_score") >= 3 && col("f_score") >= 3, "loyal")
+      .when(col("r_score") >= 4 && col("f_score") <= 2, "new")
+      .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+      .otherwise("regular")
+    scored.withColumn("segment", seg)
+      .groupBy(col("segment"), col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("mon_dec")).cast("double") /
+          count(lit(1)), 4).as("avg_monetary"))
+      .orderBy(col("segment"), col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  private def rfmOracle: String = {
+    def cutsSql(metric: String, name: String): String =
+      s"""${name}_cuts AS (
+         |  SELECT MIN(CASE WHEN cum * 4 >= tot THEN v END) AS ${name}_c1,
+         |         MIN(CASE WHEN cum * 2 >= tot THEN v END) AS ${name}_c2,
+         |         MIN(CASE WHEN cum * 4 >= tot * 3 THEN v END) AS ${name}_c3
+         |  FROM (SELECT v, SUM(n) OVER (ORDER BY v) AS cum, tot FROM
+         |          (SELECT $metric AS v, COUNT(*) AS n FROM cust GROUP BY 1),
+         |          tot))""".stripMargin
+    s"""WITH mx AS (SELECT MAX(o_orderdate) AS ref FROM orders),
+       |cust AS (
+       |  SELECT o_custkey,
+       |         CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+       |                        CAST(MAX(ref) AS DATE)) AS BIGINT) AS recency,
+       |         COUNT(*) AS frequency,
+       |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon_dec,
+       |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+       |           AS mon_cents
+       |  FROM orders, mx GROUP BY o_custkey),
+       |tot AS (SELECT COUNT(*) AS tot FROM cust),
+       |${cutsSql("recency", "recency")},
+       |${cutsSql("frequency", "frequency")},
+       |${cutsSql("mon_cents", "mon_cents")},
+       |scored AS (
+       |  SELECT o_custkey, mon_dec,
+       |         5 - (1 + CAST(recency > recency_c1 AS INT)
+       |                + CAST(recency > recency_c2 AS INT)
+       |                + CAST(recency > recency_c3 AS INT)) AS r_score,
+       |         1 + CAST(frequency > frequency_c1 AS INT)
+       |           + CAST(frequency > frequency_c2 AS INT)
+       |           + CAST(frequency > frequency_c3 AS INT) AS f_score,
+       |         1 + CAST(mon_cents > mon_cents_c1 AS INT)
+       |           + CAST(mon_cents > mon_cents_c2 AS INT)
+       |           + CAST(mon_cents > mon_cents_c3 AS INT) AS m_score
+       |  FROM cust, recency_cuts, frequency_cuts, mon_cents_cuts)
+       |SELECT CASE
+       |         WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+       |           THEN 'champion'
+       |         WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+       |         WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+       |         WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+       |         ELSE 'regular' END AS segment,
+       |       r_score, f_score, m_score,
+       |       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       |       ROUND(CAST(SUM(mon_dec) AS DOUBLE) / COUNT(*), 4)
+       |         AS avg_monetary
+       |FROM scored
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY segment, r_score, f_score, m_score""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q191_rfm_segments", (s, d) => rfmSegments(s, d), Some(rfmOracle)),
     Q("q01_bestsellers", (s, d) => bestsellers(s, d), Some(
       """SELECT l_partkey,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,

@@ -323,7 +323,70 @@ object EventQueries {
       .orderBy(col("rn"))
   }
 
+  /** Autocorrelation of the daily event-count series (q193): Pearson r
+    * at lag 1 and lag 7 — the seasonality probe a capacity-planning /
+    * anomaly pipeline runs before picking a forecasting window (lag-7
+    * high = weekly cycle).
+    *
+    * Determinism: the series values are integer day-counts, so every
+    * Pearson term (n, Σx, Σy, Σxy, Σx², Σy²) is an EXACT integer sum;
+    * the single final expression over identical longs is the same IEEE
+    * tree in both engines. Lag pairing is an equi-join on
+    * date_add(day, lag) — no window, and days missing from the data
+    * pair with nothing (the series semantics, not an implementation
+    * accident).
+    *
+    * Scale shape: one corpus-sized hash aggregate builds the day
+    * histogram (calendar-bounded rows); everything after runs on that
+    * tiny frame — the lag joins and moment sums are statistics-sized. */
+  def dailyAutocorr(s: SparkSession, dir: String,
+      lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // consumers: one pair-join per lag
+    val perLag = lags.map { lag =>
+      val a = daily.select(col("day"), col("cnt").as("x"))
+      val b = daily.select(date_add(col("day"), lag).as("day"),
+        col("cnt").as("y"))
+      a.join(b, Seq("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(lit(lag).as("lag"), col("n").as("n_pairs"),
+          round(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")), 4).as("acf"))
+    }
+    perLag.reduce(_.unionByName(_)).orderBy(col("lag"))
+  }
+
+  private def autocorrOracle(lags: Seq[Int] = Seq(1, 7)): String = {
+    val arms = lags.map(lag =>
+      s"""SELECT $lag AS lag, CAST(n AS BIGINT) AS n_pairs,
+         |       ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+         |             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+         |                  CAST(n * syy - sy * sy AS DOUBLE)), 4) AS acf
+         |FROM (SELECT COUNT(*) AS n, SUM(a.cnt) AS sx, SUM(b.cnt) AS sy,
+         |             SUM(a.cnt * b.cnt) AS sxy, SUM(a.cnt * a.cnt) AS sxx,
+         |             SUM(b.cnt * b.cnt) AS syy
+         |      FROM daily a JOIN daily b ON a.day = b.day + $lag)""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1)
+       |SELECT lag, n_pairs, acf FROM ($arms)
+       |ORDER BY lag""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q193_daily_autocorr", (s, d) => dailyAutocorr(s, d),
+      Some(autocorrOracle())),
     Q("q186_session_paths", (s, d) => sessionPaths(s, d), Some(
       """WITH e AS (
         |  SELECT user_id, event_id, ts, event_type,
