@@ -908,7 +908,82 @@ object SimilarityQueries {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  /** kNN label-agreement evaluation (q195) — the embedding-quality probe
+    * an embedding-training pipeline runs per checkpoint: over a
+    * count-capped query sample (first nQ vectors by (md5(id), id) — the
+    * audit-sample discipline, O(nQ·N) at any corpus size, never N²),
+    * take each query's exact cosine top-k and report, per query label:
+    * hit rate (fraction of the k neighbours sharing the query's label)
+    * and majority-vote accuracy (ties to the smallest label — the
+    * deterministic kNN-classifier variant).
+    *
+    * Scale shape: the nQ queries BROADCAST into one corpus scan
+    * (Ann.bruteForceTopK's shape); everything downstream operates on
+    * nQ·k rows. All ratios divide exact integer counts; the vote argmax
+    * is max(struct(cnt, -label)) — an aggregate, not a sort. */
+  def knnLabelEval(s: SparkSession, dir: String, nQ: Int = 40,
+      k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val queries = e
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nQ)
+      .localCheckpoint(true) // consumers: topk probe + label join
+    val topk = Ann.bruteForceTopK(e, queries.select("vec_id", "embedding"),
+      "vec_id", "embedding", k)
+    val ql = queries.select(col("vec_id").as("query_id"),
+      col("label").as("qlabel"))
+    val votes = topk
+      .join(e.select(col("vec_id"), col("label").as("nlabel")), Seq("vec_id"))
+      .join(broadcast(ql), Seq("query_id"))
+      .groupBy(col("query_id"), col("qlabel"), col("nlabel"))
+      .agg(count(lit(1)).as("c"))
+    val perQuery = votes.groupBy(col("query_id"), col("qlabel"))
+      .agg(
+        max(struct(col("c"), (-col("nlabel")).as("nn"))).as("m"),
+        sum(when(col("nlabel") === col("qlabel"), col("c"))
+          .otherwise(lit(0L))).as("hits"))
+      .select(col("query_id"), col("qlabel"), (-col("m.nn")).as("pred"),
+        col("hits"))
+    perQuery.groupBy(col("qlabel").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("hits")).cast("double") /
+          (count(lit(1)) * lit(k.toLong)), 4).as("hit_rate"),
+        round(sum((col("pred") === col("qlabel")).cast("long"))
+          .cast("double") / count(lit(1)), 4).as("vote_acc"))
+      .orderBy(col("label"))
+  }
+
+  private def knnLabelEvalOracle(nQ: Int = 40, k: Int = 10): String =
+    s"""WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nQ),
+       |topk AS (
+       |  SELECT query_id, qlabel, nlabel FROM (
+       |    SELECT q.vec_id AS query_id, q.label AS qlabel,
+       |           e.label AS nlabel,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |             round(list_cosine_similarity(
+       |               CAST(e.embedding AS DOUBLE[]),
+       |               CAST(q.embedding AS DOUBLE[])), 4) DESC,
+       |             e.vec_id) AS rn
+       |    FROM embeddings e JOIN q ON e.vec_id <> q.vec_id) t
+       |  WHERE rn <= $k),
+       |votes AS (SELECT query_id, qlabel, nlabel, COUNT(*) AS c
+       |          FROM topk GROUP BY 1, 2, 3),
+       |pm AS (SELECT query_id, qlabel, nlabel AS pred FROM votes
+       |       QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY c DESC, nlabel) = 1),
+       |hits AS (SELECT query_id, qlabel,
+       |                SUM(CASE WHEN nlabel = qlabel THEN c ELSE 0 END) AS h
+       |         FROM votes GROUP BY 1, 2)
+       |SELECT qlabel AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |       ROUND(CAST(SUM(h) AS DOUBLE) / (COUNT(*) * $k), 4) AS hit_rate,
+       |       ROUND(CAST(SUM(CASE WHEN pred = qlabel THEN 1 ELSE 0 END)
+       |             AS DOUBLE) / COUNT(*), 4) AS vote_acc
+       |FROM pm JOIN hits USING (query_id, qlabel)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q195_knn_label_eval", (s, d) => knnLabelEval(s, d),
+      Some(knnLabelEvalOracle())),
     Q("q184_mmr_rerank", (s, d) => mmrRerank(s, d), Some(mmrOracle())),
     Q("q144_semantic_dedup", (s, d) => semanticDedup(s, d),
       Some(semanticDedupOracle())),

@@ -1195,6 +1195,73 @@ object TextQueries {
       .orderBy(col("rn"))
   }
 
+  /** Asymmetric containment near-dup detection (q194): directed pairs
+    * where most of document a's 3-gram set also appears in document b —
+    * containment(a→b) = |S(a)∩S(b)| / |S(a)| ≥ τ. Jaccard (q35) misses
+    * INCLUSION (a short doc quoted inside a long one scores low
+    * symmetric similarity but 1.0 containment); this is the
+    * Broder-style containment measure a quote/subset-dedup pass runs.
+    *
+    * Feature space: distinct 3-gram shingles with document frequency
+    * ≤ maxDf — the q171 stop-list rule; both the intersection AND the
+    * denominators are over the pruned space (same rule both engines),
+    * which bounds the candidate join at Σ df² and keeps the measure
+    * self-consistent. Candidates arise ONLY through shared grams —
+    * never all-pairs; each undirected pair scores both directions in
+    * one pass from the two size joins. Counts are exact longs; each
+    * score is one quotient of identical longs, rounded 4dp. */
+  def containmentPairs(s: SparkSession, dir: String, maxDf: Int = 20,
+      tau: Double = 0.5): DataFrame = {
+    val sh = shingleRows(Tables.documents(s, dir), 3)
+      .distinct()
+      .localCheckpoint(eager = true) // consumers: df filter, sizes, join
+    val dfq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val p = sh.join(dfq.select(col("g")), Seq("g"))
+      .localCheckpoint(eager = true) // consumers: sizes + both join sides
+    val sz = p.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = p.select(col("doc_id").as("id1"), col("g"))
+      .join(p.select(col("doc_id").as("id2"), col("g")), Seq("g"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("i"))
+    val sized = inter
+      .join(sz.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(sz.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+    // score both directions from the one undirected intersection row
+    val directed = sized.select(col("id1").as("src"), col("id2").as("dst"),
+        col("i"), round(col("i") / col("n1").cast("double"), 4).as("score"))
+      .unionByName(sized.select(col("id2").as("src"), col("id1").as("dst"),
+        col("i"), round(col("i") / col("n2").cast("double"), 4).as("score")))
+    directed.filter(col("score") >= tau)
+      .select(col("src"), col("dst"), col("i").as("shared"), col("score"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  private def containmentOracle(maxDf: Int = 20, tau: Double = 0.5): String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+       |      FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+       |      WHERE len(t) >= 3),
+       |dfq AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) <= $maxDf),
+       |p AS (SELECT g.doc_id, g.g FROM g JOIN dfq USING (g)),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM p GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |                 CAST(COUNT(*) AS BIGINT) AS i
+       |          FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |sized AS (SELECT id1, id2, i, s1.n AS n1, s2.n AS n2
+       |          FROM inter JOIN sz s1 ON id1 = s1.doc_id
+       |                     JOIN sz s2 ON id2 = s2.doc_id),
+       |directed AS (
+       |  SELECT id1 AS src, id2 AS dst, i,
+       |         round(i / CAST(n1 AS DOUBLE), 4) AS score FROM sized
+       |  UNION ALL
+       |  SELECT id2 AS src, id1 AS dst, i,
+       |         round(i / CAST(n2 AS DOUBLE), 4) AS score FROM sized)
+       |SELECT src, dst, i AS shared, score
+       |FROM directed WHERE score >= $tau
+       |ORDER BY src, dst""".stripMargin
+
   private def sparseCosineOracle(maxDf: Int = 20, k: Int = 50): String =
     s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
        |g AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
@@ -2941,6 +3008,8 @@ object TextQueries {
       Some(curationDecisionOracle)),
     Q("q169_corpus_datasheet", (s, d) => corpusDatasheet(s, d),
       Some(corpusDatasheetOracle)),
+    Q("q194_containment_pairs", (s, d) => containmentPairs(s, d),
+      Some(containmentOracle())),
     Q("q171_sparse_cosine", (s, d) => sparseCosinePairs(s, d),
       Some(sparseCosineOracle())),
     Q("q172_quality_dedup", (s, d) => qualityAwareDedup(s, d),
