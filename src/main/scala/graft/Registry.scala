@@ -44,6 +44,7 @@ object Registry {
       etl.FileGate.qs ++
       text.TextQueries.qs ++
       text.SkipGram.qs ++
+      text.CorpusStats.qs ++
       text.Retrieval.qs ++
       text.Classifier.qs ++
       streaming.EventQueries.qs ++

@@ -535,7 +535,77 @@ object Graph {
        |WHERE rn <= $k
        |ORDER BY rn""".stripMargin
 
+  /** k-core decomposition by iterative peeling (q197): starting from the
+    * support-filtered co-purchase graph, each round removes every node
+    * with current degree < k and keeps only edges between survivors; a
+    * FIXED round count (like q188's LPA horizon) keeps the run
+    * oracle-unrollable — the per-round (n_nodes, n_edges) trace shows
+    * convergence directly (equal consecutive rows = fixpoint reached).
+    * The k-core is the densely-connected catalog backbone cross-sell
+    * clustering runs on after stripping coincidental fringe.
+    *
+    * Scale shape: per round ONE degree aggregate (node-sized result,
+    * BROADCASTS) and two semi-joins that filter the edge frame by
+    * surviving endpoints — edges re-checkpoint per round so lineage
+    * stays flat; the stats rows are 1-row aggregates. No driver-side
+    * graph state. */
+  def kCorePeeling(s: SparkSession, dir: String, minSupport: Int = 2,
+      k: Int = 3, rounds: Int = 4): DataFrame = {
+    var edges = supportEdges(s, dir, minSupport).localCheckpoint(true)
+    def stats(round: Int, e: DataFrame): DataFrame =
+      e.agg(
+        countDistinct(col("src")).as("n_nodes"),
+        (count(lit(1)) / 2).cast("long").as("n_edges"))
+        .select(lit(round).as("round"), col("n_nodes"), col("n_edges"))
+    var out = stats(0, edges)
+    for (r <- 1 to rounds) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("node"))
+      edges = edges
+        .join(broadcast(keep.select(col("node").as("src"))), Seq("src"),
+          "left_semi")
+        .join(broadcast(keep.select(col("node").as("dst"))), Seq("dst"),
+          "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      out = out.unionByName(stats(r, edges))
+    }
+    out.orderBy(col("round"))
+  }
+
+  /** q197 oracle: the peeling rounds unrolled. */
+  private def kCoreOracle(minSupport: Int = 2, k: Int = 3,
+      rounds: Int = 4): String = {
+    def step(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT e.src, e.dst FROM $prev e
+         |  WHERE e.src IN (SELECT src FROM $prev GROUP BY src
+         |                  HAVING COUNT(*) >= $k)
+         |    AND e.dst IN (SELECT src FROM $prev GROUP BY src
+         |                  HAVING COUNT(*) >= $k))""".stripMargin
+    val steps = (1 to rounds).map(i => step(s"e${i - 1}", s"e$i")).mkString(",\n")
+    val arms = (0 to rounds).map(i =>
+      s"""SELECT $i AS round,
+         |       CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+         |       CAST(COUNT(*) // 2 AS BIGINT) AS n_edges FROM e$i""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH p AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+       |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |e0 AS (SELECT a AS src, b AS dst FROM p
+       |       UNION ALL SELECT b AS src, a AS dst FROM p),
+       |$steps
+       |SELECT round, n_nodes, n_edges FROM ($arms)
+       |ORDER BY round""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q197_kcore_peeling", (s, d) => kCorePeeling(s, d),
+      Some(kCoreOracle())),
     Q("q152_copurchase_pagerank", (s, d) => copurchasePageRank(s, d),
       Some(pagerankOracle())),
     Q("q175_triangle_count", (s, d) => copurchaseTriangles(s, d),

@@ -141,6 +141,25 @@ class GraphSpec extends AnyFunSuite {
     assert(got.toSeq == exp)
   }
 
+  test("k-core peeling trace == driver peeling, and reaches a fixpoint") {
+    val (_, nbrs0) = driverGraph()
+    var nbrs = nbrs0
+    val exp = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    def record(r: Int): Unit = exp += ((r, nbrs.size.toLong,
+      nbrs.values.map(_.size).sum.toLong / 2))
+    record(0)
+    for (r <- 1 to 4) {
+      val keep = nbrs.filter(_._2.size >= 3).keySet
+      nbrs = nbrs.collect { case (n, ns) if keep(n) =>
+        n -> ns.filter(keep)
+      }.filter(_._2.nonEmpty)
+      record(r)
+    }
+    val got = reports.Graph.kCorePeeling(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == exp.toSeq)
+  }
+
   test("RA link prediction == driver wedge scoring, no existing edges") {
     val (half, nbrs) = driverGraph()
     val deg = nbrs.view.mapValues(_.size.toLong).toMap
