@@ -344,19 +344,21 @@ object Graph {
     * argmax is max(struct(cnt, -label)) — an aggregate, not a
     * partitioned window sort. */
   def lpaCommunities(s: SparkSession, dir: String, minSupport: Int = 2,
-      rounds: Int = 3, k: Int = 20): DataFrame = {
-    val edges = supportEdges(s, dir, minSupport).localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lab"))
-      .localCheckpoint(true)
+      rounds: Int = 3, k: Int = 20,
+      materialize: Boolean = true): DataFrame = {
+    // materialize=false keeps the whole lineage in one plan so PlanSpec
+    // can assert the per-round join shapes (production always true)
+    def cp(df: DataFrame) = if (materialize) df.localCheckpoint(true) else df
+    val edges = cp(supportEdges(s, dir, minSupport))
+    var labels = cp(edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab")))
     for (_ <- 1 to rounds) {
-      labels = edges
+      labels = cp(edges
         .join(broadcast(labels), edges("src") === labels("node"))
         .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
-        .select(col("dst").as("node"), (-col("m.nl")).as("lab"))
-        .localCheckpoint(true)
+        .select(col("dst").as("node"), (-col("m.nl")).as("lab")))
     }
     labels.groupBy(col("lab")).agg(count(lit(1)).as("n_members"))
       .orderBy(col("n_members").desc, col("lab"))
@@ -413,21 +415,20 @@ object Graph {
     * join; at a fixed 3-hop horizon relax-all is strictly fewer
     * shuffles.) */
   def bfsHops(s: SparkSession, dir: String, minSupport: Int = 2,
-      nSeeds: Int = 3, maxHops: Int = 3): DataFrame = {
-    val edges = supportEdges(s, dir, minSupport).localCheckpoint(true)
-    val nodes = edges.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
-    var dist = nodes
+      nSeeds: Int = 3, maxHops: Int = 3,
+      materialize: Boolean = true): DataFrame = {
+    def cp(df: DataFrame) = if (materialize) df.localCheckpoint(true) else df
+    val edges = cp(supportEdges(s, dir, minSupport))
+    val nodes = cp(edges.select(col("src").as("node")).distinct())
+    var dist = cp(nodes
       .orderBy(col("node")).limit(nSeeds)
-      .select(col("node"), lit(0).as("dist"))
-      .localCheckpoint(true)
+      .select(col("node"), lit(0).as("dist")))
     for (_ <- 1 to maxHops) {
-      dist = edges
+      dist = cp(edges
         .join(broadcast(dist), edges("src") === dist("node"))
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
         .unionByName(dist.select(col("node"), col("dist")))
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist")))
     }
     nodes.join(dist, Seq("node"), "left_outer")
       .select(coalesce(col("dist"), lit(-1)).as("hops"))
@@ -550,8 +551,10 @@ object Graph {
     * stays flat; the stats rows are 1-row aggregates. No driver-side
     * graph state. */
   def kCorePeeling(s: SparkSession, dir: String, minSupport: Int = 2,
-      k: Int = 3, rounds: Int = 4): DataFrame = {
-    var edges = supportEdges(s, dir, minSupport).localCheckpoint(true)
+      k: Int = 3, rounds: Int = 4,
+      materialize: Boolean = true): DataFrame = {
+    def cp(df: DataFrame) = if (materialize) df.localCheckpoint(true) else df
+    var edges = cp(supportEdges(s, dir, minSupport))
     def stats(round: Int, e: DataFrame): DataFrame =
       e.agg(
         countDistinct(col("src")).as("n_nodes"),
@@ -568,7 +571,7 @@ object Graph {
         .join(broadcast(keep.select(col("node").as("dst"))), Seq("dst"),
           "left_semi")
         .select(col("src"), col("dst"))
-        .localCheckpoint(true)
+      edges = cp(edges)
       out = out.unionByName(stats(r, edges))
     }
     out.orderBy(col("round"))

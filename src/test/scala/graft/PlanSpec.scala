@@ -162,4 +162,110 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q187: every same-table constraint folds into one aggregate pass; " +
+      "the referential check is an anti join") {
+    val p = plan("q187_constraint_audit")
+    assert(p.contains("LeftAnti"), p)
+    // 4 tables (customer, orders x2 — audit + referential child, lineitem)
+    // feed 4 aggregate pairs; no per-constraint rescans: scan count stays
+    // at the table count, not the constraint count (9)
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans <= 5, s"expected <=5 scans, got $scans\n$p")
+  }
+
+  test("q188/q189: per-round label/distance frames broadcast into the " +
+      "static edges; no cartesian anywhere") {
+    // materialize=false: production checkpoints per round, which hides
+    // the round joins from the FINAL plan — un-materialized lineage
+    // shows every superstep
+    Seq(
+      reports.Graph.lpaCommunities(spark, TestSpark.sfDir,
+        materialize = false),
+      reports.Graph.bfsHops(spark, TestSpark.sfDir,
+        materialize = false)).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("q190: degree table broadcasts into the wedge join; existing edges " +
+      "drop via anti join; top-k is sort+limit") {
+    val p = plan("q190_link_prediction")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q191: quartile cuts broadcast back; no corpus-sized window (the " +
+      "only windows run over value histograms)") {
+    val p = plan("q191_rfm_segments")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the histogram windows sit above a HashAggregate (value-keyed),
+    // never directly over the orders scan
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window ["))
+    assert(winIdx >= 0, p)
+    assert(lines.drop(winIdx).exists(_.contains("HashAggregate")), p)
+  }
+
+  test("q192: the vocabulary rate table broadcasts; pair generation is an " +
+      "equi-join on (doc, index), not a per-doc cross join") {
+    // the rates broadcast happens inside the survivor checkpoint job;
+    // the FINAL plan shows the (doc, index) pair join over ExistingRDDs
+    val p = plan("q192_skipgram_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("hashpartitioning\\(doc_id#\\d+L, idx#".r.findFirstIn(p).isDefined ||
+      "BroadcastHashJoin \\[doc_id#\\d+L, idx#".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q193: the lag pairing is a day-keyed join over the day histogram") {
+    val p = plan("q193_daily_autocorr")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q194: candidates only through shared grams (gram-keyed join), " +
+      "sizes join back by id") {
+    val p = plan("q194_containment_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("hashpartitioning\\(g#".r.findFirstIn(p).isDefined ||
+      "BroadcastHashJoin \\[g#".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q195: the query sample broadcasts into one corpus scan") {
+    val p = plan("q195_knn_label_eval")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q196: vocabulary and per-source totals broadcast; one corpus " +
+      "token aggregate") {
+    val p = plan("q196_chi2_drift")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q197: survivor sets broadcast into the edge frame as semi joins") {
+    val p = reports.Graph.kCorePeeling(spark, TestSpark.sfDir,
+        materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q198: tier assignment is map-side (no join before the token " +
+      "aggregate); the cumulative window runs over the 4-row tier frame") {
+    val p = plan("q198_vocab_growth")
+    assert(!p.contains("CartesianProduct"), p)
+    // the window's input side contains an aggregate on tier — never the
+    // raw documents scan
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window ["))
+    assert(winIdx >= 0, p)
+    assert(lines.drop(winIdx).exists(_.contains("HashAggregate")), p)
+  }
 }
