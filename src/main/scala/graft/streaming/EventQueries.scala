@@ -384,7 +384,136 @@ object EventQueries {
        |ORDER BY lag""".stripMargin
   }
 
+  /** Conversion attribution (q199): for every purchase event, credit the
+    * FIRST-touch and LAST-touch event type of the same 30-minute session
+    * (the q186/q39 sessionization rule); purchases with no prior session
+    * event credit 'direct'. The two classic single-touch attribution
+    * models of product analytics, reported as credited-conversion counts
+    * per model.
+    *
+    * Scale shape: sessionization and both touch lookups (running
+    * first_value with an exclusive frame + lag) ride the ONE user-keyed
+    * exchange — the (user, sid) window partitioning is satisfied by the
+    * user partitioning (the q186 discipline); the attribution rollup is
+    * a tiny hash aggregate over (model, credited type). */
+  def conversionAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = Tables.events(s, dir)
+      .withColumn("new_s",
+        when(unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w)
+          > 1800000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(wRun))
+    val w2 = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    val touched = sessions
+      .withColumn("first_touch",
+        first(col("event_type")).over(
+          w2.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("last_touch", lag(col("event_type"), 1).over(w2))
+      .filter(col("event_type") === "purchase")
+      .select(
+        coalesce(col("first_touch"), lit("direct")).as("first_touch"),
+        coalesce(col("last_touch"), lit("direct")).as("last_touch"))
+    // both models unpivot from the ONE sessionized pass (a unionByName of
+    // two rollups would re-run the scan + sessionization window twice)
+    touched
+      .select(explode(array(
+        struct(lit("first_touch").as("model"),
+          col("first_touch").as("credited")),
+        struct(lit("last_touch").as("model"),
+          col("last_touch").as("credited")))).as("m"))
+      .groupBy(col("m.model").as("model"), col("m.credited").as("credited"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy(col("model"), col("credited"))
+  }
+
+  private val attributionOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
+      |                (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM e),
+      |t AS (SELECT event_type,
+      |             FIRST_VALUE(event_type) OVER (PARTITION BY user_id, sid
+      |               ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |               AS first_touch,
+      |             LAG(event_type, 1) OVER (PARTITION BY user_id, sid
+      |               ORDER BY ts, event_id) AS last_touch
+      |      FROM s),
+      |conv AS (SELECT COALESCE(first_touch, 'direct') AS first_touch,
+      |                COALESCE(last_touch, 'direct') AS last_touch
+      |         FROM t WHERE event_type = 'purchase')
+      |SELECT model, credited, n_conversions FROM (
+      |  SELECT 'first_touch' AS model, first_touch AS credited,
+      |         CAST(COUNT(*) AS BIGINT) AS n_conversions
+      |  FROM conv GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'last_touch', last_touch, CAST(COUNT(*) AS BIGINT)
+      |  FROM conv GROUP BY 2)
+      |ORDER BY model, credited""".stripMargin
+
+  /** CUSUM changepoint scan over the daily event-count series (q200):
+    * dev_i = c_i·D − T (count deviation from the mean, scaled by D to
+    * stay integer: c_i·D − T = D·(c_i − T/D)); the running sum's extreme
+    * |CUSUM| marks the most likely rate changepoint (Page's cumulative-
+    * sum test in exact integer arithmetic — no float mean, no
+    * summation-order drift). Output: top-5 candidate days by |CUSUM|.
+    *
+    * Scale shape: one corpus hash aggregate builds the day histogram;
+    * the cumulative walk and ranking run over the calendar-bounded day
+    * frame (the q193/q168 discipline). */
+  def cusumChangepoint(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = daily.agg(count(lit(1)).as("dd"), sum(col("cnt")).as("tt"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("day"), (col("cnt") * col("dd") - col("tt")).as("dev"))
+      // calendar-bounded frame: the unpartitioned window input is the
+      // day histogram, never the event corpus
+      .withColumn("cusum", sum(col("dev")).over(
+        Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    dev
+      .orderBy(abs(col("cusum")).desc, col("day")).limit(k)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(abs(col("cusum")).desc, col("day"))))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cusum"), col("rn"))
+      .orderBy(col("rn"))
+  }
+
+  private def cusumOracle(k: Int = 5): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS dd, SUM(cnt) AS tt FROM daily),
+       |dev AS (SELECT day, cnt * dd - tt AS dev FROM daily, tot),
+       |c AS (SELECT day,
+       |             CAST(SUM(dev) OVER (ORDER BY day
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |               AS BIGINT) AS cusum
+       |      FROM dev)
+       |SELECT strftime(day, '%Y-%m-%d') AS day, cusum, rn FROM (
+       |  SELECT day, cusum,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY abs(cusum) DESC, day)
+       |              AS INT) AS rn
+       |  FROM c) t
+       |WHERE rn <= $k
+       |ORDER BY rn""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q199_attribution", (s, d) => conversionAttribution(s, d),
+      Some(attributionOracle)),
+    Q("q200_cusum_changepoint", (s, d) => cusumChangepoint(s, d),
+      Some(cusumOracle())),
     Q("q193_daily_autocorr", (s, d) => dailyAutocorr(s, d),
       Some(autocorrOracle())),
     Q("q186_session_paths", (s, d) => sessionPaths(s, d), Some(

@@ -257,6 +257,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q199: sessionization and both touch lookups ride one user-keyed " +
+      "exchange") {
+    val p = plan("q199_attribution")
+    val userExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges <= 1, s"expected <=1 user exchange, got $userExchanges\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q200: the only unpartitioned window runs over the day histogram") {
+    val p = plan("q200_cusum_changepoint")
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window ["))
+    assert(winIdx >= 0, p)
+    assert(lines.drop(winIdx).exists(_.contains("HashAggregate")), p)
+  }
+
   test("q198: tier assignment is map-side (no join before the token " +
       "aggregate); the cumulative window runs over the 4-row tier frame") {
     val p = plan("q198_vocab_growth")
