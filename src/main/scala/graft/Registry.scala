@@ -37,6 +37,7 @@ object Registry {
       reports.Tpch.qs ++
       reports.Graph.qs ++
       reports.Reshape.qs ++
+      reports.Audits.qs ++
       operators.FilterQueries.qs ++
       etl.EtlQueries.qs ++
       etl.Constraints.qs ++

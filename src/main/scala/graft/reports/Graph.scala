@@ -606,7 +606,99 @@ object Graph {
        |ORDER BY round""".stripMargin
   }
 
+  /** HITS hubs/authorities (q201) over the BIPARTITE customer→part
+    * purchase graph (Kleinberg's algorithm on the natural two-mode graph:
+    * authority parts = products bought by well-connected customers, hub
+    * customers = buyers of authoritative products — the catalog-curation
+    * twin of q152's one-mode PageRank). Two full iterations, each half-step
+    * max-normalized so scores stay bounded.
+    *
+    * Integer semantics (both engines): h₀(c) = 10⁶; per half-step the raw
+    * score is an exact long sum over the opposite side, then rescales as
+    * `raw · 10⁶ div max(raw)` — floor division against a 1-row broadcast
+    * max, so the whole run is deterministic at any parallelism and
+    * engine-portable (no float normalization drift; the conventional
+    * L2 norm is irrational and would never value-check).
+    *
+    * Scale shape: the distinct (customer, part) edge frame materializes
+    * ONCE (localCheckpoint; the only corpus-sized state). Each half-step
+    * is the q152 superstep shape — the node-sized score frame BROADCASTS
+    * into the static edges (never re-shuffled) and one key aggregate with
+    * map-side partials builds the opposite side's raw scores; the max is
+    * a 1-row scalar-aggregate broadcast. Overflow ceiling: raw ≤
+    * max-degree · 10⁶ < 2⁶³ for any degree below 9·10¹². Final top-k per
+    * side is sort+limit (TakeOrderedAndProject), never a corpus window. */
+  def purchaseHits(s: SparkSession, dir: String, iters: Int = 2,
+      k: Int = 10): DataFrame = {
+    val edges = graft.Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint(true)
+    def rescale(raw: DataFrame, key: String): DataFrame = {
+      val mx = raw.agg(max(col("raw")).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col(key), expr("raw * 1000000 div mx").as("score"))
+    }
+    var hubs = edges.select(col("c")).distinct()
+      .select(col("c"), lit(1000000L).as("score"))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      auths = rescale(
+        edges.join(broadcast(hubs), Seq("c"))
+          .groupBy(col("p")).agg(sum(col("score")).as("raw")), "p")
+        .localCheckpoint(true)
+      hubs = rescale(
+        edges.join(broadcast(auths), Seq("p"))
+          .groupBy(col("c")).agg(sum(col("score")).as("raw")), "c")
+        .localCheckpoint(true)
+    }
+    def top(df: DataFrame, key: String, side: String): DataFrame = df
+      .orderBy(col("score").desc, col(key)).limit(k)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("score").desc, col(key))))
+      .select(lit(side).as("side"), col(key).as("node_id"),
+        col("score"), col("rn"))
+    top(auths, "p", "authority").unionByName(top(hubs, "c", "hub"))
+      .orderBy(col("side"), col("rn"))
+  }
+
+  /** q201 oracle: the max-normalized integer half-steps unrolled. */
+  private def hitsOracle(iters: Int = 2, k: Int = 10): String = {
+    def auth(prevH: String, out: String): String =
+      s"""${out}r AS (SELECT e.p, SUM(h.score) AS raw
+         |  FROM e JOIN $prevH h ON e.c = h.c GROUP BY e.p),
+         |$out AS (SELECT p, raw * 1000000 // (SELECT MAX(raw) FROM ${out}r)
+         |           AS score FROM ${out}r)""".stripMargin
+    def hub(prevA: String, out: String): String =
+      s"""${out}r AS (SELECT e.c, SUM(a.score) AS raw
+         |  FROM e JOIN $prevA a ON e.p = a.p GROUP BY e.c),
+         |$out AS (SELECT c, raw * 1000000 // (SELECT MAX(raw) FROM ${out}r)
+         |           AS score FROM ${out}r)""".stripMargin
+    val steps = (1 to iters).map(i =>
+      auth(s"h${i - 1}", s"a$i") + ",\n" + hub(s"a$i", s"h$i")).mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS score FROM e),
+       |$steps
+       |SELECT side, node_id, score, rn FROM (
+       |  SELECT 'authority' AS side, p AS node_id, CAST(score AS BIGINT) AS score,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, p) AS INT) AS rn
+       |  FROM a$iters
+       |  UNION ALL
+       |  SELECT 'hub', c, CAST(score AS BIGINT),
+       |         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, c) AS INT)
+       |  FROM h$iters) t
+       |WHERE rn <= $k
+       |ORDER BY side, rn""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q201_hits_scores", (s, d) => purchaseHits(s, d),
+      Some(hitsOracle())),
     Q("q197_kcore_peeling", (s, d) => kCorePeeling(s, d),
       Some(kCoreOracle())),
     Q("q152_copurchase_pagerank", (s, d) => copurchasePageRank(s, d),

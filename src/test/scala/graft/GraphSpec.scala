@@ -160,6 +160,38 @@ class GraphSpec extends AnyFunSuite {
     assert(got.toSeq == exp.toSeq)
   }
 
+  test("integer HITS == driver replay of the max-normalized half-steps") {
+    val custOf = Tables.orders(spark, TestSpark.sfDir)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val edges = Tables.lineitem(spark, TestSpark.sfDir)
+      .select("l_orderkey", "l_partkey").collect()
+      .flatMap(r => custOf.get(r.getLong(0)).map(c => (c, r.getLong(1))))
+      .toSet
+    // toSeq before the score lookup: mapping a SET through the score map
+    // collapses equal scores and corrupts the sum
+    val byC = edges.groupBy(_._1).view.mapValues(_.toSeq.map(_._2)).toMap
+    val byP = edges.groupBy(_._2).view.mapValues(_.toSeq.map(_._1)).toMap
+    var h: Map[Long, Long] = byC.keys.map(_ -> 1000000L).toMap
+    var a: Map[Long, Long] = Map.empty
+    def rescale(raw: Map[Long, Long]): Map[Long, Long] = {
+      val mx = raw.values.max
+      raw.view.mapValues(v => v * 1000000L / mx).toMap
+    }
+    for (_ <- 1 to 2) {
+      a = rescale(byP.view.mapValues(_.map(h).sum).toMap)
+      h = rescale(byC.view.mapValues(_.map(a).sum).toMap)
+    }
+    def top(m: Map[Long, Long], side: String) =
+      m.toSeq.sortBy { case (n, s) => (-s, n) }.take(10)
+        .zipWithIndex.map { case ((n, s), i) => (side, n, s, i + 1) }
+    val exp = top(a, "authority") ++ top(h, "hub")
+    val got = reports.Graph.purchaseHits(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    assert(got.toSeq == exp)
+  }
+
   test("RA link prediction == driver wedge scoring, no existing edges") {
     val (half, nbrs) = driverGraph()
     val deg = nbrs.view.mapValues(_.size.toLong).toMap

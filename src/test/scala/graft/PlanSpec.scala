@@ -274,6 +274,25 @@ class PlanSpec extends AnyFunSuite {
     assert(lines.drop(winIdx).exists(_.contains("HashAggregate")), p)
   }
 
+  test("q204: cube plans as one orders scan through Expand, customer " +
+      "broadcasts") {
+    val p = plan("q204_sales_cube")
+    assert(p.contains("Expand"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val ordersScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("orders.parquet"))
+    assert(ordersScans == 1, s"expected 1 orders scan, got $ordersScans\n$p")
+  }
+
+  test("q211: digit extraction is map-side; one 9-row aggregate, total " +
+      "broadcasts back") {
+    val p = plan("q211_benford_audit")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val aggExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(aggExchanges <= 2, s"expected <=2 exchanges, got $aggExchanges\n$p")
+  }
+
   test("q198: tier assignment is map-side (no join before the token " +
       "aggregate); the cumulative window runs over the 4-row tier frame") {
     val p = plan("q198_vocab_growth")
