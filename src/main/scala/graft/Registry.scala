@@ -49,6 +49,7 @@ object Registry {
       text.Retrieval.qs ++
       text.Classifier.qs ++
       streaming.EventQueries.qs ++
+      streaming.Lifecycle.qs ++
       similarity.SimilarityQueries.qs ++
       multimodal.MultimodalQueries.qs ++
       dsl.SearchQueries.qs

@@ -1,0 +1,216 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Customer-lifecycle and behavioral-sequence analytics: the life-table /
+  * transition-matrix / concurrency rollups a retention team runs on top
+  * of the same event and order history the reference's dashboards read
+  * (SURVEY §2.5; `CustomerReportService` new-vs-returning slices,
+  * generalized to proper survival and Markov form).
+  */
+object Lifecycle {
+
+  /** Discrete-time churn life table (q202): per 30-day "month" k since
+    * first order, how many customers' purchasing lifetime ENDED at k
+    * (last order k months after their first) out of those still at risk
+    * (lifetime ≥ k), with the hazard rate in integer basis points — the
+    * actuarial life-table form of churn (each customer is one complete
+    * observation; the generator's window has no censoring mechanism, so
+    * no censored column exists to model).
+    *
+    * Determinism: lifetime is `datediff(day) div 30` — integer floor
+    * division; hazards are `ended·10⁴ div at_risk` — exact at any
+    * parallelism, identical in DuckDB (`//`).
+    *
+    * Scale shape: ONE custkey-keyed aggregate (map-side partial
+    * min/max) reduces orders to a per-customer row; the lifetime
+    * histogram is calendar-bounded (≤ a few hundred rows at ANY corpus
+    * size), and the at-risk reverse cumulative sum is a window over
+    * THAT histogram — never a corpus-wide window (plan-asserted). */
+  def churnLifeTable(s: SparkSession, dir: String): DataFrame = {
+    val life = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("first_o"), max(col("o_orderdate")).as("last_o"))
+      .select(expr("datediff(last_o, first_o) div 30").as("month_k"))
+      .groupBy(col("month_k")).agg(count(lit(1)).as("n_ended"))
+    life
+      .withColumn("n_at_risk", sum(col("n_ended")).over(
+        Window.orderBy(col("month_k").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("month_k").cast("int").as("month_k"), col("n_ended"),
+        col("n_at_risk"),
+        expr("n_ended * 10000 div n_at_risk").as("hazard_bp"))
+      .orderBy(col("month_k"))
+  }
+
+  private val lifeTableOracle: String =
+    """WITH cl AS (
+      |  SELECT date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) // 30
+      |           AS month_k
+      |  FROM orders GROUP BY o_custkey),
+      |h AS (SELECT month_k, CAST(COUNT(*) AS BIGINT) AS n_ended
+      |      FROM cl GROUP BY month_k)
+      |SELECT CAST(month_k AS INT) AS month_k, n_ended,
+      |       CAST(SUM(n_ended) OVER (ORDER BY month_k DESC
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) AS n_at_risk,
+      |       CAST(n_ended * 10000 // SUM(n_ended) OVER (ORDER BY month_k DESC
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) AS hazard_bp
+      |FROM h
+      |ORDER BY month_k""".stripMargin
+
+  /** First-order Markov transition matrix (q203) over in-session event
+    * sequences: P(next = b | current = a) in integer basis points, next
+    * to the unconditional base rate of b — the (p − base) delta is the
+    * behavioral lift a next-action model would exploit. Transitions
+    * never cross the 30-minute session boundary (q39/q186 semantics).
+    *
+    * Scale shape: sessionization and the LEAD ride ONE user-keyed
+    * exchange (plan-asserted); everything downstream operates on the
+    * transition MATRIX — |event types|² rows at any corpus size — via
+    * broadcast joins of its own marginals. */
+  def markovTransitions(s: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val trans = Tables.events(s, dir)
+      .withColumn("new_s",
+        when(unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w)
+          > 1800000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(wRun))
+      .withColumn("nxt", lead(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id"), col("sid"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // consumers: row marginal, col marginal, total
+    val rowTot = trans.groupBy(col("cur")).agg(sum(col("cnt")).as("row_tot"))
+    val colTot = trans.groupBy(col("nxt")).agg(sum(col("cnt")).as("col_tot"))
+    val total = trans.agg(sum(col("cnt")).as("tot"))
+    trans.join(broadcast(rowTot), Seq("cur"))
+      .join(broadcast(colTot), Seq("nxt"))
+      .crossJoin(broadcast(total))
+      .select(col("cur"), col("nxt"), col("cnt"),
+        expr("cnt * 10000 div row_tot").as("p_bp"),
+        expr("col_tot * 10000 div tot").as("base_bp"))
+      .withColumn("delta_bp", col("p_bp") - col("base_bp"))
+      .orderBy(col("cnt").desc, col("cur"), col("nxt"))
+      .limit(k)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cnt").desc, col("cur"), col("nxt"))))
+      .orderBy(col("rn"))
+  }
+
+  private def markovOracle(k: Int = 25): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |         CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
+       |                (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+       |              THEN 1 ELSE 0 END AS new_s
+       |  FROM events),
+       |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+       |        ORDER BY ts, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |      FROM e),
+       |tr AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |         SELECT event_type AS cur,
+       |                LEAD(event_type, 1) OVER (PARTITION BY user_id, sid
+       |                  ORDER BY ts, event_id) AS nxt
+       |         FROM s) t
+       |       WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+       |rt AS (SELECT cur, SUM(cnt) AS row_tot FROM tr GROUP BY cur),
+       |ct AS (SELECT nxt, SUM(cnt) AS col_tot FROM tr GROUP BY nxt),
+       |tot AS (SELECT SUM(cnt) AS tot FROM tr)
+       |SELECT cur, nxt, cnt, p_bp, base_bp, delta_bp, rn FROM (
+       |  SELECT tr.cur, tr.nxt, tr.cnt,
+       |         CAST(tr.cnt * 10000 // rt.row_tot AS BIGINT) AS p_bp,
+       |         CAST(ct.col_tot * 10000 // tot.tot AS BIGINT) AS base_bp,
+       |         CAST(tr.cnt * 10000 // rt.row_tot
+       |              - ct.col_tot * 10000 // tot.tot AS BIGINT) AS delta_bp,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY tr.cnt DESC, tr.cur, tr.nxt)
+       |              AS INT) AS rn
+       |  FROM tr JOIN rt ON tr.cur = rt.cur
+       |          JOIN ct ON tr.nxt = ct.nxt, tot) t
+       |WHERE rn <= $k
+       |ORDER BY rn""".stripMargin
+
+  /** Interval-coverage concurrency (q212): per day, the PEAK number of
+    * simultaneously-active user sessions and the first minute reaching
+    * it — the capacity-planning rollup over the q39 session intervals.
+    *
+    * Scale shape — the point of the operator: naive peak-concurrency is
+    * an interval self-join (quadratic in concurrent sessions) or a
+    * GLOBALLY-ordered running sum over start/end deltas (a corpus-wide
+    * single-partition window). Instead each session interval EXPLODES to
+    * its covered minute buckets (bounded by session length — the
+    * sessionize gap caps idle stretches, so rows-out is O(active
+    * minutes), linear); concurrency is then ONE minute-keyed hash
+    * aggregate with map-side partials, and the per-day peak+argmin is a
+    * day-keyed struct-max aggregate over the minute HISTOGRAM
+    * (calendar-bounded). Same bucket-decomposition discipline as the
+    * q74 range join, applied to interval aggregation. */
+  def sessionConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = Tables.events(s, dir)
+      .withColumn("new_s",
+        when(unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w)
+          > 1800000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("ts_min"), max(col("ts")).as("ts_max"))
+      .select(expr("unix_millis(ts_min) div 60000").as("m_start"),
+        expr("unix_millis(ts_max) div 60000").as("m_end"))
+    val perMinute = sessions
+      .select(explode(sequence(col("m_start"), col("m_end"))).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("conc"))
+    perMinute
+      .select(date_format(timestamp_millis(col("m") * 60000L), "yyyy-MM-dd")
+        .as("day"), col("m"), col("conc"))
+      .groupBy(col("day"))
+      .agg(max(struct(col("conc"), (-col("m")).as("nm"))).as("pk"))
+      .select(col("day"), col("pk.conc").as("peak_sessions"),
+        date_format(timestamp_millis(-col("pk.nm") * 60000L),
+          "yyyy-MM-dd HH:mm").as("peak_at"))
+      .orderBy(col("day"))
+  }
+
+  private val concurrencyOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
+      |                (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM e),
+      |iv AS (SELECT user_id, sid,
+      |              epoch_ms(MIN(ts)) // 60000 AS m_start,
+      |              epoch_ms(MAX(ts)) // 60000 AS m_end
+      |       FROM s GROUP BY user_id, sid),
+      |pm AS (SELECT u.m, CAST(COUNT(*) AS BIGINT) AS conc
+      |       FROM iv, UNNEST(range(iv.m_start, iv.m_end + 1)) AS u(m)
+      |       GROUP BY u.m)
+      |SELECT strftime(make_timestamp(m * 60000000), '%Y-%m-%d') AS day,
+      |       conc AS peak_sessions,
+      |       strftime(make_timestamp(m * 60000000), '%Y-%m-%d %H:%M') AS peak_at
+      |FROM pm
+      |QUALIFY ROW_NUMBER() OVER (
+      |  PARTITION BY strftime(make_timestamp(m * 60000000), '%Y-%m-%d')
+      |  ORDER BY conc DESC, m) = 1
+      |ORDER BY day""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    Q("q202_churn_lifetable", (s, d) => churnLifeTable(s, d),
+      Some(lifeTableOracle)),
+    Q("q203_markov_transitions", (s, d) => markovTransitions(s, d),
+      Some(markovOracle())),
+    Q("q212_session_concurrency", (s, d) => sessionConcurrency(s, d),
+      Some(concurrencyOracle)))
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lifecycle analytics (q202/q203/q212): distributed results must equal
+  * driver-side recomputations from first principles on sf0.001. */
+class LifecycleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** (user, sorted in-session event seq) via the 30-min gap rule —
+    * shared by the Markov and concurrency replays. */
+  private def driverSessions(): Seq[Seq[(Long, java.sql.Timestamp, String)]] = {
+    val evs = Tables.events(spark, TestSpark.sfDir)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+    evs.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._3.getTime, r._2))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer[(Long, java.sql.Timestamp, String)]())
+      var prev: Option[Long] = None
+      sorted.foreach { case (_, eid, ts, et) =>
+        if (prev.exists(p => ts.getTime - p > 1800000L))
+          sessions += scala.collection.mutable.ArrayBuffer()
+        sessions.last += ((eid, ts, et))
+        prev = Some(ts.getTime)
+      }
+      sessions.map(_.toSeq)
+    }.toSeq
+  }
+
+  test("q202 life table == driver recomputation") {
+    // o_orderdate is TimestampNTZ in some data drops — collect as DATE
+    val byCust = Tables.orders(spark, TestSpark.sfDir)
+      .select(org.apache.spark.sql.functions.col("o_custkey"),
+        org.apache.spark.sql.functions.col("o_orderdate").cast("date").as("d"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate)).groupBy(_._1)
+    val dayOrd = Ordering.fromLessThan[java.time.LocalDate](_ isBefore _)
+    val lifetimes = byCust.values.map { os =>
+      val days = os.map(_._2)
+      java.time.temporal.ChronoUnit.DAYS.between(days.min(dayOrd),
+        days.max(dayOrd)) / 30
+    }.toSeq
+    val hist = lifetimes.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val exp = hist.zipWithIndex.map { case ((k, ended), i) =>
+      val atRisk = hist.drop(i).map(_._2).sum
+      (k.toInt, ended, atRisk, ended * 10000 / atRisk)
+    }
+    val got = streaming.Lifecycle.churnLifeTable(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == exp)
+  }
+
+  test("q203 Markov transitions == driver replay; probabilities are exact " +
+      "integer basis points") {
+    val trans = driverSessions().flatMap(sess =>
+      sess.map(_._3).sliding(2).collect { case Seq(a, b) => (a, b) })
+    val cnt = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rowTot = trans.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val colTot = trans.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tot = trans.size.toLong
+    val exp = cnt.toSeq.map { case ((a, b), c) =>
+      val p = c * 10000 / rowTot(a); val base = colTot(b) * 10000 / tot
+      (a, b, c, p, base, p - base)
+    }.sortBy { case (a, b, c, _, _, _) => (-c, a, b) }.take(25)
+      .zipWithIndex.map { case ((a, b, c, p, bs, d), i) => (a, b, c, p, bs, d, i + 1) }
+    val got = streaming.Lifecycle.markovTransitions(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6)))
+    assert(got.toSeq == exp)
+  }
+
+  test("q212 peak concurrency == driver minute-coverage sweep") {
+    val minutes = driverSessions().flatMap { sess =>
+      val ms = sess.map(_._2.getTime / 60000L)
+      (ms.min to ms.max)
+    }
+    val conc = minutes.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fmtDay = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .withZone(java.time.ZoneOffset.UTC)
+    val fmtMin = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm")
+      .withZone(java.time.ZoneOffset.UTC)
+    val exp = conc.toSeq
+      .map { case (m, c) =>
+        (fmtDay.format(java.time.Instant.ofEpochMilli(m * 60000L)), m, c) }
+      .groupBy(_._1).view.mapValues(_.minBy { case (_, m, c) => (-c, m) })
+      .values.toSeq.sortBy(_._1)
+      .map { case (day, m, c) =>
+        (day, c, fmtMin.format(java.time.Instant.ofEpochMilli(m * 60000L))) }
+    val got = streaming.Lifecycle.sessionConcurrency(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == exp)
+  }
+}

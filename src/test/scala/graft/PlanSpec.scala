@@ -293,6 +293,32 @@ class PlanSpec extends AnyFunSuite {
     assert(aggExchanges <= 2, s"expected <=2 exchanges, got $aggExchanges\n$p")
   }
 
+  test("q202: the at-risk cumulative window runs over the lifetime " +
+      "histogram, never the orders scan") {
+    val p = plan("q202_churn_lifetable")
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window ["))
+    assert(winIdx >= 0, p)
+    assert(lines.drop(winIdx).exists(_.contains("HashAggregate")), p)
+  }
+
+  test("q203: sessionization + LEAD ride one user-keyed exchange; " +
+      "marginals broadcast onto the transition matrix") {
+    val p = plan("q203_markov_transitions")
+    val userExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges <= 1, s"expected <=1 user exchange, got $userExchanges\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q212: interval coverage is a map-side Generate into a minute " +
+      "aggregate — no interval self-join, no cross product") {
+    val p = plan("q212_session_concurrency")
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q198: tier assignment is map-side (no join before the token " +
       "aggregate); the cumulative window runs over the 4-row tier frame") {
     val p = plan("q198_vocab_growth")
