@@ -42,6 +42,7 @@ object Registry {
       etl.EtlQueries.qs ++
       etl.Constraints.qs ++
       etl.RecordLinkage.qs ++
+      etl.Pseudonymize.qs ++
       etl.FileGate.qs ++
       text.TextQueries.qs ++
       text.SkipGram.qs ++

@@ -115,8 +115,161 @@ object Audits {
       |FROM d, t
       |ORDER BY digit""".stripMargin
 
+  /** Snapshot statistics drift (q205): the event log split at its
+    * calendar midpoint into an early and a late half, per-event-type
+    * distribution statistics (volume, null-value rate, mean value)
+    * compared across halves — the ingestion-regression screen a
+    * warehouse runs when a producer deploy may have changed semantics
+    * (the distributional complement of q187's row-level contracts and
+    * q196's vocabulary χ²).
+    *
+    * Determinism: the split day is `min_day + (span div 2)` — exact
+    * integer day arithmetic off a 1-row broadcast; rates are integer
+    * basis points, means are floor-divided cents.
+    *
+    * Scale shape: ONE corpus scan + ONE event_type-keyed aggregate with
+    * conditional map-side partials (the half tag is a map-side
+    * comparison against the broadcast split day); output is
+    * |event types| rows. */
+  def snapshotDrift(s: SparkSession, dir: String,
+      meanTolC: Long = 500): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("ts").cast("date").as("d"), col("event_type"), col("value"))
+    val mid = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(expr("date_add(d0, cast(datediff(d1, d0) div 2 as int))")
+        .as("mid"))
+    def half(c: org.apache.spark.sql.Column) = Seq(
+      sum(when(c, 1L).otherwise(0L)),
+      sum(when(c && col("value").isNull, 1L).otherwise(0L)),
+      sum(when(c, coalesce(floor(col("value") * 100 + 0.5d).cast("long"),
+        lit(0L))).otherwise(0L)))
+    val Seq(na, nulla, suma) = half(col("d") <= col("mid"))
+    val Seq(nb, nullb, sumb) = half(col("d") > col("mid"))
+    ev.crossJoin(broadcast(mid))
+      .groupBy(col("event_type"))
+      .agg(na.as("n_a"), nulla.as("null_a"), suma.as("sum_a"),
+        nb.as("n_b"), nullb.as("null_b"), sumb.as("sum_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        expr("null_a * 10000 div n_a").as("null_bp_a"),
+        expr("null_b * 10000 div n_b").as("null_bp_b"),
+        expr("sum_a div nullif(n_a - null_a, 0)").as("mean_a_c"),
+        expr("sum_b div nullif(n_b - null_b, 0)").as("mean_b_c"))
+      .withColumn("mean_shift_c", col("mean_b_c") - col("mean_a_c"))
+      .withColumn("drifted",
+        (abs(col("mean_shift_c")) > meanTolC).cast("int"))
+      .orderBy(col("event_type"))
+  }
+
+  private def driftOracle(meanTolC: Long = 500): String =
+    s"""WITH ev AS (SELECT CAST(ts AS DATE) AS d, event_type, value FROM events),
+       |mid AS (SELECT MIN(d) + CAST((MAX(d) - MIN(d)) // 2 AS INT) AS mid
+       |        FROM ev),
+       |a AS (SELECT event_type,
+       |        CAST(SUM(CASE WHEN d <= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |        CAST(SUM(CASE WHEN d <= mid AND value IS NULL THEN 1 ELSE 0 END)
+       |             AS BIGINT) AS null_a,
+       |        CAST(SUM(CASE WHEN d <= mid THEN COALESCE(
+       |               CAST(floor(value * 100 + 0.5) AS BIGINT), 0)
+       |             ELSE 0 END) AS BIGINT) AS sum_a,
+       |        CAST(SUM(CASE WHEN d > mid THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |        CAST(SUM(CASE WHEN d > mid AND value IS NULL THEN 1 ELSE 0 END)
+       |             AS BIGINT) AS null_b,
+       |        CAST(SUM(CASE WHEN d > mid THEN COALESCE(
+       |               CAST(floor(value * 100 + 0.5) AS BIGINT), 0)
+       |             ELSE 0 END) AS BIGINT) AS sum_b
+       |      FROM ev, mid GROUP BY event_type)
+       |SELECT event_type, n_a, n_b,
+       |       CAST(null_a * 10000 // n_a AS BIGINT) AS null_bp_a,
+       |       CAST(null_b * 10000 // n_b AS BIGINT) AS null_bp_b,
+       |       CAST(sum_a // nullif(n_a - null_a, 0) AS BIGINT) AS mean_a_c,
+       |       CAST(sum_b // nullif(n_b - null_b, 0) AS BIGINT) AS mean_b_c,
+       |       CAST(sum_b // nullif(n_b - null_b, 0)
+       |            - sum_a // nullif(n_a - null_a, 0) AS BIGINT)
+       |         AS mean_shift_c,
+       |       CAST(CASE WHEN abs(sum_b // nullif(n_b - null_b, 0)
+       |                          - sum_a // nullif(n_a - null_a, 0)) > $meanTolC
+       |            THEN 1 ELSE 0 END AS INT) AS drifted
+       |FROM a
+       |ORDER BY event_type""".stripMargin
+
+  /** Winsorized robust statistics (q210): per event type, values clipped
+    * at the EXACT p5/p95 cent thresholds (from the integer histogram, the
+    * q168 percentile walk) and the mean recomputed on the clipped
+    * distribution — the outlier-robust location estimate a metrics
+    * pipeline reports next to the raw mean (their gap IS the outlier
+    * diagnostic).
+    *
+    * Determinism + scale: the value histogram is ONE corpus aggregate
+    * (value-range-bounded rows); cuts come from a cumulative walk over
+    * that histogram (partitioned window above the aggregate); the
+    * winsorized sum re-aggregates the HISTOGRAM (n·clip(vc) per row, all
+    * exact longs) with the cuts broadcast — the corpus is scanned once,
+    * everything downstream is histogram-sized. */
+  def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5d).cast("long").as("vc"))
+      .groupBy(col("event_type"), col("vc")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // consumers: percentile cuts + winsorized sum
+    val cum = h
+      .withColumn("cum", sum(col("n"))
+        .over(Window.partitionBy(col("event_type")).orderBy(col("vc"))))
+      .withColumn("tot", sum(col("n"))
+        .over(Window.partitionBy(col("event_type"))))
+    def pct(k: Int) =
+      min(when(col("cum") * 100 >= col("tot") * k, col("vc"))).as(s"p$k")
+    val cuts = cum.groupBy(col("event_type"))
+      .agg(max(col("tot")).as("n_events"), pct(5), pct(95))
+    h.join(broadcast(cuts), Seq("event_type"))
+      .select(col("event_type"), col("n_events"), col("p5"), col("p95"),
+        (col("n") * col("vc")).as("raw"),
+        (col("n") * greatest(least(col("vc"), col("p95")), col("p5"))).as("win"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_events")).as("n_events"), max(col("p5")).as("p5_c"),
+        max(col("p95")).as("p95_c"),
+        sum(col("raw")).as("raw_sum"), sum(col("win")).as("win_sum"))
+      .select(col("event_type"), col("n_events"), col("p5_c"), col("p95_c"),
+        expr("raw_sum div n_events").as("raw_mean_c"),
+        expr("win_sum div n_events").as("win_mean_c"))
+      .withColumn("shift_c", col("win_mean_c") - col("raw_mean_c"))
+      .orderBy(col("event_type"))
+  }
+
+  private val winsorizeOracle: String =
+    """WITH h AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+      |         COUNT(*) AS n
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |c AS (SELECT event_type, vc, n,
+      |             SUM(n) OVER (PARTITION BY event_type ORDER BY vc) AS cum,
+      |             SUM(n) OVER (PARTITION BY event_type) AS tot
+      |      FROM h),
+      |cuts AS (SELECT event_type, MAX(tot) AS n_events,
+      |                MIN(CASE WHEN cum * 100 >= tot * 5 THEN vc END) AS p5,
+      |                MIN(CASE WHEN cum * 100 >= tot * 95 THEN vc END) AS p95
+      |         FROM c GROUP BY event_type)
+      |SELECT h.event_type, CAST(MAX(cuts.n_events) AS BIGINT) AS n_events,
+      |       CAST(MAX(cuts.p5) AS BIGINT) AS p5_c,
+      |       CAST(MAX(cuts.p95) AS BIGINT) AS p95_c,
+      |       CAST(SUM(h.n * h.vc) // MAX(cuts.n_events) AS BIGINT)
+      |         AS raw_mean_c,
+      |       CAST(SUM(h.n * GREATEST(LEAST(h.vc, cuts.p95), cuts.p5))
+      |            // MAX(cuts.n_events) AS BIGINT) AS win_mean_c,
+      |       CAST(SUM(h.n * GREATEST(LEAST(h.vc, cuts.p95), cuts.p5))
+      |            // MAX(cuts.n_events)
+      |            - SUM(h.n * h.vc) // MAX(cuts.n_events) AS BIGINT) AS shift_c
+      |FROM h JOIN cuts ON h.event_type = cuts.event_type
+      |GROUP BY h.event_type
+      |ORDER BY h.event_type""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q204_sales_cube", (s, d) => salesCube(s, d), Some(cubeOracle)),
+    Q("q205_snapshot_drift", (s, d) => snapshotDrift(s, d),
+      Some(driftOracle())),
+    Q("q210_winsorized_stats", (s, d) => winsorizedStats(s, d),
+      Some(winsorizeOracle)),
     Q("q211_benford_audit", (s, d) => benfordAudit(s, d),
       Some(benfordOracle)))
 }

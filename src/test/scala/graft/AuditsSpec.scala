@@ -57,4 +57,79 @@ class AuditsSpec extends AnyFunSuite {
     }
     assert(got.map(_._2).sum == n, "every order carries exactly one digit")
   }
+
+  test("q205 snapshot drift == driver split recomputation") {
+    val evs = Tables.events(spark, TestSpark.sfDir)
+      .select("ts", "event_type", "value").collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate,
+        r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val ord = Ordering.fromLessThan[java.time.LocalDate](_ isBefore _)
+    val d0 = evs.map(_._1).min(ord); val d1 = evs.map(_._1).max(ord)
+    val mid = d0.plusDays(java.time.temporal.ChronoUnit.DAYS.between(d0, d1) / 2)
+    def cents(v: Double): Long = math.floor(v * 100 + 0.5).toLong
+    val exp = evs.groupBy(_._2).toSeq.sortBy(_._1).map { case (t, rs) =>
+      val (a, b) = rs.partition(r => !r._1.isAfter(mid))
+      val meanA = a.flatMap(_._3).map(cents).sum / a.count(_._3.isDefined)
+      val meanB = b.flatMap(_._3).map(cents).sum / b.count(_._3.isDefined)
+      (t, a.size.toLong, b.size.toLong,
+        a.count(_._3.isEmpty).toLong * 10000 / a.size,
+        b.count(_._3.isEmpty).toLong * 10000 / b.size,
+        meanA, meanB, meanB - meanA,
+        if (math.abs(meanB - meanA) > 500) 1 else 0)
+    }
+    val got = reports.Audits.snapshotDrift(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getInt(8)))
+    assert(got.toSeq == exp)
+  }
+
+  test("q210 winsorized stats == driver percentile clip; clipping never " +
+      "moves the mean outside the cut bounds") {
+    val vals = Tables.events(spark, TestSpark.sfDir)
+      .select("event_type", "value").collect()
+      .filter(!_.isNullAt(1)).map(r => (r.getString(0),
+        math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    val exp = vals.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val n = sorted.length.toLong
+      def cut(k: Int): Long = {
+        // smallest vc with cum*100 >= tot*k over the value histogram
+        val hist = sorted.groupBy(identity).view.mapValues(_.length.toLong)
+          .toSeq.sortBy(_._1)
+        var cum = 0L
+        hist.collectFirst {
+          case (vc, c) if { cum += c; cum * 100 >= n * k } => vc
+        }.get
+      }
+      val (p5, p95) = (cut(5), cut(95))
+      val win = sorted.map(v => math.max(math.min(v, p95), p5))
+      (t, n, p5, p95, sorted.sum / n, win.sum / n, win.sum / n - sorted.sum / n)
+    }
+    val got = reports.Audits.winsorizedStats(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == exp)
+    got.foreach { case (t, _, p5, p95, _, winMean, _) =>
+      assert(winMean >= p5 && winMean <= p95, s"$t winsorized mean outside cuts")
+    }
+  }
+
+  test("q206 pseudonymization: collision-free on this key space and " +
+      "referentially consistent (pseudonym join == key join)") {
+    val rows = etl.Pseudonymize.pseudonymizeAudit(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val orderCounts = Tables.orders(spark, TestSpark.sfDir)
+      .join(Tables.customer(spark, TestSpark.sfDir),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    rows.foreach { case (seg, nCust, nPseudo, nLinked) =>
+      assert(nCust == nPseudo, s"$seg: pseudonym collision")
+      assert(nLinked == orderCounts.getOrElse(seg, 0L),
+        s"$seg: pseudonym join lost or duplicated orders")
+    }
+  }
 }

@@ -319,6 +319,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q205: one event_type aggregate; the split day is a 1-row " +
+      "broadcast, not a per-row subquery") {
+    val p = plan("q205_snapshot_drift")
+    assert(!p.contains("SortMergeJoin"), p)
+    val typeExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(event_type"))
+    assert(typeExchanges <= 1, s"expected <=1 event_type exchange\n$p")
+  }
+
+  test("q206: pseudonym derivation adds no shuffle — the link join keys " +
+      "on the derived pseudonym like the original keyed join") {
+    val p = plan("q206_pseudonymize")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Expand"), "count_distinct Expand leaked in\n" + p)
+  }
+
+  test("q210: cuts come from event_type-partitioned windows over the " +
+      "CHECKPOINTED histogram and broadcast back; no parquet rescan") {
+    val p = plan("q210_winsorized_stats")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // both windows partition by event_type — never corpus-wide
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach(l =>
+      assert(l.contains("windowspecdefinition(event_type"), l))
+    // the window input is the checkpointed histogram, not a fresh scan
+    assert(!p.contains("FileScan parquet"),
+      "winsorize re-scanned parquet instead of the checkpointed histogram\n" + p)
+  }
+
   test("q198: tier assignment is map-side (no join before the token " +
       "aggregate); the cumulative window runs over the 4-row tier frame") {
     val p = plan("q198_vocab_growth")
