@@ -2314,9 +2314,19 @@ object TextQueries {
       .limit(50)
   }
 
-  private def bpeEncodeOracleSql(rounds: Int = 4): String = {
-    // the q141 training chain verbatim (top-100 vocab → b1..b4), then the
-    // SAME merges applied to the unrestricted vocabulary
+  private def bpeEncodeOracleSql(rounds: Int = 4): String =
+    s"""${bpeApplyCtes(rounds)}
+       |SELECT subword, CAST(SUM(freq) AS BIGINT) AS occurrences
+       |FROM (SELECT freq, unnest(string_split(rep, ' ')) AS subword FROM ap$rounds)
+       |GROUP BY subword
+       |ORDER BY occurrences DESC, subword
+       |LIMIT 50""".stripMargin
+
+  /** The q141 training chain (top-100 vocab → b1..bN) plus the merges
+    * applied to the unrestricted vocabulary — the WITH prefix ending at
+    * `ap$rounds` (word, freq, rep). Shared by the q142 encode oracle and
+    * the q209 fertility oracle. */
+  private def bpeApplyCtes(rounds: Int): String = {
     def fused(b: String, inner: String) =
       s"""replace(' ' || $inner || ' ',
          |        ' ' || (SELECT l FROM $b) || ' ' || (SELECT r FROM $b) || ' ',
@@ -2358,13 +2368,172 @@ object TextQueries {
        |  SELECT word, freq,
        |         trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS rep
        |  FROM vocab_all),
-       |$applySql
-       |SELECT subword, CAST(SUM(freq) AS BIGINT) AS occurrences
-       |FROM (SELECT freq, unnest(string_split(rep, ' ')) AS subword FROM ap$rounds)
-       |GROUP BY subword
-       |ORDER BY occurrences DESC, subword
-       |LIMIT 50""".stripMargin
+       |$applySql""".stripMargin
   }
+
+  /** Per-source document caps (q207) — the Common-Crawl-style per-domain
+    * cap (keep at most `cap` documents per source, chosen by the
+    * deterministic (md5(doc_id), doc_id) order every sampled subset in
+    * this suite uses) with full before/after token accounting, so the
+    * mixing report shows exactly what the cap cost each source.
+    *
+    * Scale shape — no per-source sort: the cap-th order key per source
+    * comes from the bounded-heap `TopKAgg` (map-side partial heaps carry
+    * ≤cap rows per task×source; a window row_number would SORT every
+    * source's full partition). Thresholds broadcast back; keep/drop is a
+    * map-side struct comparison and ONE source-keyed aggregate builds
+    * the report. Sources below the cap keep everything (their threshold
+    * is their max key). */
+  def sourceCaps(s: SparkSession, dir: String, cap: Int = 15): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("mk"))
+      .localCheckpoint(true) // consumers: threshold heap + keep rollup
+    val th = docs
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("mk"), col("doc_id")), cap).as("tk"))
+      .select(col("source"),
+        element_at(col("tk"), least(lit(cap), size(col("tk")))).as("th"))
+    docs.join(broadcast(th), Seq("source"))
+      .withColumn("kept",
+        when(struct(col("mk"), col("doc_id")) <= col("th"), 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(col("kept") * col("n_tokens")).as("tokens_kept"))
+      .withColumn("kept_bp", expr("n_kept * 10000 div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  private def sourceCapsOracle(cap: Int = 15): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         CASE WHEN length($norm) = 0 THEN 0
+       |              ELSE CAST(len($toksSql) AS BIGINT) END AS n_tokens,
+       |         md5(CAST(doc_id AS VARCHAR)) AS mk
+       |  FROM documents),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |        ORDER BY mk, doc_id) AS rk FROM d)
+       |SELECT source, n_docs, n_kept, tokens_total, tokens_kept,
+       |       CAST(n_kept * 10000 // n_docs AS BIGINT) AS kept_bp
+       |FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |             CAST(SUM(CASE WHEN rk <= $cap THEN 1 ELSE 0 END) AS BIGINT)
+       |               AS n_kept,
+       |             CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       |             CAST(SUM(CASE WHEN rk <= $cap THEN n_tokens ELSE 0 END)
+       |                  AS BIGINT) AS tokens_kept
+       |      FROM r GROUP BY source) t
+       |ORDER BY source""".stripMargin
+
+  /** Flesch–Kincaid readability histogram (q208): grade level per doc in
+    * integer CENTI-GRADES — `39·W div S + 1180·Sy div W − 1559`, the
+    * 0.39/11.8/15.59 formula with each ratio floor-divided (documented
+    * quantization; both terms are non-negative so Spark `div` == DuckDB
+    * `//`) — bucketed to whole grades. Words = whitespace tokens of the
+    * normalized text; sentences = `[.!?]+` runs (min 1); syllables =
+    * `[aeiouy]+` vowel runs (the standard heuristic; identical regex
+    * semantics in Java and RE2).
+    *
+    * Scale shape: map-only signal extraction (three codegen'd
+    * regexp passes) + one grade-bucket-bounded aggregate. The bucket key
+    * shifts by +100 grades before the floor division because grade_c can
+    * be slightly negative and truncating vs flooring division diverge on
+    * negatives. */
+  def readabilityHistogram(s: SparkSession, dir: String): DataFrame = {
+    val normText = TextFunctions.normalize(col("text"))
+    val sig = Tables.documents(s, dir)
+      .select(
+        size(TextFunctions.tokens(col("text"))).cast("long").as("w"),
+        greatest(lit(1L),
+          size(regexp_extract_all(normText, lit("[.!?]+"), lit(0)))
+            .cast("long")).as("snt"),
+        size(regexp_extract_all(normText, lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("syl"))
+      .filter(col("w") > 0)
+      .select(col("w"), col("snt"), col("syl"),
+        (expr("39 * w div snt") + expr("1180 * syl div w") - lit(1559L))
+          .as("grade_c"))
+    sig
+      .withColumn("grade_bucket",
+        (expr("(grade_c + 10000) div 100") - lit(100L)).cast("int"))
+      .groupBy(col("grade_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+        sum(col("syl")).as("syllables"))
+      .orderBy(col("grade_bucket"))
+  }
+
+  private val readabilityOracle: String =
+    s"""WITH sig AS (
+       |  SELECT CAST(len($toksSql) AS BIGINT) AS w,
+       |         GREATEST(1, CAST(len(regexp_extract_all($norm, '[.!?]+'))
+       |           AS BIGINT)) AS snt,
+       |         CAST(len(regexp_extract_all($norm, '[aeiouy]+')) AS BIGINT)
+       |           AS syl
+       |  FROM documents WHERE length($norm) > 0),
+       |g AS (SELECT w, snt, syl,
+       |             39 * w // snt + 1180 * syl // w - 1559 AS grade_c
+       |      FROM sig)
+       |SELECT CAST((grade_c + 10000) // 100 - 100 AS INT) AS grade_bucket,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(w) AS BIGINT) AS words,
+       |       CAST(SUM(syl) AS BIGINT) AS syllables
+       |FROM g
+       |GROUP BY 1
+       |ORDER BY grade_bucket""".stripMargin
+
+  /** Tokenizer fertility per language (q209): subword tokens per word and
+    * characters per subword, in integer basis points, for the q141-trained
+    * BPE applied to the full corpus vocabulary — the tokenizer-equity
+    * audit multilingual pipelines run before fixing a vocabulary (high
+    * fertility = the language pays more sequence length per word).
+    *
+    * Scale shape: per-(lang, word) counts are ONE corpus aggregate; the
+    * corpus-wide vocabulary derives from THAT frame (no second scan); the
+    * encoded vocabulary (word → subword count) is vocabulary-sized and
+    * BROADCASTS onto the per-language counts. Training cost is the q141
+    * block (driver picks one merge per round from a 1-row aggregate). */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val tokLang = Tables.documents(s, dir)
+      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // consumers: corpus vocabulary + lang rollup
+    val vocabAll = tokLang.groupBy(col("word")).agg(sum(col("cnt")).as("freq"))
+    val (merges, _) = Bpe.train(
+      vocabTopK(s, dir, 100).withColumnRenamed("token", "word"), rounds = 4)
+    val enc = Bpe.encode(vocabAll, merges)
+      .select(col("word"), size(split(col("rep"), " ")).cast("long").as("n_sub"),
+        length(col("word")).cast("long").as("n_chr"))
+    tokLang.join(broadcast(enc), Seq("word"))
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_sub")).as("n_subwords"),
+        sum(col("cnt") * col("n_chr")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_subwords"),
+        expr("n_subwords * 10000 div n_words").as("fertility_bp"),
+        expr("n_chars * 10000 div n_subwords").as("chars_per_subword_bp"))
+      .orderBy(col("lang"))
+  }
+
+  private def fertilityOracleSql(rounds: Int = 4): String =
+    s"""${bpeApplyCtes(rounds)},
+       |tl AS (SELECT lang, tok AS word, COUNT(*) AS cnt
+       |       FROM (SELECT lang, unnest($toksSql) AS tok FROM documents
+       |             WHERE length($norm) > 0)
+       |       GROUP BY 1, 2),
+       |enc AS (SELECT word, CAST(len(string_split(rep, ' ')) AS BIGINT)
+       |          AS n_sub, CAST(length(word) AS BIGINT) AS n_chr
+       |        FROM ap$rounds)
+       |SELECT lang, n_words, n_subwords,
+       |       CAST(n_subwords * 10000 // n_words AS BIGINT) AS fertility_bp,
+       |       CAST(n_chars * 10000 // n_subwords AS BIGINT)
+       |         AS chars_per_subword_bp
+       |FROM (SELECT tl.lang, CAST(SUM(tl.cnt) AS BIGINT) AS n_words,
+       |             CAST(SUM(tl.cnt * enc.n_sub) AS BIGINT) AS n_subwords,
+       |             CAST(SUM(tl.cnt * enc.n_chr) AS BIGINT) AS n_chars
+       |      FROM tl JOIN enc ON tl.word = enc.word GROUP BY 1) t
+       |ORDER BY lang""".stripMargin
 
   /** The q109 curation CTE stack (base signals, repetition measures,
     * contamination, exact-dedup keepers, per-doc flags) — shared by the
@@ -2722,6 +2891,12 @@ object TextQueries {
          |GROUP BY s.source
          |ORDER BY s.source""".stripMargin)),
     Q("q142_bpe_encode", (s, d) => bpeEncode(s, d), Some(bpeEncodeOracleSql())),
+    Q("q207_source_caps", (s, d) => sourceCaps(s, d),
+      Some(sourceCapsOracle())),
+    Q("q208_readability", (s, d) => readabilityHistogram(s, d),
+      Some(readabilityOracle)),
+    Q("q209_tokenizer_fertility", (s, d) => tokenizerFertility(s, d),
+      Some(fertilityOracleSql())),
     Q("q141_bpe_train", (s, d) => bpeTrain(s, d), Some(bpeOracleSql())),
     Q("q139_quality_gate", (s, d) => qualityGate(s, d), Some(
       s"""WITH scored AS (

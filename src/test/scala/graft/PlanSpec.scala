@@ -347,6 +347,29 @@ class PlanSpec extends AnyFunSuite {
       "winsorize re-scanned parquet instead of the checkpointed histogram\n" + p)
   }
 
+  test("q207: cap thresholds come from a bounded-heap aggregate and " +
+      "broadcast back — no per-source sort window") {
+    val p = plan("q207_source_caps")
+    assert(!p.contains("Window"), "per-source row_number sort leaked in\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ObjectHashAggregate"), "TopKAgg heap missing\n" + p)
+  }
+
+  test("q208: readability is map-only signals + one bucket aggregate — " +
+      "no joins") {
+    val p = plan("q208_readability")
+    assert(!p.contains("Join"), p)
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"expected <=2 exchanges\n$p")
+  }
+
+  test("q209: the encoded vocabulary broadcasts onto the per-language " +
+      "counts") {
+    val p = plan("q209_tokenizer_fertility")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q198: tier assignment is map-side (no join before the token " +
       "aggregate); the cumulative window runs over the 4-row tier frame") {
     val p = plan("q198_vocab_growth")
