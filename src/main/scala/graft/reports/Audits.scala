@@ -264,8 +264,159 @@ object Audits {
       |GROUP BY h.event_type
       |ORDER BY h.event_type""".stripMargin
 
+  /** Join-key skew audit (q213): the per-key frequency profile of a
+    * join/aggregation key (here `l_partkey`) — the diagnostic a pipeline
+    * runs BEFORE picking a salting factor or trusting AQE's skew-join
+    * split (operators/Scale.scala holds the remediation; this is the
+    * detection). Reports the top-k hottest keys with their corpus share,
+    * their ratio to the mean key frequency, and the ceil(freq/mean)
+    * salt factor that would level them.
+    *
+    * Determinism + scale: ONE key aggregate with map-side partials
+    * builds the frequency table; totals are a 1-row broadcast; top-k is
+    * sort+limit (TakeOrderedAndProject). All ratios are exact integer
+    * basis points; `freq·n_keys` stays below 2⁶³ through ~10⁹ keys ×
+    * 10⁹-row hot keys — beyond that, pre-divide the mean (audit
+    * precision, not correctness, is at stake). */
+  def skewAudit(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("freq"))
+    val tots = freq.agg(count(lit(1)).as("n_keys"), sum(col("freq")).as("total"))
+    freq.orderBy(col("freq").desc, col("l_partkey")).limit(k)
+      .crossJoin(broadcast(tots))
+      .select(col("l_partkey").as("key"), col("freq"),
+        expr("freq * 10000 div total").as("share_bp"),
+        expr("freq * n_keys * 10000 div total").as("vs_mean_bp"),
+        expr("(freq * n_keys + total - 1) div total").as("salt_factor"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("freq").desc, col("key"))))
+      .orderBy(col("rn"))
+  }
+
+  private def skewOracle(k: Int = 10): String =
+    s"""WITH f AS (SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS freq
+       |           FROM lineitem GROUP BY 1),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |             CAST(SUM(freq) AS BIGINT) AS total FROM f)
+       |SELECT key, freq,
+       |       CAST(freq * 10000 // total AS BIGINT) AS share_bp,
+       |       CAST(freq * n_keys * 10000 // total AS BIGINT) AS vs_mean_bp,
+       |       CAST((freq * n_keys + total - 1) // total AS BIGINT)
+       |         AS salt_factor,
+       |       rn
+       |FROM (SELECT f.*, t.*,
+       |             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, key) AS INT)
+       |               AS rn
+       |      FROM f, t) x
+       |WHERE rn <= $k
+       |ORDER BY rn""".stripMargin
+
+  /** Monthly seasonality index (q214): revenue per calendar month next to
+    * its trailing-12-month window, the seasonal index in integer basis
+    * points (`rev·win_n·10⁴ div win_sum` — the exact-rational form of
+    * rev/trailing-mean, correct also in the <12-month ramp-up where
+    * win_n < 12).
+    *
+    * Scale shape: the corpus reduces to the MONTH histogram in one
+    * exact-cents aggregate (calendar-bounded rows at any corpus size);
+    * the trailing window runs over that histogram — the q08/q200
+    * intentionally-unpartitioned post-aggregation frame, plan-asserted
+    * above the aggregate. */
+  def seasonalityIndex(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.orders(s, dir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        floor(col("o_totalprice") * 100 + 0.5d).cast("long").as("c"))
+      .groupBy(col("month"))
+      .agg(sum(col("c")).as("rev_c"), count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("month")).rowsBetween(-11, 0)
+    m.withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("win_sum_c", sum(col("rev_c")).over(w))
+      .select(col("month"), col("n_orders"),
+        (col("rev_c").cast("double") / 100).as("revenue"),
+        col("win_n"),
+        expr("rev_c * win_n * 10000 div win_sum_c").as("index_bp"))
+      .orderBy(col("month"))
+  }
+
+  private val seasonalityOracle: String =
+    """WITH m AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS rev_c,
+      |         CAST(COUNT(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT month, n_orders,
+      |       CAST(rev_c AS DOUBLE) / 100 AS revenue,
+      |       CAST(COUNT(*) OVER w AS BIGINT) AS win_n,
+      |       CAST(rev_c * (COUNT(*) OVER w) * 10000 // (SUM(rev_c) OVER w)
+      |            AS BIGINT) AS index_bp
+      |FROM m
+      |WINDOW w AS (ORDER BY month ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+      |ORDER BY month""".stripMargin
+
+  /** Contingency independence audit (q215): the (market segment × order
+    * status) cross-tab with expected-under-independence counts
+    * (`row·col div N`, floor) and per-cell deviation in basis points —
+    * the χ²-style independence screen (q196's homogeneity twin over
+    * categorical sales dimensions) without squares, so every quantity
+    * stays an exact long (`row·col` < 2⁶³ through ~3·10⁹-row marginals;
+    * past that, quantize marginals to shares first).
+    *
+    * Scale shape: one broadcast dim join + one cell aggregate; marginals
+    * re-aggregate the |seg|×|status| CELL table (not the corpus) and
+    * broadcast back. */
+  def contingencyAudit(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderstatus"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val cell = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("o_orderstatus").as("stat"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // consumers: both marginals + the total + output
+    val rTot = cell.groupBy(col("seg")).agg(sum(col("n")).as("r"))
+    val cTot = cell.groupBy(col("stat")).agg(sum(col("n")).as("c"))
+    val tot = cell.agg(sum(col("n")).as("total"))
+    cell.join(broadcast(rTot), Seq("seg"))
+      .join(broadcast(cTot), Seq("stat"))
+      .crossJoin(broadcast(tot))
+      .select(col("seg"), col("stat"), col("n"),
+        expr("r * c div total").as("exp_n"))
+      .withColumn("dev", col("n") - col("exp_n"))
+      // sign · (|dev|·10⁴ div e): Spark `div` truncates, DuckDB `//`
+      // floors — they agree only on non-negative operands, so the
+      // division runs on |dev| and the sign re-applies after
+      .withColumn("dev_bp",
+        signum(col("dev")).cast("long") * expr("abs(n - exp_n) * 10000 div exp_n"))
+      .orderBy(col("seg"), col("stat"))
+  }
+
+  private val contingencyOracle: String =
+    """WITH cell AS (
+      |  SELECT c_mktsegment AS seg, o_orderstatus AS stat,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |r AS (SELECT seg, SUM(n) AS r FROM cell GROUP BY 1),
+      |ct AS (SELECT stat, SUM(n) AS c FROM cell GROUP BY 1),
+      |t AS (SELECT SUM(n) AS total FROM cell)
+      |SELECT cell.seg, cell.stat, cell.n,
+      |       CAST(r.r * ct.c // t.total AS BIGINT) AS exp_n,
+      |       CAST(cell.n - r.r * ct.c // t.total AS BIGINT) AS dev,
+      |       CAST(sign(cell.n - r.r * ct.c // t.total)
+      |            * (abs(cell.n - r.r * ct.c // t.total) * 10000
+      |               // (r.r * ct.c // t.total)) AS BIGINT) AS dev_bp
+      |FROM cell JOIN r ON cell.seg = r.seg
+      |          JOIN ct ON cell.stat = ct.stat, t
+      |ORDER BY cell.seg, cell.stat""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q204_sales_cube", (s, d) => salesCube(s, d), Some(cubeOracle)),
+    Q("q213_skew_audit", (s, d) => skewAudit(s, d), Some(skewOracle())),
+    Q("q214_seasonality", (s, d) => seasonalityIndex(s, d),
+      Some(seasonalityOracle)),
+    Q("q215_contingency", (s, d) => contingencyAudit(s, d),
+      Some(contingencyOracle)),
     Q("q205_snapshot_drift", (s, d) => snapshotDrift(s, d),
       Some(driftOracle())),
     Q("q210_winsorized_stats", (s, d) => winsorizedStats(s, d),

@@ -981,7 +981,85 @@ object SimilarityQueries {
        |FROM pm JOIN hits USING (query_id, qlabel)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Embedding-centroid drift (q216): the corpus split into two halves
+    * by the md5 parity of vec_id (a deterministic 50/50 split — a SPLIT,
+    * not a sample, so both halves scale linearly), per-label centroids
+    * computed independently in each half, and the cosine between the two
+    * half-centroids per label — the embedding-monitoring probe a feature
+    * store runs between model versions or ingestion windows (cos ≪ 1 =
+    * the label's representation moved).
+    *
+    * Determinism: elements quantize to micro-units before any sum (the
+    * q137 rule); per-dim centroid MEANS are floor-divided exact longs
+    * (~10⁶ scale), so the dot/norm sums are exact longs too (10¹² per
+    * term × dims ≪ 2⁶³) and the single final cosine division runs on
+    * identical integers in both engines — no float-summation-order
+    * anywhere.
+    *
+    * Scale shape: ONE posexplode pass + one (label, half, dim) aggregate
+    * with map-side partials (output is labels × 2 × dims rows — tiny);
+    * the half-join is a self-join of that TINY frame. The corpus is
+    * touched once. */
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val q = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        (substring(md5(col("vec_id").cast("string")), 32, 1)
+          .isin("0", "2", "4", "6", "8", "a", "c", "e")).cast("int").as("half"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("half"), col("dim"),
+        floor(col("x").cast("double") * 1000000 + 0.5d).cast("long").as("xq"))
+      .groupBy(col("label"), col("half"), col("dim"))
+      .agg(sum(col("xq")).as("sq"), count(lit(1)).as("n"))
+      // sign · (|sum| div n): embedding sums can be negative and Spark
+      // `div` truncates while DuckDB `//` floors — agree on |sum| only
+      .select(col("label"), col("half"), col("dim"),
+        (signum(col("sq")).cast("long") * expr("abs(sq) div n")).as("m"),
+        col("n"))
+    val a = q.filter(col("half") === 1)
+      .select(col("label"), col("dim"), col("m").as("ma"), col("n").as("na"))
+    val b = q.filter(col("half") === 0)
+      .select(col("label"), col("dim"), col("m").as("mb"), col("n").as("nb"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        sum(col("ma") * col("mb")).as("dot"),
+        sum(col("ma") * col("ma")).as("nrm_a"),
+        sum(col("mb") * col("mb")).as("nrm_b"))
+      .select(col("label"), col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))),
+          4).as("cos_4dp"))
+      .orderBy(col("label"))
+  }
+
+  private val embeddingDriftOracle: String =
+    """WITH q AS (
+      |  SELECT label,
+      |         CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 32, 1)
+      |                IN ('0','2','4','6','8','a','c','e')
+      |              THEN 1 ELSE 0 END AS half,
+      |         generate_subscripts(embedding, 1) - 1 AS dim,
+      |         CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 1000000 + 0.5)
+      |              AS BIGINT) AS xq
+      |  FROM embeddings),
+      |c AS (SELECT label, half, dim,
+      |             CAST(sign(SUM(xq)) AS BIGINT)
+      |               * (abs(SUM(xq)) // COUNT(*)) AS m,
+      |             CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM q GROUP BY 1, 2, 3),
+      |j AS (SELECT a.label, a.dim, a.m AS ma, b.m AS mb, a.n AS na, b.n AS nb
+      |      FROM c a JOIN c b ON a.label = b.label AND a.dim = b.dim
+      |      WHERE a.half = 1 AND b.half = 0)
+      |SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b,
+      |       round(CAST(SUM(ma * mb) AS DOUBLE) /
+      |             (sqrt(CAST(SUM(ma * ma) AS DOUBLE)) *
+      |              sqrt(CAST(SUM(mb * mb) AS DOUBLE))), 4) AS cos_4dp
+      |FROM j GROUP BY label
+      |ORDER BY label""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q216_embedding_drift", (s, d) => embeddingDrift(s, d),
+      Some(embeddingDriftOracle)),
     Q("q195_knn_label_eval", (s, d) => knnLabelEval(s, d),
       Some(knnLabelEvalOracle())),
     Q("q184_mmr_rerank", (s, d) => mmrRerank(s, d), Some(mmrOracle())),

@@ -265,4 +265,44 @@ class AnnSpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(4) <= 3))          // k
     assert(rows.forall(_.getDouble(3) >= 0.05))    // minCos
   }
+
+  test("q216 embedding drift == driver centroid recomputation; " +
+      "same-distribution halves stay near cos 1") {
+    val vecs = Tables.embeddings(spark, TestSpark.sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def q(x: Double): Long = math.floor(x * 1000000 + 0.5).toLong
+    val exp = vecs.groupBy(_._2).toSeq.sortBy(_._1).map { case (label, rs) =>
+      val (ha, hb) = rs.partition(v =>
+        "02468ace".contains(md5hex(v._1.toString).last))
+      def centroid(g: Array[(Long, Int, Array[Double])]): Array[Long] = {
+        val dims = g.head._3.length
+        Array.tabulate(dims) { d =>
+          val sum = g.map(v => q(v._3(d))).sum
+          java.lang.Long.signum(sum).toLong * (math.abs(sum) / g.length)
+        }
+      }
+      val (ca, cb) = (centroid(ha.toArray), centroid(hb.toArray))
+      val dot = ca.zip(cb).map { case (x, y) => x * y }.sum
+      val na = ca.map(x => x * x).sum; val nb = cb.map(x => x * x).sum
+      val cos = BigDecimal(dot.toDouble / (math.sqrt(na.toDouble) *
+        math.sqrt(nb.toDouble)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (label, ha.size.toLong, hb.size.toLong, cos)
+    }
+    val got = graft.similarity.SimilarityQueries
+      .embeddingDrift(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == exp)
+    // label centroids in this generator sit near the origin, so the
+    // half-cosine is a noise reading — bound it, don't assume no-drift
+    got.foreach { case (label, _, _, cos) =>
+      assert(cos >= -1.0001 && cos <= 1.0001, s"label $label cos out of range")
+    }
+  }
 }

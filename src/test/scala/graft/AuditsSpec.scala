@@ -115,6 +115,72 @@ class AuditsSpec extends AnyFunSuite {
     }
   }
 
+  test("q213 skew audit == driver frequency profile; salt factor is " +
+      "ceil(freq/mean)") {
+    val freqs = Tables.lineitem(spark, TestSpark.sfDir)
+      .groupBy("l_partkey").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nKeys = freqs.length.toLong
+    val total = freqs.map(_._2).sum
+    val exp = freqs.sortBy { case (k, f) => (-f, k) }.take(10)
+      .zipWithIndex.map { case ((k, f), i) =>
+        (k, f, f * 10000 / total, f * nKeys * 10000 / total,
+          (f * nKeys + total - 1) / total, i + 1)
+      }
+    val got = reports.Audits.skewAudit(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5)))
+    assert(got.toSeq == exp.toSeq)
+    got.foreach { case (_, f, _, _, salt, _) =>
+      assert(salt >= 1 && salt <= f, "salt factor out of range")
+    }
+  }
+
+  test("q214 seasonality == driver trailing-window recomputation") {
+    val months = Tables.orders(spark, TestSpark.sfDir)
+      .select(org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("o_orderdate"), "yyyy-MM").as("m"),
+        org.apache.spark.sql.functions.col("o_totalprice"))
+      .collect().map(r => (r.getString(0),
+        math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    val hist = months.groupBy(_._1).view
+      .mapValues(rs => (rs.map(_._2).sum, rs.size.toLong))
+      .toSeq.sortBy(_._1)
+    val exp = hist.zipWithIndex.map { case ((m, (revC, n)), i) =>
+      val win = hist.slice(math.max(0, i - 11), i + 1)
+      val winN = win.size.toLong
+      val winSum = win.map(_._2._1).sum
+      (m, n, revC.toDouble / 100, winN, revC * winN * 10000 / winSum)
+    }
+    val got = reports.Audits.seasonalityIndex(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp)
+  }
+
+  test("q215 contingency == driver recomputation; deviations sum to ~0 " +
+      "per row margin") {
+    val rows = Tables.orders(spark, TestSpark.sfDir)
+      .join(Tables.customer(spark, TestSpark.sfDir),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .select("c_mktsegment", "o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cell = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rTot = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cTot = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val total = rows.length.toLong
+    val exp = cell.toSeq.sortBy(_._1).map { case ((seg, stat), n) =>
+      val e = rTot(seg) * cTot(stat) / total
+      val dev = n - e
+      (seg, stat, n, e, dev, math.signum(dev) * (math.abs(dev) * 10000 / e))
+    }
+    val got = reports.Audits.contingencyAudit(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == exp)
+  }
+
   test("q206 pseudonymization: collision-free on this key space and " +
       "referentially consistent (pseudonym join == key join)") {
     val rows = etl.Pseudonymize.pseudonymizeAudit(spark, TestSpark.sfDir)

@@ -370,6 +370,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q213: one key aggregate; top-k is TakeOrderedAndProject, totals " +
+      "a 1-row broadcast") {
+    val p = plan("q213_skew_audit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q214: the trailing window runs over the month histogram (above " +
+      "an aggregate), never the orders scan") {
+    val p = plan("q214_seasonality")
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window ["))
+    assert(winIdx >= 0, p)
+    assert(lines.drop(winIdx).exists(_.contains("HashAggregate")), p)
+  }
+
+  test("q215: marginals re-aggregate the checkpointed cell table and " +
+      "broadcast back — the corpus joins once") {
+    val p = plan("q215_contingency")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("FileScan parquet"),
+      "marginals re-scanned parquet instead of the checkpointed cells\n" + p)
+  }
+
+  test("q216: one corpus posexplode pass into the (label, half, dim) " +
+      "aggregate; the half join runs on the tiny centroid frame") {
+    val p = plan("q216_embedding_drift")
+    assert(!p.contains("CartesianProduct"), p)
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("embeddings.parquet"))
+    assert(scans <= 2, s"expected <=2 embedding scans, got $scans\n$p")
+  }
+
   test("q198: tier assignment is map-side (no join before the token " +
       "aggregate); the cumulative window runs over the 4-row tier frame") {
     val p = plan("q198_vocab_growth")
