@@ -417,7 +417,144 @@ object Audits {
       |          JOIN ct ON cell.stat = ct.stat, t
       |ORDER BY cell.seg, cell.stat""".stripMargin
 
+  /** Fulfillment-SLA percentiles (q217): order→ship latency in days per
+    * order priority, exact p50/p95/p99 from the integer day histogram —
+    * the operational-latency report (TPC-H's shipdate vs orderdate as an
+    * SLA surface).
+    *
+    * Scale shape: ONE fact-fact equi-join on the order key (both sides
+    * large → shuffled SMJ, the correct degradation; the join key is the
+    * natural co-partitioning key, so bucketed tables would join
+    * shuffle-free) reduces immediately to the (priority × days)
+    * histogram — calendar-span-bounded rows — and the q168 percentile
+    * walk runs over that. */
+  def slaPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("days"))
+      .groupBy(col("priority"), col("days")).agg(count(lit(1)).as("n"))
+    val cum = h
+      .withColumn("cum", sum(col("n"))
+        .over(Window.partitionBy(col("priority")).orderBy(col("days"))))
+      .withColumn("tot", sum(col("n"))
+        .over(Window.partitionBy(col("priority"))))
+    def pct(k: Int) =
+      min(when(col("cum") * 100 >= col("tot") * k, col("days"))).as(s"p$k")
+    cum.groupBy(col("priority"))
+      .agg(max(col("tot")).as("n_lines"), pct(50), pct(95), pct(99))
+      .select(col("priority"), col("n_lines"), col("p50").as("p50_days"),
+        col("p95").as("p95_days"), col("p99").as("p99_days"))
+      .orderBy(col("priority"))
+  }
+
+  private val slaOracle: String =
+    """WITH h AS (
+      |  SELECT o.o_orderpriority AS priority,
+      |         date_diff('day', CAST(o.o_orderdate AS DATE),
+      |                   CAST(l.l_shipdate AS DATE)) AS days,
+      |         COUNT(*) AS n
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1, 2),
+      |c AS (SELECT priority, days,
+      |             SUM(n) OVER (PARTITION BY priority ORDER BY days) AS cum,
+      |             SUM(n) OVER (PARTITION BY priority) AS tot
+      |      FROM h)
+      |SELECT priority, CAST(MAX(tot) AS BIGINT) AS n_lines,
+      |       CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN days END) AS BIGINT)
+      |         AS p50_days,
+      |       CAST(MIN(CASE WHEN cum * 100 >= tot * 95 THEN days END) AS BIGINT)
+      |         AS p95_days,
+      |       CAST(MIN(CASE WHEN cum * 100 >= tot * 99 THEN days END) AS BIGINT)
+      |         AS p99_days
+      |FROM c GROUP BY priority
+      |ORDER BY priority""".stripMargin
+
+  /** Revenue-concentration audit (q219): the Lorenz curve sampled at the
+    * ten customer-decile boundaries plus the exact Gini coefficient of
+    * per-customer spend — the whale-dependence metric a revenue team
+    * tracks (how much of revenue the bottom k/10 of customers carry).
+    *
+    * Determinism + scale: spend quantizes per customer to WHOLE DOLLARS
+    * (documented coarsening) so the spend histogram is value-range-
+    * bounded, never customer-count-sized; the cumulative walk and the
+    * decile picks run over that histogram (the one unpartitioned window
+    * input — plan-asserted above an aggregate). Gini comes from the
+    * closed form over value runs: a run of c customers at value v after
+    * `cum₋` predecessors contributes v·(c·cum₋ + c(c+1)/2) to the
+    * rank-weighted sum S, and G_bp = (2S − (n+1)T)·10⁴ div (n·T) — all
+    * exact longs (2S ≥ (n+1)T by sortedness, so the floor division runs
+    * on non-negatives; overflow ceiling ~10⁹ customers × 10⁶-dollar
+    * spends, document-not-guard per the GramMoments rule). */
+  def revenueConcentration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5d).cast("long").as("c"))
+      .groupBy(col("o_custkey")).agg(sum(col("c")).as("spend_c"))
+      .select(expr("spend_c div 100").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("v"))
+    val cum = h
+      .withColumn("cumn", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cumv", sum(col("v") * col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("s_run",
+        col("v") * ((col("cnt") * (col("cumn") - col("cnt"))) +
+          expr("cnt * (cnt + 1) div 2")))
+    val tots = cum.agg(max(col("cumn")).as("n"), max(col("cumv")).as("t"),
+      sum(col("s_run")).as("s"))
+    val lorenz = (1 to 10).map(k =>
+      min(when(col("cumn") * 10 >= col("n") * k,
+        expr("cumv * 10000 div t"))).as(s"l$k"))
+    val row = cum.crossJoin(broadcast(tots))
+      .agg(lorenz.head, lorenz.tail: _*)
+      .crossJoin(broadcast(tots))
+      .withColumn("gini_bp",
+        expr("(2 * s - (n + 1) * t) * 10000 div (n * t)"))
+    row.select(
+      expr(s"stack(10, ${(1 to 10).map(k => s"$k, l$k").mkString(", ")})")
+        .as(Seq("decile", "cum_share_bp")),
+      col("n").as("n_customers"), col("gini_bp"))
+      .orderBy(col("decile"))
+  }
+
+  private val concentrationOracle: String =
+    """WITH sp AS (
+      |  SELECT o_custkey,
+      |         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) // 100 AS v
+      |  FROM orders GROUP BY 1),
+      |h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM sp GROUP BY 1),
+      |c AS (SELECT v, cnt,
+      |             SUM(cnt) OVER (ORDER BY v) AS cumn,
+      |             SUM(v * cnt) OVER (ORDER BY v) AS cumv
+      |      FROM h),
+      |c2 AS (SELECT *, v * (cnt * (cumn - cnt) + cnt * (cnt + 1) // 2)
+      |                AS s_run FROM c),
+      |t AS (SELECT MAX(cumn) AS n, MAX(cumv) AS t, SUM(s_run) AS s FROM c2),
+      |l AS (SELECT k.k AS decile,
+      |             MIN(CASE WHEN c2.cumn * 10 >= t.n * k.k
+      |                 THEN c2.cumv * 10000 // t.t END) AS cum_share_bp
+      |      FROM c2, t, (SELECT unnest(range(1, 11)) AS k) k
+      |      GROUP BY 1)
+      |SELECT CAST(l.decile AS INT) AS decile,
+      |       CAST(l.cum_share_bp AS BIGINT) AS cum_share_bp,
+      |       CAST(t.n AS BIGINT) AS n_customers,
+      |       CAST((2 * t.s - (t.n + 1) * t.t) * 10000 // (t.n * t.t)
+      |            AS BIGINT) AS gini_bp
+      |FROM l, t
+      |ORDER BY decile""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q217_sla_percentiles", (s, d) => slaPercentiles(s, d),
+      Some(slaOracle)),
+    Q("q219_revenue_concentration", (s, d) => revenueConcentration(s, d),
+      Some(concentrationOracle)),
     Q("q204_sales_cube", (s, d) => salesCube(s, d), Some(cubeOracle)),
     Q("q213_skew_audit", (s, d) => skewAudit(s, d), Some(skewOracle())),
     Q("q214_seasonality", (s, d) => seasonalityIndex(s, d),

@@ -206,7 +206,104 @@ object Lifecycle {
       |  ORDER BY conc DESC, m) = 1
       |ORDER BY day""".stripMargin
 
+  /** A/B experiment report (q218): users assigned to two arms by the md5
+    * parity of user_id (the deterministic hash assignment an
+    * experimentation platform uses — no RNG, stable across reruns and
+    * engines), conversion = the user ever fired a purchase event; the
+    * report carries both arms' exact counts, rates in basis points, and
+    * the two-proportion z² statistic with a 95% significance flag.
+    *
+    * Determinism: z² = d²·N / (n_a·n_b·c·(N−c)) with d = conv_a·n_b −
+    * conv_b·n_a — every factor an EXACT long (d < 2⁶³ through ~3·10⁹
+    * users per arm), combined in ONE double expression with the same
+    * tree in both engines, so the rounded statistic cannot drift. The
+    * degenerate no-conversion/all-conversion corpus short-circuits to
+    * z² = 0 (the statistic is undefined there; 0/0 NaN would be
+    * engine-unstable).
+    *
+    * Scale shape: ONE user-keyed aggregate reduces events to per-user
+    * conversion flags (map-side partial max); arm assignment is a
+    * map-side md5; everything after runs on the 2-row arm table. */
+  def abTestReport(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select(col("conv"),
+        substring(md5(col("user_id").cast("string")), 32, 1)
+          .isin("0", "2", "4", "6", "8", "a", "c", "e").cast("int").as("arm"))
+    val zExpr =
+      """CASE WHEN conv_a + conv_b = 0
+        |       OR conv_a + conv_b = n_a + n_b THEN 0.0
+        |     ELSE round(
+        |       cast(conv_a * n_b - conv_b * n_a as double)
+        |       * cast(conv_a * n_b - conv_b * n_a as double)
+        |       * cast(n_a + n_b as double)
+        |       / (cast(n_a as double) * cast(n_b as double)
+        |          * cast(conv_a + conv_b as double)
+        |          * cast(n_a + n_b - conv_a - conv_b as double)), 4)
+        |END""".stripMargin
+    users.groupBy(col("arm")).agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      .agg(sum(when(col("arm") === 1, col("n"))).as("n_a"),
+        sum(when(col("arm") === 1, col("c"))).as("conv_a"),
+        sum(when(col("arm") === 0, col("n"))).as("n_b"),
+        sum(when(col("arm") === 0, col("c"))).as("conv_b"))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        expr("conv_a * 10000 div n_a").as("rate_a_bp"),
+        expr("conv_b * 10000 div n_b").as("rate_b_bp"))
+      .withColumn("diff_bp", col("rate_a_bp") - col("rate_b_bp"))
+      .withColumn("z2_4dp", expr(zExpr))
+      .withColumn("significant", (col("z2_4dp") > 3.8416).cast("int"))
+  }
+
+  private val abTestOracle: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |           AS conv,
+      |         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 32, 1)
+      |                IN ('0','2','4','6','8','a','c','e')
+      |              THEN 1 ELSE 0 END AS arm
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |               AS n_a,
+      |             CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+      |               AS conv_a,
+      |             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |               AS n_b,
+      |             CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+      |               AS conv_b
+      |      FROM u)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |       CAST(conv_a * 10000 // n_a AS BIGINT) AS rate_a_bp,
+      |       CAST(conv_b * 10000 // n_b AS BIGINT) AS rate_b_bp,
+      |       CAST(conv_a * 10000 // n_a - conv_b * 10000 // n_b AS BIGINT)
+      |         AS diff_bp,
+      |       CASE WHEN conv_a + conv_b = 0
+      |              OR conv_a + conv_b = n_a + n_b THEN 0.0
+      |            ELSE round(
+      |              CAST(conv_a * n_b - conv_b * n_a AS DOUBLE)
+      |              * CAST(conv_a * n_b - conv_b * n_a AS DOUBLE)
+      |              * CAST(n_a + n_b AS DOUBLE)
+      |              / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      |                 * CAST(conv_a + conv_b AS DOUBLE)
+      |                 * CAST(n_a + n_b - conv_a - conv_b AS DOUBLE)), 4)
+      |       END AS z2_4dp,
+      |       CAST(CASE WHEN (CASE WHEN conv_a + conv_b = 0
+      |                        OR conv_a + conv_b = n_a + n_b THEN 0.0
+      |                       ELSE round(
+      |                         CAST(conv_a * n_b - conv_b * n_a AS DOUBLE)
+      |                         * CAST(conv_a * n_b - conv_b * n_a AS DOUBLE)
+      |                         * CAST(n_a + n_b AS DOUBLE)
+      |                         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      |                            * CAST(conv_a + conv_b AS DOUBLE)
+      |                            * CAST(n_a + n_b - conv_a - conv_b AS DOUBLE)),
+      |                         4)
+      |                  END) > 3.8416 THEN 1 ELSE 0 END AS INT) AS significant
+      |FROM a""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q218_ab_test", (s, d) => abTestReport(s, d), Some(abTestOracle)),
     Q("q202_churn_lifetable", (s, d) => churnLifeTable(s, d),
       Some(lifeTableOracle)),
     Q("q203_markov_transitions", (s, d) => markovTransitions(s, d),

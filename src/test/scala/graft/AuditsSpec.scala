@@ -181,6 +181,70 @@ class AuditsSpec extends AnyFunSuite {
     assert(got.toSeq == exp)
   }
 
+  test("q217 SLA percentiles == driver histogram walk; p50<=p95<=p99") {
+    val ords = Tables.orders(spark, TestSpark.sfDir)
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.col("o_orderdate").cast("date").as("od"),
+        org.apache.spark.sql.functions.col("o_orderpriority"))
+      .collect().map(r => r.getLong(0) -> (r.getDate(1).toLocalDate, r.getString(2)))
+      .toMap
+    val lats = Tables.lineitem(spark, TestSpark.sfDir)
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_shipdate").cast("date").as("sd"))
+      .collect().flatMap { r =>
+        ords.get(r.getLong(0)).map { case (od, pr) =>
+          (pr, java.time.temporal.ChronoUnit.DAYS.between(od,
+            r.getDate(1).toLocalDate))
+        }
+      }
+    def walk(sorted: Seq[Long], k: Int): Long = {
+      val n = sorted.length.toLong
+      var cum = 0L
+      sorted.groupBy(identity).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+        .collectFirst { case (d, c) if { cum += c; cum * 100 >= n * k } => d }.get
+    }
+    val exp = lats.groupBy(_._1).toSeq.sortBy(_._1).map { case (pr, rs) =>
+      val s = rs.map(_._2).sorted
+      (pr, s.length.toLong, walk(s, 50), walk(s, 95), walk(s, 99))
+    }
+    val got = reports.Audits.slaPercentiles(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp)
+    got.foreach { case (pr, _, p50, p95, p99) =>
+      assert(p50 <= p95 && p95 <= p99, s"$pr percentiles not monotone")
+    }
+  }
+
+  test("q219 Gini/Lorenz == driver recomputation on dollar-quantized " +
+      "spend; Lorenz curve is monotone, ends at 10000") {
+    val spends = Tables.orders(spark, TestSpark.sfDir)
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+      .groupBy(_._1).values.map(_.map(_._2).sum / 100).toSeq.sorted
+    val n = spends.length.toLong
+    val t = spends.sum
+    val sRank = spends.zipWithIndex.map { case (v, i) => v * (i + 1L) }.sum
+    val gini = (2 * sRank - (n + 1) * t) * 10000 / (n * t)
+    // walk VALUE RUNS (histogram rows), not individuals — a decile
+    // boundary inside a run of equal values resolves to the run's end,
+    // exactly as the distributed histogram walk does
+    val runs = spends.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val pts = runs.scanLeft((0L, 0L)) { case ((cn, cv), (v, c)) =>
+      (cn + c, cv + v * c) }.tail
+    val expLorenz = (1 to 10).map { k =>
+      (k, pts.find(_._1 * 10 >= n * k).get._2 * 10000 / t)
+    }
+    val got = reports.Audits.revenueConcentration(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(r => (r._1, r._2)).toSeq == expLorenz)
+    got.foreach { case (_, _, nC, g) => assert(nC == n && g == gini) }
+    val shares = got.map(_._2)
+    assert(shares.toSeq == shares.sorted.toSeq, "Lorenz not monotone")
+    assert(shares.last == 10000L, "Lorenz must end at 100%")
+  }
+
   test("q206 pseudonymization: collision-free on this key space and " +
       "referentially consistent (pseudonym join == key join)") {
     val rows = etl.Pseudonymize.pseudonymizeAudit(spark, TestSpark.sfDir)

@@ -71,6 +71,38 @@ class LifecycleSpec extends AnyFunSuite {
     assert(got.toSeq == exp)
   }
 
+  test("q218 A/B report == driver recomputation; z2 matches the " +
+      "two-proportion formula on exact counts") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val users = Tables.events(spark, TestSpark.sfDir)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (u, rs) =>
+        (u, if (rs.exists(_._2 == "purchase")) 1L else 0L,
+          if ("02468ace".contains(md5hex(u.toString).last)) 1 else 0)
+      }.toSeq
+    val (aArm, bArm) = users.partition(_._3 == 1)
+    val (na, ca) = (aArm.size.toLong, aArm.map(_._2).sum)
+    val (nb, cb) = (bArm.size.toLong, bArm.map(_._2).sum)
+    val d = (ca * nb - cb * na).toDouble
+    val c = ca + cb; val nn = na + nb
+    val z2 = if (c == 0 || c == nn) 0.0
+    else BigDecimal(d * d * nn.toDouble /
+      (na.toDouble * nb.toDouble * c.toDouble * (nn - c).toDouble))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = streaming.Lifecycle.abTestReport(spark, TestSpark.sfDir)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((na, ca, nb, cb)))
+    assert(r.getLong(4) == ca * 10000 / na)
+    assert(r.getLong(5) == cb * 10000 / nb)
+    assert(r.getLong(6) == ca * 10000 / na - cb * 10000 / nb)
+    assert(math.abs(r.getDouble(7) - z2) < 1e-9)
+    assert(r.getInt(8) == (if (z2 > 3.8416) 1 else 0))
+  }
+
   test("q212 peak concurrency == driver minute-coverage sweep") {
     val minutes = driverSessions().flatMap { sess =>
       val ms = sess.map(_._2.getTime / 60000L)

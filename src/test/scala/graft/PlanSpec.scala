@@ -403,6 +403,32 @@ class PlanSpec extends AnyFunSuite {
     assert(scans <= 2, s"expected <=2 embedding scans, got $scans\n$p")
   }
 
+  test("q217: the fact-fact join reduces straight to the (priority, days)" +
+      " histogram; percentile windows partition by priority") {
+    val p = plan("q217_sla_percentiles")
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach(l =>
+      assert(l.contains("windowspecdefinition(priority"), l))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q218: one user-keyed aggregate reduces events; the rest is " +
+      "2-row arithmetic") {
+    val p = plan("q218_ab_test")
+    assert(!p.contains("Join"), p)
+    val userExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges <= 1, s"expected <=1 user exchange\n$p")
+  }
+
+  test("q219: the Lorenz windows run over the value-bounded dollar " +
+      "histogram (above an aggregate), never per-customer rows") {
+    val p = plan("q219_revenue_concentration")
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window ["))
+    assert(winIdx >= 0, p)
+    assert(lines.drop(winIdx).exists(_.contains("HashAggregate")), p)
+  }
+
   test("q198: tier assignment is map-side (no join before the token " +
       "aggregate); the cumulative window runs over the 4-row tier frame") {
     val p = plan("q198_vocab_growth")
