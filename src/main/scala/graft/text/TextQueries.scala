@@ -2516,6 +2516,269 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** Held-out bigram-LM evaluation (q220): the q165 LM estimated on the
+    * q126 TRAIN split and scored on the TEST split with stupid backoff
+    * (Brants et al. 2007: unseen bigram → α·unigram, α = 0.4; fully
+    * unseen word → 1 bp floor) — the train/eval separation every LM
+    * data-ablation loop needs, with coverage rates showing how much of
+    * the held-out text each model tier absorbed.
+    *
+    * Determinism: probabilities are integer basis points (`cnt·10⁴ div
+    * c1`, `cu·4000 div T`), the mean is a floor-divided exact sum —
+    * nothing engine-variable anywhere (no ln; perplexity's log-space
+    * mean is covered by q122's quantized-surprisal machinery).
+    *
+    * Scale shape: the tokenized+split corpus materializes ONCE
+    * (localCheckpoint; consumers: train bigrams, train unigrams, test
+    * bigrams). Train bigram counts join the test bigrams on (w1,w2) —
+    * both vocabulary²-bounded aggregates, shuffled on the same key; the
+    * unigram table and the scalar total broadcast. Output is one row. */
+  def holdoutLmEval(s: SparkSession, dir: String): DataFrame = {
+    val toksAll = Tables.documents(s, dir)
+      .select(splitOf(col("doc_id")).as("split"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .localCheckpoint(true)
+    def bigrams(df: DataFrame) = df.filter(size(col("toks")) >= 2)
+      .select(posexplode(slice(col("toks"), lit(1), size(col("toks")) - 1))
+        .as(Seq("i", "w1")), col("toks"))
+      .select(col("w1"), element_at(col("toks"), col("i") + 2).as("w2"))
+    val train = toksAll.filter(col("split") === "train")
+    val trBi = bigrams(train)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // consumers: c1 + the test join
+    val c1 = trBi.groupBy(col("w1")).agg(sum(col("cnt")).as("c1"))
+    val trUni = train.select(explode(col("toks")).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint(true) // consumers: total + the test join
+    val tTot = trUni.agg(sum(col("cu")).as("t"))
+    val testBi = bigrams(toksAll.filter(col("split") === "test"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("tcnt"))
+    testBi
+      .join(trBi, Seq("w1", "w2"), "left_outer")
+      .join(broadcast(c1), Seq("w1"), "left_outer")
+      .join(broadcast(trUni), Seq("w2"), "left_outer")
+      .crossJoin(broadcast(tTot))
+      .select(col("tcnt"),
+        when(col("cnt").isNotNull, lit("hit"))
+          .when(col("cu").isNotNull, lit("backoff"))
+          .otherwise(lit("oov")).as("mode"),
+        when(col("cnt").isNotNull, expr("cnt * 10000 div c1"))
+          .when(col("cu").isNotNull, expr("cu * 4000 div t"))
+          .otherwise(lit(1L)).as("p_bp"))
+      .agg(sum(col("tcnt")).as("n_transitions"),
+        sum(when(col("mode") === "hit", col("tcnt")).otherwise(0L)).as("hits"),
+        sum(when(col("mode") === "backoff", col("tcnt")).otherwise(0L))
+          .as("backs"),
+        sum(when(col("mode") === "oov", col("tcnt")).otherwise(0L)).as("oovs"),
+        sum(col("tcnt") * col("p_bp")).as("sum_p"))
+      .select(col("n_transitions"),
+        expr("hits * 10000 div n_transitions").as("hit_bp"),
+        expr("backs * 10000 div n_transitions").as("backoff_bp"),
+        expr("oovs * 10000 div n_transitions").as("oov_bp"),
+        expr("sum_p div n_transitions").as("mean_p_bp"))
+  }
+
+  private def holdoutLmOracle: String =
+    s"""WITH d AS (SELECT doc_id, $splitCaseSql AS split, $toksSql AS t
+       |           FROM documents WHERE len($toksSql) >= 1),
+       |trbi AS (SELECT t[i] AS w1, t[i + 1] AS w2,
+       |                CAST(COUNT(*) AS BIGINT) AS cnt
+       |         FROM d, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+       |         WHERE split = 'train' AND len(t) >= 2 GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS c1 FROM trbi GROUP BY 1),
+       |uni AS (SELECT w AS w2, CAST(COUNT(*) AS BIGINT) AS cu
+       |        FROM (SELECT unnest(t) AS w FROM d WHERE split = 'train')
+       |        GROUP BY 1),
+       |tt AS (SELECT CAST(SUM(cu) AS BIGINT) AS t FROM uni),
+       |tebi AS (SELECT t[i] AS w1, t[i + 1] AS w2,
+       |                CAST(COUNT(*) AS BIGINT) AS tcnt
+       |         FROM d, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+       |         WHERE split = 'test' AND len(t) >= 2 GROUP BY 1, 2),
+       |sc AS (SELECT tb.tcnt,
+       |              CASE WHEN trbi.cnt IS NOT NULL THEN 'hit'
+       |                   WHEN uni.cu IS NOT NULL THEN 'backoff'
+       |                   ELSE 'oov' END AS mode,
+       |              CASE WHEN trbi.cnt IS NOT NULL
+       |                     THEN trbi.cnt * 10000 // c1.c1
+       |                   WHEN uni.cu IS NOT NULL THEN uni.cu * 4000 // tt.t
+       |                   ELSE 1 END AS p_bp
+       |       FROM tebi tb
+       |       LEFT JOIN trbi ON tb.w1 = trbi.w1 AND tb.w2 = trbi.w2
+       |       LEFT JOIN c1 ON tb.w1 = c1.w1
+       |       LEFT JOIN uni ON tb.w2 = uni.w2, tt),
+       |agg AS (SELECT CAST(SUM(tcnt) AS BIGINT) AS n_transitions,
+       |               CAST(SUM(CASE WHEN mode = 'hit' THEN tcnt ELSE 0 END)
+       |                    AS BIGINT) AS hits,
+       |               CAST(SUM(CASE WHEN mode = 'backoff' THEN tcnt ELSE 0 END)
+       |                    AS BIGINT) AS backs,
+       |               CAST(SUM(CASE WHEN mode = 'oov' THEN tcnt ELSE 0 END)
+       |                    AS BIGINT) AS oovs,
+       |               CAST(SUM(tcnt * p_bp) AS BIGINT) AS sum_p
+       |        FROM sc)
+       |SELECT n_transitions,
+       |       CAST(hits * 10000 // n_transitions AS BIGINT) AS hit_bp,
+       |       CAST(backs * 10000 // n_transitions AS BIGINT) AS backoff_bp,
+       |       CAST(oovs * 10000 // n_transitions AS BIGINT) AS oov_bp,
+       |       CAST(sum_p // n_transitions AS BIGINT) AS mean_p_bp
+       |FROM agg""".stripMargin
+
+  /** Incremental connected-components maintenance (q221): near-dup
+    * clusters for the 90% base corpus (the q126 train split), then the
+    * remaining 10% "new crawl" merges in WITHOUT re-clustering the base —
+    * base components CONTRACT to their labels, delta edges rewrite onto
+    * those labels, and a second (small) CC run over the contracted graph
+    * converges in rounds bounded by the DELTA's structure. Because base
+    * labels are min-ids, the contracted min-label fixpoint equals the
+    * full-graph clustering exactly — which is what the oracle checks (it
+    * clusters ALL edges from scratch). The graph twin of q170's
+    * incremental index refresh.
+    *
+    * Scale shape: the expensive stages (shingling, candidate generation,
+    * Jaccard verification) run once over the full corpus here because
+    * the QUERY is self-contained; in production the base's edges and
+    * labels persist and only delta-touching edges are new. The
+    * contraction itself is two broadcast-sized label joins; the second
+    * CC runs over a graph no larger than (|delta edges| + touched base
+    * components). */
+  def incrementalComponents(s: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ids = docs.select(col("doc_id"),
+      (splitOf(col("doc_id")) === "train").cast("int").as("is_base"))
+      .localCheckpoint(true)
+    val sh = shingleRows(docs, 3).distinct().localCheckpoint(true)
+    val edges = verifiedNearDupEdges(sh)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+      .join(ids.select(col("doc_id").as("src"), col("is_base").as("ba")),
+        Seq("src"))
+      .join(ids.select(col("doc_id").as("dst"), col("is_base").as("bb")),
+        Seq("dst"))
+      .localCheckpoint(true) // consumers: base CC + delta contraction
+    val baseEdges = edges.filter(col("ba") === 1 && col("bb") === 1)
+      .select(col("src"), col("dst"))
+    val baseNodes = ids.filter(col("is_base") === 1)
+      .select(col("doc_id").as("id"))
+    val baseComp = Dedup.connectedComponents(baseEdges, baseNodes)
+      .select(col("id").as("doc_id"), col("component").as("lab"))
+      .localCheckpoint(true) // consumers: contraction + final expansion
+    // every doc's first-stage label: base docs → base component, new
+    // docs → themselves
+    val lab1 = ids.join(baseComp, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("l1"))
+      .localCheckpoint(true)
+    val deltaEdges = edges.filter(col("ba") === 0 || col("bb") === 0)
+      .join(lab1.select(col("doc_id").as("src"), col("l1").as("la")), Seq("src"))
+      .join(lab1.select(col("doc_id").as("dst"), col("l1").as("lb")), Seq("dst"))
+      .filter(col("la") =!= col("lb"))
+      .select(col("la").as("src"), col("lb").as("dst"))
+    val contractedNodes = lab1.select(col("l1").as("id")).distinct()
+    val c2 = Dedup.connectedComponents(deltaEdges, contractedNodes)
+      .select(col("id").as("l1"), col("component"))
+    lab1.join(c2, Seq("l1"))
+      .groupBy(col("component")).agg(count(lit(1)).as("csize"))
+      .filter(col("csize") >= 2)
+      .orderBy(col("csize").desc, col("component")).limit(k)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("csize").desc, col("component"))))
+      .orderBy(col("rn"))
+  }
+
+  private def incrementalComponentsOracle(k: Int = 20): String =
+    s"""WITH RECURSIVE $verifiedEdgeCtes,
+       |e AS (SELECT id1 AS src, id2 AS dst FROM e0
+       |      UNION SELECT id2, id1 FROM e0),
+       |r AS (SELECT doc_id AS id, doc_id AS reach FROM documents
+       |      UNION SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src),
+       |comp AS (SELECT id, CAST(MIN(reach) AS BIGINT) AS component
+       |         FROM r GROUP BY id),
+       |cs AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+       |       FROM comp GROUP BY component)
+       |SELECT component, csize, rn FROM (
+       |  SELECT component, csize,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY csize DESC, component)
+       |              AS INT) AS rn
+       |  FROM cs WHERE csize >= 2) t
+       |WHERE rn <= $k
+       |ORDER BY rn""".stripMargin
+
+  /** Classifier calibration curve (q222): the q149 hashed classifier's
+    * scores cut into deciles (boundaries from the score histogram — the
+    * q139/q162 threshold discipline, never a corpus NTILE), with the
+    * q158 Gopher verdict as the reference label per bucket — the
+    * reliability diagram that shows whether "higher score" actually
+    * means "more likely to pass quality", before anyone trusts the
+    * classifier as a cheap gate.
+    *
+    * Scale shape: both signals are map-only projections joined on
+    * doc_id (one co-keyed shuffle); the scored frame checkpoints once
+    * (consumers: histogram + bucket rollup); decile cuts derive from
+    * the distinct-score histogram and travel as a broadcast 9-element
+    * array, bucket assignment is a map-side HOF over that array. Mean
+    * score per bucket divides as sign·abs (scores are signed). */
+  def calibrationCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val scored = docs
+      .withColumn("toks", TextFunctions.tokens(coalesce(col("text"), lit(""))))
+      .select(col("doc_id"), graft.functions.ClassifierScore.score(col("toks"))
+        .as("score"))
+      .join(gopherVerdictsOf(docs).select(col("doc_id"), col("keep")),
+        Seq("doc_id"))
+      .localCheckpoint(true) // consumers: score histogram + bucket rollup
+    val h = scored.groupBy(col("score")).agg(count(lit(1)).as("n"))
+    val cum = h
+      .withColumn("cum", sum(col("n")).over(Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(h.agg(sum(col("n")).as("tot"))))
+    val cutCols = (1 to 9).map(kk =>
+      min(when(col("cum") * 10 >= col("tot") * kk, col("score"))).as(s"c$kk"))
+    val cuts = cum.agg(cutCols.head, cutCols.tail: _*)
+      .select(array((1 to 9).map(kk => col(s"c$kk")): _*).as("cuts"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("decile",
+        (size(filter(col("cuts"), c => c < col("score"))) + 1))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_keep"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"),
+        sum(col("score")).as("sum_score"))
+      .select(col("decile"), col("n_docs"),
+        expr("n_keep * 10000 div n_docs").as("keep_bp"),
+        col("min_score"), col("max_score"),
+        (signum(col("sum_score")).cast("long") *
+          expr("abs(sum_score) div n_docs")).as("mean_score"))
+      .orderBy(col("decile"))
+  }
+
+  private def calibrationOracle: String =
+    s"""WITH sc0 AS (${Classifier.oracle}),
+       |g AS ($gopherOracle),
+       |j AS (SELECT sc0.doc_id, sc0.score, g.keep
+       |      FROM sc0 JOIN g USING (doc_id)),
+       |h AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY 1),
+       |c AS (SELECT score, n, SUM(n) OVER (ORDER BY score) AS cum,
+       |             (SELECT SUM(n) FROM h) AS tot
+       |      FROM h),
+       |cuts AS (SELECT ${(1 to 9).map(kk =>
+              s"MIN(CASE WHEN cum * 10 >= tot * $kk THEN score END) AS c$kk")
+              .mkString(", ")}
+       |         FROM c),
+       |b AS (SELECT j.*, 1 + ${(1 to 9).map(kk =>
+              s"(CASE WHEN cuts.c$kk < j.score THEN 1 ELSE 0 END)")
+              .mkString(" + ")} AS decile
+       |      FROM j, cuts)
+       |SELECT CAST(decile AS INT) AS decile,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(keep) * 10000 // COUNT(*) AS BIGINT) AS keep_bp,
+       |       CAST(MIN(score) AS BIGINT) AS min_score,
+       |       CAST(MAX(score) AS BIGINT) AS max_score,
+       |       CAST(sign(SUM(score)) * (abs(SUM(score)) // COUNT(*))
+       |            AS BIGINT) AS mean_score
+       |FROM b
+       |GROUP BY decile
+       |ORDER BY decile""".stripMargin
+
   private def fertilityOracleSql(rounds: Int = 4): String =
     s"""${bpeApplyCtes(rounds)},
        |tl AS (SELECT lang, tok AS word, COUNT(*) AS cnt
@@ -2893,6 +3156,12 @@ object TextQueries {
     Q("q142_bpe_encode", (s, d) => bpeEncode(s, d), Some(bpeEncodeOracleSql())),
     Q("q207_source_caps", (s, d) => sourceCaps(s, d),
       Some(sourceCapsOracle())),
+    Q("q220_holdout_lm_eval", (s, d) => holdoutLmEval(s, d),
+      Some(holdoutLmOracle)),
+    Q("q221_incremental_components", (s, d) => incrementalComponents(s, d),
+      Some(incrementalComponentsOracle())),
+    Q("q222_calibration_curve", (s, d) => calibrationCurve(s, d),
+      Some(calibrationOracle)),
     Q("q208_readability", (s, d) => readabilityHistogram(s, d),
       Some(readabilityOracle)),
     Q("q209_tokenizer_fertility", (s, d) => tokenizerFertility(s, d),

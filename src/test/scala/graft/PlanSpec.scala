@@ -429,6 +429,21 @@ class PlanSpec extends AnyFunSuite {
     assert(lines.drop(winIdx).exists(_.contains("HashAggregate")), p)
   }
 
+  test("q220: unigram table and context totals broadcast; the only " +
+      "shuffled join keys on the shared (w1, w2)") {
+    val p = plan("q220_holdout_lm_eval")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q222: decile cuts broadcast as one row; the score windows run " +
+      "over the checkpointed histogram, never a corpus NTILE") {
+    val p = plan("q222_calibration_curve")
+    assert(!p.contains("FileScan parquet"),
+      "calibration re-scanned parquet instead of the checkpointed frame\n" + p)
+    assert(!p.contains("ntile"), p)
+  }
+
   test("q198: tier assignment is map-side (no join before the token " +
       "aggregate); the cumulative window runs over the 4-row tier frame") {
     val p = plan("q198_vocab_growth")
