@@ -281,7 +281,53 @@ object FileGate {
       |ORDER BY l_orderkey, l_linenumber
       |LIMIT 300""".stripMargin
 
+  /** Schema-evolution merged read (q226): two parquet generations of the
+    * same dataset — v1 written BEFORE a column existed, v2 after — read
+    * back as one relation with `mergeSchema` (the unioned schema,
+    * missing columns null-filled), then aggregated by the evolved
+    * column. This is the daily reality of long-lived parquet lakes: the
+    * reader must tolerate every historical schema at once. The oracle
+    * restates the semantics over the SOURCE table (v1 rows carry NULL
+    * priority), so the check is reader-behavior parity, not file echo.
+    *
+    * Scale note: `mergeSchema` reads every file footer at planning time
+    * — on a large lake pin the merged schema in a catalog instead; the
+    * read itself stays partition-parallel and column-pruned either
+    * way. */
+  def schemaMergeRead(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_gate/${new java.io.File(dir).getName}/schema_merge"
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        col("o_orderpriority"))
+    o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("price"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/gen1")
+    o.filter(col("o_orderstatus") =!= "F")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/gen2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$base/gen1", s"$base/gen2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>"))
+        .as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("double").as("total_price"))
+      .orderBy(col("priority"))
+  }
+
+  private val schemaMergeOracle: String =
+    """SELECT COALESCE(CASE WHEN o_orderstatus = 'F' THEN NULL
+      |                     ELSE o_orderpriority END,
+      |                '<pre-evolution>') AS priority,
+      |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS total_price
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY priority""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q226_schema_merge", (s, d) => schemaMergeRead(s, d),
+      Some(schemaMergeOracle)),
     Q("q179_orc_roundtrip", (s, d) => orcRoundTrip(s, d),
       Some(orcRoundTripOracle)),
     Q("q123_json_roundtrip", (s, d) => jsonRoundTrip(s, d),

@@ -696,7 +696,76 @@ object Graph {
        |ORDER BY side, rn""".stripMargin
   }
 
+  /** Basket-affinity lift (q224): for co-purchased part pairs with
+    * support ≥ minSupport, lift = P(a,b)/(P(a)·P(b)) ranked by the EXACT
+    * integer key `support·N·10⁶ div (fa·fb)` — the association-rule
+    * ordering q55's raw counts and q183's support alone cannot express
+    * (high-support pairs of two ubiquitous parts are not interesting;
+    * high-lift pairs are). Cross-multiplied integer ranking keeps the
+    * ratio exact (overflow ceiling ~10⁴-support × 10⁹ baskets — audit
+    * precision, documented).
+    *
+    * Scale shape: pair support from the bounded per-order sorted-set
+    * explode (the q55/q183 machinery — never corpus-quadratic);
+    * per-part basket frequencies are one aggregate of the distinct
+    * (order, part) frame and BROADCAST onto the support-filtered pair
+    * table; N is a 1-row broadcast; top-k is TakeOrderedAndProject. */
+  def basketLift(s: SparkSession, dir: String, minSupport: Int = 3,
+      k: Int = 15): DataFrame = {
+    val op = graft.Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint(true) // consumers: pair support + part freqs + N
+    val pairs = op.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(posexplode(col("parts")).as(Seq("i", "a")), col("parts"))
+      .select(col("a"),
+        explode(slice(col("parts"), col("i") + 2, size(col("parts")))).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val freq = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
+    val n = op.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    pairs
+      .join(broadcast(freq.select(col("l_partkey").as("a"), col("f").as("fa"))),
+        Seq("a"))
+      .join(broadcast(freq.select(col("l_partkey").as("b"), col("f").as("fb"))),
+        Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("support"), col("fa"), col("fb"),
+        expr("support * n_baskets * 1000000 div (fa * fb)").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("a"), col("b"))
+      .limit(k)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("lift_micro").desc, col("a"), col("b"))))
+      .orderBy(col("rn"))
+  }
+
+  private def basketLiftOracle(minSupport: Int = 3, k: Int = 15): String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |p AS (SELECT a.l_partkey AS a, b.l_partkey AS b,
+       |             CAST(COUNT(*) AS BIGINT) AS support
+       |      FROM op a JOIN op b
+       |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |f AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS f
+       |      FROM op GROUP BY 1),
+       |nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+       |       FROM op)
+       |SELECT a, b, support, fa, fb, lift_micro, rn FROM (
+       |  SELECT p.a, p.b, p.support, fa.f AS fa, fb.f AS fb,
+       |         CAST(p.support * nb.n_baskets * 1000000 // (fa.f * fb.f)
+       |              AS BIGINT) AS lift_micro,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY
+       |                p.support * nb.n_baskets * 1000000 // (fa.f * fb.f)
+       |                DESC, p.a, p.b) AS INT) AS rn
+       |  FROM p JOIN f fa ON p.a = fa.l_partkey
+       |         JOIN f fb ON p.b = fb.l_partkey, nb) t
+       |WHERE rn <= $k
+       |ORDER BY rn""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q224_basket_lift", (s, d) => basketLift(s, d),
+      Some(basketLiftOracle())),
     Q("q201_hits_scores", (s, d) => purchaseHits(s, d),
       Some(hitsOracle())),
     Q("q197_kcore_peeling", (s, d) => kCorePeeling(s, d),

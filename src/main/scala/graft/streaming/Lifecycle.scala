@@ -302,8 +302,125 @@ object Lifecycle {
       |                  END) > 3.8416 THEN 1 ELSE 0 END AS INT) AS significant
       |FROM a""".stripMargin
 
+  /** Signup→purchase conversion latency (q223): per user, the gap
+    * between the FIRST signup and the FIRST purchase (users whose first
+    * purchase precedes their first signup are excluded — returning
+    * buyers, not conversions), as a conversion rate plus exact p50/p90
+    * hours from the integer hour histogram.
+    *
+    * Scale shape: ONE user-keyed aggregate (two conditional map-side
+    * mins) reduces the event log; the latency histogram is
+    * observation-window-bounded and the percentile walk runs over it
+    * (the only unpartitioned window input, plan-asserted). */
+  def conversionLatency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("s_min"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("p_min"))
+      .filter(col("s_min").isNotNull)
+      .select(
+        when(col("p_min") >= col("s_min"),
+          expr("(unix_millis(p_min) - unix_millis(s_min)) div 3600000"))
+          .as("lat_h"))
+      .localCheckpoint(true) // consumers: totals + the hour histogram
+    val tot = u.agg(count(lit(1)).as("n_signup"),
+      sum(when(col("lat_h").isNotNull, 1L).otherwise(0L)).as("n_conv"))
+    val h = u.filter(col("lat_h").isNotNull)
+      .groupBy(col("lat_h")).agg(count(lit(1)).as("n"))
+    val cum = h
+      .withColumn("cum", sum(col("n")).over(Window.orderBy(col("lat_h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tc", sum(col("n")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    def pct(k: Int) =
+      min(when(col("cum") * 100 >= col("tc") * k, col("lat_h"))).as(s"p$k")
+    cum.agg(pct(50), pct(90))
+      .crossJoin(broadcast(tot))
+      .select(col("n_signup"), col("n_conv"),
+        expr("n_conv * 10000 div n_signup").as("conv_bp"),
+        col("p50").as("p50_hours"), col("p90").as("p90_hours"))
+  }
+
+  private val conversionLatencyOracle: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_min,
+      |         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p_min
+      |  FROM events GROUP BY user_id),
+      |l AS (SELECT CASE WHEN p_min >= s_min
+      |               THEN (epoch_ms(p_min) - epoch_ms(s_min)) // 3600000
+      |             END AS lat_h
+      |      FROM u WHERE s_min IS NOT NULL),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_signup,
+      |             CAST(SUM(CASE WHEN lat_h IS NOT NULL THEN 1 ELSE 0 END)
+      |                  AS BIGINT) AS n_conv
+      |      FROM l),
+      |h AS (SELECT lat_h, COUNT(*) AS n FROM l
+      |      WHERE lat_h IS NOT NULL GROUP BY 1),
+      |c AS (SELECT lat_h, SUM(n) OVER (ORDER BY lat_h) AS cum,
+      |             (SELECT SUM(n) FROM h) AS tc
+      |      FROM h)
+      |SELECT t.n_signup, t.n_conv,
+      |       CAST(t.n_conv * 10000 // t.n_signup AS BIGINT) AS conv_bp,
+      |       CAST(MIN(CASE WHEN c.cum * 100 >= c.tc * 50 THEN c.lat_h END)
+      |            AS BIGINT) AS p50_hours,
+      |       CAST(MIN(CASE WHEN c.cum * 100 >= c.tc * 90 THEN c.lat_h END)
+      |            AS BIGINT) AS p90_hours
+      |FROM c, t
+      |GROUP BY t.n_signup, t.n_conv""".stripMargin
+
+  /** DAU/MAU engagement stickiness (q225): distinct active users per day
+    * and per month, stickiness = avg-DAU/MAU in basis points — the
+    * engagement ratio every growth dashboard carries.
+    *
+    * Scale shape: ONE corpus shuffle builds the distinct (user, day)
+    * frame (checkpointed; consumers: daily counts + monthly distinct);
+    * DAU/MAU counts are aggregates of that reduced frame — chained as
+    * separate aggregates joined on the tiny month key, never a
+    * count_distinct Expand. */
+  def stickiness(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .distinct()
+      .localCheckpoint(true)
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      .select(substring(col("day"), 1, 7).as("month"), col("dau"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+    val mau = ud.select(col("user_id"), substring(col("day"), 1, 7).as("month"))
+      .distinct()
+      .groupBy(col("month")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("month"))
+      .select(col("month"), col("n_days"), col("sum_dau"), col("mau"),
+        expr("sum_dau * 10000 div (n_days * mau)").as("stickiness_bp"))
+      .orderBy(col("month"))
+  }
+
+  private val stickinessOracle: String =
+    """WITH ud AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+      |            FROM events),
+      |dau AS (SELECT substr(day, 1, 7) AS month,
+      |               CAST(COUNT(*) AS BIGINT) AS n_days,
+      |               CAST(SUM(dau) AS BIGINT) AS sum_dau
+      |        FROM (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day)
+      |        GROUP BY 1),
+      |mau AS (SELECT month, CAST(COUNT(*) AS BIGINT) AS mau FROM
+      |          (SELECT DISTINCT user_id, substr(day, 1, 7) AS month FROM ud)
+      |        GROUP BY month)
+      |SELECT dau.month, dau.n_days, dau.sum_dau, mau.mau,
+      |       CAST(dau.sum_dau * 10000 // (dau.n_days * mau.mau) AS BIGINT)
+      |         AS stickiness_bp
+      |FROM dau JOIN mau ON dau.month = mau.month
+      |ORDER BY dau.month""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q218_ab_test", (s, d) => abTestReport(s, d), Some(abTestOracle)),
+    Q("q223_conversion_latency", (s, d) => conversionLatency(s, d),
+      Some(conversionLatencyOracle)),
+    Q("q225_stickiness", (s, d) => stickiness(s, d),
+      Some(stickinessOracle)),
     Q("q202_churn_lifetable", (s, d) => churnLifeTable(s, d),
       Some(lifeTableOracle)),
     Q("q203_markov_transitions", (s, d) => markovTransitions(s, d),

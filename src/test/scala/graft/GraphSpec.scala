@@ -192,6 +192,29 @@ class GraphSpec extends AnyFunSuite {
     assert(got.toSeq == exp)
   }
 
+  test("q224 basket lift == driver cross-multiplied ranking") {
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val support = li.groupBy(_._1).values.flatMap { rs =>
+      val parts = rs.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- i + 1 until parts.size)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 3).toMap
+    val freq = li.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size.toLong)
+    val n = li.map(_._1).distinct.size.toLong
+    val exp = support.toSeq.map { case ((a, b), s) =>
+      (a, b, s, freq(a), freq(b), s * n * 1000000L / (freq(a) * freq(b)))
+    }.sortBy { case (a, b, _, _, _, l) => (-l, a, b) }.take(15)
+      .zipWithIndex.map { case ((a, b, s, fa, fb, l), i) =>
+        (a, b, s, fa, fb, l, i + 1) }
+    val got = reports.Graph.basketLift(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6)))
+    assert(got.toSeq == exp)
+  }
+
   test("RA link prediction == driver wedge scoring, no existing edges") {
     val (half, nbrs) = driverGraph()
     val deg = nbrs.view.mapValues(_.size.toLong).toMap

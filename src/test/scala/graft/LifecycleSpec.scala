@@ -103,6 +103,60 @@ class LifecycleSpec extends AnyFunSuite {
     assert(r.getInt(8) == (if (z2 > 3.8416) 1 else 0))
   }
 
+  test("q223 conversion latency == driver replay of first-signup/" +
+      "first-purchase gaps") {
+    val evs = Tables.events(spark, TestSpark.sfDir)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val perUser = evs.groupBy(_._1).values.flatMap { rs =>
+      val sMin = rs.filter(_._2 == "signup").map(_._3).minOption
+      val pMin = rs.filter(_._2 == "purchase").map(_._3).minOption
+      sMin.map(s => (pMin.filter(_ >= s).map(p => (p - s) / 3600000L)))
+    }.toSeq
+    val nSignup = perUser.size.toLong
+    val lats = perUser.flatten
+    val nConv = lats.size.toLong
+    def walk(k: Int): Long = {
+      val hist = lats.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      hist.collectFirst {
+        case (h, c) if { cum += c; cum * 100 >= nConv * k } => h
+      }.get
+    }
+    val r = streaming.Lifecycle.conversionLatency(spark, TestSpark.sfDir)
+      .collect().head
+    assert(r.getLong(0) == nSignup)
+    assert(r.getLong(1) == nConv)
+    assert(r.getLong(2) == nConv * 10000 / nSignup)
+    assert(r.getLong(3) == walk(50))
+    assert(r.getLong(4) == walk(90))
+  }
+
+  test("q225 stickiness == driver DAU/MAU; ratio bounded by (1/days, 1)") {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .withZone(java.time.ZoneOffset.UTC)
+    val ud = Tables.events(spark, TestSpark.sfDir)
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0),
+        fmt.format(java.time.Instant.ofEpochMilli(r.getTimestamp(1).getTime))))
+      .distinct
+    val exp = ud.groupBy(_._2.take(7)).toSeq.sortBy(_._1).map { case (m, rs) =>
+      val dauByDay = rs.groupBy(_._2).view.mapValues(_.size.toLong)
+      val nDays = dauByDay.size.toLong
+      val sumDau = dauByDay.values.sum
+      val mau = rs.map(_._1).distinct.size.toLong
+      (m, nDays, sumDau, mau, sumDau * 10000 / (nDays * mau))
+    }
+    val got = streaming.Lifecycle.stickiness(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp)
+    got.foreach { case (m, nDays, _, _, st) =>
+      assert(st >= 10000 / nDays && st <= 10000, s"$m stickiness out of bounds")
+    }
+  }
+
   test("q212 peak concurrency == driver minute-coverage sweep") {
     val minutes = driverSessions().flatMap { sess =>
       val ms = sess.map(_._2.getTime / 60000L)

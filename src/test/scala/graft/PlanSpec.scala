@@ -444,6 +444,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ntile"), p)
   }
 
+  test("q224: part frequencies and basket total broadcast onto the " +
+      "support-filtered pairs; top-k is TakeOrderedAndProject") {
+    val p = plan("q224_basket_lift")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q225: one corpus shuffle builds the distinct (user, day) frame; " +
+      "no count_distinct Expand") {
+    val p = plan("q225_stickiness")
+    assert(!p.contains("Expand"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q223: the percentile walk runs over the checkpointed latency " +
+      "frame, not a corpus window") {
+    val p = plan("q223_conversion_latency")
+    assert(!p.contains("FileScan parquet"),
+      "latency walk re-scanned parquet instead of the checkpointed frame\n" + p)
+  }
+
   test("q198: tier assignment is map-side (no join before the token " +
       "aggregate); the cumulative window runs over the 4-row tier frame") {
     val p = plan("q198_vocab_growth")
