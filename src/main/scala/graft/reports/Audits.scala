@@ -550,7 +550,103 @@ object Audits {
       |FROM l, t
       |ORDER BY decile""".stripMargin
 
+  /** Skew-safe salted top-k aggregate (q227): the q213 audit's
+    * remediation, oracle-gated — per-part quantity/revenue totals
+    * aggregated through `Scale.saltedAgg` (partial aggregate on
+    * (key, salt) splits any hot key across reducers in the first
+    * shuffle, final aggregate on key merges the ≤`salts` partials).
+    * Values are EXACTLY those of the plain aggregate — which is what
+    * the plain-SQL oracle proves — because counts and decimal sums are
+    * associative; salting changes row routing, never results.
+    *
+    * Scale shape: two hash aggregates with map-side partials (the
+    * second over ≤ keys·salts rows); top-k is TakeOrderedAndProject. */
+  def saltedTopParts(s: SparkSession, dir: String, salts: Int = 8,
+      k: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = graft.operators.Scale.saltedAgg(
+      Tables.lineitem(s, dir).select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice")),
+      "l_partkey", salts,
+      Seq(
+        (count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c), "n_lines"),
+        (sum(col("l_quantity").cast("decimal(18,2)")),
+          (c: org.apache.spark.sql.Column) => sum(c), "qty"),
+        (sum(col("l_extendedprice").cast("decimal(18,2)")),
+          (c: org.apache.spark.sql.Column) => sum(c), "rev")))
+    agg
+      .select(col("l_partkey"), col("n_lines"),
+        col("qty").cast("double").as("total_qty"),
+        col("rev").cast("double").as("total_rev"))
+      .orderBy(col("total_rev").desc, col("l_partkey"))
+      .limit(k)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("total_rev").desc, col("l_partkey"))))
+      .orderBy(col("rn"))
+  }
+
+  private def saltedTopOracle(k: Int = 15): String =
+    s"""SELECT l_partkey, n_lines, total_qty, total_rev, rn FROM (
+       |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+       |           AS total_qty,
+       |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       |           AS total_rev,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY
+       |                SUM(CAST(l_extendedprice AS DECIMAL(18,2))) DESC,
+       |                l_partkey) AS INT) AS rn
+       |  FROM lineitem GROUP BY l_partkey) t
+       |WHERE rn <= $k
+       |ORDER BY rn""".stripMargin
+
+  /** Daily-volume trend slope (q228): exact integer least squares over
+    * the day histogram — slope in micro-events/day via the
+    * cross-multiplied normal-equation form `(n·Σxy − Σx·Σy)·10⁶ div
+    * (n·Σx² − (Σx)²)`, sign·abs floor division (the numerator is
+    * signed). x = days since the first observed day (missing days are
+    * real gaps, not reindexed away); the q193/q200 family's trend
+    * member.
+    *
+    * Scale shape: one corpus aggregate to the calendar-bounded day
+    * histogram; the regression is a second 1-row aggregate over it. */
+  def dailyTrend(s: SparkSession, dir: String): DataFrame = {
+    val h = Tables.events(s, dir)
+      .select(col("ts").cast("date").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("y"))
+    val d0 = h.agg(min(col("d")).as("d0"))
+    h.crossJoin(broadcast(d0))
+      .select(datediff(col("d"), col("d0")).cast("long").as("x"), col("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_days"), col("sy").as("n_events"),
+        (signum(expr("n * sxy - sx * sy")).cast("long") *
+          expr("abs(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)"))
+          .as("slope_micro_per_day"),
+        expr("sy div n").as("mean_per_day"))
+  }
+
+  private val dailyTrendOracle: String =
+    """WITH h AS (SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+      |           FROM events GROUP BY 1),
+      |x AS (SELECT CAST(d - (SELECT MIN(d) FROM h) AS BIGINT) AS x, y FROM h),
+      |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |             CAST(SUM(y) AS BIGINT) AS sy,
+      |             CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |             CAST(SUM(x * x) AS BIGINT) AS sxx
+      |      FROM x)
+      |SELECT n AS n_days, sy AS n_events,
+      |       CAST(sign(n * sxy - sx * sy)
+      |            * (abs(n * sxy - sx * sy) * 1000000
+      |               // (n * sxx - sx * sx)) AS BIGINT) AS slope_micro_per_day,
+      |       CAST(sy // n AS BIGINT) AS mean_per_day
+      |FROM a""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q227_salted_topk", (s, d) => saltedTopParts(s, d),
+      Some(saltedTopOracle())),
+    Q("q228_daily_trend", (s, d) => dailyTrend(s, d),
+      Some(dailyTrendOracle)),
     Q("q217_sla_percentiles", (s, d) => slaPercentiles(s, d),
       Some(slaOracle)),
     Q("q219_revenue_concentration", (s, d) => revenueConcentration(s, d),

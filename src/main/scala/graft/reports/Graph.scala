@@ -637,23 +637,26 @@ object Graph {
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
       .localCheckpoint(true)
-    def rescale(raw: DataFrame, key: String): DataFrame = {
+    // per half-step: the RAW sums checkpoint (one edge-join
+    // materialization), the max is a cheap node-sized job over the
+    // checkpointed frame, and the rescaled output stays LAZY — it is
+    // consumed exactly once, by the next half-step's broadcast (or the
+    // final top-k). Checkpointing after the rescale instead re-runs the
+    // edge join per half-step (A/B in PLANS.md: ~2× superstep cost).
+    def halfStep(scores: DataFrame, joinKey: String, outKey: String): DataFrame = {
+      val raw = edges.join(broadcast(scores), Seq(joinKey))
+        .groupBy(col(outKey)).agg(sum(col("score")).as("raw"))
+        .localCheckpoint(true)
       val mx = raw.agg(max(col("raw")).as("mx"))
       raw.crossJoin(broadcast(mx))
-        .select(col(key), expr("raw * 1000000 div mx").as("score"))
+        .select(col(outKey), expr("raw * 1000000 div mx").as("score"))
     }
     var hubs = edges.select(col("c")).distinct()
       .select(col("c"), lit(1000000L).as("score"))
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
-      auths = rescale(
-        edges.join(broadcast(hubs), Seq("c"))
-          .groupBy(col("p")).agg(sum(col("score")).as("raw")), "p")
-        .localCheckpoint(true)
-      hubs = rescale(
-        edges.join(broadcast(auths), Seq("p"))
-          .groupBy(col("c")).agg(sum(col("score")).as("raw")), "c")
-        .localCheckpoint(true)
+      auths = halfStep(hubs, "c", "p")
+      hubs = halfStep(auths, "p", "c")
     }
     def top(df: DataFrame, key: String, side: String): DataFrame = df
       .orderBy(col("score").desc, col(key)).limit(k)

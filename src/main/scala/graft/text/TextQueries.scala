@@ -2441,10 +2441,13 @@ object TextQueries {
     * shifts by +100 grades before the floor division because grade_c can
     * be slightly negative and truncating vs flooring division diverge on
     * negatives. */
-  def readabilityHistogram(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc FK signals + centi-grade — a stateless projection, so it
+    * runs unchanged under Structured Streaming (DocStreamSpec asserts
+    * stream == batch doc for doc). */
+  def readabilitySignalsOf(docs: DataFrame): DataFrame = {
     val normText = TextFunctions.normalize(col("text"))
-    val sig = Tables.documents(s, dir)
-      .select(
+    docs
+      .select(col("doc_id"),
         size(TextFunctions.tokens(col("text"))).cast("long").as("w"),
         greatest(lit(1L),
           size(regexp_extract_all(normText, lit("[.!?]+"), lit(0)))
@@ -2452,9 +2455,13 @@ object TextQueries {
         size(regexp_extract_all(normText, lit("[aeiouy]+"), lit(0)))
           .cast("long").as("syl"))
       .filter(col("w") > 0)
-      .select(col("w"), col("snt"), col("syl"),
+      .select(col("doc_id"), col("w"), col("snt"), col("syl"),
         (expr("39 * w div snt") + expr("1180 * syl div w") - lit(1559L))
           .as("grade_c"))
+  }
+
+  def readabilityHistogram(s: SparkSession, dir: String): DataFrame = {
+    val sig = readabilitySignalsOf(Tables.documents(s, dir))
     sig
       .withColumn("grade_bucket",
         (expr("(grade_c + 10000) div 100") - lit(100L)).cast("int"))

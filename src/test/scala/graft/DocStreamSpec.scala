@@ -41,6 +41,25 @@ class DocStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming readability signals equal the batch run exactly") {
+    // q208's per-doc FK signal extraction is a stateless projection —
+    // it must run unchanged under Structured Streaming
+    val tmp = java.nio.file.Files.createTempDirectory("graft-read").toString
+    Tables.documents(spark, TestSpark.sfDir)
+      .write.mode("overwrite").parquet(tmp)
+    val q = graft.text.TextQueries
+      .readabilitySignalsOf(DocStreams.readDocStream(spark, tmp))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("readability_stream").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("readability_stream")
+      .orderBy(col("doc_id")).collect().toSeq
+    val batch = graft.text.TextQueries
+      .readabilitySignalsOf(Tables.documents(spark, TestSpark.sfDir))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming winnow fingerprint extraction equals the batch run exactly") {
     // the q174 sketch stage is a stateless Generate — it must run
     // unchanged under Structured Streaming (incremental fingerprinting
