@@ -415,7 +415,213 @@ object Lifecycle {
       |FROM dau JOIN mau ON dau.month = mau.month
       |ORDER BY dau.month""".stripMargin
 
+  /** Time-bounded funnel (q229): view → click within 24 h of the first
+    * view → purchase within 7 d of that click — the conversion-window
+    * funnel (q89's unbounded "ever after" semantics over-counts;
+    * marketing attribution wants bounded windows per step).
+    *
+    * Scale shape: ALL three stage anchors compute as chained
+    * unbounded-frame window minimums over ONE user-keyed exchange
+    * (window 2 references window 1's column, window 3 references
+    * window 2's — same partitioning, no sort, zero extra shuffles —
+    * plan-asserted ≤1 user exchange); the rollup is a distinct-user
+    * aggregate of the flags. */
+  def windowedFunnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val h24 = 24L * 3600 * 1000000; val d7 = 7L * 24 * 3600 * 1000000
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("v_min",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("c_min",
+        min(when(col("event_type") === "click" &&
+          col("us") >= col("v_min") && col("us") <= col("v_min") + h24,
+          col("us"))).over(w))
+      .withColumn("p_min",
+        min(when(col("event_type") === "purchase" &&
+          col("us") >= col("c_min") && col("us") <= col("c_min") + d7,
+          col("us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("v_min").isNotNull.cast("long")).as("s1"),
+        max(col("c_min").isNotNull.cast("long")).as("s2"),
+        max(col("p_min").isNotNull.cast("long")).as("s3"))
+      .agg(sum(col("s1")).as("n_view"), sum(col("s2")).as("n_click_24h"),
+        sum(col("s3")).as("n_purchase_7d"))
+      .select(col("n_view"), col("n_click_24h"), col("n_purchase_7d"),
+        expr("n_click_24h * 10000 div n_view").as("view_to_click_bp"),
+        expr("n_purchase_7d * 10000 div nullif(n_click_24h, 0)")
+          .as("click_to_purchase_bp"))
+  }
+
+  private val windowedFunnelOracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+      |                 OVER (PARTITION BY user_id) AS v_min FROM e),
+      |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click'
+      |                       AND us >= v_min AND us <= v_min + 86400000000
+      |                     THEN us END)
+      |                 OVER (PARTITION BY user_id) AS c_min FROM w1),
+      |w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase'
+      |                       AND us >= c_min AND us <= c_min + 604800000000
+      |                     THEN us END)
+      |                 OVER (PARTITION BY user_id) AS p_min FROM w2),
+      |u AS (SELECT user_id,
+      |             MAX(CASE WHEN v_min IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+      |             MAX(CASE WHEN c_min IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+      |             MAX(CASE WHEN p_min IS NOT NULL THEN 1 ELSE 0 END) AS s3
+      |      FROM w3 GROUP BY user_id),
+      |a AS (SELECT CAST(SUM(s1) AS BIGINT) AS n_view,
+      |             CAST(SUM(s2) AS BIGINT) AS n_click_24h,
+      |             CAST(SUM(s3) AS BIGINT) AS n_purchase_7d
+      |      FROM u)
+      |SELECT n_view, n_click_24h, n_purchase_7d,
+      |       CAST(n_click_24h * 10000 // n_view AS BIGINT) AS view_to_click_bp,
+      |       CAST(n_purchase_7d * 10000 // nullif(n_click_24h, 0) AS BIGINT)
+      |         AS click_to_purchase_bp
+      |FROM a""".stripMargin
+
+  /** SCD2 snapshot diff (q230): the q154 user-state history compared
+    * AS-OF two instants (⅓ and ⅔ through the observed span) — which
+    * users appeared, which changed state and along which transition,
+    * which held steady. The audit a warehouse runs after a backfill:
+    * "what actually changed between these two snapshot times?".
+    *
+    * Scale shape: the SCD history builds once (checkpointed) and each
+    * as-of view is a FILTER over it (half-open interval containment —
+    * no time-travel storage needed); the diff is one full-outer join on
+    * the key; output is status×transition-bounded. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val scd = graft.etl.Scd.type2(Tables.events(s, dir), "user_id",
+      "event_type", "ts", "event_id")
+      .localCheckpoint(true) // consumers: bounds + two as-of views
+    val bounds = scd.agg(min(col("valid_from_us")).as("lo"),
+      max(col("valid_from_us")).as("hi"))
+      .select((col("lo") + expr("(hi - lo) div 3")).as("t1"),
+        (col("lo") + expr("2 * (hi - lo) div 3")).as("t2"))
+    def asOf(t: org.apache.spark.sql.Column) =
+      scd.crossJoin(broadcast(bounds))
+        .filter(col("valid_from_us") <= t &&
+          (col("valid_to_us").isNull || col("valid_to_us") > t))
+        .select(col("user_id"), col("attr"))
+    val a = asOf(col("t1")).withColumnRenamed("attr", "attr1")
+    val b = asOf(col("t2")).withColumnRenamed("attr", "attr2")
+    a.join(b, Seq("user_id"), "full_outer")
+      .select(
+        when(col("attr1").isNull, lit("added"))
+          .when(col("attr2").isNull, lit("removed"))
+          .when(col("attr1") === col("attr2"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        when(col("attr1").isNotNull && col("attr2").isNotNull &&
+          col("attr1") =!= col("attr2"),
+          concat(col("attr1"), lit("->"), col("attr2")))
+          .otherwise(lit("-")).as("transition"))
+      .groupBy(col("status"), col("transition"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("status"), col("transition"))
+  }
+
+  private val snapshotDiffOracle: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id
+      |                            ORDER BY ts, event_id) AS rn,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |c AS (SELECT user_id, event_id, event_type, ts
+      |      FROM o WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+      |scd AS (SELECT user_id, event_type AS attr,
+      |               epoch_us(ts) AS valid_from_us,
+      |               epoch_us(lead(ts) OVER (PARTITION BY user_id
+      |                                       ORDER BY ts, event_id))
+      |                 AS valid_to_us
+      |        FROM c),
+      |bnd AS (SELECT MIN(valid_from_us) + (MAX(valid_from_us)
+      |                 - MIN(valid_from_us)) // 3 AS t1,
+      |               MIN(valid_from_us) + 2 * (MAX(valid_from_us)
+      |                 - MIN(valid_from_us)) // 3 AS t2
+      |        FROM scd),
+      |a AS (SELECT user_id, attr AS attr1 FROM scd, bnd
+      |      WHERE valid_from_us <= t1
+      |        AND (valid_to_us IS NULL OR valid_to_us > t1)),
+      |b AS (SELECT user_id, attr AS attr2 FROM scd, bnd
+      |      WHERE valid_from_us <= t2
+      |        AND (valid_to_us IS NULL OR valid_to_us > t2))
+      |SELECT CASE WHEN a.attr1 IS NULL THEN 'added'
+      |            WHEN b.attr2 IS NULL THEN 'removed'
+      |            WHEN a.attr1 = b.attr2 THEN 'unchanged'
+      |            ELSE 'changed' END AS status,
+      |       CASE WHEN a.attr1 IS NOT NULL AND b.attr2 IS NOT NULL
+      |              AND a.attr1 <> b.attr2
+      |            THEN a.attr1 || '->' || b.attr2 ELSE '-' END AS transition,
+      |       CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM a FULL OUTER JOIN b USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY status, transition""".stripMargin
+
+  /** Cohort LTV curve (q232): cumulative purchase value per signup-month
+    * cohort by month age — the lifetime-value grid a growth team reads
+    * cohort by cohort. Exact cents; month arithmetic as `year·12+month`
+    * integers; the cumulative window runs over the (cohort × age)
+    * histogram (calendar²-bounded), partitioned by cohort.
+    *
+    * Scale shape: one user-keyed aggregate finds each user's cohort
+    * month; purchases aggregate per (user-month) and join the
+    * broadcast-able user→cohort map; the LTV grid is histogram-sized. */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        (year(col("ts")) * 12 + month(col("ts")) - 1).cast("long").as("ym"))
+      .localCheckpoint(true) // consumers: cohort map + purchase rollup
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("ym")).as("cym"))
+    val sizes = cohort.groupBy(col("cym")).agg(count(lit(1)).as("cohort_users"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ym"))
+      .agg(sum(floor(col("value") * 100 + 0.5d).cast("long")).as("rev_c"))
+    val grid = purch.join(broadcast(cohort), Seq("user_id"))
+      .groupBy(col("cym"), (col("ym") - col("cym")).as("age"))
+      .agg(sum(col("rev_c")).as("rev_c"))
+    grid
+      .withColumn("cum_rev_c", sum(col("rev_c")).over(
+        Window.partitionBy(col("cym")).orderBy(col("age"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(sizes), Seq("cym"))
+      .select(col("cym").cast("long").as("cohort_ym"), col("age"),
+        col("cohort_users"),
+        (col("cum_rev_c").cast("double") / 100).as("cum_revenue"),
+        expr("cum_rev_c div cohort_users").as("cum_rev_per_user_c"))
+      .orderBy(col("cohort_ym"), col("age"))
+  }
+
+  private val cohortLtvOracle: String =
+    """WITH e AS (SELECT user_id, event_type, value,
+      |                  CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT) AS ym
+      |           FROM events),
+      |coh AS (SELECT user_id, MIN(ym) AS cym FROM e GROUP BY user_id),
+      |cs AS (SELECT cym, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      |       FROM coh GROUP BY cym),
+      |p AS (SELECT e.user_id, e.ym,
+      |             SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS rev_c
+      |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |g AS (SELECT coh.cym, p.ym - coh.cym AS age, SUM(p.rev_c) AS rev_c
+      |      FROM p JOIN coh USING (user_id) GROUP BY 1, 2),
+      |cum AS (SELECT cym, age,
+      |               SUM(rev_c) OVER (PARTITION BY cym ORDER BY age) AS cum_c
+      |        FROM g)
+      |SELECT cum.cym AS cohort_ym, cum.age, cs.cohort_users,
+      |       CAST(cum.cum_c AS DOUBLE) / 100 AS cum_revenue,
+      |       CAST(cum.cum_c // cs.cohort_users AS BIGINT)
+      |         AS cum_rev_per_user_c
+      |FROM cum JOIN cs USING (cym)
+      |ORDER BY cohort_ym, age""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q229_windowed_funnel", (s, d) => windowedFunnel(s, d),
+      Some(windowedFunnelOracle)),
+    Q("q230_snapshot_diff", (s, d) => snapshotDiff(s, d),
+      Some(snapshotDiffOracle)),
+    Q("q232_cohort_ltv", (s, d) => cohortLtv(s, d),
+      Some(cohortLtvOracle)),
     Q("q218_ab_test", (s, d) => abTestReport(s, d), Some(abTestOracle)),
     Q("q223_conversion_latency", (s, d) => conversionLatency(s, d),
       Some(conversionLatencyOracle)),

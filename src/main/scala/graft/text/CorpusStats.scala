@@ -160,7 +160,58 @@ object CorpusStats {
        |FROM dc LEFT JOIN mass USING (tier) LEFT JOIN newv USING (tier)
        |ORDER BY sample_pct""".stripMargin
 
+  /** Corpus source-diversity audit (q231): per-source token shares and
+    * the Herfindahl–Hirschman concentration index — Σ share² — in basis
+    * points, plus the implied effective source count `10⁴·10⁴ div hhi`
+    * (= 1/HHI). The one-number answer to "is this corpus really
+    * multi-source, or one crawl wearing twenty names?".
+    *
+    * Determinism: shares floor-quantize to basis points BEFORE squaring
+    * (both engines floor identically on non-negative longs), so the
+    * index is exact — the Σ tok²/T² rational form would overflow at
+    * ~10¹² corpus tokens.
+    *
+    * Scale shape: one corpus aggregate to per-source token counts
+    * (|sources| rows), 1-row total broadcast, arithmetic on the tiny
+    * frame. */
+  def sourceDiversity(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = graft.Tables.documents(s, dir)
+      .select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("toks"))
+    val tot = bySrc.agg(sum(col("toks")).as("t"), count(lit(1)).as("n_sources"))
+    val shares = bySrc.crossJoin(broadcast(tot))
+      .select(col("n_sources"), col("t"),
+        expr("toks * 10000 div t").as("share_bp"))
+    shares
+      .groupBy(col("n_sources"), col("t"))
+      .agg(max(col("share_bp")).as("max_share_bp"),
+        expr("sum(share_bp * share_bp) div 10000").as("hhi_bp"))
+      .select(col("n_sources"), col("t").as("total_tokens"),
+        col("max_share_bp"), col("hhi_bp"),
+        expr("100000000 div nullif(hhi_bp, 0)").as("effective_sources_c"))
+  }
+
+  private val sourceDiversityOracle: String =
+    s"""WITH b AS (
+       |  SELECT source, CAST(SUM(len(${TextQueries.toksSql})) AS BIGINT) AS toks
+       |  FROM documents GROUP BY source),
+       |t AS (SELECT CAST(SUM(toks) AS BIGINT) AS t,
+       |             CAST(COUNT(*) AS BIGINT) AS n_sources FROM b),
+       |sh AS (SELECT t.n_sources, t.t,
+       |              CAST(toks * 10000 // t.t AS BIGINT) AS share_bp
+       |       FROM b, t)
+       |SELECT n_sources, t AS total_tokens,
+       |       CAST(MAX(share_bp) AS BIGINT) AS max_share_bp,
+       |       CAST(SUM(share_bp * share_bp) // 10000 AS BIGINT) AS hhi_bp,
+       |       CAST(100000000 // nullif(SUM(share_bp * share_bp) // 10000, 0)
+       |            AS BIGINT) AS effective_sources_c
+       |FROM sh
+       |GROUP BY n_sources, t""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q231_source_diversity", (s, d) => sourceDiversity(s, d),
+      Some(sourceDiversityOracle)),
     Q("q196_chi2_drift", (s, d) => chi2SourceDrift(s, d),
       Some(chi2Oracle())),
     Q("q198_vocab_growth", (s, d) => vocabGrowth(s, d),

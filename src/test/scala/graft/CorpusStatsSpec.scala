@@ -74,4 +74,28 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(g.map(_._2).sorted == g.map(_._2)) // monotone docs
     assert(g.map(_._4).sorted == g.map(_._4)) // monotone types
   }
+
+  test("q231 source diversity == driver HHI; index bounded by " +
+      "(10000/n_sources, 10000)") {
+    def words(t: String): Long = {
+      val n = t.toLowerCase.replaceAll("\\s+", " ").trim
+      if (n.isEmpty) 0L else n.split(" ").length.toLong
+    }
+    val bySrc = Tables.documents(spark, TestSpark.sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) "" else r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(r => words(r._2)).sum).toMap
+    val t = bySrc.values.sum
+    val shares = bySrc.values.map(_ * 10000 / t)
+    val hhi = shares.map(s => s * s).sum / 10000
+    val r = text.CorpusStats.sourceDiversity(spark, TestSpark.sfDir)
+      .collect().head
+    assert(r.getLong(0) == bySrc.size.toLong)
+    assert(r.getLong(1) == t)
+    assert(r.getLong(2) == shares.max)
+    assert(r.getLong(3) == hhi)
+    assert(r.getLong(4) == 100000000L / hhi)
+    // HHI of n equal sources is 10000/n; concentration only raises it
+    assert(hhi >= 10000 / bySrc.size && hhi <= 10000)
+  }
 }

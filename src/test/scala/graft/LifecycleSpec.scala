@@ -157,6 +157,79 @@ class LifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("q229 windowed funnel == driver replay; stage counts are " +
+      "monotone non-increasing") {
+    val evs = Tables.events(spark, TestSpark.sfDir)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime * 1000))
+    val h24 = 24L * 3600 * 1000000; val d7 = 7L * 24 * 3600 * 1000000
+    var (s1, s2, s3) = (0L, 0L, 0L)
+    evs.groupBy(_._1).values.foreach { rs =>
+      val vMin = rs.filter(_._2 == "view").map(_._3).minOption
+      val cMin = vMin.flatMap(v => rs.filter(r => r._2 == "click" &&
+        r._3 >= v && r._3 <= v + h24).map(_._3).minOption)
+      val pMin = cMin.flatMap(c => rs.filter(r => r._2 == "purchase" &&
+        r._3 >= c && r._3 <= c + d7).map(_._3).minOption)
+      if (vMin.isDefined) s1 += 1
+      if (cMin.isDefined) s2 += 1
+      if (pMin.isDefined) s3 += 1
+    }
+    val r = streaming.Lifecycle.windowedFunnel(spark, TestSpark.sfDir)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((s1, s2, s3)))
+    assert(s1 >= s2 && s2 >= s3, "funnel stages must narrow")
+    assert(r.getLong(3) == s2 * 10000 / s1)
+  }
+
+  test("q230 snapshot diff: statuses partition the union of both " +
+      "as-of views; transitions only on 'changed'") {
+    val rows = streaming.Lifecycle.snapshotDiff(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (status, transition, n) =>
+      assert(n > 0)
+      if (status == "changed") assert(transition.contains("->"))
+      else assert(transition == "-", s"$status carries a transition")
+    }
+    // every user alive at t1 is alive at t2 in this SCD (no deletes):
+    // 'removed' cannot occur
+    assert(!rows.exists(_._1 == "removed"))
+  }
+
+  test("q232 cohort LTV == driver cumulative replay; curve is monotone " +
+      "per cohort") {
+    val evs = Tables.events(spark, TestSpark.sfDir)
+      .select("user_id", "event_type", "value", "ts").collect()
+      .map { r =>
+        val t = r.getTimestamp(3).toLocalDateTime
+        (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) 0.0 else r.getDouble(2),
+          t.getYear * 12L + t.getMonthValue - 1)
+      }
+    val cohort = evs.groupBy(_._1).view.mapValues(_.map(_._4).min).toMap
+    val sizes = cohort.values.groupBy(identity).view.mapValues(_.size.toLong)
+    val grid = evs.filter(_._2 == "purchase")
+      .map(e => ((cohort(e._1), e._4 - cohort(e._1)),
+        math.floor(e._3 * 100 + 0.5).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case ((c, a), _) => (c, a) }
+    val exp = grid.groupBy(_._1._1).toSeq.flatMap { case (c, rs) =>
+      var cum = 0L
+      rs.sortBy(_._1._2).map { case ((_, a), rev) =>
+        cum += rev
+        (c, a, sizes(c), cum / 100.0, cum / sizes(c))
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = streaming.Lifecycle.cohortLtv(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq == exp)
+    got.groupBy(_._1).values.foreach { rs =>
+      val cums = rs.sortBy(_._2).map(_._4).toSeq
+      assert(cums == cums.sorted, "LTV curve must be monotone")
+    }
+  }
+
   test("q212 peak concurrency == driver minute-coverage sweep") {
     val minutes = driverSessions().flatMap { sess =>
       val ms = sess.map(_._2.getTime / 60000L)
