@@ -1057,7 +1057,91 @@ object SimilarityQueries {
       |FROM j GROUP BY label
       |ORDER BY label""".stripMargin
 
+  /** Embedding class-separation audit (q234): per label, the mean
+    * squared distance of its vectors to their OWN centroid (intra-class
+    * scatter) next to the squared distance to the NEAREST other
+    * centroid (inter-class margin) and their ratio — the
+    * Davies-Bouldin-style compactness/separation probe run before
+    * trusting labels for retrieval or kNN eval (ratio ≤ 10⁴ bp means
+    * classes overlap more than they separate).
+    *
+    * Determinism: centroids are floor-divided exact micro-unit means
+    * (the q216 rule, sign·abs); per-vector squared distances divide by
+    * dims FIRST (`Σ(xq−m)² div 64`) so the per-label sum stays in long
+    * range (~4·10¹² per vector — ceiling ~10⁶ vectors per label per
+    * partition-free sum, document-not-guard); the ratio is exact bp.
+    *
+    * Scale shape: centroids from ONE posexplode aggregate (labels ×
+    * dims rows, broadcast back); the scatter pass re-joins the corpus
+    * to its own label's centroid rows and aggregates per label;
+    * centroid-centroid distances are a |labels|² self-join of the tiny
+    * frame. */
+  def classSeparation(s: SparkSession, dir: String): DataFrame = {
+    val q = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("x").cast("double") * 1000000 + 0.5d).cast("long").as("xq"))
+      .localCheckpoint(true) // consumers: centroids + the scatter pass
+    val cent = q.groupBy(col("label"), col("dim"))
+      .agg(sum(col("xq")).as("sq"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        (signum(col("sq")).cast("long") * expr("abs(sq) div n")).as("m"))
+      .localCheckpoint(true) // consumers: scatter join + centroid pairs
+    val intra = q.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(expr("sum((xq - m) * (xq - m)) div 64").as("d2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), expr("sum(d2) div count(1)").as("intra_sq"))
+    val a = cent.select(col("label").as("la"), col("dim"), col("m").as("ma"))
+    val b = cent.select(col("label").as("lb"), col("dim"), col("m").as("mb"))
+    val inter = a.join(b, Seq("dim")).filter(col("la") =!= col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(expr("sum((ma - mb) * (ma - mb)) div 64").as("cd2"))
+      .groupBy(col("la")).agg(min(col("cd2")).as("inter_sq"))
+      .select(col("la").as("label"), col("inter_sq"))
+    intra.join(inter, Seq("label"))
+      .select(col("label"), col("n_vecs"), col("intra_sq"), col("inter_sq"),
+        expr("inter_sq * 10000 div intra_sq").as("separation_bp"))
+      .orderBy(col("label"))
+  }
+
+  private val classSeparationOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id, label,
+      |         generate_subscripts(embedding, 1) - 1 AS dim,
+      |         CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 1000000 + 0.5)
+      |              AS BIGINT) AS xq
+      |  FROM embeddings),
+      |cent AS (SELECT label, dim,
+      |                CAST(sign(SUM(xq)) * (abs(SUM(xq)) // COUNT(*))
+      |                     AS BIGINT) AS m
+      |         FROM q GROUP BY 1, 2),
+      |pv AS (SELECT q.label, q.vec_id,
+      |              CAST(SUM((q.xq - c.m) * (q.xq - c.m)) // 64 AS BIGINT)
+      |                AS d2
+      |       FROM q JOIN cent c ON q.label = c.label AND q.dim = c.dim
+      |       GROUP BY 1, 2),
+      |ia AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |              CAST(SUM(d2) // COUNT(*) AS BIGINT) AS intra_sq
+      |       FROM pv GROUP BY label),
+      |ie AS (SELECT la AS label, CAST(MIN(cd2) AS BIGINT) AS inter_sq FROM (
+      |         SELECT a.label AS la, b.label AS lb,
+      |                CAST(SUM((a.m - b.m) * (a.m - b.m)) // 64 AS BIGINT)
+      |                  AS cd2
+      |         FROM cent a JOIN cent b
+      |           ON a.dim = b.dim AND a.label <> b.label
+      |         GROUP BY 1, 2) t
+      |       GROUP BY la)
+      |SELECT ia.label, ia.n_vecs, ia.intra_sq, ie.inter_sq,
+      |       CAST(ie.inter_sq * 10000 // ia.intra_sq AS BIGINT)
+      |         AS separation_bp
+      |FROM ia JOIN ie ON ia.label = ie.label
+      |ORDER BY ia.label""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q234_class_separation", (s, d) => classSeparation(s, d),
+      Some(classSeparationOracle)),
     Q("q216_embedding_drift", (s, d) => embeddingDrift(s, d),
       Some(embeddingDriftOracle)),
     Q("q195_knn_label_eval", (s, d) => knnLabelEval(s, d),

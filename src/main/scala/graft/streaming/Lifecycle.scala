@@ -615,7 +615,117 @@ object Lifecycle {
       |FROM cum JOIN cs USING (cym)
       |ORDER BY cohort_ym, age""".stripMargin
 
+  /** Activity streaks (q233): longest runs of CONSECUTIVE active days
+    * per user — the islands-and-gaps pattern (`day − row_number()` is
+    * constant within a consecutive run), the engagement metric behind
+    * every "n-day streak" badge.
+    *
+    * Scale shape: ONE corpus shuffle to the distinct (user, day) frame;
+    * the row_number window partitions BY USER (per-user day counts are
+    * observation-bounded — never a global sort); streaks aggregate on
+    * the derived island key; top-k is TakeOrderedAndProject. */
+  def activityStreaks(s: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    ud.withColumn("island", expr("date_sub(day, row_number() over " +
+        "(partition by user_id order by day))"))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("streak_days"), min(col("day")).as("start_day"))
+      .select(col("user_id"),
+        date_format(col("start_day"), "yyyy-MM-dd").as("start_day"),
+        col("streak_days"))
+      .orderBy(col("streak_days").desc, col("user_id"), col("start_day"))
+      .limit(k)
+      .withColumn("rn", row_number().over(Window.orderBy(
+        col("streak_days").desc, col("user_id"), col("start_day"))))
+      .orderBy(col("rn"))
+  }
+
+  private def streaksOracle(k: Int = 15): String =
+    s"""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+       |            FROM events),
+       |i AS (SELECT user_id, day,
+       |             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+       |                     ORDER BY day) AS INT) AS island
+       |      FROM ud),
+       |st AS (SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS streak_days,
+       |              strftime(MIN(day), '%Y-%m-%d') AS start_day
+       |       FROM i GROUP BY user_id, island)
+       |SELECT user_id, start_day, streak_days, rn FROM (
+       |  SELECT user_id, start_day, streak_days,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY streak_days DESC, user_id,
+       |                start_day) AS INT) AS rn
+       |  FROM st) t
+       |WHERE rn <= $k
+       |ORDER BY rn""".stripMargin
+
+  /** Rolling 7-day median event value (q235): for every day, the EXACT
+    * p50 of values over the trailing 7-day window — the rolling robust
+    * baseline an anomaly monitor compares against.
+    *
+    * Scale shape — rolling percentiles without per-day re-sorts: the
+    * corpus reduces once to the (day × value-cent) histogram; each
+    * histogram row EXPLODES to the ≤7 target days it contributes to
+    * (the q74/q212 bucket-contribution discipline), one (target-day,
+    * vc) aggregate merges the shifted histograms, and the percentile
+    * walk runs per target day (day-partitioned windows over histogram
+    * rows). Cost is 7× the histogram — independent of corpus size. */
+  def rollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val h = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("ts").cast("date").as("day"),
+        floor(col("value") * 100 + 0.5d).cast("long").as("vc"))
+      .groupBy(col("day"), col("vc")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // consumers: day domain + shifted histograms
+    val days = h.select(col("day")).distinct()
+    val shifted = h
+      .select(explode(expr("sequence(day, date_add(day, 6))")).as("tday"),
+        col("vc"), col("n"))
+      .join(broadcast(days.select(col("day").as("tday"))), Seq("tday"),
+        "left_semi") // only days that exist in the data report a median
+      .groupBy(col("tday"), col("vc")).agg(sum(col("n")).as("n"))
+    val cum = shifted
+      .withColumn("cum", sum(col("n")).over(
+        Window.partitionBy(col("tday")).orderBy(col("vc"))))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("tday"))))
+    cum.groupBy(col("tday"))
+      .agg(max(col("tot")).as("n_events"),
+        min(when(col("cum") * 2 >= col("tot"), col("vc"))).as("p50_c"))
+      .select(date_format(col("tday"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("p50_c"))
+      .orderBy(col("day"))
+  }
+
+  private val rollingMedianOracle: String =
+    """WITH h AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day FROM h),
+      |sh AS (SELECT DATE '1970-01-01' + CAST(u.x AS INT) AS tday,
+      |              h.vc, SUM(h.n) AS n
+      |       FROM h, UNNEST(range(CAST(h.day - DATE '1970-01-01' AS BIGINT),
+      |                CAST(h.day - DATE '1970-01-01' AS BIGINT) + 7)) AS u(x)
+      |       WHERE DATE '1970-01-01' + CAST(u.x AS INT)
+      |               IN (SELECT day FROM days)
+      |       GROUP BY 1, 2),
+      |c AS (SELECT tday, vc, n,
+      |             SUM(n) OVER (PARTITION BY tday ORDER BY vc) AS cum,
+      |             SUM(n) OVER (PARTITION BY tday) AS tot
+      |      FROM sh)
+      |SELECT strftime(tday, '%Y-%m-%d') AS day,
+      |       CAST(MAX(tot) AS BIGINT) AS n_events,
+      |       CAST(MIN(CASE WHEN cum * 2 >= tot THEN vc END) AS BIGINT) AS p50_c
+      |FROM c GROUP BY tday
+      |ORDER BY day""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q233_activity_streaks", (s, d) => activityStreaks(s, d),
+      Some(streaksOracle())),
+    Q("q235_rolling_median", (s, d) => rollingMedian(s, d),
+      Some(rollingMedianOracle)),
     Q("q229_windowed_funnel", (s, d) => windowedFunnel(s, d),
       Some(windowedFunnelOracle)),
     Q("q230_snapshot_diff", (s, d) => snapshotDiff(s, d),

@@ -305,4 +305,37 @@ class AnnSpec extends AnyFunSuite {
       assert(cos >= -1.0001 && cos <= 1.0001, s"label $label cos out of range")
     }
   }
+
+  test("q234 class separation == driver scatter recomputation") {
+    val vecs = Tables.embeddings(spark, TestSpark.sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getInt(1), r.getSeq[Float](2).map(v =>
+        math.floor(v.toDouble * 1000000 + 0.5).toLong).toArray))
+    val cent = vecs.groupBy(_._1).view.mapValues { g =>
+      val dims = g.head._2.length
+      Array.tabulate(dims) { d =>
+        val s = g.map(_._2(d)).sum
+        java.lang.Long.signum(s).toLong * (math.abs(s) / g.length)
+      }
+    }.toMap
+    val intra = vecs.groupBy(_._1).view.mapValues { g =>
+      val m = cent(g.head._1)
+      val d2s = g.map(v =>
+        v._2.zip(m).map { case (x, c) => (x - c) * (x - c) }.sum / 64)
+      (g.size.toLong, d2s.sum / g.size)
+    }.toMap
+    val labels = cent.keys.toSeq.sorted
+    val exp = labels.map { l =>
+      val inter = labels.filter(_ != l).map { o =>
+        cent(l).zip(cent(o)).map { case (a, b) => (a - b) * (a - b) }.sum / 64
+      }.min
+      val (n, ia) = intra(l)
+      (l, n, ia, inter, inter * 10000 / ia)
+    }
+    val got = graft.similarity.SimilarityQueries
+      .classSeparation(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp)
+  }
 }

@@ -230,6 +230,56 @@ class LifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("q233 activity streaks == driver islands-and-gaps replay") {
+    val ud = Tables.events(spark, TestSpark.sfDir)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts").cast("date").as("d"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate)).distinct
+    val streaks = ud.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+      val days = rs.map(_._2).sortBy(_.toEpochDay)
+      val runs = scala.collection.mutable.ArrayBuffer[(java.time.LocalDate, Long)]()
+      days.foreach { d =>
+        if (runs.nonEmpty &&
+          runs.last._1.plusDays(runs.last._2).isEqual(d))
+          runs(runs.size - 1) = (runs.last._1, runs.last._2 + 1)
+        else runs += ((d, 1L))
+      }
+      runs.map { case (start, len) => (u, start.toString, len) }
+    }
+    val exp = streaks.sortBy { case (u, s, l) => (-l, u, s) }.take(15)
+      .zipWithIndex.map { case ((u, s, l), i) => (u, s, l, i + 1) }
+    val got = streaming.Lifecycle.activityStreaks(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3)))
+    assert(got.toSeq == exp)
+  }
+
+  test("q235 rolling median == driver trailing-7-day histogram merge; " +
+      "exact p50 definition holds") {
+    val evs = Tables.events(spark, TestSpark.sfDir)
+      .select(org.apache.spark.sql.functions.col("ts").cast("date").as("d"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect().filter(!_.isNullAt(1))
+      .map(r => (r.getDate(0).toLocalDate,
+        math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    val days = evs.map(_._1).distinct
+    val exp = days.sortBy(_.toEpochDay).map { d =>
+      val win = evs.filter { case (ed, _) =>
+        !ed.isAfter(d) && !ed.isBefore(d.minusDays(6)) }.map(_._2).sorted
+      val n = win.length.toLong
+      // smallest vc with cum*2 >= tot over the merged histogram
+      var cum = 0L
+      val p50 = win.groupBy(identity).view.mapValues(_.length.toLong)
+        .toSeq.sortBy(_._1).collectFirst {
+          case (vc, c) if { cum += c; cum * 2 >= n } => vc
+        }.get
+      (d.toString, n, p50)
+    }
+    val got = streaming.Lifecycle.rollingMedian(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == exp.toSeq)
+  }
+
   test("q212 peak concurrency == driver minute-coverage sweep") {
     val minutes = driverSessions().flatMap { sess =>
       val ms = sess.map(_._2.getTime / 60000L)
