@@ -325,7 +325,40 @@ object FileGate {
       |GROUP BY 1
       |ORDER BY priority""".stripMargin
 
+  /** Hive-partitioned write + partition-pruned read (q236): events
+    * written `partitionBy(event_type)` and read back with a partition
+    * filter — the layout that turns a predicate into DIRECTORY pruning
+    * (the scan never opens non-matching partitions; PlanSpec asserts
+    * `PartitionFilters` carries the predicate). At 100 TB this is the
+    * difference between scanning one partition and scanning the lake —
+    * the coarse-grained complement of Layout.scala's row-group
+    * skipping. The oracle restates the semantics over the source
+    * table. */
+  def partitionedRead(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_gate/${new java.io.File(dir).getName}" +
+      "/partitioned_events"
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .write.partitionBy("event_type").mode("overwrite").parquet(base)
+    s.read.parquet(base)
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v")).cast("double").as("total_value"))
+      .select(lit("purchase").as("event_type"), col("n_events"),
+        col("total_value"))
+  }
+
+  private val partitionedReadOracle: String =
+    """SELECT 'purchase' AS event_type,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE event_type = 'purchase'""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q236_partitioned_read", (s, d) => partitionedRead(s, d),
+      Some(partitionedReadOracle)),
     Q("q226_schema_merge", (s, d) => schemaMergeRead(s, d),
       Some(schemaMergeOracle)),
     Q("q179_orc_roundtrip", (s, d) => orcRoundTrip(s, d),

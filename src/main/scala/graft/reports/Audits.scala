@@ -626,7 +626,8 @@ object Audits {
         expr("sy div n").as("mean_per_day"))
   }
 
-  private val dailyTrendOracle: String =
+  // private[graft]: the q237 event-dashboard oracle embeds this text
+  private[graft] val dailyTrendOracle: String =
     """WITH h AS (SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
       |           FROM events GROUP BY 1),
       |x AS (SELECT CAST(d - (SELECT MIN(d) FROM h) AS BIGINT) AS x, y FROM h),

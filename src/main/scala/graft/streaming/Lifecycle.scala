@@ -721,7 +721,50 @@ object Lifecycle {
       |FROM c GROUP BY tday
       |ORDER BY day""".stripMargin
 
+  /** Event-health dashboard (q237): the round's engagement metrics —
+    * funnel rates (q229), signup→purchase conversion + p50 latency
+    * (q223), latest-month stickiness (q225), daily-volume trend slope
+    * (q228) and the A/B delta + significance (q218) — assembled into
+    * ONE single-row health report. The q143/q167 composition
+    * discipline applied to the event side: each component keeps its
+    * exact semantics and its own oracle rides in as a CTE, so the
+    * dashboard is value-checked end to end, not approximately glued.
+    *
+    * Scale shape: every component reduces the corpus independently
+    * (their own documented shapes); the assembly is cross joins of
+    * 1-row frames. */
+  def eventDashboard(s: SparkSession, dir: String): DataFrame = {
+    val funnel = windowedFunnel(s, dir)
+      .select(col("view_to_click_bp"), col("click_to_purchase_bp"))
+    val conv = conversionLatency(s, dir)
+      .select(col("conv_bp").as("signup_purchase_bp"), col("p50_hours"))
+    val stick = stickiness(s, dir)
+      .orderBy(col("month").desc).limit(1)
+      .select(col("stickiness_bp"))
+    val trend = graft.reports.Audits.dailyTrend(s, dir)
+      .select(col("slope_micro_per_day"))
+    val ab = abTestReport(s, dir)
+      .select(col("diff_bp").as("ab_diff_bp"), col("significant"))
+    funnel.crossJoin(conv).crossJoin(stick).crossJoin(trend).crossJoin(ab)
+  }
+
+  private def eventDashboardOracle: String =
+    s"""WITH funnel AS ($windowedFunnelOracle),
+       |conv AS ($conversionLatencyOracle),
+       |stick AS ($stickinessOracle),
+       |trend AS (${graft.reports.Audits.dailyTrendOracle}),
+       |ab AS ($abTestOracle),
+       |stick1 AS (SELECT stickiness_bp FROM stick
+       |           ORDER BY month DESC LIMIT 1)
+       |SELECT funnel.view_to_click_bp, funnel.click_to_purchase_bp,
+       |       conv.conv_bp AS signup_purchase_bp, conv.p50_hours,
+       |       stick1.stickiness_bp, trend.slope_micro_per_day,
+       |       ab.diff_bp AS ab_diff_bp, ab.significant
+       |FROM funnel, conv, stick1, trend, ab""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q237_event_dashboard", (s, d) => eventDashboard(s, d),
+      Some(eventDashboardOracle)),
     Q("q233_activity_streaks", (s, d) => activityStreaks(s, d),
       Some(streaksOracle())),
     Q("q235_rolling_median", (s, d) => rollingMedian(s, d),

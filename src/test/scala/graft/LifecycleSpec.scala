@@ -280,6 +280,30 @@ class LifecycleSpec extends AnyFunSuite {
     assert(got.toSeq == exp.toSeq)
   }
 
+  test("q237 dashboard fields equal their component queries' own outputs") {
+    val dash = streaming.Lifecycle.eventDashboard(spark, TestSpark.sfDir)
+      .collect().head
+    val funnel = streaming.Lifecycle.windowedFunnel(spark, TestSpark.sfDir)
+      .collect().head
+    val conv = streaming.Lifecycle.conversionLatency(spark, TestSpark.sfDir)
+      .collect().head
+    val stick = streaming.Lifecycle.stickiness(spark, TestSpark.sfDir)
+      .orderBy(org.apache.spark.sql.functions.col("month").desc)
+      .collect().head
+    val trend = reports.Audits.dailyTrend(spark, TestSpark.sfDir)
+      .collect().head
+    val ab = streaming.Lifecycle.abTestReport(spark, TestSpark.sfDir)
+      .collect().head
+    assert(dash.getLong(0) == funnel.getLong(3))
+    assert(dash.getLong(1) == funnel.getLong(4))
+    assert(dash.getLong(2) == conv.getLong(2))
+    assert(dash.getLong(3) == conv.getLong(3))
+    assert(dash.getLong(4) == stick.getLong(4))
+    assert(dash.getLong(5) == trend.getLong(2))
+    assert(dash.getLong(6) == ab.getLong(6))
+    assert(dash.getInt(7) == ab.getInt(8))
+  }
+
   test("q212 peak concurrency == driver minute-coverage sweep") {
     val minutes = driverSessions().flatMap { sess =>
       val ms = sess.map(_._2.getTime / 60000L)

@@ -465,6 +465,25 @@ class PlanSpec extends AnyFunSuite {
       "latency walk re-scanned parquet instead of the checkpointed frame\n" + p)
   }
 
+  test("q236: the partition predicate prunes directories — " +
+      "PartitionFilters carries it, DataFilters does not re-check it") {
+    val p = plan("q236_partitioned_read")
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("partitioned_events"))
+    assert(scanLine.isDefined, p)
+    assert(scanLine.get.contains("PartitionFilters") &&
+      scanLine.get.replaceAll(".*PartitionFilters", "")
+        .takeWhile(_ != ']').contains("purchase"),
+      s"partition filter not pushed to directory pruning\n${scanLine.get}")
+  }
+
+  test("q237: the dashboard assembles 1-row frames — every join is a " +
+      "broadcast nested loop over single rows, no shuffle join") {
+    val p = plan("q237_event_dashboard")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+  }
+
   test("q198: tier assignment is map-side (no join before the token " +
       "aggregate); the cumulative window runs over the 4-row tier frame") {
     val p = plan("q198_vocab_growth")
