@@ -1,4 +1,5 @@
 package graft.dsl
+import graft.Ckpt.Ops
 
 import graft.rules.FilterExpr
 import org.apache.spark.sql.{Column, DataFrame}
@@ -134,9 +135,9 @@ object Search {
       // (these are report-sized: pageSize and maxChoices rows)
       val facetFrames = q.facets.map { f =>
         f.field -> facetFrame(facetBase(df, filtered, q, f), f)
-          .localCheckpoint(eager = true)
+          .ckpt
       }.toMap
-      Result(hits.localCheckpoint(eager = true), total, page, facetFrames)
+      Result(hits.ckpt, total, page, facetFrames)
     } finally filtered.unpersist(blocking = false)
   }
 

@@ -1,4 +1,5 @@
 package graft.etl
+import graft.Ckpt.Ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -44,7 +45,7 @@ object Pseudonymize {
     val cust = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_mktsegment"),
         pseudo(col("c_custkey"), salt).as("pid"))
-      .localCheckpoint(true) // consumers: segment rollup + order link join
+      .ckpt // consumers: segment rollup + order link join
     val seg = cust.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
     val pseg = cust.select(col("c_mktsegment"), col("pid")).distinct()
       .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_pseudonyms"))

@@ -1,4 +1,5 @@
 package graft.etl
+import graft.Ckpt.Ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -41,7 +42,7 @@ object RecordLinkage {
     val c = customers
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_mktsegment"), expr("substring(c_name, 10)").as("digits"))
-      .localCheckpoint(true)
+      .ckpt
     val keyed = c
       .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
         explode(sequence(lit(1), lit(9))).as("wpos"), col("digits"))

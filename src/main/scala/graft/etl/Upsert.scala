@@ -93,9 +93,7 @@ object Upsert {
     cfg.requiredForInsert.foreach { req =>
       resolved = resolved.filter(!col(IsNewCol) || col(req).isNotNull)
     }
-    // assign surrogates to inserts: max(snapshot) + dense id. A cluster-safe
-    // variant would reserve id ranges per partition; for the segment sizes
-    // the reference imports (100-row batches) this window is fine.
+    // assign surrogates to inserts: max(snapshot) + dense id
     val maxId = Option(snapshot.agg(max(col(cfg.surrogate))).head.get(0))
       .map(_.toString.toLong).getOrElse(0L)
     val keyCols = cfg.keyPriority.filter(resolved.columns.contains)
@@ -110,13 +108,21 @@ object Upsert {
     val wInsDedup = Window.partitionBy(keyCols.map(col): _*).orderBy(
       (if (cfg.incomingOrder.nonEmpty) cfg.incomingOrder.map(col(_).desc)
        else Seq(monotonically_increasing_id().desc)): _*)
-    val wNew = Window.orderBy(keyCols.map(col) :+ monotonically_increasing_id(): _*)
     // new surrogates are dense above the snapshot max, numbered over the
-    // insert set only (the update rows must not shift the sequence)
-    val newRows = resolved.filter(col(IsNewCol))
+    // insert set only (the update rows must not shift the sequence) in
+    // key order — key tuples are unique after the dedup below, so that
+    // order is total. Cluster-safe numbering: range-partition by the key
+    // (a DISTRIBUTED range shuffle; partition i holds keys strictly
+    // below partition i+1), sort within partitions, then zipWithIndex —
+    // which counts rows per partition, prefix-sums the offsets on the
+    // driver (|partitions| longs) and assigns offset + partition-local
+    // index. The old form (row_number over an unpartitioned window) was
+    // a single-partition exchange of the whole insert set — fine for the
+    // reference's 100-row segments, serializing a 100× import.
+    val insDedup = resolved.filter(col(IsNewCol))
       .withColumn("__ins_rn", row_number().over(wInsDedup))
       .filter(col("__ins_rn") === 1).drop("__ins_rn")
-      .withColumn("__key", lit(maxId) + row_number().over(wNew))
+    val newRows = numberInserts(insDedup, keyCols, maxId)
     val oldRows = resolved.filter(!col(IsNewCol))
       .withColumn("__key", col(ResolvedCol))
     resolved = oldRows.unionByName(newRows)
@@ -162,6 +168,31 @@ object Upsert {
       coalesce(col(s"s.${cfg.surrogate}"), col("i.__key"))
         .cast(snapshot.schema(cfg.surrogate).dataType).as(cfg.surrogate) +:
       mergedCols: _*)
+  }
+
+  /** Dense surrogate numbering (`__key` = `maxId + rank-in-key-order`)
+    * over the deduped insert set — package-visible so PlanSpec can
+    * assert the numbering path plans no single-partition exchange. */
+  private[graft] def orderedInserts(insDedup: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    if (keyCols.isEmpty) insDedup.coalesce(1) // keyless: dedup left ≤1 row
+    else insDedup.repartitionByRange(keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col): _*)
+
+  private[graft] def numberInserts(insDedup: DataFrame, keyCols: Seq[String],
+      maxId: Long): DataFrame = {
+    val ordered = orderedInserts(insDedup, keyCols)
+    // ckpt: zipWithIndex runs a count job before the data job — pin the
+    // frame so both see the same rows (the dedup's mid tiebreak is not
+    // recompute-stable) and the upstream resolve joins run once, not twice
+    val pinned = graft.Ckpt(ordered)
+    val keyedSchema = org.apache.spark.sql.types.StructType(
+      pinned.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "__key", org.apache.spark.sql.types.LongType, nullable = false))
+    pinned.sparkSession.createDataFrame(
+      pinned.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (maxId + 1 + i)) },
+      keyedSchema)
   }
 
   def upsert(snapshot: DataFrame, incoming: DataFrame, cfg: Config): DataFrame =

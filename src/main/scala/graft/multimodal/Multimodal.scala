@@ -95,6 +95,187 @@ object Multimodal {
     acc
   }
 
+  // ---- real image codec ------------------------------------------------
+
+  /** A decoded raster: packed 0xRRGGBB pixels, row-major. */
+  final case class DecodedImage(width: Int, height: Int, rgb: Array[Int])
+
+  /** Codec seam (the production decode stage): implementations decode
+    * payload bytes into a raster, returning None for undecodable input
+    * (a corrupt file must skip the row, never kill the partition). */
+  trait ImageCodec extends Serializable {
+    def decode(bytes: Array[Byte]): Option[DecodedImage]
+    /** Re-encode a raster to this codec's byte format. */
+    def encode(img: DecodedImage): Array[Byte]
+  }
+
+  /** REAL codec on the JDK's built-in readers — `javax.imageio` ships
+    * PNG/JPEG/BMP/GIF/WBMP support in every JRE, no external library
+    * (the earlier stub rationale only holds for audio/video). PNG is
+    * lossless, which is what makes the decode stage oracle-checkable:
+    * pixels rendered from an integer formula survive encode→decode
+    * bit-exactly, so DuckDB can recompute their statistics from the
+    * formula alone (q238/q239). Reference downloads and dedups real
+    * images in `EntityImporterBase.cs:301-432`. */
+  object JdkImageCodec extends ImageCodec {
+    override def decode(bytes: Array[Byte]): Option[DecodedImage] = {
+      if (bytes == null || bytes.isEmpty) None
+      else {
+        // ImageIO.read returns null (not an exception) for unknown
+        // formats, but throws IIOException for a recognized-but-corrupt
+        // stream — treat both as "undecodable row"
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        Option(img).map { i =>
+          val w = i.getWidth
+          val h = i.getHeight
+          val px = i.getRGB(0, 0, w, h, null, 0, w)
+          var k = 0
+          while (k < px.length) { px(k) = px(k) & 0xFFFFFF; k += 1 }
+          DecodedImage(w, h, px)
+        }
+      }
+    }
+
+    override def encode(img: DecodedImage): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(img.width, img.height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      bi.setRGB(0, 0, img.width, img.height, img.rgb, 0, img.width)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Deterministic stub kept as the second [[ImageCodec]] impl (the
+    * codec-less container path): payload bytes ARE the raster — one
+    * grayscale row per payload. Lets every pipeline stage run where no
+    * image library exists, with the same skip-on-empty contract. */
+  object StubImageCodec extends ImageCodec {
+    override def decode(bytes: Array[Byte]): Option[DecodedImage] =
+      if (bytes == null || bytes.isEmpty) None
+      else Some(DecodedImage(bytes.length, 1,
+        bytes.map(b => (b & 0xFF) * 0x010101)))
+    override def encode(img: DecodedImage): Array[Byte] =
+      img.rgb.map(p => (p & 0xFF).toByte)
+  }
+
+  /** Render one REAL PNG per input row — the in-pipeline fixture
+    * generator for the codec path. Pixel (x, y) of image `id` is the
+    * integer formula
+    *   r = (id + 7x + 13y)  mod 256
+    *   g = (2id + 5x + 3y)  mod 256
+    *   b = (3id + 11x + y)  mod 256
+    * — chosen because a SQL engine can recompute any statistic of the
+    * decoded raster directly from (id, x, y) without an image library
+    * (PNG is lossless, so decode(encode(raster)) == raster). */
+  def renderPng(df: DataFrame, idCol: String, w: Int = 16,
+      h: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc = Encoders.row(outSchema)
+    df.select(col(idCol).cast(LongType).as("media_id"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.isNullAt(0)) None
+          else {
+            val id = r.getLong(0)
+            val px = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rr = java.lang.Math.floorMod(id + 7L * x + 13L * y, 256L).toInt
+                val gg = java.lang.Math.floorMod(2L * id + 5L * x + 3L * y, 256L).toInt
+                val bb = java.lang.Math.floorMod(3L * id + 11L * x + y, 256L).toInt
+                px(y * w + x) = (rr << 16) | (gg << 8) | bb
+                x += 1
+              }
+              y += 1
+            }
+            Some(Row(id, JdkImageCodec.encode(DecodedImage(w, h, px))))
+          }
+        }
+      }(enc)
+  }
+
+  /** Decode every payload with `codec` and emit exact per-channel pixel
+    * sums + dimensions — the oracle-checkable probe of the REAL decode
+    * stage (the q44 checksum discipline, on decoded pixels instead of
+    * raw bytes). Undecodable rows are skipped, like null payloads. */
+  def imagePixelStats(media: DataFrame,
+      codec: ImageCodec = JdkImageCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("r_sum", LongType, nullable = false),
+      StructField("g_sum", LongType, nullable = false),
+      StructField("b_sum", LongType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.isNullAt(0)) None
+        else codec.decode(
+          if (r.isNullAt(1)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](1)).map { img =>
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var k = 0
+          while (k < img.rgb.length) {
+            val p = img.rgb(k)
+            rs += (p >> 16) & 0xFF; gs += (p >> 8) & 0xFF; bs += p & 0xFF
+            k += 1
+          }
+          Row(r.getLong(0), img.width, img.height, rs, gs, bs)
+        }
+      }
+    }(enc)
+  }
+
+  /** Exact nearest-neighbor scaling on the decoded raster: target pixel
+    * (x, y) copies source pixel (⌊x·w/w2⌋, ⌊y·h/h2⌋) — pure integer
+    * arithmetic, so the result is bit-deterministic AND restatable in
+    * SQL (unlike Graphics2D filtering, whose kernels are
+    * implementation-defined). */
+  private[graft] def resizeNearest(img: DecodedImage, w2: Int,
+      h2: Int): DecodedImage = {
+    val out = new Array[Int](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      val sy = y * img.height / h2
+      var x = 0
+      while (x < w2) {
+        out(y * w2 + x) = img.rgb(sy * img.width + x * img.width / w2)
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(w2, h2, out)
+  }
+
+  /** Real resize stage: decode → nearest-neighbor scale → re-encode with
+    * the same codec. Replaces [[resizeStub]] when a codec exists; same
+    * partition-batched, shuffle-free shape. */
+  def resizeImage(media: DataFrame, w2: Int, h2: Int,
+      codec: ImageCodec = JdkImageCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.isNullAt(0)) None
+        else codec.decode(
+          if (r.isNullAt(1)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](1)).map { img =>
+          Row(r.getLong(0), codec.encode(resizeNearest(img, w2, h2)))
+        }
+      }
+    }(enc)
+  }
+
   /** Metadata projection (oracle-checkable: byte counts + digests). */
   def mediaMeta(media: DataFrame): DataFrame =
     media.select(col("media_id"), col("meta.n_bytes").as("n_bytes"),

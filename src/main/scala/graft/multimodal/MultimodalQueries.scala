@@ -1,4 +1,5 @@
 package graft.multimodal
+import graft.Ckpt.Ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -55,7 +56,7 @@ object MultimodalQueries {
         Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text"),
         frameBytes = 256, everyNth = 1)
       .select(col("media_id"), md5(hex(col("frame"))).as("fh"))
-      .localCheckpoint(eager = true)
+      .ckpt
     val df = frames.select(col("fh"), col("media_id")).distinct()
       .groupBy(col("fh")).agg(count(lit(1)).as("nm"))
     frames.join(df, Seq("fh"))
@@ -67,6 +68,32 @@ object MultimodalQueries {
           col("n_frames").cast("double"), 4).as("dup_frac"))
       .orderBy(col("media_id"))
   }
+
+  /** REAL image-codec round trip (q238): one formula-rendered 16×16 PNG
+    * per document (`Multimodal.renderPng`), decoded back with
+    * `javax.imageio` (`JdkImageCodec`) and reduced to exact per-channel
+    * pixel sums. PNG is lossless, so DuckDB verifies the whole
+    * encode→decode chain by recomputing the sums from the pixel formula
+    * alone — the codec is real, the oracle needs no image library.
+    *
+    * Scale shape: render and decode both run in one mapPartitions pass
+    * each (map-side, no shuffle); the stats aggregate is the only
+    * exchange and carries 6 longs per image. */
+  def imagePixelStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imagePixelStats(
+        Multimodal.renderPng(Tables.documents(s, dir), "doc_id"))
+      .orderBy(col("media_id"))
+
+  /** Real resize chain (q239): render 16×16 PNG → decode → exact
+    * nearest-neighbor 8×8 (source pixel (2x, 2y)) → re-encode PNG →
+    * decode AGAIN → pixel sums. Two full codec round trips plus a
+    * deterministic geometric transform, all verified value-exact by the
+    * formula oracle. */
+  def imageResizeStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imagePixelStats(
+        Multimodal.resizeImage(
+          Multimodal.renderPng(Tables.documents(s, dir), "doc_id"), 8, 8))
+      .orderBy(col("media_id"))
 
   val qs: Seq[Q] = Seq(
     Q("q163_frame_dedup", (s, d) => frameDedup(s, d), Some(
@@ -101,6 +128,33 @@ object MultimodalQueries {
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
         |       md5(text) AS digest
         |FROM documents
+        |ORDER BY media_id""".stripMargin)),
+    Q("q238_image_pixel_stats", (s, d) => imagePixelStats(s, d), Some(
+      """WITH g AS (SELECT t1.x AS x, t2.y AS y
+        |           FROM unnest(range(0, 16)) t1(x),
+        |                unnest(range(0, 16)) t2(y))
+        |SELECT doc_id AS media_id, CAST(16 AS INT) AS width,
+        |       CAST(16 AS INT) AS height,
+        |       CAST(SUM((doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS r_sum,
+        |       CAST(SUM((2 * doc_id + 5 * x + 3 * y) % 256) AS BIGINT) AS g_sum,
+        |       CAST(SUM((3 * doc_id + 11 * x + y) % 256) AS BIGINT) AS b_sum
+        |FROM documents, g
+        |GROUP BY doc_id
+        |ORDER BY media_id""".stripMargin)),
+    Q("q239_image_resize_stats", (s, d) => imageResizeStats(s, d), Some(
+      """WITH g AS (SELECT t1.x AS x, t2.y AS y
+        |           FROM unnest(range(0, 8)) t1(x),
+        |                unnest(range(0, 8)) t2(y))
+        |SELECT doc_id AS media_id, CAST(8 AS INT) AS width,
+        |       CAST(8 AS INT) AS height,
+        |       CAST(SUM((doc_id + 7 * (2 * x) + 13 * (2 * y)) % 256) AS BIGINT)
+        |         AS r_sum,
+        |       CAST(SUM((2 * doc_id + 5 * (2 * x) + 3 * (2 * y)) % 256) AS BIGINT)
+        |         AS g_sum,
+        |       CAST(SUM((3 * doc_id + 11 * (2 * x) + (2 * y)) % 256) AS BIGINT)
+        |         AS b_sum
+        |FROM documents, g
+        |GROUP BY doc_id
         |ORDER BY media_id""".stripMargin)),
     Q("q44_media_features", (s, d) => mediaFeatures(s, d), Some(
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,

@@ -1,4 +1,5 @@
 package graft.reports
+import graft.Ckpt.Ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -142,7 +143,7 @@ object Audits {
         sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
         sum(coalesce(floor(col("value") * 100 + 0.5d).cast("long"), lit(0L)))
           .as("sum_c"))
-      .localCheckpoint(true) // consumers: the midpoint + the half rollup
+      .ckpt // consumers: the midpoint + the half rollup
     val mid = h.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
       .select(expr("date_add(d0, cast(datediff(d1, d0) div 2 as int))")
         .as("mid"))
@@ -156,11 +157,18 @@ object Audits {
         half(col("d") > col("mid"), "n").as("n_b"),
         half(col("d") > col("mid"), "n_null").as("null_b"),
         half(col("d") > col("mid"), "sum_c").as("sum_b"))
+      // nullif: an event type present in only one half leaves the other
+      // half's n at 0 — both engines must agree on NULL, not differ
+      // (Spark div → NULL vs DuckDB // → error). sign·(abs div): event
+      // values can be negative; Spark div truncates, DuckDB // floors —
+      // agree on the non-negative quotient only (same form as q215/q222).
       .select(col("event_type"), col("n_a"), col("n_b"),
-        expr("null_a * 10000 div n_a").as("null_bp_a"),
-        expr("null_b * 10000 div n_b").as("null_bp_b"),
-        expr("sum_a div nullif(n_a - null_a, 0)").as("mean_a_c"),
-        expr("sum_b div nullif(n_b - null_b, 0)").as("mean_b_c"))
+        expr("null_a * 10000 div nullif(n_a, 0)").as("null_bp_a"),
+        expr("null_b * 10000 div nullif(n_b, 0)").as("null_bp_b"),
+        (signum(col("sum_a")).cast("long") *
+          expr("abs(sum_a) div nullif(n_a - null_a, 0)")).as("mean_a_c"),
+        (signum(col("sum_b")).cast("long") *
+          expr("abs(sum_b) div nullif(n_b - null_b, 0)")).as("mean_b_c"))
       .withColumn("mean_shift_c", col("mean_b_c") - col("mean_a_c"))
       .withColumn("drifted",
         (abs(col("mean_shift_c")) > meanTolC).cast("int"))
@@ -184,19 +192,20 @@ object Audits {
        |        CAST(SUM(CASE WHEN d > mid THEN COALESCE(
        |               CAST(floor(value * 100 + 0.5) AS BIGINT), 0)
        |             ELSE 0 END) AS BIGINT) AS sum_b
-       |      FROM ev, mid GROUP BY event_type)
-       |SELECT event_type, n_a, n_b,
-       |       CAST(null_a * 10000 // n_a AS BIGINT) AS null_bp_a,
-       |       CAST(null_b * 10000 // n_b AS BIGINT) AS null_bp_b,
-       |       CAST(sum_a // nullif(n_a - null_a, 0) AS BIGINT) AS mean_a_c,
-       |       CAST(sum_b // nullif(n_b - null_b, 0) AS BIGINT) AS mean_b_c,
-       |       CAST(sum_b // nullif(n_b - null_b, 0)
-       |            - sum_a // nullif(n_a - null_a, 0) AS BIGINT)
-       |         AS mean_shift_c,
-       |       CAST(CASE WHEN abs(sum_b // nullif(n_b - null_b, 0)
-       |                          - sum_a // nullif(n_a - null_a, 0)) > $meanTolC
+       |      FROM ev, mid GROUP BY event_type),
+       |b AS (SELECT event_type, n_a, n_b,
+       |       CAST(null_a * 10000 // nullif(n_a, 0) AS BIGINT) AS null_bp_a,
+       |       CAST(null_b * 10000 // nullif(n_b, 0) AS BIGINT) AS null_bp_b,
+       |       CAST(sign(sum_a) * (abs(sum_a) // nullif(n_a - null_a, 0))
+       |            AS BIGINT) AS mean_a_c,
+       |       CAST(sign(sum_b) * (abs(sum_b) // nullif(n_b - null_b, 0))
+       |            AS BIGINT) AS mean_b_c
+       |      FROM a)
+       |SELECT event_type, n_a, n_b, null_bp_a, null_bp_b, mean_a_c, mean_b_c,
+       |       CAST(mean_b_c - mean_a_c AS BIGINT) AS mean_shift_c,
+       |       CAST(CASE WHEN abs(mean_b_c - mean_a_c) > $meanTolC
        |            THEN 1 ELSE 0 END AS INT) AS drifted
-       |FROM a
+       |FROM b
        |ORDER BY event_type""".stripMargin
 
   /** Winsorized robust statistics (q210): per event type, values clipped
@@ -219,7 +228,7 @@ object Audits {
       .select(col("event_type"),
         floor(col("value") * 100 + 0.5d).cast("long").as("vc"))
       .groupBy(col("event_type"), col("vc")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // consumers: percentile cuts + winsorized sum
+      .ckpt // consumers: percentile cuts + winsorized sum
     val cum = h
       .withColumn("cum", sum(col("n"))
         .over(Window.partitionBy(col("event_type")).orderBy(col("vc"))))
@@ -380,7 +389,7 @@ object Audits {
     val cell = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment").as("seg"), col("o_orderstatus").as("stat"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // consumers: both marginals + the total + output
+      .ckpt // consumers: both marginals + the total + output
     val rTot = cell.groupBy(col("seg")).agg(sum(col("n")).as("r"))
     val cTot = cell.groupBy(col("stat")).agg(sum(col("n")).as("c"))
     val tot = cell.agg(sum(col("n")).as("total"))
@@ -574,14 +583,18 @@ object Audits {
           (c: org.apache.spark.sql.Column) => sum(c), "qty"),
         (sum(col("l_extendedprice").cast("decimal(18,2)")),
           (c: org.apache.spark.sql.Column) => sum(c), "rev")))
+    // rank on the exact DECIMAL sum (`rev`), not its double cast: two
+    // parts whose decimal revenues collide at double precision would
+    // otherwise tie-break by partkey here but by decimal order in the
+    // oracle's ROW_NUMBER, flipping ranks.
     agg
-      .select(col("l_partkey"), col("n_lines"),
-        col("qty").cast("double").as("total_qty"),
-        col("rev").cast("double").as("total_rev"))
-      .orderBy(col("total_rev").desc, col("l_partkey"))
+      .orderBy(col("rev").desc, col("l_partkey"))
       .limit(k)
       .withColumn("rn", row_number().over(
-        Window.orderBy(col("total_rev").desc, col("l_partkey"))))
+        Window.orderBy(col("rev").desc, col("l_partkey"))))
+      .select(col("l_partkey"), col("n_lines"),
+        col("qty").cast("double").as("total_qty"),
+        col("rev").cast("double").as("total_rev"), col("rn"))
       .orderBy(col("rn"))
   }
 

@@ -1,4 +1,5 @@
 package graft.reports
+import graft.Ckpt.Ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -66,10 +67,10 @@ object Graph {
     // node-count-sized: broadcastable for any catalog-scale graph (1e7
     // nodes ≈ 240 MB); past that, swap the broadcast for a join against
     // edges pre-partitioned by src — the aggregate stage is unchanged.
-    val edges = adjacency(s, dir).localCheckpoint(true)
+    val edges = adjacency(s, dir).ckpt
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
-      .localCheckpoint(true)
+      .ckpt
     var ranks = deg.withColumn("rank", lit(1000000L))
     for (_ <- 1 to iters) {
       val contrib = edges.join(broadcast(ranks), edges("src") === ranks("node"))
@@ -79,7 +80,7 @@ object Graph {
           (lit(150000L) + expr("85 * sc div 100")).as("rank"))
       // re-attach the static degree for the next superstep's broadcast;
       // per-step checkpoint keeps lineage flat at any iteration count
-      ranks = deg.join(contrib, Seq("node")).localCheckpoint(true)
+      ranks = deg.join(contrib, Seq("node")).ckpt
     }
     val top = ranks
       .orderBy(col("rank").desc, col("node"))
@@ -153,7 +154,7 @@ object Graph {
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
       .select(col("a"), col("b"))
-      .localCheckpoint(true)
+      .ckpt
     val deg = pairs.select(col("a").as("n"))
       .unionByName(pairs.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -171,7 +172,7 @@ object Graph {
             struct(col("b").as("src"), col("a").as("dst"), col("dda").as("dd")))
           .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
-      .localCheckpoint(true)
+      .ckpt
     val e1 = oriented.select(col("src"), col("dst").as("u"), col("dd").as("du"))
     val e2 = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
     val wedges = e1.join(e2, Seq("src"))
@@ -181,7 +182,7 @@ object Graph {
     val tris = wedges.join(
         oriented.select(col("src").as("u"), col("dst").as("v")), Seq("u", "v"))
       .select(col("x"), col("u"), col("v"))
-      .localCheckpoint(true)
+      .ckpt
     val total = tris.agg(count(lit(1)).as("total_tris"))
     val corners = tris.select(explode(array(col("x"), col("u"), col("v"))).as("part_id"))
       .groupBy(col("part_id")).agg(count(lit(1)).as("tris"))
@@ -241,7 +242,7 @@ object Graph {
       k: Int = 20): DataFrame = {
     val op = graft.Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .localCheckpoint(true) // consumers: L2 build + three L3 probes
+      .ckpt // consumers: L2 build + three L3 probes
     val l2 = op.groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       .select(posexplode(col("parts")).as(Seq("i", "a")), col("parts"))
@@ -249,7 +250,7 @@ object Graph {
         explode(slice(col("parts"), col("i") + 2, size(col("parts")))).as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
-      .localCheckpoint(true)
+      .ckpt
     val e1 = l2.select(col("a"), col("b").as("u"))
     val e2 = l2.select(col("a"), col("b").as("v"))
     val c3 = e1.join(e2, Seq("a")).filter(col("u") < col("v"))
@@ -348,7 +349,7 @@ object Graph {
       materialize: Boolean = true): DataFrame = {
     // materialize=false keeps the whole lineage in one plan so PlanSpec
     // can assert the per-round join shapes (production always true)
-    def cp(df: DataFrame) = if (materialize) df.localCheckpoint(true) else df
+    def cp(df: DataFrame) = if (materialize) df.ckpt else df
     val edges = cp(supportEdges(s, dir, minSupport))
     var labels = cp(edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab")))
@@ -417,7 +418,7 @@ object Graph {
   def bfsHops(s: SparkSession, dir: String, minSupport: Int = 2,
       nSeeds: Int = 3, maxHops: Int = 3,
       materialize: Boolean = true): DataFrame = {
-    def cp(df: DataFrame) = if (materialize) df.localCheckpoint(true) else df
+    def cp(df: DataFrame) = if (materialize) df.ckpt else df
     val edges = cp(supportEdges(s, dir, minSupport))
     val nodes = cp(edges.select(col("src").as("node")).distinct())
     var dist = cp(nodes
@@ -485,7 +486,7 @@ object Graph {
     * corpus-quadratic: candidates are wedge-generated, never all-pairs. */
   def linkPrediction(s: SparkSession, dir: String, minSupport: Int = 2,
       k: Int = 20): DataFrame = {
-    val edges = supportEdges(s, dir, minSupport).localCheckpoint(true)
+    val edges = supportEdges(s, dir, minSupport).ckpt
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("z"), col("deg"))
     // wedges through z, endpoints id-ordered u < v
@@ -553,7 +554,7 @@ object Graph {
   def kCorePeeling(s: SparkSession, dir: String, minSupport: Int = 2,
       k: Int = 3, rounds: Int = 4,
       materialize: Boolean = true): DataFrame = {
-    def cp(df: DataFrame) = if (materialize) df.localCheckpoint(true) else df
+    def cp(df: DataFrame) = if (materialize) df.ckpt else df
     var edges = cp(supportEdges(s, dir, minSupport))
     def stats(round: Int, e: DataFrame): DataFrame =
       e.agg(
@@ -636,7 +637,7 @@ object Graph {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
-      .localCheckpoint(true)
+      .ckpt
     // per half-step: the RAW sums checkpoint (one edge-join
     // materialization), the max is a cheap node-sized job over the
     // checkpointed frame, and the rescaled output stays LAZY — it is
@@ -646,7 +647,7 @@ object Graph {
     def halfStep(scores: DataFrame, joinKey: String, outKey: String): DataFrame = {
       val raw = edges.join(broadcast(scores), Seq(joinKey))
         .groupBy(col(outKey)).agg(sum(col("score")).as("raw"))
-        .localCheckpoint(true)
+        .ckpt
       val mx = raw.agg(max(col("raw")).as("mx"))
       raw.crossJoin(broadcast(mx))
         .select(col(outKey), expr("raw * 1000000 div mx").as("score"))
@@ -717,7 +718,7 @@ object Graph {
       k: Int = 15): DataFrame = {
     val op = graft.Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .localCheckpoint(true) // consumers: pair support + part freqs + N
+      .ckpt // consumers: pair support + part freqs + N
     val pairs = op.groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       .select(posexplode(col("parts")).as(Seq("i", "a")), col("parts"))

@@ -1,4 +1,5 @@
 package graft.reports
+import graft.Ckpt.Ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -267,7 +268,7 @@ object Reports {
         col("frequency"),
         (col("mon_dec") * 100).cast("long").as("mon_cents"),
         col("mon_dec"))
-      .localCheckpoint(true) // consumers: 3 histograms + scoring pass
+      .ckpt // consumers: 3 histograms + scoring pass
     val tot = cust.agg(count(lit(1)).as("tot"))
     def cutsOf(vcol: String): DataFrame =
       cust.groupBy(col(vcol).as("v")).agg(count(lit(1)).as("n"))

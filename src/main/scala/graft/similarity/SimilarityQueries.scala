@@ -1,4 +1,5 @@
 package graft.similarity
+import graft.Ckpt.Ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -926,7 +927,7 @@ object SimilarityQueries {
     val e = Tables.embeddings(s, dir)
     val queries = e
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nQ)
-      .localCheckpoint(true) // consumers: topk probe + label join
+      .ckpt // consumers: topk probe + label join
     val topk = Ann.bruteForceTopK(e, queries.select("vec_id", "embedding"),
       "vec_id", "embedding", k)
     val ql = queries.select(col("vec_id").as("query_id"),
@@ -1082,12 +1083,12 @@ object SimilarityQueries {
         posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("label"), col("dim"),
         floor(col("x").cast("double") * 1000000 + 0.5d).cast("long").as("xq"))
-      .localCheckpoint(true) // consumers: centroids + the scatter pass
+      .ckpt // consumers: centroids + the scatter pass
     val cent = q.groupBy(col("label"), col("dim"))
       .agg(sum(col("xq")).as("sq"), count(lit(1)).as("n"))
       .select(col("label"), col("dim"),
         (signum(col("sq")).cast("long") * expr("abs(sq) div n")).as("m"))
-      .localCheckpoint(true) // consumers: scatter join + centroid pairs
+      .ckpt // consumers: scatter join + centroid pairs
     val intra = q.join(broadcast(cent), Seq("label", "dim"))
       .groupBy(col("label"), col("vec_id"))
       .agg(expr("sum((xq - m) * (xq - m)) div 64").as("d2"))

@@ -1,4 +1,5 @@
 package graft.streaming
+import graft.Ckpt.Ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -270,7 +271,7 @@ object EventQueries {
     val uw = events
       .select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
       .distinct()
-      .localCheckpoint(true)
+      .ckpt
     val first = uw.groupBy(col("user_id")).agg(min(col("aw")).as("cw"))
     val sizes = first.groupBy(col("cw")).agg(count(lit(1)).as("cohort_users"))
     uw.join(first, Seq("user_id"))
@@ -344,7 +345,7 @@ object EventQueries {
     val daily = Tables.events(s, dir)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // consumers: one pair-join per lag
+      .ckpt // consumers: one pair-join per lag
     val perLag = lags.map { lag =>
       val a = daily.select(col("day"), col("cnt").as("x"))
       val b = daily.select(date_add(col("day"), lag).as("day"),

@@ -1,4 +1,5 @@
 package graft.streaming
+import graft.Ckpt.Ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -87,7 +88,7 @@ object Lifecycle {
       .filter(col("nxt").isNotNull)
       .groupBy(col("event_type").as("cur"), col("nxt"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // consumers: row marginal, col marginal, total
+      .ckpt // consumers: row marginal, col marginal, total
     val rowTot = trans.groupBy(col("cur")).agg(sum(col("cnt")).as("row_tot"))
     val colTot = trans.groupBy(col("nxt")).agg(sum(col("cnt")).as("col_tot"))
     val total = trans.agg(sum(col("cnt")).as("tot"))
@@ -233,7 +234,8 @@ object Lifecycle {
         substring(md5(col("user_id").cast("string")), 32, 1)
           .isin("0", "2", "4", "6", "8", "a", "c", "e").cast("int").as("arm"))
     val zExpr =
-      """CASE WHEN conv_a + conv_b = 0
+      """CASE WHEN n_a = 0 OR n_b = 0
+        |       OR conv_a + conv_b = 0
         |       OR conv_a + conv_b = n_a + n_b THEN 0.0
         |     ELSE round(
         |       cast(conv_a * n_b - conv_b * n_a as double)
@@ -243,14 +245,18 @@ object Lifecycle {
         |          * cast(conv_a + conv_b as double)
         |          * cast(n_a + n_b - conv_a - conv_b as double)), 4)
         |END""".stripMargin
+    // coalesce to 0: an empty md5-parity arm (tiny corpora) makes
+    // sum(when(...)) NULL here while the oracle's SUM(CASE...0 END)
+    // over users yields 0; nullif guards the rate division on the
+    // same edge (Spark div → NULL vs DuckDB // → error).
     users.groupBy(col("arm")).agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
-      .agg(sum(when(col("arm") === 1, col("n"))).as("n_a"),
-        sum(when(col("arm") === 1, col("c"))).as("conv_a"),
-        sum(when(col("arm") === 0, col("n"))).as("n_b"),
-        sum(when(col("arm") === 0, col("c"))).as("conv_b"))
+      .agg(coalesce(sum(when(col("arm") === 1, col("n"))), lit(0L)).as("n_a"),
+        coalesce(sum(when(col("arm") === 1, col("c"))), lit(0L)).as("conv_a"),
+        coalesce(sum(when(col("arm") === 0, col("n"))), lit(0L)).as("n_b"),
+        coalesce(sum(when(col("arm") === 0, col("c"))), lit(0L)).as("conv_b"))
       .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
-        expr("conv_a * 10000 div n_a").as("rate_a_bp"),
-        expr("conv_b * 10000 div n_b").as("rate_b_bp"))
+        expr("conv_a * 10000 div nullif(n_a, 0)").as("rate_a_bp"),
+        expr("conv_b * 10000 div nullif(n_b, 0)").as("rate_b_bp"))
       .withColumn("diff_bp", col("rate_a_bp") - col("rate_b_bp"))
       .withColumn("z2_4dp", expr(zExpr))
       .withColumn("significant", (col("z2_4dp") > 3.8416).cast("int"))
@@ -273,13 +279,12 @@ object Lifecycle {
       |               AS n_b,
       |             CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
       |               AS conv_b
-      |      FROM u)
-      |SELECT n_a, conv_a, n_b, conv_b,
-      |       CAST(conv_a * 10000 // n_a AS BIGINT) AS rate_a_bp,
-      |       CAST(conv_b * 10000 // n_b AS BIGINT) AS rate_b_bp,
-      |       CAST(conv_a * 10000 // n_a - conv_b * 10000 // n_b AS BIGINT)
-      |         AS diff_bp,
-      |       CASE WHEN conv_a + conv_b = 0
+      |      FROM u),
+      |z AS (SELECT n_a, conv_a, n_b, conv_b,
+      |       CAST(conv_a * 10000 // nullif(n_a, 0) AS BIGINT) AS rate_a_bp,
+      |       CAST(conv_b * 10000 // nullif(n_b, 0) AS BIGINT) AS rate_b_bp,
+      |       CASE WHEN n_a = 0 OR n_b = 0
+      |              OR conv_a + conv_b = 0
       |              OR conv_a + conv_b = n_a + n_b THEN 0.0
       |            ELSE round(
       |              CAST(conv_a * n_b - conv_b * n_a AS DOUBLE)
@@ -288,19 +293,14 @@ object Lifecycle {
       |              / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
       |                 * CAST(conv_a + conv_b AS DOUBLE)
       |                 * CAST(n_a + n_b - conv_a - conv_b AS DOUBLE)), 4)
-      |       END AS z2_4dp,
-      |       CAST(CASE WHEN (CASE WHEN conv_a + conv_b = 0
-      |                        OR conv_a + conv_b = n_a + n_b THEN 0.0
-      |                       ELSE round(
-      |                         CAST(conv_a * n_b - conv_b * n_a AS DOUBLE)
-      |                         * CAST(conv_a * n_b - conv_b * n_a AS DOUBLE)
-      |                         * CAST(n_a + n_b AS DOUBLE)
-      |                         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
-      |                            * CAST(conv_a + conv_b AS DOUBLE)
-      |                            * CAST(n_a + n_b - conv_a - conv_b AS DOUBLE)),
-      |                         4)
-      |                  END) > 3.8416 THEN 1 ELSE 0 END AS INT) AS significant
-      |FROM a""".stripMargin
+      |       END AS z2_4dp
+      |      FROM a)
+      |SELECT n_a, conv_a, n_b, conv_b, rate_a_bp, rate_b_bp,
+      |       CAST(rate_a_bp - rate_b_bp AS BIGINT) AS diff_bp,
+      |       z2_4dp,
+      |       CAST(CASE WHEN z2_4dp > 3.8416 THEN 1 ELSE 0 END AS INT)
+      |         AS significant
+      |FROM z""".stripMargin
 
   /** Signup→purchase conversion latency (q223): per user, the gap
     * between the FIRST signup and the FIRST purchase (users whose first
@@ -323,7 +323,7 @@ object Lifecycle {
         when(col("p_min") >= col("s_min"),
           expr("(unix_millis(p_min) - unix_millis(s_min)) div 3600000"))
           .as("lat_h"))
-      .localCheckpoint(true) // consumers: totals + the hour histogram
+      .ckpt // consumers: totals + the hour histogram
     val tot = u.agg(count(lit(1)).as("n_signup"),
       sum(when(col("lat_h").isNotNull, 1L).otherwise(0L)).as("n_conv"))
     val h = u.filter(col("lat_h").isNotNull)
@@ -336,10 +336,15 @@ object Lifecycle {
           Window.unboundedFollowing)))
     def pct(k: Int) =
       min(when(col("cum") * 100 >= col("tc") * k, col("lat_h"))).as(s"p$k")
+    // nullif: a corpus with no signups at all must yield NULL conv_bp in
+    // both engines, not a DuckDB division-by-zero error. The oracle
+    // reads the percentiles via scalar subqueries over the histogram so
+    // BOTH sides emit exactly one row even with zero conversions (a bare
+    // `FROM c, t` emits zero rows when c is empty — row-count mismatch).
     cum.agg(pct(50), pct(90))
       .crossJoin(broadcast(tot))
       .select(col("n_signup"), col("n_conv"),
-        expr("n_conv * 10000 div n_signup").as("conv_bp"),
+        expr("n_conv * 10000 div nullif(n_signup, 0)").as("conv_bp"),
         col("p50").as("p50_hours"), col("p90").as("p90_hours"))
   }
 
@@ -363,13 +368,15 @@ object Lifecycle {
       |             (SELECT SUM(n) FROM h) AS tc
       |      FROM h)
       |SELECT t.n_signup, t.n_conv,
-      |       CAST(t.n_conv * 10000 // t.n_signup AS BIGINT) AS conv_bp,
-      |       CAST(MIN(CASE WHEN c.cum * 100 >= c.tc * 50 THEN c.lat_h END)
-      |            AS BIGINT) AS p50_hours,
-      |       CAST(MIN(CASE WHEN c.cum * 100 >= c.tc * 90 THEN c.lat_h END)
-      |            AS BIGINT) AS p90_hours
-      |FROM c, t
-      |GROUP BY t.n_signup, t.n_conv""".stripMargin
+      |       CAST(t.n_conv * 10000 // nullif(t.n_signup, 0) AS BIGINT)
+      |         AS conv_bp,
+      |       (SELECT CAST(MIN(CASE WHEN c.cum * 100 >= c.tc * 50
+      |                        THEN c.lat_h END) AS BIGINT) FROM c)
+      |         AS p50_hours,
+      |       (SELECT CAST(MIN(CASE WHEN c.cum * 100 >= c.tc * 90
+      |                        THEN c.lat_h END) AS BIGINT) FROM c)
+      |         AS p90_hours
+      |FROM t""".stripMargin
 
   /** DAU/MAU engagement stickiness (q225): distinct active users per day
     * and per month, stickiness = avg-DAU/MAU in basis points — the
@@ -384,7 +391,7 @@ object Lifecycle {
     val ud = Tables.events(s, dir)
       .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .distinct()
-      .localCheckpoint(true)
+      .ckpt
     val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
       .select(substring(col("day"), 1, 7).as("month"), col("dau"))
       .groupBy(col("month"))
@@ -493,7 +500,7 @@ object Lifecycle {
   def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
     val scd = graft.etl.Scd.type2(Tables.events(s, dir), "user_id",
       "event_type", "ts", "event_id")
-      .localCheckpoint(true) // consumers: bounds + two as-of views
+      .ckpt // consumers: bounds + two as-of views
     val bounds = scd.agg(min(col("valid_from_us")).as("lo"),
       max(col("valid_from_us")).as("hi"))
       .select((col("lo") + expr("(hi - lo) div 3")).as("t1"),
@@ -572,7 +579,7 @@ object Lifecycle {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), col("value"),
         (year(col("ts")) * 12 + month(col("ts")) - 1).cast("long").as("ym"))
-      .localCheckpoint(true) // consumers: cohort map + purchase rollup
+      .ckpt // consumers: cohort map + purchase rollup
     val cohort = ev.groupBy(col("user_id")).agg(min(col("ym")).as("cym"))
     val sizes = cohort.groupBy(col("cym")).agg(count(lit(1)).as("cohort_users"))
     val purch = ev.filter(col("event_type") === "purchase")
@@ -677,7 +684,7 @@ object Lifecycle {
       .select(col("ts").cast("date").as("day"),
         floor(col("value") * 100 + 0.5d).cast("long").as("vc"))
       .groupBy(col("day"), col("vc")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // consumers: day domain + shifted histograms
+      .ckpt // consumers: day domain + shifted histograms
     val days = h.select(col("day")).distinct()
     val shifted = h
       .select(explode(expr("sequence(day, date_add(day, 6))")).as("tday"),

@@ -1,4 +1,5 @@
 package graft.text
+import graft.Ckpt.Ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -88,7 +89,7 @@ object Bpe {
         reps = reps.withColumn("rep", trim(expr(fuse(fuse("rep")))))
         // each round builds on the previous frame's plan; checkpoint so
         // round k doesn't re-run rounds 1..k-1's replaces per action
-        reps = reps.localCheckpoint(eager = true)
+        reps = reps.ckpt
         round += 1
       }
     }

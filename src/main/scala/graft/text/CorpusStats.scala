@@ -1,4 +1,5 @@
 package graft.text
+import graft.Ckpt.Ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -36,7 +37,7 @@ object CorpusStats {
     val st = Tables.documents(s, dir)
       .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("o"))
-      .localCheckpoint(true) // consumers: vocab counts + per-source join
+      .ckpt // consumers: vocab counts + per-source join
     val vocab = st.groupBy(col("tok")).agg(sum(col("o")).as("ct"))
       .filter(col("ct") >= minFreq)
     val bySrc = st.groupBy(col("source")).agg(sum(col("o")).as("ns"))

@@ -1,4 +1,5 @@
 package graft.text
+import graft.Ckpt.Ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -82,7 +83,7 @@ object Dedup {
     // (id, sig, bucket), the frame a cluster deployment would persist to
     // storage between the signature and join stages anyway. Without this
     // every consumer recomputes tokenize+minhash over the corpus.
-    val bandedM = banded0.localCheckpoint(true)
+    val bandedM = banded0.ckpt
     val overFull = bandedM.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") > maxBucketSize)
@@ -124,14 +125,14 @@ object Dedup {
       maxIter: Int = 50): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .ckpt
     // each round's frame is EAGERLY materialized and its lineage truncated
     // (localCheckpoint): the iterative joins would otherwise double the
     // logical plan per round — exponential analysis cost long before any
     // data-size limit. (A cluster deployment persists each round to a
     // table for fault tolerance; same structure.)
     var labels = nodes.select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      .ckpt
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -152,7 +153,7 @@ object Dedup {
         .select(stepped("id"),
           coalesce(col("mlabel"), stepped("label")).as("label"),
           (coalesce(col("mlabel"), stepped("label")) =!= col("old")).as("changed"))
-        .localCheckpoint(true)
+        .ckpt
       converged = next.filter(col("changed")).isEmpty
       labels = next.select(col("id"), col("label"))
       iter += 1

@@ -1,4 +1,5 @@
 package graft.text
+import graft.Ckpt.Ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -66,7 +67,7 @@ object Retrieval {
     val tf = docs
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // feeds df, doclen AND the scoring join
+      .ckpt // feeds df, doclen AND the scoring join
     val doclen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val stats = doclen.agg(
@@ -152,7 +153,7 @@ object Retrieval {
     val toks = Tables.documents(s, dir)
       .select(explode(TextFunctions.tokensOf(
         TextFunctions.normalize(col("text")))).as("token"))
-      .localCheckpoint(eager = true) // two passes: sketch, exact confirm
+      .ckpt // two passes: sketch, exact confirm
     val sketch = toks.agg(
       graft.functions.MisraGriesAgg.mgCandidates(col("token"), sketchCap)
         .as("cand"),
@@ -193,7 +194,7 @@ object Retrieval {
       .select(col("doc_id"), posexplode(TextFunctions.tokensOf(
         TextFunctions.normalize(col("text")))).as(Seq("pos", "token")))
       .filter(col("token").isin(words: _*))
-      .localCheckpoint(eager = true) // one consumer per phrase term
+      .ckpt // one consumer per phrase term
     var m = postings.filter(col("token") === words.head)
       .select(col("doc_id"), col("pos"))
     for (i <- 1 until words.size) {

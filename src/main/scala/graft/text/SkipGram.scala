@@ -1,4 +1,5 @@
 package graft.text
+import graft.Ckpt.Ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -32,7 +33,7 @@ object SkipGram {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"),
         posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
-      .localCheckpoint(true) // consumers: freq table + survivor filter
+      .ckpt // consumers: freq table + survivor filter
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
     val tot = toks.agg(count(lit(1)).as("total"))
     val rates = freq.crossJoin(broadcast(tot))
@@ -48,7 +49,7 @@ object SkipGram {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("pos"))))
       .select(col("doc_id"), col("idx"), col("tok"))
-      .localCheckpoint(true) // consumers: center side + context side
+      .ckpt // consumers: center side + context side
     val offsets = (-window to window).filter(_ != 0)
     val centers = kept
       .select(col("doc_id"), col("tok").as("center"), col("idx"),

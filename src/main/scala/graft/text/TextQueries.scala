@@ -1,4 +1,5 @@
 package graft.text
+import graft.Ckpt.Ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -142,7 +143,7 @@ object TextQueries {
     * oracle value-checkable). */
   def ngramNovelty(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
     val dg = shingleRows(Tables.documents(s, dir), n).distinct()
-      .localCheckpoint(true)
+      .ckpt
     val df = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
     dg.join(df, Seq("g"))
       .groupBy(col("doc_id"))
@@ -266,7 +267,7 @@ object TextQueries {
   def nearDupClusters(s: SparkSession, dir: String,
       minJaccard: Double = 0.3): DataFrame = {
     val subset = auditSample(Tables.documents(s, dir))
-      .localCheckpoint(eager = true) // feeds edges AND the vertex set
+      .ckpt // feeds edges AND the vertex set
     val edges = Dedup.jaccardPairs(subset, "doc_id", "text", minJaccard)
       .select(col("id1").as("src"), col("id2").as("dst"))
     Dedup.connectedComponents(edges, subset.select(col("doc_id").as("id")))
@@ -352,7 +353,7 @@ object TextQueries {
     // definition. The doc_id < 5 filter pushes to the scan, so this pass
     // shingles 5 documents, not the corpus.
     val bench = sh.filter(col("doc_id") < 5).select(col("g")).distinct()
-      .localCheckpoint(true)
+      .ckpt
     val nKeys = math.max(bench.count(), 1L)
     val probe = graft.functions.BloomFns.buildProbe(bench, "g", nKeys)
     sh.filter(col("doc_id") >= 5)
@@ -417,7 +418,7 @@ object TextQueries {
     val toks = docs
       .withColumn("nt", TextFunctions.normalize(col("text")))
       .select(col("doc_id"), col("nt"), TextFunctions.tokensOf(col("nt")).as("toks"))
-      .localCheckpoint(true)
+      .ckpt
     val base = toks.select(col("doc_id"),
       size(col("toks")).as("n_tokens"),
       TextFunctions.stopwordRatioOf(col("toks")).as("sw"),
@@ -706,7 +707,7 @@ object TextQueries {
     // without the checkpoint the normalize+split scan runs twice
     val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
       TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
-      .localCheckpoint(true)
+      .ckpt
     val bySrc = d.groupBy(col("source")).agg(sum(col("nt")).as("toks_s"))
       .withColumn("w", expr("cast(substring(source, 4) as int)") + 1)
     val tot = bySrc.agg(sum(col("toks_s")).as("total"), sum(col("w")).as("sumw"))
@@ -798,7 +799,7 @@ object TextQueries {
         explode(sequence(lit(1), size(col("toks")) - (n - 1), lit(1))).as("i"))
       .select(col("doc_id"), col("i"),
         unhex(md5(concat_ws(" ", slice(col("toks"), col("i"), lit(n))))).as("gh"))
-      .localCheckpoint(true)
+      .ckpt
     // "in ≥2 docs" as min(doc)≠max(doc): ONE plain aggregate with map-side
     // partials, instead of count_distinct's two-round expansion (measured
     // ~0.3s cheaper at sf0.1, and one less shuffle at any scale)
@@ -873,7 +874,7 @@ object TextQueries {
       .select(col("doc_id"), col("pos").cast("int").as("seg_idx"),
         concat_ws(" ", slice(col("toks"), col("col") + 1, lit(w))).as("seg"),
         size(slice(col("toks"), col("col") + 1, lit(w))).as("seg_len"))
-      .localCheckpoint(true)
+      .ckpt
     val boiler = segs
       .select(col("seg"), col("doc_id")).distinct()
       .groupBy(col("seg")).agg(count(lit(1)).as("df"))
@@ -941,7 +942,7 @@ object TextQueries {
     val tf = docs
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .ckpt
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), Seq("token"))
       .crossJoin(broadcast(nDocs))
@@ -1046,7 +1047,7 @@ object TextQueries {
     val aggs = (0 to 7).map(j => min(col(s"h$j")).as(s"m$j"))
     // consumed by both self-join sides → materialize once
     val mins = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint(true)
+      .ckpt
     def bucketOf(js: Range) = md5(concat_ws(",", js.map(j => col(s"m$j")): _*))
     val buckets = mins.select(
       col("doc_id") +: (0 to 7).map(j => col(s"m$j")) :+
@@ -1088,7 +1089,7 @@ object TextQueries {
     val docs = Tables.documents(s, dir)
     // four consumers (candidate stage, two verify join sides, sizes) →
     // tokenize + shingle ONCE
-    val sh = shingleRows(docs, 3).distinct().localCheckpoint(eager = true)
+    val sh = shingleRows(docs, 3).distinct().ckpt
     val edges = verifiedNearDupEdges(sh)
       .select(col("id1").as("src"), col("id2").as("dst"))
     Dedup.connectedComponents(edges, docs.select(col("doc_id").as("id")))
@@ -1165,7 +1166,7 @@ object TextQueries {
     val docs = Tables.documents(s, dir)
     val tf = shingleRows(docs, 3)
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = true)
+      .ckpt
     val df = tf.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val total = docs.agg(count(lit(1)).as("n"))
@@ -1173,7 +1174,7 @@ object TextQueries {
       .select(col("doc_id"), col("g"),
         (col("tf") * round(log2(col("n").cast("double") /
           col("df").cast("double")) * 10000, 0).cast("long")).as("w"))
-      .localCheckpoint(eager = true)
+      .ckpt
     val norms = w.groupBy(col("doc_id"))
       .agg(sum(col("w") * col("w")).as("nrm2"))
     val dots = w.select(col("doc_id").as("id1"), col("g"), col("w").as("w1"))
@@ -1214,11 +1215,11 @@ object TextQueries {
       tau: Double = 0.5): DataFrame = {
     val sh = shingleRows(Tables.documents(s, dir), 3)
       .distinct()
-      .localCheckpoint(eager = true) // consumers: df filter, sizes, join
+      .ckpt // consumers: df filter, sizes, join
     val dfq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val p = sh.join(dfq.select(col("g")), Seq("g"))
-      .localCheckpoint(eager = true) // consumers: sizes + both join sides
+      .ckpt // consumers: sizes + both join sides
     val sz = p.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = p.select(col("doc_id").as("id1"), col("g"))
       .join(p.select(col("doc_id").as("id2"), col("g")), Seq("g"))
@@ -1312,7 +1313,7 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("lang"),
         md5(col("text")).as("h"),
         TextFunctions.tokenCount(col("text")).as("nt"))
-      .localCheckpoint(eager = true)
+      .ckpt
     val base = d.groupBy(col("source"))
       .agg(count(lit(1)).as("docs"), sum(col("nt")).as("tokens"))
     val langs = d.select(col("source"), col("lang")).distinct()
@@ -1446,7 +1447,7 @@ object TextQueries {
         .as(Seq("i", "w1")), col("toks"))
       .select(col("w1"), element_at(col("toks"), col("i") + 2).as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(eager = true)
+      .ckpt
     val c1 = bi.groupBy(col("w1")).agg(sum(col("cnt")).as("c1"))
     val topCtx = c1.orderBy(col("c1").desc, col("w1")).limit(topContext)
     val w = Window.partitionBy(col("w1"))
@@ -1489,7 +1490,7 @@ object TextQueries {
     * that reuses the clustering's own partitioning. */
   def softDedupWeights(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val sh = shingleRows(docs, 3).distinct().localCheckpoint(eager = true)
+    val sh = shingleRows(docs, 3).distinct().ckpt
     val edges = verifiedNearDupEdges(sh)
       .select(col("id1").as("src"), col("id2").as("dst"))
     val comp = Dedup.connectedComponents(edges, docs.select(col("doc_id").as("id")))
@@ -1527,7 +1528,7 @@ object TextQueries {
     * themselves. */
   def qualityAwareDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val sh = shingleRows(docs, 3).distinct().localCheckpoint(eager = true)
+    val sh = shingleRows(docs, 3).distinct().ckpt
     val edges = verifiedNearDupEdges(sh)
       .select(col("id1").as("src"), col("id2").as("dst"))
     val comp = Dedup.connectedComponents(edges, docs.select(col("doc_id").as("id")))
@@ -1614,10 +1615,10 @@ object TextQueries {
   def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val sh = shingleRows(docs, 3).distinct().localCheckpoint(eager = true)
+    val sh = shingleRows(docs, 3).distinct().ckpt
     val pos = verifiedNearDupEdges(sh)
       .select(col("id1").as("a"), col("id2").as("b"))
-      .localCheckpoint(eager = true)
+      .ckpt
     val h = docs.select(col("doc_id"),
         md5(col("doc_id").cast("string")).as("h"))
       .withColumn("bkt", substring(col("h"), 1, 2))
@@ -1668,9 +1669,9 @@ object TextQueries {
   def splitLeakage(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val sp = docs.select(col("doc_id"), splitOf(col("doc_id")).as("split"))
-    val sh = shingleRows(docs, 3).distinct().localCheckpoint(eager = true)
+    val sh = shingleRows(docs, 3).distinct().ckpt
     // both directions of each edge feed the union → confirm ONCE
-    val edges = verifiedNearDupEdges(sh).localCheckpoint(eager = true)
+    val edges = verifiedNearDupEdges(sh).ckpt
     val x = edges.select(col("id1").as("a"), col("id2").as("b"))
       .union(edges.select(col("id2").as("a"), col("id1").as("b")))
       .join(sp.select(col("doc_id").as("a"), col("split").as("sa")), Seq("a"))
@@ -1777,7 +1778,7 @@ object TextQueries {
     val sigs = simhashPortableSigs(s, dir)
       .withColumn("iv", conv(col("simhash"), 2, 10).cast("long"))
       .select(col("doc_id"), col("iv"))
-      .localCheckpoint(true)
+      .ckpt
     val bands = sigs.select(col("doc_id"), col("iv"),
         explode(array((0 to 3).map(lit): _*)).as("band"))
       .withColumn("bkey",
@@ -1850,7 +1851,7 @@ object TextQueries {
   def unigramSurprisal(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .localCheckpoint(true)
+      .ckpt
     val tf = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val total = tf.agg(sum(col("cnt")).as("total"))
     val lm = tf.crossJoin(broadcast(total))
@@ -1889,7 +1890,7 @@ object TextQueries {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .localCheckpoint(true)
+      .ckpt
     val tf = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val total = tf.agg(sum(col("cnt")).as("total"))
     val lm = tf.crossJoin(broadcast(total))
@@ -1902,7 +1903,7 @@ object TextQueries {
       .select(col("doc_id"), col("lang"),
         round(col("sq_sum").cast("double") / col("n_tokens"), 0)
           .cast("long").as("sqm"))
-      .localCheckpoint(true)
+      .ckpt
     val counts = perDoc.groupBy(col("lang"), col("sqm")).agg(count(lit(1)).as("n"))
     val cum = counts
       .withColumn("cum", sum(col("n"))
@@ -1979,7 +1980,7 @@ object TextQueries {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
       .withColumn("b", Classifier.bucketOf(col("tok")))
-      .localCheckpoint(true)
+      .ckpt
     val counts = tok.groupBy(col("b")).agg(
       sum(when(col("doc_id") < targetBound, 1L).otherwise(0L)).as("ct"),
       sum(when(col("doc_id") >= targetBound, 1L).otherwise(0L)).as("cr"))
@@ -2155,7 +2156,7 @@ object TextQueries {
         size(col("toks")).as("n_tokens"),
         TextFunctions.stopwordRatioOf(col("toks")).as("score"))
       .filter(col("score").isNotNull)
-      .localCheckpoint(eager = true)
+      .ckpt
     val counts = scored.groupBy(col("source"), col("score"))
       .agg(count(lit(1)).as("n"))
     val cum = counts
@@ -2192,7 +2193,7 @@ object TextQueries {
       .select(col("doc_id"), col("source"),
         TextFunctions.stopwordRatioOf(col("toks")).as("score"))
       .filter(col("score").isNotNull)
-      .localCheckpoint(eager = true)
+      .ckpt
     val counts = scored.groupBy(col("source"), col("score"))
       .agg(count(lit(1)).as("n"))
     val pct = counts
@@ -2389,7 +2390,7 @@ object TextQueries {
       .select(col("doc_id"), col("source"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
         md5(col("doc_id").cast("string")).as("mk"))
-      .localCheckpoint(true) // consumers: threshold heap + keep rollup
+      .ckpt // consumers: threshold heap + keep rollup
     val th = docs
       .groupBy(col("source"))
       .agg(graft.functions.TopKAgg.topK(
@@ -2505,7 +2506,7 @@ object TextQueries {
     val tokLang = Tables.documents(s, dir)
       .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("word"))
       .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // consumers: corpus vocabulary + lang rollup
+      .ckpt // consumers: corpus vocabulary + lang rollup
     val vocabAll = tokLang.groupBy(col("word")).agg(sum(col("cnt")).as("freq"))
     val (merges, _) = Bpe.train(
       vocabTopK(s, dir, 100).withColumnRenamed("token", "word"), rounds = 4)
@@ -2545,7 +2546,7 @@ object TextQueries {
       .select(splitOf(col("doc_id")).as("split"),
         TextFunctions.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 1)
-      .localCheckpoint(true)
+      .ckpt
     def bigrams(df: DataFrame) = df.filter(size(col("toks")) >= 2)
       .select(posexplode(slice(col("toks"), lit(1), size(col("toks")) - 1))
         .as(Seq("i", "w1")), col("toks"))
@@ -2553,11 +2554,11 @@ object TextQueries {
     val train = toksAll.filter(col("split") === "train")
     val trBi = bigrams(train)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // consumers: c1 + the test join
+      .ckpt // consumers: c1 + the test join
     val c1 = trBi.groupBy(col("w1")).agg(sum(col("cnt")).as("c1"))
     val trUni = train.select(explode(col("toks")).as("w2"))
       .groupBy(col("w2")).agg(count(lit(1)).as("cu"))
-      .localCheckpoint(true) // consumers: total + the test join
+      .ckpt // consumers: total + the test join
     val tTot = trUni.agg(sum(col("cu")).as("t"))
     val testBi = bigrams(toksAll.filter(col("split") === "test"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("tcnt"))
@@ -2653,27 +2654,27 @@ object TextQueries {
     val docs = Tables.documents(s, dir)
     val ids = docs.select(col("doc_id"),
       (splitOf(col("doc_id")) === "train").cast("int").as("is_base"))
-      .localCheckpoint(true)
-    val sh = shingleRows(docs, 3).distinct().localCheckpoint(true)
+      .ckpt
+    val sh = shingleRows(docs, 3).distinct().ckpt
     val edges = verifiedNearDupEdges(sh)
       .select(col("id1").as("src"), col("id2").as("dst"))
       .join(ids.select(col("doc_id").as("src"), col("is_base").as("ba")),
         Seq("src"))
       .join(ids.select(col("doc_id").as("dst"), col("is_base").as("bb")),
         Seq("dst"))
-      .localCheckpoint(true) // consumers: base CC + delta contraction
+      .ckpt // consumers: base CC + delta contraction
     val baseEdges = edges.filter(col("ba") === 1 && col("bb") === 1)
       .select(col("src"), col("dst"))
     val baseNodes = ids.filter(col("is_base") === 1)
       .select(col("doc_id").as("id"))
     val baseComp = Dedup.connectedComponents(baseEdges, baseNodes)
       .select(col("id").as("doc_id"), col("component").as("lab"))
-      .localCheckpoint(true) // consumers: contraction + final expansion
+      .ckpt // consumers: contraction + final expansion
     // every doc's first-stage label: base docs → base component, new
     // docs → themselves
     val lab1 = ids.join(baseComp, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("l1"))
-      .localCheckpoint(true)
+      .ckpt
     val deltaEdges = edges.filter(col("ba") === 0 || col("bb") === 0)
       .join(lab1.select(col("doc_id").as("src"), col("l1").as("la")), Seq("src"))
       .join(lab1.select(col("doc_id").as("dst"), col("l1").as("lb")), Seq("dst"))
@@ -2733,7 +2734,7 @@ object TextQueries {
         .as("score"))
       .join(gopherVerdictsOf(docs).select(col("doc_id"), col("keep")),
         Seq("doc_id"))
-      .localCheckpoint(true) // consumers: score histogram + bucket rollup
+      .ckpt // consumers: score histogram + bucket rollup
     val h = scored.groupBy(col("score")).agg(count(lit(1)).as("n"))
     val cum = h
       .withColumn("cum", sum(col("n")).over(Window.orderBy(col("score"))
@@ -2881,7 +2882,7 @@ object TextQueries {
           TextFunctions.normalize(col("text")), k, w)).as("f"))
       .select(col("doc_id"), col("f.h").as("h"))
       .distinct()
-      .localCheckpoint(eager = true) // consumers: fc, df, both pair sides
+      .ckpt // consumers: fc, df, both pair sides
     val fc = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
     val rareH = fps.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select(col("h"))
@@ -2970,7 +2971,7 @@ object TextQueries {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
-      .localCheckpoint(true)
+      .ckpt
     val bySrc = d.groupBy(col("source")).agg(sum(col("nt")).as("toks_s"))
     val tot = bySrc.agg(sum(col("toks_s")).as("total"),
       sum(sqrt(col("toks_s").cast("double"))).as("sum_sq"))
@@ -3030,10 +3031,10 @@ object TextQueries {
       k: Int = 30): DataFrame = {
     val tokall = Tables.documents(s, dir)
       .select(TextFunctions.tokens(col("text")).as("toks"))
-      .localCheckpoint(eager = true) // consumers: unigrams, bigrams
+      .ckpt // consumers: unigrams, bigrams
     val uni = tokall.select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = true)
+      .ckpt
     val nu = uni.agg(sum(col("c")).as("nu"))
     val bi = tokall.filter(size(col("toks")) >= 2)
       .select(posexplode(slice(col("toks"), lit(1), size(col("toks")) - 1))
@@ -3041,7 +3042,7 @@ object TextQueries {
       .select(col("w1"), element_at(col("toks"), col("i") + 2).as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
-      .localCheckpoint(eager = true)
+      .ckpt
     val nb = bi.agg(sum(col("cnt")).as("nb"))
     val scored = bi
       .join(broadcast(uni.select(col("w").as("w1"), col("c").as("ca"))), Seq("w1"))

@@ -484,6 +484,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ShuffledHashJoin"), p)
   }
 
+  test("upsert insert numbering: a distributed range shuffle, never a " +
+      "single-partition exchange") {
+    import org.apache.spark.sql.functions.col
+    val ins = Tables.customer(spark, TestSpark.sfDir)
+    val p = etl.Upsert.orderedInserts(ins, Seq("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("SinglePartition"),
+      s"insert numbering serializes on one partition:\n$p")
+  }
+
   test("q198: tier assignment is map-side (no join before the token " +
       "aggregate); the cumulative window runs over the 4-row tier frame") {
     val p = plan("q198_vocab_growth")

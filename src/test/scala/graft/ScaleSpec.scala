@@ -134,4 +134,26 @@ class ScaleSpec extends AnyFunSuite {
       assert(joined.count() == 5000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("Ckpt reliable mode: blocks go to the checkpoint dir (executor-loss " +
+      "safe), lineage truncated, results identical to local mode") {
+    val df = Tables.customer(spark, TestSpark.sfDir)
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    val localRows = Ckpt(df).orderBy(col("c_mktsegment")).collect().toSeq
+    try {
+      spark.conf.set("spark.graft.checkpoint.reliable", "true")
+      val cp = Ckpt(df)
+      assert(cp.orderBy(col("c_mktsegment")).collect().toSeq == localRows,
+        "reliable mode changed results")
+      // lineage is truncated to an RDD scan backed by checkpoint storage —
+      // an executor loss recomputes from the checkpoint files, not parquet
+      val p = cp.queryExecution.optimizedPlan.toString
+      assert(p.contains("LogicalRDD"), p)
+      val dirUri = spark.sparkContext.getCheckpointDir
+      assert(dirUri.isDefined, "setCheckpointDir was not applied lazily")
+      val dir = new java.io.File(new java.net.URI(dirUri.get).getPath)
+      assert(dir.exists && dir.listFiles.nonEmpty,
+        s"no checkpoint files under $dir")
+    } finally spark.conf.set("spark.graft.checkpoint.reliable", "false")
+  }
 }

@@ -73,4 +73,23 @@ class UpsertSpec extends AnyFunSuite {
     val out = Upsert.deleteWhere(snapshot, col("sku") === "A-1")
     assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
   }
+
+  test("insert surrogates: dense above max, in key order, across multiple " +
+      "range partitions (cluster-safe numbering path)") {
+    val snap = (1L to 50L).map(i => (i, f"sku$i%04d", s"n$i"))
+      .toDF("id", "sku", "name")
+    // 500 inserts — forces the range shuffle across all 4 test partitions
+    val inc = (1 to 500).map(i => (f"zz$i%04d", s"new$i")).toDF("sku", "name")
+    val out = Upsert.upsert(snap, inc,
+      Upsert.Config(surrogate = "id", keyPriority = Seq("sku"),
+        requiredForInsert = Some("name")))
+    val news = out.filter(col("id") > 50L).orderBy(col("id"))
+      .select(col("id"), col("sku")).collect()
+    assert(news.length == 500)
+    assert(news.map(_.getLong(0)).toSeq == (51L to 550L), "not dense above max")
+    // surrogate rank must equal the key order — the contract the old
+    // single-partition window provided
+    assert(news.map(_.getString(1)).toSeq ==
+      (1 to 500).map(i => f"zz$i%04d"), "surrogates not in key order")
+  }
 }
