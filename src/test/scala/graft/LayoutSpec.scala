@@ -86,4 +86,53 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(zp).filter(pred).count() ==
       spark.read.parquet(xp).filter(pred).count())
   }
+
+  test("q217 shape on bucketed facts: the orderkey fact-fact join plans " +
+      "with ZERO exchanges on the join key") {
+    import org.apache.spark.sql.expressions.Window
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // forbid broadcast: the 100-TB regime has both facts too large
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.operators.Scale.writeBucketed(
+        Tables.lineitem(spark, TestSpark.sfDir)
+          .select("l_orderkey", "l_shipdate"),
+        "q217_li_b", "l_orderkey", buckets = 8)
+      graft.operators.Scale.writeBucketed(
+        Tables.orders(spark, TestSpark.sfDir)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        "q217_ord_b", "o_orderkey", buckets = 8)
+      // the exact q217 aggregate chain over the bucketed tables
+      val h = spark.table("q217_li_b")
+        .join(spark.table("q217_ord_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("days"))
+        .groupBy(col("priority"), col("days")).agg(count(lit(1)).as("n"))
+      val cum = h.withColumn("cum", sum(col("n"))
+        .over(Window.partitionBy(col("priority")).orderBy(col("days"))))
+      val p = cum.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert("hashpartitioning\\((l|o)_orderkey".r.findFirstIn(p).isEmpty,
+        s"bucketed fact-fact join still shuffles on the join key:\n$p")
+      assert(p.contains("Bucketed: true"), s"bucketing not engaged:\n$p")
+      // identical results to the raw-parquet plan
+      val raw = Tables.lineitem(spark, TestSpark.sfDir)
+        .select("l_orderkey", "l_shipdate")
+        .join(Tables.orders(spark, TestSpark.sfDir)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("days"))
+        .groupBy(col("priority"), col("days")).agg(count(lit(1)).as("n"))
+      assert(h.orderBy("priority", "days").collect().toSeq ==
+        raw.orderBy("priority", "days").collect().toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS q217_li_b")
+      spark.sql("DROP TABLE IF EXISTS q217_ord_b")
+    }
+  }
 }
