@@ -28,6 +28,67 @@ object EtlQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Cron fire-time cross-check (q241): six schedule expressions covering
+    * the full grammar (wildcards, steps, ranges, names, weekday pins, the
+    * NCrontab dom∩dow intersection) expanded over a fixed 90-day window
+    * by the Cron evaluator — driver-side, exactly where the reference's
+    * scheduler runs it (`CronExpression.cs` / `DefaultTaskScheduler.cs`)
+    * — and reduced to per-expression fire counts + first/last fire.
+    * DuckDB re-derives the same fires from an INDEPENDENT formulation:
+    * a minute series filtered by field predicates. e6 must fire ZERO
+    * times (no Monday-the-1st in the window) — a Vixie union dialect
+    * would fire 16 times, so the intersection semantics is value-gated. */
+  def cronFires(s: SparkSession, dir: String): DataFrame = {
+    import java.time.LocalDateTime
+    val base = LocalDateTime.of(2025, 12, 31, 23, 59)
+    val now = LocalDateTime.of(2026, 3, 31, 23, 59)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm")
+    import s.implicits._
+    cronExprs.map { case (id, e) =>
+      val fires = Cron.dueRuns(e, base, now, max = 200000)
+      (id, e, fires.size.toLong,
+        fires.headOption.map(_.format(fmt)).orNull,
+        fires.lastOption.map(_.format(fmt)).orNull)
+    }.toDF("expr_id", "expr", "n_fires", "first_fire", "last_fire")
+      .orderBy(col("expr_id"))
+  }
+
+  private val cronExprs = Seq(
+    "e1" -> "0 * * * *",
+    "e2" -> "*/15 * * * *",
+    "e3" -> "30 2 * * *",
+    "e4" -> "0 12 * * 1",
+    "e5" -> "0 0 1 JAN-DEC *",
+    "e6" -> "0 0 1 * 1")
+
+  private val cronOracle: String =
+    """WITH m AS (
+      |  SELECT t, minute(t) AS mi, hour(t) AS hh, day(t) AS dd,
+      |         dayofweek(t) AS dw
+      |  FROM generate_series(TIMESTAMP '2026-01-01 00:00:00',
+      |                       TIMESTAMP '2026-03-31 23:59:00',
+      |                       INTERVAL 1 MINUTE) g(t)),
+      |f AS (
+      |  SELECT 'e1' AS expr_id, t FROM m WHERE mi = 0
+      |  UNION ALL SELECT 'e2', t FROM m WHERE mi % 15 = 0
+      |  UNION ALL SELECT 'e3', t FROM m WHERE mi = 30 AND hh = 2
+      |  UNION ALL SELECT 'e4', t FROM m WHERE mi = 0 AND hh = 12 AND dw = 1
+      |  UNION ALL SELECT 'e5', t FROM m WHERE mi = 0 AND hh = 0 AND dd = 1
+      |  UNION ALL SELECT 'e6', t FROM m
+      |    WHERE mi = 0 AND hh = 0 AND dd = 1 AND dw = 1),
+      |e AS (SELECT * FROM (VALUES
+      |        ('e1', '0 * * * *'), ('e2', '*/15 * * * *'),
+      |        ('e3', '30 2 * * *'), ('e4', '0 12 * * 1'),
+      |        ('e5', '0 0 1 JAN-DEC *'), ('e6', '0 0 1 * 1'))
+      |      v(expr_id, expr))
+      |SELECT e.expr_id, e.expr,
+      |       CAST(COUNT(f.t) AS BIGINT) AS n_fires,
+      |       strftime(MIN(f.t), '%Y-%m-%d %H:%M') AS first_fire,
+      |       strftime(MAX(f.t), '%Y-%m-%d %H:%M') AS last_fire
+      |FROM e LEFT JOIN f ON e.expr_id = f.expr_id
+      |GROUP BY e.expr_id, e.expr
+      |ORDER BY e.expr_id""".stripMargin
+
   /** K6: predicate-based bulk delete re-expressed as anti-delete. */
   def bulkDelete(s: SparkSession, dir: String): DataFrame =
     Upsert.deleteWhere(Tables.orders(s, dir),
@@ -346,6 +407,7 @@ object EtlQueries {
         |      FROM orders) t
         |GROUP BY segment_index
         |ORDER BY segment_index""".stripMargin)),
+    Q("q241_cron_fires", (s, d) => cronFires(s, d), Some(cronOracle)),
     Q("q26_upsert_customers", (s, d) => upsertCustomers(s, d), Some(
       """WITH snap AS (SELECT * FROM customer),
         |upd AS (SELECT c_custkey, c_name, c_nationkey,

@@ -356,7 +356,64 @@ object FileGate {
       |FROM events
       |WHERE event_type = 'purchase'""".stripMargin
 
+  /** Bucketed-layout SLA join (q240): both facts written
+    * `bucketBy(8, orderkey)` as EXTERNAL bucketed tables under the
+    * per-SF scratch dir, then q217's exact aggregate chain re-planned
+    * over the bucketed scans — the shuffle-free fact-fact join riding
+    * the correctness gate every round (values must equal the raw-parquet
+    * q217 oracle; BucketAb/PLANS.md carry the A/B timings — 1.5× at
+    * sf0.1 widening to 2.8× at sf1 — and LayoutSpec pins the
+    * zero-join-key-exchange plan). At 100 TB this is the ingest-time
+    * layout decision: land orderkey-grained facts bucketed once, and
+    * every order-grain join afterwards plans without an exchange. */
+  def bucketedSla(s: SparkSession, dir: String): DataFrame = {
+    val sf = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"/tmp/graft_gate/$sf/bucketed"
+    val liT = graft.operators.Scale.writeBucketed(
+      Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate"),
+      s"graft_li_bucketed_$sf", "l_orderkey", 8, Some(s"$base/lineitem"))
+    val ordT = graft.operators.Scale.writeBucketed(
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+      s"graft_ord_bucketed_$sf", "o_orderkey", 8, Some(s"$base/orders"))
+    graft.reports.Audits.slaChain(s.table(liT), s.table(ordT))
+  }
+
+  /** Small-files compaction round trip (q244): events deliberately
+    * written as 64 tiny files (the ingest-tail artifact), compacted by
+    * `Layout.compact` into byte-sized output files, and aggregated FROM
+    * THE COMPACTED LAYOUT — the oracle (source-table aggregate) proves
+    * the rewrite lost and duplicated nothing; CompactionSpec asserts the
+    * file-count mechanics (64 → ⌈bytes/target⌉). */
+  def compaction(s: SparkSession, dir: String): DataFrame = {
+    val sf = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val small = s"/tmp/graft_gate/$sf/small_events"
+    val big = s"/tmp/graft_gate/$sf/compacted_events"
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(small)
+    graft.operators.Layout.compact(s, small, big, targetBytes = 4L << 20)
+    s.read.parquet(big)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v")).cast("double").as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val compactionOracle: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q244_compaction", (s, d) => compaction(s, d),
+      Some(compactionOracle)),
+    Q("q240_bucketed_sla", (s, d) => bucketedSla(s, d),
+      Some(graft.reports.Audits.slaOracle)),
     Q("q236_partitioned_read", (s, d) => partitionedRead(s, d),
       Some(partitionedReadOracle)),
     Q("q226_schema_merge", (s, d) => schemaMergeRead(s, d),

@@ -84,7 +84,46 @@ object Pseudonymize {
       |LEFT JOIN link ON seg.c_mktsegment = link.c_mktsegment
       |ORDER BY seg""".stripMargin
 
+  /** k-anonymity audit (q243): the release-side complement of q206's
+    * pseudonymization — pseudonyms hide WHO a row is, but the
+    * quasi-identifier columns left in an export (here nation × market
+    * segment) can still single people out when an equivalence class is
+    * small. Report the class-SIZE histogram with every size below k
+    * flagged unsafe: a release gate passes only when no unsafe rows
+    * remain (suppress or generalize those classes first).
+    *
+    * Scale shape: one keyed aggregate reduces the corpus to equivalence
+    * classes, a second reduces classes to the size histogram —
+    * bounded by the distinct class sizes, not the corpus. Map-side
+    * partials both times; no windows, no joins. */
+  def kAnonymity(s: SparkSession, dir: String, k: Long = 5L): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"))
+      .select(col("class_size"), col("n_classes"),
+        (col("class_size") * col("n_classes")).as("n_customers"),
+        (col("class_size") < k).cast("int").as("unsafe"))
+      .orderBy(col("class_size"))
+
+  private def kAnonymityOracle(k: Long = 5L): String =
+    s"""WITH cls AS (
+       |  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT)
+       |    AS class_size
+       |  FROM customer GROUP BY 1, 2),
+       |h AS (SELECT class_size, CAST(COUNT(*) AS BIGINT) AS n_classes
+       |      FROM cls GROUP BY 1)
+       |SELECT class_size, n_classes,
+       |       CAST(class_size * n_classes AS BIGINT) AS n_customers,
+       |       CAST(CASE WHEN class_size < $k THEN 1 ELSE 0 END AS INT)
+       |         AS unsafe
+       |FROM h
+       |ORDER BY class_size""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("q206_pseudonymize", (s, d) => pseudonymizeAudit(s, d),
-      Some(pseudonymOracle)))
+      Some(pseudonymOracle)),
+    Q("q243_k_anonymity", (s, d) => kAnonymity(s, d),
+      Some(kAnonymityOracle())))
 }

@@ -73,4 +73,39 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Data files of a parquet directory with sizes, via the Hadoop FS API
+    * (skips _SUCCESS / checksums / hidden files). */
+  private def dataFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).toSeq
+      .filter(_.isFile)
+      .map(st => (st.getPath.getName, st.getLen))
+      .filterNot { case (n, _) => n.startsWith("_") || n.startsWith(".") }
+  }
+
+  /** Small-files compaction: rewrite a directory of many small parquet
+    * files as ⌈total-bytes / targetBytes⌉ files. Returns
+    * (filesBefore, filesAfter).
+    *
+    * At 100 TB the ingest tail (per-task files, streaming micro-batches,
+    * over-parallel writers) degrades every later scan — footer decode
+    * per file, scheduler pressure, tiny row groups with useless
+    * statistics. The nightly compaction job is this: ONE round-robin
+    * repartition (no keyed shuffle — rows only need to coalesce, not
+    * co-locate) sized from the actual on-disk bytes, not a guessed
+    * partition count. Compose with [[zorderWrite]] when the compacted
+    * table should also carry a scan-pruning sort order. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long): (Int, Int) = {
+    val before = dataFiles(spark, inPath)
+    val nOut = math.max(1,
+      math.ceil(before.map(_._2).sum.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    (before.size, dataFiles(spark, outPath).size)
+  }
 }

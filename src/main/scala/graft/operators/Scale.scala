@@ -97,12 +97,15 @@ object Scale {
     * co-located (no shuffle): bucketBy requires saveAsTable (bucket
     * metadata lives in the catalog). Returns the table names. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): String = {
-    df.write.mode("overwrite")
+      buckets: Int, path: Option[String] = None): String = {
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    // explicit path ⇒ EXTERNAL bucketed table: overwrite replaces stale
+    // data from a previous session even when the fresh catalog has no
+    // table entry (a managed table errors LOCATION_ALREADY_EXISTS there)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
     table
   }
 

@@ -437,13 +437,19 @@ object Audits {
     * shuffle-free) reduces immediately to the (priority × days)
     * histogram — calendar-span-bounded rows — and the q168 percentile
     * walk runs over that. */
-  def slaPercentiles(s: SparkSession, dir: String): DataFrame = {
+  def slaPercentiles(s: SparkSession, dir: String): DataFrame =
+    slaChain(
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate")),
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")))
+
+  /** The q217 aggregate chain over explicit fact frames — shared with
+    * q240, which feeds it the bucketed-table scans instead of raw
+    * parquet (same values, shuffle-free join plan). */
+  private[graft] def slaChain(li: DataFrame, ord: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_shipdate"))
-      .join(Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
-        col("l_orderkey") === col("o_orderkey"))
+    val h = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderpriority").as("priority"),
         datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("days"))
       .groupBy(col("priority"), col("days")).agg(count(lit(1)).as("n"))
@@ -461,7 +467,7 @@ object Audits {
       .orderBy(col("priority"))
   }
 
-  private val slaOracle: String =
+  private[graft] val slaOracle: String =
     """WITH h AS (
       |  SELECT o.o_orderpriority AS priority,
       |         date_diff('day', CAST(o.o_orderdate AS DATE),

@@ -201,8 +201,8 @@ object Ann {
     * would shuffle AND sort the |V|×nlist exploded frame. Ordering key
     * (__cc, -cent_id) is total per vector (cent_id unique), so the
     * result is deterministic and identical to the window argmax. */
-  private def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
-      cents: DataFrame): DataFrame =
+  private[similarity] def ivfAssign(vectors: DataFrame, idCol: String,
+      vecCol: String, cents: DataFrame): DataFrame =
     vectors.join(broadcast(cents))
       .withColumn("__cc", round(cosine(col(vecCol), col("__cv")), 4))
       .groupBy(col(idCol))

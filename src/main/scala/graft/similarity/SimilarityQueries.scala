@@ -320,6 +320,87 @@ object SimilarityQueries {
        |    GROUP BY 1, 2) t
        |  GROUP BY cent_id)""".stripMargin
 
+  /** Incremental IVF maintenance (q242): the embedding-side twin of
+    * q221's incremental connected components. Centroids train on the
+    * BASE corpus only (vec_id % 10 ≠ 0); the nightly DELTA
+    * (vec_id % 10 = 0) is assigned to the FROZEN centroids — no
+    * re-clustering — and the report compares per-cell base vs delta
+    * occupancy in basis points, flagging cells where the delta share
+    * drifts ≥ 500 bp from the base share (the re-cluster trigger an
+    * index-maintenance job watches).
+    *
+    * Scale shape — the point: training touches only the base (one
+    * broadcast join per Lloyd iteration); the nightly path is ONE
+    * broadcast-argmax over the delta. The base occupancy here is
+    * recomputed only because the gate needs both sides from one query —
+    * in production it is the persisted index's cell histogram. */
+  def incrementalIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+    val delta = e.filter(col("vec_id") % 10 === 0)
+    val cents = Ann.kmeansTrain(base, "vec_id", "embedding", k = 8, iters = 2)
+      .select(col("cent_id"), col("centroid").as("__cv"))
+    def occupancy(df: DataFrame, n: String) =
+      Ann.ivfAssign(df, "vec_id", "embedding", cents)
+        .groupBy(col("__cell").as("cell")).agg(count(lit(1)).as(n))
+    val b = occupancy(base, "n_base")
+    val d = occupancy(delta, "n_delta")
+    val tb = b.agg(sum(col("n_base")).as("tb"))
+    val td = d.agg(sum(col("n_delta")).as("td"))
+    b.join(d, Seq("cell"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_delta"))
+      .crossJoin(broadcast(tb)).crossJoin(broadcast(td))
+      .select(col("cell"), col("n_base"), col("n_delta"),
+        expr("n_base * 10000 div tb").as("base_bp"),
+        expr("n_delta * 10000 div td").as("delta_bp"))
+      .withColumn("drifted",
+        (abs(col("delta_bp") - col("base_bp")) > 500L).cast("int"))
+      .orderBy(col("cell"))
+  }
+
+  private def incrementalIvfOracle(): String =
+    s"""WITH v AS (
+       |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings WHERE vec_id % 10 <> 0),
+       |dv AS (
+       |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |c0 AS (SELECT vid AS cent_id, e AS cv FROM v ORDER BY vid LIMIT 8),
+       |${iter("c0", "a1", "c1")},
+       |${iter("c1", "a2", "c2")},
+       |ab AS (
+       |  SELECT vid, cent_id AS cell FROM (
+       |    SELECT v.vid, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vid
+       |             ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC,
+       |                      c.cent_id) AS rn
+       |    FROM v CROSS JOIN c2 c) t WHERE rn = 1),
+       |ad AS (
+       |  SELECT vid, cent_id AS cell FROM (
+       |    SELECT dv.vid, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY dv.vid
+       |             ORDER BY round(list_cosine_similarity(dv.e, c.cv), 4) DESC,
+       |                      c.cent_id) AS rn
+       |    FROM dv CROSS JOIN c2 c) t WHERE rn = 1),
+       |hb AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_base
+       |       FROM ab GROUP BY 1),
+       |hd AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_delta
+       |       FROM ad GROUP BY 1),
+       |tb AS (SELECT SUM(n_base) AS tb FROM hb),
+       |td AS (SELECT SUM(n_delta) AS td FROM hd)
+       |SELECT COALESCE(hb.cell, hd.cell) AS cell,
+       |       CAST(COALESCE(hb.n_base, 0) AS BIGINT) AS n_base,
+       |       CAST(COALESCE(hd.n_delta, 0) AS BIGINT) AS n_delta,
+       |       CAST(COALESCE(hb.n_base, 0) * 10000 // tb.tb AS BIGINT)
+       |         AS base_bp,
+       |       CAST(COALESCE(hd.n_delta, 0) * 10000 // td.td AS BIGINT)
+       |         AS delta_bp,
+       |       CAST(CASE WHEN abs(COALESCE(hd.n_delta, 0) * 10000 // td.td
+       |                          - COALESCE(hb.n_base, 0) * 10000 // tb.tb)
+       |                      > 500 THEN 1 ELSE 0 END AS INT) AS drifted
+       |FROM hb FULL JOIN hd ON hb.cell = hd.cell, tb, td
+       |ORDER BY cell""".stripMargin
+
   /** Semantic dedup over trained clusters (q144): the SemDeDup
     * composition — q137's k-means trainer partitions the embedding
     * space, near-duplicate pairs are scored ONLY within each cluster
@@ -1160,6 +1241,8 @@ object SimilarityQueries {
       Some(outlierOracle())),
     Q("q138_ivf_trained", (s, d) => annIvfTrained(s, d),
       Some(ivfTrainedOracle())),
+    Q("q242_incremental_ivf", (s, d) => incrementalIvf(s, d),
+      Some(incrementalIvfOracle())),
     Q("q137_kmeans_train", (s, d) => kmeansCentroids(s, d),
       Some(kmeansOracle())),
     Q("q153_pq_search", (s, d) => pqSearch(s, d), Some(pqOracle())),

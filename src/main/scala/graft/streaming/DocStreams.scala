@@ -44,6 +44,21 @@ object DocStreams {
       md5(TextFunctions.piiRedact(col("text"))).as("redacted_md5"))
   }
 
+  /** Streaming exact dedup at the ingest edge
+    * (`dropDuplicatesWithinWatermark`): re-crawled / re-uploaded copies
+    * of a document are dropped while their key is inside the watermark
+    * window — and, unlike plain streaming `dropDuplicates`, the state
+    * store EVICTS a key once the watermark passes it, so state is
+    * bounded by the event-time window instead of growing with the
+    * corpus forever (the only viable contract for a 100 TB ingest that
+    * runs for months). Key = any column set; for content dedup pass
+    * md5(text). Batch twin: `dropDuplicates(keys)` — DocStreamSpec
+    * requires equality on a bounded fixture. */
+  def dedupWithinWatermark(docs: DataFrame, tsCol: String, delay: String,
+      keys: Seq[String]): DataFrame =
+    docs.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Run the curation stream over all currently-available files into a
     * named in-memory sink (local smoke path; a deployment writes a
     * parquet/Delta sink with a checkpoint). */

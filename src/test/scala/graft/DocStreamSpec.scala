@@ -169,4 +169,40 @@ class DocStreamSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L),
       (1L, 5L), (2L, 5L)))
   }
+
+  test("streaming dedup-within-watermark drops re-ingested copies; equals " +
+      "batch dropDuplicates on the bounded fixture") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-wm").toString
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // 6 arrivals of 4 distinct contents — doc 1 re-crawled twice, doc 2 once
+    val rows = Seq(
+      (1L, "alpha content", "2026-01-01 10:00:00"),
+      (2L, "beta content", "2026-01-01 10:05:00"),
+      (3L, "alpha content", "2026-01-01 10:10:00"), // dup of 1
+      (4L, "gamma content", "2026-01-01 10:20:00"),
+      (5L, "beta content", "2026-01-01 10:25:00"),  // dup of 2
+      (6L, "alpha content", "2026-01-01 10:30:00")) // dup of 1
+      .toDF("doc_id", "text", "ts_s")
+      .select(col("doc_id"), col("text"),
+        col("ts_s").cast("timestamp").as("ts"),
+        md5(col("text")).as("content_key"))
+    rows.write.mode("overwrite").parquet(tmp)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("ts", TimestampType),
+      StructField("content_key", StringType)))
+    val q = DocStreams.dedupWithinWatermark(
+        spark.readStream.schema(schema).parquet(tmp),
+        "ts", "1 hour", Seq("content_key"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_wm").start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_wm").select("content_key")
+      .collect().map(_.getString(0)).toSet
+    val batch = rows.dropDuplicates("content_key")
+      .select("content_key").collect().map(_.getString(0)).toSet
+    assert(kept == batch && kept.size == 3,
+      s"stream kept $kept, batch kept $batch")
+  }
 }
