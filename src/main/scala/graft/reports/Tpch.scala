@@ -34,6 +34,48 @@ object Tpch {
   private def revU: org.apache.spark.sql.Column =
     cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
 
+  /** Q4 shape — order-priority checking (q246): orders with ANY line
+    * item shipped more than 90 days after the order date, counted per
+    * priority. The EXISTS is a LEFT SEMI join whose extra non-equi
+    * condition (shipdate vs orderdate) rides the orderkey equi-join as a
+    * residual — one shuffle on the natural key, no fact duplication
+    * (a plain join + distinct would double-shuffle). */
+  def latePriority(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Q9 shape — product-type profit (q247): revenue of one part family
+    * per supplier nation × ship year. Both dimensions (filtered part
+    * list, supplier→nation map) broadcast onto the fact scan; the only
+    * shuffle is the (nation, year) aggregate — the all-broadcast star
+    * q54 proves, on the Q9 join pattern. */
+  def productProfit(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_name").contains("red"))
+      .select(col("p_partkey"))
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("yr"), revU.as("rev_u"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"), col("yr"))
+      .agg(MoneyFns.sumUnscaled(col("rev_u"), 4).as("profit"))
+      .orderBy(col("nation"), col("yr").desc)
+  }
+
   /** Q3 shape — shipping-priority: segment-filtered customers ⋈ open
     * orders ⋈ late-shipped items, revenue top-10. */
   def shippingPriority(s: SparkSession, dir: String): DataFrame = {
@@ -369,6 +411,26 @@ object Tpch {
       .orderBy(col("custdist").desc, col("c_count").desc)
 
   val qs: Seq[Q] = Seq(
+    Q("q246_late_priority", (s, d) => latePriority(s, d), Some(
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)),
+    Q("q247_product_profit", (s, d) => productProfit(s, d), Some(
+      """SELECT n.n_name AS nation, EXTRACT(year FROM l_shipdate) AS yr,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n ON s_nationkey = n.n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n.n_name, EXTRACT(year FROM l_shipdate)
+        |ORDER BY nation, yr DESC""".stripMargin)),
     Q("q101_volume_shipping", (s, d) => volumeShipping(s, d), Some(
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |       EXTRACT(year FROM l_shipdate) AS l_year,

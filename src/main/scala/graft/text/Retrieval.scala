@@ -29,7 +29,7 @@ object Retrieval {
     3 -> "stream window batch",
     4 -> "vector")
 
-  private def queryTerms: Seq[(Int, String)] =
+  private[text] def queryTerms: Seq[(Int, String)] =
     benchQueries.flatMap { case (id, text) => text.split(' ').distinct.map(id -> _) }
 
   /** BM25 top-k retrieval (q148): Okapi BM25 with k1=1.2, b=0.75 and the
@@ -62,7 +62,22 @@ object Retrieval {
     * set — separated so specs can rank a hand-built corpus against an
     * independently-computed expectation. */
   def bm25(s: SparkSession, docs: DataFrame, terms: Seq[(Int, String)],
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    bm25Scores(s, docs, terms)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-col("iscore")).as("neg"), col("doc_id").as("doc_id")), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rn"),
+        ((-col("col.neg")) / 10000.0).as("score"))
+      .orderBy(col("query_id"), col("rn"))
+
+  /** The integer BM25 score frame (query_id, doc_id, iscore) BEFORE the
+    * per-query top-k — exposed so compositions (q248 chunk retrieval)
+    * can roll scores up to a parent grain first. */
+  def bm25Scores(s: SparkSession, docs: DataFrame,
+      terms: Seq[(Int, String)]): DataFrame = {
     import s.implicits._
     val tf = docs
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
@@ -94,14 +109,6 @@ object Retrieval {
     contrib
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).as("iscore"))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.TopKAgg.topK(
-        struct((-col("iscore")).as("neg"), col("doc_id").as("doc_id")), k).as("tk"))
-      .select(col("query_id"), posexplode(col("tk")))
-      .select(col("query_id"), col("col.doc_id").as("doc_id"),
-        (col("pos") + 1).cast("int").as("rn"),
-        ((-col("col.neg")) / 10000.0).as("score"))
-      .orderBy(col("query_id"), col("rn"))
   }
 
   private def queryTermsValuesSql: String =
@@ -225,7 +232,90 @@ object Retrieval {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Chunked retrieval with document rollup (q248): the complete RAG
+    * read path — the q245 chunk frame becomes the retrieval unit, BM25
+    * scores each (query, chunk) with chunk-level df/length statistics,
+    * and scores roll up to the PARENT document (doc relevance = its best
+    * chunk, the standard max-pooling attribution), reporting top-k docs
+    * per query with the winning chunk index as provenance.
+    *
+    * Scale shape: the chunk explosion is map-side (q245); BM25 runs the
+    * q148 inverted-index shape over chunks (term-keyed join, broadcast
+    * query terms); the rollup adds ONE (query, doc) aggregate over the
+    * already-reduced score frame and a bounded-heap top-k — no new
+    * corpus-sized shuffle beyond q148's own. */
+  def chunkedRetrieval(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val chunks = TextQueries.chunkFrame(s, dir)
+      .select((col("doc_id") * 1000 + col("chunk_idx")).as("doc_id"),
+        array_join(col("ctoks"), " ").as("text"))
+    bm25Scores(s, chunks, queryTerms)
+      .select(col("query_id"), expr("doc_id div 1000").as("parent"),
+        expr("cast(doc_id % 1000 as int)").as("cidx"), col("iscore"))
+      .groupBy(col("query_id"), col("parent"))
+      .agg(max(struct(col("iscore"), (-col("cidx")).as("nc"))).as("best"))
+      .select(col("query_id"), col("parent"),
+        col("best.iscore").as("iscore"),
+        (-col("best.nc")).cast("int").as("best_chunk"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-col("iscore")).as("neg"), col("parent").as("doc_id"),
+          col("best_chunk")), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rn"),
+        ((-col("col.neg")) / 10000.0).as("score"),
+        col("col.best_chunk").as("best_chunk"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  private def chunkedRetrievalOracle(k: Int = 5): String = {
+    val toksSql = TextQueries.toksSql
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |t0 AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+       |ch AS (SELECT doc_id * 1000 + k AS ck,
+       |              toks[CAST(k * 48 + 1 AS INT) : CAST(k * 48 + 64 AS INT)]
+       |                AS ctoks
+       |       FROM t0, unnest(range(0, (n + 47) // 48)) u(k)),
+       |qt(query_id, token) AS (VALUES $queryTermsValuesSql),
+       |tf AS (SELECT ck, tok AS token, COUNT(*) AS tf
+       |       FROM (SELECT ck, unnest(ctoks) AS tok FROM ch) u
+       |       GROUP BY ck, tok),
+       |dl AS (SELECT ck, SUM(tf) AS dl FROM tf GROUP BY ck),
+       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+       |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dl),
+       |c AS (SELECT qt.query_id, tf.ck,
+       |             CAST(round(
+       |               ln((CAST(st.n_docs AS DOUBLE) - df.df + 0.5)
+       |                  / (CAST(df.df AS DOUBLE) + 0.5) + 1)
+       |               * (CAST(tf.tf AS DOUBLE) * 2.2
+       |                  / (CAST(tf.tf AS DOUBLE)
+       |                     + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+       |                              / (CAST(st.total_tokens AS DOUBLE)
+       |                                 / CAST(st.n_docs AS DOUBLE)))))
+       |               * 10000, 0) AS BIGINT) AS c
+       |      FROM tf JOIN qt USING (token)
+       |           JOIN dl USING (ck) JOIN df USING (token), st),
+       |sc AS (SELECT query_id, ck, SUM(c) AS iscore
+       |       FROM c GROUP BY query_id, ck),
+       |pb AS (SELECT query_id, ck // 1000 AS doc_id,
+       |              CAST(ck % 1000 AS INT) AS cidx, iscore FROM sc),
+       |best AS (SELECT query_id, doc_id, iscore, cidx,
+       |               ROW_NUMBER() OVER (PARTITION BY query_id, doc_id
+       |                 ORDER BY iscore DESC, cidx) AS brn
+       |         FROM pb),
+       |r AS (SELECT query_id, doc_id, iscore, cidx AS best_chunk,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id
+       |               ORDER BY iscore DESC, doc_id) AS rn
+       |      FROM best WHERE brn = 1)
+       |SELECT query_id, doc_id, CAST(rn AS INT) AS rn,
+       |       iscore / 10000.0 AS score, best_chunk
+       |FROM r WHERE rn <= $k
+       |ORDER BY query_id, rn""".stripMargin
+  }
+
   def qs: Seq[Q] = Seq(
+    Q("q248_chunked_retrieval", (s, d) => chunkedRetrieval(s, d),
+      Some(chunkedRetrievalOracle())),
     Q("q148_bm25_topk", (s, d) => bm25TopK(s, d), Some(bm25OracleSql())),
     Q("q181_heavy_hitters", (s, d) => heavyHitters(s, d),
       Some(heavyHittersOracle())),

@@ -33,6 +33,51 @@ object TextQueries {
       .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
       .orderBy(col("doc_id"))
 
+  /** RAG-style document chunking (q245): fixed-size token windows with
+    * overlap — chunk k covers tokens [k·stride, k·stride + size), the
+    * retrieval-index unit every RAG pipeline derives from its corpus.
+    * Stable (doc_id, chunk_idx) identity plus the exact md5 of the
+    * space-joined chunk text, so the oracle value-checks every window
+    * boundary (off-by-one in the stride arithmetic flips the hash).
+    * Empty documents emit no chunks.
+    *
+    * Scale shape: one map-side pass — tokenize, `sequence` explode,
+    * `slice` — rows out bounded by ⌈tokens/stride⌉ per doc; the only
+    * exchange is the output sort. */
+  def docChunks(s: SparkSession, dir: String, chunkTok: Int = 64,
+      strideTok: Int = 48): DataFrame =
+    chunkFrame(s, dir, chunkTok, strideTok)
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ctoks")).as("n_tokens"),
+        md5(array_join(col("ctoks"), " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** The (doc_id, chunk_idx, ctoks) chunk frame q245 hashes and q248
+    * retrieves over. */
+  private[text] def chunkFrame(s: SparkSession, dir: String,
+      chunkTok: Int = 64, strideTok: Int = 48): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("chunk_idx", explode(expr(
+        s"sequence(0, cast((n + $strideTok - 1) div $strideTok as int) - 1)")))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"slice(toks, chunk_idx * $strideTok + 1, $chunkTok)").as("ctoks"))
+
+  private def docChunksOracle(chunkTok: Int = 64, strideTok: Int = 48): String =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |t AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+       |c AS (SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+       |             toks[CAST(k * $strideTok + 1 AS INT) :
+       |                  CAST(k * $strideTok + $chunkTok AS INT)] AS ctoks
+       |      FROM t, unnest(range(0, (n + $strideTok - 1) // $strideTok))
+       |        u(k))
+       |SELECT doc_id, chunk_idx, CAST(len(ctoks) AS INT) AS n_tokens,
+       |       md5(array_to_string(ctoks, ' ')) AS chunk_md5
+       |FROM c
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Quality scoring: length/punctuation/stopword/token-shape signals.
     * Normalization + tokenization are materialized ONCE per row in their
     * own projection; the measures reference the attributes (the inlined
@@ -3268,6 +3313,7 @@ object TextQueries {
          |            AND round(1.0 - d / CAST(tot3 AS DOUBLE), 4) <= 0.1 AS INT) AS keep
          |FROM bs JOIN ts ON bs.doc_id = ts.doc_id
          |ORDER BY doc_id""".stripMargin)),
+    Q("q245_doc_chunks", (s, d) => docChunks(s, d), Some(docChunksOracle())),
     Q("q30_dedup_exact", (s, d) => dedupExact(s, d), Some(
       s"""SELECT md5($norm) AS text_hash, MIN(doc_id) AS keeper_id,
          |       COUNT(*) AS dup_cnt
