@@ -237,6 +237,75 @@ object SimilarityQueries {
       .orderBy(col("query_id"))
   }
 
+  /** Matryoshka prefix-dimension recall audit (q250): serving ANN on
+    * TRUNCATED embeddings — the MRL deployment pattern where the first
+    * d dims of a matryoshka-trained vector are a usable sub-embedding,
+    * so serving at d = 16/32 of 64 cuts vector memory and scan IO 4×/2×
+    * — audited exactly like q125's quantization switch: brute-force
+    * top-k at each prefix vs the full-precision ranking, recall@k per
+    * (query, dims). The slice is a zero-copy prefix (`slice(e, 1, d)`),
+    * so the audit measures the REAL serving configuration.
+    *
+    * Scale shape: each ranking is the q40 brute shape (broadcast
+    * queries, partial top-k below the shuffle); the exact frame
+    * checkpoints once and feeds every prefix's recall join. */
+  def matryoshkaRecall(s: SparkSession, dir: String, k: Int = 10,
+      dims: Seq[Int] = Seq(16, 32)): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val exact = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k)
+      .select(col("query_id"), col("vec_id"))
+      .ckpt // consumers: one recall join per prefix width
+    dims.map { d =>
+      val t = e.select(col("vec_id"),
+        expr(s"slice(embedding, 1, $d)").as("emb"))
+      val topd = Ann.bruteForceTopK(t, t.filter(col("vec_id") < 3),
+          "vec_id", "emb", k)
+        .select(col("query_id"), col("vec_id").as("qvid"))
+      exact.join(topd,
+          exact("query_id") === topd("query_id") &&
+            col("vec_id") === col("qvid"), "left")
+        .groupBy(exact("query_id"))
+        .agg(count(lit(1)).as("k_exact"), count(col("qvid")).as("hits"))
+        .select(col("query_id"), lit(d).as("dims"), col("k_exact"),
+          col("hits"),
+          round(col("hits").cast("double") / col("k_exact"), 4).as("recall"))
+    }.reduce(_.unionByName(_)).orderBy(col("query_id"), col("dims"))
+  }
+
+  private def matryoshkaOracle(k: Int = 10,
+      dims: Seq[Int] = Seq(16, 32)): String = {
+    def rank(vtab: String, vcol: String, out: String) =
+      s"""$out AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.vec_id AS query_id, v.vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |             round(list_cosine_similarity(v.$vcol, q.$vcol), 4) DESC,
+         |             v.vec_id) AS rn
+         |    FROM $vtab v JOIN $vtab q ON q.vec_id < 3
+         |      AND v.vec_id <> q.vec_id) t
+         |  WHERE rn <= $k)"""
+    val prefixCtes = dims.map(d =>
+      s"""t$d AS (SELECT vec_id, e[1:$d] AS d FROM v),
+         |${rank(s"t$d", "d", s"r$d")}""")
+    val armSelects = dims.map(d =>
+      s"""SELECT e.query_id, CAST($d AS INT) AS dims,
+         |       COUNT(*) AS k_exact,
+         |       CAST(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS hits,
+         |       round(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |             / CAST(COUNT(*) AS DOUBLE), 4) AS recall
+         |FROM exact e LEFT JOIN r$d r
+         |  ON e.query_id = r.query_id AND e.vec_id = r.vec_id
+         |GROUP BY e.query_id""")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |${rank("v", "e", "exact")},
+       |${prefixCtes.mkString(",\n")}
+       |${armSelects.mkString("\nUNION ALL\n")}
+       |ORDER BY query_id, dims""".stripMargin
+  }
+
   /** The composable-HOF form of the int8 round trip — kept ONLY as the
     * spec cross-check for `QuantDequantI8` (two CodegenFallback lambdas;
     * never on the query path). */
@@ -1249,6 +1318,8 @@ object SimilarityQueries {
     Q("q156_ivfpq_search", (s, d) => ivfPqSearch(s, d), Some(ivfPqOracle())),
     Q("q125_quantized_recall", (s, d) => quantizedRecall(s, d),
       Some(quantizedRecallOracle())),
+    Q("q250_matryoshka_recall", (s, d) => matryoshkaRecall(s, d),
+      Some(matryoshkaOracle())),
     Q("q107_srp_portable", (s, d) => srpPortable(s, d),
       Some(srpPortableOracle())),
     Q("q75_embedding_neardup", (s, d) => embeddingNearDups(s, d), Some(

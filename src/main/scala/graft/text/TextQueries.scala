@@ -78,6 +78,51 @@ object TextQueries {
        |FROM c
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Cross-document boilerplate chunks (q251): a q245 chunk whose hash
+    * appears in ≥2 DISTINCT documents is boilerplate (headers, footers,
+    * license blocks, navigation chrome re-crawled across pages) — the
+    * chunk-grain twin of q151's line-level rule, at the same granularity
+    * a RAG index would serve (so this is also the "don't index the same
+    * passage 500×" audit for q248). Per document: chunk count,
+    * boilerplate-chunk count, share in basis points.
+    *
+    * Scale shape: chunks shuffle as md5 hashes, never token arrays; the
+    * (hash, doc) pre-distinct rides the hash-keyed shuffle and the mark
+    * join is hash-keyed too — frequency-keyed, never pairwise. */
+  def boilerplateChunks(s: SparkSession, dir: String): DataFrame = {
+    val ch = chunkFrame(s, dir)
+      .select(col("doc_id"), md5(array_join(col("ctoks"), " ")).as("h"))
+      .ckpt // consumers: the frequency aggregate + the mark join
+    val freq = ch.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+    ch.join(freq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
+        expr("n_boiler * 10000 div n_chunks").as("boiler_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def boilerplateChunksOracle: String =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |t0 AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+       |ch AS (SELECT doc_id,
+       |              md5(array_to_string(
+       |                toks[CAST(k * 48 + 1 AS INT) :
+       |                     CAST(k * 48 + 64 AS INT)], ' ')) AS h
+       |       FROM t0, unnest(range(0, (n + 47) // 48)) u(k)),
+       |freq AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS ndocs
+       |         FROM (SELECT DISTINCT h, doc_id FROM ch) x GROUP BY h)
+       |SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |       CAST(SUM(CASE WHEN freq.ndocs >= 2 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_boiler,
+       |       CAST(SUM(CASE WHEN freq.ndocs >= 2 THEN 1 ELSE 0 END)
+       |            * 10000 // COUNT(*) AS BIGINT) AS boiler_bp
+       |FROM ch JOIN freq USING (h)
+       |GROUP BY ch.doc_id
+       |ORDER BY ch.doc_id""".stripMargin
+
   /** Quality scoring: length/punctuation/stopword/token-shape signals.
     * Normalization + tokenization are materialized ONCE per row in their
     * own projection; the measures reference the attributes (the inlined
@@ -1084,7 +1129,10 @@ object TextQueries {
     * q131 end-to-end pipeline, which passes its already-materialized
     * DISTINCT shingle frame (per-doc minima are duplicate-insensitive,
     * so both inputs hash identically). */
-  private def minhashCandidatePairs(sh: DataFrame): DataFrame = {
+  /** The banded bucket table (doc_id, m0..m7, band, bucket) — the
+    * PERSISTABLE LSH index both the full candidate join (q36) and the
+    * incremental delta check (q249) read. */
+  private def minhashBuckets(sh: DataFrame): DataFrame = {
     val hashed = sh.select(
       col("doc_id") +: (0 to 7).map { j =>
         substring(md5(col("g")), j * 4 + 1, 4).as(s"h$j")
@@ -1094,13 +1142,17 @@ object TextQueries {
     val mins = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .ckpt
     def bucketOf(js: Range) = md5(concat_ws(",", js.map(j => col(s"m$j")): _*))
-    val buckets = mins.select(
+    mins.select(
       col("doc_id") +: (0 to 7).map(j => col(s"m$j")) :+
         explode(array((0 to 3).map(b =>
           struct(lit(b).as("band"),
             bucketOf(b * 2 to b * 2 + 1).as("bucket"))): _*)).as("bb"): _*)
       .select(col("doc_id") +: (0 to 7).map(j => col(s"m$j")) :+
         col("bb.band").as("band") :+ col("bb.bucket").as("bucket"): _*)
+  }
+
+  private def minhashCandidatePairs(sh: DataFrame): DataFrame = {
+    val buckets = minhashBuckets(sh)
     val a = buckets.select(
       col("doc_id").as("id1") +: (0 to 7).map(j => col(s"m$j").as(s"a$j")) :+
         col("band") :+ col("bucket"): _*)
@@ -1117,6 +1169,70 @@ object TextQueries {
       .filter(col("est_jaccard") >= 0.5)
       .distinct()
   }
+
+  /** Incremental LSH dedup (q249): the text-corpus member of the
+    * incremental-maintenance family (q221 components, q242 IVF) — the
+    * nightly crawl DELTA (doc_id % 10 = 0) is checked against the
+    * existing corpus by joining ONLY delta-side bucket rows against the
+    * full bucket table; base↔base pairs are never re-examined (they were
+    * previous runs' output). The result set equals the full q36
+    * candidate set restricted to pairs touching the delta — exactly what
+    * the oracle states.
+    *
+    * Scale shape — the point: in production the base bucket table is the
+    * PERSISTED LSH index, so the per-run cost is |delta buckets| ⋈ index
+    * (delta-sized, not corpus-sized); it is rebuilt inside this query
+    * only because the gate needs one self-contained statement. The
+    * delta↔delta double-match collapses through the least/greatest
+    * normalization + distinct. */
+  def incrementalLshDedup(s: SparkSession, dir: String): DataFrame = {
+    val buckets = minhashBuckets(shingleRows(Tables.documents(s, dir), 3))
+      .ckpt // consumers: the delta side + the full index side
+    val a = buckets.filter(col("doc_id") % 10 === 0).select(
+      col("doc_id").as("ida") +: (0 to 7).map(j => col(s"m$j").as(s"a$j")) :+
+        col("band") :+ col("bucket"): _*)
+    val b = buckets.select(
+      col("doc_id").as("idb") +: (0 to 7).map(j => col(s"m$j").as(s"b$j")) :+
+        col("band") :+ col("bucket"): _*)
+    val matches = (0 to 7)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"),
+        round(matches.cast("double") / lit(8), 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .distinct()
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private def incrementalLshOracle: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+       |       FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+       |       WHERE len(t) >= 3),
+       |hj AS (SELECT doc_id, j, substr(md5(g), j * 4 + 1, 4) AS h
+       |       FROM sh, UNNEST(generate_series(0, 7)) AS p(j)),
+       |mins AS (SELECT doc_id, j, MIN(h) AS m FROM hj GROUP BY doc_id, j),
+       |buckets AS (SELECT doc_id, j // 2 AS band,
+       |                   md5(string_agg(m, ',' ORDER BY j)) AS bucket
+       |            FROM mins GROUP BY doc_id, j // 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |         FROM buckets a JOIN buckets b
+       |           ON a.band = b.band AND a.bucket = b.bucket
+       |         WHERE a.doc_id < b.doc_id
+       |           AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)),
+       |agree AS (SELECT c.id1, c.id2,
+       |                 SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS matches
+       |          FROM cand c
+       |          JOIN mins ma ON ma.doc_id = c.id1
+       |          JOIN mins mb ON mb.doc_id = c.id2 AND mb.j = ma.j
+       |          GROUP BY c.id1, c.id2)
+       |SELECT id1, id2, round(matches / 8.0, 4) AS est_jaccard
+       |FROM agree
+       |WHERE matches >= 4
+       |ORDER BY id1, id2""".stripMargin
 
   /** The PRODUCTION dedup composition end to end (q131) — the shape a
     * 100-TB corpus actually runs, every stage bounded:
@@ -3314,6 +3430,8 @@ object TextQueries {
          |FROM bs JOIN ts ON bs.doc_id = ts.doc_id
          |ORDER BY doc_id""".stripMargin)),
     Q("q245_doc_chunks", (s, d) => docChunks(s, d), Some(docChunksOracle())),
+    Q("q251_boilerplate_chunks", (s, d) => boilerplateChunks(s, d),
+      Some(boilerplateChunksOracle)),
     Q("q30_dedup_exact", (s, d) => dedupExact(s, d), Some(
       s"""SELECT md5($norm) AS text_hash, MIN(doc_id) AS keeper_id,
          |       COUNT(*) AS dup_cnt
@@ -3570,6 +3688,8 @@ object TextQueries {
          |ORDER BY s.id1, s.id2""".stripMargin)),
     Q("q36_minhash_candidates", (s, d) => minhashCandidatesPortable(s, d),
       Some(minhashCandidatesOracle)),
+    Q("q249_incremental_lsh", (s, d) => incrementalLshDedup(s, d),
+      Some(incrementalLshOracle)),
     Q("q131_lsh_dedup_pipeline", (s, d) => lshDedupPipeline(s, d), Some(
       s"""WITH RECURSIVE $verifiedEdgeCtes,
          |e AS (SELECT id1 AS src, id2 AS dst FROM e0
