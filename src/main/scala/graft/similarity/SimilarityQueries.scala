@@ -470,6 +470,84 @@ object SimilarityQueries {
        |FROM hb FULL JOIN hd ON hb.cell = hd.cell, tb, td
        |ORDER BY cell""".stripMargin
 
+  /** IVF hot-cell rebalance (q252): the ACTION the q242 drift monitor
+    * triggers — the most occupied cell is split by training k=2
+    * sub-centroids on ITS vectors only (seeds = the cell's two lowest
+    * ids, one Lloyd iteration — the kmeansTrain contract on the cell
+    * subset), and the cell's vectors re-assign to the sub-centroids.
+    * Output: per final cell, the occupancy and a split flag; labels are
+    * deterministic ("c<cell>" / "c<hot>.<sub>").
+    *
+    * Scale shape: the rebalance touches ONLY the hot cell's vectors
+    * (the 1-row hot-cell frame broadcasts into the filter); the rest of
+    * the index is untouched rows in the occupancy histogram. This is
+    * how a 100 TB vector index absorbs skew without a full re-train —
+    * the index twin of the q114 salted-agg remediation. */
+  def ivfRebalance(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cents = Ann.kmeansTrain(e, "vec_id", "embedding", k = 8, iters = 2)
+      .select(col("cent_id"), col("centroid").as("__cv"))
+    val assigned = Ann.ivfAssign(e, "vec_id", "embedding", cents)
+      .ckpt // consumers: occupancy histogram + hot-cell vector filter
+    val occ = assigned.groupBy(col("__cell")).agg(count(lit(1)).as("n"))
+      .ckpt // consumers: hot-cell argmax + the untouched rows
+    val hot = occ.orderBy(col("n").desc, col("__cell")).limit(1)
+      .select(col("__cell").as("hot_cell"))
+    val hotVecs = assigned
+      .join(broadcast(hot), col("__cell") === col("hot_cell"))
+      .select(col("vec_id"), col("embedding"))
+    val sub = Ann.kmeansTrain(hotVecs, "vec_id", "embedding", k = 2, iters = 1)
+      .select(col("cent_id"), col("centroid").as("__cv"))
+    val split = Ann.ivfAssign(hotVecs, "vec_id", "embedding", sub)
+      .groupBy(col("__cell")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(hot))
+      .select(concat(lit("c"), col("hot_cell"), lit("."), col("__cell"))
+        .as("cell_label"), col("n"), lit(1).as("is_split"))
+    val untouched = occ.crossJoin(broadcast(hot))
+      .filter(col("__cell") =!= col("hot_cell"))
+      .select(concat(lit("c"), col("__cell")).as("cell_label"), col("n"),
+        lit(0).as("is_split"))
+    untouched.unionByName(split).orderBy(col("cell_label"))
+  }
+
+  private def ivfRebalanceOracle(): String =
+    s"""WITH v AS (
+       |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings),
+       |c0 AS (SELECT vid AS cent_id, e AS cv FROM v ORDER BY vid LIMIT 8),
+       |${iter("c0", "a1", "c1")},
+       |${iter("c1", "a2", "c2")},
+       |ab AS (
+       |  SELECT vid, e, cent_id AS cell FROM (
+       |    SELECT v.vid, v.e, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vid
+       |             ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC,
+       |                      c.cent_id) AS rn
+       |    FROM v CROSS JOIN c2 c) t WHERE rn = 1),
+       |occ AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+       |        FROM ab GROUP BY cell),
+       |hot AS (SELECT cell AS hot_cell FROM occ
+       |        ORDER BY n DESC, cell LIMIT 1),
+       |hv AS (SELECT ab.vid, ab.e FROM ab, hot WHERE ab.cell = hot.hot_cell),
+       |s0 AS (SELECT vid AS cent_id, e AS cv FROM hv ORDER BY vid LIMIT 2),
+       |${iter("s0", "sa1", "s1", "hv")},
+       |sab AS (
+       |  SELECT vid, cent_id AS sub FROM (
+       |    SELECT hv.vid, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY hv.vid
+       |             ORDER BY round(list_cosine_similarity(hv.e, c.cv), 4) DESC,
+       |                      c.cent_id) AS rn
+       |    FROM hv CROSS JOIN s1 c) t WHERE rn = 1)
+       |SELECT 'c' || CAST(occ.cell AS VARCHAR) AS cell_label, occ.n,
+       |       CAST(0 AS INT) AS is_split
+       |FROM occ, hot WHERE occ.cell <> hot.hot_cell
+       |UNION ALL
+       |SELECT 'c' || CAST(hot.hot_cell AS VARCHAR) || '.' ||
+       |         CAST(sab.sub AS VARCHAR) AS cell_label,
+       |       CAST(COUNT(*) AS BIGINT) AS n, CAST(1 AS INT) AS is_split
+       |FROM sab, hot GROUP BY hot.hot_cell, sab.sub
+       |ORDER BY cell_label""".stripMargin
+
   /** Semantic dedup over trained clusters (q144): the SemDeDup
     * composition — q137's k-means trainer partitions the embedding
     * space, near-duplicate pairs are scored ONLY within each cluster
@@ -1312,6 +1390,8 @@ object SimilarityQueries {
       Some(ivfTrainedOracle())),
     Q("q242_incremental_ivf", (s, d) => incrementalIvf(s, d),
       Some(incrementalIvfOracle())),
+    Q("q252_ivf_rebalance", (s, d) => ivfRebalance(s, d),
+      Some(ivfRebalanceOracle())),
     Q("q137_kmeans_train", (s, d) => kmeansCentroids(s, d),
       Some(kmeansOracle())),
     Q("q153_pq_search", (s, d) => pqSearch(s, d), Some(pqOracle())),
