@@ -306,6 +306,94 @@ object SimilarityQueries {
        |ORDER BY query_id, dims""".stripMargin
   }
 
+  /** Attribute-filtered ANN audit (q256): vector search with a label
+    * predicate, comparing the two strategies every vector store chooses
+    * between — PRE-filter (rank only same-label vectors: always up to k
+    * results, needs the filter pushed into the index scan) vs
+    * POST-filter (rank everything, then drop non-matching: cheap, but
+    * returns fewer than k when the label is selective). Per query:
+    * result counts, the overlap, and post-filter recall vs the
+    * pre-filtered truth in basis points — the number that decides the
+    * strategy per label selectivity.
+    *
+    * Scale shape: both rankings are the q40 brute shape (queries
+    * broadcast; rank-≤-k pushes down as a partial WindowGroupLimit
+    * below the shuffle), sharing ONE scored frame. */
+  def filteredAnn(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlab"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"), col("qlab"),
+        round(Ann.cosine(col("embedding"), col("qv")), 4).as("cos"))
+      .ckpt // consumers: the pre-filtered and unfiltered rankings
+    val wQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val pre = scored.filter(col("label") === col("qlab"))
+      .withColumn("rn", row_number().over(wQ)).filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val post = scored
+      .withColumn("rn", row_number().over(wQ)).filter(col("rn") <= k)
+      .filter(col("label") === col("qlab"))
+      .select(col("query_id"), col("vec_id").as("pvid"))
+    val nPre = pre.groupBy(col("query_id")).agg(count(lit(1)).as("n_pre"))
+    val nPost = post.groupBy(col("query_id")).agg(count(lit(1)).as("n_post"))
+    val nOv = pre.join(post,
+        pre("query_id") === post("query_id") && col("vec_id") === col("pvid"))
+      .groupBy(pre("query_id")).agg(count(lit(1)).as("n_overlap"))
+    q.select(col("query_id"))
+      .join(nPre, Seq("query_id"), "left_outer")
+      .join(nPost, Seq("query_id"), "left_outer")
+      .join(nOv, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_pre"), lit(0L)).as("n_pre"),
+        coalesce(col("n_post"), lit(0L)).as("n_post"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("post_recall_bp",
+        expr("n_overlap * 10000 div nullif(n_pre, 0)"))
+      .orderBy(col("query_id"))
+  }
+
+  private def filteredAnnOracle(k: Int = 10): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qv, label AS qlab
+       |      FROM v WHERE vec_id < 3),
+       |sc AS (SELECT q.query_id, v.vec_id, v.label, q.qlab,
+       |              round(list_cosine_similarity(v.e, q.qv), 4) AS cos
+       |       FROM v JOIN q ON v.vec_id <> q.query_id),
+       |pre AS (SELECT query_id, vec_id FROM (
+       |         SELECT query_id, vec_id,
+       |                ROW_NUMBER() OVER (PARTITION BY query_id
+       |                  ORDER BY cos DESC, vec_id) AS rn
+       |         FROM sc WHERE label = qlab) t WHERE rn <= $k),
+       |post AS (SELECT query_id, vec_id FROM (
+       |          SELECT query_id, vec_id, label, qlab,
+       |                 ROW_NUMBER() OVER (PARTITION BY query_id
+       |                   ORDER BY cos DESC, vec_id) AS rn
+       |          FROM sc) t WHERE rn <= $k AND label = qlab),
+       |np AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_pre
+       |       FROM pre GROUP BY query_id),
+       |ns AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_post
+       |       FROM post GROUP BY query_id),
+       |nv AS (SELECT pre.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       |       FROM pre JOIN post USING (query_id, vec_id)
+       |       GROUP BY pre.query_id)
+       |SELECT q.query_id,
+       |       CAST(COALESCE(np.n_pre, 0) AS BIGINT) AS n_pre,
+       |       CAST(COALESCE(ns.n_post, 0) AS BIGINT) AS n_post,
+       |       CAST(COALESCE(nv.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |       CAST(COALESCE(nv.n_overlap, 0) * 10000
+       |            // nullif(COALESCE(np.n_pre, 0), 0) AS BIGINT)
+       |         AS post_recall_bp
+       |FROM q LEFT JOIN np USING (query_id)
+       |       LEFT JOIN ns USING (query_id)
+       |       LEFT JOIN nv USING (query_id)
+       |ORDER BY q.query_id""".stripMargin
+
   /** The composable-HOF form of the int8 round trip — kept ONLY as the
     * spec cross-check for `QuantDequantI8` (two CodegenFallback lambdas;
     * never on the query path). */
@@ -1400,6 +1488,8 @@ object SimilarityQueries {
       Some(quantizedRecallOracle())),
     Q("q250_matryoshka_recall", (s, d) => matryoshkaRecall(s, d),
       Some(matryoshkaOracle())),
+    Q("q256_filtered_ann", (s, d) => filteredAnn(s, d),
+      Some(filteredAnnOracle())),
     Q("q107_srp_portable", (s, d) => srpPortable(s, d),
       Some(srpPortableOracle())),
     Q("q75_embedding_neardup", (s, d) => embeddingNearDups(s, d), Some(

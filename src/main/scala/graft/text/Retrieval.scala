@@ -313,7 +313,61 @@ object Retrieval {
        |ORDER BY query_id, rn""".stripMargin
   }
 
+  /** Reciprocal-rank-fusion hybrid retrieval (q257): the two retrieval
+    * strategies the suite already gates — whole-document BM25 (q148)
+    * and chunk-grain BM25 with max-pooling rollup (q248) — fused per
+    * query with RRF (Cormack et al. 2009: score = Σ 1/(60 + rank)),
+    * the standard hybrid-search combiner. Exact integer form:
+    * `10⁶ div (60 + rank)` summed over the lists a doc appears in, so
+    * both engines rank on identical longs. Docs surfacing in either
+    * list fuse via a full-outer join on (query, doc).
+    *
+    * Scale shape: both arms are the q148 inverted-index shape; fusion
+    * adds one (query, doc)-keyed outer join over two k-bounded lists —
+    * per-query-constant rows — and a bounded-heap top-k. */
+  def rrfFusion(s: SparkSession, dir: String, k: Int = 10,
+      kIn: Int = 20): DataFrame = {
+    val a = bm25TopK(s, dir, kIn)
+      .select(col("query_id"), col("doc_id"), col("rn").as("rn_a"))
+    val b = chunkedRetrieval(s, dir, kIn)
+      .select(col("query_id"), col("doc_id"), col("rn").as("rn_b"))
+    a.join(b, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr("1000000 div (60 + rn_a)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rn_b)"), lit(0L)))
+          .as("rrf_micro"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-col("rrf_micro")).as("neg"), col("doc_id").as("doc_id")),
+        k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rn"),
+        (-col("col.neg")).as("rrf_micro"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  private def rrfFusionOracle(k: Int = 10, kIn: Int = 20): String =
+    s"""WITH a AS (${bm25OracleSql(kIn)}),
+       |b AS (${chunkedRetrievalOracle(kIn)}),
+       |f AS (SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+       |             COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       |             COALESCE(1000000 // (60 + a.rn), 0)
+       |               + COALESCE(1000000 // (60 + b.rn), 0) AS rrf_micro
+       |      FROM a FULL JOIN b
+       |        ON a.query_id = b.query_id AND a.doc_id = b.doc_id)
+       |SELECT query_id, doc_id, CAST(rn AS INT) AS rn,
+       |       CAST(rrf_micro AS BIGINT) AS rrf_micro
+       |FROM (SELECT query_id, doc_id, rrf_micro,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id
+       |               ORDER BY rrf_micro DESC, doc_id) AS rn
+       |      FROM f) t
+       |WHERE rn <= $k
+       |ORDER BY query_id, rn""".stripMargin
+
   def qs: Seq[Q] = Seq(
+    Q("q257_rrf_fusion", (s, d) => rrfFusion(s, d),
+      Some(rrfFusionOracle())),
     Q("q248_chunked_retrieval", (s, d) => chunkedRetrieval(s, d),
       Some(chunkedRetrievalOracle())),
     Q("q148_bm25_topk", (s, d) => bm25TopK(s, d), Some(bm25OracleSql())),

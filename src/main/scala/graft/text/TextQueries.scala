@@ -1234,6 +1234,54 @@ object TextQueries {
        |WHERE matches >= 4
        |ORDER BY id1, id2""".stripMargin
 
+  /** Per-source delta dedup rate (q253): the nightly-crawl dashboard on
+    * top of q249 — for each source, how many of the delta's documents
+    * collide with the corpus (appear in ≥1 incremental LSH candidate
+    * pair), as a rate in basis points. A source whose dup rate spikes is
+    * re-crawling what the corpus already holds — the signal that gates
+    * its ingest budget.
+    *
+    * Scale shape: q249's delta-sized candidate join, then one distinct
+    * + two source-keyed aggregates over the (candidate ids ⋈ documents)
+    * frame — delta-bounded throughout. */
+  def deltaDedupRate(s: SparkSession, dir: String): DataFrame = {
+    val pairs = incrementalLshDedup(s, dir)
+    val dupIds = pairs.select(col("id1").as("doc_id"))
+      .unionByName(pairs.select(col("id2").as("doc_id")))
+      .filter(col("doc_id") % 10 === 0)
+      .distinct()
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("source"))
+    val dup = docs.join(dupIds, Seq("doc_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dup"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_delta"))
+      .join(dup, Seq("source"), "left_outer")
+      .select(col("source"), col("n_delta"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_bp", expr("n_dup * 10000 div n_delta"))
+      .orderBy(col("source"))
+  }
+
+  private def deltaDedupRateOracle: String =
+    s"""WITH pairs AS ($incrementalLshOracle),
+       |dup_ids AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT id1 AS doc_id FROM pairs
+       |    UNION ALL SELECT id2 FROM pairs) u
+       |  WHERE doc_id % 10 = 0),
+       |delta AS (SELECT doc_id, source FROM documents WHERE doc_id % 10 = 0),
+       |dup AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_dup
+       |        FROM delta d JOIN dup_ids USING (doc_id) GROUP BY d.source),
+       |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_delta
+       |        FROM delta GROUP BY source)
+       |SELECT t.source, t.n_delta,
+       |       CAST(COALESCE(dup.n_dup, 0) AS BIGINT) AS n_dup,
+       |       CAST(COALESCE(dup.n_dup, 0) * 10000 // t.n_delta AS BIGINT)
+       |         AS dup_bp
+       |FROM tot t LEFT JOIN dup USING (source)
+       |ORDER BY t.source""".stripMargin
+
   /** The PRODUCTION dedup composition end to end (q131) — the shape a
     * 100-TB corpus actually runs, every stage bounded:
     *   1. LSH candidates (the q36 operator: bucket join, never all-pairs);
@@ -3690,6 +3738,8 @@ object TextQueries {
       Some(minhashCandidatesOracle)),
     Q("q249_incremental_lsh", (s, d) => incrementalLshDedup(s, d),
       Some(incrementalLshOracle)),
+    Q("q253_delta_dedup_rate", (s, d) => deltaDedupRate(s, d),
+      Some(deltaDedupRateOracle)),
     Q("q131_lsh_dedup_pipeline", (s, d) => lshDedupPipeline(s, d), Some(
       s"""WITH RECURSIVE $verifiedEdgeCtes,
          |e AS (SELECT id1 AS src, id2 AS dst FROM e0
