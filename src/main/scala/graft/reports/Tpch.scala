@@ -1,6 +1,7 @@
 package graft.reports
 
 import graft.{Q, Tables}
+import graft.Ckpt.Ops
 import graft.functions.MoneyFns
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -74,6 +75,61 @@ object Tpch {
       .groupBy(col("n_name").as("nation"), col("yr"))
       .agg(MoneyFns.sumUnscaled(col("rev_u"), 4).as("profit"))
       .orderBy(col("nation"), col("yr").desc)
+  }
+
+  /** Q19 shape — disjunctive bracket revenue (q254): three OR-branches,
+    * each pairing part attributes (brand, size) with a lineitem quantity
+    * band — the classic test that a disjunctive cross-table predicate
+    * still plans as ONE broadcast equi-join with the disjunction as a
+    * residual (naive planners fall to a cartesian per branch). The part
+    * side prunes to the union of brands BEFORE broadcasting. */
+  def bracketRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), revU.as("rev_u"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 50) &&
+          col("l_quantity").between(20, 30)))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        MoneyFns.sumUnscaled(col("rev_u"), 4).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Share-of-parent hierarchy report (q255): revenue by region → nation
+    * with each nation's share of its region in basis points — the
+    * percent-of-parent OLAP drill every reporting grid carries. The
+    * region subtotal re-aggregates the NATION frame (|nations| rows) and
+    * broadcasts back — never a second fact scan or a corpus window. */
+  def regionNationShare(s: SparkSession, dir: String): DataFrame = {
+    val geo = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(geo), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    val nat = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        cents(col("o_totalprice")).as("cents"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+      .ckpt // consumers: the region subtotal + the share projection
+    val reg = nat.groupBy(col("r_name")).agg(sum(col("cents")).as("reg_cents"))
+    nat.join(broadcast(reg), Seq("r_name"))
+      .select(col("r_name"), col("n_name"), col("n_orders"),
+        (col("cents").cast("double") / 100d).as("revenue"),
+        expr("cents * 10000 div reg_cents").as("share_bp"))
+      .orderBy(col("r_name"), col("n_name"))
   }
 
   /** Q3 shape — shipping-priority: segment-filtered customers ⋈ open
@@ -411,6 +467,36 @@ object Tpch {
       .orderBy(col("custdist").desc, col("c_count").desc)
 
   val qs: Seq[Q] = Seq(
+    Q("q254_bracket_revenue", (s, d) => bracketRevenue(s, d), Some(
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+        |       AND l_quantity BETWEEN 20 AND 30)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)),
+    Q("q255_region_nation_share", (s, d) => regionNationShare(s, d), Some(
+      """WITH nat AS (
+        |  SELECT r.r_name, n.n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY r.r_name, n.n_name),
+        |reg AS (SELECT r_name, SUM(cents) AS reg_cents FROM nat
+        |        GROUP BY r_name)
+        |SELECT nat.r_name, nat.n_name, nat.n_orders,
+        |       CAST(nat.cents AS DOUBLE) / 100 AS revenue,
+        |       CAST(nat.cents * 10000 // reg.reg_cents AS BIGINT) AS share_bp
+        |FROM nat JOIN reg USING (r_name)
+        |ORDER BY nat.r_name, nat.n_name""".stripMargin)),
     Q("q246_late_priority", (s, d) => latePriority(s, d), Some(
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM orders
