@@ -530,8 +530,14 @@ object Audits {
     val row = cum.crossJoin(broadcast(tots))
       .agg(lorenz.head, lorenz.tail: _*)
       .crossJoin(broadcast(tots))
+      // the ×10⁴ product overflows LONG well before the inputs do
+      // (numerator ≤ n·t ≈ 3·10¹⁵ at sf1 → ×10⁴ > 2⁶³): widen JUST that
+      // product to decimal(38,0) (DuckDB: HUGEINT), floor-divide, and
+      // land back in BIGINT — caught by the sf1 bench, where every run
+      // of this expression aborted with ARITHMETIC_OVERFLOW
       .withColumn("gini_bp",
-        expr("(2 * s - (n + 1) * t) * 10000 div (n * t)"))
+        expr("cast((cast(2 * s - (n + 1) * t as decimal(38,0)) * 10000)" +
+          " div (n * t) as bigint)"))
     row.select(
       expr(s"stack(10, ${(1 to 10).map(k => s"$k, l$k").mkString(", ")})")
         .as(Seq("decile", "cum_share_bp")),
@@ -560,8 +566,8 @@ object Audits {
       |SELECT CAST(l.decile AS INT) AS decile,
       |       CAST(l.cum_share_bp AS BIGINT) AS cum_share_bp,
       |       CAST(t.n AS BIGINT) AS n_customers,
-      |       CAST((2 * t.s - (t.n + 1) * t.t) * 10000 // (t.n * t.t)
-      |            AS BIGINT) AS gini_bp
+      |       CAST(CAST(2 * t.s - (t.n + 1) * t.t AS HUGEINT) * 10000
+      |            // (t.n * t.t) AS BIGINT) AS gini_bp
       |FROM l, t
       |ORDER BY decile""".stripMargin
 
