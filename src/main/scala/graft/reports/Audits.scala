@@ -645,8 +645,11 @@ object Audits {
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
       .select(col("n").as("n_days"), col("sy").as("n_events"),
+        // q219 overflow class: |n·sxy − sx·sy|·10⁶ exceeds LONG at
+        // ~10⁹-events/day volumes — widen the product (oracle: HUGEINT)
         (signum(expr("n * sxy - sx * sy")).cast("long") *
-          expr("abs(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)"))
+          expr("cast(cast(abs(n * sxy - sx * sy) as decimal(38,0))" +
+            " * 1000000 div (n * sxx - sx * sx) as bigint)"))
           .as("slope_micro_per_day"),
         expr("sy div n").as("mean_per_day"))
   }
@@ -663,7 +666,7 @@ object Audits {
       |      FROM x)
       |SELECT n AS n_days, sy AS n_events,
       |       CAST(sign(n * sxy - sx * sy)
-      |            * (abs(n * sxy - sx * sy) * 1000000
+      |            * (CAST(abs(n * sxy - sx * sy) AS HUGEINT) * 1000000
       |               // (n * sxx - sx * sx)) AS BIGINT) AS slope_micro_per_day,
       |       CAST(sy // n AS BIGINT) AS mean_per_day
       |FROM a""".stripMargin

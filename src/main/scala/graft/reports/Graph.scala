@@ -650,7 +650,11 @@ object Graph {
         .ckpt
       val mx = raw.agg(max(col("raw")).as("mx"))
       raw.crossJoin(broadcast(mx))
-        .select(col(outKey), expr("raw * 1000000 div mx").as("score"))
+        // q219 overflow class: raw ≤ degree·10⁶, so raw·10⁶ exceeds
+        // LONG at ~10⁷-degree hubs — widen the product (oracle: HUGEINT)
+        .select(col(outKey),
+          expr("cast(cast(raw as decimal(38,0)) * 1000000 div mx as bigint)")
+            .as("score"))
     }
     var hubs = edges.select(col("c")).distinct()
       .select(col("c"), lit(1000000L).as("score"))
@@ -674,12 +678,12 @@ object Graph {
     def auth(prevH: String, out: String): String =
       s"""${out}r AS (SELECT e.p, SUM(h.score) AS raw
          |  FROM e JOIN $prevH h ON e.c = h.c GROUP BY e.p),
-         |$out AS (SELECT p, raw * 1000000 // (SELECT MAX(raw) FROM ${out}r)
+         |$out AS (SELECT p, CAST(raw AS HUGEINT) * 1000000 // (SELECT MAX(raw) FROM ${out}r)
          |           AS score FROM ${out}r)""".stripMargin
     def hub(prevA: String, out: String): String =
       s"""${out}r AS (SELECT e.c, SUM(a.score) AS raw
          |  FROM e JOIN $prevA a ON e.p = a.p GROUP BY e.c),
-         |$out AS (SELECT c, raw * 1000000 // (SELECT MAX(raw) FROM ${out}r)
+         |$out AS (SELECT c, CAST(raw AS HUGEINT) * 1000000 // (SELECT MAX(raw) FROM ${out}r)
          |           AS score FROM ${out}r)""".stripMargin
     val steps = (1 to iters).map(i =>
       auth(s"h${i - 1}", s"a$i") + ",\n" + hub(s"a$i", s"h$i")).mkString(",\n")
@@ -736,7 +740,11 @@ object Graph {
         Seq("b"))
       .crossJoin(broadcast(n))
       .select(col("a"), col("b"), col("support"), col("fa"), col("fb"),
-        expr("support * n_baskets * 1000000 div (fa * fb)").as("lift_micro"))
+        // the q219 overflow class: support·n·10⁶ reaches 0.85·2⁶³ at the
+        // 1000× (100 TB) regime on this data — widen the product to
+        // decimal(38,0) (oracle: HUGEINT) before the floor division
+        expr("cast(cast(support as decimal(38,0)) * n_baskets * 1000000" +
+          " div (fa * fb) as bigint)").as("lift_micro"))
       .orderBy(col("lift_micro").desc, col("a"), col("b"))
       .limit(k)
       .withColumn("rn", row_number().over(
@@ -757,10 +765,12 @@ object Graph {
        |       FROM op)
        |SELECT a, b, support, fa, fb, lift_micro, rn FROM (
        |  SELECT p.a, p.b, p.support, fa.f AS fa, fb.f AS fb,
-       |         CAST(p.support * nb.n_baskets * 1000000 // (fa.f * fb.f)
+       |         CAST(CAST(p.support AS HUGEINT) * nb.n_baskets * 1000000
+       |              // (fa.f * fb.f)
        |              AS BIGINT) AS lift_micro,
        |         CAST(ROW_NUMBER() OVER (ORDER BY
-       |                p.support * nb.n_baskets * 1000000 // (fa.f * fb.f)
+       |                CAST(p.support AS HUGEINT) * nb.n_baskets * 1000000
+       |                // (fa.f * fb.f)
        |                DESC, p.a, p.b) AS INT) AS rn
        |  FROM p JOIN f fa ON p.a = fa.l_partkey
        |         JOIN f fb ON p.b = fb.l_partkey, nb) t
