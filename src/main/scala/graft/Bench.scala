@@ -69,12 +69,36 @@ object Bench {
     // verbose line first (full query names, methodology) for humans reading
     // the whole log…
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":$coldTotal,"pass_totals_sec":$passTotals,"methodology":"per-query full physical-plan execution (queryExecution.toRdd.count) at local[$cpus]; one untimed warmup pass (codegen/JIT), then three measured passes, per-query median reported; first post-warmup pass total in cold_total_sec"}""")
-    // …then a COMPACT headline as the very last line: the driver captures
-    // only the tail of stdout (≈2000 chars), so this line — short qNN keys,
-    // 3-decimal values — must fit there in full to be machine-parseable.
-    val qsShort = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","cold":$coldTotal%.2f,"passes":$passTotals,"method":"toRdd.count median-of-3 after warmup","queries":$qsShort}""")
+    // …and the COMPLETE compact per-query dict to a FILE (the driver's
+    // stdout tail keeps only ~2000 chars — 261 entries × ~13 chars never
+    // fit, which left BENCH_rN.json unparseable; the file always has all
+    // of them)…
+    val qsShortAll = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
+    val fullLine = f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","cold":$coldTotal%.2f,"passes":$passTotals,"method":"toRdd.count median-of-3 after warmup","queries":${qsShortAll.mkString("{", ",", "}")}}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_last_full.json"),
+      fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () } // read-only cwd: tail only
+    // …then a COMPACT headline as the very LAST line, hard-capped so the
+    // whole JSON object survives the tail even with sbt's trailing
+    // "[success] Total time" line: per-query entries are added in
+    // DESCENDING cost order (the perf-relevant ones) until the 1800-char
+    // budget is reached; n_shown/n_total record the truncation and
+    // "full" points at the complete dict written above.
+    val byCost = results.sortBy(-_._2).map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
+    val budget = 1800
+    val prefix = f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","cold":$coldTotal%.2f,"passes":$passTotals,"method":"toRdd.count median-of-3 after warmup","n_total":${results.size},"full":"BENCH_last_full.json","n_shown":NNN,"queries":{"""
+    val fixed = prefix.length + 2 // closing "}}"
+    var used = 0
+    val shown = scala.collection.mutable.ArrayBuffer.empty[String]
+    byCost.foreach { e =>
+      val extra = e.length + (if (shown.isEmpty) 0 else 1)
+      if (fixed + used + extra <= budget) { shown += e; used += extra }
+    }
+    println(prefix.replace("\"n_shown\":NNN", s""""n_shown":${shown.size}""") +
+      shown.mkString(",") + "}}")
     spark.stop()
   }
 }

@@ -14,17 +14,45 @@ object EtlQueries {
   /** K5/§2.8: join-based upsert — updates (custkey%10=0: acctbal+100,
     * segment overwritten) + inserts (custkey%1000=0 re-keyed above the max
     * surrogate). Runs the real Upsert.resolve/merge machinery. */
-  def upsertCustomers(s: SparkSession, dir: String): DataFrame = {
-    val snap = Tables.customer(s, dir)
+  /** The q26/q260 incoming batch, derived deterministically from the
+    * snapshot so the oracle can reproduce it in pure SQL. */
+  private def upsertIncoming(snap: DataFrame): DataFrame = {
     val updates = snap.filter(col("c_custkey") % 10 === 0)
       .withColumn("c_acctbal", col("c_acctbal") + 100d)
       .withColumn("c_mktsegment", lit("UPDATED"))
     val inserts = snap.filter(col("c_custkey") % 1000 === 0)
       .withColumn("c_custkey", col("c_custkey") + 1000000L)
       .withColumn("c_name", concat(col("c_name"), lit(" (new)")))
-    val incoming = updates.unionByName(inserts)
-    Upsert.upsert(snap, incoming,
-        Upsert.Config(surrogate = "c_custkey", keyPriority = Seq("c_custkey")))
+    updates.unionByName(inserts)
+  }
+
+  private val upsertCfg =
+    Upsert.Config(surrogate = "c_custkey", keyPriority = Seq("c_custkey"))
+
+  def upsertCustomers(s: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.customer(s, dir)
+    Upsert.upsert(snap, upsertIncoming(snap), upsertCfg)
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Bucketed-snapshot upsert (q260): the q240 layout recipe applied to
+    * the engine's single most-run production job. The snapshot lands
+    * ONCE as a bucketed table keyed on the surrogate
+    * (`Scale.writeBucketed`); every nightly merge afterwards plans its
+    * full-outer join and its key-index windows WITHOUT a snapshot-side
+    * exchange — only the (delta-sized) incoming batch shuffles to the
+    * bucket layout. At 100 TB the snapshot side IS the lake, so this
+    * converts the merge's dominant shuffle into a co-located read.
+    * Values must equal the raw-parquet q26 oracle; PlanSpec pins the
+    * snapshot-side exchange elimination, UpsertSpec the value parity,
+    * PLANS.md the BucketAb-style A/B. */
+  def upsertCustomersBucketed(s: SparkSession, dir: String): DataFrame = {
+    val sf = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val snapT = graft.operators.Scale.writeBucketed(
+      Tables.customer(s, dir), s"graft_cust_bucketed_$sf", "c_custkey", 8,
+      Some(s"/tmp/graft_gate/$sf/bucketed/customer"))
+    val snap = s.table(snapT)
+    Upsert.upsert(snap, upsertIncoming(snap), upsertCfg)
       .orderBy(col("c_custkey"))
   }
 
@@ -408,27 +436,12 @@ object EtlQueries {
         |GROUP BY segment_index
         |ORDER BY segment_index""".stripMargin)),
     Q("q241_cron_fires", (s, d) => cronFires(s, d), Some(cronOracle)),
-    Q("q26_upsert_customers", (s, d) => upsertCustomers(s, d), Some(
-      """WITH snap AS (SELECT * FROM customer),
-        |upd AS (SELECT c_custkey, c_name, c_nationkey,
-        |               c_acctbal + 100 AS c_acctbal, 'UPDATED' AS c_mktsegment
-        |        FROM customer WHERE c_custkey % 10 = 0),
-        |ins AS (SELECT c_custkey + 1000000 AS src_key, c_name || ' (new)' AS c_name,
-        |               c_nationkey, c_acctbal, c_mktsegment
-        |        FROM customer WHERE c_custkey % 1000 = 0),
-        |ins2 AS (SELECT (SELECT MAX(c_custkey) FROM snap)
-        |                  + ROW_NUMBER() OVER (ORDER BY src_key) AS c_custkey,
-        |                c_name, c_nationkey, c_acctbal, c_mktsegment
-        |         FROM ins)
-        |SELECT * FROM (
-        |  SELECT s.c_custkey,
-        |         COALESCE(u.c_name, s.c_name) AS c_name,
-        |         COALESCE(u.c_nationkey, s.c_nationkey) AS c_nationkey,
-        |         COALESCE(u.c_acctbal, s.c_acctbal) AS c_acctbal,
-        |         COALESCE(u.c_mktsegment, s.c_mktsegment) AS c_mktsegment
-        |  FROM snap s LEFT JOIN upd u ON s.c_custkey = u.c_custkey
-        |  UNION ALL SELECT * FROM ins2) t
-        |ORDER BY c_custkey""".stripMargin)),
+    Q("q26_upsert_customers", (s, d) => upsertCustomers(s, d),
+      Some(upsertOracle)),
+    // q260 shares q26's oracle VERBATIM: the bucketed-snapshot layout
+    // must change the PLAN (no snapshot-side exchange), never the values
+    Q("q260_upsert_bucketed", (s, d) => upsertCustomersBucketed(s, d),
+      Some(upsertOracle)),
     Q("q27_bulk_delete", (s, d) => bulkDelete(s, d), Some(
       """SELECT * FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
@@ -446,4 +459,28 @@ object EtlQueries {
         |ORDER BY o_orderkey
         |LIMIT 200 OFFSET 50""".stripMargin))
   )
+
+  // lazy so the `qs` registry (initialized above, textually earlier)
+  // sees it — a plain val here would still be null in qs's initializer
+  private lazy val upsertOracle: String =
+    """WITH snap AS (SELECT * FROM customer),
+      |upd AS (SELECT c_custkey, c_name, c_nationkey,
+      |               c_acctbal + 100 AS c_acctbal, 'UPDATED' AS c_mktsegment
+      |        FROM customer WHERE c_custkey % 10 = 0),
+      |ins AS (SELECT c_custkey + 1000000 AS src_key, c_name || ' (new)' AS c_name,
+      |               c_nationkey, c_acctbal, c_mktsegment
+      |        FROM customer WHERE c_custkey % 1000 = 0),
+      |ins2 AS (SELECT (SELECT MAX(c_custkey) FROM snap)
+      |                  + ROW_NUMBER() OVER (ORDER BY src_key) AS c_custkey,
+      |                c_name, c_nationkey, c_acctbal, c_mktsegment
+      |         FROM ins)
+      |SELECT * FROM (
+      |  SELECT s.c_custkey,
+      |         COALESCE(u.c_name, s.c_name) AS c_name,
+      |         COALESCE(u.c_nationkey, s.c_nationkey) AS c_nationkey,
+      |         COALESCE(u.c_acctbal, s.c_acctbal) AS c_acctbal,
+      |         COALESCE(u.c_mktsegment, s.c_mktsegment) AS c_mktsegment
+      |  FROM snap s LEFT JOIN upd u ON s.c_custkey = u.c_custkey
+      |  UNION ALL SELECT * FROM ins2) t
+      |ORDER BY c_custkey""".stripMargin
 }

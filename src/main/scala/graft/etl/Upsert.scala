@@ -49,7 +49,15 @@ object Upsert {
         * entity, the LAST one in this order wins — the net effect of the
         * reference's sequential row loop. Empty ⇒ arbitrary-but-
         * deterministic tie-break on the key columns. */
-      incomingOrder: Seq[String] = Seq.empty)
+      incomingOrder: Seq[String] = Seq.empty,
+      /** Dense surrogate numbering (maxId+1, maxId+2, … in key order)
+        * needs a range shuffle plus zipWithIndex's extra count job.
+        * Callers that tolerate GAPS in the sequence (most production
+        * loads — a surrogate only needs uniqueness and monotonicity
+        * above the snapshot max) set false: inserts number
+        * `maxId + 1 + monotonically_increasing_id()` — one codegen'd
+        * projection, no extra job, no extra shuffle. */
+      denseIds: Boolean = true)
 
   val ResolvedCol = "__resolved_id"
   val IsNewCol = "__is_new"
@@ -122,7 +130,9 @@ object Upsert {
     val insDedup = resolved.filter(col(IsNewCol))
       .withColumn("__ins_rn", row_number().over(wInsDedup))
       .filter(col("__ins_rn") === 1).drop("__ins_rn")
-    val newRows = numberInserts(insDedup, keyCols, maxId)
+    val newRows =
+      if (cfg.denseIds) numberInserts(insDedup, keyCols, maxId)
+      else numberInsertsSparse(insDedup, maxId)
     val oldRows = resolved.filter(!col(IsNewCol))
       .withColumn("__key", col(ResolvedCol))
     resolved = oldRows.unionByName(newRows)
@@ -194,6 +204,18 @@ object Upsert {
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (maxId + 1 + i)) },
       keyedSchema)
   }
+
+  /** Gap-tolerant surrogate numbering (`denseIds = false`):
+    * `monotonically_increasing_id()` is partitionId·2³³ + local index —
+    * unique and non-negative, so every id lands strictly above the
+    * snapshot max with NO count job, NO range shuffle and NO RDD
+    * round-trip (stays inside whole-stage codegen). Ids depend on the
+    * physical partition layout, so they are unique-but-not-reproducible
+    * across runs — exactly the contract gap-tolerant callers accept. */
+  private[graft] def numberInsertsSparse(insDedup: DataFrame,
+      maxId: Long): DataFrame =
+    insDedup.withColumn("__key",
+      lit(maxId + 1) + monotonically_increasing_id())
 
   def upsert(snapshot: DataFrame, incoming: DataFrame, cfg: Config): DataFrame =
     merge(snapshot, resolve(snapshot, incoming, cfg), cfg)

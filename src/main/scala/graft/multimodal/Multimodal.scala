@@ -276,6 +276,196 @@ object Multimodal {
     }(enc)
   }
 
+  // ---- real audio codec ------------------------------------------------
+
+  /** Decoded PCM audio: 16-bit signed samples, frame-interleaved when
+    * multi-channel. */
+  final case class DecodedAudio(sampleRate: Int, channels: Int,
+      samples: Array[Short])
+
+  /** Audio codec seam — same contract as [[ImageCodec]]: None for
+    * undecodable bytes (a corrupt file skips its row, never kills the
+    * partition). */
+  trait AudioCodec extends Serializable {
+    def decode(bytes: Array[Byte]): Option[DecodedAudio]
+    def encode(audio: DecodedAudio): Array[Byte]
+  }
+
+  /** REAL audio codec on the JDK's built-in WAV support —
+    * `javax.sound.sampled.AudioSystem` ships WAVE/AIFF/AU readers and a
+    * WAVE writer in every JRE, no external library and no audio device
+    * (pure stream transcoding, headless-safe). PCM is lossless, which
+    * makes the decode chain oracle-checkable exactly like the PNG path:
+    * samples rendered from an integer formula survive encode→decode
+    * bit-exactly, so DuckDB recomputes their statistics from the formula
+    * alone (q258/q259). Closes the last stubbed decode seam (reference
+    * media pipeline, `EntityImporterBase.cs:301-432`). */
+  object JdkWavCodec extends AudioCodec {
+    override def decode(bytes: Array[Byte]): Option[DecodedAudio] = {
+      if (bytes == null || bytes.isEmpty) None
+      else {
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = in.getFormat
+            // normalize any decodable source to 16-bit little-endian
+            // signed PCM so downstream sample math has ONE shape
+            val target = new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              fmt.getSampleRate, 16, fmt.getChannels,
+              2 * fmt.getChannels, fmt.getSampleRate, false)
+            val pcm = javax.sound.sampled.AudioSystem
+              .getAudioInputStream(target, in)
+            val raw = pcm.readAllBytes()
+            val n = raw.length / 2
+            val samples = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              samples(i) =
+                ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort
+              i += 1
+            }
+            Some(DecodedAudio(fmt.getSampleRate.toInt, fmt.getChannels,
+              samples))
+          } finally in.close()
+        } catch {
+          // unrecognized container OR recognized-but-corrupt stream —
+          // both are "undecodable row", mirroring JdkImageCodec
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException => None
+          case _: IllegalArgumentException => None // unconvertible format
+        }
+      }
+    }
+
+    override def encode(audio: DecodedAudio): Array[Byte] = {
+      val raw = new Array[Byte](audio.samples.length * 2)
+      var i = 0
+      while (i < audio.samples.length) {
+        raw(2 * i) = (audio.samples(i) & 0xFF).toByte
+        raw(2 * i + 1) = ((audio.samples(i) >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        audio.sampleRate.toFloat, 16, audio.channels,
+        2 * audio.channels, audio.sampleRate.toFloat, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt,
+        (audio.samples.length / audio.channels).toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Render one REAL mono 16-bit WAV per input row — the audio twin of
+    * [[renderPng]]. Sample i of clip `id` is the integer formula
+    *   s_i = ((131·id + 17·i) mod 65536) − 32768
+    * over n = 300 + (id mod 100) samples at 8 kHz — restatable in SQL,
+    * and PCM losslessness makes decode(encode(samples)) == samples. */
+  def renderWav(df: DataFrame, idCol: String,
+      sampleRate: Int = 8000): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc = Encoders.row(outSchema)
+    df.select(col(idCol).cast(LongType).as("media_id"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.isNullAt(0)) None
+          else {
+            val id = r.getLong(0)
+            val n = (300L + java.lang.Math.floorMod(id, 100L)).toInt
+            val samples = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              samples(i) = (java.lang.Math.floorMod(
+                131L * id + 17L * i, 65536L) - 32768L).toShort
+              i += 1
+            }
+            Some(Row(id,
+              JdkWavCodec.encode(DecodedAudio(sampleRate, 1, samples))))
+          }
+        }
+      }(enc)
+  }
+
+  /** Decode every payload with `codec` and emit exact sample statistics —
+    * the audio twin of [[imagePixelStats]]: count/sum/min/max plus a
+    * position-weighted sum (Σ ((i mod 7)+1)·s_i) that catches any
+    * reordering or off-by-one the unweighted sum would miss. Undecodable
+    * rows are skipped, like null payloads. */
+  def audioSampleStats(media: DataFrame,
+      codec: AudioCodec = JdkWavCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("s_sum", LongType, nullable = false),
+      StructField("s_min", LongType, nullable = false),
+      StructField("s_max", LongType, nullable = false),
+      StructField("s_wsum", LongType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.isNullAt(0)) None
+        else codec.decode(
+          if (r.isNullAt(1)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](1)).map { a =>
+          var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+          var wsum = 0L
+          var i = 0
+          while (i < a.samples.length) {
+            val v = a.samples(i).toLong
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            wsum += ((i % 7) + 1).toLong * v
+            i += 1
+          }
+          Row(r.getLong(0), a.sampleRate, a.channels,
+            a.samples.length.toLong, sum, mn, mx, wsum)
+        }
+      }
+    }(enc)
+  }
+
+  /** Real decimation stage: decode → keep every `n`-th sample frame →
+    * re-encode at rate/n with the same codec — the audio twin of
+    * [[resizeImage]] (pure integer sample selection, so the result is
+    * bit-deterministic and restatable in SQL; a production resampler
+    * would low-pass first, which is a kernel choice layered on the same
+    * partition-batched, shuffle-free shape). Mono-only decimation keeps
+    * the index math channel-safe: multi-channel rows pass through. */
+  def decimateAudio(media: DataFrame, n: Int,
+      codec: AudioCodec = JdkWavCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.isNullAt(0)) None
+        else codec.decode(
+          if (r.isNullAt(1)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](1)).map { a =>
+          val out =
+            if (a.channels != 1) a
+            else {
+              val m = (a.samples.length + n - 1) / n
+              val kept = new Array[Short](m)
+              var j = 0
+              while (j < m) { kept(j) = a.samples(j * n); j += 1 }
+              DecodedAudio(math.max(1, a.sampleRate / n), 1, kept)
+            }
+          Row(r.getLong(0), codec.encode(out))
+        }
+      }
+    }(enc)
+  }
+
   /** Metadata projection (oracle-checkable: byte counts + digests). */
   def mediaMeta(media: DataFrame): DataFrame =
     media.select(col("media_id"), col("meta.n_bytes").as("n_bytes"),

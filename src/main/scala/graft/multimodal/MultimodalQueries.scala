@@ -95,7 +95,59 @@ object MultimodalQueries {
           Multimodal.renderPng(Tables.documents(s, dir), "doc_id"), 8, 8))
       .orderBy(col("media_id"))
 
+  /** REAL audio-codec round trip (q258): one formula-rendered mono
+    * 8 kHz 16-bit WAV per document (`Multimodal.renderWav`), decoded
+    * back with `javax.sound.sampled` (`JdkWavCodec`) and reduced to
+    * exact sample statistics. PCM is lossless, so DuckDB verifies the
+    * whole encode→decode chain by recomputing the stats from the sample
+    * formula alone — the q238 discipline on audio. Scale shape: render
+    * and decode are each one shuffle-free mapPartitions pass; the only
+    * exchange carries 8 longs per clip. */
+  def audioPcmStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioSampleStats(
+        Multimodal.renderWav(Tables.documents(s, dir), "doc_id"))
+      .orderBy(col("media_id"))
+
+  /** Real decimation chain (q259): render WAV → decode → keep every 3rd
+    * sample (output rate 8000/3) → re-encode WAV → decode AGAIN → sample
+    * stats. Two full codec round trips plus a deterministic integer
+    * resample, verified value-exact by the formula oracle — the audio
+    * twin of q239. */
+  def audioDecimateStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioSampleStats(
+        Multimodal.decimateAudio(
+          Multimodal.renderWav(Tables.documents(s, dir), "doc_id"), 3))
+      .orderBy(col("media_id"))
+
   val qs: Seq[Q] = Seq(
+    Q("q258_audio_pcm_stats", (s, d) => audioPcmStats(s, d), Some(
+      """WITH s AS (SELECT doc_id, i,
+        |                  (131 * doc_id + 17 * i) % 65536 - 32768 AS v
+        |           FROM documents,
+        |                unnest(range(0, 300 + doc_id % 100)) t(i))
+        |SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+        |       CAST(1 AS INT) AS channels,
+        |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |       CAST(SUM(v) AS BIGINT) AS s_sum,
+        |       CAST(MIN(v) AS BIGINT) AS s_min,
+        |       CAST(MAX(v) AS BIGINT) AS s_max,
+        |       CAST(SUM(((i % 7) + 1) * v) AS BIGINT) AS s_wsum
+        |FROM s GROUP BY doc_id
+        |ORDER BY media_id""".stripMargin)),
+    Q("q259_audio_decimate_stats", (s, d) => audioDecimateStats(s, d), Some(
+      """WITH s AS (SELECT doc_id, j,
+        |                  (131 * doc_id + 17 * (3 * j)) % 65536 - 32768 AS v
+        |           FROM documents,
+        |                unnest(range(0, (300 + doc_id % 100 + 2) // 3)) t(j))
+        |SELECT doc_id AS media_id, CAST(2666 AS INT) AS sample_rate,
+        |       CAST(1 AS INT) AS channels,
+        |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |       CAST(SUM(v) AS BIGINT) AS s_sum,
+        |       CAST(MIN(v) AS BIGINT) AS s_min,
+        |       CAST(MAX(v) AS BIGINT) AS s_max,
+        |       CAST(SUM(((j % 7) + 1) * v) AS BIGINT) AS s_wsum
+        |FROM s GROUP BY doc_id
+        |ORDER BY media_id""".stripMargin)),
     Q("q163_frame_dedup", (s, d) => frameDedup(s, d), Some(
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
         |                  octet_length(encode(text)) AS n

@@ -128,7 +128,11 @@ object Tpch {
     nat.join(broadcast(reg), Seq("r_name"))
       .select(col("r_name"), col("n_name"), col("n_orders"),
         (col("cents").cast("double") / 100d).as("revenue"),
-        expr("cents * 10000 div reg_cents").as("share_bp"))
+        // nation cents reach ~9e11 at sf1, so the ×10⁴ product exceeds
+        // LONG near the 1000× regime — widen to decimal(38,0) (oracle:
+        // HUGEINT) before the floor division, like q219/q224/q228/q201
+        expr("cast(cast(cents as decimal(38,0)) * 10000 div reg_cents" +
+          " as bigint)").as("share_bp"))
       .orderBy(col("r_name"), col("n_name"))
   }
 
@@ -494,7 +498,8 @@ object Tpch {
         |        GROUP BY r_name)
         |SELECT nat.r_name, nat.n_name, nat.n_orders,
         |       CAST(nat.cents AS DOUBLE) / 100 AS revenue,
-        |       CAST(nat.cents * 10000 // reg.reg_cents AS BIGINT) AS share_bp
+        |       CAST(CAST(nat.cents AS HUGEINT) * 10000 // reg.reg_cents
+        |            AS BIGINT) AS share_bp
         |FROM nat JOIN reg USING (r_name)
         |ORDER BY nat.r_name, nat.n_name""".stripMargin)),
     Q("q246_late_priority", (s, d) => latePriority(s, d), Some(

@@ -244,13 +244,25 @@ object Retrieval {
     * query terms); the rollup adds ONE (query, doc) aggregate over the
     * already-reduced score frame and a bounded-heap top-k — no new
     * corpus-sized shuffle beyond q148's own. */
+  /** Composite chunk key multiplier: a chunk would alias across
+    * documents only past 10⁶ chunks/doc (~48M tokens at stride 48 —
+    * no real document); the encode guard below still fails loudly
+    * rather than aliasing if one ever appears. */
+  private val ChunkKeyMult = 1000000L
+
   def chunkedRetrieval(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val chunks = TextQueries.chunkFrame(s, dir)
-      .select((col("doc_id") * 1000 + col("chunk_idx")).as("doc_id"),
+      .select((col("doc_id") * ChunkKeyMult +
+        when(col("chunk_idx") < ChunkKeyMult, col("chunk_idx"))
+          .otherwise(raise_error(concat(
+            lit(s"chunk_idx >= $ChunkKeyMult aliases the composite key: "),
+            col("chunk_idx"))))).as("doc_id"),
         array_join(col("ctoks"), " ").as("text"))
     bm25Scores(s, chunks, queryTerms)
-      .select(col("query_id"), expr("doc_id div 1000").as("parent"),
-        expr("cast(doc_id % 1000 as int)").as("cidx"), col("iscore"))
+      .select(col("query_id"),
+        expr(s"doc_id div $ChunkKeyMult").as("parent"),
+        expr(s"cast(doc_id % $ChunkKeyMult as int)").as("cidx"),
+        col("iscore"))
       .groupBy(col("query_id"), col("parent"))
       .agg(max(struct(col("iscore"), (-col("cidx")).as("nc"))).as("best"))
       .select(col("query_id"), col("parent"),
@@ -272,7 +284,7 @@ object Retrieval {
     val toksSql = TextQueries.toksSql
     s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |t0 AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
-       |ch AS (SELECT doc_id * 1000 + k AS ck,
+       |ch AS (SELECT doc_id * 1000000 + k AS ck,
        |              toks[CAST(k * 48 + 1 AS INT) : CAST(k * 48 + 64 AS INT)]
        |                AS ctoks
        |       FROM t0, unnest(range(0, (n + 47) // 48)) u(k)),
@@ -297,8 +309,8 @@ object Retrieval {
        |           JOIN dl USING (ck) JOIN df USING (token), st),
        |sc AS (SELECT query_id, ck, SUM(c) AS iscore
        |       FROM c GROUP BY query_id, ck),
-       |pb AS (SELECT query_id, ck // 1000 AS doc_id,
-       |              CAST(ck % 1000 AS INT) AS cidx, iscore FROM sc),
+       |pb AS (SELECT query_id, ck // 1000000 AS doc_id,
+       |              CAST(ck % 1000000 AS INT) AS cidx, iscore FROM sc),
        |best AS (SELECT query_id, doc_id, iscore, cidx,
        |               ROW_NUMBER() OVER (PARTITION BY query_id, doc_id
        |                 ORDER BY iscore DESC, cidx) AS brn

@@ -495,6 +495,39 @@ class PlanSpec extends AnyFunSuite {
       s"insert numbering serializes on one partition:\n$p")
   }
 
+  test("q260: bucketed snapshot feeds the merge's full-outer join with " +
+      "ZERO snapshot-side exchange (raw q26 shuffles that side)") {
+    import org.apache.spark.sql.catalyst.plans.FullOuter
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    def tree(q: String): SparkPlan =
+      SparkEntry.queries(q)(spark, TestSpark.sfDir)
+        .queryExecution.executedPlan match {
+        // initialPlan (not inputPlan): exchanges exist only after
+        // EnsureRequirements, which runs in the stage-preparation rules
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+    def mergeJoin(p: SparkPlan): SortMergeJoinExec =
+      p.collect { case j: SortMergeJoinExec if j.joinType == FullOuter => j }
+        .head
+    def shuffles(p: SparkPlan): Int =
+      p.collect { case e: ShuffleExchangeExec => e }.size
+    def hasBucketedScan(p: SparkPlan): Boolean =
+      p.collect { case s: FileSourceScanExec if s.bucketedScan => s }.nonEmpty
+    // merge is `snap.join(inc, …)` — left child is the snapshot branch
+    val raw = mergeJoin(tree("q26_upsert_customers"))
+    assert(shuffles(raw.left) >= 1,
+      "raw baseline lost its snapshot-side exchange — A/B is vacuous")
+    val bucketed = mergeJoin(tree("q260_upsert_bucketed"))
+    assert(hasBucketedScan(bucketed.left),
+      "merge join does not read the bucketed snapshot scan")
+    assert(shuffles(bucketed.left) == 0,
+      s"bucketed snapshot side still exchanges:\n${bucketed.left}")
+  }
+
   test("q198: tier assignment is map-side (no join before the token " +
       "aggregate); the cumulative window runs over the 4-row tier frame") {
     val p = plan("q198_vocab_growth")

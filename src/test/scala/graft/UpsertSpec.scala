@@ -92,4 +92,33 @@ class UpsertSpec extends AnyFunSuite {
     assert(news.map(_.getString(1)).toSeq ==
       (1 to 500).map(i => f"zz$i%04d"), "surrogates not in key order")
   }
+
+  test("sparse surrogates (denseIds=false): unique, above max, no count " +
+      "job path — updates identical to dense mode") {
+    val snap = (1L to 50L).map(i => (i, f"sku$i%04d", s"n$i"))
+      .toDF("id", "sku", "name")
+    val inc = (1 to 500).map(i => (f"zz$i%04d", s"new$i")).toDF("sku", "name")
+      .unionByName(Seq(("sku0007", "renamed")).toDF("sku", "name"))
+    val cfgS = Upsert.Config(surrogate = "id", keyPriority = Seq("sku"),
+      requiredForInsert = Some("name"), denseIds = false)
+    val out = Upsert.upsert(snap, inc, cfgS)
+    val news = out.filter(col("id") > 50L).select(col("id")).as[Long].collect()
+    assert(news.length == 500)
+    assert(news.distinct.length == 500, "sparse surrogates collided")
+    assert(news.forall(_ > 50L), "sparse surrogate at or below snapshot max")
+    // updates are numbering-independent: same resolved row either mode
+    val upd = out.filter(col("id") === 7L).select("name").as[String].head()
+    assert(upd == "renamed")
+    assert(out.count() == 550)
+  }
+
+  test("bucketed snapshot: upsert values identical to the raw-parquet " +
+      "path (the q260 layout must change the plan, never the data)") {
+    val sfDir = TestSpark.sfDir
+    val raw = etl.EtlQueries.upsertCustomers(spark, sfDir).collect()
+    val bucketed = etl.EtlQueries.upsertCustomersBucketed(spark, sfDir).collect()
+    assert(raw.length == bucketed.length)
+    assert(raw.map(_.toSeq).toSeq == bucketed.map(_.toSeq).toSeq,
+      "bucketed-snapshot upsert diverged from the raw path")
+  }
 }
