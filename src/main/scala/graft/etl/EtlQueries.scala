@@ -11,12 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object EtlQueries {
 
-  /** K5/§2.8: join-based upsert — updates (custkey%10=0: acctbal+100,
-    * segment overwritten) + inserts (custkey%1000=0 re-keyed above the max
-    * surrogate). Runs the real Upsert.resolve/merge machinery. */
-  /** The q26/q260 incoming batch, derived deterministically from the
-    * snapshot so the oracle can reproduce it in pure SQL. */
-  private def upsertIncoming(snap: DataFrame): DataFrame = {
+  /** The q26/q260 incoming batch — updates (custkey%10=0: acctbal+100,
+    * segment overwritten) + inserts (custkey%1000=0 re-keyed above the
+    * max surrogate) — derived deterministically from the snapshot so
+    * the oracle can reproduce it in pure SQL. */
+  private[graft] def upsertIncoming(snap: DataFrame): DataFrame = {
     val updates = snap.filter(col("c_custkey") % 10 === 0)
       .withColumn("c_acctbal", col("c_acctbal") + 100d)
       .withColumn("c_mktsegment", lit("UPDATED"))
@@ -26,7 +25,7 @@ object EtlQueries {
     updates.unionByName(inserts)
   }
 
-  private val upsertCfg =
+  private[graft] val upsertCfg =
     Upsert.Config(surrogate = "c_custkey", keyPriority = Seq("c_custkey"))
 
   def upsertCustomers(s: SparkSession, dir: String): DataFrame = {

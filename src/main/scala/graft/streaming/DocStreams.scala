@@ -86,6 +86,13 @@ object DocStreams {
     * like the batch `len(t) >= 3` gate. */
   def minhashBuckets(docs: DataFrame): Dataset[BucketRow] = {
     import docs.sparkSession.implicits._
+    minhashBucketsWith(docs, Nil).as[BucketRow]
+  }
+
+  /** The bucket projection with pass-through columns (`keep`) — the
+    * event-time column must survive to the sink for watermark-based
+    * state eviction downstream. */
+  def minhashBucketsWith(docs: DataFrame, keep: Seq[String]): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
     val grams = transform(
       sequence(lit(1), size(col("toks")) - 2, lit(1)),
@@ -94,19 +101,56 @@ object DocStreams {
       array_min(transform(col("grams"),
         g => substring(md5(g), j * 4 + 1, 4))).as(s"m$j")
     }
-    docs.select(col("doc_id"), toks.as("toks"))
+    val keepCols = keep.map(col)
+    docs.select(col("doc_id") +: toks.as("toks") +: keepCols: _*)
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), grams.as("grams"))
-      .select(col("doc_id") +: ms: _*)
-      .select(col("doc_id"),
+      .select(col("doc_id") +: grams.as("grams") +: keepCols: _*)
+      .select(col("doc_id") +: (ms ++ keepCols): _*)
+      .select(Seq(col("doc_id"),
         concat_ws(",", (0 to 7).map(j => col(s"m$j")): _*).as("sig"),
         explode(array((0 to 3).map(b =>
           struct(lit(b).as("band"),
             md5(concat_ws(",", col(s"m${b * 2}"), col(s"m${b * 2 + 1}")))
-              .as("bucket"))): _*)).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
-        col("doc_id"), col("sig"))
-      .as[BucketRow]
+              .as("bucket"))): _*)).as("bb")) ++ keepCols: _*)
+      .select(Seq(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("doc_id"), col("sig")) ++ keepCols: _*)
+  }
+
+  /** Streaming twin of the incremental LSH dedup (q249): the nightly
+    * crawl delta arrives as a STREAM, and each arriving document's
+    * bucket rows (the stateless projection above) join the PERSISTED
+    * base bucket index as a STREAM-STATIC join — the base side needs no
+    * streaming state at all, exactly mirroring the batch operator's
+    * delta-buckets ⋈ index shape (TextQueries.incrementalLshDedup). A
+    * pair sharing several bands emits once per shared band; those
+    * duplicates collapse through `dropDuplicatesWithinWatermark` on the
+    * normalized (id1, id2) key, whose state the watermark EVICTS — so
+    * pair-dedup state is bounded by the event-time window, not by the
+    * corpus (the batch `distinct()`'s streaming analog with the only
+    * viable long-running-ingest contract).
+    *
+    * Scale shape: per micro-batch the work is |delta buckets| ⋈ index,
+    * delta-sized against a partition-prunable static side; nothing
+    * corpus-sized enters the state store. */
+  def incrementalLshStream(delta: DataFrame, baseIndex: DataFrame,
+      tsCol: String, delay: String, minEst: Double = 0.5): DataFrame = {
+    val db = minhashBucketsWith(delta.withWatermark(tsCol, delay),
+      Seq(tsCol))
+    val idx = baseIndex.select(col("band"), col("bucket"),
+      col("doc_id").as("idb"), col("sig").as("sigb"))
+    val matches = (0 to 7)
+      .map(j => when(split(col("sig"), ",")(j) === split(col("sigb"), ",")(j),
+        1).otherwise(0))
+      .reduce(_ + _)
+    db.join(idx, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("idb"))
+      .select(least(col("doc_id"), col("idb")).as("id1"),
+        greatest(col("doc_id"), col("idb")).as("id2"),
+        round(matches.cast("double") / lit(8), 4).as("est_jaccard"),
+        col(tsCol))
+      .filter(col("est_jaccard") >= minEst)
+      .dropDuplicatesWithinWatermark("id1", "id2")
+      .select("id1", "id2", "est_jaccard")
   }
 
   /** Streaming LSH near-dup candidates — the incremental-ingest twin of

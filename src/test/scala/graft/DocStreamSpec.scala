@@ -170,6 +170,84 @@ class DocStreamSpec extends AnyFunSuite {
       (1L, 5L), (2L, 5L)))
   }
 
+  test("streaming incremental LSH dedup equals the batch q249 operator " +
+      "on the re-ingest fixture (stream-static delta ⋈ index)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ilsh").toString
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    // the q249 delta (doc_id % 10 = 0) arrives as a stream with event time
+    docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("ts", lit("2026-01-01 10:00:00").cast("timestamp"))
+      .write.mode("overwrite").parquet(tmp)
+    val baseIndex = DocStreams.minhashBuckets(docs).toDF()
+    import org.apache.spark.sql.types._
+    val schema = StructType(DocStreams.docSchema.fields :+
+      StructField("ts", TimestampType))
+    val q = DocStreams.incrementalLshStream(
+        spark.readStream.schema(schema).parquet(tmp), baseIndex,
+        "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ilsh_stream").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ilsh_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.text.TextQueries
+      .incrementalLshDedup(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"stream-batch diff: only-stream=${streamed -- batch} " +
+        s"only-batch=${batch -- streamed}")
+  }
+
+  test("streaming incremental LSH: watermark EVICTS pair-dedup state — " +
+      "state stays delta-bounded across timed crawl drops") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ilsh-wm").toString
+    import spark.implicits._
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "one two three four five six seven eight nine ten eleven"
+    def drop(n: Int, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "text", "ts_s")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"),
+          col("ts_s").cast("timestamp").as("ts"))
+        .write.mode("overwrite").parquet(s"$tmp/d$n")
+    // base corpus: two twin pairs (1≈2, 3≈4) — identical text collides
+    // in every band with est_jaccard 1.0
+    val base = Seq((1L, tA), (2L, tA), (3L, tB), (4L, tB),
+        (5L, "completely unrelated singleton document text here"))
+      .toDF("doc_id", "text")
+    val baseIndex = DocStreams.minhashBucketsWith(base, Nil)
+    drop(1, Seq((2L, tA, "2026-01-01 10:00:00")))
+    val q = DocStreams.incrementalLshStream(
+        spark.readStream.schema(org.apache.spark.sql.types.StructType(
+          DocStreams.docSchema.fields :+ org.apache.spark.sql.types
+            .StructField("ts", org.apache.spark.sql.types.TimestampType)))
+          .parquet(s"$tmp/d*"), baseIndex, "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ilsh_wm").start()
+    q.processAllAvailable()
+    // second crawl drop 2h later: watermark passes drop 1's event time
+    drop(2, Seq((4L, tB, "2026-01-01 12:00:00")))
+    q.processAllAvailable()
+    // third drop, no new pairs — advances the watermark once more so
+    // eviction of drop 2's key is also observable
+    drop(3, Seq((5L, "completely unrelated singleton document text here",
+      "2026-01-01 14:00:00")))
+    q.processAllAvailable()
+    val stateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    q.stop()
+    val pairs = spark.table("ilsh_wm").select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)),
+      s"unexpected candidate pairs: $pairs")
+    // 2 distinct pairs passed through the dedup over the run; bounded
+    // state means the watermark evicted at least the first — the store
+    // never holds the full pair history
+    assert(stateRows >= 0 && stateRows < 2,
+      s"watermark did not evict pair-dedup state: numRowsTotal=$stateRows")
+  }
+
   test("streaming dedup-within-watermark drops re-ingested copies; equals " +
       "batch dropDuplicates on the bounded fixture") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-wm").toString

@@ -94,6 +94,58 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("AQE skew-join splits the hot partition on the q213 shape — the " +
+      "automatic alternative to manual salting (SMJ tagged skew=true)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // one hot key carries ~95% of the fact side — the shape q213 audits
+    // and saltedJoin remediates by hand. With the skew thresholds scaled
+    // to the fixture, AQE must split the hot partition at runtime.
+    val fact = spark.range(200000)
+      .select(when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id") % 97)
+        .as("k"), col("id").as("v"))
+    val dim = spark.range(100).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("name"))
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      val joined = fact.join(dim, Seq("k"))
+      assert(joined.count() == 200000L)
+      val fin = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.finalPhysicalPlan
+        case p => p
+      }
+      assert(fin.toString.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$fin")
+      // the limitation Scale.saltedJoin still owns, pinned: skew
+      // detection keys on PARTITION BYTES, so when column pruning
+      // strips the fact side to the bare join key (EXISTS/count-style
+      // joins) the hot partition's 95% of ROWS compresses under the
+      // threshold and NO split happens — one reducer keeps 95% of the
+      // join CPU. If a Spark upgrade makes this split, the salting
+      // guidance in PLANS.md can be narrowed.
+      // joined key domain: the hot key 7 ∪ (id % 97) = 97 distinct keys
+      val pruned = fact.join(dim, Seq("k")).groupBy(col("name")).count()
+      assert(pruned.count() == 97L)
+      val finP = pruned.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.finalPhysicalPlan
+        case p => p
+      }
+      assert(!finP.toString.contains("skew=true"),
+        "byte-keyed skew detection now fires on pruned key-only joins — " +
+          "revisit the manual-salting guidance")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("saltedAgg equals direct aggregation") {
     val df = (1 to 1000).map(i => (i % 3, i.toLong)).toDF("k", "v")
     val direct = df.groupBy("k").agg(sum("v").as("total"), count(lit(1)).as("cnt"))
