@@ -118,6 +118,11 @@ object Multimodal {
     * formula alone (q238/q239). Reference downloads and dedups real
     * images in `EntityImporterBase.cs:301-432`. */
   object JdkImageCodec extends ImageCodec {
+    // ImageIO defaults to a DISK-backed stream cache (a temp file per
+    // encode/decode call) — on a 32-thread executor that turns a pure
+    // CPU codec stage into contended /tmp IO. In-memory cache only.
+    javax.imageio.ImageIO.setUseCache(false)
+
     override def decode(bytes: Array[Byte]): Option[DecodedImage] = {
       if (bytes == null || bytes.isEmpty) None
       else {
@@ -176,7 +181,14 @@ object Multimodal {
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
     val enc = Encoders.row(outSchema)
+    // codec stages are CPU-bound, not byte-bound: the id frame packs
+    // into 1-2 scan partitions (KBs of parquet), which would serialize
+    // the whole render+decode chain on one core — spread it across the
+    // cluster first (the shuffle moves 8-byte ids; the codec work it
+    // unlocks is ~ms/row). Caught at sf1: 5.5×+ scaling that was pure
+    // parallelism starvation.
     df.select(col(idCol).cast(LongType).as("media_id"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .mapPartitions { rows =>
         rows.flatMap { r =>
           if (r.isNullAt(0)) None
@@ -361,6 +373,100 @@ object Multimodal {
     }
   }
 
+  /** Hand-rolled RIFF/WAVE codec for 16-bit little-endian PCM — the
+    * pipeline's DEFAULT audio codec. The WAV container is a fixed
+    * 44-byte RIFF header over raw PCM, so parsing it directly is both
+    * legitimate format support and ~100× cheaper than
+    * `javax.sound.sampled`, whose per-call SPI provider lookup and
+    * stream plumbing serialize a 32-thread codec stage.
+    * Cross-validated against [[JdkWavCodec]] in AudioCodecSpec: both
+    * codecs must agree byte-for-byte on encode and sample-for-sample
+    * on decode — the JDK implementation anchors format correctness,
+    * this one carries the throughput. Handles canonical PCM WAV
+    * (possibly with extra chunks before `data`); anything else —
+    * compressed encodings, truncated chunks, non-RIFF bytes — returns
+    * None (skip the row, never kill the partition). */
+  object RiffWavCodec extends AudioCodec {
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+
+    override def decode(bytes: Array[Byte]): Option[DecodedAudio] = {
+      if (bytes == null || bytes.length < 44 ||
+        bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' ||
+        bytes(3) != 'F' || bytes(8) != 'W' || bytes(9) != 'A' ||
+        bytes(10) != 'V' || bytes(11) != 'E') None
+      else {
+        // walk the chunk list: fmt must precede data; tolerate extra
+        // chunks (LIST/fact) like any compliant reader
+        var off = 12
+        var rate = 0; var channels = 0; var bits = 0; var fmtSeen = false
+        var result: Option[DecodedAudio] = None
+        var corrupt = false
+        while (result.isEmpty && !corrupt && off + 8 <= bytes.length) {
+          val id = new String(bytes, off, 4, "US-ASCII")
+          val sz = le32(bytes, off + 4)
+          if (sz < 0 || off + 8 + sz > bytes.length) corrupt = true
+          else id match {
+            case "fmt " if sz >= 16 =>
+              val audioFormat = le16(bytes, off + 8)
+              channels = le16(bytes, off + 10)
+              rate = le32(bytes, off + 12)
+              bits = le16(bytes, off + 22)
+              // 1 = PCM; anything else (float, ADPCM, extensible) is
+              // out of scope for the 16-bit PCM contract
+              fmtSeen = audioFormat == 1 && bits == 16 && channels >= 1
+              if (!fmtSeen) corrupt = true
+              off += 8 + sz + (sz & 1)
+            case "data" if fmtSeen =>
+              val n = sz / 2
+              val samples = new Array[Short](n)
+              var i = 0
+              while (i < n) {
+                samples(i) = le16(bytes, off + 8 + 2 * i).toShort
+                i += 1
+              }
+              result = Some(DecodedAudio(rate, channels, samples))
+            case _ =>
+              off += 8 + sz + (sz & 1)
+          }
+        }
+        result
+      }
+    }
+
+    override def encode(audio: DecodedAudio): Array[Byte] = {
+      val dataLen = audio.samples.length * 2
+      val out = new Array[Byte](44 + dataLen)
+      def putAscii(o: Int, s: String): Unit = {
+        var i = 0
+        while (i < s.length) { out(o + i) = s.charAt(i).toByte; i += 1 }
+      }
+      def putLe32(o: Int, v: Int): Unit = {
+        out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+        out(o + 2) = ((v >> 16) & 0xFF).toByte
+        out(o + 3) = ((v >> 24) & 0xFF).toByte
+      }
+      def putLe16(o: Int, v: Int): Unit = {
+        out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      putAscii(0, "RIFF"); putLe32(4, 36 + dataLen); putAscii(8, "WAVE")
+      putAscii(12, "fmt "); putLe32(16, 16); putLe16(20, 1)
+      putLe16(22, audio.channels); putLe32(24, audio.sampleRate)
+      putLe32(28, audio.sampleRate * audio.channels * 2)
+      putLe16(32, audio.channels * 2); putLe16(34, 16)
+      putAscii(36, "data"); putLe32(40, dataLen)
+      var i = 0
+      while (i < audio.samples.length) {
+        putLe16(44 + 2 * i, audio.samples(i) & 0xFFFF)
+        i += 1
+      }
+      out
+    }
+  }
+
   /** Render one REAL mono 16-bit WAV per input row — the audio twin of
     * [[renderPng]]. Sample i of clip `id` is the integer formula
     *   s_i = ((131·id + 17·i) mod 65536) − 32768
@@ -372,7 +478,10 @@ object Multimodal {
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
     val enc = Encoders.row(outSchema)
+    // same CPU-vs-bytes partitioning rule as renderPng: never let a
+    // KB-sized id scan serialize a codec chain on one core
     df.select(col(idCol).cast(LongType).as("media_id"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .mapPartitions { rows =>
         rows.flatMap { r =>
           if (r.isNullAt(0)) None
@@ -387,7 +496,7 @@ object Multimodal {
               i += 1
             }
             Some(Row(id,
-              JdkWavCodec.encode(DecodedAudio(sampleRate, 1, samples))))
+              RiffWavCodec.encode(DecodedAudio(sampleRate, 1, samples))))
           }
         }
       }(enc)
@@ -399,7 +508,7 @@ object Multimodal {
     * reordering or off-by-one the unweighted sum would miss. Undecodable
     * rows are skipped, like null payloads. */
   def audioSampleStats(media: DataFrame,
-      codec: AudioCodec = JdkWavCodec): DataFrame = {
+      codec: AudioCodec = RiffWavCodec): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("sample_rate", IntegerType, nullable = false),
@@ -432,6 +541,55 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-frame energy + silence profile — the segmentation primitive a
+    * speech/data pipeline runs right after decode (VAD-style silence
+    * trimming, clip-quality gates): decode → fixed-size sample frames →
+    * exact per-clip energy statistics. All integer (energy = Σ s², ≤
+    * 2³⁰ per sample, frame-bounded), so the whole decode→frame→score
+    * chain is oracle-checkable like q258. Emits per clip: frame count,
+    * total energy, max frame energy, and how many frames fall under the
+    * silence threshold — one shuffle-free mapPartitions pass, 5 longs
+    * per clip into the only exchange. */
+  def audioFrameEnergy(media: DataFrame, frameSamples: Int = 64,
+      silenceThreshold: Long = 1000000000L,
+      codec: AudioCodec = RiffWavCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("energy_sum", LongType, nullable = false),
+      StructField("energy_max", LongType, nullable = false),
+      StructField("n_silent", LongType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.isNullAt(0)) None
+        else codec.decode(
+          if (r.isNullAt(1)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](1)).map { a =>
+          val n = a.samples.length
+          val nFrames = (n + frameSamples - 1) / frameSamples
+          var eSum = 0L; var eMax = 0L; var silent = 0L
+          var f = 0
+          while (f < nFrames) {
+            var e = 0L
+            var i = f * frameSamples
+            val until = math.min(i + frameSamples, n)
+            while (i < until) {
+              val v = a.samples(i).toLong
+              e += v * v
+              i += 1
+            }
+            eSum += e
+            if (e > eMax) eMax = e
+            if (e < silenceThreshold) silent += 1
+            f += 1
+          }
+          Row(r.getLong(0), nFrames.toLong, eSum, eMax, silent)
+        }
+      }
+    }(enc)
+  }
+
   /** Real decimation stage: decode → keep every `n`-th sample frame →
     * re-encode at rate/n with the same codec — the audio twin of
     * [[resizeImage]] (pure integer sample selection, so the result is
@@ -440,7 +598,7 @@ object Multimodal {
     * partition-batched, shuffle-free shape). Mono-only decimation keeps
     * the index math channel-safe: multi-channel rows pass through. */
   def decimateAudio(media: DataFrame, n: Int,
-      codec: AudioCodec = JdkWavCodec): DataFrame = {
+      codec: AudioCodec = RiffWavCodec): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))

@@ -119,7 +119,31 @@ object MultimodalQueries {
           Multimodal.renderWav(Tables.documents(s, dir), "doc_id"), 3))
       .orderBy(col("media_id"))
 
+  /** Audio frame-energy profile (q261): decode → 64-sample frames →
+    * exact per-clip energy stats + silence-frame count (the VAD-style
+    * segmentation gate a speech pipeline runs right after decode).
+    * Integer-exact end to end, so the oracle recomputes frame energies
+    * from the q258 sample formula. */
+  def audioFrameEnergy(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFrameEnergy(
+        Multimodal.renderWav(Tables.documents(s, dir), "doc_id"))
+      .orderBy(col("media_id"))
+
   val qs: Seq[Q] = Seq(
+    Q("q261_audio_frame_energy", (s, d) => audioFrameEnergy(s, d), Some(
+      """WITH s AS (SELECT doc_id, i // 64 AS f,
+        |                  ((131 * doc_id + 17 * i) % 65536 - 32768) AS v
+        |           FROM documents,
+        |                unnest(range(0, 300 + doc_id % 100)) t(i)),
+        |fe AS (SELECT doc_id, f, SUM(v * v) AS e FROM s GROUP BY doc_id, f)
+        |SELECT doc_id AS media_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |       CAST(SUM(e) AS BIGINT) AS energy_sum,
+        |       CAST(MAX(e) AS BIGINT) AS energy_max,
+        |       CAST(SUM(CASE WHEN e < 1000000000 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_silent
+        |FROM fe GROUP BY doc_id
+        |ORDER BY media_id""".stripMargin)),
     Q("q258_audio_pcm_stats", (s, d) => audioPcmStats(s, d), Some(
       """WITH s AS (SELECT doc_id, i,
         |                  (131 * doc_id + 17 * i) % 65536 - 32768 AS v

@@ -1,7 +1,7 @@
 package graft
 
 import graft.multimodal.Multimodal
-import graft.multimodal.Multimodal.{DecodedAudio, JdkWavCodec}
+import graft.multimodal.Multimodal.{DecodedAudio, JdkWavCodec, RiffWavCodec}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Real-audio-codec coverage (the q258/q259 seam; reference media
@@ -28,6 +28,39 @@ class AudioCodecSpec extends AnyFunSuite {
     val back = JdkWavCodec.decode(JdkWavCodec.encode(a)).get
     assert(back.sampleRate == 44100 && back.channels == 2)
     assert(back.samples.toSeq == a.samples.toSeq)
+  }
+
+  test("RiffWavCodec cross-validates against the JDK codec: decode " +
+      "sample-for-sample both directions, mono and stereo") {
+    // the hand-rolled codec carries the pipeline's throughput; the JDK
+    // implementation anchors format correctness — each must decode the
+    // other's output bit-exactly
+    for (a <- Seq(chirp(441), chirp(400, rate = 44100, channels = 2))) {
+      val viaJdk = JdkWavCodec.decode(RiffWavCodec.encode(a)).get
+      assert(viaJdk.samples.toSeq == a.samples.toSeq)
+      assert(viaJdk.sampleRate == a.sampleRate && viaJdk.channels == a.channels)
+      val viaRiff = RiffWavCodec.decode(JdkWavCodec.encode(a)).get
+      assert(viaRiff.samples.toSeq == a.samples.toSeq)
+      assert(viaRiff.sampleRate == a.sampleRate && viaRiff.channels == a.channels)
+    }
+  }
+
+  test("RiffWavCodec rejects undecodable payloads like the JDK codec: " +
+      "garbage, empty, null, truncated, non-PCM format tag") {
+    assert(RiffWavCodec.decode("not a wav file at all".getBytes).isEmpty)
+    assert(RiffWavCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(RiffWavCodec.decode(null).isEmpty)
+    val wav = RiffWavCodec.encode(chirp(256))
+    assert(RiffWavCodec.decode(wav.take(30)).isEmpty,
+      "truncated WAV must decode to None")
+    val oversizedData = wav.clone()
+    oversizedData(40) = -1; oversizedData(41) = -1 // data size > buffer
+    assert(RiffWavCodec.decode(oversizedData).isEmpty,
+      "data chunk overrunning the buffer must decode to None")
+    val nonPcm = wav.clone()
+    nonPcm(20) = 3 // format tag: IEEE float
+    assert(RiffWavCodec.decode(nonPcm).isEmpty,
+      "non-PCM format tag must decode to None")
   }
 
   test("undecodable payloads skip, never throw: garbage, empty, null, truncated WAV") {
@@ -63,6 +96,21 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(a.samples.length == (n + 2) / 3)
     for (j <- a.samples.indices)
       assert(a.samples(j) == (131 * 7 + 17 * (3 * j)) % 65536 - 32768)
+  }
+
+  test("audioFrameEnergy: exact per-frame sums, partial last frame, " +
+      "silence threshold on the short tail") {
+    import spark.implicits._
+    val media = Multimodal.renderWav(Seq(7L).toDF("doc_id"), "doc_id")
+    val out = Multimodal.audioFrameEnergy(media, frameSamples = 64,
+      silenceThreshold = 1000000000L).collect().head
+    val n = 300 + 7 % 100 // 307 samples → 5 frames, last one 51 samples
+    val samples = (0 until n).map(i => (131L * 7 + 17L * i) % 65536 - 32768)
+    val frames = samples.grouped(64).map(f => f.map(v => v * v).sum).toSeq
+    assert(out.getLong(1) == frames.size.toLong)
+    assert(out.getLong(2) == frames.sum)
+    assert(out.getLong(3) == frames.max)
+    assert(out.getLong(4) == frames.count(_ < 1000000000L).toLong)
   }
 
   test("audioSampleStats skips null ids, null payloads and corrupt audio") {
