@@ -624,6 +624,53 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual average-hash (aHash) of the DECODED raster — the image
+    * near-dup fingerprint (the multimodal twin of the text simhash):
+    * nearest-downsample to 8×8, integer grayscale (r+g+b)/3, threshold
+    * each pixel against the integer mean, pack the 64 bits. Emitted as
+    * two 32-bit halves (h0 = bits 0–31, h1 = bits 32–63, bit index
+    * y·8+x) so both engines stay in exact non-negative BIGINT range —
+    * a single 64-bit pack would set the sign bit. All integer, so the
+    * whole decode→hash chain is oracle-checkable from the render
+    * formula. One shuffle-free mapPartitions pass. */
+  def imageAHash(media: DataFrame,
+      codec: ImageCodec = JdkImageCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("h0", LongType, nullable = false),
+      StructField("h1", LongType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.isNullAt(0)) None
+        else codec.decode(
+          if (r.isNullAt(1)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](1)).map { img =>
+          val small = resizeNearest(img, 8, 8)
+          val gray = new Array[Int](64)
+          var sum = 0L
+          var k = 0
+          while (k < 64) {
+            val p = small.rgb(k)
+            gray(k) = (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+            sum += gray(k)
+            k += 1
+          }
+          val mean = sum / 64
+          var h0 = 0L; var h1 = 0L
+          k = 0
+          while (k < 64) {
+            if (gray(k) > mean) {
+              if (k < 32) h0 |= 1L << k else h1 |= 1L << (k - 32)
+            }
+            k += 1
+          }
+          Row(r.getLong(0), h0, h1)
+        }
+      }
+    }(enc)
+  }
+
   /** Metadata projection (oracle-checkable: byte counts + digests). */
   def mediaMeta(media: DataFrame): DataFrame =
     media.select(col("media_id"), col("meta.n_bytes").as("n_bytes"),

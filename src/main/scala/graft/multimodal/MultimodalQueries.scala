@@ -129,7 +129,98 @@ object MultimodalQueries {
         Multimodal.renderWav(Tables.documents(s, dir), "doc_id"))
       .orderBy(col("media_id"))
 
+  /** Image perceptual-hash near-dup audit (q262): render → REAL decode
+    * → aHash (8×8 integer grayscale mean-threshold, packed as two
+    * 32-bit halves) → banded candidate join (4 × 16-bit bands) →
+    * per-image candidate/near-dup counts (near-dup = hamming ≤ 6 over
+    * the 64 bits). The multimodal twin of the q37 simhash pipeline.
+    *
+    * Scale shape: hashing is one shuffle-free mapPartitions pass;
+    * candidates come from an equi-join on (band, value) — never
+    * all-pairs — with DEGENERATE buckets (> cap members) stop-listed
+    * exactly like the df-capped inverted index (q194): a band value
+    * shared by hundreds of images is boilerplate (blank frames, test
+    * cards), not a near-dup signal, and skipping it bounds the
+    * quadratic term at cap²·|buckets|. Rows shuffle as 3 longs. */
+  def imageNearDup(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    import graft.Ckpt.Ops
+    val ah = Multimodal.imageAHash(
+      Multimodal.renderPng(Tables.documents(s, dir), "doc_id")).ckpt
+    val bands = ah.select(col("media_id"), col("h0"), col("h1"),
+        explode(array(
+          struct(lit(0).as("bi"), expr("h0 % 65536").as("bv")),
+          struct(lit(1).as("bi"), expr("h0 div 65536").as("bv")),
+          struct(lit(2).as("bi"), expr("h1 % 65536").as("bv")),
+          struct(lit(3).as("bi"), expr("h1 div 65536").as("bv")))).as("b"))
+      .select(col("media_id"), col("h0"), col("h1"),
+        col("b.bi").as("bi"), col("b.bv").as("bv"))
+      .ckpt // consumers: the stop-list aggregate + both join sides
+    val ok = bands.groupBy(col("bi"), col("bv"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") <= cap).select("bi", "bv")
+    val kept = bands.join(ok, Seq("bi", "bv"))
+    val a = kept.select(col("bi"), col("bv"), col("media_id").as("ida"),
+      col("h0").as("a0"), col("h1").as("a1"))
+    val b2 = kept.select(col("bi"), col("bv"), col("media_id").as("idb"),
+      col("h0").as("b0"), col("h1").as("b1"))
+    val pairs = a.join(b2, Seq("bi", "bv"))
+      .filter(col("ida") =!= col("idb"))
+      .select(col("ida"), col("idb"),
+        expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1)").as("ham"))
+      .distinct()
+    val st = pairs.groupBy(col("ida"))
+      .agg(count(lit(1)).as("n_band_cand"),
+        sum(when(col("ham") <= 6, 1L).otherwise(0L)).as("n_neardup"))
+    ah.join(st, ah("media_id") === st("ida"), "left_outer")
+      .select(col("media_id"), col("h0"), col("h1"),
+        coalesce(col("n_band_cand"), lit(0L)).as("n_band_cand"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
+      .orderBy(col("media_id"))
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q262_image_neardup", (s, d) => imageNearDup(s, d), Some(
+      """WITH g AS (SELECT t1.x AS x, t2.y AS y
+        |           FROM unnest(range(0, 8)) t1(x), unnest(range(0, 8)) t2(y)),
+        |gr AS (SELECT doc_id, y * 8 + x AS k,
+        |              (((doc_id + 7 * (2 * x) + 13 * (2 * y)) % 256)
+        |               + ((2 * doc_id + 5 * (2 * x) + 3 * (2 * y)) % 256)
+        |               + ((3 * doc_id + 11 * (2 * x) + (2 * y)) % 256)) // 3
+        |                AS gray
+        |       FROM documents, g),
+        |m AS (SELECT doc_id, SUM(gray) // 64 AS mean FROM gr GROUP BY doc_id),
+        |h AS (SELECT gr.doc_id,
+        |             SUM(CASE WHEN gray > mean AND k < 32
+        |                 THEN (CAST(1 AS BIGINT) << CAST(k AS INT))
+        |                 ELSE 0 END) AS h0,
+        |             SUM(CASE WHEN gray > mean AND k >= 32
+        |                 THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INT))
+        |                 ELSE 0 END) AS h1
+        |      FROM gr JOIN m USING (doc_id) GROUP BY gr.doc_id),
+        |bands AS (SELECT doc_id, h0, h1, b.bi,
+        |                 CASE b.bi WHEN 0 THEN h0 % 65536
+        |                           WHEN 1 THEN h0 // 65536
+        |                           WHEN 2 THEN h1 % 65536
+        |                           ELSE h1 // 65536 END AS bv
+        |          FROM h, (VALUES (0), (1), (2), (3)) b(bi)),
+        |ok AS (SELECT bi, bv FROM bands GROUP BY bi, bv
+        |       HAVING COUNT(*) <= 64),
+        |kept AS (SELECT bands.* FROM bands JOIN ok USING (bi, bv)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+        |                 bit_count(xor(a.h0, b.h0))
+        |                   + bit_count(xor(a.h1, b.h1)) AS ham
+        |          FROM kept a JOIN kept b
+        |            ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id <> b.doc_id),
+        |st AS (SELECT ida, CAST(COUNT(*) AS BIGINT) AS n_band_cand,
+        |              CAST(SUM(CASE WHEN ham <= 6 THEN 1 ELSE 0 END)
+        |                   AS BIGINT) AS n_neardup
+        |       FROM pairs GROUP BY ida)
+        |SELECT h.doc_id AS media_id, CAST(h.h0 AS BIGINT) AS h0,
+        |       CAST(h.h1 AS BIGINT) AS h1,
+        |       CAST(COALESCE(st.n_band_cand, 0) AS BIGINT) AS n_band_cand,
+        |       CAST(COALESCE(st.n_neardup, 0) AS BIGINT) AS n_neardup
+        |FROM h LEFT JOIN st ON st.ida = h.doc_id
+        |ORDER BY media_id""".stripMargin)),
     Q("q261_audio_frame_energy", (s, d) => audioFrameEnergy(s, d), Some(
       """WITH s AS (SELECT doc_id, i // 64 AS f,
         |                  ((131 * doc_id + 17 * i) % 65536 - 32768) AS v

@@ -83,6 +83,35 @@ class ImageCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("imageAHash: mean-threshold bit pack matches a direct computation; " +
+      "constant image hashes to zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val grad = JdkImageCodec.encode(gradient(16, 16))
+    val flat = JdkImageCodec.encode(DecodedImage(16, 16, Array.fill(256)(0x808080)))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("payload", BinaryType)))
+    val media = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, grad), org.apache.spark.sql.Row(2L, flat)),
+      schema)
+    val out = Multimodal.imageAHash(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // constant image: every gray == mean, strict threshold sets no bit
+    assert(out(2L) == (0L, 0L))
+    // gradient: recompute the reference hash by hand
+    val img = gradient(16, 16)
+    val gray = (0 until 64).map { k =>
+      val x = k % 8; val y = k / 8
+      val p = img.rgb(2 * y * 16 + 2 * x)
+      (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+    }
+    val mean = gray.map(_.toLong).sum / 64
+    var h0 = 0L; var h1 = 0L
+    for (k <- 0 until 64 if gray(k) > mean)
+      if (k < 32) h0 |= 1L << k else h1 |= 1L << (k - 32)
+    assert(out(1L) == (h0, h1))
+  }
+
   test("imagePixelStats skips null ids, null payloads and corrupt images") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

@@ -21,6 +21,29 @@ class MultimodalStreamSpec extends AnyFunSuite {
     assert(meta.getAs[String]("digest") == "5d41402abc4b2a76b9719d911017c592")
   }
 
+  test("streaming audio decode equals the batch run exactly — the real " +
+      "codec chain is a stateless mapPartitions, so media files curate " +
+      "incrementally at the ingest edge") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-audio-stream")
+      .toString
+    Multimodal.renderWav(Tables.documents(spark, TestSpark.sfDir), "doc_id")
+      .write.mode("overwrite").parquet(tmp)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val q = Multimodal.audioSampleStats(
+        spark.readStream.schema(schema).parquet(tmp))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("audio_decode_stream").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("audio_decode_stream")
+      .orderBy(col("media_id")).collect().toSeq
+    val batch = Multimodal.audioSampleStats(spark.read.parquet(tmp))
+      .orderBy(col("media_id")).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("extractFeatures: fixed-dim deterministic features via mapPartitions") {
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, "xyz")).toDF("id", "txt")
     val feats = Multimodal.extractFeatures(Multimodal.attachBinary(df, "id", "txt"))
