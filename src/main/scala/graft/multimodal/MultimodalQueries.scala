@@ -142,7 +142,12 @@ object MultimodalQueries {
     * shared by hundreds of images is boilerplate (blank frames, test
     * cards), not a near-dup signal, and skipping it bounds the
     * quadratic term at cap²·|buckets|. Rows shuffle as 3 longs. */
-  def imageNearDup(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+  /** The q262 candidate machinery, shared with the q263 dedup decision:
+    * returns (ah, pairs) where `ah` is the per-image hash frame and
+    * `pairs` the DISTINCT symmetric (ida, idb, ham) rows from the
+    * stop-listed band join. */
+  private def aHashPairs(s: SparkSession, dir: String,
+      cap: Int): (DataFrame, DataFrame) = {
     import graft.Ckpt.Ops
     val ah = Multimodal.imageAHash(
       Multimodal.renderPng(Tables.documents(s, dir), "doc_id")).ckpt
@@ -168,6 +173,11 @@ object MultimodalQueries {
       .select(col("ida"), col("idb"),
         expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1)").as("ham"))
       .distinct()
+    (ah, pairs)
+  }
+
+  def imageNearDup(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    val (ah, pairs) = aHashPairs(s, dir, cap)
     val st = pairs.groupBy(col("ida"))
       .agg(count(lit(1)).as("n_band_cand"),
         sum(when(col("ham") <= 6, 1L).otherwise(0L)).as("n_neardup"))
@@ -178,7 +188,77 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Image dedup DECISION (q263) — q131's text pipeline completed for
+    * the image modality: aHash near-dup edges (hamming ≤ 6 from the
+    * stop-listed band join) → min-label connected components → per
+    * image its cluster, cluster size, and the keep flag (keeper = min
+    * id of the cluster). This is the row a curation pipeline filters
+    * on to drop duplicate images from a 100-TB media corpus.
+    *
+    * Scale shape: candidates stay banded+capped (q262); the CC is the
+    * pointer-jumping fixpoint over |pairs| edges with per-superstep
+    * lineage truncation — edges are cluster-local, never corpus². */
+  def imageDedupDecision(s: SparkSession, dir: String,
+      cap: Int = 64): DataFrame = {
+    val (_, pairs) = aHashPairs(s, dir, cap)
+    val edges = pairs.filter(col("ham") <= 6)
+      .select(col("ida").as("src"), col("idb").as("dst"))
+    val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val comp = graft.text.Dedup.connectedComponents(edges, ids)
+      .select(col("id").as("media_id"), col("component"))
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    comp.join(sizes, Seq("component"))
+      .select(col("media_id"), col("component"), col("csize"),
+        (col("media_id") === col("component")).cast("int").as("keep"))
+      .orderBy(col("media_id"))
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("q263_image_dedup_decision", (s, d) => imageDedupDecision(s, d), Some(
+      """WITH RECURSIVE
+        |g AS (SELECT t1.x AS x, t2.y AS y
+        |      FROM unnest(range(0, 8)) t1(x), unnest(range(0, 8)) t2(y)),
+        |gr AS (SELECT doc_id, y * 8 + x AS k,
+        |              (((doc_id + 7 * (2 * x) + 13 * (2 * y)) % 256)
+        |               + ((2 * doc_id + 5 * (2 * x) + 3 * (2 * y)) % 256)
+        |               + ((3 * doc_id + 11 * (2 * x) + (2 * y)) % 256)) // 3
+        |                AS gray
+        |       FROM documents, g),
+        |m AS (SELECT doc_id, SUM(gray) // 64 AS mean FROM gr GROUP BY doc_id),
+        |h AS (SELECT gr.doc_id,
+        |             SUM(CASE WHEN gray > mean AND k < 32
+        |                 THEN (CAST(1 AS BIGINT) << CAST(k AS INT))
+        |                 ELSE 0 END) AS h0,
+        |             SUM(CASE WHEN gray > mean AND k >= 32
+        |                 THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INT))
+        |                 ELSE 0 END) AS h1
+        |      FROM gr JOIN m USING (doc_id) GROUP BY gr.doc_id),
+        |bands AS (SELECT doc_id, h0, h1, b.bi,
+        |                 CASE b.bi WHEN 0 THEN h0 % 65536
+        |                           WHEN 1 THEN h0 // 65536
+        |                           WHEN 2 THEN h1 % 65536
+        |                           ELSE h1 // 65536 END AS bv
+        |          FROM h, (VALUES (0), (1), (2), (3)) b(bi)),
+        |ok AS (SELECT bi, bv FROM bands GROUP BY bi, bv
+        |       HAVING COUNT(*) <= 64),
+        |kept AS (SELECT bands.* FROM bands JOIN ok USING (bi, bv)),
+        |e AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |      FROM kept a JOIN kept b
+        |        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id <> b.doc_id
+        |      WHERE bit_count(xor(a.h0, b.h0))
+        |              + bit_count(xor(a.h1, b.h1)) <= 6),
+        |r AS (SELECT doc_id AS id, doc_id AS reach FROM documents
+        |      UNION SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src),
+        |comp AS (SELECT id AS media_id, CAST(MIN(reach) AS BIGINT)
+        |           AS component
+        |         FROM r GROUP BY id),
+        |cs AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+        |       FROM comp GROUP BY component)
+        |SELECT c.media_id, c.component, cs.csize,
+        |       CAST(CASE WHEN c.media_id = c.component THEN 1 ELSE 0 END
+        |            AS INT) AS keep
+        |FROM comp c JOIN cs USING (component)
+        |ORDER BY c.media_id""".stripMargin)),
     Q("q262_image_neardup", (s, d) => imageNearDup(s, d), Some(
       """WITH g AS (SELECT t1.x AS x, t2.y AS y
         |           FROM unnest(range(0, 8)) t1(x), unnest(range(0, 8)) t2(y)),
