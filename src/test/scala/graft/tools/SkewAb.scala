@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** A/B measurement of hot-key equi-join treatments (the shape q213
   * audits) over TWO shapes, because AQE's skew detection keys on
-  * PARTITION BYTES (bisected in SkewProbe, pinned in ScaleSpec):
+  * PARTITION BYTES (empirically bisected; both behaviors pinned in ScaleSpec):
   *
   *  - PAYLOAD JOIN (fact columns survive into the aggregate above the
   *    join — the common production shape): the hot partition is big in
