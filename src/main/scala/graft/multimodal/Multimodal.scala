@@ -506,7 +506,10 @@ object Multimodal {
     * the audio twin of [[imagePixelStats]]: count/sum/min/max plus a
     * position-weighted sum (Σ ((i mod 7)+1)·s_i) that catches any
     * reordering or off-by-one the unweighted sum would miss. Undecodable
-    * rows are skipped, like null payloads. */
+    * rows are skipped, like null payloads — and so are zero-sample clips
+    * (RIFF allows an empty data chunk): min/max of an empty clip has no
+    * value, and emitting the fold sentinels (±Long.MaxValue) would leak
+    * into any caller aggregating this frame. */
   def audioSampleStats(media: DataFrame,
       codec: AudioCodec = RiffWavCodec): DataFrame = {
     val outSchema = StructType(Seq(
@@ -524,7 +527,7 @@ object Multimodal {
         if (r.isNullAt(0)) None
         else codec.decode(
           if (r.isNullAt(1)) Array.emptyByteArray
-          else r.getAs[Array[Byte]](1)).map { a =>
+          else r.getAs[Array[Byte]](1)).filter(_.samples.nonEmpty).map { a =>
           var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
           var wsum = 0L
           var i = 0

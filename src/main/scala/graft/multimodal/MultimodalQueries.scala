@@ -143,14 +143,17 @@ object MultimodalQueries {
     * cards), not a near-dup signal, and skipping it bounds the
     * quadratic term at cap²·|buckets|. Rows shuffle as 3 longs. */
   /** The q262 candidate machinery, shared with the q263 dedup decision:
-    * returns (ah, pairs) where `ah` is the per-image hash frame and
-    * `pairs` the DISTINCT symmetric (ida, idb, ham) rows from the
-    * stop-listed band join. */
+    * returns (bands, pairs) where `bands` is the pinned per-image
+    * (media_id, h0, h1, bi, bv) band frame — the ONE materialization of
+    * the render→decode→hash chain; per-image hashes are a bi=0 slice of
+    * it, so no separate `ah` checkpoint job runs — and `pairs` the
+    * DISTINCT symmetric (ida, idb, ham) rows from the stop-listed band
+    * join. */
   private def aHashPairs(s: SparkSession, dir: String,
       cap: Int): (DataFrame, DataFrame) = {
     import graft.Ckpt.Ops
     val ah = Multimodal.imageAHash(
-      Multimodal.renderPng(Tables.documents(s, dir), "doc_id")).ckpt
+      Multimodal.renderPng(Tables.documents(s, dir), "doc_id"))
     val bands = ah.select(col("media_id"), col("h0"), col("h1"),
         explode(array(
           struct(lit(0).as("bi"), expr("h0 % 65536").as("bv")),
@@ -173,11 +176,15 @@ object MultimodalQueries {
       .select(col("ida"), col("idb"),
         expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1)").as("ham"))
       .distinct()
-    (ah, pairs)
+    (bands, pairs)
   }
 
   def imageNearDup(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
-    val (ah, pairs) = aHashPairs(s, dir, cap)
+    val (bands, pairs) = aHashPairs(s, dir, cap)
+    // per-image hashes are any one band-slice of the pinned frame — a
+    // filter on the checkpoint, not a second render→decode→hash job
+    val ah = bands.filter(col("bi") === 0)
+      .select(col("media_id"), col("h0"), col("h1"))
     val st = pairs.groupBy(col("ida"))
       .agg(count(lit(1)).as("n_band_cand"),
         sum(when(col("ham") <= 6, 1L).otherwise(0L)).as("n_neardup"))

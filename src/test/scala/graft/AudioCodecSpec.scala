@@ -119,10 +119,15 @@ class AudioCodecSpec extends AnyFunSuite {
       StructField("media_id", LongType, nullable = true),
       StructField("payload", BinaryType, nullable = true)))
     val good = JdkWavCodec.encode(chirp(32))
+    // a VALID zero-sample clip (RIFF allows an empty data chunk) must be
+    // skipped too: min/max of an empty clip has no value, and the fold
+    // sentinels (±Long.MaxValue) must never leak into the output frame
+    val empty = RiffWavCodec.encode(DecodedAudio(8000, 1, new Array[Short](0)))
     val rows = java.util.Arrays.asList(
       org.apache.spark.sql.Row(1L, good),
       org.apache.spark.sql.Row(2L, "garbage".getBytes),
       org.apache.spark.sql.Row(3L, null),
+      org.apache.spark.sql.Row(5L, empty),
       org.apache.spark.sql.Row(null, good))
     val media = spark.createDataFrame(rows, schema)
     val out = Multimodal.audioSampleStats(media).collect()

@@ -121,4 +121,30 @@ class UpsertSpec extends AnyFunSuite {
     assert(raw.map(_.toSeq).toSeq == bucketed.map(_.toSeq).toSeq,
       "bucketed-snapshot upsert diverged from the raw path")
   }
+
+  test("bucketed snapshot lands ONCE per session: a second q260 " +
+      "invocation reuses the table instead of re-overwriting it") {
+    val sfDir = TestSpark.sfDir
+    etl.EtlQueries.upsertCustomersBucketed(spark, sfDir).count()
+    val sf = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = new java.io.File(s"/tmp/graft_gate/$sf/bucketed/customer")
+    def state() = dir.listFiles().map(f => (f.getName, f.lastModified)).toSet
+    val before = state()
+    etl.EtlQueries.upsertCustomersBucketed(spark, sfDir).count()
+    assert(state() == before,
+      "second invocation rewrote the bucketed snapshot (measured merge " +
+        "passes must not pay — or redo — the landing)")
+  }
+
+  test("sparse surrogates fall back to dense numbering when the snapshot " +
+      "max leaves no headroom for the partition-id term") {
+    val inc = (1 to 20).map(i => (f"zz$i%04d", s"n$i")).toDF("sku", "name")
+    // near-max snapshot id: partitionId·2^33 would overflow (ANSI abort
+    // or negative colliding ids); dense numbering needs only |inserts|
+    val maxId = Long.MaxValue - 100L
+    val out = etl.Upsert.numberInsertsSparse(inc, Seq("sku"), maxId)
+      .select(col("__key")).as[Long].collect().sorted.toSeq
+    assert(out == (1L to 20L).map(maxId + _),
+      "expected the dense fallback's contiguous ids above the max")
+  }
 }
