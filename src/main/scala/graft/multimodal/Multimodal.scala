@@ -627,6 +627,338 @@ object Multimodal {
     }(enc)
   }
 
+  /** A decoded video: constant-size grayscale frames (values 0–255, row
+    * major, bit-exact) plus the container's per-frame delay in
+    * centiseconds — the typed metadata a sampling stage needs to keep
+    * the output's effective frame rate honest. */
+  final case class DecodedVideo(width: Int, height: Int, delayCs: Int,
+      frames: Array[Array[Int]])
+
+  /** Codec seam for the video decode stage — same contract as
+    * [[ImageCodec]]/[[AudioCodec]]: None for undecodable input (corrupt
+    * containers skip the row, never kill the partition). */
+  trait VideoCodec extends Serializable {
+    def decode(bytes: Array[Byte]): Option[DecodedVideo]
+    def encode(video: DecodedVideo): Array[Byte]
+  }
+
+  /** REAL multi-frame container codec on the JDK's built-in GIF
+    * reader/writer — `javax.imageio` ships animated-GIF support in
+    * every JRE, no external library (the same rationale that made the
+    * image codec real in q238 and the audio codec in q258; reference
+    * media pipeline: `EntityImporterBase.cs:301-432`). GIF is
+    * palette-indexed, so grayscale frames written against an explicit
+    * 256-entry gray ramp round-trip BIT-EXACTLY — which is what keeps
+    * the decode stage oracle-checkable: DuckDB recomputes any statistic
+    * of the decoded frames from the render formula alone. The per-frame
+    * GraphicControlExtension carries the delay (centiseconds), read
+    * back on decode — container metadata, not a side channel. */
+  object GifVideoCodec extends VideoCodec {
+    javax.imageio.ImageIO.setUseCache(false) // in-memory streams (q238 lesson)
+
+    private val grayRamp: java.awt.image.IndexColorModel = {
+      val ramp = Array.tabulate(256)(i => (0xFF << 24) | (i << 16) | (i << 8) | i)
+      new java.awt.image.IndexColorModel(8, 256, ramp, 0, false, -1,
+        java.awt.image.DataBuffer.TYPE_BYTE)
+    }
+
+    // ImageWriter/ImageReader are stateful and not thread-safe, and the
+    // SPI registry lookup is per-call overhead at 50k+ clips per
+    // partition batch (the javax.sound SPI lesson from the WAV codec) —
+    // one instance per executor thread, reset between uses
+    @transient private lazy val writerTl =
+      ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next())
+    @transient private lazy val readerTl =
+      ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next())
+    // the per-frame IIOMetadata (delay + non-interlaced descriptor) is
+    // identical for every clip of the same shape, and building it is DOM
+    // work that dominated encode cost — cache per (w, h, delay) per
+    // thread (the object is read-only during writeToSequence)
+    @transient private lazy val metaTl = ThreadLocal.withInitial[
+        scala.collection.mutable.HashMap[(Int, Int, Int),
+          javax.imageio.metadata.IIOMetadata]](() =>
+      scala.collection.mutable.HashMap.empty)
+
+    override def decode(bytes: Array[Byte]): Option[DecodedVideo] = {
+      if (bytes == null || bytes.isEmpty) None
+      else try {
+        val reader = readerTl.get()
+        try {
+          // direct stream construction: ImageIO.createImageInputStream
+          // runs an SPI provider scan per call (per CLIP here)
+          reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
+          val n = reader.getNumImages(true)
+          if (n <= 0) None // a frameless container decodes to nothing
+          else {
+            val frames = new Array[Array[Int]](n)
+            var w = 0; var h = 0
+            var i = 0
+            while (i < n) {
+              val img = reader.read(i)
+              if (i == 0) { w = img.getWidth; h = img.getHeight }
+              val px = img.getRGB(0, 0, img.getWidth, img.getHeight,
+                null, 0, img.getWidth)
+              val g = new Array[Int](px.length)
+              var k = 0
+              while (k < px.length) { g(k) = px(k) & 0xFF; k += 1 }
+              frames(i) = g
+              i += 1
+            }
+            val delay = {
+              val meta = reader.getImageMetadata(0)
+              val root = meta.getAsTree(meta.getNativeMetadataFormatName)
+              val kids = root.getChildNodes
+              var d = 0
+              var j = 0
+              while (j < kids.getLength) {
+                val node = kids.item(j)
+                if (node.getNodeName == "GraphicControlExtension")
+                  d = node.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+                    .getAttribute("delayTime").toInt
+                j += 1
+              }
+              d
+            }
+            Some(DecodedVideo(w, h, delay, frames))
+          }
+        } finally reader.reset()
+      } catch {
+        // recognized-but-corrupt streams throw (IIOException or index
+        // errors on truncated frame tables) — undecodable row, skip
+        case scala.util.control.NonFatal(_) => None
+      }
+    }
+
+    override def encode(video: DecodedVideo): Array[Byte] = {
+      val writer = writerTl.get()
+      val bos = new java.io.ByteArrayOutputStream()
+      // direct construction — ImageIO.createImageOutputStream SPI-scans
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        val params = writer.getDefaultWriteParam
+        // every frame of one clip shares dimensions, palette and delay —
+        // build the per-frame DOM metadata ONCE per clip (it was ~half
+        // the encode cost per frame), and reuse one raster buffer: the
+        // writer serializes pixels during writeToSequence
+        val bi = new java.awt.image.BufferedImage(video.width, video.height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayRamp)
+        val raster = bi.getRaster
+        val meta = metaTl.get().getOrElseUpdate(
+            (video.width, video.height, video.delayCs), {
+          val spec = new javax.imageio.ImageTypeSpecifier(
+            bi.getColorModel, bi.getSampleModel)
+          val m = writer.getDefaultImageMetadata(spec, params)
+          val fmt = m.getNativeMetadataFormatName
+          val root = m.getAsTree(fmt)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          var gce: javax.imageio.metadata.IIOMetadataNode = null
+          val kids = root.getChildNodes
+          var j = 0
+          while (j < kids.getLength) {
+            val node = kids.item(j)
+            if (node.getNodeName == "GraphicControlExtension")
+              gce = node.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            // the default metadata requests INTERLACED encoding, and the
+            // JDK writer/reader interlace path corrupts frames whose
+            // height is below the pass stride (row 0 lost, rows
+            // scrambled) — store scanlines sequentially
+            if (node.getNodeName == "ImageDescriptor")
+              node.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+                .setAttribute("interlaceFlag", "FALSE")
+            j += 1
+          }
+          if (gce == null) {
+            gce = new javax.imageio.metadata.IIOMetadataNode(
+              "GraphicControlExtension")
+            root.appendChild(gce)
+          }
+          gce.setAttribute("disposalMethod", "none")
+          gce.setAttribute("userInputFlag", "FALSE")
+          gce.setAttribute("transparentColorFlag", "FALSE")
+          gce.setAttribute("delayTime", video.delayCs.toString)
+          gce.setAttribute("transparentColorIndex", "0")
+          m.setFromTree(fmt, root)
+          m
+        })
+        video.frames.foreach { g =>
+          var k = 0
+          while (k < g.length) {
+            raster.setSample(k % video.width, k / video.width, 0, g(k) & 0xFF)
+            k += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(bi, null, meta), params)
+        }
+        writer.endWriteSequence()
+        ios.close()
+        bos.toByteArray
+      } finally writer.reset()
+    }
+  }
+
+  /** Render one REAL animated GIF per input row — the in-pipeline video
+    * fixture (the renderPng/renderWav discipline on the multi-frame
+    * container). Video `id` has `3 + id mod 4` frames of `w`×`h`
+    * grayscale at 10 cs/frame; pixel (x, y) of frame `t` is
+    *   gray = (id + 7x + 13y + 29t + 97·(t div 3))  mod 256
+    * — the `97·(t div 3)` term injects a larger inter-frame jump every
+    * third frame (a scene cut for the segmentation query); the gray
+    * ramp palette makes the whole chain lossless, so a SQL engine can
+    * recompute any decoded-frame statistic from (id, t, x, y) alone. */
+  def renderGif(df: DataFrame, idCol: String, w: Int = 16,
+      h: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc = Encoders.row(outSchema)
+    // partition by WORK, not bytes (q238/q258 lesson): the id frame is
+    // KBs of parquet and would pack the whole codec chain onto one core
+    df.select(col(idCol).cast(LongType).as("media_id"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.isNullAt(0)) None
+          else {
+            val id = r.getLong(0)
+            val nf = (3L + java.lang.Math.floorMod(id, 4L)).toInt
+            val frames = Array.tabulate(nf) { t =>
+              val g = new Array[Int](w * h)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  g(y * w + x) = java.lang.Math.floorMod(
+                    id + 7L * x + 13L * y + 29L * t + 97L * (t / 3), 256L).toInt
+                  x += 1
+                }
+                y += 1
+              }
+              g
+            }
+            Some(Row(id, GraftGifCodec.encode(DecodedVideo(w, h, 10, frames))))
+          }
+        }
+      }(enc)
+  }
+
+  /** Decode every payload with `codec` and emit exact per-video frame
+    * statistics — the video twin of [[imagePixelStats]]: frame count,
+    * dimensions, the container's delay metadata, the gray sum over all
+    * frames, and a frame-ORDER-weighted sum (Σ (t+1)·graysum_t) that
+    * catches any frame reordering or drop the plain sum would miss.
+    * Undecodable and frameless rows are skipped, like null payloads. */
+  def videoFrameStats(media: DataFrame,
+      codec: VideoCodec = GraftGifCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("delay_cs", IntegerType, nullable = false),
+      StructField("g_sum", LongType, nullable = false),
+      StructField("g_wsum", LongType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.isNullAt(0)) None
+        else codec.decode(
+          if (r.isNullAt(1)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](1)).map { v =>
+          var gs = 0L; var ws = 0L
+          var t = 0
+          while (t < v.frames.length) {
+            val f = v.frames(t)
+            var fs = 0L
+            var k = 0
+            while (k < f.length) { fs += f(k); k += 1 }
+            gs += fs
+            ws += (t + 1L) * fs
+            t += 1
+          }
+          Row(r.getLong(0), v.frames.length, v.width, v.height,
+            v.delayCs, gs, ws)
+        }
+      }
+    }(enc)
+  }
+
+  /** Scene-cut detection on the DECODED frames — the video segmentation
+    * primitive (shot boundaries before per-shot sampling): for each
+    * consecutive frame pair, the L1 frame difference Σ_px |g_t − g_{t−1}|;
+    * a pair with difference ≥ `threshold` is a cut. Exact integer end to
+    * end, so the oracle recomputes every pair difference from the render
+    * formula. One shuffle-free mapPartitions pass, 4 longs per video
+    * into the only exchange. */
+  def videoSceneCuts(media: DataFrame, threshold: Long = 20000L,
+      codec: VideoCodec = GraftGifCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_pairs", LongType, nullable = false),
+      StructField("n_cuts", LongType, nullable = false),
+      StructField("diff_sum", LongType, nullable = false),
+      StructField("diff_max", LongType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.isNullAt(0)) None
+        else codec.decode(
+          if (r.isNullAt(1)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](1)).filter(_.frames.length >= 2).map { v =>
+          var pairs = 0L; var cuts = 0L; var dSum = 0L; var dMax = 0L
+          var t = 1
+          while (t < v.frames.length) {
+            val a = v.frames(t - 1); val b = v.frames(t)
+            var d = 0L
+            var k = 0
+            while (k < a.length) {
+              val x = b(k) - a(k)
+              d += (if (x < 0) -x else x)
+              k += 1
+            }
+            pairs += 1
+            if (d >= threshold) cuts += 1
+            dSum += d
+            if (d > dMax) dMax = d
+            t += 1
+          }
+          Row(r.getLong(0), pairs, cuts, dSum, dMax)
+        }
+      }
+    }(enc)
+  }
+
+  /** Real keyframe sampling: decode → keep every `n`-th frame →
+    * re-encode with the same codec at `n`× the per-frame delay (the
+    * effective frame rate stays honest — the metadata contract of the
+    * sampling stage). The video twin of [[decimateAudio]]/[[resizeImage]]:
+    * pure integer frame selection, bit-deterministic, so the doubled
+    * encode→decode round trip stays oracle-checkable. */
+  def sampleVideoFrames(media: DataFrame, n: Int,
+      codec: VideoCodec = GraftGifCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.isNullAt(0)) None
+        else codec.decode(
+          if (r.isNullAt(1)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](1)).map { v =>
+          val m = (v.frames.length + n - 1) / n
+          val kept = Array.tabulate(m)(j => v.frames(j * n))
+          Row(r.getLong(0), codec.encode(
+            DecodedVideo(v.width, v.height, v.delayCs * n, kept)))
+        }
+      }
+    }(enc)
+  }
+
   /** Perceptual average-hash (aHash) of the DECODED raster — the image
     * near-dup fingerprint (the multimodal twin of the text simhash):
     * nearest-downsample to 8×8, integer grayscale (r+g+b)/3, threshold

@@ -129,6 +129,40 @@ object MultimodalQueries {
         Multimodal.renderWav(Tables.documents(s, dir), "doc_id"))
       .orderBy(col("media_id"))
 
+  /** Video frame statistics (q264): render one REAL animated GIF per
+    * document → decode through the container codec → exact per-video
+    * frame stats (count, dims, the container's delay metadata, gray sum,
+    * frame-order-weighted sum). Closes the last decode seam with the
+    * q238/q258 formula-oracle discipline: the gray ramp palette makes
+    * the GIF round trip bit-exact, so DuckDB recomputes everything from
+    * (id, t, x, y). */
+  def videoFrameStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoFrameStats(
+        Multimodal.renderGif(Tables.documents(s, dir), "doc_id"))
+      .orderBy(col("media_id"))
+
+  /** Video scene-cut detection (q265): decode → consecutive-frame L1
+    * differences → per-video pair/cut counts + difference stats. The
+    * render formula's `97·(t div 3)` term makes every third frame
+    * boundary a genuine cut, so the threshold separates real structure,
+    * not noise. */
+  def videoSceneCuts(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoSceneCuts(
+        Multimodal.renderGif(Tables.documents(s, dir), "doc_id"))
+      .orderBy(col("media_id"))
+
+  /** Keyframe sampling round trip (q266): render → decode → keep every
+    * 2nd frame → RE-ENCODE (delay doubled — the effective frame rate
+    * survives in container metadata) → decode again → frame stats. Two
+    * full container round trips; the order-weighted sum re-indexes over
+    * the SAMPLED frame positions, pinning both the selection and the
+    * output order. */
+  def videoKeyframeStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoFrameStats(
+        Multimodal.sampleVideoFrames(
+          Multimodal.renderGif(Tables.documents(s, dir), "doc_id"), 2))
+      .orderBy(col("media_id"))
+
   /** Image perceptual-hash near-dup audit (q262): render → REAL decode
     * → aHash (8×8 integer grayscale mean-threshold, packed as two
     * 32-bit halves) → banded candidate join (4 × 16-bit bands) →
@@ -266,6 +300,63 @@ object MultimodalQueries {
         |            AS INT) AS keep
         |FROM comp c JOIN cs USING (component)
         |ORDER BY c.media_id""".stripMargin)),
+    Q("q264_video_frame_stats", (s, d) => videoFrameStats(s, d), Some(
+      """WITH g AS (SELECT t1.x AS x, t2.y AS y
+        |           FROM unnest(range(0, 16)) t1(x),
+        |                unnest(range(0, 16)) t2(y)),
+        |v AS (SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents),
+        |fr AS (SELECT v.doc_id, v.nf, ft.t
+        |       FROM v, unnest(range(0, v.nf)) ft(t)),
+        |px AS (SELECT fr.doc_id, fr.nf, fr.t,
+        |              (fr.doc_id + 7 * x + 13 * y + 29 * t
+        |               + 97 * (t // 3)) % 256 AS gray
+        |       FROM fr, g)
+        |SELECT doc_id AS media_id, CAST(nf AS INT) AS n_frames,
+        |       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |       CAST(10 AS INT) AS delay_cs,
+        |       CAST(SUM(gray) AS BIGINT) AS g_sum,
+        |       CAST(SUM((t + 1) * gray) AS BIGINT) AS g_wsum
+        |FROM px GROUP BY doc_id, nf
+        |ORDER BY media_id""".stripMargin)),
+    Q("q265_video_scene_cuts", (s, d) => videoSceneCuts(s, d), Some(
+      """WITH g AS (SELECT t1.x AS x, t2.y AS y
+        |           FROM unnest(range(0, 16)) t1(x),
+        |                unnest(range(0, 16)) t2(y)),
+        |v AS (SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents),
+        |fr AS (SELECT v.doc_id, ft.t FROM v, unnest(range(1, v.nf)) ft(t)),
+        |d AS (SELECT fr.doc_id, fr.t,
+        |             CAST(SUM(ABS(
+        |               ((fr.doc_id + 7 * x + 13 * y + 29 * t
+        |                 + 97 * (t // 3)) % 256)
+        |               - ((fr.doc_id + 7 * x + 13 * y + 29 * (t - 1)
+        |                   + 97 * ((t - 1) // 3)) % 256))) AS BIGINT) AS diff
+        |      FROM fr, g GROUP BY fr.doc_id, fr.t)
+        |SELECT doc_id AS media_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(CASE WHEN diff >= 20000 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_cuts,
+        |       CAST(SUM(diff) AS BIGINT) AS diff_sum,
+        |       CAST(MAX(diff) AS BIGINT) AS diff_max
+        |FROM d GROUP BY doc_id
+        |ORDER BY media_id""".stripMargin)),
+    Q("q266_video_keyframe_stats", (s, d) => videoKeyframeStats(s, d), Some(
+      """WITH g AS (SELECT t1.x AS x, t2.y AS y
+        |           FROM unnest(range(0, 16)) t1(x),
+        |                unnest(range(0, 16)) t2(y)),
+        |v AS (SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents),
+        |fr AS (SELECT v.doc_id, (v.nf + 1) // 2 AS nf2, fj.j, 2 * fj.j AS t
+        |       FROM v, unnest(range(0, (v.nf + 1) // 2)) fj(j)),
+        |px AS (SELECT fr.doc_id, fr.nf2, fr.j,
+        |              (fr.doc_id + 7 * x + 13 * y + 29 * t
+        |               + 97 * (t // 3)) % 256 AS gray
+        |       FROM fr, g)
+        |SELECT doc_id AS media_id, CAST(nf2 AS INT) AS n_frames,
+        |       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |       CAST(20 AS INT) AS delay_cs,
+        |       CAST(SUM(gray) AS BIGINT) AS g_sum,
+        |       CAST(SUM((j + 1) * gray) AS BIGINT) AS g_wsum
+        |FROM px GROUP BY doc_id, nf2
+        |ORDER BY media_id""".stripMargin)),
     Q("q262_image_neardup", (s, d) => imageNearDup(s, d), Some(
       """WITH g AS (SELECT t1.x AS x, t2.y AS y
         |           FROM unnest(range(0, 8)) t1(x), unnest(range(0, 8)) t2(y)),
