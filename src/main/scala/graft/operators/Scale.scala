@@ -39,6 +39,66 @@ object Scale {
     df.groupBy(bucket.as("bucket"))
       .agg(count_min_sketch(value, lit(eps), lit(confidence), lit(seed)).as("cms"))
 
+  /** Mergeable KLL quantile sketches per bucket — the third sketch
+    * family next to the HLL (distinct) and CMS (frequency) rollups:
+    * sketch each fine-grained bucket ONCE, answer any coarser-grained
+    * quantile question by merging the stored sketches (|buckets| rows,
+    * no rescan). Uses Spark 4's built-in Datasketches KLL functions.
+    *
+    * Exactness regime: a KLL sketch stores values EXACTLY until its
+    * capacity (~k) is exceeded, and merging exact sketches whose total
+    * stays under capacity is still exact — so with k sized to the
+    * rollup grain, quantiles are TRUE order statistics (matching
+    * DuckDB's `quantile_disc`, which is how q268 oracle-gates the
+    * algebra); past capacity the sketch degrades gracefully to the
+    * published ~1.65%·(200/k) rank-error bound (spec-pinned). */
+  def kllBuckets(df: DataFrame, bucket: Column, value: Column,
+      k: Int = 65535): DataFrame =
+    df.select(bucket.as("bucket"), value.cast("long").as("__v"))
+      .groupBy(col("bucket"))
+      .agg(expr(s"kll_sketch_agg_bigint(__v, $k)").as("sk"))
+
+  /** Merge stored bucket sketches up to a coarser grain and extract
+    * the requested quantiles (plus the exact merged row count). */
+  def kllRollup(sketches: DataFrame, coarser: Column,
+      quantiles: Seq[Double]): DataFrame = {
+    val merged = sketches.groupBy(coarser.as("grain"))
+      .agg(expr("kll_merge_agg_bigint(sk)").as("sk"))
+    val qCols = quantiles.map(q =>
+      expr(s"kll_sketch_get_quantile_bigint(sk, $q)")
+        .as(s"p${(q * 100).round}"))
+    merged.select(col("grain") +:
+      expr("kll_sketch_get_n_bigint(sk)").as("n") +: qCols: _*)
+  }
+
+  /** Mergeable top-k (heavy hitter) state per bucket — the ranked
+    * companion to the CMS frequency rollup: accumulate once per fine
+    * bucket, answer any coarser "what are the hottest items" question by
+    * COMBINING the stored states. While `maxItemsTracked` covers the
+    * distinct items flowing into a state, counts are EXACT and the
+    * rolled-up ranking equals a direct group-by (pinned in ScaleSpec);
+    * beyond that it degrades to the sketch's frequency estimates. */
+  def topKBuckets(df: DataFrame, bucket: Column, item: Column,
+      maxItemsTracked: Int = 10000): DataFrame =
+    df.select(bucket.as("bucket"), item.as("__i"))
+      .groupBy(col("bucket"))
+      .agg(expr(s"approx_top_k_accumulate(__i, $maxItemsTracked)").as("st"))
+
+  /** Combine stored bucket states up to a coarser grain and emit the
+    * top-k items as ROWS re-sorted deterministically (count desc, then
+    * item — the estimate's own tie order is engine-internal). */
+  def topKRollup(states: DataFrame, coarser: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merged = states.groupBy(coarser.as("grain"))
+      .agg(expr("approx_top_k_combine(st)").as("st"))
+    merged.select(col("grain"),
+        explode(expr(s"approx_top_k_estimate(st, $k)")).as("e"))
+      .select(col("grain"), col("e.item").as("item"),
+        col("e.count").as("cnt"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("grain"))
+        .orderBy(col("cnt").desc, col("item"))))
+  }
+
   /** Merge stored bucket sketches on the driver (|buckets| rows of ~KB
     * sketch bytes — statistics, not data) and estimate one item's count.
     * No sketches (empty frame, or every cms cell null — e.g. a bucket

@@ -280,6 +280,51 @@ object Audits {
       |GROUP BY h.event_type
       |ORDER BY h.event_type""".stripMargin
 
+  /** KLL quantile-sketch rollup (q268) — the third mergeable-sketch
+    * family completing the HLL (distinct) and CMS (frequency) rollups:
+    * order totals are sketched ONCE per (priority, month) fine bucket,
+    * then any coarser quantile question (here per priority) is answered
+    * by MERGING the stored sketches — |buckets| rows through the final
+    * aggregate, never a rescan of the fact table. At 100 TB this is the
+    * pre-aggregation pattern for latency/price percentile dashboards:
+    * the fine sketches land next to the data and every rollup after is
+    * metadata-sized.
+    *
+    * Oracle discipline: with k sized to the grain (65535 ≥ rows per
+    * priority at the gate SFs) the sketch stores values exactly and
+    * merged quantiles are TRUE order statistics — bit-equal to DuckDB's
+    * `quantile_disc` (probed: identical at p0/p50/p90/p100, and
+    * rollup == direct). Past capacity (sf1 bench) it degrades to the
+    * published rank-error bound, pinned in ScaleSpec. Values are cents
+    * (floor(x·100 + 0.5)) so both engines quantize identically. */
+  def priceQuantileRollup(s: SparkSession, dir: String): DataFrame = {
+    val withCols = Tables.orders(s, dir)
+      .withColumn("__cents",
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+      .withColumn("__m", date_format(col("o_orderdate"), "yyyy-MM"))
+    val fine = graft.operators.Scale.kllBuckets(withCols,
+      struct(col("o_orderpriority").as("p"), col("__m").as("m")),
+      col("__cents"))
+    graft.operators.Scale.kllRollup(fine, col("bucket.p"),
+        Seq(0.5, 0.9, 0.99))
+      .select(col("grain").as("o_orderpriority"), col("n"),
+        col("p50"), col("p90"), col("p99"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private def kllRollupOracle: String =
+    """SELECT o_orderpriority,
+      |       CAST(COUNT(*) AS BIGINT) AS n,
+      |       quantile_disc(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+      |                     0.5) AS p50,
+      |       quantile_disc(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+      |                     0.9) AS p90,
+      |       quantile_disc(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+      |                     0.99) AS p99
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Join-key skew audit (q213): the per-key frequency profile of a
     * join/aggregation key (here `l_partkey`) — the diagnostic a pipeline
     * runs BEFORE picking a salting factor or trusting AQE's skew-join
@@ -682,6 +727,8 @@ object Audits {
       Some(concentrationOracle)),
     Q("q204_sales_cube", (s, d) => salesCube(s, d), Some(cubeOracle)),
     Q("q213_skew_audit", (s, d) => skewAudit(s, d), Some(skewOracle())),
+    Q("q268_kll_quantile_rollup", (s, d) => priceQuantileRollup(s, d),
+      Some(kllRollupOracle)),
     Q("q214_seasonality", (s, d) => seasonalityIndex(s, d),
       Some(seasonalityOracle)),
     Q("q215_contingency", (s, d) => contingencyAudit(s, d),

@@ -67,6 +67,62 @@ class ScaleSpec extends AnyFunSuite {
     assert(est == direct, "merged-from-daily must equal direct sketching")
   }
 
+  test("KLL quantile rollup: exact-regime merged sketches equal direct " +
+      "order statistics; small-k sketches hold the published rank error") {
+    // the quantile member of the mergeable-sketch triad (HLL distinct,
+    // CMS frequency, KLL quantiles). Exact regime (k ≥ n): merged bucket
+    // sketches return TRUE order statistics — the q268 oracle contract.
+    val df = (1L to 20000L).map(i => (i % 8, (i * 131) % 19997))
+      .toDF("b", "v")
+    val fine = Scale.kllBuckets(df,
+      struct((col("b") % 4).as("g"), col("b").as("fine")), col("v"))
+    val rolled = Scale.kllRollup(fine, col("bucket.g"), Seq(0.5, 0.9))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val exact = df.withColumn("g", col("b") % 4).groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(v, 0.5)").as("p50x"),
+        expr("percentile(v, 0.9)").as("p90x"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    exact.foreach { case (g, (n, p50x, p90x)) =>
+      val (rn, p50, p90) = rolled(g)
+      assert(rn == n, s"grain $g merged n")
+      // percentile() interpolates; quantile_disc/KLL pick an element —
+      // an exact-regime KLL value must sit within one step of the
+      // interpolated percentile (values here step by ~8)
+      assert(math.abs(p50 - p50x) <= 8, s"g=$g p50=$p50 exact=$p50x")
+      assert(math.abs(p90 - p90x) <= 8, s"g=$g p90=$p90 exact=$p90x")
+    }
+    // approximate regime: k=200 over 50k values — the estimate's TRUE
+    // normalized rank must stay within the published ~1.65% (99% conf)
+    // bound; allow 3.5% slack for the merge
+    val big = (1L to 50000L).map(i => (i % 10, (i * 2654435761L) % 1000003))
+      .toDF("b", "v")
+    val sk = Scale.kllBuckets(big, lit(1), col("v"), k = 200)
+    val est = Scale.kllRollup(sk, lit(1), Seq(0.5)).collect().head.getLong(2)
+    val trueRank = big.filter(col("v") <= est).count().toDouble / 50000.0
+    assert(math.abs(trueRank - 0.5) < 0.035,
+      s"p50 estimate $est has true rank $trueRank")
+  }
+
+  test("top-k rollup: combined bucket states equal the direct group-by " +
+      "ranking while the tracked-item budget covers the domain") {
+    // skewed fixture: item i appears 2000/i times — distinct counts, so
+    // the ranking is unambiguous
+    val rows = (1 to 50).flatMap(i => Seq.fill(2000 / i)((i % 5, s"item$i")))
+    val df = rows.toDF("b", "v")
+    val states = Scale.topKBuckets(df, col("b"), col("v"), maxItemsTracked = 100)
+    val rolled = Scale.topKRollup(states, lit(1), k = 8)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+    val exact = df.groupBy(col("v")).count()
+      .orderBy(col("count").desc, col("v")).limit(8).collect()
+      .zipWithIndex.map { case (r, i) => (r.getString(0), r.getLong(1), i + 1) }
+    assert(rolled.toSeq == exact.toSeq,
+      "combined top-k diverged from the exact ranking")
+  }
+
   test("footerStats answers min/max/count from parquet metadata only") {
     val path = s"${TestSpark.sfDir}/lineitem.parquet"
     val stats = Scale.footerStats(spark, path, Seq("l_quantity", "l_orderkey"))
