@@ -108,6 +108,39 @@ class MultimodalStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming KLL quantile sketch equals the batch rollup exactly " +
+      "in the exact regime — percentile dashboards maintain sketches " +
+      "incrementally instead of rescanning the stream's history") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kll-stream")
+      .toString
+    val cents = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    Tables.events(spark, TestSpark.sfDir)
+      .select(col("event_type"), cents.as("v"))
+      .write.mode("overwrite").parquet(tmp)
+    val q = spark.readStream.schema("event_type STRING, v LONG").parquet(tmp)
+      .groupBy(col("event_type"))
+      .agg(expr("kll_sketch_agg_bigint(v, 65535)").as("sk"))
+      .select(col("event_type"),
+        expr("kll_sketch_get_n_bigint(sk)").as("n"),
+        expr("kll_sketch_get_quantile_bigint(sk, 0.5)").as("p50"),
+        expr("kll_sketch_get_quantile_bigint(sk, 0.9)").as("p90"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("kll_stream").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("kll_stream")
+      .orderBy(col("event_type")).collect().toSeq
+    val batch = spark.read.parquet(tmp)
+      .groupBy(col("event_type"))
+      .agg(expr("kll_sketch_agg_bigint(v, 65535)").as("sk"))
+      .select(col("event_type"),
+        expr("kll_sketch_get_n_bigint(sk)").as("n"),
+        expr("kll_sketch_get_quantile_bigint(sk, 0.5)").as("p50"),
+        expr("kll_sketch_get_quantile_bigint(sk, 0.9)").as("p90"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream=$streamed\nbatch=$batch")
+  }
+
   test("windowed streaming counts match the batch aggregation") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     Tables.events(spark, TestSpark.sfDir)

@@ -484,6 +484,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q264-q266: the video codec chain is one work-spread round-robin " +
+      "exchange into shuffle-free mapPartitions — no join, no hash " +
+      "shuffle before the per-clip aggregate rows") {
+    for (q <- Seq("q264_video_frame_stats", "q265_video_scene_cuts",
+        "q266_video_keyframe_stats")) {
+      val p = plan(q)
+      assert(p.contains("MapPartitions"), s"$q lost the codec stage:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("HashJoin"),
+        s"$q plans a join it does not need:\n$p")
+      // exactly the deliberate exchanges: the work-spreading round robin
+      // (codec CPU ≫ id bytes) and the final result sort
+      assert(p.contains("RoundRobinPartitioning"),
+        s"$q dropped the work spread:\n$p")
+      assert(!p.contains("hashpartitioning"),
+        s"$q shuffles by key before the aggregate:\n$p")
+    }
+  }
+
+  test("q268: the sketch rollup aggregates BUCKET rows, not fact rows — " +
+      "partial kll aggregates run map-side before the only exchange") {
+    val p = plan("q268_kll_quantile_rollup")
+    // two-phase hash aggregate around one exchange: partial sketches
+    // combine map-side, so the shuffle moves |buckets| sketch rows
+    assert(p.contains("kll_sketch_agg_bigint"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashJoin"), p)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"q268 plans $exchanges exchanges:\n$p")
+  }
+
   test("upsert insert numbering: a distributed range shuffle, never a " +
       "single-partition exchange") {
     import org.apache.spark.sql.functions.col
