@@ -301,7 +301,109 @@ object EtlQueries {
     FeedXml.project(items, FeedXml.Config()).orderBy(col("id"))
   }
 
+  /** The q269/q270 SCD2 batch, derived deterministically from the
+    * customer snapshot so the oracle reproduces it in pure SQL:
+    * custkey%3=0 rows CHANGE (acctbal+10, segment 'SCD2'), a disjoint
+    * slice (custkey%3≠0 ∧ custkey%7=1) arrives as byte-identical no-ops
+    * (must NOT open versions), custkey%500=0 re-keys above the snapshot
+    * as NEW dimension members. */
+  private[graft] def scd2Batch(snap: DataFrame): DataFrame = {
+    val changed = snap.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 10d)
+      .withColumn("c_mktsegment", lit("SCD2"))
+    val noops = snap.filter(col("c_custkey") % 3 =!= 0 &&
+      col("c_custkey") % 7 === 1)
+    val fresh = snap.filter(col("c_custkey") % 500 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 2000000L)
+      .withColumn("c_name", concat(lit("NEW "), col("c_name")))
+    changed.unionByName(noops).unionByName(fresh)
+  }
+
+  private val scd2Attrs = Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+  private[graft] def scd2Dim(s: SparkSession, dir: String): DataFrame =
+    Scd2.merge(
+      Scd2.initial(Tables.customer(s, dir), "1994-01-01"),
+      scd2Batch(Tables.customer(s, dir)),
+      "c_custkey", scd2Attrs, "1998-01-01")
+
+  /** SCD2 batch merge (q269): initial load at 1994-01-01 advanced by one
+    * 1998-01-01 batch; output is the full versioned dimension. Gates all
+    * four merge classes at once: closed+reopened versions for the
+    * changed slice, byte-identical no-ops that must NOT version, absent
+    * keys passing through, and fresh keys opening their first version. */
+  def scd2Merge(s: SparkSession, dir: String): DataFrame =
+    scd2Dim(s, dir)
+      .withColumn(Scd2.IsCurrent, col(Scd2.IsCurrent).cast("int"))
+      .orderBy(col("c_custkey"), col(Scd2.ValidFrom))
+
+  /** Temporal fact→dimension lookup (q270): each order joined to the
+    * dimension VERSION valid at its order date (half-open interval on
+    * ISO-date strings — a residual on the key equi-join, so the plan is
+    * one hash join, never an interval cross product). Orders span
+    * 1995–2001, so the 1998 batch splits each changed customer's orders
+    * across two versions — revenue lands under 'SCD2' only for
+    * post-batch orders. */
+  def scd2AsOf(s: SparkSession, dir: String): DataFrame = {
+    val dim = scd2Dim(s, dir)
+    val fact = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+        col("o_totalprice"))
+    fact.join(dim, Scd2.asOfCondition(fact, dim, "o_custkey", "c_custkey", "od"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .select(col("segment"), col("n_orders"), col("revenue"))
+      .orderBy(col("segment"))
+  }
+
+  private val scd2MergeOracle: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      |       '1994-01-01' AS valid_from, '1998-01-01' AS valid_to,
+      |       0 AS is_current
+      |FROM customer WHERE c_custkey % 3 = 0
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_nationkey, c_acctbal + 10.0, 'SCD2',
+      |       '1998-01-01', NULL, 1
+      |FROM customer WHERE c_custkey % 3 = 0
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      |       '1994-01-01', NULL, 1
+      |FROM customer WHERE c_custkey % 3 <> 0
+      |UNION ALL
+      |SELECT c_custkey + 2000000, 'NEW ' || c_name, c_nationkey,
+      |       c_acctbal, c_mktsegment, '1998-01-01', NULL, 1
+      |FROM customer WHERE c_custkey % 500 = 0
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
+  private val scd2AsOfOracle: String =
+    """WITH dim AS (
+      |  SELECT c_custkey, c_mktsegment, '1994-01-01' AS valid_from,
+      |         '1998-01-01' AS valid_to
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, 'SCD2', '1998-01-01', NULL
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment, '1994-01-01', NULL
+      |  FROM customer WHERE c_custkey % 3 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 2000000, c_mktsegment, '1998-01-01', NULL
+      |  FROM customer WHERE c_custkey % 500 = 0)
+      |SELECT d.c_mktsegment AS segment, COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS revenue
+      |FROM orders o
+      |JOIN dim d ON o.o_custkey = d.c_custkey
+      |  AND strftime(o.o_orderdate, '%Y-%m-%d') >= d.valid_from
+      |  AND strftime(o.o_orderdate, '%Y-%m-%d')
+      |        < coalesce(d.valid_to, '9999-12-31')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q269_scd2_merge", (s, d) => scd2Merge(s, d), Some(scd2MergeOracle)),
+    Q("q270_scd2_asof", (s, d) => scd2AsOf(s, d), Some(scd2AsOfOracle)),
     Q("q154_scd2_history", (s, d) =>
       Scd.type2(graft.Tables.events(s, d), "user_id", "event_type",
           "ts", "event_id")

@@ -716,7 +716,85 @@ object Audits {
       |       CAST(sy // n AS BIGINT) AS mean_per_day
       |FROM a""".stripMargin
 
+  /** Robust volume-anomaly detection (q271): per-(event_type, day)
+    * counts flagged against their OWN type's median/MAD — the
+    * median-absolute-deviation rule is the standard monitoring detector
+    * because one outage day corrupts a mean/stddev control band but not
+    * the median's. Threshold: robust z = 0.6745·dev/mad > 3 ⇔
+    * dev > 4.447·mad, applied as the EXACT integer comparison
+    * `1000·dev ≥ 4448·mad` (both engines agree with no float division);
+    * mad = 0 (an utterly regular series) degrades to flagging any
+    * deviation. Medians are LOWER order statistics (rank ⌈n/2⌉ of the
+    * sorted multiset) — rank selection by value is tie-order-independent,
+    * so no engine-dependent interpolation anywhere.
+    *
+    * Scale shape: the only corpus-size pass is the map-side-combinable
+    * (type, day) count; both median walks and the MAD join run on the
+    * calendar-bounded counts frame (|types|·|days| rows — the q232/q235
+    * argument), with the per-type medians broadcast back. */
+  def madAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy(col("event_type"))
+    val counts = Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .ckpt // feeds the median walk AND the probe side — one events scan
+    val med = counts
+      .withColumn("rn", row_number().over(byType.orderBy(col("n"))))
+      .withColumn("tot", count(lit(1)).over(byType))
+      .filter(col("rn") === expr("(tot + 1) div 2"))
+      .select(col("event_type"), col("n").as("med"))
+    val dev = counts.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("n") - col("med")))
+    val mad = dev
+      .withColumn("rn", row_number().over(byType.orderBy(col("dev"))))
+      .withColumn("tot", count(lit(1)).over(byType))
+      .filter(col("rn") === expr("(tot + 1) div 2"))
+      .select(col("event_type"), col("dev").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n"), col("med"),
+        col("dev"), col("mad"),
+        when(col("mad") === 0, lit(null).cast("long"))
+          .otherwise(expr("dev * 10000 div mad")).as("robust_z_bp"),
+        when(col("mad") === 0, (col("dev") > 0).cast("int"))
+          .otherwise((col("dev") * 1000 >= col("mad") * 4448).cast("int"))
+          .as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val madOracle: String =
+    """WITH c AS (
+      |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, n AS med FROM (
+      |    SELECT event_type, n,
+      |           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n) AS rn,
+      |           COUNT(*) OVER (PARTITION BY event_type) AS tot
+      |    FROM c) WHERE rn = (tot + 1) // 2),
+      |dv AS (
+      |  SELECT c.event_type, c.day, c.n, m.med, abs(c.n - m.med) AS dev
+      |  FROM c JOIN m USING (event_type)),
+      |md AS (
+      |  SELECT event_type, dev AS mad FROM (
+      |    SELECT event_type, dev,
+      |           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+      |           COUNT(*) OVER (PARTITION BY event_type) AS tot
+      |    FROM dv) WHERE rn = (tot + 1) // 2)
+      |SELECT dv.event_type, dv.day, dv.n, dv.med, dv.dev, md.mad,
+      |       CAST(CASE WHEN md.mad = 0 THEN NULL
+      |                 ELSE dv.dev * 10000 // md.mad END AS BIGINT)
+      |         AS robust_z_bp,
+      |       CAST(CASE WHEN md.mad = 0 THEN dv.dev > 0
+      |                 ELSE 1000 * dv.dev >= 4448 * md.mad END AS INT)
+      |         AS is_anomaly
+      |FROM dv JOIN md USING (event_type)
+      |ORDER BY event_type, day""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q271_mad_anomaly", (s, d) => madAnomaly(s, d), Some(madOracle)),
     Q("q227_salted_topk", (s, d) => saltedTopParts(s, d),
       Some(saltedTopOracle())),
     Q("q228_daily_trend", (s, d) => dailyTrend(s, d),

@@ -16,15 +16,29 @@ import org.apache.spark.sql.types._
 object TextFunctions {
 
   /** lower + collapse runs of whitespace + trim — canonical form for
-    * fingerprinting and shingling. */
-  def normalize(c: Column): Column =
+    * fingerprinting and shingling. Fused single-byte-scan native form
+    * ([[graft.functions.GraftStrings]]); the regex original is kept as
+    * [[normalizeRegex]] (parity property-pinned, A/B'd in TokAb). */
+  def normalize(c: Column): Column = graft.functions.GraftStrings.normalizeCol(c)
+
+  /** whitespace tokens of the normalized text; empty text → empty array.
+    * One fused native pass over the RAW text — no intermediate
+    * normalized string, no regex engine. */
+  def tokens(c: Column): Column = graft.functions.GraftStrings.tokensCol(c)
+
+  /** tokens over an ALREADY-NORMALIZED text column. A normalized string
+    * is a fixpoint of normalization, so the fused raw-text tokenizer is
+    * also the fast path here (it re-lowercases — a no-op byte pass —
+    * and splits on the already-single spaces). */
+  def tokensOf(normText: Column): Column =
+    graft.functions.GraftStrings.tokensCol(normText)
+
+  /** The pre-fusion regex form of [[normalize]] (two regex passes). */
+  def normalizeRegex(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
-  /** whitespace tokens of the normalized text; empty text → empty array. */
-  def tokens(c: Column): Column = tokensOf(normalize(c))
-
-  /** tokens over an ALREADY-NORMALIZED text column. */
-  def tokensOf(normText: Column): Column =
+  /** The pre-fusion regex form of [[tokensOf]]. */
+  def tokensOfRegex(normText: Column): Column =
     when(length(normText) === 0, array().cast(ArrayType(StringType)))
       .otherwise(split(normText, " "))
 
@@ -36,7 +50,11 @@ object TextFunctions {
     * builders apply before merges. Same regex semantics in Java and RE2,
     * so it is oracle-checkable. */
   def subwordTokens(c: Column): Column =
-    regexp_extract_all(normalize(c), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))
+    graft.functions.GraftStrings.subwordTokensCol(c)
+
+  /** The pre-fusion regex form of [[subwordTokens]]. */
+  def subwordTokensRegex(c: Column): Column =
+    regexp_extract_all(normalizeRegex(c), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))
 
   /** Deterministic document fingerprint: md5 of the normalized text (the
     * rolling-hash analog; md5 keeps it oracle-checkable cross-engine). */

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.Scd2
+
+/** Driver-replay pins for the SCD2 batch merge: three sequential loads
+  * over a hand-built dimension exercise every merge class — change,
+  * no-op, absent key, fresh key, change-back (reopen), and NULL-valued
+  * attribute transitions (null-safe comparison: NULL→NULL must NOT
+  * version, NULL→value must). */
+class Scd2Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def dim0 = Scd2.initial(
+    Seq((1L, "a", Some(10)), (2L, "b", Some(20)), (3L, null.asInstanceOf[String], None))
+      .toDF("k", "attr", "x"), "2020-01-01")
+
+  test("three sequential merges: change, reopen, no-op, absent, fresh, nulls") {
+    // load 1: k=1 changes attr, k=2 arrives byte-identical (no-op),
+    //         k=3 absent, k=4 fresh
+    val b1 = Seq((1L, "a2", Some(10)), (2L, "b", Some(20)), (4L, "d", Some(40)))
+      .toDF("k", "attr", "x")
+    val d1 = Scd2.merge(dim0, b1, "k", Seq("attr", "x"), "2021-01-01")
+    // load 2: k=1 changes BACK (reopen), k=3's nulls go non-null
+    val b2 = Seq((1L, "a", Some(10)), (3L, "c", Some(30)))
+      .toDF("k", "attr", "x")
+    val d2 = Scd2.merge(d1, b2, "k", Seq("attr", "x"), "2022-01-01")
+    // load 3: pure no-ops for every current row — nothing may version
+    val b3 = Seq((1L, "a", Some(10)), (2L, "b", Some(20)),
+      (3L, "c", Some(30)), (4L, "d", Some(40))).toDF("k", "attr", "x")
+    val d3 = Scd2.merge(d2, b3, "k", Seq("attr", "x"), "2023-01-01")
+
+    val rows = d3.orderBy("k", "valid_from")
+      .select("k", "attr", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)).orNull, r.getBoolean(4)))
+    assert(rows.toSeq === Seq(
+      (1L, "a", "2020-01-01", "2021-01-01", false),
+      (1L, "a2", "2021-01-01", "2022-01-01", false),
+      (1L, "a", "2022-01-01", null, true), // reopened: 3 versions
+      (2L, "b", "2020-01-01", null, true), // no-op twice: 1 version
+      (3L, null, "2020-01-01", "2022-01-01", false), // null→value versioned
+      (3L, "c", "2022-01-01", null, true),
+      (4L, "d", "2021-01-01", null, true))) // fresh key
+    // exactly one current version per key, intervals chain gaplessly
+    val perKey = d3.groupBy("k")
+      .agg(sum(col("is_current").cast("int")).as("cur")).collect()
+    assert(perKey.forall(_.getLong(1) === 1L))
+  }
+
+  test("value→NULL versions too (null-safe both directions)") {
+    val d1 = Scd2.merge(dim0,
+      Seq((2L, null.asInstanceOf[String], Some(20))).toDF("k", "attr", "x"),
+      "k", Seq("attr", "x"), "2021-06-01")
+    val k2 = d1.filter(col("k") === 2).orderBy("valid_from")
+      .select("attr", "is_current").collect()
+    assert(k2.map(r => (Option(r.getString(0)).orNull, r.getBoolean(1))).toSeq ===
+      Seq(("b", false), (null, true)))
+  }
+
+  test("asOfCondition picks the version valid at the fact date") {
+    val d1 = Scd2.merge(dim0,
+      Seq((1L, "a2", Some(10))).toDF("k", "attr", "x"),
+      "k", Seq("attr", "x"), "2021-01-01")
+    val fact = Seq((1L, "2020-06-15"), (1L, "2021-01-01"), (1L, "2025-01-01"))
+      .toDF("fk", "od")
+    val got = fact.join(d1, Scd2.asOfCondition(fact, d1, "fk", "k", "od"))
+      .orderBy("od").select("od", "attr").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // half-open: the batch-date fact already sees the NEW version
+    assert(got.toSeq === Seq(
+      ("2020-06-15", "a"), ("2021-01-01", "a2"), ("2025-01-01", "a2")))
+  }
+}
