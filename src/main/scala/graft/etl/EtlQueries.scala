@@ -358,6 +358,45 @@ object EtlQueries {
       .orderBy(col("segment"))
   }
 
+  /** Single-pass load QC counters via Spark's `Observation` API (q272):
+    * row counts, null-key counts, domain violations and exact money
+    * totals ride the SAME physical pass as the load action — at 100 TB a
+    * separate QC aggregate would be a second full scan of the lake, so
+    * production loads attach `CollectMetrics` to the frame they are
+    * already writing (accumulator-backed: zero extra shuffle, zero extra
+    * scan). The observed values are then surfaced as a 1-row frame whose
+    * oracle recomputes the same aggregates in SQL — gating that the
+    * in-flight counters equal a ground-truth second pass. */
+  def loadQc(s: SparkSession, dir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = Tables.customer(s, dir).observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(col("c_custkey").isNull.cast("long")).as("null_keys"),
+      sum((col("c_acctbal") < 0).cast("long")).as("neg_acctbal"),
+      sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+        .as("acctbal_total"),
+      max(col("c_custkey")).as("max_key"))
+    observed.count() // the "load" action the metrics ride on
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long], m("null_keys").asInstanceOf[Long],
+      m("neg_acctbal").asInstanceOf[Long],
+      m("acctbal_total").asInstanceOf[Double],
+      m("max_key").asInstanceOf[Long]))
+      .toDF("n_rows", "null_keys", "neg_acctbal", "acctbal_total", "max_key")
+  }
+
+  private val loadQcOracle: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS null_keys,
+      |       CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS neg_acctbal,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS acctbal_total,
+      |       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+      |FROM customer""".stripMargin
+
   private val scd2MergeOracle: String =
     """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
       |       '1994-01-01' AS valid_from, '1998-01-01' AS valid_to,
@@ -403,6 +442,7 @@ object EtlQueries {
 
   val qs: Seq[Q] = Seq(
     Q("q269_scd2_merge", (s, d) => scd2Merge(s, d), Some(scd2MergeOracle)),
+    Q("q272_load_qc", (s, d) => loadQc(s, d), Some(loadQcOracle)),
     Q("q270_scd2_asof", (s, d) => scd2AsOf(s, d), Some(scd2AsOfOracle)),
     Q("q154_scd2_history", (s, d) =>
       Scd.type2(graft.Tables.events(s, d), "user_id", "event_type",

@@ -117,6 +117,39 @@ object GraftStrings {
     new GenericArrayData(out.toArray)
   }
 
+  /** Count of tokens equal to ANY of the comma-separated `members` —
+    * the fused form of Σ_members (size(toks) − size(array_remove(toks,
+    * m))), which ran 2·|members| array passes and allocated a fresh
+    * array per `array_remove` on every row. One pass, zero allocation
+    * (the member list is a handful of short literals; parsing it per
+    * row is noise next to scanning the token array). */
+  def countTokensIn(toks: ArrayData, members: UTF8String): Long = {
+    val ms = members.split(UTF8String.fromString(","), -1)
+    val n = toks.numElements()
+    var count = 0L
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      var j = 0
+      while (j < ms.length) {
+        if (t != null && t.equals(ms(j))) { count += 1; j = ms.length }
+        else j += 1
+      }
+      i += 1
+    }
+    count
+  }
+
+  /** Column form of [[countTokensIn]] over a token-array column. */
+  def countTokensInCol(toks: Column, members: Seq[String]): Column =
+    GraftBridge.column(StaticInvoke(
+      classOf[GraftStrings.type], LongType, "countTokensIn",
+      Seq(GraftBridge.expression(toks),
+        GraftBridge.expression(org.apache.spark.sql.functions.lit(
+          members.mkString(",")))),
+      Seq(GraftBridge.stringArray, GraftBridge.string),
+      propagateNull = true, returnNullable = false))
+
   private def invoke(method: String, dt: DataType, c: Column): Column =
     GraftBridge.column(StaticInvoke(
       classOf[GraftStrings.type], dt, method,

@@ -732,10 +732,17 @@ object Audits {
     * (type, day) count; both median walks and the MAD join run on the
     * calendar-bounded counts frame (|types|·|days| rows — the q232/q235
     * argument), with the per-type medians broadcast back. */
-  def madAnomaly(s: SparkSession, dir: String): DataFrame = {
+  def madAnomaly(s: SparkSession, dir: String): DataFrame =
+    madAnomalyOf(Tables.events(s, dir))
+
+  /** The detector over ANY (event_type, ts) frame — the synthetic gate
+    * fixture is too regular to fire the 3σ flag, so AuditsSpec drives
+    * the positive branch (and the mad=0 degenerate) through injected
+    * spikes here. */
+  private[graft] def madAnomalyOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byType = Window.partitionBy(col("event_type"))
-    val counts = Tables.events(s, dir)
+    val counts = events
       .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n"))

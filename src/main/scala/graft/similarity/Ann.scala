@@ -484,6 +484,13 @@ object Ann {
         .groupBy(col("cent_id"))
         .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__pm"))
         .select(col("cent_id"), expr("transform(__pm, p -> p.__m)").as("centroid"))
+        // no-op cardinality ANNOTATION: cent_id ranges over the ≤k seed
+        // ids, so this passes every row — but it writes the ≤k bound
+        // into the plan (`maxRows`), which is what lets PlanAudit prove
+        // every downstream broadcast(cents) nested-loop join pairs each
+        // corpus row with a FIXED number of rows rather than trusting a
+        // docstring. Costs one k-row gather per iteration — noise.
+        .limit(k)
     }
     cents
   }

@@ -10,10 +10,16 @@ object SimilarityQueries {
 
   /** Exact cosine top-10 for query vectors 0/1/2, DuckDB-oracle checked
     * (list_cosine_similarity over double lists folds in the same element
-    * order, and both sides rank by the 4dp-rounded score). */
+    * order, and both sides rank by the 4dp-rounded score).
+    *
+    * The `.limit(3)` after every `vec_id < 3` query-set filter in this
+    * file is a no-op cardinality annotation (ids are unique): it puts
+    * the query-set bound into the plan's `maxRows` so PlanAudit can
+    * PROVE each broadcast-side of the ANN nested-loop joins is a fixed
+    * handful of rows — the same discipline as kmeansTrain's limit(k). */
   def annTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    Ann.bruteForceTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10)
+    Ann.bruteForceTopK(e, e.filter(col("vec_id") < 3).limit(3), "vec_id", "embedding", k = 10)
       .orderBy(col("query_id"), col("rn"))
   }
 
@@ -23,7 +29,7 @@ object SimilarityQueries {
     * see Registry.benchExtras). */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    Ann.lshTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
+    Ann.lshTopK(e, e.filter(col("vec_id") < 3).limit(3), "vec_id", "embedding",
         k = 10, bits = 4)
       .orderBy(col("query_id"), col("rn"))
   }
@@ -42,7 +48,7 @@ object SimilarityQueries {
     val e = Tables.embeddings(s, dir)
     val sigs = srpSigs(e, bits).withColumnRenamed("srp_sig", "__sig")
     val sigd = e.join(sigs, Seq("vec_id"))
-    val q = sigd.filter(col("vec_id") < 3)
+    val q = sigd.filter(col("vec_id") < 3).limit(3)
       .select(col("vec_id").as("query_id"), col("embedding").as("__qv"),
         col("__sig"))
     val scored = sigd.join(broadcast(q), Seq("__sig"))
@@ -93,7 +99,7 @@ object SimilarityQueries {
     * centroids, rounded-cosine argmax assignment) restates fully in SQL. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    Ann.ivfTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
+    Ann.ivfTopK(e, e.filter(col("vec_id") < 3).limit(3), "vec_id", "embedding",
         k = 10, nlist = 16, nprobe = 4)
       .orderBy(col("query_id"), col("rn"))
   }
@@ -220,10 +226,10 @@ object SimilarityQueries {
     // quantized ranking = dequantized both sides (what the compressed
     // index actually serves, query included) — both through the ONE
     // ranking implementation so the contracts cannot drift
-    val exact = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 3),
+    val exact = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 3).limit(3),
         "vec_id", "embedding", k)
       .select(col("query_id"), col("vec_id"))
-    val quant = Ann.bruteForceTopK(deq, deq.filter(col("vec_id") < 3),
+    val quant = Ann.bruteForceTopK(deq, deq.filter(col("vec_id") < 3).limit(3),
         "vec_id", "dq", k)
       .select(col("query_id"), col("vec_id"))
     exact.join(quant.withColumnRenamed("vec_id", "qvid"),
@@ -252,14 +258,14 @@ object SimilarityQueries {
   def matryoshkaRecall(s: SparkSession, dir: String, k: Int = 10,
       dims: Seq[Int] = Seq(16, 32)): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val exact = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 3),
+    val exact = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 3).limit(3),
         "vec_id", "embedding", k)
       .select(col("query_id"), col("vec_id"))
       .ckpt // consumers: one recall join per prefix width
     dims.map { d =>
       val t = e.select(col("vec_id"),
         expr(s"slice(embedding, 1, $d)").as("emb"))
-      val topd = Ann.bruteForceTopK(t, t.filter(col("vec_id") < 3),
+      val topd = Ann.bruteForceTopK(t, t.filter(col("vec_id") < 3).limit(3),
           "vec_id", "emb", k)
         .select(col("query_id"), col("vec_id").as("qvid"))
       exact.join(topd,
@@ -322,7 +328,7 @@ object SimilarityQueries {
   def filteredAnn(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, dir)
-    val q = e.filter(col("vec_id") < 3)
+    val q = e.filter(col("vec_id") < 3).limit(3)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("label").as("qlab"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -711,7 +717,7 @@ object SimilarityQueries {
   def semanticDecontamination(s: SparkSession, dir: String,
       minCos: Double = 0.35): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val bench = e.filter(col("vec_id") < 20)
+    val bench = e.filter(col("vec_id") < 20).limit(20)
       .select(col("vec_id").as("__bid"), col("embedding").as("__bv"))
     val corpus = e.filter(col("vec_id") >= 20)
       .withColumn("__n", Ann.norm(col("embedding")))
@@ -744,7 +750,7 @@ object SimilarityQueries {
   def hardNegatives(s: SparkSession, dir: String, minCos: Double = 0.25,
       k: Int = 10, anchorBound: Int = 8): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val anchors = e.filter(col("vec_id") < anchorBound)
+    val anchors = e.filter(col("vec_id") < anchorBound).limit(anchorBound)
       .select(col("vec_id").as("query_id"), col("embedding").as("__qv"),
         col("label").as("__ql"))
     val scored = e
@@ -873,7 +879,7 @@ object SimilarityQueries {
   def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val cents = Ann.kmeansTrain(e, "vec_id", "embedding", k = 8, iters = 2)
-    Ann.ivfTopKWith(cents, e, e.filter(col("vec_id") < 3),
+    Ann.ivfTopKWith(cents, e, e.filter(col("vec_id") < 3).limit(3),
       "vec_id", "embedding", k = 10, nprobe = 3)
   }
 
@@ -923,7 +929,7 @@ object SimilarityQueries {
   def pqSearch(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val dim = e.select(size(col("embedding"))).head().getInt(0)
-    Ann.pqTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
+    Ann.pqTopK(e, e.filter(col("vec_id") < 3).limit(3), "vec_id", "embedding",
       dim, m = 2, k = 4, iters = 2, topk = 10)
   }
 
@@ -1024,7 +1030,7 @@ object SimilarityQueries {
   def ivfPqSearch(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val dim = e.select(size(col("embedding"))).head().getInt(0)
-    Ann.ivfPqTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
+    Ann.ivfPqTopK(e, e.filter(col("vec_id") < 3).limit(3), "vec_id", "embedding",
       dim, m = 2, k = 4, iters = 2, nlist = 8, nprobe = 3, topk = 10)
   }
 
@@ -1115,7 +1121,7 @@ object SimilarityQueries {
   def mmrRerank(s: SparkSession, dir: String, k: Int = 10, pool: Int = 30,
       lam: Double = 0.7): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val cands = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 3),
+    val cands = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 3).limit(3),
       "vec_id", "embedding", k = pool)
     val cv = cands.join(e, Seq("vec_id"))
       .select(col("query_id"), col("vec_id"), col("cos").as("rel"),
@@ -1244,7 +1250,11 @@ object SimilarityQueries {
     val queries = e
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nQ)
       .ckpt // consumers: topk probe + label join
-    val topk = Ann.bruteForceTopK(e, queries.select("vec_id", "embedding"),
+    // re-annotate the nQ bound: .ckpt severed the logical lineage (a
+    // checkpointed frame has unknown maxRows) and the probe set feeds
+    // bruteForceTopK's broadcast side
+    val topk = Ann.bruteForceTopK(e,
+      queries.select("vec_id", "embedding").limit(nQ),
       "vec_id", "embedding", k)
     val ql = queries.select(col("vec_id").as("query_id"),
       col("label").as("qlabel"))

@@ -71,12 +71,19 @@ object TextFunctions {
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
-  /** Occurrence count of `members` tokens in the token array. Expressed as
-    * Σ (size - size(array_remove)) rather than `size(filter(...))`: the
-    * higher-order filter is CodegenFallback (interpreted boxed lambda per
-    * token) while array_remove/size stay inside whole-stage codegen — a
-    * several-fold win on 100 TB text scans for small member sets. */
+  /** Occurrence count of `members` tokens in the token array — ONE fused
+    * native pass ([[graft.functions.GraftStrings.countTokensIn]], kept
+    * inside whole-stage codegen via StaticInvoke). History of this hot
+    * path: `size(filter(...))` is CodegenFallback (boxed lambda per
+    * token); Σ (size − size(array_remove)) stayed codegen'd but ran
+    * 2·|members| array passes and allocated a fresh array per
+    * array_remove per row. Cast to int: the pre-fusion form summed
+    * ints, and downstream oracles pin that schema. */
   private def occurrences(toks: Column, members: Seq[String]): Column =
+    graft.functions.GraftStrings.countTokensInCol(toks, members).cast("int")
+
+  /** The pre-fusion composable form of [[occurrences]] (parity twin). */
+  private[graft] def occurrencesComposable(toks: Column, members: Seq[String]): Column =
     members.map(m => size(toks) - size(array_remove(toks, m))).reduce(_ + _)
 
   /** Integer stopword occurrence count over a token array (the numerator

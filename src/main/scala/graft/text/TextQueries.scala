@@ -1070,8 +1070,12 @@ object TextQueries {
     val mins = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val a = mins.select(
       col("doc_id").as("id1") +: (0 to 7).map(j => col(s"m$j").as(s"a$j")): _*)
+    // .limit re-annotates the audit-sample bound (≤200 docs → ≤200
+    // signature rows) that the groupBy erased from maxRows; b feeds the
+    // broadcast side of the all-pairs cross join below
     val b = mins.select(
       col("doc_id").as("id2") +: (0 to 7).map(j => col(s"m$j").as(s"b$j")): _*)
+      .limit(200)
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val inter = sh.select(col("doc_id").as("id1"), col("g"))
       .join(sh.select(col("doc_id").as("id2"), col("g")), Seq("g"))

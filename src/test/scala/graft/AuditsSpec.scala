@@ -262,4 +262,32 @@ class AuditsSpec extends AnyFunSuite {
         s"$seg: pseudonym join lost or duplicated orders")
     }
   }
+
+  test("q271 MAD detector: injected spike fires, mad=0 degenerates to any-deviation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // type A: 9 regular days cycling 10/11/12 events (med 11, mad 1) +
+    // one 60-event spike day; type B: perfectly constant (mad = 0)
+    // except one off-by-two day
+    val rows =
+      (for (d <- 1 to 9; i <- 0 until (10 + (d - 1) % 3))
+        yield ("A", f"2024-02-$d%02d")) ++
+      (for (i <- 0 until 60) yield ("A", "2024-02-10")) ++
+      (for (d <- 1 to 9; i <- 0 until 5) yield ("B", f"2024-02-$d%02d")) ++
+      (for (i <- 0 until 7) yield ("B", "2024-02-10"))
+    val events = rows.toDF("event_type", "day")
+      .select(col("event_type"), to_timestamp(col("day")).as("ts"))
+    val got = graft.reports.Audits.madAnomalyOf(events)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(4), r.getLong(5), r.getInt(7)))).toMap
+    // A: counts {10,10,10,11,11,11,12,12,12,60} -> med 11; devs sorted
+    // {0,0,0,1,1,1,1,1,1,49} -> mad 1; spike dev 49 passes 1000*49>=4448
+    val aSpike = got(("A", "2024-02-10"))
+    assert(aSpike._3 === 1, s"spike must flag: $aSpike")
+    assert(got(("A", "2024-02-01"))._3 === 0)
+    // B: mad = 0 (median dev 0), so ANY deviation flags
+    val bOff = got(("B", "2024-02-10"))
+    assert(bOff._2 === 0L && bOff._3 === 1, s"mad=0 any-dev must flag: $bOff")
+    assert(got(("B", "2024-02-01"))._3 === 0)
+  }
 }

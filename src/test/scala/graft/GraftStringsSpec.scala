@@ -71,6 +71,28 @@ class GraftStringsSpec extends AnyFunSuite {
     assert(mismatch.count() === 0)
   }
 
+  test("fused membership count matches the composable array_remove form") {
+    val members = TextFunctions.Stopwords
+    val df = spark.createDataFrame(
+      (adversarial ++ Seq("the the THE a of zzz", "in in in in"))
+        .map(Tuple1(_))).toDF("text")
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+    val mismatch = df.filter(
+      not(TextFunctions.occurrencesComposable(col("toks"), members)
+        .cast("int") <=>
+        graft.functions.GraftStrings.countTokensInCol(col("toks"), members)
+          .cast("int")))
+    assert(mismatch.count() === 0)
+    // null-element arrays (not producible by the tokenizer, but the
+    // composable form tolerated them — so must the fused one)
+    val withNull = spark.sql(
+      "SELECT array('the', CAST(NULL AS STRING), 'a', 'x') AS toks")
+    val c = withNull.select(
+      graft.functions.GraftStrings.countTokensInCol(col("toks"),
+        members).as("n")).head().getLong(0)
+    assert(c === 2L)
+  }
+
   test("null propagates, empty and whitespace-only give empty arrays") {
     val df = spark.createDataFrame(
       Seq(Tuple1(null.asInstanceOf[String]), Tuple1(""), Tuple1("  \t ")))

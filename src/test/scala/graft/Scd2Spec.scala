@@ -62,6 +62,35 @@ class Scd2Spec extends AnyFunSuite {
       Seq(("b", false), (null, true)))
   }
 
+  test("streaming dimension feed equals sequential batch merges") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scd2-stream").toString
+    val b1 = Seq((1L, "a2", Some(10), "2021-01-01"),
+      (2L, "b", Some(20), "2021-01-01"), (4L, "d", Some(40), "2021-01-01"))
+    val b2 = Seq((1L, "a", Some(10), "2022-01-01"),
+      (3L, "c", Some(30), "2022-01-01"))
+    b1.toDF("k", "attr", "x", "load_date")
+      .write.mode("overwrite").parquet(s"$tmp/b1")
+    val schema = spark.read.parquet(s"$tmp/b1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/b*")
+    val (q, snap) = graft.streaming.DimStreams.scd2Sink(
+      stream, dim0, "k", Seq("attr", "x"), "load_date")
+    q.processAllAvailable()
+    b2.toDF("k", "attr", "x", "load_date")
+      .write.mode("overwrite").parquet(s"$tmp/b2")
+    q.processAllAvailable()
+    q.stop()
+    val batchTwin = Scd2.merge(
+      Scd2.merge(dim0, b1.map(t => (t._1, t._2, t._3)).toDF("k", "attr", "x"),
+        "k", Seq("attr", "x"), "2021-01-01"),
+      b2.map(t => (t._1, t._2, t._3)).toDF("k", "attr", "x"),
+      "k", Seq("attr", "x"), "2022-01-01")
+    val cols = Seq("k", "attr", "x", "valid_from", "valid_to", "is_current")
+    assert(snap().select(cols.map(col): _*)
+      .orderBy(cols.map(col): _*).collect().toSeq ===
+      batchTwin.select(cols.map(col): _*)
+        .orderBy(cols.map(col): _*).collect().toSeq)
+  }
+
   test("asOfCondition picks the version valid at the fact date") {
     val d1 = Scd2.merge(dim0,
       Seq((1L, "a2", Some(10))).toDF("k", "attr", "x"),
