@@ -150,6 +150,97 @@ object GraftStrings {
       Seq(GraftBridge.stringArray, GraftBridge.string),
       propagateNull = true, returnNullable = false))
 
+  /** Mojibake (double-encoded UTF-8) scan shared by detect and repair.
+    *
+    * Corruption model: valid UTF-8 bytes mis-read as Latin-1 and
+    * re-encoded as UTF-8 — the classic cross-system ingest bug ("é" →
+    * "Ã©", "…" → "â¦"). Under that model an original n-byte char
+    * (n = 2..4) becomes its n single Latin-1 chars: a LEAD char
+    * U+00C2–U+00F4 followed by n−1 CONTINUATION chars U+0080–U+00BF.
+    * In the corrupted byte stream the lead is `C3 8x/Ax/Bx` and each
+    * continuation is `C2 xx` — and because UTF-8 byte values equal the
+    * Latin-1 codepoints they encode, the repair is just emitting the
+    * codepoints back as bytes. Repair applies only where the recovered
+    * sequence is WELL-FORMED UTF-8 (overlong/surrogate/above-U+10FFFF
+    * candidates are left untouched), so `fix(corrupt(s)) == s` for
+    * every valid string `s` — property-pinned in GraftStringsSpec.
+    * Like any mojibake heuristic it would also rewrite a LEGITIMATE
+    * "Ã©"-style sequence: by construction those are exactly the
+    * sequences the corruption produces, so they are indistinguishable.
+    *
+    * @return repaired bytes written to `out` and the repair count; when
+    *   `out` is null only counts. */
+  private def mojibakeScan(b: Array[Byte], out: Array[Byte]): (Int, Long) = {
+    val n = b.length
+    var i = 0
+    var o = 0
+    var repairs = 0L
+    // Latin-1 continuation char (U+0080–U+00BF) at byte offset j —
+    // encoded C2 80..C2 BF; returns its codepoint or -1
+    def cont(j: Int): Int =
+      if (j + 1 < n && b(j) == 0xC2.toByte && (b(j + 1) & 0xC0) == 0x80)
+        b(j + 1) & 0xFF
+      else -1
+    while (i < n) {
+      var skip = 0
+      if (i + 1 < n && b(i) == 0xC3.toByte && (b(i + 1) & 0xC0) == 0x80) {
+        val lead = 0xC0 | (b(i + 1) & 0x3F) // the Latin-1 lead codepoint
+        if (lead >= 0xC2 && lead <= 0xDF) { // 2-byte original (C0/C1 = overlong, never produced)
+          val x1 = cont(i + 2)
+          if (x1 >= 0) {
+            if (out != null) { out(o) = lead.toByte; out(o + 1) = x1.toByte }
+            o += 2; skip = 4
+          }
+        } else if (lead <= 0xEF) { // 3-byte original (E0..EF)
+          val x1 = cont(i + 2)
+          val x2 = if (x1 >= 0) cont(i + 4) else -1
+          if (x2 >= 0 &&
+              (lead != 0xE0 || x1 >= 0xA0) && // overlong
+              (lead != 0xED || x1 <= 0x9F)) { // surrogates
+            if (out != null) {
+              out(o) = lead.toByte; out(o + 1) = x1.toByte; out(o + 2) = x2.toByte
+            }
+            o += 3; skip = 6
+          }
+        } else if (lead <= 0xF4) { // 4-byte original (F0..F4)
+          val x1 = cont(i + 2)
+          val x2 = if (x1 >= 0) cont(i + 4) else -1
+          val x3 = if (x2 >= 0) cont(i + 6) else -1
+          if (x3 >= 0 &&
+              (lead != 0xF0 || x1 >= 0x90) && // overlong
+              (lead != 0xF4 || x1 <= 0x8F)) { // > U+10FFFF
+            if (out != null) {
+              out(o) = lead.toByte; out(o + 1) = x1.toByte
+              out(o + 2) = x2.toByte; out(o + 3) = x3.toByte
+            }
+            o += 4; skip = 8
+          }
+        }
+      }
+      if (skip > 0) { repairs += 1; i += skip }
+      else { if (out != null) out(o) = b(i); o += 1; i += 1 }
+    }
+    (o, repairs)
+  }
+
+  /** Number of repairable double-encoded sequences in `s`. */
+  def mojibakeCount(s: UTF8String): Long = mojibakeScan(s.getBytes, null)._2
+
+  /** `s` with every repairable double-encoded sequence collapsed back
+    * to the original char; non-matching bytes copied verbatim. */
+  def fixMojibake(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    val out = new Array[Byte](b.length)
+    val (o, _) = mojibakeScan(b, out)
+    UTF8String.fromBytes(out, 0, o)
+  }
+
+  /** Codegen'd mojibake-sequence count of a string column. */
+  def mojibakeCountCol(c: Column): Column = invoke("mojibakeCount", LongType, c)
+
+  /** Codegen'd mojibake repair of a string column. */
+  def fixMojibakeCol(c: Column): Column = invoke("fixMojibake", StringType, c)
+
   private def invoke(method: String, dt: DataType, c: Column): Column =
     GraftBridge.column(StaticInvoke(
       classOf[GraftStrings.type], dt, method,

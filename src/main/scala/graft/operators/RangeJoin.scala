@@ -69,4 +69,53 @@ object RangeJoin {
 
     bucketed.union(fallback)
   }
+
+  /** INTERVAL × INTERVAL overlap join (inclusive bounds): pairs where
+    * `[aStart,aEnd]` and `[bStart,bEnd]` intersect. The naive form is a
+    * pure-inequality join (nested loop); here both sides explode to the
+    * fixed-width buckets they cover and the join becomes a hash
+    * EQUI-join on the bucket id. Overlapping intervals co-occur in
+    * EVERY bucket of their intersection, so each pair is attributed to
+    * exactly one — the intersection's FIRST bucket,
+    * `greatest(aStartBucket, bStartBucket)` — which dedups structurally
+    * (no wide `distinct` over the pair output).
+    *
+    * Cost: |a|·(spanA/bucket+1) + |b|·(spanB/bucket+1) exploded rows,
+    * one shuffle each side; pick `bucketMs` near the typical interval
+    * length. Malformed intervals (reversed or null bounds) match
+    * nothing, by contract. Intervals spanning more than
+    * `maxBucketsPerRow` buckets take a nested-loop fallback branch
+    * (wide-a × all-b, narrow-a × wide-b — wide×wide pairs ride the
+    * first) instead of materializing millions of bucket copies; the
+    * branches union and are empty in the common case.
+    *
+    * CONTRACT (as `pointInInterval`): column names must be disjoint
+    * across `a` and `b` (rename first), and both inputs are referenced
+    * in multiple union branches — pass deterministic frames. */
+  def intervalOverlap(
+      a: DataFrame, aStart: Column, aEnd: Column,
+      b: DataFrame, bStart: Column, bEnd: Column,
+      bucketMs: Long, maxBucketsPerRow: Long = 10000L): DataFrame = {
+    val aS = floor(unix_millis(aStart) / bucketMs).cast("long")
+    val aE = floor(unix_millis(aEnd) / bucketMs).cast("long")
+    val bS = floor(unix_millis(bStart) / bucketMs).cast("long")
+    val bE = floor(unix_millis(bEnd) / bucketMs).cast("long")
+    val aOk = aStart <= aEnd
+    val bOk = bStart <= bEnd
+    val overlap = aOk && bOk && aStart <= bEnd && bStart <= aEnd
+
+    val aNarrow = a.filter(aOk && aE - aS <= maxBucketsPerRow)
+    val bNarrow = b.filter(bOk && bE - bS <= maxBucketsPerRow)
+    val bucketed = aNarrow.withColumn("__bucket", explode(sequence(aS, aE)))
+      .join(bNarrow.withColumn("__bucket", explode(sequence(bS, bE))),
+        Seq("__bucket"))
+      .filter(overlap && greatest(aS, bS) === col("__bucket"))
+      .drop("__bucket")
+
+    val aWide = a.filter(aOk && aE - aS > maxBucketsPerRow)
+    val bWide = b.filter(bOk && bE - bS > maxBucketsPerRow)
+    bucketed
+      .union(aWide.join(b, overlap))
+      .union(aNarrow.join(bWide, overlap))
+  }
 }

@@ -190,6 +190,32 @@ object EventQueries {
       .orderBy(col("err_id"))
   }
 
+  /** Interval×interval overlap join (q273): 10-minute error windows
+    * against 15-minute signup windows, overlapping-signup count (+ the
+    * earliest overlapping signup id) per error — executed through
+    * `RangeJoin.intervalOverlap`'s bucketed equi-join with first-
+    * intersection-bucket pair attribution, NOT an inequality nested
+    * loop. Scale shape: both window sides explode ~2 bucket rows per
+    * interval, one hash shuffle each, every overlapping pair emitted
+    * exactly once structurally (no pair-level distinct); the nested-
+    * loop fallback branches are runtime-empty (no window spans >10k
+    * buckets) and AQE erases them. */
+  def errorSignupOverlap(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val errs = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("err_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("err_end"))
+    val sigs = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("sig_id"), col("ts").as("sig_start"),
+        (col("ts") + expr("INTERVAL 15 MINUTES")).as("sig_end"))
+    graft.operators.RangeJoin.intervalOverlap(
+        errs, col("err_start"), col("err_end"),
+        sigs, col("sig_start"), col("sig_end"), bucketMs = 600000L)
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_overlaps"), min(col("sig_id")).as("first_sig"))
+      .orderBy(col("err_id"))
+  }
+
   /** Incremental (snapshot + delta) rollup driven through
     * `etl.Incremental`: the event history is processed as `slices`
     * successive high-water-marked deltas, each aggregated alone and
@@ -618,6 +644,18 @@ object EventQueries {
         |  ON c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTES
         |GROUP BY e.event_id
         |ORDER BY err_id""".stripMargin)),
+    Q("q273_interval_overlap", (s, d) => errorSignupOverlap(s, d), Some(
+      """SELECT a.err_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+        |       MIN(b.sig_id) AS first_sig
+        |FROM (SELECT event_id AS err_id, ts AS es,
+        |             ts + INTERVAL 10 MINUTES AS ee
+        |      FROM events WHERE event_type = 'error') a
+        |JOIN (SELECT event_id AS sig_id, ts AS ss,
+        |             ts + INTERVAL 15 MINUTES AS se
+        |      FROM events WHERE event_type = 'signup') b
+        |  ON a.es <= b.se AND b.ss <= a.ee
+        |GROUP BY a.err_id
+        |ORDER BY a.err_id""".stripMargin)),
     Q("q93_asof_nearest", (s, d) => clicksNearestErrors(s, d), Some(
       """SELECT event_id, user_id, ts,
         |  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR ts - b_ts <= f_ts - ts)

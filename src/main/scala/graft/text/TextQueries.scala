@@ -325,6 +325,26 @@ object TextQueries {
   private val auditSampleSql =
     "SELECT * FROM documents ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 200"
 
+  /** Shared CTE chain for the near-dup component closure over the audit
+    * sample (q69's oracle body): exact-jaccard edges ≥ 0.3 →
+    * recursive-CTE reachability; `r(id, reach)` is the closure frame
+    * consumers aggregate (component = MIN(reach)). */
+  private lazy val nearDupComponentsCtes: String =
+    s"""WITH RECURSIVE d AS (SELECT doc_id, $norm AS nt FROM ($auditSampleSql) s0),
+       |t AS (SELECT DISTINCT doc_id AS id, tok
+       |      FROM (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM d) u),
+       |sz AS (SELECT id, COUNT(*) AS n FROM t GROUP BY id),
+       |inter AS (SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
+       |          FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+       |          GROUP BY a.id, b.id),
+       |e0 AS (SELECT id1, id2 FROM inter
+       |       JOIN sz s1 ON id1 = s1.id JOIN sz s2 ON id2 = s2.id
+       |       WHERE round(i / CAST(s1.n + s2.n - i AS DOUBLE), 4) >= 0.3),
+       |e AS (SELECT id1 AS src, id2 AS dst FROM e0
+       |      UNION SELECT id2, id1 FROM e0),
+       |r AS (SELECT doc_id AS id, doc_id AS reach FROM d
+       |      UNION SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src)""".stripMargin
+
   /** Exact n-gram (token) Jaccard pairs over the capped audit sample —
     * the verifier path; LSH (q36) is the scale path. */
   def jaccardSubset(s: SparkSession, dir: String): DataFrame =
@@ -362,6 +382,40 @@ object TextQueries {
       .select(col("id1").as("src"), col("id2").as("dst"))
     Dedup.connectedComponents(edges, subset.select(col("doc_id").as("id")))
       .select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Dup-cluster canonicalization (q275): the KEEP-BEST policy every
+    * production dedup actually ships — q69's near-dup components, then
+    * one survivor per cluster (longest doc, tie → lowest id) and a
+    * redirect map (every member → its canonical id). Downstream
+    * consumers filter `is_kept = 1` for the deduped corpus and join the
+    * redirect map to re-point references.
+    *
+    * Scale shape: the clustering is q69's (banded/capped candidates at
+    * corpus scale); on top of it this adds ONE component-keyed max_by
+    * aggregate (map-side partial argmax — clusters never materialize as
+    * lists) and one equi-join of the |clusters|-sized canonical frame
+    * back onto members. */
+  def dedupCanonical(s: SparkSession, dir: String,
+      minJaccard: Double = 0.3): DataFrame = {
+    val subset = auditSample(Tables.documents(s, dir))
+      .ckpt // feeds edges, the vertex set AND the length criterion
+    val edges = Dedup.jaccardPairs(subset, "doc_id", "text", minJaccard)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    val comps = Dedup
+      .connectedComponents(edges, subset.select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("component"))
+    val scored = comps.join(subset.select("doc_id", "n_chars"), Seq("doc_id"))
+    val canon = scored.groupBy(col("component"))
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("canonical_id"),
+        count(lit(1)).as("cluster_size"))
+    scored.join(canon, Seq("component"))
+      .select(col("doc_id"), col("component"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).cast("int").as("is_kept"),
+        col("cluster_size"))
       .orderBy(col("doc_id"))
   }
 
@@ -3342,7 +3396,56 @@ object TextQueries {
        |WHERE p.shared * 1.0 / least(f1.nfp, f2.nfp) >= $minOverlap
        |ORDER BY p.id1, p.id2""".stripMargin
 
+  /** Mojibake (double-encoded UTF-8) audit + repair (q274) — the ingest
+    * cleanup every multi-source text pipeline runs before anything else
+    * touches the corpus. The fixtures are ASCII, so the query stages the
+    * corruption itself with engine-portable `replace`: inject "é"
+    * ("the"→"thé"), then corrupt exactly as a Latin-1 mis-decode would
+    * ("é"→"Ã©"). The native scan ([[graft.functions.GraftStrings
+    * .fixMojibake]]) detects and repairs; the frame gates that EVERY
+    * repaired doc equals its clean twin (n_exact_repairs), with the
+    * DuckDB oracle deriving the expected counts from the same replace
+    * formulas — the q238 formula-oracle discipline, applied to text.
+    * Scale shape: pure map-side (one codegen'd byte scan per doc) into a
+    * global aggregate; no shuffle carries document text. */
+  def mojibakeAudit(s: SparkSession, dir: String): DataFrame = {
+    val G = graft.functions.GraftStrings
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("replace(text, 'the', 'thé')").as("clean"),
+        expr("replace(replace(text, 'the', 'thé'), 'é', 'Ã©')").as("corrupt"))
+      .select(
+        G.mojibakeCountCol(col("corrupt")).as("n_seqs"),
+        (G.fixMojibakeCol(col("corrupt")) === col("clean"))
+          .cast("long").as("exact"),
+        (length(col("corrupt")) - length(col("clean"))).as("len_delta"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_seqs") > 0).cast("long")).as("n_corrupted"),
+        sum(col("n_seqs")).as("n_seqs"),
+        sum(col("exact")).as("n_exact_repairs"),
+        sum(col("len_delta").cast("long")).as("len_delta"))
+  }
+
+  private val mojibakeOracle: String =
+    // injected-é count per doc = non-overlapping 'the' occurrences
+    // (deletion length delta / 3); each 'é'→'Ã©' then adds one char and
+    // one repairable sequence. The oracle asserts every repair is
+    // exact — the Spark side PROVES it by comparing repaired text to
+    // the clean twin.
+    """WITH per AS (
+      |  SELECT (length(text) - length(replace(text, 'the', ''))) // 3 AS n
+      |  FROM documents)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_corrupted,
+      |       CAST(SUM(n) AS BIGINT) AS n_seqs,
+      |       CAST(COUNT(*) AS BIGINT) AS n_exact_repairs,
+      |       CAST(SUM(n) AS BIGINT) AS len_delta
+      |FROM per""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q274_mojibake_audit", (s, d) => mojibakeAudit(s, d),
+      Some(mojibakeOracle)),
     Q("q174_winnow_candidates", (s, d) => winnowPairs(s, d),
       Some(winnowOracle())),
     Q("q178_weighted_sample", (s, d) => weightedSample(s, d),
@@ -3549,23 +3652,29 @@ object TextQueries {
         |GROUP BY lang
         |ORDER BY lang""".stripMargin)),
     Q("q69_neardup_clusters", (s, d) => nearDupClusters(s, d), Some(
-      s"""WITH RECURSIVE d AS (SELECT doc_id, $norm AS nt FROM ($auditSampleSql) s0),
-         |t AS (SELECT DISTINCT doc_id AS id, tok
-         |      FROM (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM d) u),
-         |sz AS (SELECT id, COUNT(*) AS n FROM t GROUP BY id),
-         |inter AS (SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
-         |          FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
-         |          GROUP BY a.id, b.id),
-         |e0 AS (SELECT id1, id2 FROM inter
-         |       JOIN sz s1 ON id1 = s1.id JOIN sz s2 ON id2 = s2.id
-         |       WHERE round(i / CAST(s1.n + s2.n - i AS DOUBLE), 4) >= 0.3),
-         |e AS (SELECT id1 AS src, id2 AS dst FROM e0
-         |      UNION SELECT id2, id1 FROM e0),
-         |r AS (SELECT doc_id AS id, doc_id AS reach FROM d
-         |      UNION SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src)
+      s"""$nearDupComponentsCtes
          |SELECT id AS doc_id, CAST(MIN(reach) AS BIGINT) AS component
          |FROM r GROUP BY id
          |ORDER BY doc_id""".stripMargin)),
+    Q("q275_dedup_canonical", (s, d) => dedupCanonical(s, d), Some(
+      s"""$nearDupComponentsCtes,
+         |comp AS (SELECT id AS doc_id, CAST(MIN(reach) AS BIGINT) AS component
+         |         FROM r GROUP BY id),
+         |j AS (SELECT comp.doc_id, comp.component, d2.n_chars
+         |      FROM comp JOIN ($auditSampleSql) d2 ON comp.doc_id = d2.doc_id),
+         |c AS (SELECT component, doc_id AS canonical_id
+         |      FROM (SELECT component, doc_id,
+         |                   ROW_NUMBER() OVER (PARTITION BY component
+         |                       ORDER BY n_chars DESC, doc_id) AS rn
+         |            FROM j) t WHERE rn = 1),
+         |szs AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |        FROM j GROUP BY component)
+         |SELECT j.doc_id, j.component, c.canonical_id,
+         |       CAST(CASE WHEN j.doc_id = c.canonical_id THEN 1 ELSE 0 END
+         |            AS INT) AS is_kept,
+         |       szs.cluster_size
+         |FROM j JOIN c USING (component) JOIN szs USING (component)
+         |ORDER BY j.doc_id""".stripMargin)),
     Q("q70_chunks", (s, d) => chunkDocs(s, d), Some(
       s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents
          |           WHERE length($norm) > 0),

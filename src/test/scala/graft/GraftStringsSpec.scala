@@ -93,6 +93,34 @@ class GraftStringsSpec extends AnyFunSuite {
     assert(c === 2L)
   }
 
+  test("mojibake repair inverts a Latin-1 mis-decode for any valid string") {
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    // corrupt exactly as the classic ingest bug does: UTF-8 bytes
+    // mis-read as Latin-1 and re-encoded
+    def corrupt(s: String): String = new String(s.getBytes(UTF_8), ISO_8859_1)
+    val samples = adversarial ++ Seq(
+      "déjà vu — naïve café",           // 2-byte chars
+      "… ‘quotes’ “here” •",            // 3-byte chars (incl. E2 80 x)
+      "𝕬 𝄞 🙂🚀",                        // 4-byte chars (supplementary)
+      "ед汉🙂é mixed widths",
+      "Ã lone capital-A-tilde",         // legit Ã NOT followed by a continuation
+      "ASCII only stays byte-identical")
+    val df = spark.createDataFrame(samples.map(s => (s, corrupt(s))))
+      .toDF("clean", "corrupt")
+    val bad = df.filter(
+      not(GraftStrings.fixMojibakeCol(col("corrupt")) <=> col("clean")))
+    assert(bad.count() === 0)
+    // detection counts every repaired sequence = every non-ASCII char
+    val got = df.select(GraftStrings.mojibakeCountCol(col("corrupt")))
+      .collect().map(_.getLong(0)).toSeq
+    val want = samples.map(_.codePoints().toArray.count(_ > 0x7F).toLong)
+    assert(got === want)
+    // already-clean text is untouched (no false repairs on these)
+    val noFalse = df.filter(
+      not(GraftStrings.fixMojibakeCol(col("clean")) <=> col("clean")))
+    assert(noFalse.count() === 0)
+  }
+
   test("null propagates, empty and whitespace-only give empty arrays") {
     val df = spark.createDataFrame(
       Seq(Tuple1(null.asInstanceOf[String]), Tuple1(""), Tuple1("  \t ")))

@@ -30,6 +30,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // the narrow branch's bucketed equi-join (RangeJoin.scala contract).
     ("q74_range_join", "broadcast-nested-loop") -> "wide-interval fallback branch; corpus on bucketed equi-join",
     ("q79_range_rewrite", "broadcast-nested-loop") -> "wide-interval fallback branch (auto-rewrite); corpus on bucketed equi-join",
+    ("q273_interval_overlap", "broadcast-nested-loop") -> "intervalOverlap wide-interval fallback branches; corpus on bucketed equi-join",
     // Value-histogram cumulative walks (the q168 percentile discipline):
     // the global window/sort runs over a (groups × distinct-values)
     // grid aggregated from the corpus, never the corpus itself. The

@@ -71,6 +71,60 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(bucketed.forall(_._2 == 203L)) // only the clean interval matches
   }
 
+  private val aIntervals = Seq(
+    (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")),
+    (2L, ts("2024-01-01 10:10:00"), ts("2024-01-01 10:20:00")), // touches 1 at a point
+    (3L, ts("2024-01-01 09:00:00"), ts("2024-01-01 12:00:00")), // long, covers several
+    (4L, ts("2024-01-05 00:00:00"), ts("2024-01-05 00:01:00"))) // overlaps nothing in b
+
+  private val bIntervals = Seq(
+    (10L, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:15:00")), // overlaps 1,2,3
+    (11L, ts("2024-01-01 10:10:00"), ts("2024-01-01 10:10:00")), // degenerate point
+    (12L, ts("2024-01-01 08:00:00"), ts("2024-01-01 09:00:00")), // touches 3's start
+    (13L, ts("2024-02-01 00:00:00"), ts("2024-02-01 01:00:00"))) // overlaps nothing
+
+  test("interval overlap equals the naive inequality join across bucket widths") {
+    val a = aIntervals.toDF("aid", "as", "ae")
+    val b = bIntervals.toDF("bid", "bs", "be")
+    val naive = a.join(b, col("as") <= col("be") && col("bs") <= col("ae"))
+      .select(col("aid"), col("bid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(naive.nonEmpty && naive.contains((1L, 11L)) && naive.contains((3L, 12L)))
+    for (bucketMs <- Seq(1000L, 60000L, 600000L, 3600000L, 86400000L)) {
+      val rows = RangeJoin.intervalOverlap(
+          a, col("as"), col("ae"), b, col("bs"), col("be"), bucketMs)
+        .select(col("aid"), col("bid"))
+        .collect().map(x => (x.getLong(0), x.getLong(1)))
+      assert(rows.length == rows.toSet.size, s"duplicate pairs at bucketMs=$bucketMs")
+      assert(rows.toSet == naive, s"bucketMs=$bucketMs")
+    }
+  }
+
+  test("interval overlap: malformed intervals match nothing; wide intervals take the fallback") {
+    // reversed a-interval WOULD satisfy the raw inequality predicate
+    // against a containing b-interval — the operator's well-formedness
+    // contract must exclude it on either side
+    val a = Seq(
+      (1L, Some(ts("2024-01-01 10:05:00")), Some(ts("2024-01-01 10:00:00"))), // reversed
+      (2L, None, Some(ts("2024-01-01 10:00:00"))), // null start
+      (3L, Some(ts("2024-01-01 10:00:00")), Some(ts("2024-01-01 10:10:00"))), // clean
+      (4L, Some(ts("2020-01-01 00:00:00")), Some(ts("9999-12-31 00:00:00")))) // wide sentinel
+      .toDF("aid", "as", "ae")
+    val b = Seq(
+      (10L, Some(ts("2024-01-01 09:00:00")), Some(ts("2024-01-01 11:00:00"))), // clean
+      (11L, Some(ts("2024-01-01 11:00:00")), Some(ts("2024-01-01 10:00:00"))), // reversed
+      (12L, Some(ts("2019-01-01 00:00:00")), Some(ts("9999-12-31 00:00:00")))) // wide sentinel
+      .toDF("bid", "bs", "be")
+    val rows = RangeJoin.intervalOverlap(
+        a, col("as"), col("ae"), b, col("bs"), col("be"),
+        bucketMs = 3600000L) // sentinels span ~70M hourly buckets: must not explode
+      .select(col("aid"), col("bid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(rows.length == rows.toSet.size)
+    // clean×clean, clean×wide, wide×clean, wide×wide — and nothing malformed
+    assert(rows.toSet == Set((3L, 10L), (3L, 12L), (4L, 10L), (4L, 12L)))
+  }
+
   test("open-ended sentinel interval (SCD-2) joins via fallback, not explosion") {
     val l = points.toDF("pid", "pts")
     // end = 9999-12-31: ~70M hourly buckets; must NOT be exploded
