@@ -409,7 +409,58 @@ object FileGate {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** §2.8 schema evolution (q276): the import pipeline's
+    * evolving-column contract (the reference's column mapper tolerates
+    * feeds that add fields between loads — ColumnMap / `ColumnMapConverter`
+    * semantics) restated as a LAKE layout property: two parquet
+    * generations under one dataset root — gen1 with the original
+    * 3-column layout, gen2 adding `c_mktsegment` and a derived score —
+    * read back as ONE frame via `mergeSchema`, old rows null-filled for
+    * the new columns. The aggregate gates per-generation counts, money
+    * totals, the null-fill count, and the evolved column's sum, all
+    * re-derived by the oracle from the base table (the fixture is a
+    * deterministic parity split, so DuckDB never reads the scratch
+    * files). Scale note: mergeSchema footer-merges per file on read —
+    * production tables keep it OFF and evolve the catalog schema
+    * instead; this query gates the READ semantics the migration path
+    * relies on. */
+  def schemaEvolutionRead(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val base = s"/tmp/graft_gate/${new java.io.File(dir).getName}/schema_evo"
+    c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("decimal(18,2)").as("c_acctbal"))
+      .write.mode("overwrite").parquet(s"$base/gen=1")
+    c.filter(col("c_custkey") % 2 === 1)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("decimal(18,2)").as("c_acctbal"),
+        col("c_mktsegment"),
+        (col("c_custkey") % 100).as("c_score"))
+      .write.mode("overwrite").parquet(s"$base/gen=2")
+    s.read.option("mergeSchema", "true").parquet(base)
+      .groupBy(col("gen"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal")).cast("double").as("acctbal_sum"),
+        sum(col("c_mktsegment").isNull.cast("long")).as("null_mkt"),
+        sum(coalesce(col("c_score"), lit(0L))).as("score_sum"))
+      .orderBy(col("gen"))
+  }
+
+  private def schemaEvolutionOracle: String =
+    """SELECT CAST(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 2 END AS INT) AS gen,
+      |       CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum,
+      |       CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS null_mkt,
+      |       CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN c_custkey % 100 ELSE 0 END)
+      |            AS BIGINT) AS score_sum
+      |FROM customer
+      |GROUP BY 1
+      |ORDER BY gen""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q276_schema_evolution", (s, d) => schemaEvolutionRead(s, d),
+      Some(schemaEvolutionOracle)),
     Q("q244_compaction", (s, d) => compaction(s, d),
       Some(compactionOracle)),
     Q("q240_bucketed_sla", (s, d) => bucketedSla(s, d),
