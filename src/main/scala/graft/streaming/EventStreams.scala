@@ -316,6 +316,43 @@ object EventStreams {
         s"r.ts BETWEEN l.ts - INTERVAL $lookback AND l.ts"))
   }
 
+  /** Streaming twin of `operators.RangeJoin.intervalOverlap` for
+    * interval streams of BOUNDED width: both sides explode statelessly
+    * to the time buckets they cover, and the stream-stream join runs as
+    * a bucket EQUI-join with the exact overlap residual and the
+    * first-intersection-bucket pair attribution — the same structural
+    * dedup as the batch operator (each overlapping pair emits exactly
+    * once, no output distinct). The redundant start-to-start range
+    * conjuncts, derived from the DECLARED maximum interval widths
+    * (overlap ⇒ bStart ∈ [aStart − maxBWidth, aStart + maxAWidth]),
+    * are what give Spark a watermark constraint between the two event
+    * time columns — without them the join state never evicts.
+    * Malformed (reversed/null) intervals are filtered before the
+    * explode, matching the batch contract. */
+  def intervalOverlapStream(
+      a: DataFrame, aStart: String, aEnd: String,
+      b: DataFrame, bStart: String, bEnd: String,
+      bucketMs: Long, delay: String = "1 hour",
+      maxAWidth: String = "1 hour", maxBWidth: String = "1 hour"): DataFrame = {
+    def bucketOf(c: String) =
+      floor(unix_millis(col(c)) / bucketMs).cast("long")
+    def buckets(start: String, end: String) =
+      explode(sequence(bucketOf(start), bucketOf(end)))
+    val aw = a.withWatermark(aStart, delay)
+      .filter(col(aStart) <= col(aEnd))
+      .withColumn("__ab", buckets(aStart, aEnd))
+    val bw = b.withWatermark(bStart, delay)
+      .filter(col(bStart) <= col(bEnd))
+      .withColumn("__bb", buckets(bStart, bEnd))
+    aw.join(bw,
+        col("__ab") === col("__bb") &&
+        col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd) &&
+        col(bStart) >= col(aStart) - expr(s"INTERVAL $maxBWidth") &&
+        col(bStart) <= col(aStart) + expr(s"INTERVAL $maxAWidth") &&
+        greatest(bucketOf(aStart), bucketOf(bStart)) === col("__ab"))
+      .drop("__ab", "__bb")
+  }
+
   final case class AsOfEvent(kind: Int, key: Long, ts: java.sql.Timestamp,
       v: Double)
   /** One right row in the per-key history. The full Timestamp is kept

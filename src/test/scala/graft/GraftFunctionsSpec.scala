@@ -106,6 +106,45 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("streaming interval-overlap join matches the batch bucketed operator") {
+    import graft.streaming.EventStreams
+    val tmpA = java.nio.file.Files.createTempDirectory("graft-ov-a").toString
+    val tmpB = java.nio.file.Files.createTempDirectory("graft-ov-b").toString
+    val ev = Tables.events(spark, TestSpark.sfDir)
+    // the q273 shape: 10-minute error windows × 15-minute signup windows
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("err_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("err_end"))
+    val sigs = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("sig_id"), col("ts").as("sig_start"),
+        (col("ts") + expr("INTERVAL 15 MINUTES")).as("sig_end"))
+    errs.write.mode("overwrite").parquet(tmpA)
+    sigs.write.mode("overwrite").parquet(tmpB)
+    val sa = spark.readStream
+      .schema("err_id LONG, err_start TIMESTAMP, err_end TIMESTAMP").parquet(tmpA)
+    val sb = spark.readStream
+      .schema("sig_id LONG, sig_start TIMESTAMP, sig_end TIMESTAMP").parquet(tmpB)
+    val q = EventStreams.intervalOverlapStream(
+        sa, "err_start", "err_end", sb, "sig_start", "sig_end",
+        bucketMs = 600000L,
+        maxAWidth = "10 minutes", maxBWidth = "15 minutes")
+      .select(col("err_id"), col("sig_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ov_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ov_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val batch = graft.operators.RangeJoin.intervalOverlap(
+        errs, col("err_start"), col("err_end"),
+        sigs, col("sig_start"), col("sig_end"), bucketMs = 600000L)
+      .select(col("err_id"), col("sig_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamed.length == streamed.toSet.size) // structural dedup held
+    assert(streamed.toSet == batch.toSet)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming windowed top-k matches the batch heap-aggregate result") {
     import graft.streaming.EventStreams
     val tmp = java.nio.file.Files.createTempDirectory("graft-topk-stream").toString
