@@ -202,6 +202,58 @@ class ScaleSpec extends AnyFunSuite {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("runtime bloom-filter join pruning injects in the shuffle-join " +
+      "regime and correctly stays out of the broadcast regime") {
+    // Spark's InjectRuntimeFilter builds a bloom filter from a join
+    // side carrying a selective predicate and pushes might_contain
+    // onto the other side's scan — the runtime analog of partition
+    // pruning, and at 100 TB the difference between scanning the full
+    // fact table and scanning the matching slice. It only fires when
+    // the join would SHUFFLE (a broadcast join self-prunes via its
+    // hash table) and the probe-side scan is big enough to repay the
+    // filter build (applicationSideScanSizeThreshold, default 10 GiB —
+    // why gate-SF plans never show it). Pin both decisions.
+    val sfDir = TestSpark.sfDir
+    def q() = {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 250000)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+    }
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      assert(spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true")
+      // broadcast-able creation side → no bloom, even with thresholds off
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      val broadcastPlan = q().queryExecution.optimizedPlan.toString
+      assert(!broadcastPlan.toLowerCase.contains("bloom"),
+        "bloom injected under a broadcast-able join — thresholds drifted")
+      // shuffle regime (the 100-TB shape): bloom built from the
+      // selective orders side, might_contain pushed onto lineitem
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shufflePlan = q().queryExecution.optimizedPlan.toString
+      assert(shufflePlan.contains("bloom_filter_agg") &&
+        shufflePlan.toLowerCase.contains("might_contain"),
+        s"no runtime bloom filter in the shuffle regime:\n$shufflePlan")
+      // and the filtered plan still returns the exact result
+      val r = q().collect().head
+      val saved2 = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val r2 = q().collect().head
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", saved2)
+      assert(r == r2, "bloom-pruned result differs from unpruned")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("saltedAgg equals direct aggregation") {
     val df = (1 to 1000).map(i => (i % 3, i.toLong)).toDF("k", "v")
     val direct = df.groupBy("k").agg(sum("v").as("total"), count(lit(1)).as("cnt"))
