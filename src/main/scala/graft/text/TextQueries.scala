@@ -419,6 +419,39 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-source duplication matrix (q277): near-dup pair counts by
+    * UNORDERED source pair — the curation dashboard that answers "which
+    * feeds are copying which" (within-source pairs sit on the diagonal).
+    * Composes the q69 edge set with the doc→source map; pair symmetry
+    * canonicalizes via least/greatest on the source names so (a,b) and
+    * (b,a) aggregate together.
+    *
+    * Scale shape: q69's candidate discipline bounds the edge set; on top
+    * are two broadcast-able id→source equi-joins and one tiny
+    * (|sources|²-grid) aggregate. */
+  def crossSourceDupMatrix(s: SparkSession, dir: String,
+      minJaccard: Double = 0.3): DataFrame = {
+    val subset = auditSample(Tables.documents(s, dir))
+      .ckpt // feeds edges AND both source lookups
+    val edges = Dedup.jaccardPairs(subset, "doc_id", "text", minJaccard)
+    val src = subset.select(col("doc_id"), col("source"))
+    edges
+      .join(src.select(col("doc_id").as("id1"), col("source").as("__s1")),
+        Seq("id1"))
+      .join(src.select(col("doc_id").as("id2"), col("source").as("__s2")),
+        Seq("id2"))
+      .groupBy(
+        least(col("__s1"), col("__s2")).as("source_a"),
+        greatest(col("__s1"), col("__s2")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        // Σ jaccard as exact 10⁻⁴ integer units (floor(x·10⁴+0.5) on the
+        // already-4dp-rounded score): engine-identical, no float-avg
+        // rounding boundary between Spark and DuckDB
+        sum(floor(col("jaccard") * 10000d + 0.5d).cast("long"))
+          .as("jac_mass_bp"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Context-window chunking: overlapping token windows (size 64, stride
     * 48) exploded to one row per chunk — the length-bounding pass before
     * tokenizer/packing in a training pipeline. Pure narrow ops (tokenize →
@@ -3656,6 +3689,21 @@ object TextQueries {
          |SELECT id AS doc_id, CAST(MIN(reach) AS BIGINT) AS component
          |FROM r GROUP BY id
          |ORDER BY doc_id""".stripMargin)),
+    Q("q277_cross_source_dups", (s, d) => crossSourceDupMatrix(s, d), Some(
+      s"""$nearDupComponentsCtes,
+         |sm AS (SELECT doc_id, source FROM ($auditSampleSql) s1),
+         |px AS (SELECT least(sa.source, sb.source) AS source_a,
+         |              greatest(sa.source, sb.source) AS source_b,
+         |              round(i / CAST(s1.n + s2.n - i AS DOUBLE), 4) AS jac
+         |       FROM inter
+         |       JOIN sz s1 ON id1 = s1.id JOIN sz s2 ON id2 = s2.id
+         |       JOIN sm sa ON id1 = sa.doc_id JOIN sm sb ON id2 = sb.doc_id
+         |       WHERE round(i / CAST(s1.n + s2.n - i AS DOUBLE), 4) >= 0.3)
+         |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(CAST(floor(jac * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         |         AS jac_mass_bp
+         |FROM px GROUP BY 1, 2
+         |ORDER BY source_a, source_b""".stripMargin)),
     Q("q275_dedup_canonical", (s, d) => dedupCanonical(s, d), Some(
       s"""$nearDupComponentsCtes,
          |comp AS (SELECT id AS doc_id, CAST(MIN(reach) AS BIGINT) AS component

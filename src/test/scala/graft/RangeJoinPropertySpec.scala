@@ -60,4 +60,41 @@ class RangeJoinPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("interval overlap bucketed == naive over random dirty intervals, no duplicates") {
+    val params = Gen.Parameters.default
+    for (trial <- 0 until 8) {
+      val seed = Seed(100 + trial.toLong)
+      def draw[A](g: Gen[A], i: Long): A =
+        g.pureApply(params, seed.reseed(i))
+      def ivGen(tag: Long, n: Int) = (0 until n).map { i =>
+        val lo = draw(tsGen, tag + i * 3)
+        val hi = draw(Gen.frequency(
+          6 -> tsGen,
+          2 -> Gen.const(lo.map(_ + 200L * 24 * 3600 * 1000)), // wide: fallback branch
+          1 -> Gen.const(lo.map(_ - 3600000L))), tag + 1 + i * 3) // reversed
+        (tag + i, lo.map(ts).orNull, hi.map(ts).orNull)
+      }
+      val as = ivGen(0L, 25)
+      val bs = ivGen(1000L, 25)
+      // scala oracle: well-formed both sides + inclusive intersection
+      val expected = (for {
+        (aid, as0, ae0) <- as if as0 != null && ae0 != null && !ae0.before(as0)
+        (bid, bs0, be0) <- bs if bs0 != null && be0 != null && !be0.before(bs0)
+        if !as0.after(be0) && !bs0.after(ae0)
+      } yield (aid, bid)).toSet
+      val a = as.toDF("aid", "as", "ae")
+      val b = bs.toDF("bid", "bs", "be")
+      for (bucketMs <- Seq(3600000L, 60000L)) {
+        val rows = RangeJoin.intervalOverlap(
+            a, col("as"), col("ae"), b, col("bs"), col("be"),
+            bucketMs, maxBucketsPerRow = 100L)
+          .select(col("aid"), col("bid"))
+          .collect().map(x => (x.getLong(0), x.getLong(1)))
+        assert(rows.length == rows.toSet.size,
+          s"trial=$trial bucketMs=$bucketMs emitted duplicate pairs")
+        assert(rows.toSet == expected, s"trial=$trial bucketMs=$bucketMs")
+      }
+    }
+  }
 }
