@@ -306,15 +306,23 @@ object EtlQueries {
     * custkey%3=0 rows CHANGE (acctbal+10, segment 'SCD2'), a disjoint
     * slice (custkey%3≠0 ∧ custkey%7=1) arrives as byte-identical no-ops
     * (must NOT open versions), custkey%500=0 re-keys above the snapshot
-    * as NEW dimension members. */
+    * as NEW dimension members. The fresh-key offset is the snapshot MAX
+    * key + 1 (broadcast 1-row aggregate, not a collect; the +1 because
+    * keys start at 0 — `0 + max` would collide with the max key
+    * itself), so fresh keys stay disjoint from real customer keys at
+    * EVERY scale factor — a fixed constant collides once the fixture
+    * outgrows it. */
   private[graft] def scd2Batch(snap: DataFrame): DataFrame = {
     val changed = snap.filter(col("c_custkey") % 3 === 0)
       .withColumn("c_acctbal", col("c_acctbal") + 10d)
       .withColumn("c_mktsegment", lit("SCD2"))
     val noops = snap.filter(col("c_custkey") % 3 =!= 0 &&
       col("c_custkey") % 7 === 1)
+    val maxKey = broadcast(snap.agg(max(col("c_custkey")).as("__graft_maxk")))
     val fresh = snap.filter(col("c_custkey") % 500 === 0)
-      .withColumn("c_custkey", col("c_custkey") + 2000000L)
+      .crossJoin(maxKey)
+      .withColumn("c_custkey", col("c_custkey") + col("__graft_maxk") + 1L)
+      .drop("__graft_maxk")
       .withColumn("c_name", concat(lit("NEW "), col("c_name")))
     changed.unionByName(noops).unionByName(fresh)
   }
@@ -411,7 +419,8 @@ object EtlQueries {
       |       '1994-01-01', NULL, 1
       |FROM customer WHERE c_custkey % 3 <> 0
       |UNION ALL
-      |SELECT c_custkey + 2000000, 'NEW ' || c_name, c_nationkey,
+      |SELECT c_custkey + 1 + (SELECT MAX(c_custkey) FROM customer),
+      |       'NEW ' || c_name, c_nationkey,
       |       c_acctbal, c_mktsegment, '1998-01-01', NULL, 1
       |FROM customer WHERE c_custkey % 500 = 0
       |ORDER BY c_custkey, valid_from""".stripMargin
@@ -428,7 +437,8 @@ object EtlQueries {
       |  SELECT c_custkey, c_mktsegment, '1994-01-01', NULL
       |  FROM customer WHERE c_custkey % 3 <> 0
       |  UNION ALL
-      |  SELECT c_custkey + 2000000, c_mktsegment, '1998-01-01', NULL
+      |  SELECT c_custkey + 1 + (SELECT MAX(c_custkey) FROM customer),
+      |         c_mktsegment, '1998-01-01', NULL
       |  FROM customer WHERE c_custkey % 500 = 0)
       |SELECT d.c_mktsegment AS segment, COUNT(*) AS n_orders,
       |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -79,6 +79,55 @@ object Scd2 {
       .unionByName(opened)
   }
 
+  /** Multi-date merge — fold a batch carrying SEVERAL load dates into
+    * the snapshot in ONE pass, equal to merging each date's slice
+    * sequentially in ascending date order (spec-pinned). This is the
+    * streaming micro-batch shape: after downtime a batch drains many
+    * queued loads, and a per-date merge loop would re-materialize the
+    * snapshot once per date.
+    *
+    * Mechanics: per key, the current version (ordered first) is
+    * prepended to the batch rows in load-date order; a row VERSIONS iff
+    * its tracked attributes differ (null-safe) from its predecessor in
+    * that sequence — a non-versioning row's attributes equal its own
+    * predecessor's, so by induction comparing with the immediate lag
+    * equals comparing with the last surviving version, exactly the
+    * sequential-merge semantics. Each kept version closes at the NEXT
+    * kept version's date (`lead`); the last stays current.
+    *
+    * Scale shape: history is still a pure pass-through union; the
+    * current slice + batch shuffle ONCE on the key for the two window
+    * passes (identical window spec — one exchange, one sort), vs one
+    * full-outer-join shuffle PER DATE in the loop form. Contract: batch
+    * rows are pre-deduped per (key, load date). */
+  def mergeMulti(snapshot: DataFrame, batch: DataFrame, key: String,
+      attrs: Seq[String], dateCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val history = snapshot.filter(!col(IsCurrent))
+    val current = snapshot.filter(col(IsCurrent))
+    val c0 = current.select(col(key) +: attrs.map(col) ++: Seq(
+      col(ValidFrom), lit(0).as("__ord")): _*)
+    val bb = batch.select(col(key) +: attrs.map(col) ++: Seq(
+      col(dateCol).as(ValidFrom), lit(1).as("__ord")): _*)
+    // __ord keys the current version FIRST even when a batch load is
+    // dated at (or before) the current version's valid_from
+    val w = Window.partitionBy(key).orderBy(col("__ord"), col(ValidFrom))
+    val differs = attrs.map(a => !(col(a) <=> lag(col(a), 1).over(w)))
+      .reduce(_ || _)
+    val kept = c0.unionByName(bb)
+      // window expressions are select-only — materialize the keep flag
+      // as a column before filtering on it
+      .withColumn("__keep", row_number().over(w) === 1 || differs)
+      .filter(col("__keep"))
+    val out = kept
+      .withColumn("__next", lead(col(ValidFrom), 1).over(w))
+      .select(col(key) +: attrs.map(col) ++: Seq(
+        col(ValidFrom),
+        col("__next").as(ValidTo),
+        col("__next").isNull.as(IsCurrent)): _*)
+    history.select(out.columns.map(col): _*).unionByName(out)
+  }
+
   /** The version of each SCD2 `dim` row valid at `asOfCol` (an ISO date
     * string): `valid_from <= asOf < coalesce(valid_to, '9999-12-31')`.
     * Returns the join condition for the fact→dim temporal lookup; the

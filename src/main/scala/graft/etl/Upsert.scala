@@ -215,16 +215,19 @@ object Upsert {
     *
     * Overflow guard: the largest id the sparse formula can mint is
     * `maxId + 1 + (parts−1)·2³³ + localIndex` (local index < 2³³ by the
-    * monotonic-id encoding), so a snapshot max within `(parts+1)·2³³` of
-    * `Long.MaxValue` could overflow — which ANSI mode (Spark 4's
-    * default) turns into a mid-merge abort and non-ANSI into negative
-    * ids that can COLLIDE with snapshot surrogates. Fall back to dense
-    * numbering there: it needs only |inserts| of headroom. The partition
-    * count is plan metadata (no job runs). */
+    * monotonic-id encoding), so a snapshot max near `Long.MaxValue`
+    * could overflow — which ANSI mode (Spark 4's default) turns into a
+    * mid-merge abort and non-ANSI into negative ids that can COLLIDE
+    * with snapshot surrogates. Fall back to dense numbering there: it
+    * needs only |inserts| of headroom. The margin is a STATIC 2⁵⁰
+    * (headroom for 2¹⁷ = 131,072 partitions) rather than a read of the
+    * plan's current partition count: `df.rdd` forces a separate physical
+    * planning pass per merge, and AQE can re-plan to a DIFFERENT
+    * partition count by the time `monotonically_increasing_id` actually
+    * executes — a dynamic guard would be both slower and not airtight. */
   private[graft] def numberInsertsSparse(insDedup: DataFrame,
       keyCols: Seq[String], maxId: Long): DataFrame = {
-    val parts = insDedup.rdd.getNumPartitions.toLong
-    if (maxId >= Long.MaxValue - ((parts + 1L) << 33))
+    if (maxId >= Long.MaxValue - (1L << 50))
       numberInserts(insDedup, keyCols, maxId)
     else
       insDedup.withColumn("__key",

@@ -188,6 +188,11 @@ object GraftGifCodec extends VideoCodec {
 
   // ---------------------------------------------------------------- decode
 
+  /** Decode dimension cap: 2²⁴ px (a 4096×4096 frame) — far above any
+    * real clip this pipeline carries, far below an allocation that
+    * could destabilize an executor. */
+  private val MaxPixels = 1L << 24
+
   override def decode(bytes: Array[Byte]): Option[DecodedVideo] = {
     if (bytes == null || bytes.length < 13) return None
     try {
@@ -196,6 +201,11 @@ object GraftGifCodec extends VideoCodec {
       var p = 6
       def u16(): Int = { val v = (bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8); p += 2; v }
       val sw = u16(); val sh = u16()
+      // corrupt headers can declare up to 65535×65535: the Int product
+      // overflows negative (NegativeArraySizeException) or demands a
+      // multi-GB allocation — either kills the task instead of skipping
+      // the row. Reject before any allocation sized by these.
+      if (sw <= 0 || sh <= 0 || sw.toLong * sh > MaxPixels) return None
       val packed = bytes(p) & 0xFF; p += 3 // packed, bg index, aspect
       var globalPal: Array[Int] = null
       if ((packed & 0x80) != 0) {
@@ -255,7 +265,13 @@ object GraftGifCodec extends VideoCodec {
       }
       if (frames.isEmpty) None
       else Some(DecodedVideo(sw, sh, delayCs, frames.toArray))
-    } catch { case _: ArrayIndexOutOfBoundsException => None }
+    } catch {
+      // corrupt rows SKIP, never kill the partition: any malformed-input
+      // failure mode (index out of bounds, negative allocation size from
+      // a field this parser doesn't bound-check, bad palette math)
+      // degrades to None, matching GifVideoCodec.decode
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   /** Palette entries collapse to grayscale as the red channel (the

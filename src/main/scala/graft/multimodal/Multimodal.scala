@@ -8,12 +8,21 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, plus a partition-batched feature
   * extraction pipeline.
   *
-  * The Spark-side contract is real and tested — schema, partitioning,
-  * batch iteration shape; only the codec itself is STUBBED (the
-  * image/audio libraries are not in this container) with a deterministic
-  * fake so the pipeline is verifiable end-to-end. On a cluster the decode
-  * stage is embarrassingly parallel (mapPartitions, no shuffle), and
-  * feature vectors flow into the `similarity.Ann` operators unchanged.
+  * Both halves are real and oracle-gated. The Spark side — schema,
+  * work-based partitioning, batch iteration shape — is tested
+  * end-to-end; the codecs are REAL encoders/decoders of the public byte
+  * formats: PNG via `javax.imageio` (`JdkImageCodec`, q238/q239), WAV
+  * both through `javax.sound.sampled` (`JdkWavCodec`) and a hand-rolled
+  * RIFF parser (`RiffWavCodec`, the production default — the JDK's
+  * per-call synchronized SPI lookup serializes 32-thread decode;
+  * cross-validated byte-exact in AudioCodecSpec; q258/q259/q261), and
+  * animated GIF via the hand-rolled `GraftGifCodec` LZW coder
+  * (bit-exact against `javax.imageio` both directions, ~100× faster;
+  * q264–q266). `StubImageCodec` remains ONLY as the documented seam
+  * test-double behind the same trait. Every decode stage is
+  * embarrassingly parallel (mapPartitions after a work-spreading
+  * round-robin exchange, no shuffle carries pixels), and feature
+  * vectors flow into the `similarity.Ann` operators unchanged.
   */
 object Multimodal {
 

@@ -8,114 +8,180 @@ import org.apache.spark.sql.functions._
   *
   * Naively this is a pure inequality join — Spark can only execute that as
   * a nested-loop (broadcast or cartesian), quadratic at scale. The scale
-  * path implemented here buckets time: each interval is exploded to the
-  * fixed-width buckets it covers, each point maps to exactly ONE bucket,
-  * and the join becomes a hash EQUI-join on the bucket id with the exact
-  * range predicate as a residual. Cost: |right| × (interval/bucket + 1)
-  * exploded rows and one shuffle each side — linear, partition-parallel,
-  * and skew-handled by AQE like any equi-join. No duplicate results: a
-  * point joins an interval only in the point's own bucket.
+  * path implemented here buckets time HIERARCHICALLY: tier `t` buckets are
+  * `bucketMs · 4096^t` wide, every interval is exploded to the buckets it
+  * covers at the ONE tier whose bucket width fits its span (≤
+  * `maxBucketsPerRow` buckets, so a 9999-12-31 SCD-2 sentinel lands at a
+  * coarse tier and explodes to a handful of rows instead of 70 M), points
+  * map to exactly one bucket per tier, and the join is a single hash
+  * EQUI-join on `(tier, bucket)` with the exact range predicate as a
+  * residual. Six tiers cover any representable timestamp span. There is NO
+  * nested-loop branch for any input — the former O(|other side|) wide-row
+  * fallback is gone, which is machine-checked by PlanAuditSpec (no
+  * whitelist entry remains for range joins).
+  *
+  * The point side is exploded only to tiers the interval side actually
+  * occupies: a broadcast ≤6-row `distinct(tier)` frame semi-filters the
+  * tier explosion map-side, so when every interval is narrow (the common
+  * case) the point side stays at exactly one row per point and the plan
+  * degenerates to the single-tier bucketed equi-join. Cost of the tier
+  * probe: one extra column-pruned pass over the interval side to collect
+  * the ≤6 distinct tiers.
   *
   * (Beyond the reference — SURVEY §2.4 notes range joins are absent
   * there; this is the standard interval-join decomposition, same idea as
-  * Structured Streaming's time-bound stream-stream join state pruning.) */
+  * Structured Streaming's time-bound stream-stream join state pruning,
+  * with the multi-level-grid tier trick of spatial join processing.) */
 object RangeJoin {
 
+  /** Tier t buckets are `bucketMs << (TierShift·t)` ms wide. 4096× per
+    * tier: one tier step turns a `maxBucketsPerRow`-bucket span into ≤
+    * `maxBucketsPerRow/4096 + 1` rows. */
+  private val TierShift = 12
+  /** 6 tiers: 4096^5 = 2^60 fine buckets per top-tier bucket ≥ any span
+    * of Spark timestamps (±2^63 µs) at any `bucketMs ≥ 1`, for any
+    * `maxBucketsPerRow ≥ 1` — the top tier is the catch-all. */
+  private val Tiers = 6
+
+  /** Span thresholds per tier, saturating at Long.MaxValue: a row's home
+    * tier is the smallest t with `span ≤ maxB · 4096^t`. */
+  private def thresholds(maxB: Long): Seq[Long] =
+    (0 until Tiers - 1).map { t =>
+      val shift = TierShift * t
+      if (maxB > (Long.MaxValue >> shift)) Long.MaxValue else maxB << shift
+    }
+
+  /** Smallest tier whose bucket width bounds this span at ≤ maxB rows. */
+  private def homeTier(span: Column, maxB: Long): Column =
+    thresholds(maxB).zipWithIndex.foldRight(lit(Tiers - 1)) {
+      case ((th, t), rest) => when(span <= th, lit(t)).otherwise(rest)
+    }
+
+  /** The row's bucket id at every tier (arithmetic shift = floor-div by
+    * the power-of-two tier factor, exact for negative pre-epoch buckets
+    * too); indexed per exploded row via `element_at(arr, tier+1)`. */
+  private def tierBuckets(fine: Column): Column =
+    array((0 until Tiers).map(t => shiftright(fine, TierShift * t)): _*)
+
+  private def fineBucket(ts: Column, bucketMs: Long): Column =
+    floor(unix_millis(ts) / bucketMs).cast("long")
+
   /** `left` (point `leftTs`) ⋈ `right` (`[rightStart, rightEnd]`),
-    * inclusive bounds, bucket width `bucketMs` millis. Pick bucketMs near
-    * the typical interval length: wider → fewer exploded rows, narrower →
-    * less residual filtering.
+    * inclusive bounds, fine bucket width `bucketMs` millis. Pick bucketMs
+    * near the typical interval length: wider → fewer exploded rows,
+    * narrower → less residual filtering. `maxBucketsPerRow` caps the
+    * per-row explosion at EVERY tier (a row lands at the tier where its
+    * span fits the cap).
     *
     * Robust over dirty inputs: reversed (`end < start`) and null-bounded
     * intervals match nothing under the inclusive predicate, so they are
     * filtered off the exploded side (2-arg `sequence` would otherwise
     * generate a descending garbage bucket list for reversed rows).
-    * Intervals spanning more than `maxBucketsPerRow` buckets (e.g. an
-    * SCD-2 sentinel end date) would materialize millions of copies of one
-    * row; they are routed down a nested-loop fallback branch instead and
-    * the branches union — wide rows degrade to the naive plan rather than
-    * exploding the narrow one.
+    * Arbitrarily wide intervals take a coarser tier — never a nested
+    * loop, never a > maxBucketsPerRow explosion.
     *
-    * CONTRACT: both inputs are referenced in more than one union branch
-    * and therefore evaluated more than once — pass deterministic frames
-    * (materialize first if an input depends on rand()/unordered limits).
-    * The auto-injected rewrite rule checks this; this explicit API leaves
-    * it to the caller. */
+    * Exactly-once: an interval appears at its home tier only; a point
+    * appears at most once per tier; so a (point, interval) pair can meet
+    * only at the interval's home tier, in the point's single bucket
+    * there — at most one joined row per pair before the exact residual.
+    *
+    * CONTRACT: `right` is referenced twice (tier-presence probe + the
+    * exploded join side) — pass deterministic frames (materialize first
+    * if an input depends on rand()/unordered limits). */
   def pointInInterval(
       left: DataFrame, leftTs: Column,
       right: DataFrame, rightStart: Column, rightEnd: Column,
       bucketMs: Long, maxBucketsPerRow: Long = 10000L): DataFrame = {
     // floor, not cast-truncation: pre-epoch (negative) millis must round
     // toward -inf or the point's bucket misses the interval's bucket set
-    val lb = floor(unix_millis(leftTs) / bucketMs).cast("long").as("__bucket")
-    val rStart = floor(unix_millis(rightStart) / bucketMs).cast("long")
-    val rEnd = floor(unix_millis(rightEnd) / bucketMs).cast("long")
-    val span = rEnd - rStart
+    val lFine = fineBucket(leftTs, bucketMs)
+    val rS = fineBucket(rightStart, bucketMs)
+    val rE = fineBucket(rightEnd, bucketMs)
     val rangePred = leftTs >= rightStart && leftTs <= rightEnd
 
-    // null-rejecting filters partition the matchable right rows exactly:
-    // reversed/null intervals land in neither branch (they match nothing)
-    val l = left.withColumn("__bucket", lb)
-    val narrow = right
-      .filter(rightStart <= rightEnd && span <= maxBucketsPerRow)
-      .withColumn("__bucket", explode(sequence(rStart, rEnd)))
-    val bucketed = l.join(narrow, Seq("__bucket"))
+    // null-rejecting: reversed/null intervals match nothing and are
+    // dropped before the explode (sequence needs lo <= hi)
+    val rBase = right.filter(rightStart <= rightEnd)
+      .withColumn("__tier", homeTier(rE - rS, maxBucketsPerRow))
+    val presentTiers = rBase.select("__tier").distinct()
+    val rX = rBase.withColumn("__bucket", explode(sequence(
+      element_at(tierBuckets(rS), col("__tier") + 1),
+      element_at(tierBuckets(rE), col("__tier") + 1))))
+
+    // a point occupies one bucket per tier; generate only PRESENT tiers
+    // (map-side broadcast filter — 1 row per point when all intervals
+    // are narrow)
+    val lX = left
+      .withColumn("__tier", explode(sequence(lit(0), lit(Tiers - 1))))
+      .join(broadcast(presentTiers), Seq("__tier"))
+      .withColumn("__bucket", element_at(tierBuckets(lFine), col("__tier") + 1))
+
+    lX.join(rX, Seq("__tier", "__bucket"))
       .filter(rangePred)
-      .drop("__bucket")
-
-    val wide = right.filter(span > maxBucketsPerRow)
-    // empty at runtime in the common case → AQE erases the branch
-    val fallback = left.join(wide, rangePred)
-
-    bucketed.union(fallback)
+      .drop("__tier", "__bucket")
   }
 
   /** INTERVAL × INTERVAL overlap join (inclusive bounds): pairs where
-    * `[aStart,aEnd]` and `[bStart,bEnd]` intersect. The naive form is a
-    * pure-inequality join (nested loop); here both sides explode to the
-    * fixed-width buckets they cover and the join becomes a hash
-    * EQUI-join on the bucket id. Overlapping intervals co-occur in
-    * EVERY bucket of their intersection, so each pair is attributed to
-    * exactly one — the intersection's FIRST bucket,
-    * `greatest(aStartBucket, bStartBucket)` — which dedups structurally
-    * (no wide `distinct` over the pair output).
+    * `[aStart,aEnd]` and `[bStart,bEnd]` intersect. Both sides explode
+    * to the buckets they cover at their HOME tier (the tier fitting the
+    * span under `maxBucketsPerRow`), plus — so rows of different tiers
+    * can meet — at every coarser tier the OTHER side occupies (≤
+    * `maxBucketsPerRow/4096 + 1` extra rows per coarser tier, gated by
+    * the other side's broadcast ≤6-row tier-presence frame; when both
+    * sides are all-narrow each row explodes at tier 0 only). The join is
+    * one hash EQUI-join on `(tier, bucket)`.
     *
-    * Cost: |a|·(spanA/bucket+1) + |b|·(spanB/bucket+1) exploded rows,
-    * one shuffle each side; pick `bucketMs` near the typical interval
-    * length. Malformed intervals (reversed or null bounds) match
-    * nothing, by contract. Intervals spanning more than
-    * `maxBucketsPerRow` buckets take a nested-loop fallback branch
-    * (wide-a × all-b, narrow-a × wide-b — wide×wide pairs ride the
-    * first) instead of materializing millions of bucket copies; the
-    * branches union and are empty in the common case.
+    * Exactly-once, structurally (no wide `distinct` over pair output):
+    * a pair (x, y) with home tiers (hx, hy) is kept only at tier
+    * `max(hx, hy)` — where both rows are guaranteed present — and only
+    * in the FIRST bucket of their intersection at that tier,
+    * `greatest(xStartBucket, yStartBucket)`.
     *
-    * CONTRACT (as `pointInInterval`): column names must be disjoint
-    * across `a` and `b` (rename first), and both inputs are referenced
-    * in multiple union branches — pass deterministic frames. */
+    * Malformed intervals (reversed or null bounds) match nothing, by
+    * contract. No nested-loop branch exists for any width
+    * (PlanAudit-checked).
+    *
+    * CONTRACT: column names must be disjoint across `a` and `b` (rename
+    * first), and both inputs are referenced twice (tier probe + join
+    * side) — pass deterministic frames. */
   def intervalOverlap(
       a: DataFrame, aStart: Column, aEnd: Column,
       b: DataFrame, bStart: Column, bEnd: Column,
       bucketMs: Long, maxBucketsPerRow: Long = 10000L): DataFrame = {
-    val aS = floor(unix_millis(aStart) / bucketMs).cast("long")
-    val aE = floor(unix_millis(aEnd) / bucketMs).cast("long")
-    val bS = floor(unix_millis(bStart) / bucketMs).cast("long")
-    val bE = floor(unix_millis(bEnd) / bucketMs).cast("long")
-    val aOk = aStart <= aEnd
-    val bOk = bStart <= bEnd
-    val overlap = aOk && bOk && aStart <= bEnd && bStart <= aEnd
+    val aS = fineBucket(aStart, bucketMs)
+    val aE = fineBucket(aEnd, bucketMs)
+    val bS = fineBucket(bStart, bucketMs)
+    val bE = fineBucket(bEnd, bucketMs)
+    val overlap = aStart <= aEnd && bStart <= bEnd &&
+      aStart <= bEnd && bStart <= aEnd
 
-    val aNarrow = a.filter(aOk && aE - aS <= maxBucketsPerRow)
-    val bNarrow = b.filter(bOk && bE - bS <= maxBucketsPerRow)
-    val bucketed = aNarrow.withColumn("__bucket", explode(sequence(aS, aE)))
-      .join(bNarrow.withColumn("__bucket", explode(sequence(bS, bE))),
-        Seq("__bucket"))
-      .filter(overlap && greatest(aS, bS) === col("__bucket"))
-      .drop("__bucket")
+    val aBase = a.filter(aStart <= aEnd)
+      .withColumn("__aht", homeTier(aE - aS, maxBucketsPerRow))
+    val bBase = b.filter(bStart <= bEnd)
+      .withColumn("__bht", homeTier(bE - bS, maxBucketsPerRow))
+    val aTiers = aBase.select(col("__aht").as("__tier")).distinct()
+    val bTiers = bBase.select(col("__bht").as("__tier")).distinct()
 
-    val aWide = a.filter(aOk && aE - aS > maxBucketsPerRow)
-    val bWide = b.filter(bOk && bE - bS > maxBucketsPerRow)
-    bucketed
-      .union(aWide.join(b, overlap))
-      .union(aNarrow.join(bWide, overlap))
+    // explode a side at its home tier + coarser tiers present on b
+    def explodeSide(base: DataFrame, ht: String, otherTiers: DataFrame,
+        s: Column, e: Column, bsName: String): DataFrame =
+      base
+        .withColumn("__tier", explode(sequence(col(ht), lit(Tiers - 1))))
+        .join(broadcast(otherTiers.withColumn("__other", lit(true))),
+          Seq("__tier"), "left")
+        .filter(col("__tier") === col(ht) || col("__other"))
+        .drop("__other")
+        .withColumn(bsName, element_at(tierBuckets(s), col("__tier") + 1))
+        .withColumn("__bucket", explode(sequence(
+          col(bsName), element_at(tierBuckets(e), col("__tier") + 1))))
+
+    val aX = explodeSide(aBase, "__aht", bTiers, aS, aE, "__abs")
+    val bX = explodeSide(bBase, "__bht", aTiers, bS, bE, "__bbs")
+
+    aX.join(bX, Seq("__tier", "__bucket"))
+      .filter(overlap &&
+        col("__tier") === greatest(col("__aht"), col("__bht")) &&
+        col("__bucket") === greatest(col("__abs"), col("__bbs")))
+      .drop("__tier", "__bucket", "__aht", "__bht", "__abs", "__bbs")
   }
 }

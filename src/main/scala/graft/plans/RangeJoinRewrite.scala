@@ -4,9 +4,8 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, TimestampType}
 
 /** Optimizer rule: rewrite a naive point-in-interval join —
   *
@@ -33,13 +32,17 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
   *  - an interval spanning more than `spark.graft.rangeJoin
   *    .maxBucketsPerRow` buckets (default 10k ≈ 416 days at the 1-hour
   *    default width — think SCD-2 sentinel valid_to = 9999-12-31) would
-  *    explode into millions of rows PER ROW, turning a slow-but-finite
-  *    nested loop into an effective hang. Such rows are routed down a
-  *    fallback branch that keeps the original nested-loop join, and the
-  *    two branches union: narrow rows get the equi-join speedup, wide
-  *    rows degrade to exactly the plan the user wrote. When no wide rows
-  *    exist, AQE's empty-relation propagation erases the fallback branch
-  *    (including its scans) at runtime.
+  *    explode into millions of rows PER ROW. Such rows take a COARSE-TIER
+  *    branch: tier-t buckets are `4096^t` fine buckets wide, each wide
+  *    interval explodes at the one tier (1..5) whose width fits its span
+  *    under the cap (tier 5 covers any representable span), the point
+  *    side explodes to one bucket per coarse tier (×5 rows, only in this
+  *    branch), and the branch joins on `(tier, bucket)` — still a hash
+  *    EQUI-join, never a nested loop, for ANY interval width. The two
+  *    branches union; when no wide rows exist, AQE's empty-relation
+  *    propagation erases the coarse branch (including its scans) at
+  *    runtime, and a point×interval pair can only meet at the interval's
+  *    single home tier, so no pair is emitted twice.
   *
   * Registered by `graft.GraftExtensions` (injectOptimizerRule) or at
   * runtime via `spark.experimental.extraOptimizations`. SURVEY §7.3(c):
@@ -64,18 +67,22 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def maxBucketsPerRow: Long =
     SQLConf.get.getConfString(MaxBucketsConfKey, "10000").toLong
 
-  /** Idempotence guards for the fallback branch: the nested-loop join we
-    * emit for over-wide intervals still matches this rule's pattern.
-    * The tag survives ordinary transform copies, but NOT rules that
-    * rebuild join trees from scratch (ReorderJoin), and any alias/marker
-    * scheme gets folded away (FoldablePropagation turns an always-true
-    * marker attribute into a literal, BooleanSimplification removes it,
-    * pruning drops the column). The guard that actually survives is the
-    * span-cap FILTER itself — `bucket(hi) - bucket(lo) > N` references
-    * real columns, so no rule can fold it, and it is semantically
-    * load-bearing, so nothing removes it. `hasGraftShape` detects it
-    * anywhere in the join subtree. */
-  private[plans] val FallbackTag = TreeNodeTag[Unit]("graft.rangeJoin.fallback")
+  /** Tier geometry shared with `operators.RangeJoin`: tier-t buckets are
+    * `4096^t` fine buckets wide; 6 tiers cover any representable span. */
+  private val TierShift = 12
+  private val Tiers = 6
+
+  /** Idempotence guard: both branches we emit still contain Join nodes,
+    * but their conditions are pure equi-conjuncts (bucket/tier
+    * attributes), which the pattern below never matches. Rules that
+    * rebuild join trees from scratch (ReorderJoin) lose any TreeNodeTag,
+    * and alias/marker schemes get folded away (FoldablePropagation turns
+    * an always-true marker attribute into a literal, BooleanSimplification
+    * removes it, pruning drops the column). The guard that actually
+    * survives re-writes is the span-cap FILTER itself —
+    * `bucket(hi) - bucket(lo) > N` references real columns, so no rule
+    * can fold it, and it is semantically load-bearing, so nothing removes
+    * it. `hasGraftShape` detects it anywhere in the join subtree. */
 
   /** A bucket-arithmetic expression: floor over unix_millis — the shape
     * only this rule's rewrite produces (or a user hand-writing the same
@@ -141,7 +148,6 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // rules is to fire only on deterministic plans.
     case j @ Join(left, right, Inner, Some(cond), hint)
         if j.resolved && !hasBucketAlias(j) && !hasGraftShape(j) &&
-          j.getTagValue(FallbackTag).isEmpty &&
           left.deterministic && right.deterministic =>
       val conjuncts = splitConjunctivePredicates(cond)
       val lower = conjuncts.flatMap(c => lowerBound(c, left, right)).headOption
@@ -181,16 +187,49 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           // original condition (ALL conjuncts) stays as the exact residual
           val narrowBranch = Project(j.output, Filter(cond, bucketed))
 
-          // -------- wide branch: over-wide intervals keep the user's plan
-          // span > max is null-rejecting too, so the branches partition
-          // the matchable right rows exactly (reversed/null rows in
-          // neither — they contribute no matches either way). The marker
-          // projection is the structural idempotence guard (see
-          // FallbackTag doc).
-          val wideRight = Filter(GreaterThan(span, maxLit), right)
-          val fallback = Join(left, wideRight, Inner, Some(cond), hint)
-          fallback.setTagValue(FallbackTag, ())
-          val wideBranch = Project(j.output, fallback)
+          // -------- wide branch: over-wide intervals join at a COARSE
+          // tier. `lo <= hi && span > max` is null-rejecting too, so the
+          // branches partition the matchable right rows exactly
+          // (reversed/null rows in neither — they contribute no matches
+          // either way). The span-cap filter doubles as the structural
+          // idempotence guard (see the guard doc above).
+          val maxB = maxBucketsPerRow
+          // saturating maxB·4096^t — the smallest tier fitting the span
+          def thLit(t: Int): Long = {
+            val shift = TierShift * t
+            if (maxB > (Long.MaxValue >> shift)) Long.MaxValue
+            else maxB << shift
+          }
+          val wideRight = Filter(
+            And(LessThanOrEqual(lo, hi), GreaterThan(span, maxLit)), right)
+          val tierAlias = Alias(CaseWhen(
+            (1 until Tiers - 1).map(t =>
+              (LessThanOrEqual(span, Literal(thLit(t))), Literal(t))),
+            Some(Literal(Tiers - 1))), "__graft_tier_r")()
+          val wideProj = Project(right.output :+ tierAlias, wideRight)
+          val shiftR = Multiply(Literal(TierShift), tierAlias.toAttribute)
+          val bucketR2 = AttributeReference(
+            "__graft_bucket_r2", LongType, nullable = false)()
+          val genR = Generate(Explode(Sequence(
+              ShiftRight(loBucket, shiftR), ShiftRight(hiBucket, shiftR),
+              Some(Literal(1L)), Some(SQLConf.get.sessionLocalTimeZone))),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(bucketR2), child = wideProj)
+          // the point occupies ONE bucket per coarse tier (1..5)
+          val tierL = AttributeReference(
+            "__graft_tier_l", IntegerType, nullable = false)()
+          val genL = Generate(Explode(Sequence(
+              Literal(1), Literal(Tiers - 1), Some(Literal(1)),
+              Some(SQLConf.get.sessionLocalTimeZone))),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(tierL), child = left)
+          val lBucket2 = Alias(ShiftRight(bucketOf(pt, b),
+            Multiply(Literal(TierShift), tierL)), "__graft_bucket_l2")()
+          val projL = Project(left.output :+ tierL :+ lBucket2, genL)
+          val wideJoin = Join(projL, genR, Inner,
+            Some(And(EqualTo(tierL, tierAlias.toAttribute),
+              EqualTo(lBucket2.toAttribute, bucketR2))), hint)
+          val wideBranch = Project(j.output, Filter(cond, wideJoin))
 
           Project(j.output, Union(Seq(narrowBranch, wideBranch)))
         case _ => j

@@ -9,12 +9,15 @@ import graft.etl.Scd2
 
 /** Streaming dimension feed → SCD2 snapshot — the foreachBatch MERGE
   * pattern: dimension loads arrive as a stream of dated batches, and
-  * each micro-batch advances the versioned snapshot with one
-  * [[Scd2.merge]] per load date (ascending — a micro-batch may carry
-  * several queued loads after downtime). This is the standard
-  * production shape for CDC-fed dimensions in Structured Streaming:
-  * the merge itself stays a BATCH operation against the snapshot
-  * store, the stream only drives arrival.
+  * each micro-batch advances the versioned snapshot with ONE
+  * [[Scd2.mergeMulti]] call covering every load date it carries
+  * (a micro-batch may drain several queued loads after downtime;
+  * mergeMulti folds them in ascending date order in a single pass, so
+  * the snapshot materializes once per micro-batch — not once per
+  * date). This is the standard production shape for CDC-fed
+  * dimensions in Structured Streaming: the merge itself stays a BATCH
+  * operation against the snapshot store, the stream only drives
+  * arrival.
   *
   * The snapshot is pinned (`.ckpt`) after every merge: the micro-batch
   * frame is only valid inside its `foreachBatch` call, so the merged
@@ -31,12 +34,7 @@ object DimStreams {
     @volatile var snapshot = initial.ckpt
     val q = stream.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val dates = batch.select(dateCol).distinct()
-          .collect().map(_.getString(0)).sorted
-        for (d <- dates) {
-          val load = batch.filter(col(dateCol) === d).drop(dateCol)
-          snapshot = Scd2.merge(snapshot, load, key, attrs, d).ckpt
-        }
+        snapshot = Scd2.mergeMulti(snapshot, batch, key, attrs, dateCol).ckpt
       }
       .start()
     (q, () => snapshot)

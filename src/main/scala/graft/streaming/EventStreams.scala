@@ -328,7 +328,13 @@ object EventStreams {
     * are what give Spark a watermark constraint between the two event
     * time columns — without them the join state never evicts.
     * Malformed (reversed/null) intervals are filtered before the
-    * explode, matching the batch contract. */
+    * explode, matching the batch contract — and so are intervals WIDER
+    * than the declared max width: the derived range conjuncts prune
+    * their pairs anyway, so without the filter an over-wide row would
+    * match SOME of its true overlaps (those within the declared window)
+    * and silently miss the rest. Filtering makes the precondition
+    * violation total and visible (the row matches nothing, like a
+    * reversed interval) instead of a partial, silent wrong answer. */
   def intervalOverlapStream(
       a: DataFrame, aStart: String, aEnd: String,
       b: DataFrame, bStart: String, bEnd: String,
@@ -339,10 +345,12 @@ object EventStreams {
     def buckets(start: String, end: String) =
       explode(sequence(bucketOf(start), bucketOf(end)))
     val aw = a.withWatermark(aStart, delay)
-      .filter(col(aStart) <= col(aEnd))
+      .filter(col(aStart) <= col(aEnd) &&
+        col(aEnd) <= col(aStart) + expr(s"INTERVAL $maxAWidth"))
       .withColumn("__ab", buckets(aStart, aEnd))
     val bw = b.withWatermark(bStart, delay)
-      .filter(col(bStart) <= col(bEnd))
+      .filter(col(bStart) <= col(bEnd) &&
+        col(bEnd) <= col(bStart) + expr(s"INTERVAL $maxBWidth"))
       .withColumn("__bb", buckets(bStart, bEnd))
     aw.join(bw,
         col("__ab") === col("__bb") &&

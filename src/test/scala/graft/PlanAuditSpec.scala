@@ -24,13 +24,9 @@ class PlanAuditSpec extends AnyFunSuite {
 
   /** (query name, finding kind) → justification. */
   private val whitelist: Map[(String, String), String] = Map(
-    // RangeJoin's documented wide-interval FALLBACK branch: rows whose
-    // interval spans > maxBucketsPerRow buckets would explode the
-    // bucketed side, so they degrade to a nested loop; the corpus rides
-    // the narrow branch's bucketed equi-join (RangeJoin.scala contract).
-    ("q74_range_join", "broadcast-nested-loop") -> "wide-interval fallback branch; corpus on bucketed equi-join",
-    ("q79_range_rewrite", "broadcast-nested-loop") -> "wide-interval fallback branch (auto-rewrite); corpus on bucketed equi-join",
-    ("q273_interval_overlap", "broadcast-nested-loop") -> "intervalOverlap wide-interval fallback branches; corpus on bucketed equi-join",
+    // (RangeJoin's former wide-interval nested-loop fallbacks are GONE:
+    // arbitrarily wide intervals now join at a coarse bucket tier — a
+    // hash equi-join on (tier, bucket) — so q74/q79/q273 need no entry.)
     // Value-histogram cumulative walks (the q168 percentile discipline):
     // the global window/sort runs over a (groups × distinct-values)
     // grid aggregated from the corpus, never the corpus itself. The
@@ -56,13 +52,25 @@ class PlanAuditSpec extends AnyFunSuite {
     ("q51_segment_stats", "single-partition-exchange") -> "byPosition import-batch contract; scale path is bySegmentOfKey")
 
   test("no registered query plans a scale-hostile operator off-whitelist") {
-    val offenders = Registry.all.flatMap { q =>
-      val df = q.run(spark, TestSpark.sfDir)
-      PlanAudit.findings(df)
-        .map(f => (q.name, f.kind, f.operator))
-        .filterNot { case (n, k, _) => whitelist.contains((n, k)) }
-        .distinct
-    }
+    // audit under the SAME optimizer rules the shipped sessions run:
+    // Verify/Bench install graft.GraftExtensions, whose injected rules
+    // (range-join rewrite, approx-distinct rewrite) change exactly the
+    // plans this gate exists to check (q79's naive inequality join is a
+    // nested loop without the rewrite, a bucketed equi-join with it)
+    val injected = Seq(graft.plans.RangeJoinRewrite,
+      graft.plans.ApproxDistinctRewrite)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations ++ injected
+    val offenders =
+      try Registry.all.flatMap { q =>
+        val df = q.run(spark, TestSpark.sfDir)
+        PlanAudit.findings(df)
+          .map(f => (q.name, f.kind, f.operator))
+          .filterNot { case (n, k, _) => whitelist.contains((n, k)) }
+          .distinct
+      }
+      finally spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(injected.contains)
     assert(offenders.isEmpty,
       "unjustified scale-hostile plan shapes:\n" +
         offenders.map { case (n, k, op) => s"  $n: $k ($op)" }.mkString("\n"))

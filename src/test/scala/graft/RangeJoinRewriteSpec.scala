@@ -42,11 +42,9 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       // narrow rows take the bucketed hash equi-join...
       assert(phys.contains("Generate explode(sequence"), phys)
       assert(phys.contains("HashJoin"), phys)
-      // ...and any remaining nested loop is the wide-interval fallback
-      // branch, fed only by rows spanning > maxBucketsPerRow buckets
-      // (empty here — AQE prunes it at runtime)
-      if (phys.contains("BroadcastNestedLoopJoin"))
-        assert(phys.contains("> 10000"), phys)
+      // ...and the wide-interval branch is a coarse-tier equi-join —
+      // NO nested loop remains for any input
+      assert(!phys.contains("NestedLoop") && !phys.contains("CartesianProduct"), phys)
     }
     // without the rule the same query nested-loops with no Generate
     val phys = naiveJoin.queryExecution.executedPlan.toString
@@ -106,7 +104,7 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     assert(naive.forall(_(1) == 201L)) // the reversed interval matches nothing
   }
 
-  test("over-wide (SCD-2 sentinel) intervals take the nested-loop fallback branch") {
+  test("over-wide (SCD-2 sentinel) intervals take the coarse-tier equi-join branch") {
     def q = {
       val scd2 = Seq(
         (300L, ts("2024-01-01 00:00:00"), ts("9999-12-31 00:00:00")), // ~70M buckets
@@ -119,9 +117,11 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     val naive = q.collect().map(_.toSeq).toSet
     val rewritten = withRule {
       val phys = q.queryExecution.executedPlan.toString
-      // both branches present: equi-join for narrow rows, NL join for wide
+      // both branches are hash equi-joins: fine buckets for narrow rows,
+      // (tier, coarse-bucket) for the sentinel — never a nested loop
       assert(phys.contains("Generate explode(sequence"), phys)
-      assert(phys.contains("NestedLoop") || phys.contains("CartesianProduct"), phys)
+      assert(phys.contains("shiftright"), phys)
+      assert(!phys.contains("NestedLoop") && !phys.contains("CartesianProduct"), phys)
       q.collect().map(_.toSeq).toSet
     }
     assert(rewritten == naive)

@@ -100,7 +100,7 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
-  test("interval overlap: malformed intervals match nothing; wide intervals take the fallback") {
+  test("interval overlap: malformed intervals match nothing; wide intervals take a coarse tier") {
     // reversed a-interval WOULD satisfy the raw inequality predicate
     // against a containing b-interval — the operator's well-formedness
     // contract must exclude it on either side
@@ -125,9 +125,9 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(rows.toSet == Set((3L, 10L), (3L, 12L), (4L, 10L), (4L, 12L)))
   }
 
-  test("open-ended sentinel interval (SCD-2) joins via fallback, not explosion") {
+  test("open-ended sentinel interval (SCD-2) joins via a coarse tier, not explosion") {
     val l = points.toDF("pid", "pts")
-    // end = 9999-12-31: ~70M hourly buckets; must NOT be exploded
+    // end = 9999-12-31: ~70M hourly buckets; must NOT be exploded finely
     val scd2 = Seq(
       (300L, ts("2024-01-01 00:00:00"), ts("9999-12-31 00:00:00")),
       (301L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")))
@@ -142,5 +142,23 @@ class RangeJoinSpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(bucketed == naive)
     assert(naive.count(_._2 == 300L) == points.size) // sentinel matches all
+  }
+
+  test("no nested-loop or cartesian appears for ANY interval width (PlanAudit-clean)") {
+    val l = points.toDF("pid", "pts")
+    val mixed = Seq(
+      (300L, ts("2024-01-01 00:00:00"), ts("9999-12-31 00:00:00")), // sentinel
+      (301L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")))
+      .toDF("iid", "istart", "iend")
+    val p2i = RangeJoin.pointInInterval(
+      l, col("pts"), mixed, col("istart"), col("iend"), bucketMs = 3600000L)
+    assert(graft.plans.PlanAudit.findings(p2i).isEmpty,
+      graft.plans.PlanAudit.findings(p2i).toString)
+    val a = mixed.toDF("aid", "as", "ae")
+    val ovl = RangeJoin.intervalOverlap(
+      a, col("as"), col("ae"),
+      mixed, col("istart"), col("iend"), bucketMs = 3600000L)
+    assert(graft.plans.PlanAudit.findings(ovl).isEmpty,
+      graft.plans.PlanAudit.findings(ovl).toString)
   }
 }

@@ -91,6 +91,61 @@ class Scd2Spec extends AnyFunSuite {
         .orderBy(cols.map(col): _*).collect().toSeq)
   }
 
+  test("mergeMulti over a multi-date batch equals sequential per-date merges") {
+    // three dates in ONE batch: change / reopen / no-op / fresh / null
+    // transitions, plus a fresh key whose second load is a no-op
+    val multi = Seq(
+      (1L, "a2", Some(10), "2021-01-01"), (2L, "b", Some(20), "2021-01-01"),
+      (4L, "d", Some(40), "2021-01-01"),
+      (1L, "a", Some(10), "2022-01-01"), (3L, "c", Some(30), "2022-01-01"),
+      (4L, "d", Some(40), "2022-01-01"),
+      (1L, "a", Some(10), "2023-01-01"), (2L, "b2", None, "2023-01-01"))
+      .toDF("k", "attr", "x", "load_date")
+    val folded = Seq("2021-01-01", "2022-01-01", "2023-01-01")
+      .foldLeft(dim0) { (snap, d) =>
+        Scd2.merge(snap,
+          multi.filter(col("load_date") === d).drop("load_date"),
+          "k", Seq("attr", "x"), d)
+      }
+    val single = Scd2.mergeMulti(dim0, multi, "k", Seq("attr", "x"), "load_date")
+    val cols = Seq("k", "attr", "x", "valid_from", "valid_to", "is_current")
+    assert(single.select(cols.map(col): _*)
+      .orderBy(cols.map(col): _*).collect().toSeq ===
+      folded.select(cols.map(col): _*)
+        .orderBy(cols.map(col): _*).collect().toSeq)
+  }
+
+  test("streaming: ONE micro-batch carrying several load dates merges once, " +
+      "equal to sequential batch merges") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scd2-multi").toString
+    val b1 = Seq((1L, "a2", Some(10), "2021-01-01"),
+      (2L, "b", Some(20), "2021-01-01"), (4L, "d", Some(40), "2021-01-01"))
+    val b2 = Seq((1L, "a", Some(10), "2022-01-01"),
+      (3L, "c", Some(30), "2022-01-01"))
+    // both dated loads land BEFORE the stream starts → drained in one
+    // micro-batch (the post-downtime catch-up shape)
+    b1.toDF("k", "attr", "x", "load_date")
+      .write.mode("overwrite").parquet(s"$tmp/b1")
+    b2.toDF("k", "attr", "x", "load_date")
+      .write.mode("overwrite").parquet(s"$tmp/b2")
+    val schema = spark.read.parquet(s"$tmp/b1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/b*")
+    val (q, snap) = graft.streaming.DimStreams.scd2Sink(
+      stream, dim0, "k", Seq("attr", "x"), "load_date")
+    q.processAllAvailable()
+    q.stop()
+    val batchTwin = Scd2.merge(
+      Scd2.merge(dim0, b1.map(t => (t._1, t._2, t._3)).toDF("k", "attr", "x"),
+        "k", Seq("attr", "x"), "2021-01-01"),
+      b2.map(t => (t._1, t._2, t._3)).toDF("k", "attr", "x"),
+      "k", Seq("attr", "x"), "2022-01-01")
+    val cols = Seq("k", "attr", "x", "valid_from", "valid_to", "is_current")
+    assert(snap().select(cols.map(col): _*)
+      .orderBy(cols.map(col): _*).collect().toSeq ===
+      batchTwin.select(cols.map(col): _*)
+        .orderBy(cols.map(col): _*).collect().toSeq)
+  }
+
   test("asOfCondition picks the version valid at the fact date") {
     val d1 = Scd2.merge(dim0,
       Seq((1L, "a2", Some(10))).toDF("k", "attr", "x"),
