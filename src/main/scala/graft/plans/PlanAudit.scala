@@ -106,6 +106,102 @@ object PlanAudit {
             !maxRows(s.child).exists(_ <= 10000) =>
         Some(Finding("single-partition-exchange", s.child.nodeName))
       case _ => None
+    } ++ scanFindings(ops)
+  }
+
+  /** Scan-discipline findings of a bare physical (sub)tree — the spec
+    * hook for proving the gate FIRES on a hand-built violating plan
+    * (the API cannot produce one: `PhysicalOperation` always folds). */
+  def scanFindingsOf(plan: SparkPlan): Seq[Finding] =
+    scanFindings(flatten(plan))
+
+  // ------------------------------------------------------- scan discipline
+
+  /** Scan-discipline audit — the shuffle linter's complement: a plan can
+    * be exchange-clean and still read 100 TB it could have skipped. Two
+    * invariants, both machine-checked per scan:
+    *
+    *  - **unpushed-scan-predicate**: a deterministic scan-adjacent
+    *    conjunct that TRANSLATES to a data-source filter (so the parquet
+    *    reader could skip row groups / pages with footer statistics) but
+    *    is absent from the scan's pushed-filter set. The v1 scan path
+    *    offers every translatable data filter itself, so a hit means
+    *    drift — pushdown conf turned off, a format losing nested-field
+    *    support, a Spark upgrade changing translation — the failure mode
+    *    a standing gate catches and a per-round code read does not.
+    *  - **filter-not-folded-into-scan**: a deterministic translatable
+    *    conjunct sitting in a `Filter` DIRECTLY above the scan (through
+    *    the row-conversion shims) that never reached `dataFilters` at
+    *    all. `PhysicalOperation` folds scan-adjacent filters into the
+    *    scan node during planning; if a predicate escapes the fold it
+    *    also escaped pushdown AND partition pruning.
+    *
+    * Non-translatable residuals (arithmetic like `key % 500 = 0`,
+    * multi-column comparisons) are exempt by construction — no engine
+    * can push them to footer stats; they run codegen'd over whatever the
+    * pushed conjuncts let through. Nondeterministic predicates (rand
+    * sampling) are exempt: they are REQUIRED to stay above the scan.
+    * V2 `BatchScanExec` paths carry their own pushdown bookkeeping and
+    * are out of scope here (the engine's read path is v1; the one v2
+    * user, footer-stats, runs in a sealed child session). */
+  private def scanFindings(ops: Seq[SparkPlan]): Seq[Finding] =
+    ops.flatMap {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        // what the FORMAT can skip with, structurally — deliberately NOT
+        // the session conf the scan itself consulted: if conf drift turns
+        // nested pushdown off, expectation and plan diverge and the gate
+        // fires (reading the same conf here would be a vacuous check)
+        val nested = supportsNestedFields(f.relation.fileFormat)
+        // pushedDownFilters is `protected`; the scan publishes it in
+        // full through the metadata map (the explain "PushedFilters" row)
+        val pushed = f.metadata.getOrElse("PushedFilters", "[]")
+        f.dataFilters.filter(_.deterministic).flatMap { e =>
+          org.apache.spark.sql.GraftBridge.translateSourceFilter(e, nested)
+            .filterNot(t => pushed.contains(t.toString))
+            .map(t => Finding("unpushed-scan-predicate",
+              s"${f.nodeName}: $t not in PushedFilters $pushed"))
+        }
+      case fl: org.apache.spark.sql.execution.FilterExec =>
+        scanBelow(fl.child).toSeq.flatMap { scan =>
+          val nested = supportsNestedFields(scan.relation.fileFormat)
+          splitConjuncts(fl.condition)
+            .filter(_.deterministic)
+            .filter(c => org.apache.spark.sql.GraftBridge
+              .translateSourceFilter(c, nested).isDefined)
+            .filterNot(c => scan.dataFilters.exists(_.semanticEquals(c)))
+            .map(c => Finding("filter-not-folded-into-scan",
+              s"${scan.nodeName}: $c evaluated above the scan, absent " +
+                s"from DataFilters ${scan.dataFilters}"))
+        }
+      case _ => Nil
     }
+
+  /** Columnar footer-stat formats take nested-field pushdown; row
+    * formats (csv/json/text) translate top-level predicates only. */
+  private def supportsNestedFields(
+      fmt: org.apache.spark.sql.execution.datasources.FileFormat): Boolean =
+    fmt.isInstanceOf[
+        org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] ||
+      fmt.isInstanceOf[
+        org.apache.spark.sql.execution.datasources.orc.OrcFileFormat]
+
+  /** The file scan this node sits DIRECTLY on top of, looking through
+    * only the row-representation shims (columnar→row, codegen adapters)
+    * — never through operators that rename, project or reorder rows. */
+  private def scanBelow(p: SparkPlan)
+      : Option[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case s: org.apache.spark.sql.execution.FileSourceScanExec => Some(s)
+    case c: org.apache.spark.sql.execution.ColumnarToRowExec => scanBelow(c.child)
+    case i: org.apache.spark.sql.execution.InputAdapter => scanBelow(i.child)
+    case w: org.apache.spark.sql.execution.WholeStageCodegenExec => scanBelow(w.child)
+    case _ => None
+  }
+
+  private def splitConjuncts(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
   }
 }

@@ -40,6 +40,14 @@ object GraftBridge {
       plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** `DataSourceStrategy.translateFilter` is `private[sql]`: whether (and
+    * as what) a catalyst predicate can be offered to a file source for
+    * row-group/page skipping — the exact translation the v1 scan path
+    * itself performs when it builds `pushedDownFilters`. */
+  def translateSourceFilter(e: Expression,
+      supportNested: Boolean): Option[sources.Filter] =
+    execution.datasources.DataSourceStrategy.translateFilter(e, supportNested)
+
   /** Idempotently add a planner strategy to the session's experimental
     * hooks — the runtime fallback for sessions built without
     * `spark.sql.extensions=graft.GraftExtensions`. */

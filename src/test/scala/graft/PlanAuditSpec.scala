@@ -75,4 +75,58 @@ class PlanAuditSpec extends AnyFunSuite {
       "unjustified scale-hostile plan shapes:\n" +
         offenders.map { case (n, k, op) => s"  $n: $k ($op)" }.mkString("\n"))
   }
+
+  // ------------------------------------------------ scan-discipline teeth
+  // The registry sweep above asserts zero scan findings; these two prove
+  // the gate is not vacuous — it FIRES on the drift it exists to catch.
+
+  test("unpushed-scan-predicate fires when conf drift turns nested " +
+      "pushdown off (the scan stops offering a skippable predicate)") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nested").toString
+    spark.range(100)
+      .select(col("id"), struct(col("id").as("a"), lit("x").as("b")).as("s"))
+      .write.mode("overwrite").parquet(tmp)
+    def auditNestedFilter(s: org.apache.spark.sql.SparkSession) =
+      PlanAudit.findings(
+        s.read.parquet(tmp).filter(col("s.a") > 50).select("id"))
+    // healthy session: the nested predicate reaches PushedFilters
+    assert(auditNestedFilter(spark).isEmpty)
+    // drifted session: parquet loses nested pushdown support → the SAME
+    // query silently stops skipping row groups — the gate must see it.
+    // The scan's pushed-filter set is a LAZY val resolving SQLConf.get
+    // (thread-active session), so the drifted session must be active
+    // while the audit forces it.
+    val drifted = spark.newSession()
+    drifted.conf.set(
+      "spark.sql.optimizer.nestedPredicatePushdown.supportedFileSources", "")
+    org.apache.spark.sql.classic.SparkSession.setActiveSession(
+      drifted.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    val found =
+      try auditNestedFilter(drifted)
+      finally org.apache.spark.sql.classic.SparkSession.setActiveSession(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    assert(found.exists(_.kind == "unpushed-scan-predicate"),
+      s"gate stayed silent under pushdown conf drift: $found")
+  }
+
+  test("filter-not-folded-into-scan fires on a plan whose scan-adjacent " +
+      "pushable predicate escaped the PhysicalOperation fold") {
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, Literal}
+    import org.apache.spark.sql.execution.FilterExec
+    // the API cannot produce this shape (Catalyst always folds), so
+    // hand-build it: Filter(id > 10) directly over a bare parquet scan
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fold").toString
+    spark.range(100).write.mode("overwrite").parquet(tmp)
+    val scanPlan = spark.read.parquet(tmp).queryExecution.executedPlan
+    val attr = scanPlan.output.head
+    val violating = FilterExec(GreaterThan(attr, Literal(10L)), scanPlan)
+    val found = PlanAudit.scanFindingsOf(violating)
+    assert(found.exists(_.kind == "filter-not-folded-into-scan"),
+      s"hand-built unfolded filter not detected: $found")
+    // and the same predicate folded by the API is clean
+    import org.apache.spark.sql.functions.col
+    assert(PlanAudit.findings(
+      spark.read.parquet(tmp).filter(col("id") > 10)).isEmpty)
+  }
 }
