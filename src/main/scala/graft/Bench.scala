@@ -80,25 +80,25 @@ object Bench {
       java.nio.file.Paths.get("BENCH_last_full.json"),
       fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.io.IOException => () } // read-only cwd: tail only
-    // …then a COMPACT headline as the very LAST line, hard-capped so the
-    // whole JSON object survives the tail even with sbt's trailing
-    // "[success] Total time" line: per-query entries are added in
-    // DESCENDING cost order (the perf-relevant ones) until the 1800-char
-    // budget is reached; n_shown/n_total record the truncation and
-    // "full" points at the complete dict written above.
-    val byCost = results.sortBy(-_._2).map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
-    val budget = 1800
-    val prefix = f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","cold":$coldTotal%.2f,"passes":$passTotals,"method":"toRdd.count median-of-3 after warmup","n_total":${results.size},"full":"BENCH_last_full.json","n_shown":NNN,"queries":{"""
-    val fixed = prefix.length + 2 // closing "}}"
-    var used = 0
-    val shown = scala.collection.mutable.ArrayBuffer.empty[String]
-    byCost.foreach { e =>
-      val extra = e.length + (if (shown.isEmpty) 0 else 1)
-      if (fixed + used + extra <= budget) { shown += e; used += extra }
+    // …then a SELF-CONTAINED compact headline as the very LAST line: the
+    // driver keeps only the final ~2000 stdout chars, which cannot carry
+    // 281 plain-text entries — so the COMPLETE per-query dict rides
+    // inline as gzip+base64 of a "name:millis,…" CSV (≈1.6 KB for 281
+    // entries vs 3.5 KB plain). One artifact, zero companion lookups:
+    //   dict = {k: int(v) for k, v in (e.split(':') for e in
+    //     gzip.decompress(base64.b64decode(j['queries_gz']))
+    //       .decode().split(','))}
+    val msCsv = results.map { case (k, v) =>
+      k.takeWhile(_ != '_') + ":" + math.round(v * 1000) }.mkString(",")
+    val gzBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(msCsv.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      gz.close()
+      bos.toByteArray
     }
-    println(prefix.replace("\"n_shown\":NNN", s""""n_shown":${shown.size}""") +
-      shown.mkString(",") + "}}")
+    val qgz = java.util.Base64.getEncoder.encodeToString(gzBytes)
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","cold":$coldTotal%.2f,"passes":$passTotals,"method":"toRdd.count median-of-3 after warmup","n_total":${results.size},"enc":"queries_gz = base64(gzip('name:millis,...')) -- every query inline","queries_gz":"$qgz"}""")
     spark.stop()
   }
 }

@@ -329,11 +329,31 @@ object EtlQueries {
 
   private val scd2Attrs = Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
 
-  private[graft] def scd2Dim(s: SparkSession, dir: String): DataFrame =
+  /** The q269/q270 dimension, merged off the PRODUCTION snapshot layout:
+    * the initial SCD2 load lands once per session (q260's double-checked
+    * landing discipline) partitioned by `is_current` and bucketed by the
+    * natural key, and the merge reads it back from the table — so the
+    * plans these queries gate are the partition-pruned, exchange-free
+    * shapes a 100-TB dimension store would produce, not an in-memory
+    * union's. PlanSpec pins both properties (history partition pruned
+    * from the merge's join; zero snapshot-side exchange). */
+  private[graft] def scd2Dim(s: SparkSession, dir: String): DataFrame = {
+    val sf = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_scd2_dim_$sf"
+    val snapT =
+      if (s.catalog.tableExists(table)) table
+      else EtlQueries.synchronized {
+        if (s.catalog.tableExists(table)) table
+        else Scd2.landSnapshot(
+          Scd2.initial(Tables.customer(s, dir), "1994-01-01"),
+          table, "c_custkey", 8,
+          Some(s"/tmp/graft_gate/$sf/scd2/customer_dim"))
+      }
     Scd2.merge(
-      Scd2.initial(Tables.customer(s, dir), "1994-01-01"),
+      s.table(snapT),
       scd2Batch(Tables.customer(s, dir)),
       "c_custkey", scd2Attrs, "1998-01-01")
+  }
 
   /** SCD2 batch merge (q269): initial load at 1994-01-01 advanced by one
     * 1998-01-01 batch; output is the full versioned dimension. Gates all

@@ -79,6 +79,31 @@ object Scd2 {
       .unionByName(opened)
   }
 
+  /** Land an SCD2 snapshot in its production layout: PARTITIONED by
+    * `is_current` and BUCKETED by the natural key (the q240/q260
+    * recipe applied to the versioned dimension). Why this layout: a
+    * merge reads the current slice only — with `is_current` as the
+    * partition column that filter is directory pruning, so the
+    * ever-growing history partition is never scanned (at 100 TB the
+    * history IS most of the dimension) — and the full-outer join
+    * against the batch plans with zero snapshot-side exchange because
+    * the current partition is bucketed on the join key. The history
+    * partition is append-only across merges (closed versions land
+    * there, existing files never rewrite), so a nightly merge's write
+    * amplification is |current| + |closed today|, not |history|. */
+  def landSnapshot(snapshot: DataFrame, table: String, key: String,
+      buckets: Int, path: Option[String] = None): String = {
+    val w = snapshot.write.mode("overwrite")
+      .partitionBy(IsCurrent)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+    // external table on an explicit path: overwrite replaces stale data
+    // from a previous session even when the fresh catalog has no entry
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+    table
+  }
+
   /** Multi-date merge — fold a batch carrying SEVERAL load dates into
     * the snapshot in ONE pass, equal to merging each date's slice
     * sequentially in ascending date order (spec-pinned). This is the

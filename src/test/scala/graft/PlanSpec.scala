@@ -557,6 +557,55 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed snapshot side still exchanges:\n${bucketed.left}")
   }
 
+  test("q269: the SCD2 merge reads the landed dimension partition-pruned " +
+      "(history partition never scanned by the join) and, in the shuffle " +
+      "regime, exchange-free off the bucketed current partition") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    def tree(s: org.apache.spark.sql.SparkSession): SparkPlan =
+      SparkEntry.queries("q269_scd2_merge")(s, TestSpark.sfDir)
+        .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case other => other
+      }
+    // match on the table identity, not the file-index paths: the
+    // history partition of a freshly-landed snapshot holds ZERO files,
+    // so its (perfectly pruned) scan has an empty path list
+    def dimScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case sc: FileSourceScanExec
+          if sc.tableIdentifier.exists(_.table.startsWith("graft_scd2_dim")) =>
+        sc }
+    // default regime: EVERY read of the landed table is partition-pruned —
+    // the merge's join arms prune to is_current=true, the pass-through
+    // history arm to is_current=false; no scan reads both partitions
+    val scans = dimScans(tree(spark))
+    assert(scans.nonEmpty, "merge lost the landed-table scans")
+    assert(scans.forall(_.partitionFilters.exists(
+        _.toString.contains("is_current"))),
+      s"a landed-table scan reads both partitions:\n${scans.mkString("\n")}")
+    val (historyScans, currentScans) = scans.partition(
+      _.partitionFilters.exists(_.toString.contains("NOT is_current")))
+    assert(currentScans.nonEmpty && historyScans.nonEmpty,
+      s"expected both a current-pruned and a history-pruned scan:\n$scans")
+    // shuffle regime (batch side not broadcastable): the merge joins read
+    // the CURRENT partition through its bucketed layout with ZERO
+    // snapshot-side exchange — the q260 property on the SCD2 store
+    val noBc = spark.newSession()
+    noBc.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p2 = tree(noBc)
+    val joins = p2.collect { case j: SortMergeJoinExec => j }
+    assert(joins.nonEmpty, s"no sort-merge join under broadcast-off:\n$p2")
+    joins.foreach { j =>
+      val snapSide = dimScans(j.left)
+      assert(snapSide.nonEmpty && snapSide.forall(_.bucketedScan),
+        s"merge join does not read the bucketed current partition:\n$j")
+      assert(j.left.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"snapshot side still exchanges:\n${j.left}")
+    }
+  }
+
   test("q198: tier assignment is map-side (no join before the token " +
       "aggregate); the cumulative window runs over the 4-row tier frame") {
     val p = plan("q198_vocab_growth")
