@@ -66,6 +66,21 @@ object RangeJoin {
   private def fineBucket(ts: Column, bucketMs: Long): Column =
     floor(unix_millis(ts) / bucketMs).cast("long")
 
+  /** Smallest tier bounding a DECLARED max span (in fine buckets) at ≤
+    * maxB exploded rows — the static twin of [[homeTier]] for callers
+    * that know their interval widths up front. */
+  private def staticTier(spanBuckets: Long, maxB: Long): Int =
+    thresholds(maxB).indexWhere(spanBuckets <= _) match {
+      case -1 => Tiers - 1
+      case t => t
+    }
+
+  /** An interval `[s, e]` no wider than `widthMs` spans at most
+    * `widthMs/bucketMs + 1` fine buckets (the +1 for straddling a
+    * boundary). */
+  private def spanBound(widthMs: Long, bucketMs: Long): Long =
+    widthMs / bucketMs + 1
+
   /** `left` (point `leftTs`) ⋈ `right` (`[rightStart, rightEnd]`),
     * inclusive bounds, fine bucket width `bucketMs` millis. Pick bucketMs
     * near the typical interval length: wider → fewer exploded rows,
@@ -85,13 +100,24 @@ object RangeJoin {
     * only at the interval's home tier, in the point's single bucket
     * there — at most one joined row per pair before the exact residual.
     *
-    * CONTRACT: `right` is referenced twice (tier-presence probe + the
-    * exploded join side) — pass deterministic frames (materialize first
-    * if an input depends on rand()/unordered limits). */
+    * `maxIntervalWidthMs`, when given, is a DECLARED width bound (the
+    * streaming twin's contract): intervals wider than it are filtered
+    * out — they match nothing, like reversed intervals — and in exchange
+    * the whole join runs statically at the one tier that width needs,
+    * with NO tier-presence probe (no second pass over `right`) and no
+    * per-point tier explosion. Prefer it whenever widths are known
+    * (fixed windows, SLA horizons); the probed form is the safety net
+    * for unknown-width data.
+    *
+    * CONTRACT: without a declared width, `right` is referenced twice
+    * (tier-presence probe + the exploded join side) — pass deterministic
+    * frames (materialize first if an input depends on rand()/unordered
+    * limits). */
   def pointInInterval(
       left: DataFrame, leftTs: Column,
       right: DataFrame, rightStart: Column, rightEnd: Column,
-      bucketMs: Long, maxBucketsPerRow: Long = 10000L): DataFrame = {
+      bucketMs: Long, maxBucketsPerRow: Long = 10000L,
+      maxIntervalWidthMs: Option[Long] = None): DataFrame = {
     // floor, not cast-truncation: pre-epoch (negative) millis must round
     // toward -inf or the point's bucket misses the interval's bucket set
     val lFine = fineBucket(leftTs, bucketMs)
@@ -99,26 +125,45 @@ object RangeJoin {
     val rE = fineBucket(rightEnd, bucketMs)
     val rangePred = leftTs >= rightStart && leftTs <= rightEnd
 
-    // null-rejecting: reversed/null intervals match nothing and are
-    // dropped before the explode (sequence needs lo <= hi)
-    val rBase = right.filter(rightStart <= rightEnd)
-      .withColumn("__tier", homeTier(rE - rS, maxBucketsPerRow))
-    val presentTiers = rBase.select("__tier").distinct()
-    val rX = rBase.withColumn("__bucket", explode(sequence(
-      element_at(tierBuckets(rS), col("__tier") + 1),
-      element_at(tierBuckets(rE), col("__tier") + 1))))
+    maxIntervalWidthMs match {
+      case Some(w) =>
+        val sh = TierShift * staticTier(spanBound(w, bucketMs), maxBucketsPerRow)
+        // width-contract filter is null-rejecting like the reversed-
+        // interval one: an over-wide row violates the declared contract
+        // and matches nothing (total and visible, never a partial match)
+        val rOk = right.filter(rightStart <= rightEnd &&
+          unix_millis(rightEnd) - unix_millis(rightStart) <= w)
+        val rX = rOk.withColumn("__bucket",
+          explode(sequence(shiftright(rS, sh), shiftright(rE, sh))))
+        val lX = left.withColumn("__bucket", shiftright(lFine, sh))
+        lX.join(rX, Seq("__bucket")).filter(rangePred).drop("__bucket")
 
-    // a point occupies one bucket per tier; generate only PRESENT tiers
-    // (map-side broadcast filter — 1 row per point when all intervals
-    // are narrow)
-    val lX = left
-      .withColumn("__tier", explode(sequence(lit(0), lit(Tiers - 1))))
-      .join(broadcast(presentTiers), Seq("__tier"))
-      .withColumn("__bucket", element_at(tierBuckets(lFine), col("__tier") + 1))
+      case None =>
+        // null-rejecting: reversed/null intervals match nothing and are
+        // dropped before the explode (sequence needs lo <= hi)
+        val rBase = right.filter(rightStart <= rightEnd)
+          .withColumn("__tier", homeTier(rE - rS, maxBucketsPerRow))
+        val rX = rBase.withColumn("__bucket", explode(sequence(
+          element_at(tierBuckets(rS), col("__tier") + 1),
+          element_at(tierBuckets(rE), col("__tier") + 1))))
 
-    lX.join(rX, Seq("__tier", "__bucket"))
-      .filter(rangePred)
-      .drop("__tier", "__bucket")
+        // a point occupies one bucket per tier, generated only for
+        // PRESENT tiers: the probe is a 1-row collect_set (partial-
+        // aggregated, column-pruned pass over the interval side)
+        // crossJoined broadcast — each point explodes to exactly
+        // |present tiers| rows (×1 when every interval is narrow)
+        val presentTiers = rBase.agg(collect_set(col("__tier")).as("__tiers"))
+        val lX = left
+          .crossJoin(broadcast(presentTiers))
+          .withColumn("__tier", explode(col("__tiers")))
+          .drop("__tiers")
+          .withColumn("__bucket",
+            element_at(tierBuckets(lFine), col("__tier") + 1))
+
+        lX.join(rX, Seq("__tier", "__bucket"))
+          .filter(rangePred)
+          .drop("__tier", "__bucket")
+    }
   }
 
   /** INTERVAL × INTERVAL overlap join (inclusive bounds): pairs where
@@ -141,13 +186,22 @@ object RangeJoin {
     * contract. No nested-loop branch exists for any width
     * (PlanAudit-checked).
     *
+    * `maxAWidthMs`/`maxBWidthMs`, when BOTH given, are DECLARED width
+    * bounds (the `intervalOverlapStream` contract): wider rows are
+    * filtered out — they match nothing, like reversed intervals — and
+    * the whole join runs statically at the one tier the larger width
+    * needs, with NO tier probes (no second pass over either input).
+    * Prefer it when widths are known; the probed form is the safety net.
+    *
     * CONTRACT: column names must be disjoint across `a` and `b` (rename
-    * first), and both inputs are referenced twice (tier probe + join
-    * side) — pass deterministic frames. */
+    * first); without declared widths, both inputs are referenced twice
+    * (tier probe + join side) — pass deterministic frames. */
   def intervalOverlap(
       a: DataFrame, aStart: Column, aEnd: Column,
       b: DataFrame, bStart: Column, bEnd: Column,
-      bucketMs: Long, maxBucketsPerRow: Long = 10000L): DataFrame = {
+      bucketMs: Long, maxBucketsPerRow: Long = 10000L,
+      maxAWidthMs: Option[Long] = None,
+      maxBWidthMs: Option[Long] = None): DataFrame = {
     val aS = fineBucket(aStart, bucketMs)
     val aE = fineBucket(aEnd, bucketMs)
     val bS = fineBucket(bStart, bucketMs)
@@ -155,28 +209,55 @@ object RangeJoin {
     val overlap = aStart <= aEnd && bStart <= bEnd &&
       aStart <= bEnd && bStart <= aEnd
 
+    (maxAWidthMs, maxBWidthMs) match {
+      case (Some(wa), Some(wb)) =>
+        // both sides at the ONE tier the larger declared width needs:
+        // identical shape to the single-tier bucketed join, just with
+        // 4096^t-wide buckets; exactly-once via first-intersection-bucket
+        val sh = TierShift * math.max(
+          staticTier(spanBound(wa, bucketMs), maxBucketsPerRow),
+          staticTier(spanBound(wb, bucketMs), maxBucketsPerRow))
+        val aOk = a.filter(aStart <= aEnd &&
+          unix_millis(aEnd) - unix_millis(aStart) <= wa)
+        val bOk = b.filter(bStart <= bEnd &&
+          unix_millis(bEnd) - unix_millis(bStart) <= wb)
+        val aX = aOk.withColumn("__abs", shiftright(aS, sh))
+          .withColumn("__bucket",
+            explode(sequence(col("__abs"), shiftright(aE, sh))))
+        val bX = bOk.withColumn("__bbs", shiftright(bS, sh))
+          .withColumn("__bucket",
+            explode(sequence(col("__bbs"), shiftright(bE, sh))))
+        return aX.join(bX, Seq("__bucket"))
+          .filter(overlap &&
+            col("__bucket") === greatest(col("__abs"), col("__bbs")))
+          .drop("__bucket", "__abs", "__bbs")
+      case _ => ()
+    }
+
     val aBase = a.filter(aStart <= aEnd)
       .withColumn("__aht", homeTier(aE - aS, maxBucketsPerRow))
     val bBase = b.filter(bStart <= bEnd)
       .withColumn("__bht", homeTier(bE - bS, maxBucketsPerRow))
-    val aTiers = aBase.select(col("__aht").as("__tier")).distinct()
-    val bTiers = bBase.select(col("__bht").as("__tier")).distinct()
+    // 1-row tier-presence probes (partial-aggregated column-pruned pass
+    // per side), crossJoined broadcast so each row explodes to exactly
+    // the tiers it needs — its own home tier plus the COARSER tiers the
+    // other side occupies; ×1 rows when both sides are all-narrow
+    val aTierSet = aBase.agg(collect_set(col("__aht")).as("__ot"))
+    val bTierSet = bBase.agg(collect_set(col("__bht")).as("__ot"))
 
-    // explode a side at its home tier + coarser tiers present on b
-    def explodeSide(base: DataFrame, ht: String, otherTiers: DataFrame,
+    def explodeSide(base: DataFrame, ht: String, otherTierSet: DataFrame,
         s: Column, e: Column, bsName: String): DataFrame =
       base
-        .withColumn("__tier", explode(sequence(col(ht), lit(Tiers - 1))))
-        .join(broadcast(otherTiers.withColumn("__other", lit(true))),
-          Seq("__tier"), "left")
-        .filter(col("__tier") === col(ht) || col("__other"))
-        .drop("__other")
+        .crossJoin(broadcast(otherTierSet))
+        .withColumn("__tier", explode(array_union(
+          array(col(ht)), filter(col("__ot"), t => t > col(ht)))))
+        .drop("__ot")
         .withColumn(bsName, element_at(tierBuckets(s), col("__tier") + 1))
         .withColumn("__bucket", explode(sequence(
           col(bsName), element_at(tierBuckets(e), col("__tier") + 1))))
 
-    val aX = explodeSide(aBase, "__aht", bTiers, aS, aE, "__abs")
-    val bX = explodeSide(bBase, "__bht", aTiers, bS, bE, "__bbs")
+    val aX = explodeSide(aBase, "__aht", bTierSet, aS, aE, "__abs")
+    val bX = explodeSide(bBase, "__bht", aTierSet, bS, bE, "__bbs")
 
     aX.join(bX, Seq("__tier", "__bucket"))
       .filter(overlap &&

@@ -32,17 +32,16 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, TimestampT
   *  - an interval spanning more than `spark.graft.rangeJoin
   *    .maxBucketsPerRow` buckets (default 10k ≈ 416 days at the 1-hour
   *    default width — think SCD-2 sentinel valid_to = 9999-12-31) would
-  *    explode into millions of rows PER ROW. Such rows take a COARSE-TIER
-  *    branch: tier-t buckets are `4096^t` fine buckets wide, each wide
-  *    interval explodes at the one tier (1..5) whose width fits its span
-  *    under the cap (tier 5 covers any representable span), the point
-  *    side explodes to one bucket per coarse tier (×5 rows, only in this
-  *    branch), and the branch joins on `(tier, bucket)` — still a hash
-  *    EQUI-join, never a nested loop, for ANY interval width. The two
-  *    branches union; when no wide rows exist, AQE's empty-relation
-  *    propagation erases the coarse branch (including its scans) at
-  *    runtime, and a point×interval pair can only meet at the interval's
-  *    single home tier, so no pair is emitted twice.
+  *    explode into millions of rows PER ROW. Buckets are therefore
+  *    HIERARCHICAL: tier-t buckets are `4096^t` fine buckets wide, every
+  *    interval explodes at the one tier (0..5) whose width fits its span
+  *    under the cap (tier 0 = fine buckets for narrow rows; tier 5
+  *    covers any representable span), the point side explodes to one
+  *    bucket per PRESENT tier (gated by a broadcast 1-row collect_set
+  *    probe — ×1 rows when every interval is narrow), and ONE hash
+  *    EQUI-join on `(tier, bucket)` serves every width — no nested-loop
+  *    branch exists for any input. A point×interval pair can only meet
+  *    at the interval's single home tier, so no pair is emitted twice.
   *
   * Registered by `graft.GraftExtensions` (injectOptimizerRule) or at
   * runtime via `spark.experimental.extraOptimizations`. SURVEY §7.3(c):
@@ -53,12 +52,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val BucketConfKey = "spark.graft.rangeJoin.bucketMs"
 
-  /** Max buckets a single interval may explode into before its row is
-    * routed to the nested-loop fallback branch. Tradeoff: higher → more
-    * rows take the fast equi-join path but the worst row materializes
-    * that many copies; lower → more rows fall back to the quadratic
-    * branch. 10k keeps per-row blowup bounded at ~10k × row size while
-    * covering a year of hourly buckets. */
+  /** Max buckets a single interval may explode into at ANY tier — a row
+    * lands at the tier where its span fits this cap. Tradeoff: higher →
+    * finer buckets for wide rows (less residual filtering) but more
+    * copies per row; 10k keeps per-row blowup bounded at ~10k × row size
+    * while covering a year of hourly buckets at tier 0. */
   val MaxBucketsConfKey = "spark.graft.rangeJoin.maxBucketsPerRow"
 
   private def bucketMs: Long =
@@ -72,17 +70,18 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private val TierShift = 12
   private val Tiers = 6
 
-  /** Idempotence guard: both branches we emit still contain Join nodes,
-    * but their conditions are pure equi-conjuncts (bucket/tier
-    * attributes), which the pattern below never matches. Rules that
-    * rebuild join trees from scratch (ReorderJoin) lose any TreeNodeTag,
-    * and alias/marker schemes get folded away (FoldablePropagation turns
-    * an always-true marker attribute into a literal, BooleanSimplification
-    * removes it, pruning drops the column). The guard that actually
-    * survives re-writes is the span-cap FILTER itself —
-    * `bucket(hi) - bucket(lo) > N` references real columns, so no rule
-    * can fold it, and it is semantically load-bearing, so nothing removes
-    * it. `hasGraftShape` detects it anywhere in the join subtree. */
+  /** Idempotence: the rewrite's own output can never re-match the
+    * pattern — its joins carry either NO condition (the broadcast probe
+    * cross join) or pure equi-conjuncts on the (tier, bucket)
+    * attributes, and the pattern requires timestamp bounds with no
+    * cross-side equality. Even if an outer rule pushes the residual
+    * range filter back INTO the final join's condition, the equi
+    * conjuncts are still there and the `hasEqui` guard skips it. This
+    * holds under rules that rebuild join trees from scratch
+    * (ReorderJoin), where any TreeNodeTag or marker-column scheme would
+    * be lost/folded away. `hasGraftShape` additionally suppresses the
+    * rewrite for HAND-WRITTEN bucket decompositions (a span-cap filter
+    * over bucket arithmetic), which equally must not be re-rewritten. */
 
   /** A bucket-arithmetic expression: floor over unix_millis — the shape
     * only this rule's rewrite produces (or a user hand-writing the same
@@ -162,76 +161,71 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           val loBucket = bucketOf(lo, b)
           val hiBucket = bucketOf(hi, b)
           val span = Subtract(hiBucket, loBucket)
-          val maxLit = Literal(maxBucketsPerRow)
-
-          // -------- narrow branch: bounded, well-formed intervals --------
-          // lo <= hi is null-rejecting: reversed AND null-bounded rows
-          // (which match nothing in the original join) are dropped before
-          // the Generate, so sequence() can neither throw nor explode.
-          val narrowRight = Filter(
-            And(LessThanOrEqual(lo, hi), LessThanOrEqual(span, maxLit)), right)
-          val lbAlias = Alias(bucketOf(pt, b), "__graft_bucket_l")()
-          val newLeft = Project(left.output :+ lbAlias, left)
-          val bucketAttr = AttributeReference(
-            "__graft_bucket_r", LongType, nullable = false)()
-          // Sequence is TimeZoneAwareExpression: stays UNRESOLVED without
-          // an explicit zone even over longs — pin the session zone
-          val seq = Sequence(
-            loBucket, hiBucket, Some(Literal(1L)),
-            Some(SQLConf.get.sessionLocalTimeZone))
-          val newRight = Generate(Explode(seq), unrequiredChildIndex = Nil,
-            outer = false, qualifier = None,
-            generatorOutput = Seq(bucketAttr), child = narrowRight)
-          val bucketed = Join(newLeft, newRight, Inner,
-            Some(EqualTo(lbAlias.toAttribute, bucketAttr)), hint)
-          // original condition (ALL conjuncts) stays as the exact residual
-          val narrowBranch = Project(j.output, Filter(cond, bucketed))
-
-          // -------- wide branch: over-wide intervals join at a COARSE
-          // tier. `lo <= hi && span > max` is null-rejecting too, so the
-          // branches partition the matchable right rows exactly
-          // (reversed/null rows in neither — they contribute no matches
-          // either way). The span-cap filter doubles as the structural
-          // idempotence guard (see the guard doc above).
           val maxB = maxBucketsPerRow
+          val tz = Some(SQLConf.get.sessionLocalTimeZone)
           // saturating maxB·4096^t — the smallest tier fitting the span
           def thLit(t: Int): Long = {
             val shift = TierShift * t
             if (maxB > (Long.MaxValue >> shift)) Long.MaxValue
             else maxB << shift
           }
-          val wideRight = Filter(
-            And(LessThanOrEqual(lo, hi), GreaterThan(span, maxLit)), right)
+
+          // ---- interval side: well-formed rows tagged with their HOME
+          // tier (smallest tier bounding the explosion at ≤ maxB rows;
+          // narrow rows land at tier 0 = fine buckets). lo <= hi is
+          // null-rejecting: reversed AND null-bounded rows (which match
+          // nothing in the original join) are dropped before the
+          // Generate, so sequence() can neither throw nor explode.
+          val rBase = Filter(LessThanOrEqual(lo, hi), right)
           val tierAlias = Alias(CaseWhen(
-            (1 until Tiers - 1).map(t =>
+            (0 until Tiers - 1).map(t =>
               (LessThanOrEqual(span, Literal(thLit(t))), Literal(t))),
             Some(Literal(Tiers - 1))), "__graft_tier_r")()
-          val wideProj = Project(right.output :+ tierAlias, wideRight)
+          val rProj = Project(right.output :+ tierAlias, rBase)
           val shiftR = Multiply(Literal(TierShift), tierAlias.toAttribute)
-          val bucketR2 = AttributeReference(
-            "__graft_bucket_r2", LongType, nullable = false)()
+          val bucketR = AttributeReference(
+            "__graft_bucket_r", LongType, nullable = false)()
+          // Sequence is TimeZoneAwareExpression: stays UNRESOLVED without
+          // an explicit zone even over longs — pin the session zone
           val genR = Generate(Explode(Sequence(
               ShiftRight(loBucket, shiftR), ShiftRight(hiBucket, shiftR),
-              Some(Literal(1L)), Some(SQLConf.get.sessionLocalTimeZone))),
+              Some(Literal(1L)), tz)),
             unrequiredChildIndex = Nil, outer = false, qualifier = None,
-            generatorOutput = Seq(bucketR2), child = wideProj)
-          // the point occupies ONE bucket per coarse tier (1..5)
+            generatorOutput = Seq(bucketR), child = rProj)
+
+          // ---- point side: one bucket per PRESENT tier. The probe is a
+          // broadcast 1-row collect_set over the interval side (a second,
+          // column-pruned reference to `right` — hence the determinism
+          // guard on this rule), so each point explodes to exactly
+          // |present tiers| rows: ×1 when every interval is narrow, and
+          // the coarse tiers cost rows only when wide rows exist.
+          val tiersAlias = Alias(
+            new org.apache.spark.sql.catalyst.expressions.aggregate
+              .CollectSet(tierAlias.toAttribute).toAggregateExpression(),
+            "__graft_tiers")()
+          val probe = Aggregate(Nil, Seq(tiersAlias), rProj)
+          val cross = Join(left, probe,
+            org.apache.spark.sql.catalyst.plans.Cross, None,
+            JoinHint(None,
+              Some(HintInfo(strategy = Some(BROADCAST)))))
           val tierL = AttributeReference(
             "__graft_tier_l", IntegerType, nullable = false)()
-          val genL = Generate(Explode(Sequence(
-              Literal(1), Literal(Tiers - 1), Some(Literal(1)),
-              Some(SQLConf.get.sessionLocalTimeZone))),
+          val genL = Generate(Explode(tiersAlias.toAttribute),
             unrequiredChildIndex = Nil, outer = false, qualifier = None,
-            generatorOutput = Seq(tierL), child = left)
-          val lBucket2 = Alias(ShiftRight(bucketOf(pt, b),
-            Multiply(Literal(TierShift), tierL)), "__graft_bucket_l2")()
-          val projL = Project(left.output :+ tierL :+ lBucket2, genL)
-          val wideJoin = Join(projL, genR, Inner,
-            Some(And(EqualTo(tierL, tierAlias.toAttribute),
-              EqualTo(lBucket2.toAttribute, bucketR2))), hint)
-          val wideBranch = Project(j.output, Filter(cond, wideJoin))
+            generatorOutput = Seq(tierL), child = cross)
+          val lbAlias = Alias(ShiftRight(bucketOf(pt, b),
+            Multiply(Literal(TierShift), tierL)), "__graft_bucket_l")()
+          val projL = Project(left.output :+ tierL :+ lbAlias, genL)
 
-          Project(j.output, Union(Seq(narrowBranch, wideBranch)))
+          // ---- ONE hash equi-join on (tier, bucket) for ANY interval
+          // width — no nested-loop branch exists. A point×interval pair
+          // can only meet at the interval's single home tier, in the
+          // point's single bucket there, so no pair is emitted twice.
+          // The original condition (ALL conjuncts) stays as the residual.
+          val joined = Join(projL, genR, Inner,
+            Some(And(EqualTo(tierL, tierAlias.toAttribute),
+              EqualTo(lbAlias.toAttribute, bucketR))), hint)
+          Project(j.output, Filter(cond, joined))
         case _ => j
       }
   }

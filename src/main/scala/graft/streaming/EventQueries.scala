@@ -164,7 +164,10 @@ object EventQueries {
     graft.operators.RangeJoin.pointInInterval(
         clicks, col("click_ts"),
         errors, col("win_start"), col("win_end"),
-        bucketMs = 600000L)
+        bucketMs = 600000L,
+        // windows are 10 min by construction: the declared-width fast
+        // path skips the tier probe (no second scan of the window side)
+        maxIntervalWidthMs = Some(600000L))
       .groupBy(col("err_id"))
       .agg(count(lit(1)).as("n_clicks"))
       .orderBy(col("err_id"))
@@ -197,9 +200,9 @@ object EventQueries {
     * intersection-bucket pair attribution, NOT an inequality nested
     * loop. Scale shape: both window sides explode ~2 bucket rows per
     * interval, one hash shuffle each, every overlapping pair emitted
-    * exactly once structurally (no pair-level distinct); the nested-
-    * loop fallback branches are runtime-empty (no window spans >10k
-    * buckets) and AQE erases them. */
+    * exactly once structurally (no pair-level distinct); declared
+    * widths put the join on the static single-tier path — zero probe
+    * scans, and no nested loop exists for ANY width (PlanAudit). */
   def errorSignupOverlap(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
     val errs = e.filter(col("event_type") === "error")
@@ -210,7 +213,11 @@ object EventQueries {
         (col("ts") + expr("INTERVAL 15 MINUTES")).as("sig_end"))
     graft.operators.RangeJoin.intervalOverlap(
         errs, col("err_start"), col("err_end"),
-        sigs, col("sig_start"), col("sig_end"), bucketMs = 600000L)
+        sigs, col("sig_start"), col("sig_end"), bucketMs = 600000L,
+        // widths are fixed by construction: the declared-width fast path
+        // runs the single-tier join with zero probe scans (the same
+        // contract the streaming twin declares)
+        maxAWidthMs = Some(600000L), maxBWidthMs = Some(900000L))
       .groupBy(col("err_id"))
       .agg(count(lit(1)).as("n_overlaps"), min(col("sig_id")).as("first_sig"))
       .orderBy(col("err_id"))

@@ -39,12 +39,15 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     withRule {
       val df = naiveJoin
       val phys = df.queryExecution.executedPlan.toString
-      // narrow rows take the bucketed hash equi-join...
+      // intervals explode to their home-tier buckets and the join is a
+      // hash equi-join on (tier, bucket)...
       assert(phys.contains("Generate explode(sequence"), phys)
       assert(phys.contains("HashJoin"), phys)
-      // ...and the wide-interval branch is a coarse-tier equi-join —
-      // NO nested loop remains for any input
-      assert(!phys.contains("NestedLoop") && !phys.contains("CartesianProduct"), phys)
+      assert(!phys.contains("CartesianProduct"), phys)
+      // ...and the ONLY nested loop is the broadcast 1-row tier probe —
+      // PlanAudit proves every BNLJ build side is bounded
+      assert(graft.plans.PlanAudit.findings(df).isEmpty,
+        graft.plans.PlanAudit.findings(df).toString)
     }
     // without the rule the same query nested-loops with no Generate
     val phys = naiveJoin.queryExecution.executedPlan.toString
@@ -116,32 +119,38 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
     val naive = q.collect().map(_.toSeq).toSet
     val rewritten = withRule {
-      val phys = q.queryExecution.executedPlan.toString
-      // both branches are hash equi-joins: fine buckets for narrow rows,
-      // (tier, coarse-bucket) for the sentinel — never a nested loop
+      val df = q
+      val phys = df.queryExecution.executedPlan.toString
+      // one hash equi-join serves both rows: fine buckets for the narrow
+      // interval (tier 0), coarse buckets for the sentinel — never an
+      // unbounded nested loop (the 1-row probe BNLJ is PlanAudit-exempt)
       assert(phys.contains("Generate explode(sequence"), phys)
       assert(phys.contains("shiftright"), phys)
-      assert(!phys.contains("NestedLoop") && !phys.contains("CartesianProduct"), phys)
-      q.collect().map(_.toSeq).toSet
+      assert(!phys.contains("CartesianProduct"), phys)
+      assert(graft.plans.PlanAudit.findings(df).isEmpty,
+        graft.plans.PlanAudit.findings(df).toString)
+      df.collect().map(_.toSeq).toSet
     }
     assert(rewritten == naive)
     assert(naive.count(_(1) == 300L) == 4) // sentinel interval matches every point
   }
 
-  test("rule does not re-fire on its own fallback even when tags are lost") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, Union}
+  test("rule does not re-fire on its own output even when tags are lost") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join}
     val analyzed = naiveJoin.queryExecution.analyzed
     val once = RangeJoinRewrite(analyzed)
-    assert(once.collect { case u: Union => u }.size == 1)
+    // the rewrite's shape: interval-bucket explode + point-tier explode,
+    // one probe aggregate, and only condition-free / equi-only joins
+    assert(once.collect { case g: Generate => g }.size == 2, once)
+    assert(once.collect { case a: Aggregate => a }.size == 1, once)
     // simulate an optimizer rule that rebuilds join nodes from scratch
     // (ReorderJoin) — fresh instances carry no TreeNodeTags
     val stripped = once.transform {
       case j: Join => Join(j.left, j.right, j.joinType, j.condition, j.hint)
     }
     val twice = RangeJoinRewrite(stripped)
-    assert(twice.collect { case u: Union => u }.size == 1, twice)
-    assert(twice.collect { case g: Generate => g }.size ==
-      once.collect { case g: Generate => g }.size, twice)
+    assert(twice.collect { case g: Generate => g }.size == 2, twice)
+    assert(twice.collect { case a: Aggregate => a }.size == 1, twice)
   }
 
   test("null timestamps drop on both the naive and rewritten paths") {

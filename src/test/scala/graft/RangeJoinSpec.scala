@@ -144,6 +144,52 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(naive.count(_._2 == 300L) == points.size) // sentinel matches all
   }
 
+  test("declared-width fast path: equal to the probed path on compliant " +
+      "rows, over-wide rows match nothing (the streaming contract), and " +
+      "the plan has no probe aggregate") {
+    val l = points.toDF("pid", "pts")
+    // max interval width 3h: intervals 100/102/103 comply; 101 (3h) is
+    // exactly at the bound (inclusive); a 4h violator is filtered
+    val r = (intervals :+
+        (104L, ts("2024-01-01 08:00:00"), ts("2024-01-01 12:00:00")))
+      .toDF("iid", "istart", "iend")
+    val declared = RangeJoin.pointInInterval(
+        l, col("pts"), r, col("istart"), col("iend"),
+        bucketMs = 3600000L, maxIntervalWidthMs = Some(3L * 3600000L))
+    // no second scan: the static path plans NO aggregate (probed plans one)
+    assert(!declared.queryExecution.executedPlan.toString.contains("collect_set"),
+      declared.queryExecution.executedPlan.toString)
+    val got = declared.select(col("pid"), col("iid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val naiveCompliant = l.join(r,
+        col("pts") >= col("istart") && col("pts") <= col("iend") &&
+          unix_millis(col("iend")) - unix_millis(col("istart")) <= 3L * 3600000L)
+      .select(col("pid"), col("iid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == naiveCompliant)
+    assert(!got.exists(_._2 == 104L)) // the violator matched nothing
+    assert(got.exists(_._2 == 101L)) // at-the-bound row still matches
+
+    // interval overlap: declared widths == probed result on compliant rows
+    val aa = intervals.toDF("aid", "as", "ae")
+    val bb = intervals.map { case (i, s, e) => (i + 1000, s, e) }
+      .toDF("bid", "bs", "be")
+    val fast = RangeJoin.intervalOverlap(
+        aa, col("as"), col("ae"), bb, col("bs"), col("be"),
+        bucketMs = 600000L,
+        maxAWidthMs = Some(3L * 3600000L), maxBWidthMs = Some(3L * 3600000L))
+      .select(col("aid"), col("bid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val probed = RangeJoin.intervalOverlap(
+        aa, col("as"), col("ae"), bb, col("bs"), col("be"),
+        bucketMs = 600000L)
+      .select(col("aid"), col("bid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(fast.length == fast.toSet.size) // structural dedup held
+    assert(fast.toSet == probed.toSet) // all fixtures comply → identical
+    assert(fast.nonEmpty)
+  }
+
   test("no nested-loop or cartesian appears for ANY interval width (PlanAudit-clean)") {
     val l = points.toDF("pid", "pts")
     val mixed = Seq(
