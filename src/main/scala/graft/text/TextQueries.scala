@@ -652,7 +652,14 @@ object TextQueries {
     * portable hash costs a single digest pass — still ~2× a custom
     * one-pass signature; use the custom expression in production and
     * THIS query as its cross-engine verification harness. */
-  def minhashBandingPortable(s: SparkSession, dir: String): DataFrame = {
+  def minhashBandingPortable(s: SparkSession, dir: String): DataFrame =
+    portableBandedCandidates(Tables.documents(s, dir))
+      .orderBy(col("id1"), col("id2"))
+
+  /** The banded candidate generator over an arbitrary document frame —
+    * shared by q90 (whole corpus) and the q279 banding audit (the
+    * bounded sample), so the audited pipeline IS the gated one. */
+  private def portableBandedCandidates(docs: DataFrame): DataFrame = {
     // no shingle-dedup pass: MIN is duplicate-insensitive, so the oracle's
     // DISTINCT shingles and this multiset agree — one shuffle saved.
     // The 8 permutation hashes are COLUMNS of one projection (not an
@@ -665,7 +672,7 @@ object TextQueries {
     // (16-bit slices collide more than 32-bit ones — harmless here: more
     // shared minima only make the banding slightly more permissive, and
     // the oracle restates the identical slices.)
-    val sh = shingleRows(Tables.documents(s, dir), 3)
+    val sh = shingleRows(docs, 3)
     val hashed = sh.select(
       col("doc_id") +: (0 to 7).map { j =>
         substring(md5(col("g")), j * 4 + 1, 4).as(s"h$j")
@@ -682,7 +689,60 @@ object TextQueries {
     a.join(b, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
-      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** LSH banding audit (q279): the MEASURED recall curve of the banded
+    * minhash candidate generator against EXACT shingle Jaccard — all
+    * 19,900 pairs of the 200-doc audit sample, bucketed by jaccard
+    * decile × candidate flag. Banding theory says P(candidate) =
+    * 1−(1−j^r)^b for b bands of r rows; this prints the S-curve the
+    * PRODUCTION banding (q90's generator, same code path) actually
+    * realizes — including what theory ignores: the 16-bit slice
+    * collisions that make low-jaccard pairs candidates, and the
+    * high-jaccard pairs the two-band split misses. The "measure, don't
+    * guess" harness for choosing (bands, rows) before a 100-TB dedup
+    * run: re-run it per corpus, read the bin-9 miss count.
+    *
+    * Scale shape: pair mass is |sample|² — corpus-size-independent by
+    * the audit cap (the q69/q99 discipline); exact jaccard and
+    * candidates both derive from the ONE pinned sample frame, and the
+    * pair grid is a bounded broadcast (≤200-row build, PlanAudit-
+    * provable via the post-ckpt limit annotation). */
+  def lshBandingAudit(s: SparkSession, dir: String): DataFrame = {
+    // the sample feeds three arms (grid, exact jaccard, candidates) —
+    // pin it once; the limit(200) restores the maxRows bound .ckpt erases
+    val sample = graft.Ckpt(auditSample(Tables.documents(s, dir)))
+    val ids = sample.select(col("doc_id")).limit(200)
+    val grid = ids.select(col("doc_id").as("id1"))
+      .crossJoin(broadcast(ids.select(col("doc_id").as("id2"))))
+      .filter(col("id1") < col("id2"))
+    // exact jaccard over DISTINCT 3-shingles (what the minhash estimates)
+    val t = shingleRows(sample, 3).select(col("doc_id"), col("g")).distinct()
+    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = t.select(col("doc_id").as("id1"), col("g"))
+      .join(t.select(col("doc_id").as("id2"), col("g")), Seq("g"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("i"))
+    val cands = portableBandedCandidates(sample).withColumn("is_cand", lit(1))
+    grid
+      .join(inter, Seq("id1", "id2"), "left")
+      .join(sz.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"), "left")
+      .join(sz.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"), "left")
+      .join(cands, Seq("id1", "id2"), "left")
+      .withColumn("i0", coalesce(col("i"), lit(0L)))
+      .withColumn("u",
+        coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L)) - col("i0"))
+      // docs too short to shingle have an empty set: jaccard 0 by
+      // convention (they are equally invisible to the minhash side)
+      .withColumn("j", when(col("u") <= 0, lit(0.0))
+        .otherwise(round(col("i0").cast("double") / col("u"), 4)))
+      .withColumn("bin", least(floor(col("j") * 10), lit(9)).cast("int"))
+      .withColumn("cand", coalesce(col("is_cand"), lit(0)))
+      .groupBy(col("bin"), col("cand"))
+      .agg(count(lit(1)).as("n_pairs"),
+        // Σ jaccard as exact 10⁻⁴ integer units (the q277 discipline)
+        sum(floor(col("j") * 10000d + 0.5d).cast("long")).as("j_mass"))
+      .orderBy(col("bin"), col("cand"))
   }
 
   /** SimHash with an ENGINE-NEUTRAL hash (md5 hex digits as the per-token
@@ -901,6 +961,49 @@ object TextQueries {
       .filter(bucket < col("thr"))
       .groupBy(col("source"), col("thr"))
       .agg(count(lit(1)).as("docs_kept"), sum(col("nt")).as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** Temperature-scaled source mixing (q278): resampling rates
+    * α_s ∝ n_s^(1/T) with T = 2 — the multilingual/domain rebalancing
+    * knob (T=1 keeps the natural distribution, T→∞ forces uniform; T=2
+    * is the common "flatten toward low-resource sources" setting). q113
+    * mixes toward EXTERNAL target weights; this derives the weights from
+    * the corpus itself, which is how temperature mixing is actually
+    * specified.
+    *
+    * Engine-exactness discipline: T is fixed at 2 because IEEE-754
+    * requires sqrt to be CORRECTLY ROUNDED (bit-identical across
+    * engines) while pow is not — an arbitrary-T oracle would drift in
+    * the last ulp. The sqrt mass quantizes to integer units BEFORE the
+    * cross-source sum, so the normalizer is addition-order-free; the
+    * keep rate min(1, α_s·N/n_s) floors to a 16-bit threshold compared
+    * against the doc's md5 bucket (the q71 rule) — deterministic,
+    * reproducible across engines, runs, and cluster sizes. `id_sum`
+    * gates that BOTH engines selected the exact same documents, not just
+    * the same counts.
+    *
+    * Scale shape: one count aggregate (map-side partials), a
+    * |sources|-row broadcast, then a narrow scan filter — no shuffle
+    * carries documents. */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val bySrc = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .withColumn("sq",
+        floor(sqrt(col("n_s").cast("double")) * 1000000d).cast("long"))
+    val tot = bySrc.agg(sum(col("sq")).as("sumsq"), sum(col("n_s")).as("n"))
+    val rate = least(lit(1.0),
+      (col("sq").cast("double") / col("sumsq").cast("double")) *
+        (col("n").cast("double") / col("n_s").cast("double")))
+    val rates = bySrc.crossJoin(broadcast(tot))
+      .withColumn("thr", floor(rate * 65536).cast("int"))
+      .select(col("source"), col("n_s"), col("thr"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int")
+    d.join(broadcast(rates), Seq("source"))
+      .filter(bucket < col("thr"))
+      .groupBy(col("source"), col("n_s"), col("thr"))
+      .agg(count(lit(1)).as("docs_kept"), sum(col("doc_id")).as("id_sum"))
       .orderBy(col("source"))
   }
 
@@ -3963,6 +4066,64 @@ object TextQueries {
          |       CAST(SUM(nt) AS BIGINT) AS tokens_kept
          |FROM k GROUP BY source, thr
          |ORDER BY source""".stripMargin)),
+    Q("q278_temperature_mix", (s, d) => temperatureMix(s, d), Some(
+      """WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+        |q AS (SELECT source, n_s,
+        |             CAST(FLOOR(SQRT(CAST(n_s AS DOUBLE)) * 1000000) AS BIGINT) AS sq
+        |      FROM c),
+        |t AS (SELECT SUM(sq) AS sumsq, SUM(n_s) AS n FROM q),
+        |r AS (SELECT source, n_s,
+        |             CAST(FLOOR(LEAST(1.0,
+        |               (CAST(sq AS DOUBLE) / CAST(sumsq AS DOUBLE)) *
+        |               (CAST(n AS DOUBLE) / CAST(n_s AS DOUBLE))) * 65536) AS INT) AS thr
+        |      FROM q, t),
+        |k AS (SELECT d.source, r.n_s, r.thr, d.doc_id
+        |      FROM documents d JOIN r USING (source)
+        |      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INT < r.thr)
+        |SELECT source, CAST(n_s AS BIGINT) AS n_s, thr,
+        |       COUNT(*) AS docs_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM k GROUP BY source, n_s, thr ORDER BY source""".stripMargin)),
+    Q("q279_lsh_banding_audit", (s, d) => lshBandingAudit(s, d), Some(
+      s"""WITH s0 AS ($auditSampleSql),
+         |tok AS (SELECT doc_id, $toksSql AS t FROM s0),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+         |       FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+         |       WHERE len(t) >= 3),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+         |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |hj AS (SELECT doc_id, j, substr(md5(g), j * 4 + 1, 4) AS h
+         |       FROM sh, UNNEST(generate_series(0, 7)) AS p(j)),
+         |mins AS (SELECT doc_id, j, MIN(h) AS m FROM hj GROUP BY doc_id, j),
+         |buckets AS (SELECT doc_id, j // 4 AS band,
+         |                   md5(string_agg(m, ',' ORDER BY j)) AS bucket
+         |            FROM mins GROUP BY doc_id, j // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM buckets a JOIN buckets b
+         |           ON a.band = b.band AND a.bucket = b.bucket
+         |         WHERE a.doc_id < b.doc_id),
+         |grid AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM s0 a JOIN s0 b ON a.doc_id < b.doc_id),
+         |p AS (SELECT g.id1, g.id2,
+         |             COALESCE(i.i, 0) AS i0,
+         |             COALESCE(s1.n, 0) + COALESCE(s2.n, 0)
+         |               - COALESCE(i.i, 0) AS u,
+         |             CASE WHEN c.id1 IS NOT NULL THEN 1 ELSE 0 END AS cand
+         |      FROM grid g
+         |      LEFT JOIN inter i ON g.id1 = i.id1 AND g.id2 = i.id2
+         |      LEFT JOIN sz s1 ON g.id1 = s1.doc_id
+         |      LEFT JOIN sz s2 ON g.id2 = s2.doc_id
+         |      LEFT JOIN cand c ON g.id1 = c.id1 AND g.id2 = c.id2),
+         |jj AS (SELECT cand,
+         |              CASE WHEN u <= 0 THEN 0.0
+         |                   ELSE round(i0 / CAST(u AS DOUBLE), 4) END AS j
+         |       FROM p)
+         |SELECT CAST(LEAST(FLOOR(j * 10), 9) AS INT) AS bin,
+         |       CAST(cand AS INT) AS cand,
+         |       COUNT(*) AS n_pairs,
+         |       CAST(SUM(FLOOR(j * 10000 + 0.5)) AS BIGINT) AS j_mass
+         |FROM jj GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     Q("q109_curation", (s, d) => curationPipeline(s, d), Some(
       s"""$curationFlagsCtes
          |SELECT doc_id, lang_ok, quality_ok, repetition_ok, not_contaminated,
