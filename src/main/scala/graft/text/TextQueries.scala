@@ -964,49 +964,6 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
-  /** Temperature-scaled source mixing (q278): resampling rates
-    * α_s ∝ n_s^(1/T) with T = 2 — the multilingual/domain rebalancing
-    * knob (T=1 keeps the natural distribution, T→∞ forces uniform; T=2
-    * is the common "flatten toward low-resource sources" setting). q113
-    * mixes toward EXTERNAL target weights; this derives the weights from
-    * the corpus itself, which is how temperature mixing is actually
-    * specified.
-    *
-    * Engine-exactness discipline: T is fixed at 2 because IEEE-754
-    * requires sqrt to be CORRECTLY ROUNDED (bit-identical across
-    * engines) while pow is not — an arbitrary-T oracle would drift in
-    * the last ulp. The sqrt mass quantizes to integer units BEFORE the
-    * cross-source sum, so the normalizer is addition-order-free; the
-    * keep rate min(1, α_s·N/n_s) floors to a 16-bit threshold compared
-    * against the doc's md5 bucket (the q71 rule) — deterministic,
-    * reproducible across engines, runs, and cluster sizes. `id_sum`
-    * gates that BOTH engines selected the exact same documents, not just
-    * the same counts.
-    *
-    * Scale shape: one count aggregate (map-side partials), a
-    * |sources|-row broadcast, then a narrow scan filter — no shuffle
-    * carries documents. */
-  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-    val bySrc = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
-      .withColumn("sq",
-        floor(sqrt(col("n_s").cast("double")) * 1000000d).cast("long"))
-    val tot = bySrc.agg(sum(col("sq")).as("sumsq"), sum(col("n_s")).as("n"))
-    val rate = least(lit(1.0),
-      (col("sq").cast("double") / col("sumsq").cast("double")) *
-        (col("n").cast("double") / col("n_s").cast("double")))
-    val rates = bySrc.crossJoin(broadcast(tot))
-      .withColumn("thr", floor(rate * 65536).cast("int"))
-      .select(col("source"), col("n_s"), col("thr"))
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast("int")
-    d.join(broadcast(rates), Seq("source"))
-      .filter(bucket < col("thr"))
-      .groupBy(col("source"), col("n_s"), col("thr"))
-      .agg(count(lit(1)).as("docs_kept"), sum(col("doc_id")).as("id_sum"))
-      .orderBy(col("source"))
-  }
-
   /** Whitespace vs BPE-ish subword token counts per document (the
     * pre-tokenizer comparison a vocab-budget analysis runs). */
   def subwordCounts(s: SparkSession, dir: String): DataFrame =
@@ -4066,23 +4023,6 @@ object TextQueries {
          |       CAST(SUM(nt) AS BIGINT) AS tokens_kept
          |FROM k GROUP BY source, thr
          |ORDER BY source""".stripMargin)),
-    Q("q278_temperature_mix", (s, d) => temperatureMix(s, d), Some(
-      """WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
-        |q AS (SELECT source, n_s,
-        |             CAST(FLOOR(SQRT(CAST(n_s AS DOUBLE)) * 1000000) AS BIGINT) AS sq
-        |      FROM c),
-        |t AS (SELECT SUM(sq) AS sumsq, SUM(n_s) AS n FROM q),
-        |r AS (SELECT source, n_s,
-        |             CAST(FLOOR(LEAST(1.0,
-        |               (CAST(sq AS DOUBLE) / CAST(sumsq AS DOUBLE)) *
-        |               (CAST(n AS DOUBLE) / CAST(n_s AS DOUBLE))) * 65536) AS INT) AS thr
-        |      FROM q, t),
-        |k AS (SELECT d.source, r.n_s, r.thr, d.doc_id
-        |      FROM documents d JOIN r USING (source)
-        |      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INT < r.thr)
-        |SELECT source, CAST(n_s AS BIGINT) AS n_s, thr,
-        |       COUNT(*) AS docs_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
-        |FROM k GROUP BY source, n_s, thr ORDER BY source""".stripMargin)),
     Q("q279_lsh_banding_audit", (s, d) => lshBandingAudit(s, d), Some(
       s"""WITH s0 AS ($auditSampleSql),
          |tok AS (SELECT doc_id, $toksSql AS t FROM s0),
