@@ -146,6 +146,24 @@ class Scd2Spec extends AnyFunSuite {
         .orderBy(cols.map(col): _*).collect().toSeq)
   }
 
+  test("SCD2 snapshot lands ONCE per session (partitioned layout reused, " +
+      "like the q260 bucketed-upsert discipline)") {
+    val sfDir = TestSpark.sfDir
+    graft.etl.EtlQueries.scd2Merge(spark, sfDir).count()
+    val sf = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = new java.io.File(s"/tmp/graft_gate/$sf/scd2/customer_dim")
+    def state(): Set[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(dir).map(f => (f.getPath, f.lastModified)).toSet
+    }
+    val before = state()
+    graft.etl.EtlQueries.scd2Merge(spark, sfDir).count()
+    assert(state() == before,
+      "second invocation re-landed the SCD2 snapshot (measured merge " +
+        "passes must not pay — or redo — the landing)")
+  }
+
   test("asOfCondition picks the version valid at the fact date") {
     val d1 = Scd2.merge(dim0,
       Seq((1L, "a2", Some(10))).toDF("k", "attr", "x"),
