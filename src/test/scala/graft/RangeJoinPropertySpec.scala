@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Property test: the bucketed range join must equal the naive inequality
   * join on ARBITRARY inputs — including reversed intervals (end < start),
-  * null bounds, intervals far wider than the fallback cap, empty overlap,
+  * null bounds, intervals far wider than the per-tier explosion cap, empty overlap,
   * and points outside every interval. The scala-side oracle is the O(n·m)
   * double loop with the inclusive-bounds predicate (null ⇒ no match). */
 class RangeJoinPropertySpec extends AnyFunSuite {
@@ -71,7 +71,7 @@ class RangeJoinPropertySpec extends AnyFunSuite {
         val lo = draw(tsGen, tag + i * 3)
         val hi = draw(Gen.frequency(
           6 -> tsGen,
-          2 -> Gen.const(lo.map(_ + 200L * 24 * 3600 * 1000)), // wide: fallback branch
+          2 -> Gen.const(lo.map(_ + 200L * 24 * 3600 * 1000)), // wide: coarse-tier path
           1 -> Gen.const(lo.map(_ - 3600000L))), tag + 1 + i * 3) // reversed
         (tag + i, lo.map(ts).orNull, hi.map(ts).orNull)
       }
