@@ -104,6 +104,86 @@ object Scd2 {
     table
   }
 
+  /** Land an SCD2 snapshot partitioned by `is_current` WITHOUT bucketing
+    * — the layout [[mergeIntoTable]] can write incrementally (Spark's
+    * `insertInto` refuses bucketed tables). See [[landSnapshot]] for the
+    * read-optimized bucketed variant. */
+  def landSnapshotPartitioned(snapshot: DataFrame, table: String,
+      path: Option[String] = None): String = {
+    val w = snapshot.write.mode("overwrite")
+      .partitionBy(IsCurrent)
+      .format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+    table
+  }
+
+  /** Apply one batch merge INCREMENTALLY to a landed snapshot table
+    * (written partitioned by `is_current`, NOT bucketed — Spark's
+    * `insertInto` cannot write bucketed tables, so the two layout
+    * variants trade read-side co-location against partition-level
+    * incremental writes; pick per dimension). Exactly two writes:
+    *
+    *  1. APPEND the newly-closed versions — they carry
+    *     `is_current = false`, so they land as NEW FILES in the history
+    *     partition; every existing history file is untouched (spec-pinned
+    *     by mtime), which is the write-amplification claim made concrete:
+    *     a nightly merge writes |current| + |closed today| rows, never
+    *     |history|.
+    *  2. DYNAMIC-OVERWRITE the current partition with the surviving +
+    *     opened current rows (`partitionOverwriteMode=dynamic` scoped to
+    *     this writer via the DataFrameWriter option, so only the
+    *     `is_current=true` directory is replaced).
+    *
+    * Not transactional across the two writes (a crash between them
+    * leaves closed rows appended twice on retry) — the mechanics a real
+    * deployment gets atomically from a table format; the LAYOUT and the
+    * write set are what this demonstrates. The batch frame is computed
+    * off the pre-write snapshot and PINNED (localCheckpoint) before the
+    * first write so write 2 cannot observe write 1. */
+  def mergeIntoTable(spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame, key: String, attrs: Seq[String],
+      batchDate: String): Unit = {
+    val current = spark.table(table).filter(col(IsCurrent))
+    val b = batch.select((key +: attrs).map(c => col(c).as(s"__b_$c")): _*)
+    val j = current.join(b, col(key) === col(s"__b_$key"), "full_outer")
+    val inBatch = col(s"__b_$key").isNotNull
+    val inCur = col(key).isNotNull
+    val differs: Column = attrs
+      .map(a => !(col(a) <=> col(s"__b_$a")))
+      .reduce(_ || _)
+    val closes = inCur && inBatch && differs
+    val outCols = current.columns
+    val closed = j.filter(closes).select(
+      (key +: attrs).map(col) ++ Seq(
+        col(ValidFrom), lit(batchDate).as(ValidTo), lit(false).as(IsCurrent)): _*)
+    val survivors = j.filter(inCur && !closes).select(
+      (key +: attrs).map(col) ++ Seq(
+        col(ValidFrom), col(ValidTo), lit(true).as(IsCurrent)): _*)
+    val opened = j.filter(inBatch && (!inCur || differs)).select(
+      col(s"__b_$key").as(key) +:
+        attrs.map(a => col(s"__b_$a").as(a)) ++: Seq(
+        lit(batchDate).as(ValidFrom),
+        lit(null).cast("string").as(ValidTo),
+        lit(true).as(IsCurrent)): _*)
+    // pin BEFORE writing: both frames read the table being rewritten
+    val closedPinned = graft.Ckpt(closed.select(outCols.map(col): _*))
+    val currentPinned = graft.Ckpt(
+      survivors.unionByName(opened).select(outCols.map(col): _*))
+    closedPinned.write.mode("append").insertInto(table)
+    // the session conf, not the writer option: `insertInto`'s v1 command
+    // ignores the per-writer "partitionOverwriteMode" (measured — STATIC
+    // overwrite then deletes EVERY partition, history included), so scope
+    // the conf flip to this write and restore it after
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "dynamic")
+    try currentPinned.write.mode("overwrite").insertInto(table)
+    finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
   /** Multi-date merge — fold a batch carrying SEVERAL load dates into
     * the snapshot in ONE pass, equal to merging each date's slice
     * sequentially in ascending date order (spec-pinned). This is the

@@ -164,6 +164,43 @@ class Scd2Spec extends AnyFunSuite {
         "passes must not pay — or redo — the landing)")
   }
 
+  test("mergeIntoTable: two incremental merges never rewrite an existing " +
+      "history file (write amplification = |current| + |closed today|) " +
+      "and the table equals the in-memory merge fold") {
+    val tbl = "graft_scd2_inc_spec"
+    val root = "/tmp/graft_gate/scd2_inc_spec"
+    Scd2.landSnapshotPartitioned(dim0, tbl, Some(root))
+    val attrs = Seq("attr", "x")
+    def histFiles(): Map[String, Long] = {
+      val dir = new java.io.File(s"$root/is_current=false")
+      if (!dir.exists()) Map.empty
+      else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified).toMap
+    }
+    val b1 = Seq((1L, "a2", Some(10)), (2L, "b", Some(20)), (4L, "d", Some(40)))
+      .toDF("k", "attr", "x")
+    Scd2.mergeIntoTable(spark, tbl, b1, "k", attrs, "2021-01-01")
+    val after1 = histFiles()
+    assert(after1.nonEmpty, "merge 1 closed a version; history must exist")
+    val b2 = Seq((1L, "a", Some(10)), (3L, "c", Some(30))).toDF("k", "attr", "x")
+    Scd2.mergeIntoTable(spark, tbl, b2, "k", attrs, "2022-01-01")
+    val after2 = histFiles()
+    // every merge-1 history file survives merge 2 BYTE-UNTOUCHED (same
+    // path, same mtime): closed versions only ever APPEND
+    assert(after1.forall { case (p, m) => after2.get(p).contains(m) },
+      s"history files rewritten:\n before=$after1\n after=$after2")
+    assert(after2.size > after1.size, "merge 2 closed versions must append")
+    // content: the incrementally-written table == the in-memory fold
+    val expected = Scd2.merge(
+      Scd2.merge(dim0, b1, "k", attrs, "2021-01-01"),
+      b2, "k", attrs, "2022-01-01")
+    val cols = Seq("k", "attr", "x", "valid_from", "valid_to", "is_current")
+    assert(spark.table(tbl).select(cols.map(col): _*)
+      .orderBy(cols.map(col): _*).collect().toSeq ===
+      expected.select(cols.map(col): _*)
+        .orderBy(cols.map(col): _*).collect().toSeq)
+  }
+
   test("asOfCondition picks the version valid at the fact date") {
     val d1 = Scd2.merge(dim0,
       Seq((1L, "a2", Some(10))).toDF("k", "attr", "x"),
