@@ -207,9 +207,21 @@ object Scd2 {
     * rows are pre-deduped per (key, load date). */
   def mergeMulti(snapshot: DataFrame, batch: DataFrame, key: String,
       attrs: Seq[String], dateCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val history = snapshot.filter(!col(IsCurrent))
-    val current = snapshot.filter(col(IsCurrent))
+    val out = mergeMultiCore(
+      snapshot.filter(col(IsCurrent)), batch, key, attrs, dateCol)
+    history.select(out.columns.map(col): _*).unionByName(out)
+  }
+
+  /** The multi-date versioning core over (current slice, batch) — the
+    * affected-row set only, no history pass-through: rows with
+    * `is_current = false` are versions CLOSED by this merge (including
+    * formerly-current survivors now superseded), rows with `true` are
+    * the new current set. [[mergeMulti]] unions history back on;
+    * [[mergeMultiIntoTable]] routes the two slices to their partitions. */
+  private def mergeMultiCore(current: DataFrame, batch: DataFrame,
+      key: String, attrs: Seq[String], dateCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val c0 = current.select(col(key) +: attrs.map(col) ++: Seq(
       col(ValidFrom), lit(0).as("__ord")): _*)
     val bb = batch.select(col(key) +: attrs.map(col) ++: Seq(
@@ -224,13 +236,38 @@ object Scd2 {
       // as a column before filtering on it
       .withColumn("__keep", row_number().over(w) === 1 || differs)
       .filter(col("__keep"))
-    val out = kept
+    kept
       .withColumn("__next", lead(col(ValidFrom), 1).over(w))
       .select(col(key) +: attrs.map(col) ++: Seq(
         col(ValidFrom),
         col("__next").as(ValidTo),
         col("__next").isNull.as(IsCurrent)): _*)
-    history.select(out.columns.map(col): _*).unionByName(out)
+  }
+
+  /** [[mergeIntoTable]]'s multi-date twin: fold a batch carrying several
+    * load dates into the landed (`is_current`-partitioned) table in ONE
+    * pass — one key shuffle + two window passes over current∪batch (the
+    * [[mergeMulti]] core), then the same two writes as the single-date
+    * form: closed versions APPEND into the history partition (existing
+    * files byte-untouched), the current partition dynamic-overwrites.
+    * Same non-transactionality note as [[mergeIntoTable]]. */
+  def mergeMultiIntoTable(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame, key: String, attrs: Seq[String],
+      dateCol: String): Unit = {
+    val current = spark.table(table).filter(col(IsCurrent))
+    val outCols = current.columns
+    val core = graft.Ckpt(
+      mergeMultiCore(current, batch, key, attrs, dateCol)
+        .select(outCols.map(col): _*))
+    core.filter(!col(IsCurrent)).write.mode("append").insertInto(table)
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "dynamic")
+    try core.filter(col(IsCurrent)).write.mode("overwrite").insertInto(table)
+    finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
   }
 
   /** The version of each SCD2 `dim` row valid at `asOfCol` (an ISO date

@@ -39,4 +39,21 @@ object DimStreams {
       .start()
     (q, () => snapshot)
   }
+
+  /** TABLE-backed SCD2 sink — the full production pattern: each
+    * micro-batch folds its load dates into the landed
+    * `is_current`-partitioned dimension table in ONE pass
+    * ([[Scd2.mergeMultiIntoTable]]): closed versions append into the
+    * history partition (existing files never rewritten), the current
+    * partition dynamic-overwrites. Snapshot state lives in the TABLE,
+    * not driver memory — the sink survives restarts with no rebuild
+    * (land once, stream forever). */
+  def scd2TableSink(stream: DataFrame, table: String, key: String,
+      attrs: Seq[String], dateCol: String): StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        Scd2.mergeMultiIntoTable(
+          batch.sparkSession, table, batch, key, attrs, dateCol)
+      }
+      .start()
 }

@@ -201,6 +201,80 @@ class Scd2Spec extends AnyFunSuite {
         .orderBy(cols.map(col): _*).collect().toSeq)
   }
 
+  test("mergeMultiIntoTable: one pass over a multi-date batch equals " +
+      "sequential per-date table merges; history still append-only") {
+    val attrs = Seq("attr", "x")
+    val multi = Seq(
+      (1L, "a2", Some(10), "2021-01-01"), (4L, "d", Some(40), "2021-01-01"),
+      (1L, "a", Some(10), "2022-01-01"), (3L, "c", Some(30), "2022-01-01"))
+      .toDF("k", "attr", "x", "load_date")
+    // sequential per-date reference
+    val seqTbl = "graft_scd2_seq_spec"
+    Scd2.landSnapshotPartitioned(dim0, seqTbl, Some("/tmp/graft_gate/scd2_seq_spec"))
+    for (d <- Seq("2021-01-01", "2022-01-01"))
+      Scd2.mergeIntoTable(spark, seqTbl,
+        multi.filter(col("load_date") === d).drop("load_date"), "k", attrs, d)
+    // one-pass multi-date form
+    val tbl = "graft_scd2_multi_spec"
+    val root = "/tmp/graft_gate/scd2_multi_spec"
+    Scd2.landSnapshotPartitioned(dim0, tbl, Some(root))
+    Scd2.mergeMultiIntoTable(spark, tbl, multi, "k", attrs, "load_date")
+    val cols = Seq("k", "attr", "x", "valid_from", "valid_to", "is_current")
+    assert(spark.table(tbl).select(cols.map(col): _*)
+      .orderBy(cols.map(col): _*).collect().toSeq ===
+      spark.table(seqTbl).select(cols.map(col): _*)
+        .orderBy(cols.map(col): _*).collect().toSeq)
+    // a second multi-date merge leaves the first merge's history files
+    // byte-untouched (append-only history under the one-pass form too)
+    def histFiles(): Map[String, Long] = {
+      val dir = new java.io.File(s"$root/is_current=false")
+      if (!dir.exists()) Map.empty
+      else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = histFiles()
+    assert(before.nonEmpty)
+    Scd2.mergeMultiIntoTable(spark, tbl,
+      Seq((2L, "b9", Some(21), "2023-01-01")).toDF("k", "attr", "x", "load_date"),
+      "k", attrs, "load_date")
+    val after = histFiles()
+    assert(before.forall { case (p, m) => after.get(p).contains(m) },
+      s"history rewritten:\n before=$before\n after=$after")
+    assert(after.size > before.size)
+  }
+
+  test("table-backed streaming sink: a catch-up micro-batch with several " +
+      "load dates lands in the table equal to the batch fold") {
+    val attrs = Seq("attr", "x")
+    val tbl = "graft_scd2_sink_spec"
+    Scd2.landSnapshotPartitioned(dim0, tbl, Some("/tmp/graft_gate/scd2_sink_spec"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scd2-tsink").toString
+    val b1 = Seq((1L, "a2", Some(10), "2021-01-01"),
+      (2L, "b", Some(20), "2021-01-01"), (4L, "d", Some(40), "2021-01-01"))
+    val b2 = Seq((1L, "a", Some(10), "2022-01-01"),
+      (3L, "c", Some(30), "2022-01-01"))
+    b1.toDF("k", "attr", "x", "load_date")
+      .write.mode("overwrite").parquet(s"$tmp/b1")
+    b2.toDF("k", "attr", "x", "load_date")
+      .write.mode("overwrite").parquet(s"$tmp/b2")
+    val schema = spark.read.parquet(s"$tmp/b1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/b*")
+    val q = graft.streaming.DimStreams.scd2TableSink(
+      stream, tbl, "k", attrs, "load_date")
+    q.processAllAvailable()
+    q.stop()
+    val batchTwin = Scd2.merge(
+      Scd2.merge(dim0, b1.map(t => (t._1, t._2, t._3)).toDF("k", "attr", "x"),
+        "k", attrs, "2021-01-01"),
+      b2.map(t => (t._1, t._2, t._3)).toDF("k", "attr", "x"),
+      "k", attrs, "2022-01-01")
+    val cols = Seq("k", "attr", "x", "valid_from", "valid_to", "is_current")
+    assert(spark.table(tbl).select(cols.map(col): _*)
+      .orderBy(cols.map(col): _*).collect().toSeq ===
+      batchTwin.select(cols.map(col): _*)
+        .orderBy(cols.map(col): _*).collect().toSeq)
+  }
+
   test("asOfCondition picks the version valid at the fact date") {
     val d1 = Scd2.merge(dim0,
       Seq((1L, "a2", Some(10))).toDF("k", "attr", "x"),
