@@ -243,6 +243,33 @@ class Scd2Spec extends AnyFunSuite {
     assert(after.size > before.size)
   }
 
+  test("table merges are IDEMPOTENT: re-applying the same batch (the " +
+      "crash-replay case) changes no content and touches no history file") {
+    val attrs = Seq("attr", "x")
+    val tbl = "graft_scd2_idem_spec"
+    val root = "/tmp/graft_gate/scd2_idem_spec"
+    Scd2.landSnapshotPartitioned(dim0, tbl, Some(root))
+    val batch = Seq((1L, "a2", Some(10), "2021-01-01"),
+      (4L, "d", Some(40), "2021-01-01")).toDF("k", "attr", "x", "load_date")
+    Scd2.mergeMultiIntoTable(spark, tbl, batch, "k", attrs, "load_date")
+    val cols = Seq("k", "attr", "x", "valid_from", "valid_to", "is_current")
+    def content() = spark.table(tbl).select(cols.map(col): _*)
+      .orderBy(cols.map(col): _*).collect().toSeq
+    def histFiles(): Map[String, Long] = {
+      val dir = new java.io.File(s"$root/is_current=false")
+      if (!dir.exists()) Map.empty
+      else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified).toMap
+    }
+    val (c1, h1) = (content(), histFiles())
+    // replay: every batch row is now byte-identical to its current
+    // version, so nothing versions — foreachBatch redelivery after a
+    // checkpoint-recovery is safe
+    Scd2.mergeMultiIntoTable(spark, tbl, batch, "k", attrs, "load_date")
+    assert(content() === c1)
+    assert(histFiles() === h1, "replay appended duplicate closed versions")
+  }
+
   test("table-backed streaming sink: a catch-up micro-batch with several " +
       "load dates lands in the table equal to the batch fold") {
     val attrs = Seq("attr", "x")
