@@ -61,6 +61,63 @@ class RangeJoinPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("declared-width fast paths == width-filtered naive oracle over " +
+      "random dirty inputs (over-wide rows match nothing, by contract)") {
+    val params = Gen.Parameters.default
+    val declared = 48L * 3600 * 1000 // 2 days
+    for (trial <- 0 until 6) {
+      val seed = Seed(500 + trial.toLong)
+      def draw[A](g: Gen[A], i: Long): A =
+        g.pureApply(params, seed.reseed(i))
+      def ivGen(tag: Long, n: Int) = (0 until n).map { i =>
+        val lo = draw(tsGen, tag + i * 3)
+        val hi = draw(Gen.frequency(
+          5 -> tsGen,                                           // random (some over-wide)
+          2 -> Gen.const(lo.map(_ + 3600000L)),                 // compliant
+          2 -> Gen.const(lo.map(_ + 10L * 24 * 3600 * 1000)),   // over-declared
+          1 -> Gen.const(lo.map(_ - 3600000L))), tag + 1 + i * 3) // reversed
+        (tag + i, lo.map(ts).orNull, hi.map(ts).orNull)
+      }
+      def ok(lo: java.sql.Timestamp, hi: java.sql.Timestamp) =
+        lo != null && hi != null && !hi.before(lo) &&
+          hi.getTime - lo.getTime <= declared
+      // point-in-interval fast path
+      val pts = (0 until 40).map { i =>
+        (i.toLong, draw(tsGen, 7000 + i * 2).map(ts).orNull) }
+      val ivs = ivGen(1000L, 25)
+      val expP = (for {
+        (pid, pt) <- pts if pt != null
+        (iid, lo, hi) <- ivs if ok(lo, hi)
+        if !pt.before(lo) && !pt.after(hi)
+      } yield (pid, iid)).toSet
+      val gotP = RangeJoin.pointInInterval(
+          pts.toDF("pid", "pts"), col("pts"),
+          ivs.toDF("iid", "istart", "iend"), col("istart"), col("iend"),
+          bucketMs = 3600000L, maxBucketsPerRow = 100L,
+          maxIntervalWidthMs = Some(declared))
+        .select(col("pid"), col("iid"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(gotP == expP, s"trial=$trial point-in-interval")
+      // interval-overlap fast path (both sides width-filtered)
+      val as = ivGen(0L, 20)
+      val bs = ivGen(2000L, 20)
+      val expO = (for {
+        (aid, as0, ae0) <- as if ok(as0, ae0)
+        (bid, bs0, be0) <- bs if ok(bs0, be0)
+        if !as0.after(be0) && !bs0.after(ae0)
+      } yield (aid, bid)).toSet
+      val rows = RangeJoin.intervalOverlap(
+          as.toDF("aid", "as", "ae"), col("as"), col("ae"),
+          bs.toDF("bid", "bs", "be"), col("bs"), col("be"),
+          bucketMs = 3600000L, maxBucketsPerRow = 100L,
+          maxAWidthMs = Some(declared), maxBWidthMs = Some(declared))
+        .select(col("aid"), col("bid"))
+        .collect().map(x => (x.getLong(0), x.getLong(1)))
+      assert(rows.length == rows.toSet.size, s"trial=$trial dup pairs")
+      assert(rows.toSet == expO, s"trial=$trial interval-overlap")
+    }
+  }
+
   test("interval overlap bucketed == naive over random dirty intervals, no duplicates") {
     val params = Gen.Parameters.default
     for (trial <- 0 until 8) {
