@@ -88,8 +88,24 @@ object Bench {
     //   dict = {k: int(v) for k, v in (e.split(':') for e in
     //     gzip.decompress(base64.b64decode(j['queries_gz']))
     //       .decode().split(','))}
+    // cross-round normalization controls (ADVICE r14): the medians of
+    // three queries untouched since round 1, so a driver-machine speed
+    // drift can be divided out without the quiet-bench companion
+    val controlNames = Seq("q01_bestsellers", "q23_ship_delay",
+      "q53_shipping_priority")
+    val controls = controlNames.flatMap(n =>
+      results.find(_._1 == n).map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * 1000) })
+      .mkString("{", ",", "}")
+    // key by pre-underscore prefix ONLY while prefixes stay unique — two
+    // names sharing a prefix would silently collapse to one dict entry
+    // (ADVICE r14); on collision fall back to full names (gzip makes the
+    // shared suffixes nearly free)
+    val prefixes = results.map(_._1.takeWhile(_ != '_'))
+    val usePrefix = prefixes.distinct.size == results.size
     val msCsv = results.map { case (k, v) =>
-      k.takeWhile(_ != '_') + ":" + math.round(v * 1000) }.mkString(",")
+      (if (usePrefix) k.takeWhile(_ != '_') else k) + ":" +
+        math.round(v * 1000) }.mkString(",")
     val gzBytes = {
       val bos = new java.io.ByteArrayOutputStream()
       val gz = new java.util.zip.GZIPOutputStream(bos)
@@ -98,7 +114,14 @@ object Bench {
       bos.toByteArray
     }
     val qgz = java.util.Base64.getEncoder.encodeToString(gzBytes)
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","cold":$coldTotal%.2f,"passes":$passTotals,"method":"toRdd.count median-of-3 after warmup","n_total":${results.size},"enc":"queries_gz = base64(gzip('name:millis,...')) -- every query inline","queries_gz":"$qgz"}""")
+    val headline = f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","cold":$coldTotal%.2f,"passes":$passTotals,"method":"toRdd.count median-of-3 after warmup","n_total":${results.size},"controls":$controls,"enc":"queries_gz = base64(gzip('name:millis,...')) -- every query inline","queries_gz":"$qgz"}"""
+    // the driver retains only the final ~2000 stdout chars (with sbt's
+    // [success] line inside the window) — a headline past ~1900 chars
+    // would push its own JSON head out of the tail and become
+    // unparseable (ADVICE r14). Degrade to a pointer at the full file
+    // instead of failing or truncating mid-JSON.
+    if (headline.length <= 1900) println(headline)
+    else println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","cold":$coldTotal%.2f,"passes":$passTotals,"method":"toRdd.count median-of-3 after warmup","n_total":${results.size},"controls":$controls,"queries":"inline dict would exceed the 2000-char stdout tail -- see BENCH_last_full.json"}""")
     spark.stop()
   }
 }

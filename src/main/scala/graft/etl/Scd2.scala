@@ -170,17 +170,36 @@ object Scd2 {
     val currentPinned = graft.Ckpt(
       survivors.unionByName(opened).select(outCols.map(col): _*))
     closedPinned.write.mode("append").insertInto(table)
-    // the session conf, not the writer option: `insertInto`'s v1 command
-    // ignores the per-writer "partitionOverwriteMode" (measured — STATIC
-    // overwrite then deletes EVERY partition, history included), so scope
-    // the conf flip to this write and restore it after
-    val confKey = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(confKey)
-    spark.conf.set(confKey, "dynamic")
-    try currentPinned.write.mode("overwrite").insertInto(table)
-    finally prev match {
-      case Some(v) => spark.conf.set(confKey, v)
-      case None => spark.conf.unset(confKey)
+    withDynamicOverwrite(spark) {
+      currentPinned.write.mode("overwrite").insertInto(table)
+    }
+  }
+
+  /** Run `body` with `partitionOverwriteMode=dynamic` scoped around it.
+    * The session conf, not the writer option: `insertInto`'s v1 command
+    * ignores the per-writer "partitionOverwriteMode" (measured — STATIC
+    * overwrite then deletes EVERY partition, history included). The
+    * flip+write+restore is SERIALIZED per session (ADVICE r14): two
+    * concurrent merges on one SparkSession could otherwise interleave so
+    * one writer's overwrite runs under the restored 'static' mode — the
+    * every-partition-delete hazard the comment above describes. Distinct
+    * sessions (forked confs) stay fully concurrent. */
+  private val overwriteLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withDynamicOverwrite[A](
+      spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val lockKey = org.apache.spark.sql.GraftBridge.sessionUUID(spark)
+      .getOrElse("identity@" + System.identityHashCode(spark))
+    val lock = overwriteLocks.computeIfAbsent(lockKey, _ => new Object)
+    lock.synchronized {
+      val confKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(confKey)
+      spark.conf.set(confKey, "dynamic")
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
     }
   }
 
@@ -260,13 +279,8 @@ object Scd2 {
       mergeMultiCore(current, batch, key, attrs, dateCol)
         .select(outCols.map(col): _*))
     core.filter(!col(IsCurrent)).write.mode("append").insertInto(table)
-    val confKey = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(confKey)
-    spark.conf.set(confKey, "dynamic")
-    try core.filter(col(IsCurrent)).write.mode("overwrite").insertInto(table)
-    finally prev match {
-      case Some(v) => spark.conf.set(confKey, v)
-      case None => spark.conf.unset(confKey)
+    withDynamicOverwrite(spark) {
+      core.filter(col(IsCurrent)).write.mode("overwrite").insertInto(table)
     }
   }
 

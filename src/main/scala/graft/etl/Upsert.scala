@@ -219,15 +219,33 @@ object Upsert {
     * could overflow — which ANSI mode (Spark 4's default) turns into a
     * mid-merge abort and non-ANSI into negative ids that can COLLIDE
     * with snapshot surrogates. Fall back to dense numbering there: it
-    * needs only |inserts| of headroom. The margin is a STATIC 2⁵⁰
-    * (headroom for 2¹⁷ = 131,072 partitions) rather than a read of the
-    * plan's current partition count: `df.rdd` forces a separate physical
-    * planning pass per merge, and AQE can re-plan to a DIFFERENT
-    * partition count by the time `monotonically_increasing_id` actually
-    * executes — a dynamic guard would be both slower and not airtight. */
+    * needs only |inserts| of headroom. The margin is STATIC per merge
+    * rather than a read of the plan's current partition count: `df.rdd`
+    * forces a separate physical planning pass per merge, and AQE can
+    * re-plan to a DIFFERENT partition count by the time
+    * `monotonically_increasing_id` actually executes — a dynamic guard
+    * would be both slower and not airtight. It is DERIVED, not
+    * hard-coded (ADVICE r14): `(ceil+1)·2³³` where ceil is the largest
+    * of the 2¹⁷ = 131,072 default, `spark.sql.shuffle.partitions`, and
+    * the explicit `spark.graft.upsert.maxPartitions` declaration — a
+    * deployment whose insert frame can exceed 131,072 scan partitions
+    * (file-count-driven, NOT bounded by shuffle.partitions) must declare
+    * its ceiling via that conf; past 2²⁹ declared partitions the sparse
+    * encoding cannot fit at all and every merge numbers densely. */
+  private[graft] def sparseMargin(
+      spark: org.apache.spark.sql.SparkSession): Long = {
+    def confLong(k: String): Long = spark.conf.getOption(k)
+      .flatMap(_.toLongOption).filter(_ > 0).getOrElse(0L)
+    val ceil = Seq(1L << 17, confLong("spark.sql.shuffle.partitions"),
+      confLong("spark.graft.upsert.maxPartitions")).max
+    if (ceil >= (1L << 29)) Long.MaxValue // sparse ids can't fit: go dense
+    else (ceil + 1) << 33
+  }
+
   private[graft] def numberInsertsSparse(insDedup: DataFrame,
       keyCols: Seq[String], maxId: Long): DataFrame = {
-    if (maxId >= Long.MaxValue - (1L << 50))
+    val margin = sparseMargin(insDedup.sparkSession)
+    if (margin == Long.MaxValue || maxId >= Long.MaxValue - margin)
       numberInserts(insDedup, keyCols, maxId)
     else
       insDedup.withColumn("__key",

@@ -153,8 +153,13 @@ object PlanAudit {
         // fires (reading the same conf here would be a vacuous check)
         val nested = supportsNestedFields(f.relation.fileFormat)
         // pushedDownFilters is `protected`; the scan publishes it in
-        // full through the metadata map (the explain "PushedFilters" row)
-        val pushed = f.metadata.getOrElse("PushedFilters", "[]")
+        // full through the metadata map (the explain "PushedFilters" row
+        // — raw mkString, no truncation). Exact TOP-LEVEL element
+        // equality, not substring containment: a translated filter that
+        // appears only INSIDE a pushed composite (Not(...)/Or(...)) must
+        // still count as unpushed (ADVICE r14 — the substring form was a
+        // vacuous pass).
+        val pushed = topLevelElems(f.metadata.getOrElse("PushedFilters", "[]"))
         f.dataFilters.filter(_.deterministic).flatMap { e =>
           org.apache.spark.sql.GraftBridge.translateSourceFilter(e, nested)
             .filterNot(t => pushed.contains(t.toString))
@@ -175,6 +180,28 @@ object PlanAudit {
         }
       case _ => Nil
     }
+
+  /** Split a `[a, b(c, d), e]` rendering into its TOP-LEVEL elements —
+    * commas inside parentheses/brackets (composite filters, In-lists)
+    * stay within their element. The inverse of the scan metadata's
+    * `mkString("[", ", ", "]")` over `sources.Filter.toString`s. */
+  private[graft] def topLevelElems(s: String): Set[String] = {
+    val inner = s.trim.stripPrefix("[").stripSuffix("]")
+    val out = Set.newBuilder[String]
+    var depth = 0
+    val cur = new StringBuilder
+    inner.foreach { c =>
+      if (c == ',' && depth == 0) { out += cur.result().trim; cur.clear() }
+      else {
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        cur += c
+      }
+    }
+    val last = cur.result().trim
+    if (last.nonEmpty) out += last
+    out.result()
+  }
 
   /** Columnar footer-stat formats take nested-field pushdown; row
     * formats (csv/json/text) translate top-level predicates only. */

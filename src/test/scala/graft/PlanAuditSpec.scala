@@ -129,4 +129,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(PlanAudit.findings(
       spark.read.parquet(tmp).filter(col("id") > 10)).isEmpty)
   }
+
+  test("PushedFilters matching is exact top-level elements: a filter " +
+      "appearing only INSIDE a pushed composite does not count as pushed") {
+    // the inverse of the scan metadata's mkString("[", ", ", "]")
+    val elems = PlanAudit.topLevelElems(
+      "[IsNotNull(a), Or(EqualTo(a,1),EqualTo(b,2)), In(c, [1,2,3])]")
+    assert(elems == Set("IsNotNull(a)", "Or(EqualTo(a,1),EqualTo(b,2))",
+      "In(c, [1,2,3])"))
+    // ADVICE r14's vacuous-pass shape: EqualTo(a,1) is a SUBSTRING of the
+    // pushed composite but not a top-level element — must NOT match
+    assert(!elems.contains("EqualTo(a,1)"))
+    assert(PlanAudit.topLevelElems("[]").isEmpty)
+  }
 }

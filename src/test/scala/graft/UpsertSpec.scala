@@ -147,4 +147,24 @@ class UpsertSpec extends AnyFunSuite {
     assert(out == (1L to 20L).map(maxId + _),
       "expected the dense fallback's contiguous ids above the max")
   }
+
+  test("sparse overflow margin derives from the declared partition " +
+      "ceiling, not a hard-coded 2^50") {
+    // default: 2^17-partition headroom -> (2^17+1)*2^33
+    assert(etl.Upsert.sparseMargin(spark) == ((1L << 17) + 1) << 33)
+    val key = "spark.graft.upsert.maxPartitions"
+    try {
+      // a deployment declaring 2^20 scan partitions widens the margin...
+      spark.conf.set(key, (1L << 20).toString)
+      assert(etl.Upsert.sparseMargin(spark) == ((1L << 20) + 1) << 33)
+      // ...and past 2^29 the sparse encoding cannot fit: always dense
+      spark.conf.set(key, (1L << 29).toString)
+      assert(etl.Upsert.sparseMargin(spark) == Long.MaxValue)
+      val inc = Seq(("a", "n")).toDF("sku", "name")
+      val out = etl.Upsert.numberInsertsSparse(inc, Seq("sku"), 10L)
+        .select(col("__key")).as[Long].collect().toSeq
+      assert(out == Seq(11L), "expected dense numbering under the " +
+        "over-ceiling declaration")
+    } finally spark.conf.unset(key)
+  }
 }
