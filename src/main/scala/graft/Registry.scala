@@ -53,7 +53,8 @@ object Registry {
       streaming.Lifecycle.qs ++
       similarity.SimilarityQueries.qs ++
       multimodal.MultimodalQueries.qs ++
-      dsl.SearchQueries.qs
+      dsl.SearchQueries.qs ++
+      dsl.CatalogQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -58,7 +58,15 @@ object QueryStringFactory {
       sorting: String = "hits",
       minHitCount: Int = 1,
       maxChoices: Int = 20,
-      displayOrder: Int = 0)
+      displayOrder: Int = 0,
+      /** kind "available" only — `SearchSettings.IncludeNotAvailable`
+        * (ConvertAvailability, CatalogSearchQueryFactory.cs:509-529): the
+        * setting specifies the filter's logical DIRECTION. false (the
+        * reference default): availability filtering is ON unless the URL
+        * token opts out (token true = "include not available").
+        * true: filtering is OFF unless the token opts in (token true =
+        * "exclude out of stock"). */
+      includeNotAvailable: Boolean = false)
 
   final case class Config(
       termFields: Seq[String],
@@ -161,6 +169,21 @@ object QueryStringFactory {
       })
     val facetParams: Set[String] = facetBound.map(_._2).toSet
     val facetFilters: Seq[FilterExpr.Node] = facetBound.flatMap {
+      // "available" fires on an ABSENT token too: with
+      // includeNotAvailable=false (the reference default) availability
+      // filtering is on by default and the token opts OUT — the F7
+      // `available` branch (ConvertAvailability + the field dispatch at
+      // LinqCatalogSearchService.cs:321-331). The predicate compiles
+      // against the Catalog.searchable `available` column, which IS the
+      // 3-way inventory disjunction.
+      case (spec, _, raw) if spec.kind == "available" =>
+        val tok = raw.exists(r =>
+          Set("1", "true", "on", "yes").contains(r.trim.toLowerCase))
+        val filterOn =
+          if (spec.includeNotAvailable) tok  // true = exclude out of stock
+          else !tok                          // true = include not available
+        if (filterOn) Seq(FilterExpr.Pred(spec.field, RuleOps.IsEqualTo, true))
+        else Seq.empty
       case (_, _, None) => Seq.empty
       case (spec, _, Some(raw)) => spec.kind match {
         case "price" =>
@@ -181,6 +204,12 @@ object QueryStringFactory {
     // not the token carried values); URL-selected values are marked
     val facets: Seq[Search.Facet] = facetBound.map { case (spec, _, raw) =>
       val selected: Seq[Any] = (spec.kind, raw) match {
+        // the availability descriptor is selected iff the token is truthy
+        // (FacetValue(true)/IsSelected=availability, ConvertAvailability)
+        case ("available", r) =>
+          if (r.exists(v =>
+            Set("1", "true", "on", "yes").contains(v.trim.toLowerCase)))
+            Seq(true) else Seq.empty
         case (_, None) => Seq.empty
         case ("price", Some(r)) => parseRange(r).toSeq.map(x => x: Any)
         case ("rating", Some(r)) => r.toDoubleOption.toSeq.map(x => x: Any)
