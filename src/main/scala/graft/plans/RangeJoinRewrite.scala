@@ -113,6 +113,57 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     Cast(Floor(Divide(Cast(UnixMillis(ts), DoubleType),
       Literal(b.toDouble))), LongType)
 
+  /** Substitute Project/Aggregate alias definitions into `e` until only
+    * base attributes remain — the bound attributes a join condition
+    * references are usually aliases over the real interval arithmetic
+    * (`win_end = ts + INTERVAL 5m` sits one Project below the join). */
+  private def resolveThrough(e: Expression, plan: LogicalPlan): Expression = {
+    val defs: Map[ExprId, Expression] = plan.collect {
+      case p: Project =>
+        p.projectList.collect { case a: Alias => a.exprId -> a.child }
+      case a: Aggregate =>
+        a.aggregateExpressions.collect { case al: Alias => al.exprId -> al.child }
+    }.flatten.toMap
+    var cur = e
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 10) {
+      changed = false
+      cur = cur.transformUp {
+        case ar: AttributeReference if defs.contains(ar.exprId) =>
+          changed = true; defs(ar.exprId)
+      }
+      rounds += 1
+    }
+    cur
+  }
+
+  /** The interval's width in ms when it is a PLAN-TIME CONSTANT — the
+    * upper bound resolves to `lower + literal interval` (the shape
+    * every `ts BETWEEN start AND start + INTERVAL x` query has). A
+    * known width makes the whole tier set static: no runtime probe. */
+  private def constWidthMs(hiRes: Expression, loRes: Expression): Option[Long] = {
+    def strip(e: Expression): Expression = e match {
+      case Cast(c, TimestampType, _, _) => strip(c)
+      case _ => e
+    }
+    def intervalMs(l: Literal): Option[Long] = l match {
+      case Literal(v: Long, _: org.apache.spark.sql.types.DayTimeIntervalType) =>
+        if (v >= 0) Some((v + 999) / 1000) else None // micros, ceil to ms
+      case Literal(ci: org.apache.spark.unsafe.types.CalendarInterval, _) =>
+        // months are variable-length: no static bound
+        if (ci.months == 0 && ci.days >= 0 && ci.microseconds >= 0)
+          Some(ci.days * 86400000L + (ci.microseconds + 999) / 1000)
+        else None
+      case _ => None
+    }
+    strip(hiRes) match {
+      case TimestampAddInterval(base, l: Literal, _)
+          if strip(base).semanticEquals(strip(loRes)) => intervalMs(l)
+      case _ => None
+    }
+  }
+
   private def refsIn(e: Expression, side: LogicalPlan): Boolean =
     e.references.nonEmpty && e.references.subsetOf(side.outputSet)
 
@@ -170,17 +221,37 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             else maxB << shift
           }
 
+          // ---- static-width fast path (round 15): when the upper bound
+          // resolves to `lower + literal interval` (the ubiquitous
+          // `BETWEEN start AND start + INTERVAL x` shape), every row's
+          // bucket span is bounded by width/bucket + 1 AT PLAN TIME, so
+          // the tier set is static: tiers 0..tMax. The runtime probe —
+          // an extra column-pruned pass over the interval side per
+          // execution, the one real cost the d14 honesty table carries
+          // for q79 — is not built at all, and with tMax = 0 (any width
+          // up to maxB buckets) the point side stays exactly one row per
+          // point, same as the declared-width operators.RangeJoin path.
+          val staticTierMax: Option[Int] = constWidthMs(
+            resolveThrough(hi, right), resolveThrough(lo, right)).map { w =>
+            val spanBound = w / b + 1
+            (0 until Tiers).find(t => spanBound <= thLit(t)).getOrElse(Tiers - 1)
+          }
+
           // ---- interval side: well-formed rows tagged with their HOME
           // tier (smallest tier bounding the explosion at ≤ maxB rows;
-          // narrow rows land at tier 0 = fine buckets). lo <= hi is
+          // narrow rows land at tier 0 = fine buckets; a static width
+          // bound of tier 0 makes the tag a constant). lo <= hi is
           // null-rejecting: reversed AND null-bounded rows (which match
           // nothing in the original join) are dropped before the
           // Generate, so sequence() can neither throw nor explode.
           val rBase = Filter(LessThanOrEqual(lo, hi), right)
-          val tierAlias = Alias(CaseWhen(
-            (0 until Tiers - 1).map(t =>
-              (LessThanOrEqual(span, Literal(thLit(t))), Literal(t))),
-            Some(Literal(Tiers - 1))), "__graft_tier_r")()
+          val tierAlias = staticTierMax match {
+            case Some(0) => Alias(Literal(0), "__graft_tier_r")()
+            case _ => Alias(CaseWhen(
+              (0 until Tiers - 1).map(t =>
+                (LessThanOrEqual(span, Literal(thLit(t))), Literal(t))),
+              Some(Literal(Tiers - 1))), "__graft_tier_r")()
+          }
           val rProj = Project(right.output :+ tierAlias, rBase)
           val shiftR = Multiply(Literal(TierShift), tierAlias.toAttribute)
           val bucketR = AttributeReference(
@@ -193,29 +264,44 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             unrequiredChildIndex = Nil, outer = false, qualifier = None,
             generatorOutput = Seq(bucketR), child = rProj)
 
-          // ---- point side: one bucket per PRESENT tier. The probe is a
-          // broadcast 1-row collect_set over the interval side (a second,
-          // column-pruned reference to `right` — hence the determinism
-          // guard on this rule), so each point explodes to exactly
-          // |present tiers| rows: ×1 when every interval is narrow, and
-          // the coarse tiers cost rows only when wide rows exist.
-          val tiersAlias = Alias(
-            new org.apache.spark.sql.catalyst.expressions.aggregate
-              .CollectSet(tierAlias.toAttribute).toAggregateExpression(),
-            "__graft_tiers")()
-          val probe = Aggregate(Nil, Seq(tiersAlias), rProj)
-          val cross = Join(left, probe,
-            org.apache.spark.sql.catalyst.plans.Cross, None,
-            JoinHint(None,
-              Some(HintInfo(strategy = Some(BROADCAST)))))
-          val tierL = AttributeReference(
-            "__graft_tier_l", IntegerType, nullable = false)()
-          val genL = Generate(Explode(tiersAlias.toAttribute),
-            unrequiredChildIndex = Nil, outer = false, qualifier = None,
-            generatorOutput = Seq(tierL), child = cross)
+          // ---- point side: one bucket per tier that CAN hold intervals.
+          // Static width bound → the tier set is a literal: no probe, no
+          // extra pass over the interval side, and tMax = 0 adds no rows
+          // at all. Otherwise the probe is a broadcast 1-row collect_set
+          // over the interval side (a second, column-pruned reference to
+          // `right` — hence the determinism guard on this rule), so each
+          // point explodes to exactly |present tiers| rows: ×1 when every
+          // interval is narrow, and the coarse tiers cost rows only when
+          // wide rows exist.
+          val (tierL: Attribute, tierSrc: LogicalPlan) = staticTierMax match {
+            case Some(0) =>
+              val t0 = Alias(Literal(0), "__graft_tier_l")()
+              (t0.toAttribute, Project(left.output :+ t0, left))
+            case Some(tMax) =>
+              val attr = AttributeReference(
+                "__graft_tier_l", IntegerType, nullable = false)()
+              (attr, Generate(Explode(Literal.create((0 to tMax).toArray)),
+                unrequiredChildIndex = Nil, outer = false, qualifier = None,
+                generatorOutput = Seq(attr), child = left))
+            case None =>
+              val tiersAlias = Alias(
+                new org.apache.spark.sql.catalyst.expressions.aggregate
+                  .CollectSet(tierAlias.toAttribute).toAggregateExpression(),
+                "__graft_tiers")()
+              val probe = Aggregate(Nil, Seq(tiersAlias), rProj)
+              val cross = Join(left, probe,
+                org.apache.spark.sql.catalyst.plans.Cross, None,
+                JoinHint(None,
+                  Some(HintInfo(strategy = Some(BROADCAST)))))
+              val attr = AttributeReference(
+                "__graft_tier_l", IntegerType, nullable = false)()
+              (attr, Generate(Explode(tiersAlias.toAttribute),
+                unrequiredChildIndex = Nil, outer = false, qualifier = None,
+                generatorOutput = Seq(attr), child = cross))
+          }
           val lbAlias = Alias(ShiftRight(bucketOf(pt, b),
             Multiply(Literal(TierShift), tierL)), "__graft_bucket_l")()
-          val projL = Project(left.output :+ tierL :+ lbAlias, genL)
+          val projL = Project(left.output :+ tierL :+ lbAlias, tierSrc)
 
           // ---- ONE hash equi-join on (tier, bucket) for ANY interval
           // width — no nested-loop branch exists. A point×interval pair

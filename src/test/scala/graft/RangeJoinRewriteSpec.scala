@@ -55,6 +55,59 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     assert(!phys.contains("Generate explode(sequence"), phys)
   }
 
+  test("static-width fast path: a `start + INTERVAL` upper bound plans " +
+      "WITHOUT the tier probe, and results still match the naive join") {
+    // the q79 shape: the interval side derives its end from its start by
+    // a literal interval one Project below the join. Parquet-backed, not
+    // LocalRelation — ConvertToLocalRelation would eagerly fold the
+    // deriving Project away and hide the alias the width detection reads
+    // (real sources keep it, as q79 does).
+    val dir = java.nio.file.Files.createTempDirectory("graft-width").toString
+    points.write.mode("overwrite").parquet(s"$dir/p")
+    intervals.write.mode("overwrite").parquet(s"$dir/i")
+    def widthJoin = spark.read.parquet(s"$dir/p").join(
+      spark.read.parquet(s"$dir/i").select(col("iid"),
+        col("istart").as("ws"),
+        (col("istart") + expr("INTERVAL 10 MINUTES")).as("we")),
+      col("pts") >= col("ws") && col("pts") <= col("we"))
+    val expected = widthJoin.collect().map(_.toSeq).toSet
+    withRule {
+      val df = widthJoin
+      val opt = df.queryExecution.optimizedPlan.toString
+      val phys = df.queryExecution.executedPlan.toString
+      // the bucketed equi-join fired...
+      assert(phys.contains("Generate explode(sequence"), phys)
+      // ...with NO runtime probe: no collect_set aggregate, no broadcast
+      // cross join, no second reference to the interval side
+      assert(!opt.contains("collect_set"), opt)
+      assert(!phys.contains("BroadcastNestedLoopJoin"), phys)
+      // tier-0 static bound: the point side gains no Generate (exactly
+      // one row per point) — the only explode is the interval side's
+      assert(phys.split("Generate explode").length == 2, phys)
+      assert(df.collect().map(_.toSeq).toSet == expected)
+      assert(graft.plans.PlanAudit.findings(df).isEmpty)
+    }
+  }
+
+  test("a MONTH interval width (variable length) keeps the dynamic probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-month").toString
+    points.write.mode("overwrite").parquet(s"$dir/p")
+    intervals.write.mode("overwrite").parquet(s"$dir/i")
+    def monthJoin = spark.read.parquet(s"$dir/p").join(
+      spark.read.parquet(s"$dir/i").select(col("iid"),
+        col("istart").as("ws"),
+        (col("istart") + expr("INTERVAL 1 MONTH")).as("we")),
+      col("pts") >= col("ws") && col("pts") <= col("we"))
+    val expected = monthJoin.collect().map(_.toSeq).toSet
+    withRule {
+      val df = monthJoin
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("collect_set"), // no static bound for months
+        s"month-width join unexpectedly took the static path:\n$opt")
+      assert(df.collect().map(_.toSeq).toSet == expected)
+    }
+  }
+
   test("rewritten results equal the naive join exactly") {
     val expected = naiveJoin.collect().map(_.toSeq).toSet
     val got = withRule(naiveJoin.collect().map(_.toSeq).toSet)
