@@ -40,6 +40,7 @@ object Registry {
       reports.Audits.qs ++
       operators.FilterQueries.qs ++
       etl.EtlQueries.qs ++
+      etl.ImportCapstone.qs ++
       etl.Constraints.qs ++
       etl.RecordLinkage.qs ++
       etl.Pseudonymize.qs ++

@@ -1,0 +1,44 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S3: extension-dispatch tabular materializer (SURVEY §2.1 —
+  * `LightweightDataTable.FromFile`, LightweightDataTable.cs:96-151): the
+  * reference's one entry point that inspects the file extension and hands
+  * `.xlsx` to the Excel reader and everything else to the CSV reader,
+  * with a row `skip`/`take` window applied uniformly to whichever reader
+  * ran. Both readers stage UNTYPED (all-string) columns; conversion
+  * happens lazily per access (`functions.Conversions`), exactly like the
+  * reference's untyped table. */
+object Tabular {
+
+  /** Dispatch by extension (case-insensitive, the reference's
+    * `Path.GetExtension` check). `skip`/`take` ride in `cfg` for CSV and
+    * are applied by the shared window for Excel, so both paths honor the
+    * same `FromFile(skip, take)` contract. */
+  def fromFile(spark: SparkSession, path: String,
+      cfg: CsvConfig = CsvConfig()): DataFrame =
+    if (path.toLowerCase(java.util.Locale.ROOT).endsWith(".xlsx"))
+      skipTake(ExcelSource.read(spark, path,
+        ExcelSource.ExcelConfig(
+          hasHeaders = cfg.hasHeader,
+          defaultColumnPrefix = cfg.defaultColumnPrefix)),
+        cfg.skip, cfg.take)
+    else
+      CsvSource.read(spark, path, cfg)
+
+  /** The reference's positional window over file order — import-batch
+    * sized (a global row_number), same contract and caveat as
+    * `CsvSource.read`'s skip/take. */
+  private[etl] def skipTake(df: DataFrame, skip: Int, take: Option[Int]): DataFrame =
+    if (skip <= 0 && take.isEmpty) df
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(monotonically_increasing_id())
+      var out = df.withColumn("__rownum", row_number().over(w))
+        .filter(col("__rownum") > skip)
+      take.foreach(t => out = out.filter(col("__rownum") <= skip + t))
+      out.drop("__rownum")
+    }
+}

@@ -97,4 +97,30 @@ class CsvEtlSpec extends AnyFunSuite {
       CsvSource.excelFriendly.copy(skip = 1, take = Some(2)))
     assert(df.select("Id").collect().map(_.getString(0)).toSeq == Seq("2", "3"))
   }
+
+  test("Tabular.fromFile dispatches by extension (S3: " +
+      "LightweightDataTable.FromFile) with skip/take on both paths") {
+    import graft.etl.Tabular
+    val csvPath = getClass.getResource("/testdata.csv").getPath
+    // CSV branch: identical to CsvSource.read, window included
+    val viaDispatch = Tabular.fromFile(spark, csvPath,
+      CsvSource.excelFriendly.copy(skip = 1, take = Some(2)))
+    assert(viaDispatch.select("Id").collect().map(_.getString(0)).toSeq ==
+      Seq("2", "3"))
+    // Excel branch: the golden table as .xlsx through the SAME entry
+    // point (case-insensitive extension), same window semantics
+    val full = CsvSource.read(spark, csvPath, CsvSource.excelFriendly)
+    val header = full.columns.toSeq
+    val data = full.collect().toSeq.map(r => (0 until r.length).map(i =>
+      if (r.isNullAt(i)) null else r.getString(i)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-tabular")
+    val xlsx = dir.resolve("Testdata.XLSX").toString
+    graft.etl.ExcelSource.writeFixture(xlsx, header +: data)
+    val viaXlsx = Tabular.fromFile(spark, xlsx,
+      CsvSource.excelFriendly.copy(skip = 1, take = Some(2)))
+    assert(viaXlsx.columns.toSeq == header)
+    assert(viaXlsx.select("Id").collect().map(_.getString(0)).toSeq ==
+      Seq("2", "3"),
+      "xlsx dispatch did not honor the skip/take window")
+  }
 }
