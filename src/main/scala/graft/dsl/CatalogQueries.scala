@@ -85,6 +85,28 @@ object CatalogQueries {
       .orderBy(col("value"))
   }
 
+  /** Availability facet GROUP with hit counts (q284): ConvertAvailability
+    * registers the availability facet multiselect + LabelAsc
+    * (CatalogSearchQueryFactory.cs:532-552). With the URL token present
+    * (selected), the multiselect rule counts the group on the frame
+    * WITHOUT its own filter — both choices stay visible so the user can
+    * widen (the `Search.facetBase` exclusion, same as q136's brand
+    * group): output is the available/unavailable counts of the
+    * term-filtered frame. */
+  def availabilityFacet(s: SparkSession, dir: String): DataFrame = {
+    val cfg = QueryStringFactory.Config(
+      termFields = Seq("p_name", "p_type"),
+      idField = "p_partkey",
+      facetSpecs = Seq(QueryStringFactory.FacetSpec(
+        "available", "a", "available", sorting = "label",
+        includeNotAvailable = true)))
+    // includeNotAvailable=true + a=1: "exclude out of stock" opt-in —
+    // the filter is ACTIVE and the facet value selected
+    val q = QueryStringFactory.fromParams(Map("q" -> "red", "a" -> "1"), cfg)
+    Search.facetOf(Catalog.searchable(Tables.part(s, dir)), q,
+      q.facets.find(_.field == "available").get)
+  }
+
   private val termPred =
     "(lower(p_name) LIKE '%red%' OR lower(p_type) LIKE '%red%')"
 
@@ -110,6 +132,14 @@ object CatalogQueries {
          |WHERE effective_price >= 840 AND effective_price <= 930
          |ORDER BY p_partkey
          |LIMIT 50 OFFSET 0""".stripMargin)),
+    Q("q284_availability_facet", (s, d) => availabilityFacet(s, d), Some(
+      s"""${Catalog.fixtureCtes}
+         |SELECT available AS value, COUNT(*) AS cnt
+         |FROM cat_searchable
+         |WHERE $termPred
+         |GROUP BY available
+         |ORDER BY value
+         |LIMIT 20""".stripMargin)),
     Q("q282_rating_facet", (s, d) => ratingFacet(s, d), Some(
       s"""${Catalog.fixtureCtes},
          |f AS (
