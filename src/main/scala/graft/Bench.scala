@@ -103,25 +103,32 @@ object Bench {
     // shared suffixes nearly free)
     val prefixes = results.map(_._1.takeWhile(_ != '_'))
     val usePrefix = prefixes.distinct.size == results.size
-    val msCsv = results.map { case (k, v) =>
-      (if (usePrefix) k.takeWhile(_ != '_') else k) + ":" +
-        math.round(v * 1000) }.mkString(",")
-    val gzBytes = {
+    def gz64(s: String): String = {
       val bos = new java.io.ByteArrayOutputStream()
       val gz = new java.util.zip.GZIPOutputStream(bos)
-      gz.write(msCsv.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      gz.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       gz.close()
-      bos.toByteArray
+      java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
     }
-    val qgz = java.util.Base64.getEncoder.encodeToString(gzBytes)
-    val headline = f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","cold":$coldTotal%.2f,"passes":$passTotals,"method":"toRdd.count median-of-3 after warmup","n_total":${results.size},"controls":$controls,"enc":"queries_gz = base64(gzip('name:millis,...')) -- every query inline","queries_gz":"$qgz"}"""
     // the driver retains only the final ~2000 stdout chars (with sbt's
     // [success] line inside the window) — a headline past ~1900 chars
     // would push its own JSON head out of the tail and become
-    // unparseable (ADVICE r14). Degrade to a pointer at the full file
-    // instead of failing or truncating mid-JSON.
-    if (headline.length <= 1900) println(headline)
-    else println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","cold":$coldTotal%.2f,"passes":$passTotals,"method":"toRdd.count median-of-3 after warmup","n_total":${results.size},"controls":$controls,"queries":"inline dict would exceed the 2000-char stdout tail -- see BENCH_last_full.json"}""")
+    // unparseable (ADVICE r14). The suite outgrew the every-query-inline
+    // form at 287 entries, so the inline dict is the LARGEST cost-ordered
+    // subset that fits the budget (n_shown/n_total say what was dropped;
+    // BENCH_last_full.json always has all of them).
+    val entries = results.sortBy(-_._2).map { case (k, v) =>
+      (if (usePrefix) k.takeWhile(_ != '_') else k) + ":" +
+        math.round(v * 1000) }
+    def headlineOf(n: Int): String = {
+      val qgz = gz64(entries.take(n).mkString(","))
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","cold":$coldTotal%.2f,"passes":$passTotals,"method":"toRdd.count median-of-3 after warmup","n_shown":$n,"n_total":${results.size},"controls":$controls,"enc":"queries_gz = base64(gzip('name:millis,...')) cost-ordered; full dict in BENCH_last_full.json","queries_gz":"$qgz"}"""
+    }
+    // largest prefix under budget (gzip length is monotone enough in n;
+    // a linear walk from the full set down is simplest and exact)
+    val n = (results.size to 0 by -1)
+      .find(k => headlineOf(k).length <= 1900).getOrElse(0)
+    println(headlineOf(n))
     spark.stop()
   }
 }

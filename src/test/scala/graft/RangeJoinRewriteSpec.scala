@@ -89,6 +89,46 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("static-width property: every width class (zero, tier-0, coarse-tier, " +
+      "beyond-data) plans probe-free and equals the naive join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-widthp").toString
+    // denser points so every width class has matches and misses
+    val ptRows = (0 until 60).map(i =>
+      (i.toLong, ts("2024-01-01 00:00:00").getTime + i * 37 * 60000L))
+      .map { case (id, ms) => (id, new java.sql.Timestamp(ms)) }
+    val ivRows = (0 until 25).map(i =>
+      (100L + i, new java.sql.Timestamp(
+        ts("2024-01-01 00:00:00").getTime + i * 83 * 60000L)))
+    ptRows.toDF("pid", "pts").write.mode("overwrite").parquet(s"$dir/p")
+    ivRows.toDF("iid", "istart").write.mode("overwrite").parquet(s"$dir/i")
+    // small tier geometry so a coarse tier is reachable: tier 0 caps at
+    // 10 one-minute buckets, tier 1 at 10·4096
+    spark.conf.set(RangeJoinRewrite.BucketConfKey, "60000")
+    spark.conf.set(RangeJoinRewrite.MaxBucketsConfKey, "10")
+    try {
+      for (widthSec <- Seq(0L, 300L, 1800L, 2592000L)) { // 0, 5m, 30m, 30d
+        def wJoin = spark.read.parquet(s"$dir/p").join(
+          spark.read.parquet(s"$dir/i").select(col("iid"),
+            col("istart").as("ws"),
+            expr(s"istart + INTERVAL '$widthSec' SECOND").as("we")),
+          col("pts") >= col("ws") && col("pts") <= col("we"))
+        val expected = wJoin.collect().map(_.toSeq).toSet
+        withRule {
+          val df = wJoin
+          val opt = df.queryExecution.optimizedPlan.toString
+          assert(!opt.contains("collect_set"),
+            s"width=${widthSec}s fell back to the dynamic probe:\n$opt")
+          assert(df.collect().map(_.toSeq).toSet == expected,
+            s"width=${widthSec}s diverged from the naive join")
+          assert(graft.plans.PlanAudit.findings(df).isEmpty)
+        }
+      }
+    } finally {
+      spark.conf.unset(RangeJoinRewrite.BucketConfKey)
+      spark.conf.unset(RangeJoinRewrite.MaxBucketsConfKey)
+    }
+  }
+
   test("a MONTH interval width (variable length) keeps the dynamic probe") {
     val dir = java.nio.file.Files.createTempDirectory("graft-month").toString
     points.write.mode("overwrite").parquet(s"$dir/p")
