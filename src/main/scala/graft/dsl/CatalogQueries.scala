@@ -107,6 +107,24 @@ object CatalogQueries {
       q.facets.find(_.field == "available").get)
   }
 
+  /** Price-bucket facet over the EFFECTIVE price (q285): the A8 price
+    * facet (q09) re-based on the F7 special-price window — a product
+    * whose special is active must be counted in its SPECIAL price's
+    * bucket (the facet a user sees reflects what they would pay), the
+    * q281 semantics lifted from filter to facet. 50-unit buckets
+    * (floor(x/50)·50 — exact double division both engines), LabelAsc. */
+  def effectivePriceFacet(s: SparkSession, dir: String): DataFrame = {
+    val q = Search.Query(
+      term = Some("red"),
+      termFields = Seq("p_name", "p_type"),
+      idField = "p_partkey")
+    val frame = Catalog.searchable(Tables.part(s, dir))
+      .withColumn("price_bucket",
+        (floor(col("effective_price") / 50) * 50).cast("long"))
+    Search.facetOf(frame, q,
+      Search.Facet("price_bucket", maxChoices = 20, sorting = "label"))
+  }
+
   private val termPred =
     "(lower(p_name) LIKE '%red%' OR lower(p_type) LIKE '%red%')"
 
@@ -132,6 +150,15 @@ object CatalogQueries {
          |WHERE effective_price >= 840 AND effective_price <= 930
          |ORDER BY p_partkey
          |LIMIT 50 OFFSET 0""".stripMargin)),
+    Q("q285_effective_price_facet", (s, d) => effectivePriceFacet(s, d), Some(
+      s"""${Catalog.fixtureCtes}
+         |SELECT CAST(FLOOR(effective_price / 50) AS BIGINT) * 50 AS value,
+         |       COUNT(*) AS cnt
+         |FROM cat_searchable
+         |WHERE $termPred
+         |GROUP BY 1
+         |ORDER BY value
+         |LIMIT 20""".stripMargin)),
     Q("q284_availability_facet", (s, d) => availabilityFacet(s, d), Some(
       s"""${Catalog.fixtureCtes}
          |SELECT available AS value, COUNT(*) AS cnt
