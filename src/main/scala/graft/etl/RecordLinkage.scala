@@ -64,8 +64,17 @@ object RecordLinkage {
       .join(names.select(col("c_custkey").as("s2"), col("c_name").as("n2")), Seq("s2"))
       .filter(levenshtein(col("n1"), col("n2")) <= 1)
       .select(col("s1").as("src"), col("s2").as("dst"))
-    val comp = graft.text.Dedup.connectedComponents(
-        verified, c.select(col("c_custkey").as("id")))
+      .ckpt // consumers: the touched-vertex projection AND the CC edges
+    // CC over the EDGE-TOUCHED vertices only: an isolated customer can
+    // only form a singleton component, which the csize >= 2 filter drops
+    // — feeding the full customer table would shuffle |customers| rows
+    // through every pointer-jumping superstep (and its per-superstep
+    // checkpoint) to compute labels the query then discards. The match
+    // worklist is duplicate-name-sized, corpus-size-independent.
+    val touched = verified.select(col("src").as("id"))
+      .unionByName(verified.select(col("dst").as("id")))
+      .distinct()
+    val comp = graft.text.Dedup.connectedComponents(verified, touched)
       .select(col("id").as("c_custkey"), col("component"))
     val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
     comp.join(sizes, Seq("component"))
