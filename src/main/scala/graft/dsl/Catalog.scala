@@ -95,7 +95,14 @@ object Catalog {
     * re-expressed as one effective-price column: special while active,
     * list price otherwise. Equivalent to the reference's two-arm
     * disjunction for =, != and every range predicate (each row satisfies
-    * exactly one arm). */
+    * exactly one arm) — EXCEPT at the exact boundary instants: at
+    * `special_from == now` or `special_to == now` the reference's strict
+    * comparisons match NEITHER arm (the row is excluded from every price
+    * predicate), while this column falls back to the list price and can
+    * still match. The fixture's fixed [[NowLit]] never lands on a
+    * boundary, so the oracle cannot observe the divergence; a fixture
+    * change that makes `special_from`/`special_to` equal NowLit would
+    * need the reference's three-state logic instead. */
   def effectivePrice: Column =
     when(specialActive, col("special_price")).otherwise(col("p_retailprice"))
 

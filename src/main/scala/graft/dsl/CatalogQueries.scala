@@ -76,8 +76,11 @@ object CatalogQueries {
     val filtered = Search.compileFiltered(
       Catalog.searchable(Tables.part(s, dir)), q)
       .filter(col("approved_total_reviews") > 0)
+    // coalesce: a term with zero hits makes the global agg one row of
+    // NULL sums, but the oracle's per-value correlated COUNT yields 0
     val aggCols = (1 to 5).map(r =>
-      sum(when(col("rating") >= r.toDouble, 1L).otherwise(0L)).as(s"r$r"))
+      coalesce(sum(when(col("rating") >= r.toDouble, 1L).otherwise(0L)),
+        lit(0L)).as(s"r$r"))
     val counts = filtered.agg(aggCols.head, aggCols.tail: _*)
     counts.selectExpr(
       "stack(5, 1.0D, r1, 2.0D, r2, 3.0D, r3, 4.0D, r4, 5.0D, r5) " +

@@ -194,7 +194,12 @@ object PlanAudit {
       if (c == ',' && depth == 0) { out += cur.result().trim; cur.clear() }
       else {
         if (c == '(' || c == '[') depth += 1
-        else if (c == ')' || c == ']') depth -= 1
+        // clamp at 0: an unbalanced ')' INSIDE a literal value (e.g.
+        // StringContains(a,ab)cd) from value "ab)cd") must not push
+        // depth negative and glue the next elements together — the
+        // worst case is then one mis-split element (a false finding on
+        // that scan), never corruption of the rest of the list
+        else if ((c == ')' || c == ']') && depth > 0) depth -= 1
         cur += c
       }
     }

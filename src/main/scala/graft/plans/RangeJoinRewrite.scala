@@ -138,6 +138,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     cur
   }
 
+  /** True when the session timezone is a fixed UTC offset (UTC, +05:00,
+    * GMT+8…): no DST, every calendar day is exactly 86400000 ms, so a
+    * CalendarInterval's day component has a static width. */
+  private def sessionZoneIsFixedOffset: Boolean = {
+    val zone = java.time.ZoneId.of(SQLConf.get.sessionLocalTimeZone)
+    zone.getRules.isFixedOffset
+  }
+
   /** The interval's width in ms when it is a PLAN-TIME CONSTANT — the
     * upper bound resolves to `lower + literal interval` (the shape
     * every `ts BETWEEN start AND start + INTERVAL x` query has). A
@@ -151,8 +159,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case Literal(v: Long, _: org.apache.spark.sql.types.DayTimeIntervalType) =>
         if (v >= 0) Some((v + 999) / 1000) else None // micros, ceil to ms
       case Literal(ci: org.apache.spark.unsafe.types.CalendarInterval, _) =>
-        // months are variable-length: no static bound
-        if (ci.months == 0 && ci.days >= 0 && ci.microseconds >= 0)
+        // months are variable-length: no static bound. Days are added
+        // calendar-wise in the session zone, so across a DST fall-back a
+        // "day" is 25h and a fixed 86400000ms/day bound UNDERESTIMATES
+        // the real span — an interval landing past thLit(tMax) would get
+        // a home tier the point side never visits and its matches would
+        // be silently dropped. Only a fixed-offset zone makes days exact;
+        // otherwise a day-carrying interval falls back to the dynamic
+        // probe, which tags and visits tiers from the actual spans.
+        if (ci.months == 0 && ci.days >= 0 && ci.microseconds >= 0 &&
+            (ci.days == 0 || sessionZoneIsFixedOffset))
           Some(ci.days * 86400000L + (ci.microseconds + 999) / 1000)
         else None
       case _ => None

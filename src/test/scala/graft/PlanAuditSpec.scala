@@ -141,5 +141,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // pushed composite but not a top-level element — must NOT match
     assert(!elems.contains("EqualTo(a,1)"))
     assert(PlanAudit.topLevelElems("[]").isEmpty)
+    // depth clamps at 0: an unbalanced ')' INSIDE a literal value may
+    // mis-render its own element but must not swallow the NEXT elements
+    // (ADVICE r15 — negative depth glued the rest of the list together)
+    val dirty = PlanAudit.topLevelElems(
+      "[StringContains(a,ab)cd), IsNotNull(b), EqualTo(c,3)]")
+    assert(dirty.contains("IsNotNull(b)"), dirty.toString)
+    assert(dirty.contains("EqualTo(c,3)"), dirty.toString)
   }
 }

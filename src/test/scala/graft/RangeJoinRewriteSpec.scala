@@ -148,6 +148,35 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a day-carrying CalendarInterval takes the static path only under " +
+      "a fixed-offset timezone (DST can stretch a day to 25h)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dstday").toString
+    points.write.mode("overwrite").parquet(s"$dir/p")
+    intervals.write.mode("overwrite").parquet(s"$dir/i")
+    // make_interval folds to a CalendarInterval literal (days component);
+    // a DayTimeIntervalType `INTERVAL 1 DAY` would be exact micros and
+    // always static — the calendar-wise day addition is the case at issue
+    def dayJoin = spark.read.parquet(s"$dir/p").join(
+      spark.read.parquet(s"$dir/i").select(col("iid"),
+        col("istart").as("ws"),
+        (col("istart") + expr("make_interval(0, 0, 0, 1, 0, 0, 0)")).as("we")),
+      col("pts") >= col("ws") && col("pts") <= col("we"))
+    val expected = dayJoin.collect().map(_.toSeq).toSet
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try withRule {
+      spark.conf.set(tzKey, "America/New_York")
+      val dst = dayJoin.queryExecution.optimizedPlan.toString
+      assert(dst.contains("collect_set"),
+        s"day interval in a DST zone must keep the dynamic probe:\n$dst")
+      spark.conf.set(tzKey, "UTC")
+      val fixed = dayJoin.queryExecution.optimizedPlan.toString
+      assert(!fixed.contains("collect_set"),
+        s"day interval under UTC should take the static path:\n$fixed")
+      assert(dayJoin.collect().map(_.toSeq).toSet == expected)
+    } finally spark.conf.set(tzKey, saved)
+  }
+
   test("rewritten results equal the naive join exactly") {
     val expected = naiveJoin.collect().map(_.toSeq).toSet
     val got = withRule(naiveJoin.collect().map(_.toSeq).toSet)
