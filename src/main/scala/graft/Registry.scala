@@ -75,10 +75,11 @@ object Registry {
     Q("q36f_minhash_fast", (s, d) => text.TextQueries.minhashCandidates(s, d)),
     Q("q37f_simhash_fast", (s, d) => text.TextQueries.simhashes(s, d)),
     Q("q41f_ann_lsh_fast", (s, d) => similarity.SimilarityQueries.annLsh(s, d)),
-    // q144's production knob setting: k scales with the corpus so the
-    // within-cell quadratic term stays bounded (see semanticDedupScaledK)
-    Q("q144f_semantic_dedup_scaledk",
-      (s, d) => similarity.SimilarityQueries.semanticDedupScaledK(s, d)))
+    // q144's A/B twin: k PINNED at 8 while the corpus grows — the shape
+    // verdict r15 flagged at 4.04× per 10× data; the registered q144 now
+    // derives k from the corpus (see semanticDedup/semanticDedupFixedK)
+    Q("q144f_semantic_dedup_fixedk",
+      (s, d) => similarity.SimilarityQueries.semanticDedupFixedK(s, d)))
 
   /** SPARK_GRAFT_ONLY selector, shared by Bench and Verify: a token
     * matches on the query-id boundary (`q10` selects `q10_segment_facet`

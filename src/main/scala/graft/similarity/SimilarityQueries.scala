@@ -649,36 +649,47 @@ object SimilarityQueries {
     * higher-id side of every pair with rounded cosine ≥ 0.35 is marked
     * a duplicate. One verdict row per vector, so the oracle
     * value-checks training, assignment, the bounded pair scoring and
-    * the drop rule in one hash. */
+    * the drop rule in one hash.
+    *
+    * k is the PRODUCTION knob setting: k = max(8, n/250) grows with the
+    * corpus so the average cell stays ~250 vectors and the within-cell
+    * quadratic term is a constant per cell — the form you would run at
+    * 100 TB is the form the oracle gates (verdict r15: the fixed-k
+    * variant's cells grow with the corpus and its cost scaled 4.04× per
+    * 10× data; it survives only as the q144f bench twin). The oracle
+    * restates the same k from COUNT(*), so determinism is preserved:
+    * seeds are the k smallest vec_ids on both engines. The one count()
+    * is a scalar corpus size driving a plan parameter, not data
+    * collection. */
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val cents = Ann.kmeansTrain(e, "vec_id", "embedding", k = 8, iters = 2)
+    val k = math.max(8L, e.count() / 250L).toInt
+    val cents = Ann.kmeansTrain(e, "vec_id", "embedding", k = k, iters = 2)
     Ann.semanticDupVerdicts(e, "vec_id", "embedding", cents, minCos = 0.35)
       .orderBy(col("vec_id"))
   }
 
-  /** BENCH fast path of q144 (Registry.benchExtras): same SemDeDup
-    * pipeline, but k grows with the corpus (k = n/250, floor 8) so the
-    * per-cell pair count stays BOUNDED as the data scales — the actual
-    * production setting of the SemDeDup knob. The oracle-gated q144
-    * pins k=8 (a deterministic oracle needs a constant seed set), which
-    * makes its measured scaling exponent quadratic-in-cell-size by
-    * construction; this variant is the shape you would run at 100 TB,
-    * and its bench line is the evidence the knob works (the one count()
-    * here is a scalar corpus size driving a plan parameter, not data
-    * collection). */
-  def semanticDedupScaledK(s: SparkSession, dir: String): DataFrame = {
+  /** BENCH twin of q144 (Registry.benchExtras): the same SemDeDup
+    * pipeline with k PINNED at 8 regardless of corpus size — kept
+    * measured every round as the A/B that shows why the registered
+    * query derives k from the corpus (cells grow with n ⇒ within-cell
+    * pair scoring goes quadratic; at sf1 this twin's cost visibly
+    * outpaces q144's). */
+  def semanticDedupFixedK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val k = math.max(8L, e.count() / 250L).toInt
-    val cents = Ann.kmeansTrain(e, "vec_id", "embedding", k = k, iters = 2)
+    val cents = Ann.kmeansTrain(e, "vec_id", "embedding", k = 8, iters = 2)
     Ann.semanticDupVerdicts(e, "vec_id", "embedding", cents, minCos = 0.35)
   }
 
   private def semanticDedupOracle(minCos: Double = 0.35): String =
     s"""WITH v AS (
        |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |-- seeds: the k smallest vec_ids, k = max(8, n/250) — the same
+       |-- corpus-scaled knob the Spark side derives from count()
        |c0 AS (
-       |  SELECT vid AS cent_id, e AS cv FROM v ORDER BY vid LIMIT 8),
+       |  SELECT vid AS cent_id, e AS cv FROM (
+       |    SELECT vid, e, ROW_NUMBER() OVER (ORDER BY vid) AS rn FROM v) t
+       |  WHERE rn <= (SELECT GREATEST(8, COUNT(*) // 250) FROM v)),
        |${iter("c0", "a1", "c1")},
        |${iter("c1", "a2", "c2")},
        |assigned AS (
