@@ -136,6 +136,45 @@ object Catalog {
       .withColumn("rating", rating)
   }
 
+  /** `FacetUtility.MakePriceEven`'s step grid (`FacetUtility.cs:8-41`):
+    * above `lower` up to and including `upper`, the even-price grid
+    * advances by `step`. The reference walks GetNextPrice from the
+    * previous threshold; on segment (lower, upper] that walk lands on
+    * lower + ceil((p - lower)/step)·step — the closed form both the
+    * Column and the SQL twin use (ceil of an IEEE quotient is
+    * engine-stable; memory: +,-,/ are correctly rounded everywhere). */
+  private val evenSegments: Seq[(Double, Double, Double)] = Seq(
+    (10d, 25d, 15d), (25d, 200d, 25d), (200d, 500d, 50d),
+    (500d, 1000d, 100d), (1000d, 2000d, 250d), (2000d, 5000d, 500d),
+    (5000d, 10000d, 1000d), (10000d, 20000d, 2500d),
+    (20000d, 50000d, 5000d), (50000d, 100000d, 10000d),
+    (100000d, 200000d, 25000d), (200000d, 500000d, 50000d),
+    (500000d, 1000000d, 100000d), (1000000d, 2000000d, 250000d),
+    (2000000d, 5000000d, 500000d), (5000000d, 10000000d, 1000000d),
+    (10000000d, 20000000d, 2500000d), (20000000d, 50000000d, 5000000d))
+
+  /** `FacetUtility.MakePriceEven` as a Column: the smallest even-grid
+    * price ≥ p. p = 0 steps once from zero (→ 5); (0, 10] rounds to the
+    * first threshold 10 (the reference's previous-threshold loop starts
+    * at index 1, so sub-10 prices land ON 10, not on the 5-grid); above
+    * the last threshold the walk saturates at MAX_PRICE = 1e9. */
+  def makePriceEven(p: Column): Column = {
+    val base = when(p === 0d, 5d).when(p <= 10d, 10d)
+    evenSegments.foldLeft(base) { case (acc, (lo, hi, st)) =>
+      acc.when(p <= hi, lit(lo) + ceil((p - lit(lo)) / st) * st)
+    }.otherwise(1000000000d)
+  }
+
+  /** [[makePriceEven]]'s DuckDB twin over a SQL expression string —
+    * generated from the SAME segment table so the engines cannot drift. */
+  def makePriceEvenSql(e: String): String = {
+    val segs = evenSegments.map { case (lo, hi, st) =>
+      s"WHEN $e <= $hi THEN $lo + ceil(($e - $lo) / $st) * $st"
+    }.mkString(" ")
+    s"CASE WHEN $e = 0 THEN 5.0 WHEN $e <= 10 THEN 10.0 $segs " +
+      "ELSE 1000000000.0 END"
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB twins of the fixture + compiled columns, embedded by oracles.
   // Keep these TEXTUALLY in sync with the Spark builders above — the

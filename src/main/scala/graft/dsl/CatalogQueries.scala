@@ -128,10 +128,110 @@ object CatalogQueries {
       Search.Facet("price_bucket", maxChoices = 20, sorting = "label"))
   }
 
+  /** The price facet GROUP exactly as the reference assembles it (q286,
+    * verdict r15 missing-item 1 — `LinqCatalogSearchService.cs:452-507`
+    * + `FacetUtility.MakePriceEven`):
+    *
+    *  1. min/max list price over the WHOLE catalog (not the hits) are
+    *     rounded UP to the even-price grid ([[Catalog.makePriceEven]]);
+    *  2. the fixed thresholds 10..1000 are CLIPPED to that range —
+    *     thresholds below the evened min are skipped, and the first
+    *     threshold ≥ the evened max is the last facet emitted
+    *     (`i = int.MaxValue - 1`), DisplayOrder numbering the survivors
+    *     in threshold order;
+    *  3. each surviving facet is the "< threshold" bucket, counted here
+    *     over the term-filtered frame by EFFECTIVE price (the q285
+    *     discipline — the facet reflects what a user would pay);
+    *  4. a "custom range" pseudo-facet (null bounds, the UI's free-form
+    *     price inputs) is INSERTED at position 0 — suppressed only when
+    *     the search has zero hits and no custom range is selected.
+    *
+    * The evened bounds ride along as constant columns so the oracle
+    * value-checks the MakePriceEven closed form itself (900 → 900,
+    * 999.9 → 1000 on the fixture's price domain). The fixture has no
+    * published/system flags, so "the whole catalog" is every part row.
+    *
+    * Scale shape: two scalar aggregates (bounds, total hits) broadcast
+    * into ≤ 7-row facet frames; the only pass over the hits is one
+    * broadcast join against the ≤ 7 selected thresholds with map-side
+    * combine on the count — no window or shuffle wider than 7 rows. */
+  def priceFacetGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val frame = Catalog.searchable(Tables.part(s, dir))
+    val q = Search.Query(term = Some("red"),
+      termFields = Seq("p_name", "p_type"), idField = "p_partkey")
+    val hits = Search.compileFiltered(frame, q)
+      .select(col("p_partkey"), col("effective_price"))
+    val bounds = frame.agg(
+      Catalog.makePriceEven(min(col("p_retailprice"))).as("min_even"),
+      Catalog.makePriceEven(max(col("p_retailprice"))).as("max_even"))
+    val thr = graft.reports.Reports.priceBuckets.zipWithIndex
+      .map { case (t, i) => (t.toDouble, i + 1) }.toDF("t", "pos")
+    val withB = thr.crossJoin(broadcast(bounds))
+    val stop = withB.filter(col("t") >= col("max_even"))
+      .agg(min(col("t")).as("stop_t"))
+    val sel = withB.crossJoin(broadcast(stop))
+      .filter(col("t") >= col("min_even") &&
+        (col("t") < col("max_even") || col("t") === col("stop_t")))
+      .withColumn("disp_order", row_number().over(Window.orderBy(col("pos"))))
+      .limit(20) // MaxChoicesCount guard; also the audit's maxRows bound
+    val cnts = hits.join(broadcast(sel.select(col("t").as("ub"))),
+        col("effective_price") < col("ub"))
+      .groupBy(col("ub")).agg(count(lit(1)).as("cnt"))
+    val custom = hits.agg(count(lit(1)).as("total"))
+      .filter(col("total") > 0)
+      .select(lit(0).as("disp_order"),
+        lit(null).cast("double").as("upper_bound"),
+        lit(0L).as("cnt"), lit(1).as("is_custom"))
+    val fixed = sel.join(cnts, col("t") === col("ub"), "left")
+      .select(col("disp_order"), col("t").as("upper_bound"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"), lit(0).as("is_custom"))
+    custom.unionByName(fixed)
+      .crossJoin(broadcast(bounds))
+      .orderBy(col("disp_order"))
+  }
+
+  private def priceFacetGroupOracle: String =
+    s"""${Catalog.fixtureCtes},
+       |bounds AS (
+       |  SELECT ${Catalog.makePriceEvenSql("mn")} AS min_even,
+       |         ${Catalog.makePriceEvenSql("mx")} AS max_even
+       |  FROM (SELECT min(p_retailprice) AS mn, max(p_retailprice) AS mx
+       |        FROM cat_searchable)),
+       |thr(t, pos) AS (VALUES (10.0, 1), (25.0, 2), (50.0, 3), (100.0, 4),
+       |                       (250.0, 5), (500.0, 6), (1000.0, 7)),
+       |stop AS (SELECT min(t) AS stop_t FROM thr, bounds WHERE t >= max_even),
+       |sel AS (SELECT t, CAST(ROW_NUMBER() OVER (ORDER BY pos) AS INT)
+       |               AS disp_order
+       |        FROM thr, bounds, stop
+       |        WHERE t >= min_even AND (t < max_even OR t = stop_t)
+       |        LIMIT 20),
+       |hits AS (SELECT p_partkey, effective_price FROM cat_searchable
+       |         WHERE $termPred),
+       |cnts AS (SELECT s.t, s.disp_order,
+       |                CAST(COUNT(h.p_partkey) AS BIGINT) AS cnt
+       |         FROM sel s LEFT JOIN hits h ON h.effective_price < s.t
+       |         GROUP BY s.t, s.disp_order),
+       |total AS (SELECT COUNT(*) AS n FROM hits)
+       |SELECT u.disp_order, u.upper_bound, u.cnt, u.is_custom,
+       |       b.min_even, b.max_even
+       |FROM (
+       |  SELECT 0 AS disp_order, CAST(NULL AS DOUBLE) AS upper_bound,
+       |         CAST(0 AS BIGINT) AS cnt, 1 AS is_custom
+       |  FROM total WHERE n > 0
+       |  UNION ALL
+       |  SELECT disp_order, t AS upper_bound, cnt, 0 AS is_custom
+       |  FROM cnts) u
+       |CROSS JOIN bounds b
+       |ORDER BY u.disp_order""".stripMargin
+
   private val termPred =
     "(lower(p_name) LIKE '%red%' OR lower(p_type) LIKE '%red%')"
 
   val qs: Seq[Q] = Seq(
+    Q("q286_price_facet_group", (s, d) => priceFacetGroup(s, d),
+      Some(priceFacetGroupOracle)),
     Q("q280_available_filter", (s, d) => availableSearch(s, d), Some(
       s"""${Catalog.fixtureCtes}
          |SELECT p_partkey, p_name, inventory_method, stock_qty,

@@ -99,4 +99,30 @@ class CatalogSpec extends AnyFunSuite {
     assert(QueryStringFactory.fromParams(Map.empty, cfg(true))
       .facets.head.selected.isEmpty)
   }
+
+  test("MakePriceEven closed form matches the reference walk on every " +
+      "grid segment (q286 uses only the 500-1000 segment at gate SFs)") {
+    // expected values traced through FacetUtility.cs's loop by hand:
+    // 0 steps once from zero; (0,10] lands ON the first threshold; each
+    // (L,U] segment walks L -> L+step -> ... to the first point >= p;
+    // past the last threshold the walk saturates at MAX_PRICE
+    val cases: Seq[(Double, Double)] = Seq(
+      0.0 -> 5.0, 3.0 -> 10.0, 10.0 -> 10.0, 17.0 -> 25.0, 25.0 -> 25.0,
+      30.0 -> 50.0, 60.0 -> 75.0, 200.0 -> 200.0, 210.0 -> 250.0,
+      499.0 -> 500.0, 500.0 -> 500.0, 900.0 -> 900.0, 920.5 -> 1000.0,
+      999.9 -> 1000.0, 1000.0 -> 1000.0, 1500.0 -> 1500.0,
+      1501.0 -> 1750.0, 4200.0 -> 4500.0, 60000.0 -> 60000.0,
+      60001.0 -> 70000.0, 2.2e6 -> 2.5e6, 5.2e7 -> 1.0e9)
+    val got = cases.map(_._1).toDF("p")
+      .select(col("p"), Catalog.makePriceEven(col("p")).as("e"))
+      .as[(Double, Double)].collect().toMap
+    cases.foreach { case (p, want) =>
+      assert(got(p) == want, s"MakePriceEven($p): got ${got(p)}, want $want")
+    }
+    // and the SQL twin is generated from the same segment table: spot
+    // the formula text carries every threshold
+    val sql = Catalog.makePriceEvenSql("x")
+    assert(sql.contains("<= 25.0") && sql.contains("/ 15.0"))
+    assert(sql.contains("ELSE 1000000000.0"))
+  }
 }
