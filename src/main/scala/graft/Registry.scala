@@ -41,6 +41,7 @@ object Registry {
       operators.FilterQueries.qs ++
       etl.EtlQueries.qs ++
       etl.ImportCapstone.qs ++
+      etl.RelatedImport.qs ++
       etl.Constraints.qs ++
       etl.RecordLinkage.qs ++
       etl.Pseudonymize.qs ++
