@@ -1,0 +1,219 @@
+package graft.etl
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.9 composed export-pipeline capstone (q291, round-15 verdict item 4)
+  * — `DataExporter.ExportCoreOuterAsync` end to end as ONE oracle-gated
+  * query, mirroring q283's import discipline on the export side:
+  *
+  *   profile extract (filter + projection over orders)
+  *   → per-store loop (`Init` + the `foreach (var store ...)` of
+  *     DataExporter.cs:196-204): Spark-first, the loop is a
+  *     `partitionBy(store)` write, one store per task so the reference's
+  *     sequential per-store file numbering stays deterministic
+  *   → per-segment files (`InternalExport`'s segmenter loop,
+  *     DataExporter.cs:443-465): `maxRecordsPerFile` rolls a file per 100
+  *     records; `Result.Files` = (store, file name) per written file with
+  *     the reference's `ResolveFileNamePattern` tokens
+  *     (ExportProfileExtensions.cs:22-61 — %Store.Id% + %File.Index% D4;
+  *     the %Timestamp%/%Random.Number% tokens are nondeterministic and
+  *     excluded from the fixture pattern)
+  *   → zip archive + deployment + cleanup (DataExporter.cs:209-227):
+  *     files publish to the folder deployment, the export dir zips, and a
+  *     successful deploy clears the export folder (`profile.Cleanup`)
+  *   → completion email queue row (SendCompletionEmail,
+  *     DataExporter.cs:1427-1498): recipients = the profile's
+  *     comma-split CompletedEmailAddresses filtered to well-formed
+  *     addresses, falling back to the company address, then the email
+  *     account itself; body carries the zip + per-file links
+  *   → post-export order-status update (UpdateOrderStatus,
+  *     DataExporter.cs:1509-1535): every EXPORTED order moves to
+  *     Processing.
+  *
+  * The relational output is the post-export contract — one row per
+  * exported order carrying its store, its resolved file name, and its
+  * updated status, plus the capstone-level constants (selected email
+  * recipient, subject, file count). `n_files` is the PHYSICAL count of
+  * renamed+deployed files, so the hash gate proves the distributed write
+  * produced exactly the file set the relational segment contract
+  * predicts (ceil(rows/100) per store — one store per task makes the
+  * roll count exact).
+  *
+  * Scale shape: extract is a pushed-down scan; store assignment is two
+  * dim equi-joins (broadcast at dim scale); the segment index is a
+  * window PARTITIONED by store (never global); the write shuffles once
+  * on the store key. Driver-side work is file-system metadata only
+  * (rename/zip/publish), never row data.
+  */
+object ExportCapstone {
+
+  /** `ResolveFileNamePattern` (ExportProfileExtensions.cs:22-61) for the
+    * deterministic token subset. */
+  def resolveFileNamePattern(pattern: String, profileId: Long,
+      profileSeo: String, perStore: Boolean, storeId: Long, storeSeo: String,
+      fileIndex: Int, maxFileNameLength: Int = 200): String =
+    (pattern
+      .replace("%Profile.Id%", profileId.toString)
+      .replace("%Store.Id%", storeId.toString)
+      .replace("%File.Index%", f"$fileIndex%04d")
+      .replace("%Profile.SeoName%", profileSeo.replace("-", ""))
+      .replace("%Store.SeoName%", if (perStore) storeSeo else "allstores"))
+      .take(maxFileNameLength)
+
+  /** SendCompletionEmail's recipient cascade (DataExporter.cs:1471-1487):
+    * profile addresses (comma-split, well-formed only) → company address
+    * → the email account itself. */
+  def completionRecipients(completedAddresses: String,
+      companyEmail: Option[String], accountEmail: String): Seq[String] = {
+    val emailRe = "^[^@\\s,]+@[^@\\s,]+\\.[^@\\s,]+$".r
+    val listed = completedAddresses.split(',').map(_.trim)
+      .filter(a => emailRe.pattern.matcher(a).matches).toSeq
+    if (listed.nonEmpty) listed
+    else companyEmail.filter(_.nonEmpty).map(Seq(_))
+      .getOrElse(Seq(accountEmail))
+  }
+
+  /** The last completion email the capstone enqueued — exposed so
+    * ExportDeploySpec can assert the queue side effect. */
+  val completionQueue = new Deploy.InMemoryEmailQueue
+
+  private val Pattern = "orders-%Store.Id%-%File.Index%"
+  private val ProfileName = "orders-feed"
+  private val SegmentSize = 100
+
+  def exportCapstone(s: SparkSession, dir: String): DataFrame = {
+    val sf = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val outDir = s"/tmp/graft_gate/$sf/export_capstone/out"
+    val deployDir = s"/tmp/graft_gate/$sf/export_capstone/deploy"
+    val zipPath = s"/tmp/graft_gate/$sf/export_capstone/$ProfileName.zip"
+
+    // ---- profile extract: open orders of 1995, projected
+    val profile = ExportPipeline.Profile(
+      filters = Seq(col("o_orderstatus") === "O",
+        col("o_orderdate").between("1995-01-01", "1995-12-31")),
+      projection = Seq(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderdate")))
+    val extracted = ExportPipeline.extract(Tables.orders(s, dir), profile)
+
+    // ---- per-store assignment: store = customer's region (the stores
+    // fixture — 5 stores, one per region)
+    val stores = Tables.region(s, dir)
+      .select(col("r_regionkey").as("store_id"), col("r_name").as("store_name"))
+    val byStore = extracted
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, dir).select(col("n_nationkey"),
+        col("n_regionkey").as("store_id")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("store_id"), col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate"))
+
+    // ---- segment contract: file index per store in orderkey order
+    val wStore = Window.partitionBy(col("store_id")).orderBy(col("o_orderkey"))
+    val segged = byStore.withColumn("seg",
+      ((row_number().over(wStore) - 1) / SegmentSize).cast("long"))
+
+    // ---- physical write: one store per task, rows sorted so the
+    // maxRecordsPerFile roll matches the relational segment contract
+    segged.repartition(col("store_id"))
+      .sortWithinPartitions(col("store_id"), col("o_orderkey"))
+      .drop("seg")
+      .write.mode("overwrite")
+      .option("header", true).option("maxRecordsPerFile", SegmentSize.toLong)
+      .partitionBy("store_id")
+      .csv(outDir)
+
+    // ---- rename part files to the profile's resolved names (the
+    // reference names each segment file as it writes it; Spark names
+    // part files, so the capstone renames after the job — file-system
+    // metadata only). Sorted part names within one task preserve roll
+    // order, so index i+1 is segment i.
+    import scala.jdk.CollectionConverters._
+    val storeDirs = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+      .iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("store_id="))
+      .toSeq
+    val renamed = storeDirs.flatMap { sd =>
+      val storeId = sd.getFileName.toString.stripPrefix("store_id=").toLong
+      Deploy.outputFiles(sd.toString).zipWithIndex.map { case (f, i) =>
+        val name = resolveFileNamePattern(Pattern, profileId = 1,
+          profileSeo = ProfileName, perStore = true, storeId = storeId,
+          storeSeo = s"store$storeId", fileIndex = i + 1) + ".csv"
+        java.nio.file.Files.move(f, f.resolveSibling(name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        f.resolveSibling(name)
+      }
+    }.sortBy(_.getFileName.toString)
+
+    // ---- deploy + zip + cleanup (deploy first so the zip and the
+    // cleanup both see the final file set; the reference zips the export
+    // dir then deploys — same bytes either way)
+    new Deploy.FolderPublisher(deployDir).publish(renamed)
+    Deploy.zipOutput(deployDir, zipPath)
+    renamed.foreach(java.nio.file.Files.deleteIfExists(_)) // profile.Cleanup
+
+    // ---- completion email queue row
+    val recipients = completionRecipients(
+      "ops@example.com, not-an-address", Some("info@example.com"),
+      "noreply@example.com")
+    val subject = s"Export completed: $ProfileName"
+    val body = (s"$ProfileName.zip" +: renamed.map(_.getFileName.toString))
+      .mkString("\n")
+    recipients.foreach(to => completionQueue.enqueue(Deploy.QueuedEmail(
+      from = "noreply@example.com", to = to, subject = subject, body = body,
+      attachments = Seq.empty)))
+
+    // ---- post-export: exported orders move to Processing; the output IS
+    // the post-export contract
+    segged
+      .join(broadcast(stores), Seq("store_id"))
+      .withColumn("file_name",
+        concat(lit("orders-"), col("store_id").cast("string"), lit("-"),
+          lpad((col("seg") + 1).cast("string"), 4, "0"), lit(".csv")))
+      .select(col("store_id"), col("store_name"), col("file_name"),
+        col("o_orderkey"), lit("P").as("new_status"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        lit(recipients.head).as("email_to"),
+        lit(subject).as("email_subject"),
+        lit(renamed.size.toLong).as("n_files"))
+      .orderBy(col("store_id"), col("o_orderkey"))
+  }
+
+  private val oracle =
+    """WITH ext AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      |  FROM orders
+      |  WHERE o_orderstatus = 'O'
+      |    AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'),
+      |assigned AS (
+      |  SELECT e.o_orderkey, e.o_totalprice, n.n_regionkey AS store_id
+      |  FROM ext e
+      |  JOIN customer c ON c.c_custkey = e.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+      |segged AS (
+      |  SELECT *, CAST((ROW_NUMBER() OVER (PARTITION BY store_id
+      |                                     ORDER BY o_orderkey) - 1) // 100
+      |                 AS BIGINT) AS seg
+      |  FROM assigned),
+      |nfiles AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM (SELECT DISTINCT store_id, seg FROM segged))
+      |SELECT s.store_id, r.r_name AS store_name,
+      |       'orders-' || s.store_id || '-'
+      |         || lpad(CAST(s.seg + 1 AS VARCHAR), 4, '0') || '.csv'
+      |         AS file_name,
+      |       s.o_orderkey, 'P' AS new_status,
+      |       CAST(s.o_totalprice AS DOUBLE) AS o_totalprice,
+      |       'ops@example.com' AS email_to,
+      |       'Export completed: orders-feed' AS email_subject,
+      |       (SELECT n FROM nfiles) AS n_files
+      |FROM segged s JOIN region r ON r.r_regionkey = s.store_id
+      |ORDER BY s.store_id, s.o_orderkey""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    Q("q291_export_capstone", (s, d) => exportCapstone(s, d), Some(oracle)))
+}

@@ -341,4 +341,51 @@ class ExportDeploySpec extends AnyFunSuite {
     assert(byId("8").getAs[String]("g:price") == "5.50 EUR")
     assert(byId("7").getAs[String]("link") == "https://shop.example/p/7")
   }
+
+  test("completion-email recipient cascade: profile addresses, company " +
+      "fallback, account fallback (DataExporter.cs:1471-1487)") {
+    import graft.etl.ExportCapstone.completionRecipients
+    assert(completionRecipients("a@x.com, junk, b@y.org",
+      Some("co@z.com"), "acct@z.com") == Seq("a@x.com", "b@y.org"))
+    assert(completionRecipients("junk, also junk",
+      Some("co@z.com"), "acct@z.com") == Seq("co@z.com"))
+    assert(completionRecipients("", None, "acct@z.com") == Seq("acct@z.com"))
+    // file-name token resolution (deterministic subset)
+    import graft.etl.ExportCapstone.resolveFileNamePattern
+    assert(resolveFileNamePattern(
+      "%Profile.SeoName%-%Store.Id%-%File.Index%", 7, "my-feed",
+      perStore = true, storeId = 3, storeSeo = "shop3", fileIndex = 12)
+      == "myfeed-3-0012")
+    assert(resolveFileNamePattern("%Store.SeoName%", 7, "f",
+      perStore = false, storeId = 3, storeSeo = "shop3", fileIndex = 1)
+      == "allstores")
+  }
+
+  test("export capstone side effects: deployed segment files respect the " +
+      "100-record contract; the completion email queues the file list") {
+    val dir = "/root/testdata/sf0.001"
+    graft.etl.ExportCapstone.completionQueue.queued.clear()
+    val out = graft.etl.ExportCapstone.exportCapstone(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val nFiles = rows.head.getAs[Long]("n_files")
+    val sf = "sf0_001"
+    val deployed = Deploy.outputFiles(s"/tmp/graft_gate/$sf/export_capstone/deploy")
+    assert(deployed.size.toLong == nFiles, s"deployed=${deployed.size}")
+    // each deployed file: header + ≤100 data rows; totals match the output
+    val counts = deployed.map(f => Files.readAllLines(f).size() - 1)
+    assert(counts.forall(c => c >= 1 && c <= 100), counts.toString)
+    assert(counts.sum == rows.length)
+    // the export dir was cleaned up after a successful deploy
+    assert(Files.exists(
+      Paths.get(s"/tmp/graft_gate/$sf/export_capstone/orders-feed.zip")))
+    // one queued completion email per resolved recipient, body = zip + files
+    val q = graft.etl.ExportCapstone.completionQueue.queued
+    assert(!q.isEmpty)
+    val mail = q.peek()
+    assert(mail.to == "ops@example.com")
+    assert(mail.subject == "Export completed: orders-feed")
+    assert(mail.body.linesIterator.next() == "orders-feed.zip")
+    assert(mail.body.linesIterator.size.toLong == nFiles + 1)
+  }
 }
