@@ -17,14 +17,44 @@ import org.apache.spark.sql.functions._
   */
 object Segmenter {
 
-  /** Attach `segment_index` (0-based) by position in `orderBy` order.
-    * Global row_number = single-partition window: correct but serial —
-    * use only at import-batch sizes (the reference's use case). For
-    * cluster-scale exports use `bySegmentOfKey` instead. */
+  /** Attach a 0-based `posCol` numbering rows in their CURRENT partition
+    * order (partition 0 first): zipWithIndex counts rows per partition,
+    * prefix-sums the |partitions| offsets on the driver, and assigns
+    * offset + local index — fully distributed, no window, no
+    * single-partition exchange. The frame is pinned (`Ckpt`) because
+    * zipWithIndex runs a count job before the data job. */
+  private[graft] def zipPosition(df: DataFrame, posCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val pinned = graft.Ckpt(df)
+    val schema = StructType(pinned.schema.fields :+
+      StructField(posCol, LongType, nullable = false))
+    pinned.sparkSession.createDataFrame(
+      pinned.rdd.zipWithIndex().map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ i) },
+      schema)
+  }
+
+  /** Attach a 0-based `posCol` in `orderBy` order (a TOTAL order for
+    * reproducible positions): range-partition by the order columns, sort
+    * within partitions, then [[zipPosition]] — the cluster-safe form of
+    * a global row_number (the former single-partition window, retired
+    * with the q51 whitelist entry; same two-pass shape as
+    * `Upsert.numberInserts`). */
+  def withPosition(df: DataFrame, orderBy: Seq[Column], posCol: String): DataFrame =
+    zipPosition(
+      df.repartitionByRange(orderBy: _*).sortWithinPartitions(orderBy: _*),
+      posCol)
+
+  /** Attach `segment_index` (0-based) by position in `orderBy` order —
+    * the reference's numbered-segment contract, distributed via
+    * [[withPosition]] (range shuffle + per-partition sort; no global
+    * window). */
   def byPosition(df: DataFrame, orderBy: Seq[Column], segmentSize: Int): DataFrame =
-    df.withColumn("segment_index",
-      ((row_number().over(Window.orderBy(orderBy: _*)) - 1) / segmentSize)
-        .cast("long"))
+    withPosition(df, orderBy, "__graft_pos")
+      .withColumn("segment_index",
+        (col("__graft_pos") / segmentSize).cast("long"))
+      .drop("__graft_pos")
 
   /** Scale path: segment by key range (keyset contract, `FastPager`) —
     * distributed, no global window; segments are value-aligned rather

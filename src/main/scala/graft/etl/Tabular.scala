@@ -28,17 +28,18 @@ object Tabular {
     else
       CsvSource.read(spark, path, cfg)
 
-  /** The reference's positional window over file order — import-batch
-    * sized (a global row_number), same contract and caveat as
-    * `CsvSource.read`'s skip/take. */
+  /** The reference's positional window over file order, distributed:
+    * rows number in SCAN order via `Segmenter.zipPosition` (per-partition
+    * counts prefix-summed on the driver — no global window, no
+    * single-partition exchange). Used for the Excel path, whose parsed
+    * frame carries no `_metadata`; the CSV reader's skip/take orders
+    * per-file by path instead (`CsvSource.read`). */
   private[etl] def skipTake(df: DataFrame, skip: Int, take: Option[Int]): DataFrame =
     if (skip <= 0 && take.isEmpty) df
     else {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(monotonically_increasing_id())
-      var out = df.withColumn("__rownum", row_number().over(w))
-        .filter(col("__rownum") > skip)
-      take.foreach(t => out = out.filter(col("__rownum") <= skip + t))
-      out.drop("__rownum")
+      var out = Segmenter.zipPosition(df, "__graft_pos")
+        .filter(col("__graft_pos") >= skip.toLong)
+      take.foreach(t => out = out.filter(col("__graft_pos") < skip.toLong + t))
+      out.drop("__graft_pos")
     }
 }

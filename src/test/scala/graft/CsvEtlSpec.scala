@@ -1,6 +1,6 @@
 package graft
 
-import graft.etl.{ColumnMap, ColumnMapping, CsvSource}
+import graft.etl.{ColumnMap, ColumnMapping, CsvConfig, CsvSource}
 import graft.functions.Conversions
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
@@ -122,5 +122,28 @@ class CsvEtlSpec extends AnyFunSuite {
     assert(viaXlsx.select("Id").collect().map(_.getString(0)).toSeq ==
       Seq("2", "3"),
       "xlsx dispatch did not honor the skip/take window")
+  }
+
+  test("skip/take over a MULTI-FILE staging dir numbers rows per file in " +
+      "PATH order (file-parallel positional window, no global row_number)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-multifile")
+    def write(name: String, ids: Seq[Int]): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        ("Id\n" + ids.mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // path order a < b < c; 3 rows each → positions 0-8
+    write("a.csv", Seq(1, 2, 3))
+    write("b.csv", Seq(4, 5, 6))
+    write("c.csv", Seq(7, 8, 9))
+    val cfg = CsvConfig(delimiter = ",", skip = 2, take = Some(5))
+    val got = CsvSource.read(spark, dir.toString, cfg)
+      .select("Id").collect().map(_.getString(0).toInt).toSeq.sorted
+    // skip 2 of a.csv, take through b.csv into c.csv's first row
+    assert(got == Seq(3, 4, 5, 6, 7), got.toString)
+    // and the window crossing only file boundaries: skip a whole file
+    val whole = CsvSource.read(spark, dir.toString,
+      CsvConfig(delimiter = ",", skip = 3, take = Some(3)))
+      .select("Id").collect().map(_.getString(0).toInt).toSeq.sorted
+    assert(whole == Seq(4, 5, 6), whole.toString)
   }
 }

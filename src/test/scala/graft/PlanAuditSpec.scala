@@ -45,11 +45,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // Two-pass sharded prefix sum: the single-partition window input is
     // the per-shard TOTALS frame (one row per shard), broadcast back as
     // base offsets — the corpus prefix runs shard-partitioned.
-    ("q88_token_pack", "single-partition-exchange") -> "shard-totals exclusive prefix (|shards| rows)",
-    // Segmenter.byPosition's documented import-batch contract: global
-    // row_number IS the reference's numbered-segment semantics, scoped
-    // to import-batch sizes; bySegmentOfKey is the cluster-scale path.
-    ("q51_segment_stats", "single-partition-exchange") -> "byPosition import-batch contract; scale path is bySegmentOfKey")
+    ("q88_token_pack", "single-partition-exchange") -> "shard-totals exclusive prefix (|shards| rows)")
+    // (q51's byPosition entry is RETIRED: positions now come from a
+    // range-partitioned zipWithIndex — Segmenter.withPosition — so the
+    // plan has no global window at all.)
 
   test("no registered query plans a scale-hostile operator off-whitelist") {
     // audit under the SAME optimizer rules the shipped sessions run:
