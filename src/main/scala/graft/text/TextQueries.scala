@@ -2120,18 +2120,38 @@ object TextQueries {
        |WHERE matches >= 4
        |ORDER BY id1, id2""".stripMargin
 
+  /** Manku band layout for the q37 hamming budget (≤ 2) over 32-bit
+    * signatures: budget+1 = 3 bands — the pigeonhole MINIMUM (2 flipped
+    * bits can dirty at most 2 bands, so every in-budget pair still
+    * shares a clean band and recall stays EXACT) — each band as wide as
+    * the signature allows ({11, 11, 10} bits). Width is the collision
+    * knob: candidate mass per band is ~n²/2^width, so fewer, WIDER bands
+    * strictly dominate more, narrower ones at a fixed budget. The r15
+    * verdict flagged the old 4×8-bit layout at 4.26× per 10× data (16-bit
+    * band-pair mass ~n²/2⁸ per band); widening to 11 bits cuts each
+    * band's collision mass ~8× while the result set is provably
+    * unchanged. Entries: (band index, right-shift, mask). */
+  private val simhashBandLayout: Seq[(Int, Int, Long)] = {
+    val bits = 32; val bands = 3
+    val widths = Seq.tabulate(bands)(i =>
+      bits / bands + (if (i < bits % bands) 1 else 0))
+    val shifts = widths.scanRight(0)(_ + _).tail
+    widths.zip(shifts).zipWithIndex.map { case ((w, sh), i) =>
+      (i, sh, (1L << w) - 1) }
+  }
+
   /** SimHash near-dup CANDIDATES (q37) — the step the reference-scale
     * simhash dedup runs after fingerprinting (Manku-style: documents are
     * near-dups when their signatures agree on all but a few bits; band
     * the signature so every pair within the hamming budget shares at
     * least one identical band, then verify the distance exactly on the
     * candidates). Portable md5-bit-majority signature (identical bit
-    * logic to q106, which stays the signature-only twin), 4 bands of
-    * 8 bits, hamming ≤ 2 kept ("all but
+    * logic to q106, which stays the signature-only twin),
+    * [[simhashBandLayout]] banding, hamming ≤ 2 kept ("all but
     * a couple of bits agree" — with this corpus's shared vocabulary a
     * looser budget stops discriminating: ≤ 6 admits ~1M of the 12.5M
     * possible pairs at sf0.1, ≤ 2 keeps ~20k). Plan shape: the q106 aggregate, then one
-    * (band, band-bits) self-join over |docs| × 4 band rows — never the
+    * (band, band-bits) self-join over |docs| × 3 band rows — never the
     * all-pairs hamming matrix. */
   def simhashCandidatesPortable(s: SparkSession, dir: String): DataFrame = {
     // the signature as ONE 32-bit integer (string bit i ⇒ weight
@@ -2147,10 +2167,14 @@ object TextQueries {
       .withColumn("iv", conv(col("simhash"), 2, 10).cast("long"))
       .select(col("doc_id"), col("iv"))
       .ckpt
+    val bandStructs = simhashBandLayout.map { case (i, sh, mask) =>
+      struct(lit(i).as("band"),
+        expr(s"shiftright(iv, $sh)").bitwiseAND(lit(mask)).as("bkey"))
+    }
     val bands = sigs.select(col("doc_id"), col("iv"),
-        explode(array((0 to 3).map(lit): _*)).as("band"))
-      .withColumn("bkey",
-        expr("shiftright(iv, (3 - band) * 8)").bitwiseAND(lit(255L)))
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("iv"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val a = bands.select(col("doc_id").as("id1"), col("iv").as("iv1"),
       col("band"), col("bkey"))
     val b = bands.select(col("doc_id").as("id2"), col("iv").as("iv2"),
@@ -2180,8 +2204,9 @@ object TextQueries {
        |), sig AS (
        |  SELECT doc_id, CAST($iv AS BIGINT) AS iv FROM sums
        |), bands AS (
-       |  SELECT doc_id, iv, j AS band, (iv >> ((3 - j) * 8)) & 255 AS bkey
-       |  FROM sig, UNNEST(generate_series(0, 3)) AS g(j)
+       |${simhashBandLayout.map { case (i, sh, mask) =>
+            s"  SELECT doc_id, iv, $i AS band, (iv >> $sh) & $mask AS bkey FROM sig"
+          }.mkString("\n  UNION ALL\n")}
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
        |         a.iv AS iv1, b.iv AS iv2
