@@ -94,6 +94,35 @@ class LayoutSpec extends AnyFunSuite {
     assert(Tables.table(s4, tdir, "part").inputFiles.forall(!_.contains("staged")))
   }
 
+  test("stageLayout copies of the REAL testdata equal the originals row for " +
+      "row, through every loader's type normalization (events nanos path)") {
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft-stage-eq").toString
+    val s = spark.newSession()
+    // sf0.001 tables are tiny — several fall under one 64 KB block and
+    // stay single-row-group, which is fine: the assertion is equality of
+    // the COPY, not its split count
+    Tables.stageLayout(s, TestSpark.sfDir, staged, blockBytes = 64L << 10)
+    val orig = spark // stagedDir conf unset here ⇒ reads originals
+    Tables.names.foreach { t =>
+      if (new java.io.File(s"${TestSpark.sfDir}/$t.parquet").exists()) {
+        // through Tables.table's named loaders where they exist, so the
+        // events nanos→micros normalization runs on BOTH paths
+        def load(ses: org.apache.spark.sql.SparkSession) = t match {
+          case "events" => Tables.events(ses, TestSpark.sfDir)
+          case _        => Tables.table(ses, TestSpark.sfDir, t)
+        }
+        val a = load(orig)
+        val b = load(s)
+        assert(b.inputFiles.forall(_.contains(staged)), s"$t not staged")
+        assert(a.schema == b.schema, s"$t schema drift")
+        val cols = a.columns.map(col).toSeq
+        assert(a.orderBy(cols: _*).collect().toSeq ==
+          b.orderBy(cols: _*).collect().toSeq, s"$t rows drifted")
+      }
+    }
+  }
+
   test("z-ordered files cover small ranges of BOTH columns") {
     // x-sort: y spans the full range in every file; z-order: both axes
     // bounded. 16 files over a 2-bit-deep effective split → expect ~4×
