@@ -35,8 +35,10 @@ object Bench {
     // the row-group size so the splits actually parallelize. Staging
     // cost is reported separately (stage_sec); the correctness gate
     // (Verify) keeps reading the ORIGINAL files.
-    val stageOn = spark.conf
-      .getOption("spark.graft.bench.stageLayout").forall(_.toBoolean)
+    // off-tokens parsed leniently — a tuning run passing "off"/"0" must
+    // disable staging, not crash the bench in String.toBoolean
+    val stageOn = !spark.conf.getOption("spark.graft.bench.stageLayout")
+      .exists(v => Set("false", "0", "off", "no").contains(v.trim.toLowerCase))
     val stageSec = if (stageOn) {
       val t0 = System.nanoTime()
       val sfName = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")

@@ -93,24 +93,50 @@ object Tables {
       blockBytes: Long = 1L << 20): Int = {
     val base = new java.io.File(stagedDir)
     base.mkdirs()
+    // stamp over the DATA FILES, not the path: a directory-shaped table
+    // whose part file is rewritten in place keeps the directory's own
+    // length/mtime, so a path-level stamp would serve the stale copy
+    def stamp(f: java.io.File): String = {
+      val leaves =
+        if (f.isFile) Seq(f)
+        else f.listFiles().toSeq.filter(_.isFile)
+          .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
+          .sortBy(_.getName)
+      leaves.map(c => s"${c.getName}=${c.length()}@${c.lastModified()}")
+        .mkString(";") + s":$blockBytes"
+    }
+    def deleteRecursively(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+      f.delete(): Unit
+    }
     var n = 0
     names.foreach { t =>
       val src = new java.io.File(s"$dir/$t.parquet")
+      val out = new java.io.File(s"$stagedDir/$t.parquet")
+      val marker = new java.io.File(base, s"$t.stamp")
       if (src.exists()) {
-        val stamp = s"${src.length()}:${src.lastModified()}:$blockBytes"
-        val marker = new java.io.File(base, s"$t.stamp")
+        val st = stamp(src)
         val current = marker.exists() &&
           new String(java.nio.file.Files.readAllBytes(marker.toPath),
-            java.nio.charset.StandardCharsets.UTF_8) == stamp
+            java.nio.charset.StandardCharsets.UTF_8) == st
         if (!current) {
-          val out = s"$stagedDir/$t.parquet"
           if (graft.operators.Layout.splitRowGroups(
-              spark, src.getPath, out, blockBytes).isDefined) {
+              spark, src.getPath, out.getPath, blockBytes).isDefined) {
             java.nio.file.Files.write(marker.toPath,
-              stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              st.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             n += 1
+          } else {
+            // declined (source went multi-file): a LEFTOVER staged copy
+            // from an earlier shape must not keep shadowing the source —
+            // resolve() checks existence, not currency
+            deleteRecursively(out)
+            marker.delete(): Unit
           }
         }
+      } else {
+        // source gone: drop any shadowing copy
+        deleteRecursively(out)
+        marker.delete(): Unit
       }
     }
     spark.conf.set("spark.graft.scan.stagedDir", stagedDir)

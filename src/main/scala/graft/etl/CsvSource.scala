@@ -63,10 +63,12 @@ object CsvSource {
     // rows number per file — a window PARTITIONED by `_metadata.file_path`,
     // ordered by block offset (a split file's blocks may land in different
     // tasks) then the within-task monotonic id — and per-file offsets
-    // prefix-sum in PATH order on the driver (one row per FILE:
-    // file-system-metadata scale, the same driver work the scan's file
-    // listing already does). Multi-file staging dirs thus get a
-    // well-defined path order instead of the former global window's
+    // prefix-sum in PATH order on the driver. The per-file counts cost
+    // ONE eager distributed pass over the staging data at build time
+    // (only |files| rows reach the driver) — the price of replacing the
+    // former GLOBAL single-partition window, which serialized the whole
+    // batch through one task on its only pass. Multi-file staging dirs
+    // thus get a well-defined path order instead of the former window's
     // scan-packing order; single files (the reference's contract) are
     // unchanged. No single-partition exchange anywhere.
     if (cfg.skip > 0 || cfg.take.isDefined) {

@@ -269,11 +269,8 @@ object Deploy {
     * "n/a" (`NaIfEmpty`) for subject AND body. */
   final class EmailPublisher(queue: EmailQueue, addresses: String,
       from: String, subject: String) extends Publisher {
-    private val emailRe = "^[^@\\s,]+@[^@\\s,]+\\.[^@\\s,]+$".r
-
     override def publish(files: Seq[Path]): Unit = {
-      val tos = addresses.split(',').map(_.trim)
-        .filter(a => emailRe.pattern.matcher(a).matches)
+      val tos = wellFormedAddresses(addresses)
       if (tos.isEmpty) return
       val subj = if (subject == null || subject.trim.isEmpty) "n/a" else subject
       val attachments = files.map(f => EmailAttachment(
@@ -283,6 +280,16 @@ object Deploy {
         queue.enqueue(QueuedEmail(from, to, subj, subj, attachments)))
     }
   }
+
+  private val emailRe = "^[^@\\s,]+@[^@\\s,]+\\.[^@\\s,]+$".r
+
+  /** The reference's recipient-list parse (EmailFilePublisher.cs:38-44 /
+    * DataExporter.cs:1471-1479 share it): split on ',', trim, keep only
+    * well-formed addresses. ONE definition — the email publisher and the
+    * export completion email must never disagree on well-formedness. */
+  def wellFormedAddresses(addresses: String): Seq[String] =
+    addresses.split(',').map(_.trim)
+      .filter(a => emailRe.pattern.matcher(a).matches).toSeq
 
   /** List the data files of a Spark output directory (skips _SUCCESS/CRCs). */
   def outputFiles(outputDir: String): Seq[Path] = {

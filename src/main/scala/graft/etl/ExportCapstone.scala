@@ -68,9 +68,7 @@ object ExportCapstone {
     * → the email account itself. */
   def completionRecipients(completedAddresses: String,
       companyEmail: Option[String], accountEmail: String): Seq[String] = {
-    val emailRe = "^[^@\\s,]+@[^@\\s,]+\\.[^@\\s,]+$".r
-    val listed = completedAddresses.split(',').map(_.trim)
-      .filter(a => emailRe.pattern.matcher(a).matches).toSeq
+    val listed = Deploy.wellFormedAddresses(completedAddresses)
     if (listed.nonEmpty) listed
     else companyEmail.filter(_.nonEmpty).map(Seq(_))
       .getOrElse(Seq(accountEmail))
@@ -83,6 +81,10 @@ object ExportCapstone {
   private val Pattern = "orders-%Store.Id%-%File.Index%"
   private val ProfileName = "orders-feed"
   private val SegmentSize = 100
+
+  /** Spark part-file name: `part-<split>-<job uuid>[-c<roll counter>].<ext>`.
+    * Groups: (1) split id, (2) roll counter (absent on the first file). */
+  private val PartName = "^part-(\\d+)-.*?(?:-c(\\d+))?\\.[A-Za-z0-9.]+$".r
 
   def exportCapstone(s: SparkSession, dir: String): DataFrame = {
     val sf = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
@@ -111,10 +113,14 @@ object ExportCapstone {
       .select(col("store_id"), col("o_orderkey"), col("o_totalprice"),
         col("o_orderdate"))
 
-    // ---- segment contract: file index per store in orderkey order
+    // ---- segment contract: file index per store in orderkey order.
+    // ckpt: TWO consumers (the physical write below, the returned
+    // contract frame — which Verify/Bench execute again) — without the
+    // pin each re-runs the extract, both dim joins and the per-store
+    // window from the scan
     val wStore = Window.partitionBy(col("store_id")).orderBy(col("o_orderkey"))
-    val segged = byStore.withColumn("seg",
-      ((row_number().over(wStore) - 1) / SegmentSize).cast("long"))
+    val segged = graft.Ckpt(byStore.withColumn("seg",
+      ((row_number().over(wStore) - 1) / SegmentSize).cast("long")))
 
     // ---- physical write: RANGE-partitioned by (store, seg) so whole
     // segments land per task and MANY tasks share one store's file
@@ -139,9 +145,16 @@ object ExportCapstone {
     // ---- rename part files to the profile's resolved names (the
     // reference names each segment file as it writes it; Spark names
     // part files, so the capstone renames after the job — file-system
-    // metadata only). Sorted part names within one task preserve roll
-    // order, so index i+1 is segment i.
+    // metadata only). Part names order NUMERICALLY by (split id, roll
+    // counter): a plain lexicographic sort breaks past 999 rolls in one
+    // task ("c1000" < "c999"), silently mapping files to the wrong
+    // segment at large SFs.
     import scala.jdk.CollectionConverters._
+    def partOrder(p: java.nio.file.Path): (Long, Long) = {
+      val m = PartName.findFirstMatchIn(p.getFileName.toString)
+        .getOrElse(sys.error(s"unexpected part-file name: $p"))
+      (m.group(1).toLong, Option(m.group(2)).map(_.toLong).getOrElse(0L))
+    }
     val storeDirs = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
       .iterator().asScala
       .filter(p => java.nio.file.Files.isDirectory(p) &&
@@ -149,19 +162,26 @@ object ExportCapstone {
       .toSeq
     val renamed = storeDirs.flatMap { sd =>
       val storeId = sd.getFileName.toString.stripPrefix("store_id=").toLong
-      Deploy.outputFiles(sd.toString).zipWithIndex.map { case (f, i) =>
-        val name = resolveFileNamePattern(Pattern, profileId = 1,
-          profileSeo = ProfileName, perStore = true, storeId = storeId,
-          storeSeo = s"store$storeId", fileIndex = i + 1) + ".csv"
-        java.nio.file.Files.move(f, f.resolveSibling(name),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        f.resolveSibling(name)
-      }
+      Deploy.outputFiles(sd.toString).sortBy(partOrder)
+        .zipWithIndex.map { case (f, i) =>
+          val name = resolveFileNamePattern(Pattern, profileId = 1,
+            profileSeo = ProfileName, perStore = true, storeId = storeId,
+            storeSeo = s"store$storeId", fileIndex = i + 1) + ".csv"
+          java.nio.file.Files.move(f, f.resolveSibling(name),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          f.resolveSibling(name)
+        }
     }.sortBy(_.getFileName.toString)
 
     // ---- deploy + zip + cleanup (deploy first so the zip and the
     // cleanup both see the final file set; the reference zips the export
-    // dir then deploys — same bytes either way)
+    // dir then deploys — same bytes either way). The deploy target is
+    // cleared first: FolderPublisher only ever ADDS (REPLACE_EXISTING
+    // copies), so a re-run producing fewer files would otherwise
+    // re-deploy and re-zip the previous run's extra segments.
+    val dd = java.nio.file.Paths.get(deployDir)
+    if (java.nio.file.Files.isDirectory(dd))
+      Deploy.outputFiles(deployDir).foreach(java.nio.file.Files.delete)
     new Deploy.FolderPublisher(deployDir).publish(renamed)
     Deploy.zipOutput(deployDir, zipPath)
     renamed.foreach(java.nio.file.Files.deleteIfExists(_)) // profile.Cleanup

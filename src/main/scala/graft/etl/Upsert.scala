@@ -190,20 +190,13 @@ object Upsert {
       .sortWithinPartitions(keyCols.map(col): _*)
 
   private[graft] def numberInserts(insDedup: DataFrame, keyCols: Seq[String],
-      maxId: Long): DataFrame = {
-    val ordered = orderedInserts(insDedup, keyCols)
-    // ckpt: zipWithIndex runs a count job before the data job — pin the
-    // frame so both see the same rows (the dedup's mid tiebreak is not
-    // recompute-stable) and the upstream resolve joins run once, not twice
-    val pinned = graft.Ckpt(ordered)
-    val keyedSchema = org.apache.spark.sql.types.StructType(
-      pinned.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "__key", org.apache.spark.sql.types.LongType, nullable = false))
-    pinned.sparkSession.createDataFrame(
-      pinned.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (maxId + 1 + i)) },
-      keyedSchema)
-  }
+      maxId: Long): DataFrame =
+    // Segmenter.zipPosition owns the two-pass shape (Ckpt pin — the
+    // dedup's mid tiebreak is not recompute-stable and zipWithIndex runs
+    // a count job before the data job — then per-partition offsets);
+    // this site only shifts the position into surrogate space
+    Segmenter.zipPosition(orderedInserts(insDedup, keyCols), "__key")
+      .withColumn("__key", col("__key") + lit(maxId + 1))
 
   /** Gap-tolerant surrogate numbering (`denseIds = false`):
     * `monotonically_increasing_id()` is partitionId·2³³ + local index —
