@@ -92,6 +92,23 @@ class LayoutSpec extends AnyFunSuite {
     // and the unstaged default still reads the original
     val s4 = spark.newSession()
     assert(Tables.table(s4, tdir, "part").inputFiles.forall(!_.contains("staged")))
+    // source changes SHAPE to multi-file (splitRowGroups declines): the
+    // leftover staged copy must be deleted, not keep shadowing the new
+    // data through resolve()'s existence check
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(): Unit
+    }
+    deleteRec(new java.io.File(s"$tdir/part.parquet"))
+    spark.range(500).select(col("id"), lit("fresh").as("tag"))
+      .repartition(3).write.parquet(s"$tdir/part.parquet")
+    val s5 = spark.newSession()
+    assert(Tables.stageLayout(s5, tdir, staged, blockBytes = 64L << 10) == 0)
+    assert(!new java.io.File(s"$staged/part.parquet").exists(),
+      "declined restage left a stale staged copy shadowing the new source")
+    val fresh = Tables.table(s5, tdir, "part")
+    assert(fresh.inputFiles.forall(!_.contains("staged")))
+    assert(fresh.count() == 500L)
   }
 
   test("stageLayout copies of the REAL testdata equal the originals row for " +
