@@ -77,8 +77,16 @@ object Tables {
     val orig = s"$dir/$name.parquet"
     spark.conf.getOption("spark.graft.scan.stagedDir") match {
       case Some(staged) if staged.nonEmpty =>
+        // the staged copies belong to ONE source dir (recorded by
+        // stageLayout): a session that stages one dataset and then reads
+        // another — or two sfDirs sharing a basename — must NOT be
+        // silently redirected to the wrong data
+        val boundTo = spark.conf
+          .getOption("spark.graft.scan.stagedSrc").filter(_.nonEmpty)
+        val matches = boundTo.forall(src =>
+          src == new java.io.File(dir).getCanonicalPath)
         val cand = new java.io.File(s"$staged/$name.parquet")
-        if (cand.exists()) cand.getPath else orig
+        if (matches && cand.exists()) cand.getPath else orig
       case _ => orig
     }
   }
@@ -93,53 +101,81 @@ object Tables {
       blockBytes: Long = 1L << 20): Int = {
     val base = new java.io.File(stagedDir)
     base.mkdirs()
+    val srcDirCanonical = new java.io.File(dir).getCanonicalPath
     // stamp over the DATA FILES, not the path: a directory-shaped table
     // whose part file is rewritten in place keeps the directory's own
-    // length/mtime, so a path-level stamp would serve the stale copy
+    // length/mtime, so a path-level stamp would serve the stale copy.
+    // The stamp also pins the SOURCE DIR: two datasets sharing a staged
+    // location (e.g. keyed by basename) must never reuse each other's
+    // copies even if their file stats coincide.
     def stamp(f: java.io.File): String = {
       val leaves =
         if (f.isFile) Seq(f)
-        else f.listFiles().toSeq.filter(_.isFile)
-          .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
-          .sortBy(_.getName)
-      leaves.map(c => s"${c.getName}=${c.length()}@${c.lastModified()}")
-        .mkString(";") + s":$blockBytes"
+        else {
+          val ls = f.listFiles()
+          require(ls != null,
+            s"stageLayout: cannot list ${f.getPath} (I/O error or " +
+              "permission denied) — refusing to stage a table blind")
+          ls.toSeq.filter(_.isFile)
+            .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
+            .sortBy(_.getName)
+        }
+      s"src=$srcDirCanonical;" +
+        leaves.map(c => s"${c.getName}=${c.length()}@${c.lastModified()}")
+          .mkString(";") + s":$blockBytes"
     }
     def deleteRecursively(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
       f.delete(): Unit
     }
     var n = 0
-    names.foreach { t =>
-      val src = new java.io.File(s"$dir/$t.parquet")
-      val out = new java.io.File(s"$stagedDir/$t.parquet")
-      val marker = new java.io.File(base, s"$t.stamp")
-      if (src.exists()) {
-        val st = stamp(src)
-        val current = marker.exists() &&
-          new String(java.nio.file.Files.readAllBytes(marker.toPath),
-            java.nio.charset.StandardCharsets.UTF_8) == st
-        if (!current) {
-          if (graft.operators.Layout.splitRowGroups(
-              spark, src.getPath, out.getPath, blockBytes).isDefined) {
-            java.nio.file.Files.write(marker.toPath,
-              st.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            n += 1
-          } else {
-            // declined (source went multi-file): a LEFTOVER staged copy
-            // from an earlier shape must not keep shadowing the source —
-            // resolve() checks existence, not currency
-            deleteRecursively(out)
-            marker.delete(): Unit
+    // cross-process exclusion: two Bench runs sharing a staged dir must
+    // not interleave rewrite + marker (stale marker over fresh data or
+    // vice versa). A file lock serializes the whole staging pass; the
+    // per-table tmp-dir + atomic rename inside splitRowGroups additionally
+    // keeps a crashed run from leaving a half-written copy.
+    val lockCh = java.nio.channels.FileChannel.open(
+      new java.io.File(base, ".lock").toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lock = lockCh.lock()
+    try {
+      names.foreach { t =>
+        val src = new java.io.File(s"$dir/$t.parquet")
+        val out = new java.io.File(s"$stagedDir/$t.parquet")
+        val marker = new java.io.File(base, s"$t.stamp")
+        if (src.exists()) {
+          val st = stamp(src)
+          val current = marker.exists() &&
+            new String(java.nio.file.Files.readAllBytes(marker.toPath),
+              java.nio.charset.StandardCharsets.UTF_8) == st
+          if (!current) {
+            if (graft.operators.Layout.splitRowGroups(
+                spark, src.getPath, out.getPath, blockBytes).isDefined) {
+              java.nio.file.Files.write(marker.toPath,
+                st.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              n += 1
+            } else {
+              // declined (nothing qualifies for splitting): a LEFTOVER
+              // staged copy from an earlier shape must not keep shadowing
+              // the source — resolve() checks existence, not currency
+              deleteRecursively(out)
+              marker.delete(): Unit
+            }
           }
+        } else {
+          // source gone: drop any shadowing copy
+          deleteRecursively(out)
+          marker.delete(): Unit
         }
-      } else {
-        // source gone: drop any shadowing copy
-        deleteRecursively(out)
-        marker.delete(): Unit
       }
+    } finally {
+      lock.release()
+      lockCh.close()
     }
     spark.conf.set("spark.graft.scan.stagedDir", stagedDir)
+    spark.conf.set("spark.graft.scan.stagedSrc", srcDirCanonical)
     n
   }
 

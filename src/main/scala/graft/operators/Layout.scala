@@ -109,39 +109,102 @@ object Layout {
     (before.size, dataFiles(spark, outPath).size)
   }
 
+  /** Row-group count from the parquet footer — the property that decides
+    * whether a file's scan can parallelize at all (Spark splits across
+    * row groups / files, never within one row group). */
+  def rowGroupCount(spark: org.apache.spark.sql.SparkSession,
+      file: String): Int = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getBlocks.size finally r.close()
+  }
+
   /** Row-group split: [[compact]]'s inverse for the OTHER ingest-tail
-    * artifact — a table delivered as one monolithic row group. Spark
+    * artifact — data delivered as monolithic row groups. Spark
     * parallelizes scans across row groups / file splits, never within
     * one, so a single-row-group file serializes not just the decode but
     * the whole first stage of every query over it (partial aggregation,
     * shuffle-map work — measured 5× on a 600 k-row table at 32 threads).
     * Such files are common hand-offs: a pandas/arrow `write_table` with
-    * default settings, a single-threaded exporter, a DB dump.
+    * default settings, a single-threaded exporter, a DB dump — and in a
+    * real lake they arrive PER FILE in multi-file directories too, which
+    * is why this stages each data file independently.
     *
-    * The rewrite is ORDER-PRESERVING by construction — one reader, one
-    * writer task (the source is one row group, so the read is serial
-    * anyway), the writer flushing a row group every `blockBytes` — which
-    * keeps positional contracts (file-order import semantics, zipWithIndex
-    * segment numbering) byte-stable. Readers need
-    * `spark.sql.files.maxPartitionBytes` ≤ `blockBytes` to actually split
-    * the file; a row-count check guards the rewrite. Returns the staged
-    * file's row-group-split potential, i.e. output bytes.
+    * A file QUALIFIES for rewriting when its footer says one row group
+    * and it is bigger than `blockBytes` (checked via [[rowGroupCount]] —
+    * an already multi-row-group file is left byte-identical rather than
+    * re-packed, so its order never depends on Spark's split packing). If
+    * NO file qualifies the whole source is left alone and the method
+    * returns None: staging would be a pure copy.
     *
-    * Only single-data-file sources qualify (multi-file sources already
-    * parallelize, and their concatenation order is listing-dependent);
-    * others are left alone and the method returns None. */
+    * The rewrite is ORDER-PRESERVING by construction: each source file
+    * is processed on its own — one reader, one writer task (the file is
+    * one row group, so its read is serial anyway), the writer flushing a
+    * row group every `blockBytes` — and output files are named
+    * `part-NNNNN.parquet` in SOURCE-PATH-SORTED order, so file order by
+    * name matches the source's file order by name (the same contract the
+    * CSV skip/take per-file window uses). Positional contracts
+    * (file-order import semantics, zipWithIndex segment numbering) stay
+    * byte-stable. Readers need `spark.sql.files.maxPartitionBytes` ≤
+    * `blockBytes` to actually split the files; a row-count check guards
+    * the rewrite. Returns total output bytes.
+    *
+    * Crash-safe: the copy is assembled in a process-unique `.tmp`
+    * sibling and renamed into place, so a killed stage never leaves a
+    * half-written `outPath` that a concurrent reader could resolve. */
   def splitRowGroups(spark: org.apache.spark.sql.SparkSession,
       inPath: String, outPath: String, blockBytes: Long): Option[Long] = {
-    if (dataFiles(spark, inPath).size != 1) return None
-    val src = spark.read.parquet(inPath)
-    // coalesce(1) over one file concatenates its byte-range splits in
-    // offset order — file order in, file order out
-    src.coalesce(1).write.mode("overwrite")
-      .option("parquet.block.size", blockBytes.toString)
-      .parquet(outPath)
-    val n = spark.read.parquet(outPath).count()
-    require(n == src.count(),
-      s"splitRowGroups: row count changed rewriting $inPath -> $outPath")
-    Some(dataFiles(spark, outPath).map(_._2).sum)
+    val files = dataFiles(spark, inPath).sortBy(_._1)
+    if (files.isEmpty) return None
+    val isDir = new java.io.File(inPath).isDirectory
+    def filePath(name: String): String = if (isDir) s"$inPath/$name" else inPath
+    val qualifies = files.map { case (n, len) =>
+      len > blockBytes && rowGroupCount(spark, filePath(n)) == 1
+    }
+    if (!qualifies.contains(true)) return None
+    val tmp = new java.io.File(
+      outPath + s".tmp-${java.lang.ProcessHandle.current().pid()}")
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+        .foreach(deleteRec)
+      f.delete(): Unit
+    }
+    deleteRec(tmp)
+    tmp.mkdirs()
+    try {
+      files.zip(qualifies).zipWithIndex.foreach {
+        case (((name, _), split), i) =>
+          val srcFile = filePath(name)
+          val dst = new java.io.File(tmp, f"part-$i%05d.parquet")
+          if (!split) {
+            // already multi-row-group (or small): byte-identical copy
+            java.nio.file.Files.copy(
+              java.nio.file.Paths.get(srcFile), dst.toPath): Unit
+          } else {
+            // coalesce(1) over ONE file concatenates its byte-range
+            // splits in offset order — file order in, file order out
+            val scratch = new java.io.File(tmp, s".rw-$i")
+            spark.read.parquet(srcFile).coalesce(1).write.mode("overwrite")
+              .option("parquet.block.size", blockBytes.toString)
+              .parquet(scratch.getPath)
+            val part = Option(scratch.listFiles()).getOrElse(Array.empty)
+              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            require(part.length == 1,
+              s"splitRowGroups: expected one part file in $scratch")
+            java.nio.file.Files.move(part.head.toPath, dst.toPath): Unit
+            deleteRec(scratch)
+          }
+      }
+      val n = spark.read.parquet(tmp.getPath).count()
+      val srcN = spark.read.parquet(inPath).count()
+      require(n == srcN,
+        s"splitRowGroups: row count changed rewriting $inPath -> $outPath" +
+          s" ($srcN -> $n)")
+      deleteRec(new java.io.File(outPath))
+      java.nio.file.Files.move(tmp.toPath,
+        java.nio.file.Paths.get(outPath)): Unit
+      Some(dataFiles(spark, outPath).map(_._2).sum)
+    } finally deleteRec(tmp)
   }
 }
