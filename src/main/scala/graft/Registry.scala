@@ -42,6 +42,7 @@ object Registry {
       etl.EtlQueries.qs ++
       etl.ImportCapstone.qs ++
       etl.RelatedImport.qs ++
+      etl.ImportFinalize.qs ++
       etl.ExportCapstone.qs ++
       etl.Constraints.qs ++
       etl.RecordLinkage.qs ++

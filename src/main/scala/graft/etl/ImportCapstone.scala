@@ -89,7 +89,7 @@ object ImportCapstone {
 
   /** Derive the import batch from part and stage it as a real CSV file
     * set (K1 writer). Returns the staged directory. */
-  private def stageBatchCsv(s: SparkSession, dir: String): String = {
+  private[etl] def stageBatchCsv(s: SparkSession, dir: String): String = {
     val sf = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
     val out = s"/tmp/graft_gate/$sf/import_capstone_src"
     val part = Tables.part(s, dir)

@@ -60,7 +60,7 @@ object RelatedImport {
   /** TierPrice snapshot fixture: products `p_partkey % 6 = 1` carry two
     * tiers (qty 5 and 10, price list − 10/− 20); `tp_id = p_partkey·10 + t`.
     * Mirrored by [[tierSnapshotSql]]. */
-  private def tierSnapshot(part: DataFrame): DataFrame =
+  private[etl] def tierSnapshot(part: DataFrame): DataFrame =
     part.filter(pk % 6 === 1)
       .select(pk, col("p_retailprice"))
       .withColumn("t", explode(array(lit(0L), lit(1L))))
@@ -80,7 +80,7 @@ object RelatedImport {
   /** Stage the tier-price import sheet as CSV (strings, K1 writer):
     * updates by Id, inserts by ProductId, inserts recovering ProductId
     * from ProductSku, and key-less rows the pass must skip. */
-  private def stageTierSheet(s: SparkSession, dir: String): String = {
+  private[etl] def stageTierSheet(s: SparkSession, dir: String): String = {
     val out = stageDir(dir, "tier_import_src")
     val part = Tables.part(s, dir)
     val u = part.filter(pk % 12 === 1).select(
@@ -203,7 +203,7 @@ object RelatedImport {
   /** ProductVariantAttributeValue snapshot fixture: every product carries
     * one attribute (`pva_id = p_partkey·2`) with `p_partkey % 3` values
     * (0–2); `av_id = p_partkey·100 + v`. Mirrored by [[avSnapshotSql]]. */
-  private def avSnapshot(part: DataFrame): DataFrame =
+  private[etl] def avSnapshot(part: DataFrame): DataFrame =
     part.select(pk)
       .withColumn("v", explode(array(lit(0L), lit(1L))))
       .filter(col("v") < pk % 3)
@@ -221,7 +221,7 @@ object RelatedImport {
       |     AS vv(v)
       |WHERE v < p_partkey % 3""".stripMargin
 
-  private def stageAvSheet(s: SparkSession, dir: String): String = {
+  private[etl] def stageAvSheet(s: SparkSession, dir: String): String = {
     val out = stageDir(dir, "attr_value_import_src")
     val part = Tables.part(s, dir)
     val u = part.filter(pk % 4 === 1 && pk % 3 > 0).select(
@@ -346,7 +346,7 @@ object RelatedImport {
     * every combo, a gtin on even products only, an mpn on products
     * divisible by 3 only (so each cascade stage has both hits and
     * null-key misses). Mirrored by [[comboSnapshotSql]]. */
-  private def comboSnapshot(s: SparkSession, dir: String): DataFrame =
+  private[etl] def comboSnapshot(s: SparkSession, dir: String): DataFrame =
     graft.dsl.Catalog.combos(Tables.part(s, dir))
       .withColumn("combo_id", col("product_id") * 4 + col("c"))
       .select(col("combo_id"), col("product_id"),
@@ -371,7 +371,7 @@ object RelatedImport {
        |       allow_oos
        |FROM (${graft.dsl.Catalog.combosSql})""".stripMargin
 
-  private def stageComboSheet(s: SparkSession, dir: String): String = {
+  private[etl] def stageComboSheet(s: SparkSession, dir: String): String = {
     val out = stageDir(dir, "combo_import_src")
     val part = Tables.part(s, dir)
     def row(idC: org.apache.spark.sql.Column,
