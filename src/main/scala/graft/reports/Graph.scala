@@ -243,13 +243,23 @@ object Graph {
     val op = graft.Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .ckpt // consumers: L2 build + three L3 probes
+    val nB = op.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    // corpus-derived support floor (see basketLift): |L2| feeds the
+    // QUADRATIC triangle-candidate join below, so keeping the surviving
+    // L2 density stable as baskets grow is what bounds this query's
+    // scale shape — identical to the constant at the gate SFs
+    val derivedFloor =
+      greatest(lit(minSupport.toLong), expr("n_baskets div 100000"))
     val l2 = op.groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       .select(posexplode(col("parts")).as(Seq("i", "a")), col("parts"))
       .select(col("a"),
         explode(slice(col("parts"), col("i") + 2, size(col("parts")))).as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
-      .filter(col("support") >= minSupport)
+      .crossJoin(broadcast(nB))
+      .filter(col("support") >= derivedFloor)
+      .drop("n_baskets")
       .ckpt
     val e1 = l2.select(col("a"), col("b").as("u"))
     val e2 = l2.select(col("a"), col("b").as("v"))
@@ -264,7 +274,9 @@ object Graph {
         Seq("l_orderkey", "c"))
       .groupBy(col("a"), col("b"), col("c"))
       .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= minSupport)
+      .crossJoin(broadcast(nB))
+      .filter(col("support") >= derivedFloor)
+      .drop("n_baskets")
     val l2top = l2
       .orderBy(col("support").desc, col("a"), col("b")).limit(k)
       .withColumn("rn", row_number().over(
@@ -282,10 +294,13 @@ object Graph {
 
   private def itemsetsOracle(minSupport: Int = 2, k: Int = 20): String =
     s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM op),
        |l2 AS (SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS support
        |       FROM op a JOIN op b
        |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       |       GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |       GROUP BY 1, 2
+       |       HAVING COUNT(*) >= GREATEST($minSupport,
+       |                                   (SELECT n FROM nb) // 100000)),
        |c3 AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
        |       FROM l2 e1 JOIN l2 e2 ON e1.a = e2.a AND e1.b < e2.b
        |       JOIN l2 e3 ON e3.a = e1.b AND e3.b = e2.b),
@@ -294,7 +309,9 @@ object Graph {
        |       JOIN op x ON x.l_partkey = c3.a
        |       JOIN op y ON y.l_orderkey = x.l_orderkey AND y.l_partkey = c3.b
        |       JOIN op z ON z.l_orderkey = x.l_orderkey AND z.l_partkey = c3.c
-       |       GROUP BY 1, 2, 3 HAVING COUNT(*) >= $minSupport),
+       |       GROUP BY 1, 2, 3
+       |       HAVING COUNT(*) >= GREATEST($minSupport,
+       |                                   (SELECT n FROM nb) // 100000)),
        |l2top AS (SELECT 2 AS isize, a, b, CAST(NULL AS BIGINT) AS c, support,
        |                 CAST(ROW_NUMBER() OVER (ORDER BY support DESC, a, b)
        |                      AS INT) AS rn
@@ -723,22 +740,29 @@ object Graph {
     val op = graft.Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .ckpt // consumers: pair support + part freqs + N
+    val n = op.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    // support floor derived from the corpus (d17 pair-mass envelope):
+    // an ABSOLUTE floor admits ~10× more noise pairs per 10× baskets
+    // into the lift joins; the relative floor max(minSupport,
+    // n_baskets/100k) keeps the surviving pair set density-stable as the
+    // corpus grows (identical to the constant at the gate SFs, where
+    // n_baskets/100k ≤ the floor). The q144 scaled-k discipline.
     val pairs = op.groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       .select(posexplode(col("parts")).as(Seq("i", "a")), col("parts"))
       .select(col("a"),
         explode(slice(col("parts"), col("i") + 2, size(col("parts")))).as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
-      .filter(col("support") >= minSupport)
+      .crossJoin(broadcast(n))
+      .filter(col("support") >=
+        greatest(lit(minSupport.toLong), expr("n_baskets div 100000")))
     val freq = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
-    val n = op.select(col("l_orderkey")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
     pairs
       .join(broadcast(freq.select(col("l_partkey").as("a"), col("f").as("fa"))),
         Seq("a"))
       .join(broadcast(freq.select(col("l_partkey").as("b"), col("f").as("fb"))),
         Seq("b"))
-      .crossJoin(broadcast(n))
       .select(col("a"), col("b"), col("support"), col("fa"), col("fb"),
         // the q219 overflow class: support·n·10⁶ reaches 0.85·2⁶³ at the
         // 1000× (100 TB) regime on this data — widen the product to
@@ -752,13 +776,97 @@ object Graph {
       .orderBy(col("rn"))
   }
 
+  /** q295: the pair/posting-mass envelope audit (d17 verdict item 4).
+    * The q55/q224/q183 family shares one scale behavior — candidate-pair
+    * mass superlinear in corpus density — and q159's gram postings are
+    * the text-side analog. One row per family member at the given SF:
+    * n_units (baskets / docs), n_keys (distinct pairs / grams), mass
+    * (generated pair slots Σ sz·(sz−1)/2 / posting mass Σ df), the
+    * corpus-derived support floor where one applies, and kept (keys
+    * surviving the floor / the df = 1 novelty set). Reading the audit
+    * at two SFs gives the family's empirical mass exponent and the
+    * floor's hit rate — the envelope PLANS.md tracks. The audit derives
+    * masses from the SAME op/shingle frames the queries use, so it
+    * audits the actual plans, not a model of them. */
+  def pairMassAudit(s: SparkSession, dir: String): DataFrame = {
+    val op = graft.Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .ckpt // consumers: basket sizes + pair supports
+    val bstats = op.groupBy(col("l_orderkey")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(expr("sz * (sz - 1) div 2")).as("mass"))
+    val sup = op.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(posexplode(col("parts")).as(Seq("i", "a")), col("parts"))
+      .select(col("a"),
+        explode(slice(col("parts"), col("i") + 2, size(col("parts")))).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    val cap224 = greatest(lit(3L), expr("n_units div 100000"))
+    val cap183 = greatest(lit(2L), expr("n_units div 100000"))
+    val stats = sup.crossJoin(broadcast(bstats))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("support") >= cap224, 1L).otherwise(0L)).as("kept224"),
+        sum(when(col("support") >= cap183, 1L).otherwise(0L)).as("kept183"),
+        max(cap224).as("cap224"), max(cap183).as("cap183"))
+      .crossJoin(broadcast(bstats))
+    def row(q: String, cap: Option[String], kept: org.apache.spark.sql.Column) =
+      stats.select(lit(q).as("query"), col("n_units"), col("n_keys"),
+        col("mass"),
+        cap.map(col).getOrElse(lit(null).cast("long")).as("cap"),
+        kept.as("kept"))
+    row("q224_basket_lift", Some("cap224"), col("kept224"))
+      .unionByName(row("q183_frequent_itemsets", Some("cap183"), col("kept183")))
+      .unionByName(row("q55_copurchase_topk", None, col("n_keys")))
+      .unionByName(graft.text.TextQueries.ngramPostingStats(s, dir))
+      .orderBy(col("query"))
+  }
+
+  private val pairMassAuditOracle: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |b AS (SELECT l_orderkey, COUNT(*) AS sz FROM op GROUP BY 1),
+       |bs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+       |              CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS mass
+       |       FROM b),
+       |sup AS (SELECT a.l_partkey AS a, b2.l_partkey AS b, COUNT(*) AS support
+       |        FROM op a JOIN op b2
+       |          ON a.l_orderkey = b2.l_orderkey
+       |         AND a.l_partkey < b2.l_partkey
+       |        GROUP BY 1, 2),
+       |ss AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |              CAST(SUM(CASE WHEN support >=
+       |                     GREATEST(3, (SELECT n_units FROM bs) // 100000)
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS kept224,
+       |              CAST(SUM(CASE WHEN support >=
+       |                     GREATEST(2, (SELECT n_units FROM bs) // 100000)
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS kept183
+       |       FROM sup)
+       |SELECT * FROM (
+       |  SELECT 'q224_basket_lift' AS query, bs.n_units, ss.n_keys, bs.mass,
+       |         CAST(GREATEST(3, bs.n_units // 100000) AS BIGINT) AS cap,
+       |         ss.kept224 AS kept
+       |  FROM bs, ss
+       |  UNION ALL
+       |  SELECT 'q183_frequent_itemsets', bs.n_units, ss.n_keys, bs.mass,
+       |         CAST(GREATEST(2, bs.n_units // 100000) AS BIGINT),
+       |         ss.kept183
+       |  FROM bs, ss
+       |  UNION ALL
+       |  SELECT 'q55_copurchase_topk', bs.n_units, ss.n_keys, bs.mass,
+       |         CAST(NULL AS BIGINT), ss.n_keys
+       |  FROM bs, ss
+       |  UNION ALL
+       |  SELECT * FROM (${graft.text.TextQueries.ngramPostingStatsSql}) t159)
+       |ORDER BY query""".stripMargin
+
   private def basketLiftOracle(minSupport: Int = 3, k: Int = 15): String =
     s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        |p AS (SELECT a.l_partkey AS a, b.l_partkey AS b,
        |             CAST(COUNT(*) AS BIGINT) AS support
        |      FROM op a JOIN op b
        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       |      GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |      GROUP BY 1, 2
+       |      HAVING COUNT(*) >= GREATEST($minSupport,
+       |        (SELECT COUNT(DISTINCT l_orderkey) FROM op) // 100000)),
        |f AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS f
        |      FROM op GROUP BY 1),
        |nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
@@ -795,5 +903,7 @@ object Graph {
     Q("q189_bfs_hops", (s, d) => bfsHops(s, d),
       Some(bfsOracle())),
     Q("q190_link_prediction", (s, d) => linkPrediction(s, d),
-      Some(linkPredictionOracle())))
+      Some(linkPredictionOracle())),
+    Q("q295_pair_mass_audit", (s, d) => pairMassAudit(s, d),
+      Some(pairMassAuditOracle)))
 }

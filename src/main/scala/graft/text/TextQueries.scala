@@ -473,6 +473,43 @@ object TextQueries {
     * indices → slice+join. All narrow codegen'd ops (sequence/slice/
     * concat_ws — no interpreted HOF lambdas); the explosion is bounded by
     * tokens-per-doc, not corpus size. */
+  /** Posting-mass stats for q159's gram family — one arm of the d17
+    * pair/posting-mass envelope audit (q295): n_units = docs
+    * contributing grams, n_keys = distinct grams, mass = Σ df (the
+    * posting mass the gram-keyed shuffle carries), kept = the df = 1
+    * grams q159's novelty signal extracts. Shares [[shingleRows]] with
+    * the registered query so the audited mass IS the query's mass. */
+  private[graft] def ngramPostingStats(s: SparkSession, dir: String,
+      n: Int = 3): DataFrame = {
+    val dg = shingleRows(Tables.documents(s, dir), n).distinct().ckpt
+    val units = dg.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_units"))
+    dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("df")).as("mass"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("kept"))
+      .crossJoin(broadcast(units))
+      .select(lit("q159_ngram_novelty").as("query"), col("n_units"),
+        col("n_keys"), col("mass"), lit(null).cast("long").as("cap"),
+        col("kept"))
+  }
+
+  /** Oracle twin of [[ngramPostingStats]] (self-contained WITH…SELECT —
+    * embed as a parenthesized subquery). */
+  private[graft] val ngramPostingStatsSql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+       |      FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+       |      WHERE len(t) >= 3),
+       |df AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g)
+       |SELECT 'q159_ngram_novelty' AS query,
+       |       (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM g)
+       |         AS n_units,
+       |       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |       CAST(SUM(df) AS BIGINT) AS mass,
+       |       CAST(NULL AS BIGINT) AS cap,
+       |       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept
+       |FROM df""".stripMargin
+
   private def shingleRows(docs: DataFrame, n: Int,
       minTokens: Option[Int] = None): DataFrame =
     shingleRowsOf(
