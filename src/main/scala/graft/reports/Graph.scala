@@ -243,23 +243,25 @@ object Graph {
     val op = graft.Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .ckpt // consumers: L2 build + three L3 probes
-    val nB = op.select(col("l_orderkey")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
-    // corpus-derived support floor (see basketLift): |L2| feeds the
-    // QUADRATIC triangle-candidate join below, so keeping the surviving
-    // L2 density stable as baskets grow is what bounds this query's
-    // scale shape — identical to the constant at the gate SFs
-    val derivedFloor =
-      greatest(lit(minSupport.toLong), expr("n_baskets div 100000"))
-    val l2 = op.groupBy(col("l_orderkey"))
+    // corpus-derived support floor (see basketLift — mean-pair-support
+    // scaled, constant-identical on non-densifying corpora): |L2| feeds
+    // the QUADRATIC triangle-candidate join below, so keeping the
+    // surviving L2 density stable as co-purchases densify is what
+    // bounds this query's scale shape
+    val supAll = op.groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       .select(posexplode(col("parts")).as(Seq("i", "a")), col("parts"))
       .select(col("a"),
         explode(slice(col("parts"), col("i") + 2, size(col("parts")))).as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
-      .crossJoin(broadcast(nB))
+      .ckpt // consumers: support stats + the floor filter
+    val sstats = supAll
+      .agg(sum(col("support")).as("s_mass"), count(lit(1)).as("s_keys"))
+    val derivedFloor = greatest(lit(minSupport.toLong),
+      expr(s"$minSupport * s_mass div greatest(s_keys, 1)"))
+    val l2 = supAll.crossJoin(broadcast(sstats))
       .filter(col("support") >= derivedFloor)
-      .drop("n_baskets")
+      .drop("s_mass", "s_keys")
       .ckpt
     val e1 = l2.select(col("a"), col("b").as("u"))
     val e2 = l2.select(col("a"), col("b").as("v"))
@@ -274,9 +276,9 @@ object Graph {
         Seq("l_orderkey", "c"))
       .groupBy(col("a"), col("b"), col("c"))
       .agg(count(lit(1)).as("support"))
-      .crossJoin(broadcast(nB))
+      .crossJoin(broadcast(sstats))
       .filter(col("support") >= derivedFloor)
-      .drop("n_baskets")
+      .drop("s_mass", "s_keys")
     val l2top = l2
       .orderBy(col("support").desc, col("a"), col("b")).limit(k)
       .withColumn("rn", row_number().over(
@@ -294,13 +296,17 @@ object Graph {
 
   private def itemsetsOracle(minSupport: Int = 2, k: Int = 20): String =
     s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       |nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM op),
-       |l2 AS (SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS support
-       |       FROM op a JOIN op b
-       |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       |       GROUP BY 1, 2
-       |       HAVING COUNT(*) >= GREATEST($minSupport,
-       |                                   (SELECT n FROM nb) // 100000)),
+       |l20 AS (SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS support
+       |        FROM op a JOIN op b
+       |          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |        GROUP BY 1, 2),
+       |st AS (SELECT SUM(support) AS s_mass, COUNT(*) AS s_keys FROM l20),
+       |fl AS (SELECT GREATEST($minSupport,
+       |                       $minSupport * (SELECT s_mass FROM st)
+       |                         // GREATEST((SELECT s_keys FROM st), 1))
+       |         AS floor_v),
+       |l2 AS (SELECT * FROM l20
+       |       WHERE support >= (SELECT floor_v FROM fl)),
        |c3 AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
        |       FROM l2 e1 JOIN l2 e2 ON e1.a = e2.a AND e1.b < e2.b
        |       JOIN l2 e3 ON e3.a = e1.b AND e3.b = e2.b),
@@ -310,8 +316,7 @@ object Graph {
        |       JOIN op y ON y.l_orderkey = x.l_orderkey AND y.l_partkey = c3.b
        |       JOIN op z ON z.l_orderkey = x.l_orderkey AND z.l_partkey = c3.c
        |       GROUP BY 1, 2, 3
-       |       HAVING COUNT(*) >= GREATEST($minSupport,
-       |                                   (SELECT n FROM nb) // 100000)),
+       |       HAVING COUNT(*) >= (SELECT floor_v FROM fl)),
        |l2top AS (SELECT 2 AS isize, a, b, CAST(NULL AS BIGINT) AS c, support,
        |                 CAST(ROW_NUMBER() OVER (ORDER BY support DESC, a, b)
        |                      AS INT) AS rn
@@ -743,20 +748,32 @@ object Graph {
     val n = op.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
     // support floor derived from the corpus (d17 pair-mass envelope):
-    // an ABSOLUTE floor admits ~10× more noise pairs per 10× baskets
-    // into the lift joins; the relative floor max(minSupport,
-    // n_baskets/100k) keeps the surviving pair set density-stable as the
-    // corpus grows (identical to the constant at the gate SFs, where
-    // n_baskets/100k ≤ the floor). The q144 scaled-k discipline.
-    val pairs = op.groupBy(col("l_orderkey"))
+    // when co-purchases DENSIFY (fixed catalog, growing baskets — every
+    // pair's support grows with the corpus), an absolute floor admits
+    // ever more noise pairs into the lift joins. The floor scales with
+    // the OBSERVED mean pair support, max(minSupport, minSupport ·
+    // Σsupport/|pairs|) — the corpus itself reports its regime: on
+    // catalog-scaling data mean support stays ~1 and the floor IS the
+    // constant (gate SFs and the sf1 fixture are bitwise unchanged),
+    // while on densifying data the floor rises proportionally, keeping
+    // the surviving pair density stable. A baskets-count-based floor was
+    // A/B'd and REJECTED: it empties the result set on catalog-scaling
+    // corpora (sf1 audit: floor 14 over flat support ≈ 1 kept 0 of
+    // 11.96M pairs). The q144 scaled-k discipline.
+    val supAll = op.groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       .select(posexplode(col("parts")).as(Seq("i", "a")), col("parts"))
       .select(col("a"),
         explode(slice(col("parts"), col("i") + 2, size(col("parts")))).as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      .ckpt // consumers: the support stats and the floor filter
+    val sstats = supAll
+      .agg(sum(col("support")).as("s_mass"), count(lit(1)).as("s_keys"))
+    val pairs = supAll.crossJoin(broadcast(sstats))
+      .filter(col("support") >= greatest(lit(minSupport.toLong),
+        expr(s"$minSupport * s_mass div greatest(s_keys, 1)")))
+      .drop("s_mass", "s_keys")
       .crossJoin(broadcast(n))
-      .filter(col("support") >=
-        greatest(lit(minSupport.toLong), expr("n_baskets div 100000")))
     val freq = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
     pairs
       .join(broadcast(freq.select(col("l_partkey").as("a"), col("f").as("fa"))),
@@ -801,9 +818,14 @@ object Graph {
       .select(col("a"),
         explode(slice(col("parts"), col("i") + 2, size(col("parts")))).as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
-    val cap224 = greatest(lit(3L), expr("n_units div 100000"))
-    val cap183 = greatest(lit(2L), expr("n_units div 100000"))
-    val stats = sup.crossJoin(broadcast(bstats))
+    // mean-pair-support floors (Σ support over distinct pairs == Σ
+    // sz·(sz−1)/2 pair slots — every slot increments exactly one pair's
+    // support — so mass/n_keys IS the mean support)
+    val supStats = sup
+      .agg(sum(col("support")).as("s_mass"), count(lit(1)).as("s_keys"))
+    val cap224 = greatest(lit(3L), expr("3 * s_mass div greatest(s_keys, 1)"))
+    val cap183 = greatest(lit(2L), expr("2 * s_mass div greatest(s_keys, 1)"))
+    val stats = sup.crossJoin(broadcast(supStats))
       .agg(count(lit(1)).as("n_keys"),
         sum(when(col("support") >= cap224, 1L).otherwise(0L)).as("kept224"),
         sum(when(col("support") >= cap183, 1L).otherwise(0L)).as("kept183"),
@@ -832,24 +854,30 @@ object Graph {
        |          ON a.l_orderkey = b2.l_orderkey
        |         AND a.l_partkey < b2.l_partkey
        |        GROUP BY 1, 2),
+       |st AS (SELECT SUM(support) AS s_mass, COUNT(*) AS s_keys FROM sup),
+       |caps AS (SELECT GREATEST(3, 3 * s_mass // GREATEST(s_keys, 1))
+       |                  AS cap224,
+       |                GREATEST(2, 2 * s_mass // GREATEST(s_keys, 1))
+       |                  AS cap183
+       |         FROM st),
        |ss AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
        |              CAST(SUM(CASE WHEN support >=
-       |                     GREATEST(3, (SELECT n_units FROM bs) // 100000)
+       |                     (SELECT cap224 FROM caps)
        |                     THEN 1 ELSE 0 END) AS BIGINT) AS kept224,
        |              CAST(SUM(CASE WHEN support >=
-       |                     GREATEST(2, (SELECT n_units FROM bs) // 100000)
+       |                     (SELECT cap183 FROM caps)
        |                     THEN 1 ELSE 0 END) AS BIGINT) AS kept183
        |       FROM sup)
        |SELECT * FROM (
        |  SELECT 'q224_basket_lift' AS query, bs.n_units, ss.n_keys, bs.mass,
-       |         CAST(GREATEST(3, bs.n_units // 100000) AS BIGINT) AS cap,
+       |         CAST(caps.cap224 AS BIGINT) AS cap,
        |         ss.kept224 AS kept
-       |  FROM bs, ss
+       |  FROM bs, ss, caps
        |  UNION ALL
        |  SELECT 'q183_frequent_itemsets', bs.n_units, ss.n_keys, bs.mass,
-       |         CAST(GREATEST(2, bs.n_units // 100000) AS BIGINT),
+       |         CAST(caps.cap183 AS BIGINT),
        |         ss.kept183
-       |  FROM bs, ss
+       |  FROM bs, ss, caps
        |  UNION ALL
        |  SELECT 'q55_copurchase_topk', bs.n_units, ss.n_keys, bs.mass,
        |         CAST(NULL AS BIGINT), ss.n_keys
@@ -860,13 +888,16 @@ object Graph {
 
   private def basketLiftOracle(minSupport: Int = 3, k: Int = 15): String =
     s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       |p AS (SELECT a.l_partkey AS a, b.l_partkey AS b,
-       |             CAST(COUNT(*) AS BIGINT) AS support
-       |      FROM op a JOIN op b
-       |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       |      GROUP BY 1, 2
-       |      HAVING COUNT(*) >= GREATEST($minSupport,
-       |        (SELECT COUNT(DISTINCT l_orderkey) FROM op) // 100000)),
+       |p0 AS (SELECT a.l_partkey AS a, b.l_partkey AS b,
+       |              CAST(COUNT(*) AS BIGINT) AS support
+       |       FROM op a JOIN op b
+       |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |       GROUP BY 1, 2),
+       |st AS (SELECT SUM(support) AS s_mass, COUNT(*) AS s_keys FROM p0),
+       |p AS (SELECT * FROM p0
+       |      WHERE support >= GREATEST($minSupport,
+       |        $minSupport * (SELECT s_mass FROM st)
+       |          // GREATEST((SELECT s_keys FROM st), 1))),
        |f AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS f
        |      FROM op GROUP BY 1),
        |nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
