@@ -40,21 +40,37 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
     spark.stop()
+  }
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** The full oracle map as JSON — shared by the Verify dump and
+    * [[DumpOracles]] (the paired-comparator harness's cheap path). */
+  def oracleJson: String = SparkEntry.oracleSql
+    .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+}
+
+/** Write `SparkEntry.oracleSql` as JSON WITHOUT executing any query —
+  * the cheap input for `tools/paired_bench.py`, which runs warm DuckDB
+  * over the oracles in the same measurement window as the quiet engine
+  * suite (round-16 verdict item 5: the 1.16× vs 1.29× comparator spread
+  * was pure measurement-window drift). */
+object DumpOracles {
+  def main(args: Array[String]): Unit = {
+    val Array(out) = args
+    Files.writeString(Paths.get(out), Verify.oracleJson): Unit
   }
 }

@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Dev-only paired comparator (round-16 verdict item 5, NOT part of the
+library): the engine quiet suite and warm DuckDB over the SAME oracle
+SQLs, measured back-to-back in ONE session, emitted as ONE JSON — so
+the engine/comparator ratio can never mix measurement windows (the d16
+round quoted 1.16x and 1.29x for identical code purely because the two
+sides were measured hours apart).
+
+Usage: python3 tools/paired_bench.py <sfDir> [outJson]
+  GRAFT_DUCKDB_THREADS (default 32) sizes the comparator;
+  SPARK_GRAFT_ONLY narrows both sides for iteration.
+
+Method: oracles dumped without executing anything (graft.DumpOracles),
+engine suite via `sbt runMain graft.Bench` (its own warmup +
+median-of-3 discipline, per-query medians read from
+BENCH_last_full.json), then DuckDB runs every oracle once untimed
+(warm) and once timed. The headline ratio compares the COMMON subset:
+oracle-backed queries only (bench-only fast-path twins are reported in
+the engine total but excluded from the ratio)."""
+import json
+import os
+import subprocess
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf = sys.argv[1]
+    out = sys.argv[2] if len(sys.argv) > 2 else "PAIRED_BENCH.json"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+
+    opath = "/tmp/graft_oracles.json"
+    subprocess.run(["sbt", f"runMain graft.DumpOracles {opath}"],
+                   cwd=repo, check=True,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    oracles = json.load(open(opath))
+    if only:
+        toks = {t.strip() for t in only.split(",") if t.strip()}
+        oracles = {k: v for k, v in oracles.items()
+                   if any(k == t or k.startswith(t + "_") for t in toks)}
+
+    t0 = time.time()
+    subprocess.run(["sbt", "runMain graft.Bench"], cwd=repo,
+                   env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf), check=True,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    engine_wall = round(time.time() - t0, 1)
+    bench = json.load(open(os.path.join(repo, "BENCH_last_full.json")))
+    equeries = bench["queries"]  # short name -> median sec
+
+    con = duckdb.connect()
+    threads = os.environ.get("GRAFT_DUCKDB_THREADS", "32")
+    con.execute(f"SET threads={int(threads)}")
+    for t in TABLES:
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    names = sorted(oracles)
+    for n in names:  # warmup (I/O cache + duckdb internal state)
+        try:
+            con.execute(oracles[n]).fetchall()
+        except Exception:
+            pass
+    dq, failed = {}, []
+    for n in names:
+        t1 = time.time()
+        try:
+            con.execute(oracles[n]).fetchall()
+            dq[n] = round(time.time() - t1, 4)
+        except Exception:
+            failed.append(n)
+    duck_total = round(sum(dq.values()), 2)
+
+    def short(n):
+        return n.split("_")[0]
+
+    common = [n for n in dq if short(n) in equeries]
+    engine_common = round(sum(equeries[short(n)] for n in common), 2)
+    result = {
+        "sf": sf,
+        "engine_total_sec": bench["value"],
+        "engine_common_sec": engine_common,
+        "duckdb_total_sec": duck_total,
+        "ratio_common": round(engine_common / duck_total, 3)
+            if duck_total else None,
+        "n_common": len(common),
+        "n_engine": len(equeries),
+        "n_duckdb_failed": len(failed),
+        "duckdb_threads": int(threads),
+        "engine_wall_sec": engine_wall,
+        "engine_stage_sec": bench.get("stage"),
+        "method": ("one window: engine quiet suite (warmup + median-of-3"
+                   " per query) then warm DuckDB (one untimed + one timed"
+                   " pass per oracle); ratio over the oracle-backed common"
+                   " subset"),
+        "duckdb_queries": dq,
+    }
+    with open(out, "w") as f:
+        json.dump(result, f)
+    headline = {k: v for k, v in result.items() if k != "duckdb_queries"}
+    print(json.dumps(headline))
+
+
+if __name__ == "__main__":
+    main()
