@@ -80,13 +80,23 @@ object Tables {
         // the staged copies belong to ONE source dir (recorded by
         // stageLayout): a session that stages one dataset and then reads
         // another — or two sfDirs sharing a basename — must NOT be
-        // silently redirected to the wrong data
-        val boundTo = spark.conf
+        // silently redirected to the wrong data. Checked TWICE: against
+        // the session conf (this session's binding) AND against the
+        // per-table marker ON DISK (another process staging a
+        // basename-colliding dir can rewrite the copies under a live
+        // session — the conf can't see that, the marker's src= can).
+        val canonical = new java.io.File(dir).getCanonicalPath
+        val confOk = spark.conf
           .getOption("spark.graft.scan.stagedSrc").filter(_.nonEmpty)
-        val matches = boundTo.forall(src =>
-          src == new java.io.File(dir).getCanonicalPath)
+          .forall(_ == canonical)
         val cand = new java.io.File(s"$staged/$name.parquet")
-        if (matches && cand.exists()) cand.getPath else orig
+        val marker = new java.io.File(s"$staged/$name.stamp")
+        val markerOk = marker.exists() && {
+          val st = new String(java.nio.file.Files.readAllBytes(marker.toPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+          st.startsWith(s"src=$canonical;")
+        }
+        if (confOk && markerOk && cand.exists()) cand.getPath else orig
       case _ => orig
     }
   }
@@ -124,17 +134,17 @@ object Tables {
         leaves.map(c => s"${c.getName}=${c.length()}@${c.lastModified()}")
           .mkString(";") + s":$blockBytes"
     }
-    def deleteRecursively(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-      f.delete(): Unit
-    }
+    def deleteRecursively(f: java.io.File): Unit =
+      graft.operators.Layout.deleteRec(f)
     var n = 0
-    // cross-process exclusion: two Bench runs sharing a staged dir must
+    // exclusion at BOTH levels: two Bench runs sharing a staged dir must
     // not interleave rewrite + marker (stale marker over fresh data or
-    // vice versa). A file lock serializes the whole staging pass; the
-    // per-table tmp-dir + atomic rename inside splitRowGroups additionally
-    // keeps a crashed run from leaving a half-written copy.
+    // vice versa). The JVM monitor serializes same-process callers (a
+    // second FileChannel.lock() in one JVM THROWS OverlappingFileLock
+    // instead of blocking); the OS file lock serializes processes; the
+    // per-table tmp-dir + atomic rename inside splitRowGroups
+    // additionally keeps a crashed run from leaving a half-written copy.
+    stagingMonitor.synchronized {
     val lockCh = java.nio.channels.FileChannel.open(
       new java.io.File(base, ".lock").toPath,
       java.nio.file.StandardOpenOption.CREATE,
@@ -174,10 +184,15 @@ object Tables {
       lock.release()
       lockCh.close()
     }
+    }
     spark.conf.set("spark.graft.scan.stagedDir", stagedDir)
     spark.conf.set("spark.graft.scan.stagedSrc", srcDirCanonical)
     n
   }
+
+  /** Same-JVM staging mutex — see the exclusion comment in
+    * [[stageLayout]]. */
+  private val stagingMonitor = new Object
 
   def region(s: SparkSession, dir: String): DataFrame = table(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame = table(s, dir, "nation")

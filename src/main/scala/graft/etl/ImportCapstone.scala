@@ -91,7 +91,7 @@ object ImportCapstone {
     * set (K1 writer). Returns the staged directory. */
   private[etl] def stageBatchCsv(s: SparkSession, dir: String): String = {
     val sf = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
-    val out = s"/tmp/graft_gate/$sf/import_capstone_src"
+    SheetStage.once(s"/tmp/graft_gate/$sf/import_capstone_src") { out =>
     val part = Tables.part(s, dir)
     val pk = col("p_partkey")
     val a = part.filter(pk % 7 === 0).select(
@@ -120,7 +120,7 @@ object ImportCapstone {
       mediaUrl(pk % 3).as("ImageUrl"),
       (lit(2000000000L) + pk).cast("string").as("SrcOrder"))
     Providers("csv")(a.unionByName(b).unionByName(c), out, None)
-    out
+    }
   }
 
   /** The (url → media key) map: driver-side fetch of the DISTINCT urls

@@ -75,7 +75,7 @@ object ImportFinalize {
     *    checked on the raw list), every existing mapping deleted. */
   private[etl] def stageStoreMappingSheet(s: SparkSession, dir: String): String = {
     val sf = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
-    val out = s"/tmp/graft_gate/$sf/store_mapping_import_src"
+    SheetStage.once(s"/tmp/graft_gate/$sf/store_mapping_import_src") { out =>
     val part = Tables.part(s, dir)
     val nul = lit(null).cast("string")
     def sheetRow(idsC: org.apache.spark.sql.Column)(f: DataFrame) =
@@ -88,7 +88,7 @@ object ImportFinalize {
     val m4 = sheetRow(lit("9"))(part.filter(pk % 6 === 4))
     Providers("csv")(m1.unionByName(m2).unionByName(m3).unionByName(m4),
       out, None)
-    out
+    }
   }
 
   /** q292: the store-mappings pass. Output = one row per sheet entity:
@@ -370,12 +370,19 @@ object ImportFinalize {
     val aNew = n("a_new")(av.join(avSnapIds, Seq("av_id"), "left_anti"))
     val aMod = n("a_mod")(av.join(avSnapIds, Seq("av_id"), "left_semi"))
     val cMod = n("c_mod")(combo) // combinations never insert
-    // skip tallies ride each pass output as a constant column
-    val tSkip = tier.agg(max(col("n_skipped")).cast("long").as("t_skip"))
-    val aSkip = av.agg(max(col("n_skipped")).cast("long").as("a_skip"))
-    val cSkip = combo.agg(max(col("n_skipped")).cast("long").as("c_skip"))
+    // skip tallies ride each pass output as a constant column;
+    // coalesce(0): an EMPTY pass output (possible on a tiny custom
+    // corpus where a residue class is unpopulated) must tally zero,
+    // not null-poison the email row
+    val tSkip = tier.agg(coalesce(max(col("n_skipped")), lit(0L))
+      .cast("long").as("t_skip"))
+    val aSkip = av.agg(coalesce(max(col("n_skipped")), lit(0L))
+      .cast("long").as("a_skip"))
+    val cSkip = combo.agg(coalesce(max(col("n_skipped")), lit(0L))
+      .cast("long").as("c_skip"))
     // q283's error channel is the warning channel (bad cells never abort)
-    val warn = cap.agg(sum(col("n_errors")).cast("long").as("n_warnings"))
+    val warn = cap.agg(coalesce(sum(col("n_errors")), lit(0L))
+      .cast("long").as("n_warnings"))
     val assembled = Seq(pNew, pMod, tNew, tMod, aNew, aMod, cMod,
       tSkip, aSkip, cSkip, warn)
       .foldLeft(total)((acc, f) => acc.crossJoin(broadcast(f)))

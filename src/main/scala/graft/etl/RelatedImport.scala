@@ -80,8 +80,8 @@ object RelatedImport {
   /** Stage the tier-price import sheet as CSV (strings, K1 writer):
     * updates by Id, inserts by ProductId, inserts recovering ProductId
     * from ProductSku, and key-less rows the pass must skip. */
-  private[etl] def stageTierSheet(s: SparkSession, dir: String): String = {
-    val out = stageDir(dir, "tier_import_src")
+  private[etl] def stageTierSheet(s: SparkSession, dir: String): String =
+    SheetStage.once(stageDir(dir, "tier_import_src")) { out =>
     val part = Tables.part(s, dir)
     val u = part.filter(pk % 12 === 1).select(
       (pk * 10).cast("string").as("Id"),
@@ -112,7 +112,6 @@ object RelatedImport {
       lit("1.0").as("Price"),
       (lit(3000000000L) + pk).cast("string").as("SrcOrder"))
     Providers("csv")(u.unionByName(i).unionByName(sk).unionByName(x), out, None)
-    out
   }
 
   /** q287: the tier-price related-entity pass. Output = every tier price
@@ -221,8 +220,8 @@ object RelatedImport {
       |     AS vv(v)
       |WHERE v < p_partkey % 3""".stripMargin
 
-  private[etl] def stageAvSheet(s: SparkSession, dir: String): String = {
-    val out = stageDir(dir, "attr_value_import_src")
+  private[etl] def stageAvSheet(s: SparkSession, dir: String): String =
+    SheetStage.once(stageDir(dir, "attr_value_import_src")) { out =>
     val part = Tables.part(s, dir)
     val u = part.filter(pk % 4 === 1 && pk % 3 > 0).select(
       (pk * 100).cast("string").as("Id"),
@@ -254,7 +253,6 @@ object RelatedImport {
       (lit(3000000000L) + pk).cast("string").as("SrcOrder"))
     Providers("csv")(
       u.unionByName(i).unionByName(xPva).unionByName(xName), out, None)
-    out
   }
 
   /** q288: the attribute-value pass — update by Id; inserts require BOTH
@@ -371,8 +369,8 @@ object RelatedImport {
        |       allow_oos
        |FROM (${graft.dsl.Catalog.combosSql})""".stripMargin
 
-  private[etl] def stageComboSheet(s: SparkSession, dir: String): String = {
-    val out = stageDir(dir, "combo_import_src")
+  private[etl] def stageComboSheet(s: SparkSession, dir: String): String =
+    SheetStage.once(stageDir(dir, "combo_import_src")) { out =>
     val part = Tables.part(s, dir)
     def row(idC: org.apache.spark.sql.Column,
         skuC: org.apache.spark.sql.Column, gtinC: org.apache.spark.sql.Column,
@@ -401,7 +399,6 @@ object RelatedImport {
       lit(1), nul, 4000000000L)(part.filter(pk % 8 === 5))
     Providers("csv")(Seq(bySku, byGtin, byMpn, miss)
       .foldLeft(byId)(_ unionByName _), out, None)
-    out
   }
 
   /** q289: the attribute-combination pass — resolve by Id, then by each
@@ -489,8 +486,8 @@ object RelatedImport {
     * INSERT's old id (both sides minted), or an id outside the file
     * (the TryGetValue miss — link dropped). A parent_old of 0 is never
     * collected (the reference's `parentId != 0` gate). */
-  private def stageGroupedSheet(s: SparkSession, dir: String): String = {
-    val out = stageDir(dir, "grouped_import_src")
+  private def stageGroupedSheet(s: SparkSession, dir: String): String =
+    SheetStage.once(stageDir(dir, "grouped_import_src")) { out =>
     val part = Tables.part(s, dir)
     val nul = lit(null).cast("string")
     val parents = part.filter(pk % 9 === 0).select(
@@ -515,7 +512,6 @@ object RelatedImport {
       (lit(7000000000L) + pk).cast("string").as("SrcOrder"))
     Providers("csv")(Seq(toExisting, toInsert, toMissing)
       .foldLeft(parents)(_ unionByName _), out, None)
-    out
   }
 
   /** q290: the grouped-parent remap — after the product upsert, the

@@ -43,3 +43,24 @@ object Tabular {
       out.drop("__graft_pos")
     }
 }
+
+/** Once-per-JVM staging guard for the import fixtures: the sheets derive
+  * DETERMINISTICALLY from the source tables (one fixed derivation per
+  * (sfDir, sheet) key), so rewriting them on every invocation — four
+  * bench passes × several queries sharing a sheet — is pure redundant
+  * I/O. First call in a process writes, later calls return the path
+  * (the mtime-keyed fixture discipline of FileGate/stageLayout, scoped
+  * to process lifetime because the derivation inputs are immutable for
+  * a round). */
+private[etl] object SheetStage {
+  private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def once(path: String)(write: String => Unit): String = {
+    if (!done.contains(path)) synchronized {
+      if (!done.contains(path)) {
+        write(path)
+        done.add(path): Unit
+      }
+    }
+    path
+  }
+}

@@ -153,24 +153,46 @@ object Layout {
     * Crash-safe: the copy is assembled in a process-unique `.tmp`
     * sibling and renamed into place, so a killed stage never leaves a
     * half-written `outPath` that a concurrent reader could resolve. */
+  /** Null-safe recursive delete — THE one definition (Tables and the
+    * layout specs delegate here). */
+  private[graft] def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+      .foreach(deleteRec)
+    f.delete(): Unit
+  }
+
   def splitRowGroups(spark: org.apache.spark.sql.SparkSession,
       inPath: String, outPath: String, blockBytes: Long): Option[Long] = {
+    val inFile = new java.io.File(inPath)
+    val isDir = inFile.isDirectory
+    // only FLAT dirs of .parquet data files qualify — a nested layout
+    // (hive partitions) or non-parquet sidecars mean dataFiles() would
+    // stage a subset of the relation's rows (and rowGroupCount would
+    // choke on a sidecar); DECLINE rather than crash, the original
+    // files already read correctly
+    if (isDir) {
+      val entries = Option(inFile.listFiles()).getOrElse(Array.empty)
+        .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
+      if (entries.exists(_.isDirectory) ||
+          entries.exists(c => c.isFile && !c.getName.endsWith(".parquet")))
+        return None
+    }
     val files = dataFiles(spark, inPath).sortBy(_._1)
     if (files.isEmpty) return None
-    val isDir = new java.io.File(inPath).isDirectory
     def filePath(name: String): String = if (isDir) s"$inPath/$name" else inPath
     val qualifies = files.map { case (n, len) =>
       len > blockBytes && rowGroupCount(spark, filePath(n)) == 1
     }
     if (!qualifies.contains(true)) return None
+    // reclaim crash leftovers of ANY pid first (the tmp name embeds the
+    // writer's pid, so a dead run's dir would otherwise leak forever)
+    val outName = new java.io.File(outPath).getName
+    Option(new java.io.File(outPath).getParentFile)
+      .flatMap(p => Option(p.listFiles())).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(outName + ".tmp-"))
+      .foreach(deleteRec)
     val tmp = new java.io.File(
       outPath + s".tmp-${java.lang.ProcessHandle.current().pid()}")
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
-        .foreach(deleteRec)
-      f.delete(): Unit
-    }
-    deleteRec(tmp)
     tmp.mkdirs()
     try {
       files.zip(qualifies).zipWithIndex.foreach {

@@ -479,9 +479,11 @@ object TextQueries {
     * posting mass the gram-keyed shuffle carries), kept = the df = 1
     * grams q159's novelty signal extracts. Shares [[shingleRows]] with
     * the registered query so the audited mass IS the query's mass. */
-  private[graft] def ngramPostingStats(s: SparkSession, dir: String,
-      n: Int = 3): DataFrame = {
-    val dg = shingleRows(Tables.documents(s, dir), n).distinct().ckpt
+  private[graft] def ngramPostingStats(s: SparkSession, dir: String)
+      : DataFrame = {
+    // trigrams, fixed: the oracle twin below hardcodes t[i:i+2]/len>=3 —
+    // a parameter here would silently diverge from the SQL
+    val dg = shingleRows(Tables.documents(s, dir), 3).distinct().ckpt
     val units = dg.select(col("doc_id")).distinct()
       .agg(count(lit(1)).as("n_units"))
     dg.groupBy(col("g")).agg(count(lit(1)).as("df"))

@@ -109,11 +109,7 @@ class LayoutSpec extends AnyFunSuite {
     // source changes SHAPE to multi-file (splitRowGroups declines): the
     // leftover staged copy must be deleted, not keep shadowing the new
     // data through resolve()'s existence check
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(deleteRec)
-      f.delete(): Unit
-    }
-    deleteRec(new java.io.File(s"$tdir/part.parquet"))
+    Layout.deleteRec(new java.io.File(s"$tdir/part.parquet"))
     spark.range(500).select(col("id"), lit("fresh").as("tag"))
       .repartition(3).write.parquet(s"$tdir/part.parquet")
     val s5 = spark.newSession()

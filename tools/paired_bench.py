@@ -50,7 +50,16 @@ def main():
                    env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf), check=True,
                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
     engine_wall = round(time.time() - t0, 1)
-    bench = json.load(open(os.path.join(repo, "BENCH_last_full.json")))
+    bench_path = os.path.join(repo, "BENCH_last_full.json")
+    # freshness gate: Bench swallows the IOException on a read-only cwd,
+    # so a stale committed BENCH_last_full.json would silently pair LAST
+    # round's engine medians with today's DuckDB — the exact window
+    # mixing this tool exists to prevent
+    if not os.path.exists(bench_path) or os.path.getmtime(bench_path) < t0:
+        sys.exit("paired_bench: BENCH_last_full.json was not refreshed by "
+                 "this Bench run (read-only cwd or failed write) — refusing "
+                 "to pair stale engine medians with fresh DuckDB timings")
+    bench = json.load(open(bench_path))
     equeries = bench["queries"]  # short name -> median sec
 
     con = duckdb.connect()
