@@ -68,11 +68,16 @@ object Bench {
     def selected = (SparkEntry.queries.toSeq ++
         Registry.benchExtras.map(q => q.name -> q.run)).sortBy(_._1)
       .filter { case (n, _) => Registry.selectedBy(only, n) }
+    // a crashing query must not masquerade as a fast one: elapsed-to-crash
+    // is recorded (the pass total stays comparable) but the name is also
+    // collected, and the failed set rides the output artifacts so the
+    // paired comparator can exclude it from the engine/DuckDB ratio
+    val failedNames = scala.collection.mutable.LinkedHashSet[String]()
     def runAll(): Seq[(String, Double)] =
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
+        catch { case _: Throwable => failedNames.add(name): Unit }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val cold = runAll()
@@ -97,7 +102,9 @@ object Bench {
     // of them)…
     val qsShortAll = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
-    val fullLine = f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","cold":$coldTotal%.2f,"stage":$stageSec%.2f,"passes":$passTotals,"method":"toRdd.count median-of-3 after warmup","queries":${qsShortAll.mkString("{", ",", "}")}}"""
+    val failedJson = failedNames.toSeq
+      .map("\"" + _.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
+    val fullLine = f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","cold":$coldTotal%.2f,"stage":$stageSec%.2f,"passes":$passTotals,"failed":$failedJson,"method":"toRdd.count median-of-3 after warmup","queries":${qsShortAll.mkString("{", ",", "}")}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_last_full.json"),
       fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -113,8 +120,11 @@ object Bench {
     // cross-round normalization controls (ADVICE r14): the medians of
     // three queries untouched since round 1, so a driver-machine speed
     // drift can be divided out without the quiet-bench companion
+    // qc1 (BenchControls.controlPairs, added r18) is the shuffle-heavy
+    // control: q01/q23/q53 are scan-agg shapes and understated r17's
+    // drift on pair-mass rows
     val controlNames = Seq("q01_bestsellers", "q23_ship_delay",
-      "q53_shipping_priority")
+      "q53_shipping_priority", "qc1_control_pairs")
     val controls = controlNames.flatMap(n =>
       results.find(_._1 == n).map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * 1000) })

@@ -82,7 +82,10 @@ object Registry {
     // verdict r15 flagged at 4.04× per 10× data; the registered q144 now
     // derives k from the corpus (see semanticDedup/semanticDedupFixedK)
     Q("q144f_semantic_dedup_fixedk",
-      (s, d) => similarity.SimilarityQueries.semanticDedupFixedK(s, d)))
+      (s, d) => similarity.SimilarityQueries.semanticDedupFixedK(s, d)),
+    // frozen shuffle-heavy cross-round control (verdict r17 task 5):
+    // never edited, times pure environment drift on the pair-mass shape
+    Q("qc1_control_pairs", (s, d) => BenchControls.controlPairs(s, d)))
 
   /** SPARK_GRAFT_ONLY selector, shared by Bench and Verify: a token
     * matches on the query-id boundary (`q10` selects `q10_segment_facet`

@@ -91,11 +91,15 @@ object Tables {
           .forall(_ == canonical)
         val cand = new java.io.File(s"$staged/$name.parquet")
         val marker = new java.io.File(s"$staged/$name.stamp")
-        val markerOk = marker.exists() && {
+        // the marker can vanish between exists() and the read (another
+        // process's stageLayout deletes it when a source declines or
+        // disappears) — any read failure means "not staged", fall back
+        // to the original file rather than failing the query.
+        val markerOk = marker.exists() && scala.util.Try {
           val st = new String(java.nio.file.Files.readAllBytes(marker.toPath),
             java.nio.charset.StandardCharsets.UTF_8)
           st.startsWith(s"src=$canonical;")
-        }
+        }.getOrElse(false)
         if (confOk && markerOk && cand.exists()) cand.getPath else orig
       case _ => orig
     }

@@ -89,15 +89,33 @@ def main():
     def short(n):
         return n.split("_")[0]
 
-    common = [n for n in dq if short(n) in equeries]
+    # queries the engine recorded as CRASHED carry elapsed-to-crash
+    # medians — exclude them from the pairing entirely
+    engine_failed = set(bench.get("failed", []))
+    common = [n for n in dq
+              if short(n) in equeries and short(n) not in engine_failed]
     engine_common = round(sum(equeries[short(n)] for n in common), 2)
+    # the ratio must divide like by like: engine seconds over the common
+    # subset vs DuckDB seconds over the SAME subset (not duck_total over
+    # all succeeded oracles — a name absent from the bench dict would
+    # otherwise deflate the ratio). Flag any asymmetry loudly.
+    duck_common = round(sum(dq[n] for n in common), 2)
+    # every succeeded oracle should pair with an engine median (the engine
+    # dict may hold EXTRA bench-only entries — that's fine); any oracle
+    # left unpaired, or a failure on either side, is loud
+    unpaired = [n for n in dq if short(n) not in equeries]
+    if unpaired or failed or engine_failed:
+        print(f"WARNING: asymmetric pairing — common={len(common)} "
+              f"unpaired_oracles={unpaired} duckdb_failed={failed} "
+              f"engine_failed={sorted(engine_failed)}", file=sys.stderr)
     result = {
         "sf": sf,
         "engine_total_sec": bench["value"],
         "engine_common_sec": engine_common,
         "duckdb_total_sec": duck_total,
-        "ratio_common": round(engine_common / duck_total, 3)
-            if duck_total else None,
+        "duckdb_common_sec": duck_common,
+        "ratio_common": round(engine_common / duck_common, 3)
+            if duck_common else None,
         "n_common": len(common),
         "n_engine": len(equeries),
         "n_duckdb_failed": len(failed),
