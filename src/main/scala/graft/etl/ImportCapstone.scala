@@ -90,8 +90,7 @@ object ImportCapstone {
   /** Derive the import batch from part and stage it as a real CSV file
     * set (K1 writer). Returns the staged directory. */
   private[etl] def stageBatchCsv(s: SparkSession, dir: String): String = {
-    val sf = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
-    SheetStage.once(s"/tmp/graft_gate/$sf/import_capstone_src") { out =>
+    SheetStage.once(SheetStage.dirFor(dir, "import_capstone_src")) { out =>
     val part = Tables.part(s, dir)
     val pk = col("p_partkey")
     val a = part.filter(pk % 7 === 0).select(
@@ -151,7 +150,12 @@ object ImportCapstone {
     requiredForInsert = Some("p_name"),
     incomingOrder = Seq("__src_order"))
 
-  def importCapstone(s: SparkSession, dir: String): DataFrame = {
+  /** Memoized per (session, dir) — q283's output is re-read by q293/q294
+    * and the slug pass; see [[ChainCache]]. */
+  def importCapstone(s: SparkSession, dir: String): DataFrame =
+    ChainCache.memo(s, dir, "q283_capstone")(importCapstoneImpl(s, dir))
+
+  private def importCapstoneImpl(s: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(s, dir)
     // 1. stage + read back through the extension dispatcher (S3)
     val raw = Tabular.fromFile(s, stageBatchCsv(s, dir), CsvConfig())

@@ -52,10 +52,8 @@ object RelatedImport {
 
   private def pk = col("p_partkey")
 
-  private def stageDir(dir: String, name: String): String = {
-    val sf = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
-    s"/tmp/graft_gate/$sf/$name"
-  }
+  private def stageDir(dir: String, name: String): String =
+    SheetStage.dirFor(dir, name)
 
   /** TierPrice snapshot fixture: products `p_partkey % 6 = 1` carry two
     * tiers (qty 5 and 10, price list − 10/− 20); `tp_id = p_partkey·10 + t`.
@@ -117,7 +115,10 @@ object RelatedImport {
   /** q287: the tier-price related-entity pass. Output = every tier price
     * the batch touched (updated in place or freshly minted above the
     * snapshot max) plus the skip tally as a constant column. */
-  def tierPriceImport(s: SparkSession, dir: String): DataFrame = {
+  def tierPriceImport(s: SparkSession, dir: String): DataFrame =
+    ChainCache.memo(s, dir, "q287_tier")(tierPriceImportImpl(s, dir))
+
+  private def tierPriceImportImpl(s: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(s, dir)
     val snapshot = tierSnapshot(part)
       .withColumn("__src_order", lit(null).cast("long"))
@@ -258,7 +259,10 @@ object RelatedImport {
   /** q288: the attribute-value pass — update by Id; inserts require BOTH
     * ProductVariantAttributeId and Name (each missing half is a skipped
     * row with an error). */
-  def attrValueImport(s: SparkSession, dir: String): DataFrame = {
+  def attrValueImport(s: SparkSession, dir: String): DataFrame =
+    ChainCache.memo(s, dir, "q288_av")(attrValueImportImpl(s, dir))
+
+  private def attrValueImportImpl(s: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(s, dir)
     val snapshot = avSnapshot(part)
       .withColumn("__src_order", lit(null).cast("long"))
@@ -404,7 +408,10 @@ object RelatedImport {
   /** q289: the attribute-combination pass — resolve by Id, then by each
     * key field in cascade order (Sku → Gtin → Mpn); inserting is NOT
     * supported, so unresolved rows are skipped with an error. */
-  def comboImport(s: SparkSession, dir: String): DataFrame = {
+  def comboImport(s: SparkSession, dir: String): DataFrame =
+    ChainCache.memo(s, dir, "q289_combo")(comboImportImpl(s, dir))
+
+  private def comboImportImpl(s: SparkSession, dir: String): DataFrame = {
     val snapshot = comboSnapshot(s, dir)
       .withColumn("__src_order", lit(null).cast("long"))
     val raw = Tabular.fromFile(s, stageComboSheet(s, dir), CsvConfig())

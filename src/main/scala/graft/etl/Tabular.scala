@@ -52,7 +52,7 @@ object Tabular {
   * (the mtime-keyed fixture discipline of FileGate/stageLayout, scoped
   * to process lifetime because the derivation inputs are immutable for
   * a round). */
-private[etl] object SheetStage {
+private[graft] object SheetStage {
   private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   def once(path: String)(write: String => Unit): String = {
     if (!done.contains(path)) synchronized {
@@ -62,5 +62,21 @@ private[etl] object SheetStage {
       }
     }
     path
+  }
+
+  /** Staged-sheet path for a (source dir, sheet name) pair. The path —
+    * which is also the once-per-JVM done-set key — embeds a hash of the
+    * CANONICAL source dir alongside its sanitized basename, so two source
+    * dirs whose basenames collide (`/a/sf1` vs `/b/sf1`, or `sf.1` vs
+    * `sf_1` after sanitization) stage to distinct locations instead of
+    * the second silently reading the first's sheet data. Mirrors the
+    * `src=` binding `Tables.stageLayout` stamps on layout copies. */
+  def dirFor(srcDir: String, name: String): String = {
+    val canonical = new java.io.File(srcDir).getCanonicalPath
+    val base = new java.io.File(canonical).getName
+      .replaceAll("[^A-Za-z0-9]", "_")
+    val hash = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(canonical))
+    s"/tmp/graft_gate/${base}_$hash/$name"
   }
 }

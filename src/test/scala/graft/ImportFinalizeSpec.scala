@@ -87,4 +87,89 @@ class ImportFinalizeSpec extends AnyFunSuite {
     assert(roll.forall { case ((p, sev), _) =>
       if (p == "product") sev == "warning" else sev == "error" })
   }
+
+  test("sync mapping: source-key-only rows resolve through the mapping, " +
+      "unknown keys mint entity + mapping, untouched mappings survive") {
+    val rows = ImportFinalize.syncMappingImport(spark, dir).collect()
+    val mx = rows.filter(_.getAs[Int]("is_new") == 0)
+      .map(_.getAs[Long]("entity_id")).max
+    rows.foreach { r =>
+      val key = r.getAs[String]("source_key")
+      val ent = r.getAs[Long]("entity_id")
+      val isNew = r.getAs[Int]("is_new") == 1
+      val synced = r.getAs[Int]("synced") == 1
+      val extId = key.stripPrefix("EXT-").toLong
+      if (!isNew) {
+        // existing mapping: entity_id · 7 == external id (the fixture),
+        // synced iff the sheet carried the key (entity % 6 == 0)
+        assert(extId == ent * 7, s"$key resolved wrong entity $ent")
+        assert(synced == (ent % 6 == 0), s"$key synced flag")
+        assert(r.getAs[Any]("price") == null || synced)
+      } else {
+        // minted: above the snapshot max, synced, price from the sheet
+        assert(ent > mx && synced, s"$key minted shape")
+        assert((extId / 7) % 6 == 1, s"$key must be the unknown class")
+        assert(r.getAs[Double]("price") > 0)
+      }
+    }
+    // minted ids are dense: max snapshot id + 1 .. + n in key order
+    val minted = rows.filter(_.getAs[Int]("is_new") == 1)
+      .sortBy(_.getAs[String]("source_key"))
+    assert(minted.map(_.getAs[Long]("entity_id")).toSeq ==
+      (mx + 1 to mx + minted.length).toSeq)
+  }
+
+  test("slug validation: registry wins ties, batch collisions suffix by " +
+      "rank, second-round natural collisions re-suffix with the key") {
+    import spark.implicits._
+    val registry = Seq((1L, "steel-wool"), (2L, "copper-pipe"))
+      .toDF("entity", "slug")
+    val cand = Seq(
+      (10L, "", "steel-wool"),   // collides with registry → steel-wool-1
+      (11L, "", "steel-wool"),   // second collider → steel-wool-2
+      (12L, "", "fresh-name"),   // no collision
+      (13L, "", "steel-wool-1"), // NATURAL owner of the suffixed form —
+                                 // round 2 re-keys whichever of the two
+                                 // claimants sorts later (13 > 10)
+      (14L, "de", "fresh-name")) // batch-internal collision → -1
+      .toDF("entity", "language", "cand")
+    val out = ImportFinalize.validateSlugs(registry, cand)
+      .collect().map(r => (r.getAs[Long]("entity"), r.getAs[String]("language"))
+        -> ((r.getAs[String]("slug"), r.getAs[Int]("collided")))).toMap
+    assert(out((12L, "")) == (("fresh-name", 0)))
+    assert(out((14L, "de")) == (("fresh-name-1", 1)))
+    assert(out((10L, "")) == (("steel-wool-1", 1))) // round-1 suffix holds
+    assert(out((13L, "")) == (("steel-wool-1-13", 1))) // round-2 key suffix
+    assert(out((11L, "")) == (("steel-wool-2", 1)))
+    // registry slugs never change and every output slug is unique
+    val slugs = out.values.map(_._1).toSeq ++ Seq("steel-wool", "copper-pipe")
+    assert(slugs.distinct.size == slugs.size)
+  }
+
+  test("chain memo: pass outputs are materialized once per (session, dir)") {
+    val a = etl.ImportCapstone.importCapstone(spark, dir)
+    val b = etl.ImportCapstone.importCapstone(spark, dir)
+    assert(a eq b, "memo must return the same materialized frame")
+    val t1 = etl.RelatedImport.tierPriceImport(spark, dir)
+    val t2 = etl.RelatedImport.tierPriceImport(spark, dir)
+    assert(t1 eq t2)
+  }
+
+  test("staged-sheet paths bind to the canonical source dir, not the " +
+      "basename") {
+    val d1 = java.nio.file.Files.createTempDirectory("sf1x").toFile
+    val d2 = java.nio.file.Files.createTempDirectory("collide").toFile
+    val n1 = new java.io.File(d1, "sf1"); n1.mkdirs()
+    val n2 = new java.io.File(d2, "sf1"); n2.mkdirs()
+    val p1 = etl.SheetStage.dirFor(n1.getPath, "tier_import_src")
+    val p2 = etl.SheetStage.dirFor(n2.getPath, "tier_import_src")
+    assert(p1 != p2, "basename-colliding dirs must stage separately")
+    // sanitization collisions ('sf.1' vs 'sf_1') also separate
+    val m1 = new java.io.File(d1, "sf.2"); m1.mkdirs()
+    val m2 = new java.io.File(d1, "sf_2"); m2.mkdirs()
+    assert(etl.SheetStage.dirFor(m1.getPath, "x") !=
+      etl.SheetStage.dirFor(m2.getPath, "x"))
+    // stable for the same dir
+    assert(p1 == etl.SheetStage.dirFor(n1.getPath, "tier_import_src"))
+  }
 }
