@@ -248,21 +248,25 @@ object Graph {
     // the QUADRATIC triangle-candidate join below, so keeping the
     // surviving L2 density stable as co-purchases densify is what
     // bounds this query's scale shape
+    // d18 (verdict task 1): the floor stats ride the ckpt materialization
+    // itself — `observe` collects (Σ support, |pairs|) DURING the one
+    // job that pins supAll, so the former stats pass (a second full scan
+    // + aggregate of the 12M-row pair frame, plus a re-aggregation under
+    // every broadcast(sstats) subtree) disappears and the floor becomes
+    // a plan literal. The 2-scalar driver read is bounded by construction
+    // (the BPE-argmax justification); derivation and oracle unchanged.
+    val obs = org.apache.spark.sql.Observation()
     val supAll = op.groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       .select(posexplode(col("parts")).as(Seq("i", "a")), col("parts"))
       .select(col("a"),
         explode(slice(col("parts"), col("i") + 2, size(col("parts")))).as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
-      .ckpt // consumers: support stats + the floor filter
-    val sstats = supAll
-      .agg(sum(col("support")).as("s_mass"), count(lit(1)).as("s_keys"))
-    val derivedFloor = greatest(lit(minSupport.toLong),
-      expr(s"$minSupport * s_mass div greatest(s_keys, 1)"))
-    val l2 = supAll.crossJoin(broadcast(sstats))
-      .filter(col("support") >= derivedFloor)
-      .drop("s_mass", "s_keys")
-      .ckpt
+      .observe(obs, sum(col("support")).as("s_mass"),
+        count(lit(1)).as("s_keys"))
+      .ckpt // consumers: l2 filter + (eager) the in-flight floor stats
+    val floorV = derivedFloorOf(obs, minSupport)
+    val l2 = supAll.filter(col("support") >= lit(floorV)).ckpt
     val e1 = l2.select(col("a"), col("b").as("u"))
     val e2 = l2.select(col("a"), col("b").as("v"))
     val c3 = e1.join(e2, Seq("a")).filter(col("u") < col("v"))
@@ -276,9 +280,7 @@ object Graph {
         Seq("l_orderkey", "c"))
       .groupBy(col("a"), col("b"), col("c"))
       .agg(count(lit(1)).as("support"))
-      .crossJoin(broadcast(sstats))
-      .filter(col("support") >= derivedFloor)
-      .drop("s_mass", "s_keys")
+      .filter(col("support") >= lit(floorV))
     val l2top = l2
       .orderBy(col("support").desc, col("a"), col("b")).limit(k)
       .withColumn("rn", row_number().over(
@@ -740,6 +742,23 @@ object Graph {
     * per-part basket frequencies are one aggregate of the distinct
     * (order, part) frame and BROADCAST onto the support-filtered pair
     * table; N is a 1-row broadcast; top-k is TakeOrderedAndProject. */
+  /** The corpus-derived support floor from in-flight observed stats:
+    * max(minSupport, minSupport · s_mass div max(s_keys, 1)) — the
+    * EXACT integer derivation the oracles restate (`//` in DuckDB). The
+    * observation completed during the eager ckpt of the observed frame;
+    * the driver reads two scalars (bounded by construction). An empty
+    * corpus observes s_mass = null → the floor is the constant, matching
+    * the old `greatest(minSupport, null)` plan semantics. */
+  private def derivedFloorOf(obs: org.apache.spark.sql.Observation,
+      minSupport: Int): Long = {
+    val m = obs.get
+    val sMass = Option(m.getOrElse("s_mass", null))
+      .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    val sKeys = Option(m.getOrElse("s_keys", null))
+      .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    math.max(minSupport.toLong, minSupport * sMass / math.max(sKeys, 1L))
+  }
+
   def basketLift(s: SparkSession, dir: String, minSupport: Int = 3,
       k: Int = 15): DataFrame = {
     val op = graft.Tables.lineitem(s, dir)
@@ -760,19 +779,22 @@ object Graph {
     // A/B'd and REJECTED: it empties the result set on catalog-scaling
     // corpora (sf1 audit: floor 14 over flat support ≈ 1 kept 0 of
     // 11.96M pairs). The q144 scaled-k discipline.
+    // d18 (verdict task 1): the floor stats ride the supAll ckpt via
+    // `observe` — no second scan-and-aggregate of the pair frame, no
+    // broadcast stats join; the floor is a plan literal (see
+    // frequentItemsets; the one-window sf1 A/B is in PLANS.md d18).
+    val obs = org.apache.spark.sql.Observation()
     val supAll = op.groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       .select(posexplode(col("parts")).as(Seq("i", "a")), col("parts"))
       .select(col("a"),
         explode(slice(col("parts"), col("i") + 2, size(col("parts")))).as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
-      .ckpt // consumers: the support stats and the floor filter
-    val sstats = supAll
-      .agg(sum(col("support")).as("s_mass"), count(lit(1)).as("s_keys"))
-    val pairs = supAll.crossJoin(broadcast(sstats))
-      .filter(col("support") >= greatest(lit(minSupport.toLong),
-        expr(s"$minSupport * s_mass div greatest(s_keys, 1)")))
-      .drop("s_mass", "s_keys")
+      .observe(obs, sum(col("support")).as("s_mass"),
+        count(lit(1)).as("s_keys"))
+      .ckpt // consumers: the lift join + (eager) the in-flight stats
+    val pairs = supAll
+      .filter(col("support") >= lit(derivedFloorOf(obs, minSupport)))
       .crossJoin(broadcast(n))
     val freq = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
     pairs
@@ -840,6 +862,7 @@ object Graph {
       .unionByName(row("q183_frequent_itemsets", Some("cap183"), col("kept183")))
       .unionByName(row("q55_copurchase_topk", None, col("n_keys")))
       .unionByName(graft.text.TextQueries.ngramPostingStats(s, dir))
+      .unionByName(graft.text.TextQueries.postingMassStats(s, dir))
       .orderBy(col("query"))
   }
 
@@ -883,7 +906,9 @@ object Graph {
        |         CAST(NULL AS BIGINT), ss.n_keys
        |  FROM bs, ss
        |  UNION ALL
-       |  SELECT * FROM (${graft.text.TextQueries.ngramPostingStatsSql}) t159)
+       |  SELECT * FROM (${graft.text.TextQueries.ngramPostingStatsSql}) t159
+       |  UNION ALL
+       |  SELECT * FROM (${graft.text.TextQueries.postingMassStatsSql}) tpm)
        |ORDER BY query""".stripMargin
 
   private def basketLiftOracle(minSupport: Int = 3, k: Int = 15): String =

@@ -495,6 +495,111 @@ object TextQueries {
         col("kept"))
   }
 
+  /** Posting-family envelope rows (d18, verdict r17 task 4): the OTHER
+    * superlinear families — q171 sparse-cosine and q194 containment
+    * (both bounded by the df-capped gram postings) and q174 winnow
+    * fingerprints — get standing audit rows beside q159's. For these
+    * pair families `mass` is the GENERATED CANDIDATE-PAIR volume
+    * Σ_{df ≤ cap} df·(df−1)/2 through the capped postings (the exact
+    * row count each query's self-join materializes — the quantity whose
+    * growth the envelope watches), `n_keys` the full pre-cap key space,
+    * `kept` the keys surviving the df cap. q171 and q194 share one df
+    * frame (tf-per-doc and distinct-per-doc document frequencies are
+    * the same count), so their rows differ only in name — reported
+    * separately anyway because their caps could diverge independently. */
+  private[graft] def postingMassStats(s: SparkSession, dir: String,
+      maxDf: Int = 20, winnowK: Int = 16, winnowW: Int = 6,
+      winnowDfCap: Int = 20): DataFrame = {
+    // gram space (q171/q194): distinct-doc df per trigram
+    val dg = shingleRows(Tables.documents(s, dir), 3).distinct().ckpt
+    val gUnits = dg.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_units"))
+    val gStats = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("df") <= maxDf,
+          expr("df * (df - 1) div 2")).otherwise(0L)).as("mass"),
+        sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("kept"))
+      .crossJoin(broadcast(gUnits))
+    def gRow(q: String) = gStats.select(lit(q).as("query"), col("n_units"),
+      col("n_keys"), col("mass"), lit(maxDf.toLong).as("cap"), col("kept"))
+    // winnow fingerprint space (q174): same frame winnowPairs builds
+    val fps = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowExpr.winnowOf(
+          TextFunctions.normalize(col("text")), winnowK, winnowW)).as("f"))
+      .select(col("doc_id"), col("f.h").as("h"))
+      .distinct()
+      .ckpt
+    val wUnits = fps.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_units"))
+    val wRow = fps.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("df") <= winnowDfCap,
+          expr("df * (df - 1) div 2")).otherwise(0L)).as("mass"),
+        sum(when(col("df") <= winnowDfCap, 1L).otherwise(0L)).as("kept"))
+      .crossJoin(broadcast(wUnits))
+      .select(lit("q174_winnow_candidates").as("query"), col("n_units"),
+        col("n_keys"), col("mass"), lit(winnowDfCap.toLong).as("cap"),
+        col("kept"))
+    gRow("q171_sparse_cosine")
+      .unionByName(gRow("q194_containment_pairs"))
+      .unionByName(wRow)
+  }
+
+  /** Oracle twin of [[postingMassStats]] (embed parenthesized). */
+  private[graft] val postingMassStatsSql: String = {
+    val (maxDf, k, w, dfCap) = (20, 16, 6, 20)
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |gg AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+       |       FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+       |       WHERE len(t) >= 3),
+       |gdf AS (SELECT g, COUNT(*) AS df FROM gg GROUP BY g),
+       |gs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |              CAST(SUM(CASE WHEN df <= $maxDf
+       |                   THEN df * (df - 1) // 2 ELSE 0 END) AS BIGINT)
+       |                AS mass,
+       |              CAST(SUM(CASE WHEN df <= $maxDf THEN 1 ELSE 0 END)
+       |                   AS BIGINT) AS kept,
+       |              (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM gg)
+       |                AS n_units
+       |       FROM gdf),
+       |wn AS (SELECT doc_id, $norm AS t FROM documents),
+       |wg AS (SELECT doc_id, i AS pos,
+       |              substring(md5(substring(t, i, $k)), 1, 8) AS h
+       |       FROM wn, LATERAL unnest(generate_series(1, length(t) - ${k - 1}))
+       |         AS u(i)
+       |       WHERE length(t) >= $k),
+       |wgc AS (SELECT doc_id, COUNT(*) AS gcnt FROM wg GROUP BY doc_id),
+       |wwins AS (SELECT wg.doc_id, wg.pos - o.off AS win, wg.pos, wg.h
+       |          FROM wg JOIN wgc USING (doc_id),
+       |               LATERAL unnest(generate_series(0, ${w - 1})) AS o(off)
+       |          WHERE wg.pos - o.off >= 1
+       |            AND wg.pos - o.off <= greatest(1, wgc.gcnt - ${w - 1})),
+       |wsel AS (SELECT doc_id, win, pos, h,
+       |                ROW_NUMBER() OVER (PARTITION BY doc_id, win
+       |                  ORDER BY h, pos DESC) AS rn
+       |         FROM wwins),
+       |wfpd AS (SELECT DISTINCT doc_id, h FROM wsel WHERE rn = 1),
+       |wdf AS (SELECT h, COUNT(*) AS df FROM wfpd GROUP BY h),
+       |ws AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |              CAST(SUM(CASE WHEN df <= $dfCap
+       |                   THEN df * (df - 1) // 2 ELSE 0 END) AS BIGINT)
+       |                AS mass,
+       |              CAST(SUM(CASE WHEN df <= $dfCap THEN 1 ELSE 0 END)
+       |                   AS BIGINT) AS kept,
+       |              (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM wfpd)
+       |                AS n_units
+       |       FROM wdf)
+       |SELECT 'q171_sparse_cosine' AS query, n_units, n_keys, mass,
+       |       CAST($maxDf AS BIGINT) AS cap, kept FROM gs
+       |UNION ALL
+       |SELECT 'q194_containment_pairs', n_units, n_keys, mass,
+       |       CAST($maxDf AS BIGINT), kept FROM gs
+       |UNION ALL
+       |SELECT 'q174_winnow_candidates', n_units, n_keys, mass,
+       |       CAST($dfCap AS BIGINT), kept FROM ws""".stripMargin
+  }
+
   /** Oracle twin of [[ngramPostingStats]] (self-contained WITH…SELECT —
     * embed as a parenthesized subquery). */
   private[graft] val ngramPostingStatsSql: String =
