@@ -559,7 +559,10 @@ object ImportFinalize {
     * Scale shape: the registry build is q73's two partitioned windows;
     * the validation adds two more windows partitioned by slug value —
     * never a global window; candidates ride equi-joins. */
-  def importSlugPass(s: SparkSession, dir: String): DataFrame = {
+  def importSlugPass(s: SparkSession, dir: String): DataFrame =
+    ChainCache.memo(s, dir, "q297_slugs")(importSlugPassImpl(s, dir))
+
+  private def importSlugPassImpl(s: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(s, dir)
     val cap = ImportCapstone.importCapstone(s, dir)
     val registry = EtlQueries.uniqueSlugs(s, dir)
