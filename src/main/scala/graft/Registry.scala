@@ -87,6 +87,16 @@ object Registry {
     // never edited, times pure environment drift on the pair-mass shape
     Q("qc1_control_pairs", (s, d) => BenchControls.controlPairs(s, d)))
 
+  /** Queries whose OUTPUT ChainCache memoizes per (session, dir): their
+    * warm bench passes would time a cached-block scan, not the query, so
+    * Bench reports their COLD (first-execution-in-session) time instead
+    * of the warm median — the honest number for a deterministic pass
+    * that a real pipeline materializes once. Keep in lockstep with the
+    * ChainCache.memo call sites. */
+  val memoizedNames: Set[String] = Set(
+    "q283_import_capstone", "q287_tier_price_import",
+    "q288_attr_value_import", "q289_attr_combination_import")
+
   /** SPARK_GRAFT_ONLY selector, shared by Bench and Verify: a token
     * matches on the query-id boundary (`q10` selects `q10_segment_facet`
     * but NOT `q100_asof_native_nearest`) or as an exact/underscore-safe

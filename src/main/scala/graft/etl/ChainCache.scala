@@ -40,7 +40,15 @@ private[graft] object ChainCache {
   }
 
   /** First call per (session, canonical dir, name) materializes `build`
-    * with Ckpt; later calls return the pinned frame. */
+    * with Ckpt; later calls return the pinned frame.
+    *
+    * NOT computeIfAbsent for the build: memoized passes nest (the slug
+    * pass builds the capstone, which is itself memoized on the SAME
+    * map), and CHM forbids a recursive update from inside a mapping
+    * function (IllegalStateException when the two keys share a bin).
+    * get → build outside the map → putIfAbsent instead; a concurrent
+    * duplicate build is benign (same deterministic frame, first-put
+    * wins) and the harness drives a session single-threaded anyway. */
   def memo(s: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
     if (cache.size > 4) prune()
@@ -49,6 +57,12 @@ private[graft] object ChainCache {
       _ => (s, new java.util.concurrent.ConcurrentHashMap[
         (String, String), DataFrame]()))
     val key = (new java.io.File(dir).getCanonicalPath, name)
-    perSession.computeIfAbsent(key, _ => graft.Ckpt(build))
+    val hit = perSession.get(key)
+    if (hit != null) hit
+    else {
+      val built = graft.Ckpt(build)
+      val prev = perSession.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
   }
 }

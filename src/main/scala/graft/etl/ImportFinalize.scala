@@ -179,9 +179,20 @@ object ImportFinalize {
       |    UNION
       |    SELECT p_partkey, CAST((p_partkey + 1) % 5 AS INT)
       |    FROM part WHERE p_partkey % 6 = 1)),
+      |-- the reconcile is scoped to context.Stores: only in-set snapshot
+      |-- mappings participate in the delete arithmetic; out-of-set ones
+      |-- survive into the final set untouched (mirrors the engine's
+      |-- inSet/outOfSet split — vacuously empty on this fixture)
+      |snap_in AS (
+      |  SELECT s.product_id, s.store_id
+      |  FROM snap s JOIN stores st ON st.store_id = s.store_id),
+      |snap_out AS (
+      |  SELECT s.product_id, s.store_id
+      |  FROM snap s LEFT JOIN stores st ON st.store_id = s.store_id
+      |  WHERE st.store_id IS NULL),
       |existing AS (
       |  SELECT s.product_id, s.store_id
-      |  FROM snap s JOIN sheet sh
+      |  FROM snap_in s JOIN sheet sh
       |    ON sh.product_id = s.product_id AND sh.has_ids = 1),
       |ins AS (
       |  SELECT product_id, COUNT(*) AS n FROM (
@@ -193,6 +204,10 @@ object ImportFinalize {
       |  GROUP BY product_id),
       |final AS (
       |  SELECT * FROM desired
+      |  UNION ALL
+      |  SELECT s.product_id, s.store_id
+      |  FROM snap_out s JOIN sheet sh
+      |    ON sh.product_id = s.product_id AND sh.has_ids = 1
       |  UNION ALL
       |  SELECT s.product_id, s.store_id
       |  FROM snap s JOIN sheet sh
@@ -227,6 +242,24 @@ object ImportFinalize {
     "The 'Name' field is required for new attribute values. Skipping row."
   private[etl] val ComboErrMsg =
     "The 'Id' or another key field is required. Inserting attribute combinations not supported. Skipping row."
+
+  /** The attribute-value pass's insert-gate error rows over the staged
+    * sheet — (row_key, field, message), ProductVariantAttributeId
+    * checked before Name (`ProductImporter.cs:987-1005` branch order).
+    * The ONE derivation of this gate, shared by the q293 rollup and
+    * q294's LastError pick so they can never silently diverge. */
+  private def avErrorRows(s: SparkSession, dir: String): DataFrame = {
+    val avraw = Tabular.fromFile(s, RelatedImport.stageAvSheet(s, dir),
+      CsvConfig())
+    avraw.filter(col("Id").isNull &&
+        (col("ProductVariantAttributeId").isNull || col("Name").isNull))
+      .select(col("SrcOrder").try_cast("long").as("row_key"),
+        when(col("ProductVariantAttributeId").isNull,
+          lit("ProductVariantAttributeId")).otherwise(lit("Name"))
+          .as("field"),
+        when(col("ProductVariantAttributeId").isNull, lit(AvPvaErrMsg))
+          .otherwise(lit(AvNameErrMsg)).as("message"))
+  }
 
   /** q293: one `ImportMessage` row per affected sheet row across the
     * product-import chain — (pass, row_key, field, message, severity),
@@ -267,19 +300,11 @@ object ImportFinalize {
       traw.join(skuIndex, Seq("ProductSku"), "left")
         .filter(col("Id").isNull && col("ProductId").isNull &&
           col("__sku_pid").isNull))
-    // attribute values: the insert field gate (pva id checked first —
-    // one error per row, like the reference's branch order)
-    val avraw = Tabular.fromFile(s, RelatedImport.stageAvSheet(s, dir),
-      CsvConfig())
-    val avNew = avraw.filter(col("Id").isNull)
-    val avErr = msgRow("attributevalue", col("SrcOrder").try_cast("long"),
-      "ProductVariantAttributeId", AvPvaErrMsg, "error")(
-      avNew.filter(col("ProductVariantAttributeId").isNull))
-      .unionByName(
-        msgRow("attributevalue", col("SrcOrder").try_cast("long"),
-          "Name", AvNameErrMsg, "error")(
-          avNew.filter(col("ProductVariantAttributeId").isNotNull &&
-            col("Name").isNull)))
+    // attribute values: the shared gate derivation (avErrorRows — pva id
+    // checked first, one error per row, the reference's branch order)
+    val avErr = avErrorRows(s, dir)
+      .select(lit("attributevalue").as("pass"), col("row_key"),
+        col("field"), col("message"), lit("error").as("severity"))
     // attribute combinations: unresolved through the full key cascade
     val craw = Tabular.fromFile(s, RelatedImport.stageComboSheet(s, dir),
       CsvConfig())
@@ -414,17 +439,10 @@ object ImportFinalize {
     // LastError = the message of the LAST error actually added
     // (ImportResult.LastError). Errors accrue in pass order tier → av →
     // combo; within the av pass the last message depends on which row
-    // errored last, so derive it from the sheet with the pass's own
-    // insert gate (pva id checked before name) and max_by row order.
-    val avraw = Tabular.fromFile(s, RelatedImport.stageAvSheet(s, dir),
-      CsvConfig())
-    val lastAv = avraw
-      .filter(col("Id").isNull &&
-        (col("ProductVariantAttributeId").isNull || col("Name").isNull))
-      .select(col("SrcOrder").try_cast("long").as("__o"),
-        when(col("ProductVariantAttributeId").isNull, lit(AvPvaErrMsg))
-          .otherwise(lit(AvNameErrMsg)).as("__m"))
-      .agg(max_by(col("__m"), col("__o")).as("last_av_msg"))
+    // errored last — the shared gate derivation (avErrorRows) plus
+    // max_by over sheet row order.
+    val lastAv = avErrorRows(s, dir)
+      .agg(max_by(col("message"), col("row_key")).as("last_av_msg"))
     val assembled = Seq(pNew, pMod, tNew, tMod, aNew, aMod, cMod,
       tSkip, aSkip, cSkip, warn, lastAv)
       .foldLeft(total)((acc, f) => acc.crossJoin(broadcast(f)))
@@ -559,10 +577,12 @@ object ImportFinalize {
     * Scale shape: the registry build is q73's two partitioned windows;
     * the validation adds two more windows partitioned by slug value —
     * never a global window; candidates ride equi-joins. */
-  def importSlugPass(s: SparkSession, dir: String): DataFrame =
-    ChainCache.memo(s, dir, "q297_slugs")(importSlugPassImpl(s, dir))
-
-  private def importSlugPassImpl(s: SparkSession, dir: String): DataFrame = {
+  // NOT ChainCache-memoized (unlike the four chain passes): its only
+  // other consumer is the q293 rollup, which runs BEFORE q297 in suite
+  // order and would leave q297's cold bench time a cache read — and the
+  // rollup re-deriving each pass's rows by that pass's own logic is
+  // q293's stated contract anyway.
+  def importSlugPass(s: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(s, dir)
     val cap = ImportCapstone.importCapstone(s, dir)
     val registry = EtlQueries.uniqueSlugs(s, dir)
@@ -716,13 +736,15 @@ object ImportFinalize {
       incomingOrder = Seq("__src_order"))
     val finalMap = Upsert.merge(snap, Upsert.resolve(snap, typed, cfg), cfg)
     val mx = snap.agg(max(col("entity_id")).as("__mx"))
+    // synced = the sheet carried the key (membership, NOT price
+    // non-nullness — a bad Price cell must not unmark a synced row)
     finalMap
-      .join(typed.select(col("source_key"), col("price")),
-        Seq("source_key"), "left")
+      .join(typed.select(col("source_key"), col("price"),
+        lit(1).as("__synced")), Seq("source_key"), "left")
       .crossJoin(broadcast(mx))
       .select(col("source_key"), col("entity_id"),
         (col("entity_id") > col("__mx")).cast("int").as("is_new"),
-        col("price").isNotNull.cast("int").as("synced"),
+        coalesce(col("__synced"), lit(0)).cast("int").as("synced"),
         col("price"))
       .orderBy(col("entity_id"))
   }

@@ -479,11 +479,18 @@ object TextQueries {
     * posting mass the gram-keyed shuffle carries), kept = the df = 1
     * grams q159's novelty signal extracts. Shares [[shingleRows]] with
     * the registered query so the audited mass IS the query's mass. */
-  private[graft] def ngramPostingStats(s: SparkSession, dir: String)
-      : DataFrame = {
+  /** The distinct trigram frame (doc_id, g), ckpt'd — built once and
+    * shared across the q295 audit rows (q159 novelty + q171/q194 df
+    * stats read the same frame; rebuilding it per row would double the
+    * audit's dominant cost). */
+  private[graft] def gramFrame(s: SparkSession, dir: String): DataFrame =
+    shingleRows(Tables.documents(s, dir), 3).distinct().ckpt
+
+  private[graft] def ngramPostingStats(s: SparkSession, dir: String,
+      dgOpt: Option[DataFrame] = None): DataFrame = {
     // trigrams, fixed: the oracle twin below hardcodes t[i:i+2]/len>=3 —
     // a parameter here would silently diverge from the SQL
-    val dg = shingleRows(Tables.documents(s, dir), 3).distinct().ckpt
+    val dg = dgOpt.getOrElse(gramFrame(s, dir))
     val units = dg.select(col("doc_id")).distinct()
       .agg(count(lit(1)).as("n_units"))
     dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -509,9 +516,9 @@ object TextQueries {
     * separately anyway because their caps could diverge independently. */
   private[graft] def postingMassStats(s: SparkSession, dir: String,
       maxDf: Int = 20, winnowK: Int = 16, winnowW: Int = 6,
-      winnowDfCap: Int = 20): DataFrame = {
+      winnowDfCap: Int = 20, dgOpt: Option[DataFrame] = None): DataFrame = {
     // gram space (q171/q194): distinct-doc df per trigram
-    val dg = shingleRows(Tables.documents(s, dir), 3).distinct().ckpt
+    val dg = dgOpt.getOrElse(gramFrame(s, dir))
     val gUnits = dg.select(col("doc_id")).distinct()
       .agg(count(lit(1)).as("n_units"))
     val gStats = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
