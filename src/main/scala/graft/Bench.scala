@@ -111,7 +111,14 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
     val failedJson = failedNames.toSeq
       .map("\"" + _.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
-    val fullLine = f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","cold":$coldTotal%.2f,"stage":$stageSec%.2f,"passes":$passTotals,"failed":$failedJson,"method":"toRdd.count median-of-3 after warmup; memoized chain queries report cold time","queries":${qsShortAll.mkString("{", ",", "}")}}"""
+    // memo_consumers (ADVICE r18): queries whose warm medians exclude
+    // ChainCache-memoized upstream work owned by another query (chain
+    // passes, similarity trainings) — their entries measure serve-time
+    // cost only, so cross-round and paired readers must not compare
+    // them against pre-memo rounds as if the semantics were unchanged
+    val memoConsumersJson = Registry.memoConsumerNames.toSeq.sorted
+      .map("\"" + _.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
+    val fullLine = f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","cold":$coldTotal%.2f,"stage":$stageSec%.2f,"passes":$passTotals,"failed":$failedJson,"memo_consumers":$memoConsumersJson,"method":"toRdd.count median-of-3 after warmup; memoized owners report cold time; memo_consumers' warm medians exclude memoized upstream work","queries":${qsShortAll.mkString("{", ",", "}")}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_last_full.json"),
       fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -87,15 +87,21 @@ object Registry {
     // never edited, times pure environment drift on the pair-mass shape
     Q("qc1_control_pairs", (s, d) => BenchControls.controlPairs(s, d)))
 
-  /** Queries whose OUTPUT ChainCache memoizes per (session, dir): their
-    * warm bench passes would time a cached-block scan, not the query, so
+  /** Queries that OWN a ChainCache-memoized pass (chain outputs or
+    * similarity trainings): their warm bench passes would time a
+    * cached-block scan / a pre-trained serve path, not the query, so
     * Bench reports their COLD (first-execution-in-session) time instead
     * of the warm median — the honest number for a deterministic pass
-    * that a real pipeline materializes once. Keep in lockstep with the
-    * ChainCache.memo call sites. */
-  val memoizedNames: Set[String] = Set(
-    "q283_import_capstone", "q287_tier_price_import",
-    "q288_attr_value_import", "q289_attr_combination_import")
+    * that a real pipeline materializes once. DERIVED from the cache's
+    * own registration map, which `ChainCache.memo` enforces at every
+    * call site — the set and the call sites cannot drift apart
+    * (ADVICE r18). */
+  def memoizedNames: Set[String] = etl.ChainCache.ownerQueryNames
+
+  /** Queries whose warm medians exclude memoized upstream work they
+    * consume but don't own — reported in the bench artifact as
+    * `memo_consumers` (ADVICE r18). */
+  def memoConsumerNames: Set[String] = etl.ChainCache.consumerQueryNames
 
   /** SPARK_GRAFT_ONLY selector, shared by Bench and Verify: a token
     * matches on the query-id boundary (`q10` selects `q10_segment_facet`

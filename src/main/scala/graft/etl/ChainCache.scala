@@ -2,28 +2,93 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Once-per-(session, source dir) memo for import-chain pass OUTPUTS
-  * (d18, verdict r17 task 6). Five registered queries re-execute
-  * overlapping pass work each gate/bench run — q283 builds the product
-  * pass, q293 re-derives the related passes' resolutions, q294 runs the
-  * ENTIRE chain to tally one row. The pass outputs are deterministic per
-  * (session, source dir) — the same immutable-inputs argument as
-  * [[SheetStage]], applied one level up — so the first call materializes
-  * (via [[graft.Ckpt]]: localCheckpoint, or reliable checkpoint under
-  * the reliable-mode gate) and later calls reuse the pinned result. The
-  * oracles are NOT weakened: every query still hash-gates its own
-  * output; the memo only stops the chain re-running upstream passes.
+/** Once-per-(session, source dir) memo for deterministic pass OUTPUTS
+  * (d18, verdict r17 task 6; extended to similarity trainings in d19,
+  * verdict r18 task 2). Registered queries re-execute overlapping
+  * upstream work each gate/bench run — the import chain's sheet passes
+  * (q283 builds the product pass, q293 re-derives the related passes'
+  * resolutions, q294 runs the ENTIRE chain to tally one row) and the
+  * similarity family's k-means/IVF/PQ trainings (q137/q138/q140/q144/
+  * q153/q156/q242/q252 each trained their own centroids per query: the
+  * vector-index deployment shape is train once, serve many). The pass
+  * outputs are deterministic per (session, source dir) — the same
+  * immutable-inputs argument as [[SheetStage]], applied one level up —
+  * so the first call materializes (via [[graft.Ckpt]]: localCheckpoint,
+  * or reliable checkpoint under the reliable-mode gate) and later calls
+  * reuse the pinned result. The oracles are NOT weakened: every query
+  * still hash-gates its own output; the memo only stops re-running
+  * upstream passes.
   *
   * Keying mirrors `Tables.relations`: session UUID (identity fallback),
-  * stopped sessions pruned on access, hard cap resets under churn. The
-  * dir key is canonical, so basename-colliding source dirs never share
-  * an entry (the SheetStage.dirFor discipline). */
+  * stopped sessions pruned on access, oldest-first eviction under
+  * churn. The dir key is canonical, so basename-colliding source dirs
+  * never share an entry (the SheetStage.dirFor discipline). */
 private[graft] object ChainCache {
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    String,
-    (SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame])]()
+  /** memo pass name → the bench query that OWNS its cold cost (the
+    * first consumer in bench order pays the materialization; Bench
+    * reports that query's cold first-in-session time). Declared here,
+    * next to the memo machinery, and ENFORCED — `memo` rejects
+    * unregistered names — so a new call site must edit THIS map and
+    * `Registry.memoizedNames` (derived from it) can no longer drift
+    * from the call sites (ADVICE r18). */
+  val passOwner: Map[String, String] = Map(
+    "q283_capstone" -> "q283_import_capstone",
+    "q287_tier" -> "q287_tier_price_import",
+    "q288_av" -> "q288_attr_value_import",
+    "q289_combo" -> "q289_attr_combination_import",
+    // similarity trainings (d19): trained centroids/codebooks are
+    // deterministic per (canonical dir, input slice, k, iters)
+    "sim_kmeans_corpus_k8_i2" -> "q137_kmeans_train",
+    "sim_kmeans_corpus_scaled_i2" -> "q144_semantic_dedup",
+    "sim_kmeans_base_k8_i2" -> "q242_incremental_ivf",
+    "sim_pq_book_m2_k4_i2_s0" -> "q153_pq_search",
+    "sim_pq_book_m2_k4_i2_s1" -> "q153_pq_search",
+    "sim_kmeans_hotcell_k2_i1" -> "q252_ivf_rebalance")
+
+  /** Queries that report COLD bench times: every distinct owner above.
+    * `Registry.memoizedNames` IS this set. */
+  def ownerQueryNames: Set[String] = passOwner.values.toSet
+
+  /** Queries whose WARM bench medians exclude memoized upstream work
+    * (they consume a pass a DIFFERENT query owns, so their warm number
+    * measures serve-time cost only — assignment/scoring/top-k, not
+    * training; chain consumers measure their own tally/rollup, not the
+    * sheet passes). Recorded in the bench artifact as `memo_consumers`
+    * so cross-round and paired-comparator readers can account for the
+    * changed meaning of these entries (ADVICE r18). q252 consumes the
+    * corpus training too but is listed only as an owner — it reports
+    * cold, so the warm-median caveat doesn't apply to it. */
+  val consumerQueryNames: Set[String] = Set(
+    "q293_import_error_rollup", "q294_import_completion_email",
+    "q296_sync_mapping_import", "q297_import_slug_pass",
+    "q138_ivf_trained", "q140_embedding_outliers",
+    "q144f_semantic_dedup_fixedk", "q156_ivfpq_search")
+
+  /** Pass names currently pinned for a session — exposed so the spec
+    * can assert the call sites and `passOwner` agree (every cached key
+    * is registered, and driving each owner query populates its declared
+    * pass names). */
+  def cachedPassNames(s: SparkSession): Set[String] = {
+    val e = cache.get(sessionKey(s))
+    if (e == null) Set.empty
+    else {
+      val it = e.passes.keySet().iterator()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next()._2
+      b.result()
+    }
+  }
+
+  private final class Entry(
+      val session: SparkSession,
+      val passes: java.util.concurrent.ConcurrentHashMap[
+        (String, String), DataFrame],
+      val seq: Long)
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+  private val seqGen = new java.util.concurrent.atomic.AtomicLong()
 
   private def sessionKey(spark: SparkSession): String =
     org.apache.spark.sql.GraftBridge.sessionUUID(spark)
@@ -31,16 +96,35 @@ private[graft] object ChainCache {
 
   private val MaxSessions = 32
 
-  private def prune(): Unit = {
+  /** Evict stopped sessions eagerly; at the cap evict OLDEST entries
+    * first (insertion order), never the whole map — clear() dropped
+    * live sessions' pinned frames and forced them to re-materialize
+    * mid-run (ADVICE r18). Stopped sessions' pinned blocks thus release
+    * on the next memo call from any session. */
+  private def prune(current: String): Unit = {
     val it = cache.entrySet().iterator()
     while (it.hasNext) {
-      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+      if (it.next().getValue.session.sparkContext.isStopped) it.remove()
     }
-    if (cache.size > MaxSessions) cache.clear()
+    while (cache.size > MaxSessions) {
+      var oldestKey: String = null
+      var oldestSeq = Long.MaxValue
+      val it2 = cache.entrySet().iterator()
+      while (it2.hasNext) {
+        val e = it2.next()
+        if (e.getKey != current && e.getValue.seq < oldestSeq) {
+          oldestSeq = e.getValue.seq
+          oldestKey = e.getKey
+        }
+      }
+      if (oldestKey == null) return // only the current session remains
+      cache.remove(oldestKey)
+    }
   }
 
   /** First call per (session, canonical dir, name) materializes `build`
-    * with Ckpt; later calls return the pinned frame.
+    * with Ckpt; later calls return the pinned frame. `name` must be
+    * registered in [[passOwner]].
     *
     * NOT computeIfAbsent for the build: memoized passes nest (the slug
     * pass builds the capstone, which is itself memoized on the SAME
@@ -51,17 +135,21 @@ private[graft] object ChainCache {
     * wins) and the harness drives a session single-threaded anyway. */
   def memo(s: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
-    if (cache.size > 4) prune()
-    val (_, perSession) = cache.computeIfAbsent(
-      sessionKey(s),
-      _ => (s, new java.util.concurrent.ConcurrentHashMap[
-        (String, String), DataFrame]()))
+    require(passOwner.contains(name),
+      s"unregistered ChainCache pass '$name' — add it to " +
+        "ChainCache.passOwner with its owning bench query")
+    val sk = sessionKey(s)
+    if (cache.size > 4) prune(sk)
+    val entry = cache.computeIfAbsent(
+      sk,
+      _ => new Entry(s, new java.util.concurrent.ConcurrentHashMap[
+        (String, String), DataFrame](), seqGen.incrementAndGet()))
     val key = (new java.io.File(dir).getCanonicalPath, name)
-    val hit = perSession.get(key)
+    val hit = entry.passes.get(key)
     if (hit != null) hit
     else {
       val built = graft.Ckpt(build)
-      val prev = perSession.putIfAbsent(key, built)
+      val prev = entry.passes.putIfAbsent(key, built)
       if (prev != null) prev else built
     }
   }

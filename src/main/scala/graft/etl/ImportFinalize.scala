@@ -604,7 +604,20 @@ object ImportFinalize {
     * colliding candidates suffix `-rank`, second-round survivors
     * re-suffix with the (unique) entity key. Package-visible so
     * ImportFinalizeSpec can drive it with synthetic colliding frames
-    * (the chain fixture provably never collides). */
+    * (the chain fixture provably never collides).
+    *
+    * BOUNDED-ROUNDS TRADE (ADVICE r18, same as documented at q73): the
+    * reference's `ValidateSlug` loops until unique; this helper stops
+    * after two deterministic window rounds, so a round-2 re-suffixed
+    * slug `cand-n-entity` can still collide with a registry slug that
+    * is ALREADY spelled exactly `cand-n-entity`. Unbounded loops don't
+    * express as a fixed declarative plan (each round is a full shuffle
+    * over the slug column — a data-dependent iteration count at 100 TB
+    * is an unbounded job chain); the entity key is unique among
+    * candidates, so round 2 is collision-free UNLESS the registry
+    * pre-contains the exact suffixed spelling — a fixture-level
+    * pathology callers must not feed (ImportFinalizeSpec pins both the
+    * resolved case and this documented residual). */
   private[graft] def validateSlugs(registry: DataFrame,
       cand: DataFrame): DataFrame = {
     val all = registry.select(lit(0).as("pri"), col("entity"),

@@ -751,7 +751,20 @@ object Graph {
     * the old `greatest(minSupport, null)` plan semantics. */
   private def derivedFloorOf(obs: org.apache.spark.sql.Observation,
       minSupport: Int): Long = {
-    val m = obs.get
+    // Bounded wait, not get(): get() blocks FOREVER if the observed
+    // plan's action never fired, turning a broken Ckpt-eager invariant
+    // into an indefinite hang instead of an error (ADVICE r18). The
+    // action ran during the eager ckpt of the observed frame; the
+    // listener delivering the metrics is async, so poll getOrEmpty
+    // (each call waits ≤100 ms) up to a generous deadline, then fail
+    // loudly.
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    def read() = org.apache.spark.sql.GraftBridge.observedOrEmpty(obs)
+    var m = read()
+    while (m.isEmpty && System.nanoTime() < deadline) m = read()
+    require(m.nonEmpty,
+      "pair-floor observation did not fire within 30s: the observed " +
+        "frame must be eagerly materialized (Ckpt) before derivedFloorOf")
     val sMass = Option(m.getOrElse("s_mass", null))
       .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
     val sKeys = Option(m.getOrElse("s_keys", null))

@@ -21,6 +21,15 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Ann {
 
+  /** Hook for memoizing trained codebooks/centroids across queries in
+    * one session (d19, verdict r18 task 2): `(passName, build) =>
+    * frame`. The default trains fresh. `SimilarityQueries` passes a
+    * ChainCache-backed memo — callers may do so ONLY when the training
+    * input is the canonical corpus slice the pass name declares (the
+    * name, not the frame, is the cache key). */
+  type BookMemo = (String, () => DataFrame) => DataFrame
+  val freshBooks: BookMemo = (_, b) => b()
+
   /** Elementwise dot product — one primitive loop (custom expression;
     * the zip_with + fold composition is CodegenFallback and interpreted,
     * which dominates pair-scoring; values identical: same element order,
@@ -371,14 +380,15 @@ object Ann {
     * LUT = (query_id, \_\_code, \_\_d) query·codeword dots (|Q|·k rows,
     * broadcast-sized by construction). */
   private def pqParts(vectors: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, dim: Int, m: Int, k: Int,
-      iters: Int): Seq[(DataFrame, DataFrame)] = {
+      vecCol: String, dim: Int, m: Int, k: Int, iters: Int,
+      memo: BookMemo = freshBooks): Seq[(DataFrame, DataFrame)] = {
     require(m > 0 && dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
     (0 until m).map { mi =>
       val sv = vectors.select(col(idCol).as("__vid"),
         slice(col(vecCol), mi * sub + 1, sub).as("__sv"))
-      val book = kmeansTrain(sv, "__vid", "__sv", k, iters)
+      val book = memo(s"sim_pq_book_m${m}_k${k}_i${iters}_s$mi",
+          () => kmeansTrain(sv, "__vid", "__sv", k, iters))
         .select(col("cent_id"), col("centroid").as("__cv"))
       val codes = sv.join(broadcast(book))
         .withColumn("__cc", round(cosine(col("__sv"), col("__cv")), 4))
@@ -409,8 +419,9 @@ object Ann {
 
   def pqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, m: Int = 2, k: Int = 4, iters: Int = 2,
-      topk: Int = 10): DataFrame = {
-    val parts = pqParts(vectors, queries, idCol, vecCol, dim, m, k, iters)
+      topk: Int = 10, memo: BookMemo = freshBooks): DataFrame = {
+    val parts = pqParts(vectors, queries, idCol, vecCol, dim, m, k, iters,
+      memo)
       .zipWithIndex.map { case ((codes, lut), mi) =>
         codes.join(broadcast(lut), Seq("__code"))
           .select(col("__vid"), col("query_id"), col("__d").as(s"__d$mi"))
@@ -433,8 +444,12 @@ object Ann {
     * nothing quadratic, nothing corpus-wide-windowed. */
   def ivfPqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, m: Int = 2, k: Int = 4, iters: Int = 2,
-      nlist: Int = 8, nprobe: Int = 3, topk: Int = 10): DataFrame = {
-    val coarse = kmeansTrain(vectors, idCol, vecCol, nlist, iters)
+      nlist: Int = 8, nprobe: Int = 3, topk: Int = 10,
+      memo: BookMemo = freshBooks): DataFrame = {
+    // the coarse quantizer shares q137's training when memoized — the
+    // pass name asserts the input is the full canonical corpus
+    val coarse = memo(s"sim_kmeans_corpus_k${nlist}_i$iters",
+        () => kmeansTrain(vectors, idCol, vecCol, nlist, iters))
       .select(col("cent_id"), col("centroid").as("__cv"))
     val cells = ivfAssign(vectors, idCol, vecCol, coarse)
       .select(col(idCol).as("__vid"), col("__cell"))
@@ -449,7 +464,8 @@ object Ann {
       .select(col("query_id"), col("cent_id").as("__cell"))
     val cand = cells.join(broadcast(qcells), Seq("__cell"))
       .select(col("__vid"), col("query_id"))
-    val parts = pqParts(vectors, queries, idCol, vecCol, dim, m, k, iters)
+    val parts = pqParts(vectors, queries, idCol, vecCol, dim, m, k, iters,
+      memo)
     val scored = parts.zipWithIndex.foldLeft(cand) {
       case (acc, ((codes, lut), mi)) =>
         acc.join(codes.withColumnRenamed("__code", s"__c$mi"), Seq("__vid"))

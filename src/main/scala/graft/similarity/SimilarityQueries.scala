@@ -8,6 +8,33 @@ import org.apache.spark.sql.functions._
 /** Embedding similarity-search queries over the embeddings table. */
 object SimilarityQueries {
 
+  /** ChainCache-backed training memo (d19, verdict r18 task 2): the
+    * family's eight trained-centroid queries each re-ran their own
+    * Lloyd's iterations per query per session; a vector-index deployment
+    * trains once and serves many, so trained books are pinned per
+    * (session, canonical dir, pass name). Every pass name below is
+    * registered in `ChainCache.passOwner`; oracles are unchanged — the
+    * memo only stops re-training, each query still hash-gates its full
+    * output. Bench reports COLD times for owners and lists warm-median
+    * consumers in `memo_consumers`. */
+  private def bookMemo(s: SparkSession, dir: String): Ann.BookMemo =
+    (name, build) => graft.etl.ChainCache.memo(s, dir, name)(build())
+
+  /** The corpus-wide k-means training (q137's gear, shared by q138/
+    * q140/q144f/q156/q252 and, when k resolves to 8, q144). The pass
+    * name keys on the hyperparams: the scaled-k form (q144's corpus-
+    * derived k ≠ 8) pins under its own name — k is a pure function of
+    * the dir's corpus size, so one name per dir suffices. */
+  private def trainedCorpus(s: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val name =
+      if (k == 8 && iters == 2) "sim_kmeans_corpus_k8_i2"
+      else "sim_kmeans_corpus_scaled_i2"
+    graft.etl.ChainCache.memo(s, dir, name)(
+      Ann.kmeansTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k, iters))
+  }
+
   /** Exact cosine top-10 for query vectors 0/1/2, DuckDB-oracle checked
     * (list_cosine_similarity over double lists folds in the same element
     * order, and both sides rank by the 4dp-rounded score).
@@ -452,8 +479,7 @@ object SimilarityQueries {
     * hash. Both engines floor identical doubles (the mean divides exact
     * integer sums), so no rounding-boundary drift. */
   def kmeansCentroids(s: SparkSession, dir: String): DataFrame =
-    Ann.kmeansTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
-        k = 8, iters = 2)
+    trainedCorpus(s, dir)
       .select(col("cent_id"), posexplode(col("centroid")).as(Seq("pos", "m")))
       .select(col("cent_id"), col("pos"),
         floor(col("m") * 1000000d + 0.5d).cast("long").as("val_micro"))
@@ -501,7 +527,8 @@ object SimilarityQueries {
     val e = Tables.embeddings(s, dir)
     val base = e.filter(col("vec_id") % 10 =!= 0)
     val delta = e.filter(col("vec_id") % 10 === 0)
-    val cents = Ann.kmeansTrain(base, "vec_id", "embedding", k = 8, iters = 2)
+    val cents = graft.etl.ChainCache.memo(s, dir, "sim_kmeans_base_k8_i2")(
+        Ann.kmeansTrain(base, "vec_id", "embedding", k = 8, iters = 2))
       .select(col("cent_id"), col("centroid").as("__cv"))
     def occupancy(df: DataFrame, n: String) =
       Ann.ivfAssign(df, "vec_id", "embedding", cents)
@@ -579,7 +606,7 @@ object SimilarityQueries {
     * the index twin of the q114 salted-agg remediation. */
   def ivfRebalance(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val cents = Ann.kmeansTrain(e, "vec_id", "embedding", k = 8, iters = 2)
+    val cents = trainedCorpus(s, dir)
       .select(col("cent_id"), col("centroid").as("__cv"))
     val assigned = Ann.ivfAssign(e, "vec_id", "embedding", cents)
       .ckpt // consumers: occupancy histogram + hot-cell vector filter
@@ -590,7 +617,8 @@ object SimilarityQueries {
     val hotVecs = assigned
       .join(broadcast(hot), col("__cell") === col("hot_cell"))
       .select(col("vec_id"), col("embedding"))
-    val sub = Ann.kmeansTrain(hotVecs, "vec_id", "embedding", k = 2, iters = 1)
+    val sub = graft.etl.ChainCache.memo(s, dir, "sim_kmeans_hotcell_k2_i1")(
+        Ann.kmeansTrain(hotVecs, "vec_id", "embedding", k = 2, iters = 1))
       .select(col("cent_id"), col("centroid").as("__cv"))
     val split = Ann.ivfAssign(hotVecs, "vec_id", "embedding", sub)
       .groupBy(col("__cell")).agg(count(lit(1)).as("n"))
@@ -664,7 +692,7 @@ object SimilarityQueries {
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val k = math.max(8L, e.count() / 250L).toInt
-    val cents = Ann.kmeansTrain(e, "vec_id", "embedding", k = k, iters = 2)
+    val cents = trainedCorpus(s, dir, k = k)
     Ann.semanticDupVerdicts(e, "vec_id", "embedding", cents, minCos = 0.35)
       .orderBy(col("vec_id"))
   }
@@ -677,7 +705,7 @@ object SimilarityQueries {
     * outpaces q144's). */
   def semanticDedupFixedK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val cents = Ann.kmeansTrain(e, "vec_id", "embedding", k = 8, iters = 2)
+    val cents = trainedCorpus(s, dir)
     Ann.semanticDupVerdicts(e, "vec_id", "embedding", cents, minCos = 0.35)
   }
 
@@ -889,7 +917,7 @@ object SimilarityQueries {
     * isolation; q85 checks IVF over the deterministic seed centroids). */
   def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val cents = Ann.kmeansTrain(e, "vec_id", "embedding", k = 8, iters = 2)
+    val cents = trainedCorpus(s, dir)
     Ann.ivfTopKWith(cents, e, e.filter(col("vec_id") < 3).limit(3),
       "vec_id", "embedding", k = 10, nprobe = 3)
   }
@@ -941,7 +969,7 @@ object SimilarityQueries {
     val e = Tables.embeddings(s, dir)
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     Ann.pqTopK(e, e.filter(col("vec_id") < 3).limit(3), "vec_id", "embedding",
-      dim, m = 2, k = 4, iters = 2, topk = 10)
+      dim, m = 2, k = 4, iters = 2, topk = 10, memo = bookMemo(s, dir))
   }
 
   /** Shared q153/q156 oracle fragment: subspace views, both codebook
@@ -1042,7 +1070,8 @@ object SimilarityQueries {
     val e = Tables.embeddings(s, dir)
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     Ann.ivfPqTopK(e, e.filter(col("vec_id") < 3).limit(3), "vec_id", "embedding",
-      dim, m = 2, k = 4, iters = 2, nlist = 8, nprobe = 3, topk = 10)
+      dim, m = 2, k = 4, iters = 2, nlist = 8, nprobe = 3, topk = 10,
+      memo = bookMemo(s, dir))
   }
 
   /** Embedding-space outlier detection (q140): assign every vector to
@@ -1056,7 +1085,7 @@ object SimilarityQueries {
     * broadcast; one narrow corpus pass. */
   def embeddingOutliers(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val cents = Ann.kmeansTrain(e, "vec_id", "embedding", k = 8, iters = 2)
+    val cents = trainedCorpus(s, dir)
       .select(col("cent_id"), col("centroid").as("__cv"))
     // map-side argmax (the ivfAssign shape): the one shuffle carries |V|
     // pre-reduced rows, never the |V|×k exploded frame
