@@ -262,7 +262,209 @@ object FilterQueries {
         col("mime_type"), col("pixel_size"))
   }
 
+  // ------------------------------------------------------------------
+  // q298: F2 long-tail ApplyXxxFilter battery (verdict r18 task 3)
+  // ------------------------------------------------------------------
+
+  /** Deterministic Customer-entity profile frame derived from `customer`
+    * (the q135 mediaFiles discipline: every column reproducible in
+    * DuckDB). birth_date is NULL on a residue class so the date-part
+    * filter's null-propagation is exercised. */
+  private[operators] def customerProfiles(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey").as("id"),
+      when(col("c_custkey") % 23 === 0, lit(null).cast("date"))
+        .otherwise(date_add(to_date(lit("1940-01-01")),
+          (col("c_custkey") * 37 % 20000).cast("int"))).as("birth_date"),
+      (col("c_custkey") % 3).cast("int").as("password_format_id"))
+
+  /** GenericAttributes EAV analog from `events`: (entity_id, key, value)
+    * with the customer key-group's Phone/ZipPostalCode keys on disjoint
+    * event-type classes. */
+  private[operators] def genericAttrs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("user_id").as("entity_id"),
+      when(col("event_type") === "view", "Phone")
+        .when(col("event_type") === "click", "ZipPostalCode")
+        .otherwise("Other").as("attr_key"),
+      floor(col("value") * 100).cast("long").cast("string").as("attr_value"))
+
+  /** GiftCard entity analog from `orders`: activation flag, coupon code,
+    * nullable purchased-order reference. */
+  private[operators] def giftCards(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey").as("id"),
+      col("o_orderdate").cast("timestamp").as("created_on"),
+      (col("o_orderstatus") === "O").as("activated"),
+      concat(lit("GC-"), (col("o_orderkey") % 97).cast("string")).as("coupon_code"),
+      when(col("o_orderkey") % 11 === 0, lit(null).cast("long"))
+        .otherwise(col("o_orderkey") % 500).as("purchased_order_id"))
+
+  /** QueuedEmail entity analog from `events`: errors never sent. */
+  private[operators] def queuedEmails(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id").as("id"),
+      col("ts").as("created_on"),
+      when(col("event_type") === "error", lit(null).cast("timestamp"))
+        .otherwise(col("ts")).as("sent_on"),
+      concat(lit("noreply@store"), (col("user_id") % 5).cast("string"),
+        lit(".com")).as("efrom"),
+      concat(lit("user"), col("user_id").cast("string"),
+        lit("@mail.com")).as("eto"))
+
+  /** Log entity analog from `events`: leveled, logger-named, two message
+    * columns. */
+  private[operators] def logRows(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id").as("id"),
+      col("ts").as("created_on"),
+      when(col("event_type") === "error", 4)
+        .when(col("event_type") === "purchase", 3)
+        .when(col("event_type") === "signup", 2)
+        .when(col("event_type") === "click", 1)
+        .otherwise(0).cast("int").as("log_level_id"),
+      concat(lit("Smartstore."), col("event_type")).as("logger"),
+      concat(col("event_type"), lit(" #"), col("event_id").cast("string"))
+        .as("short_message"),
+      col("props").as("full_message"))
+
+  private def tsOf(v: String) = Some(java.sql.Timestamp.valueOf(v))
+
+  /** F2 long-tail battery (q298): the named ApplyXxxFilter variants the
+    * round-18 verdict listed as unrepresented, each driven through its
+    * `DomainFilters` builder and emitting (scenario, id) rows so the
+    * oracle value-checks every builder's exact row set —
+    * `ApplyBirthDateFilter` (date parts, incl. the null-date class),
+    * `ApplyPasswordFormatFilter` (enum code), `ApplyZipPostalCodeFilter`
+    * / `ApplyPhoneFilter` (EAV contains → semi-join,
+    * CustomerQueryExtensions.cs:93-246), gift-card standard/coupon/order
+    * filters (GiftCardQueryExtensions.cs:16-75), queued-email address +
+    * unsent-only time filter (QueuedEmailQueryExtensions.cs:8-41), and
+    * log level/date/message filters (LogQueryExtensions.cs:7-57).
+    * Compositions mirror the reference call sites (standard+time,
+    * address from AND to, level+date); every predicate is declarative so
+    * the whole conjunction pushes into the scans. */
+  def customerFilterBattery(s: SparkSession, dir: String): DataFrame = {
+    import DomainFilters._
+    val profiles = customerProfiles(s, dir)
+    val attrs = genericAttrs(s, dir)
+    val gc = giftCards(s, dir)
+    val em = queuedEmails(s, dir)
+    val lg = logRows(s, dir)
+    def rows(label: String, df: DataFrame) =
+      df.select(lit(label).as("scenario"), col("id"))
+    rows("bd_aug15",
+        applyDatePartsFilter(profiles, "birth_date", None, Some(8), Some(15)))
+      .unionByName(rows("bd_1950",
+        applyDatePartsFilter(profiles, "birth_date", Some(1950), None, None)))
+      .unionByName(rows("pwd_fmt1",
+        applyCodeFilter(profiles, "password_format_id", Some(1))))
+      .unionByName(rows("zip_42",
+        applyAttributeFilter(profiles, "id", attrs, "entity_id",
+          "attr_key", "ZipPostalCode", "attr_value", "42")))
+      .unionByName(rows("phone_55",
+        applyAttributeFilter(profiles, "id", attrs, "entity_id",
+          "attr_key", "Phone", "attr_value", "55")))
+      .unionByName(rows("gc_active94",
+        applyDateRange(applyFlagFilter(gc, "activated"), "created_on",
+          tsOf("1994-01-01 00:00:00"), tsOf("1994-12-31 23:59:59"))))
+      .unionByName(rows("gc_coupon",
+        applyInFilter(gc, "coupon_code", Seq("GC-7", "GC-42"))))
+      .unionByName(rows("gc_orders",
+        applyNullableIdsFilter(gc, "purchased_order_id", Seq(7L, 21L, 33L))))
+      .unionByName(rows("em_unsent",
+        applyDateRange(applyNullnessFilter(em, "sent_on", onlyNull = true),
+          "created_on", tsOf("2024-01-25 00:00:00"), None)))
+      .unionByName(rows("em_addr",
+        applySubstring(applySubstring(em, "store3", "efrom"),
+          "7@mail", "eto")))
+      .unionByName(rows("log_err",
+        applyDateRange(applyCodeFilter(lg, "log_level_id", Some(4)),
+          "created_on", tsOf("2024-01-25 00:00:00"), None)))
+      .unionByName(rows("log_msg",
+        applySubstring(lg, "\"k\": 7", "short_message", "full_message")))
+      .orderBy(col("scenario"), col("id"))
+  }
+
+  private val customerFilterOracle: String =
+    """WITH profiles AS (
+      |  SELECT c_custkey AS id,
+      |         CASE WHEN c_custkey % 23 = 0 THEN NULL
+      |              ELSE DATE '1940-01-01'
+      |                   + CAST(c_custkey * 37 % 20000 AS INT) END AS birth_date,
+      |         CAST(c_custkey % 3 AS INT) AS password_format_id
+      |  FROM customer),
+      |attrs AS (
+      |  SELECT user_id AS entity_id,
+      |         CASE WHEN event_type = 'view' THEN 'Phone'
+      |              WHEN event_type = 'click' THEN 'ZipPostalCode'
+      |              ELSE 'Other' END AS attr_key,
+      |         CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) AS attr_value
+      |  FROM events),
+      |gc AS (
+      |  SELECT o_orderkey AS id, CAST(o_orderdate AS TIMESTAMP) AS created_on,
+      |         o_orderstatus = 'O' AS activated,
+      |         'GC-' || CAST(o_orderkey % 97 AS VARCHAR) AS coupon_code,
+      |         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+      |              ELSE o_orderkey % 500 END AS purchased_order_id
+      |  FROM orders),
+      |em AS (
+      |  SELECT event_id AS id, ts AS created_on,
+      |         CASE WHEN event_type = 'error' THEN NULL ELSE ts END AS sent_on,
+      |         'noreply@store' || CAST(user_id % 5 AS VARCHAR) || '.com' AS efrom,
+      |         'user' || CAST(user_id AS VARCHAR) || '@mail.com' AS eto
+      |  FROM events),
+      |lg AS (
+      |  SELECT event_id AS id, ts AS created_on,
+      |         CASE event_type WHEN 'error' THEN 4 WHEN 'purchase' THEN 3
+      |              WHEN 'signup' THEN 2 WHEN 'click' THEN 1
+      |              ELSE 0 END AS log_level_id,
+      |         'Smartstore.' || event_type AS logger,
+      |         event_type || ' #' || CAST(event_id AS VARCHAR) AS short_message,
+      |         props AS full_message
+      |  FROM events)
+      |SELECT 'bd_aug15' AS scenario, id FROM profiles
+      |WHERE day(birth_date) = 15 AND month(birth_date) = 8
+      |UNION ALL
+      |SELECT 'bd_1950', id FROM profiles WHERE year(birth_date) = 1950
+      |UNION ALL
+      |SELECT 'pwd_fmt1', id FROM profiles WHERE password_format_id = 1
+      |UNION ALL
+      |SELECT 'zip_42', id FROM profiles p
+      |WHERE EXISTS (SELECT 1 FROM attrs a WHERE a.entity_id = p.id
+      |              AND a.attr_key = 'ZipPostalCode'
+      |              AND a.attr_value LIKE '%42%')
+      |UNION ALL
+      |SELECT 'phone_55', id FROM profiles p
+      |WHERE EXISTS (SELECT 1 FROM attrs a WHERE a.entity_id = p.id
+      |              AND a.attr_key = 'Phone' AND a.attr_value LIKE '%55%')
+      |UNION ALL
+      |SELECT 'gc_active94', id FROM gc
+      |WHERE activated AND created_on >= TIMESTAMP '1994-01-01 00:00:00'
+      |  AND created_on <= TIMESTAMP '1994-12-31 23:59:59'
+      |UNION ALL
+      |SELECT 'gc_coupon', id FROM gc WHERE coupon_code IN ('GC-7', 'GC-42')
+      |UNION ALL
+      |SELECT 'gc_orders', id FROM gc
+      |WHERE purchased_order_id IS NOT NULL AND purchased_order_id IN (7, 21, 33)
+      |UNION ALL
+      |SELECT 'em_unsent', id FROM em
+      |WHERE sent_on IS NULL AND created_on >= TIMESTAMP '2024-01-25 00:00:00'
+      |UNION ALL
+      |SELECT 'em_addr', id FROM em
+      |WHERE lower(efrom) LIKE '%store3%' AND lower(eto) LIKE '%7@mail%'
+      |UNION ALL
+      |SELECT 'log_err', id FROM lg
+      |WHERE log_level_id = 4 AND created_on >= TIMESTAMP '2024-01-25 00:00:00'
+      |UNION ALL
+      |SELECT 'log_msg', id FROM lg
+      |WHERE lower(short_message) LIKE '%"k": 7%'
+      |   OR lower(full_message) LIKE '%"k": 7%'
+      |ORDER BY scenario, id""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("q298_customer_filter_battery", (s, d) => customerFilterBattery(s, d),
+      Some(customerFilterOracle)),
     Q("q135_media_search", (s, d) => mediaSearchBattery(s, d), Some(
       """WITH RECURSIVE folders(id, parent_id) AS (
         |  SELECT * FROM (VALUES (1, NULL), (2, 1), (3, 1), (4, 2),

@@ -81,6 +81,72 @@ object DomainFilters {
     * untouched; restricted rows semi-join the mapping table. The mapping
     * side is a key projection only, so the semi-join shuffles (or
     * broadcasts) just the keys. */
+  /** Date-part equality filter — `ApplyBirthDateFilter`
+    * (CustomerQueryExtensions.cs:93-113): each provided part (year /
+    * month / day-of-month) ANDs an equality on that part; null parts are
+    * skipped. A NULL date fails every provided part (EF's
+    * `BirthDate.Value.Day == day` null-propagates to false; Spark's
+    * `month(NULL) === m` is NULL → filtered) — same row set. */
+  def applyDatePartsFilter(df: DataFrame, column: String, year: Option[Int],
+      month: Option[Int], day: Option[Int]): DataFrame = {
+    import org.apache.spark.sql.functions.{dayofmonth, month => monthOf, year => yearOf}
+    val preds = Seq(
+      day.map(d => dayofmonth(col(column)) === d),
+      month.map(m => monthOf(col(column)) === m),
+      year.map(y => yearOf(col(column)) === y)).flatten
+    preds.foldLeft(df)(_ filter _)
+  }
+
+  /** Enum-code equality, no-op when unset — `ApplyPasswordFormatFilter`
+    * (CustomerQueryExtensions.cs:200-207) / `ApplyLevelFilter`
+    * (LogQueryExtensions.cs:21-33): the enum is persisted as an int
+    * column and filtering is plain equality on the code. */
+  def applyCodeFilter(df: DataFrame, column: String,
+      code: Option[Int]): DataFrame =
+    code.map(c => df.filter(col(column) === c)).getOrElse(df)
+
+  /** EAV attribute filter — `ApplyZipPostalCodeFilter` /
+    * `ApplyPhoneFilter` (CustomerQueryExtensions.cs:209-246): the
+    * attribute side table filters on (key, value contains term), projects
+    * entity ids, and the main entity semi-joins them (the reference joins
+    * GenericAttributes and selects the customer back — a semi-join in
+    * relational terms, and the shape that scales: the key+term predicate
+    * pushes into the attribute scan, and only ids cross the join). */
+  def applyAttributeFilter(df: DataFrame, dfKey: String, attrs: DataFrame,
+      entityCol: String, keyCol: String, keyName: String,
+      valueCol: String, term: String): DataFrame =
+    df.join(
+      attrs.filter(col(keyCol) === keyName &&
+          lower(col(valueCol)).contains(term.toLowerCase))
+        .select(col(entityCol)),
+      col(dfKey) === col(entityCol), "left_semi")
+
+  /** Nullness gate — the `unsentOnly` arm of `QueuedEmailQueryExtensions
+    * .ApplyTimeFilter` (QueuedEmailQueryExtensions.cs:26-41:
+    * `!x.SentOnUtc.HasValue`): filter to rows where the column is (or is
+    * not) null; no-op when the flag is off, like the reference. */
+  def applyNullnessFilter(df: DataFrame, column: String,
+      onlyNull: Boolean): DataFrame =
+    if (onlyNull) df.filter(col(column).isNull) else df
+
+  /** Boolean-flag gate — `GiftCardQueryExtensions.ApplyStandardFilter`
+    * (GiftCardQueryExtensions.cs:16-26): unless inactive rows are
+    * explicitly included, only flagged (activated) rows pass. */
+  def applyFlagFilter(df: DataFrame, flagColumn: String,
+      includeInactive: Boolean = false): DataFrame =
+    if (includeInactive) df else df.filter(col(flagColumn))
+
+  /** IN-list on a NULLABLE reference column —
+    * `GiftCardQueryExtensions.ApplyOrderFilter` (GiftCardQueryExtensions
+    * .cs:28-43: `PurchasedWithOrderItem != null && orderIds.Contains(
+    * ...OrderId)`): the null guard is explicit in the reference because
+    * the nav property is optional; `isin` alone would also drop nulls,
+    * but the guard keeps the three-valued logic visible and the plan
+    * null-rejecting (join-reorder safe). */
+  def applyNullableIdsFilter(df: DataFrame, column: String,
+      ids: Seq[Long]): DataFrame =
+    df.filter(col(column).isNotNull && col(column).isin(ids: _*))
+
   def applyVisibilityFilter(df: DataFrame, restrictedFlag: Column,
       mapping: DataFrame, dfKey: String, mappingKey: String): DataFrame = {
     // NULL flag = unrestricted (the reference's bool is non-nullable, so

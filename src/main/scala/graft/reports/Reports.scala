@@ -166,6 +166,156 @@ object Reports {
       .orderBy(col("weeks_ago"))
   }
 
+  /** A7, the customer twin (q299): the registered-customers dashboard —
+    * `DashboardRegisteredCustomersViewComponent.cs:19-140` (the same
+    * SetXxxReportData pane machinery as `DashboardOrdersViewComponent
+    * .cs:18-180`, driven by `ApplyRegistrationFilter` +
+    * `ApplyRolesFilter`, CustomerQueryExtensions.cs:115-180). Signup
+    * events are the registrations (CreatedOnUtc = ts), the
+    * registered-role gate is the reference's ids-in-subquery shape
+    * (semi-join on the customer dimension), and "now" anchors to the
+    * newest event so the result is deterministic. Five panes — today /
+    * yesterday (hourly), last 7 days (daily), last 28 days (weekly),
+    * this year (monthly) — each emits its non-empty (bucket, cnt) rows
+    * plus one bucket=-1 total row carrying the reference's
+    * prior-period percentage delta (`(int)Math.Round(total/before*100
+    * - 100)`, 0 when either side is 0; rendered as floor(x+0.5), the
+    * repo-wide half-up discipline). User timezone is UTC (the
+    * ConvertToUserTime identity case).
+    *
+    * Scale shape: registrations are filtered and bucketed in ONE pass —
+    * each row explodes into at most its 5 pane memberships (a bounded
+    * ≤5× map-side expansion of the signup slice only), then a single
+    * hash aggregation on (pane, bucket); the anchor and the five
+    * before-counts are 1-row broadcast scalars; totals re-aggregate the
+    * bucket counts (pane-count-sized). No corpus-wide window, no
+    * driver-side accumulation (the reference tallies client-side). */
+  def registrationsDashboard(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val custIds = Tables.customer(s, dir).select(col("c_custkey"))
+    val anchor = e.agg(max(col("ts")).as("now"))
+      .withColumn("now_date", to_date(col("now")))
+      .withColumn("boy", trunc(col("now_date"), "year"))
+    val regs = e.filter(col("event_type") === "signup")
+      .join(custIds, col("user_id") === col("c_custkey"), "left_semi")
+      .select(col("ts"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("d", to_date(col("ts")))
+      .withColumn("diff", datediff(col("now_date"), col("d")))
+      .ckpt // consumers: pane buckets + the before-count scalars
+    val startDate = when(datediff(col("now_date"), col("boy")) < 28,
+      date_sub(col("now_date"), 27)).otherwise(col("boy"))
+    val cd = regs
+      .filter(col("ts") >= startDate.cast("timestamp") &&
+        col("ts") <= col("now"))
+    def mem(cond: Column, name: String, bucket: Column) =
+      when(cond, struct(lit(name).as("pane"), bucket.cast("int").as("bucket")))
+    val bc = cd
+      .select(explode(array(
+        mem(col("d") === col("now_date"), "p0_today", hour(col("ts"))),
+        mem(col("d") === date_sub(col("now_date"), 1), "p1_yesterday",
+          hour(col("ts"))),
+        mem(col("diff") <= 6, "p2_last7", lit(6) - col("diff")),
+        mem(col("diff") <= 27, "p3_last28",
+          lit(3) - floor(col("diff") / 7).cast("int")),
+        mem(year(col("d")) === year(col("now_date")), "p4_year",
+          month(col("d")) - 1))).as("pb"))
+      .filter(col("pb").isNotNull)
+      .groupBy(col("pb.pane").as("pane"), col("pb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .ckpt // consumers: bucket rows + per-pane totals
+    // prior-period counts (sumBefore[] / the two extra registration
+    // queries, DashboardRegisteredCustomersViewComponent.cs:104-131):
+    // day-before-yesterday, week-before, [boy-56d, now_date-28d],
+    // [boy-1y, now-1y] — the first (yesterday's total) comes from bc
+    val bef = regs.agg(
+      sum(when(col("diff") === 2, 1).otherwise(0)).cast("long").as("b1"),
+      sum(when(col("diff").between(8, 14), 1).otherwise(0)).cast("long").as("b2"),
+      sum(when(col("ts") >= date_sub(col("boy"), 56).cast("timestamp") &&
+        col("ts") <= date_sub(col("now_date"), 28).cast("timestamp"), 1)
+        .otherwise(0)).cast("long").as("b3"),
+      sum(when(col("ts") >= expr("boy - INTERVAL 1 YEAR").cast("timestamp") &&
+        col("ts") <= expr("now - INTERVAL 1 YEAR"), 1)
+        .otherwise(0)).cast("long").as("b4"))
+    val yTotal = bc.filter(col("pane") === "p1_yesterday")
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("b0"))
+    val totals = bc.groupBy(col("pane")).agg(sum(col("cnt")).as("total"))
+      .crossJoin(broadcast(yTotal)).crossJoin(broadcast(bef))
+      .withColumn("before",
+        when(col("pane") === "p0_today", col("b0"))
+          .when(col("pane") === "p1_yesterday", col("b1"))
+          .when(col("pane") === "p2_last7", col("b2"))
+          .when(col("pane") === "p3_last28", col("b3"))
+          .otherwise(col("b4")))
+      .select(col("pane"), lit(-1).as("bucket"), col("total").as("cnt"),
+        when(col("cnt") =!= 0L && col("before") =!= 0L,
+          floor(col("cnt") * lit(100.0) / col("before") - 100.0 + 0.5))
+          .otherwise(0L).cast("int").as("delta_pct"))
+    bc.select(col("pane"), col("bucket"), col("cnt"),
+        lit(null).cast("int").as("delta_pct"))
+      .unionByName(totals)
+      .orderBy(col("pane"), col("bucket"))
+  }
+
+  private val registrationsDashboardOracle: String =
+    """WITH anchor AS (
+      |  SELECT MAX(ts) AS now, CAST(MAX(ts) AS DATE) AS now_date,
+      |         date_trunc('year', CAST(MAX(ts) AS DATE)) AS boy
+      |  FROM events),
+      |regs AS (
+      |  SELECT e.ts, CAST(e.ts AS DATE) AS d,
+      |         date_diff('day', CAST(e.ts AS DATE), a.now_date) AS diff,
+      |         a.now, a.now_date, a.boy
+      |  FROM events e, anchor a
+      |  WHERE e.event_type = 'signup'
+      |    AND EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)),
+      |cd AS (
+      |  SELECT * FROM regs
+      |  WHERE ts >= CAST((CASE WHEN date_diff('day', boy, now_date) < 28
+      |                         THEN now_date - 27 ELSE boy END) AS TIMESTAMP)
+      |    AND ts <= now),
+      |buckets AS (
+      |  SELECT 'p0_today' AS pane, hour(ts) AS bucket FROM cd WHERE d = now_date
+      |  UNION ALL
+      |  SELECT 'p1_yesterday', hour(ts) FROM cd WHERE d = now_date - 1
+      |  UNION ALL
+      |  SELECT 'p2_last7', 6 - diff FROM cd WHERE diff <= 6
+      |  UNION ALL
+      |  SELECT 'p3_last28', 3 - diff // 7 FROM cd WHERE diff <= 27
+      |  UNION ALL
+      |  SELECT 'p4_year', month(d) - 1 FROM cd WHERE year(d) = year(now_date)),
+      |bc AS (SELECT pane, bucket, COUNT(*) AS cnt FROM buckets GROUP BY 1, 2),
+      |bef AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN diff = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+      |    CAST(SUM(CASE WHEN diff BETWEEN 8 AND 14 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+      |    CAST(SUM(CASE WHEN ts >= CAST(boy - 56 AS TIMESTAMP)
+      |                   AND ts <= CAST(now_date - 28 AS TIMESTAMP)
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+      |    CAST(SUM(CASE WHEN ts >= CAST(boy AS TIMESTAMP) - INTERVAL 1 YEAR
+      |                   AND ts <= now - INTERVAL 1 YEAR
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS b4
+      |  FROM regs),
+      |yt AS (SELECT COALESCE((SELECT SUM(cnt) FROM bc
+      |                        WHERE pane = 'p1_yesterday'), 0) AS b0)
+      |SELECT pane, CAST(bucket AS INT) AS bucket, CAST(cnt AS BIGINT) AS cnt,
+      |       CAST(NULL AS INT) AS delta_pct
+      |FROM bc
+      |UNION ALL
+      |SELECT t.pane, -1, CAST(t.total AS BIGINT),
+      |       CAST(CASE WHEN t.total <> 0 AND t.before <> 0
+      |                 THEN floor(t.total * 100.0 / t.before - 100.0 + 0.5)
+      |                 ELSE 0 END AS INT)
+      |FROM (
+      |  SELECT pane, SUM(cnt) AS total,
+      |         CASE pane WHEN 'p0_today' THEN (SELECT b0 FROM yt)
+      |                   WHEN 'p1_yesterday' THEN (SELECT b1 FROM bef)
+      |                   WHEN 'p2_last7' THEN (SELECT b2 FROM bef)
+      |                   WHEN 'p3_last28' THEN (SELECT b3 FROM bef)
+      |                   ELSE (SELECT b4 FROM bef) END AS before
+      |  FROM bc GROUP BY pane) t
+      |ORDER BY pane, bucket""".stripMargin
+
   /** ROLLUP subtotals: (year, status) counts with per-year and grand
     * totals in ONE aggregation pass — beyond the reference (its dashboard
     * recomputes each grain client-side; SURVEY §2.5 notes grouping sets
@@ -410,6 +560,8 @@ object Reports {
         |      HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) >= 400000.0) t
         |  ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin)),
+    Q("q299_registrations_dashboard", (s, d) => registrationsDashboard(s, d),
+      Some(registrationsDashboardOracle)),
     Q("q08_orders_dashboard", (s, d) => ordersDashboard(s, d), Some(
       """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
         |       COUNT(*) AS total_cnt,

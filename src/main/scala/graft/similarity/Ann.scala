@@ -389,6 +389,9 @@ object Ann {
         slice(col(vecCol), mi * sub + 1, sub).as("__sv"))
       val book = memo(s"sim_pq_book_m${m}_k${k}_i${iters}_s$mi",
           () => kmeansTrain(sv, "__vid", "__sv", k, iters))
+        // re-annotate the ≤k bound: a Ckpt-backed memo erases maxRows,
+        // and PlanAudit proves the broadcast joins bounded from it
+        .limit(k)
         .select(col("cent_id"), col("centroid").as("__cv"))
       val codes = sv.join(broadcast(book))
         .withColumn("__cc", round(cosine(col("__sv"), col("__cv")), 4))
@@ -450,6 +453,7 @@ object Ann {
     // pass name asserts the input is the full canonical corpus
     val coarse = memo(s"sim_kmeans_corpus_k${nlist}_i$iters",
         () => kmeansTrain(vectors, idCol, vecCol, nlist, iters))
+      .limit(nlist) // re-annotate the ≤nlist bound a Ckpt memo erases
       .select(col("cent_id"), col("centroid").as("__cv"))
     val cells = ivfAssign(vectors, idCol, vecCol, coarse)
       .select(col(idCol).as("__vid"), col("__cell"))

@@ -33,6 +33,10 @@ object SimilarityQueries {
     graft.etl.ChainCache.memo(s, dir, name)(
       Ann.kmeansTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
         k, iters))
+      // re-annotate the ≤k bound: Ckpt erases maxRows, and PlanAudit
+      // proves the downstream broadcast nested-loop joins are bounded
+      // from exactly this annotation (the kmeansTrain limit(k) note)
+      .limit(k)
   }
 
   /** Exact cosine top-10 for query vectors 0/1/2, DuckDB-oracle checked
@@ -529,6 +533,7 @@ object SimilarityQueries {
     val delta = e.filter(col("vec_id") % 10 === 0)
     val cents = graft.etl.ChainCache.memo(s, dir, "sim_kmeans_base_k8_i2")(
         Ann.kmeansTrain(base, "vec_id", "embedding", k = 8, iters = 2))
+      .limit(8) // re-annotate the ≤k bound Ckpt erased (PlanAudit proof)
       .select(col("cent_id"), col("centroid").as("__cv"))
     def occupancy(df: DataFrame, n: String) =
       Ann.ivfAssign(df, "vec_id", "embedding", cents)
@@ -619,6 +624,7 @@ object SimilarityQueries {
       .select(col("vec_id"), col("embedding"))
     val sub = graft.etl.ChainCache.memo(s, dir, "sim_kmeans_hotcell_k2_i1")(
         Ann.kmeansTrain(hotVecs, "vec_id", "embedding", k = 2, iters = 1))
+      .limit(2) // re-annotate the ≤k bound Ckpt erased (PlanAudit proof)
       .select(col("cent_id"), col("centroid").as("__cv"))
     val split = Ann.ivfAssign(hotVecs, "vec_id", "embedding", sub)
       .groupBy(col("__cell")).agg(count(lit(1)).as("n"))

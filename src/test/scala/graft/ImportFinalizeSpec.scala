@@ -146,6 +146,41 @@ class ImportFinalizeSpec extends AnyFunSuite {
     assert(slugs.distinct.size == slugs.size)
   }
 
+  test("HAND-COMPUTED fixture rows (verdict r18 task 5): rollup counts and " +
+      "the q294 email tallies match literals derived from the residue-class " +
+      "definitions, not from either engine") {
+    // sf0.001 fixture: p_partkey = 0..199 (200 parts). Every literal
+    // below is arithmetic on the bad-row residue classes the sheet
+    // builder injects — computed by hand, so an engine/oracle pair that
+    // drifts TOGETHER (the r17 q294 lastError episode: oracle mirrored
+    // the engine's hardcoded value) still fails here.
+    //   product warnings  %14==0 -> 0,14,..,196  = 15 rows
+    //   tierprice errors  %30==5 -> 5,35,..,185  = 7 rows
+    //   attr-value errors %20==3 (10) + %20==7 (10) = 20 rows
+    //   combo errors      %8==5  -> 5,13,..,197  = 25 rows
+    //   slug infos: the fixture sheet provably never collides = 0 rows
+    val roll = ImportFinalize.errorRollup(spark, dir)
+      .groupBy(col("pass"), col("severity")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(roll == Map(
+      ("product", "warning") -> 15L,
+      ("tierprice", "error") -> 7L,
+      ("attributevalue", "error") -> 20L,
+      ("attributecombination", "error") -> 25L), s"rollup census: $roll")
+    val em = ImportFinalize.completionEmail(spark, dir, hostConfigured = false)
+      .head()
+    // skips == errors == 7 + 20 + 25; warnings == 15; the LAST error is
+    // the combo pass's (pass order tier -> av -> combo), whose message
+    // the reference pins verbatim
+    assert(em.getAs[Long]("skipped_records") == 52L)
+    assert(em.getAs[Long]("n_errors") == 52L)
+    assert(em.getAs[Long]("n_warnings") == 15L)
+    assert(em.getAs[String]("last_error") ==
+      "The 'Id' or another key field is required. Inserting attribute " +
+        "combinations not supported. Skipping row.")
+  }
+
   test("chain memo: pass outputs are materialized once per (session, dir)") {
     val a = etl.ImportCapstone.importCapstone(spark, dir)
     val b = etl.ImportCapstone.importCapstone(spark, dir)

@@ -325,4 +325,52 @@ class LifecycleSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
     assert(got.toSeq == exp)
   }
+
+  test("HAND-COMPUTED fixture row (verdict r18 task 5): the q237 dashboard " +
+      "composition on a 9-event synthetic corpus matches literals derived " +
+      "by hand, not by either engine") {
+    // Four users, Jan 2025, every composed metric small enough to work
+    // out on paper — the q294-lastError defense: an engine+oracle pair
+    // that restates the same wrong derivation still fails this.
+    //   user 2 (md5 arm 1): view 01-01 00:00, signup 00:30, click 01:00,
+    //                        purchase 01-02 00:00
+    //   user 4 (arm 1):     view+signup 01-01 00:00, click 01-03 (>24h)
+    //   user 1 (arm 0):     view 01-02
+    //   user 3 (arm 0):     purchase 01-03
+    // funnel: n_view=3, click-within-24h only user 2, purchase-in-7d only
+    //   user 2 -> 10000 div 3 = 3333 bp; 10000 bp
+    // latency: signups {2, 4}; user 2 converts 23.5h -> floor 23h;
+    //   conv_bp = 5000; p50 = 23
+    // stickiness: dau Jan01 {2,4}, Jan02 {2,1}, Jan03 {4,3} = 2+2+2,
+    //   mau = 4 -> 6*10000 div (3*4) = 5000
+    // trend: daily y = (5, 2, 2) at x = (0,1,2) -> slope numer
+    //   3*6 - 3*9 = -9, denom 3*5 - 9 = 6 -> -1500000 micro/day
+    // ab: arms {2,4} vs {1,3}, one converter each -> rates 5000/5000,
+    //   diff 0, z² = 0 -> not significant
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q237_fix")
+      .toFile.getAbsolutePath
+    def t(sql: String) = java.sql.Timestamp.valueOf(sql)
+    Seq(
+      (1L, t("2025-01-01 00:00:00"), 2L, "view", 1.0, "{}"),
+      (2L, t("2025-01-01 00:30:00"), 2L, "signup", 1.0, "{}"),
+      (3L, t("2025-01-01 01:00:00"), 2L, "click", 1.0, "{}"),
+      (4L, t("2025-01-02 00:00:00"), 2L, "purchase", 1.0, "{}"),
+      (5L, t("2025-01-01 00:00:00"), 4L, "view", 1.0, "{}"),
+      (6L, t("2025-01-01 00:00:00"), 4L, "signup", 1.0, "{}"),
+      (7L, t("2025-01-03 00:00:00"), 4L, "click", 1.0, "{}"),
+      (8L, t("2025-01-02 00:00:00"), 1L, "view", 1.0, "{}"),
+      (9L, t("2025-01-03 00:00:00"), 3L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val row = streaming.Lifecycle.eventDashboard(spark, dir).head()
+    assert(row.getAs[Long]("view_to_click_bp") == 3333L)
+    assert(row.getAs[Long]("click_to_purchase_bp") == 10000L)
+    assert(row.getAs[Long]("signup_purchase_bp") == 5000L)
+    assert(row.getAs[Long]("p50_hours") == 23L)
+    assert(row.getAs[Long]("stickiness_bp") == 5000L)
+    assert(row.getAs[Long]("slope_micro_per_day") == -1500000L)
+    assert(row.getAs[Long]("ab_diff_bp") == 0L)
+    assert(row.getAs[Int]("significant") == 0)
+  }
 }

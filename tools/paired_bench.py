@@ -28,6 +28,44 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# FROZEN DuckDB-side drift control (round-19 verdict item 1) — DO NOT
+# EDIT. The duck twin of the engine's qc1 control (BenchControls
+# .controlPairs): the same pair-mass shape (distinct basket sets, ordered
+# pair explode via self-join, symmetric counts, per-source top-3 window),
+# self-contained SQL sharing no text with any registered oracle. Timed
+# once at the start and once at the end of every window (after its own
+# warm pass); its cross-round movement is pure environment drift on the
+# comparator side, so the excl-q197 gate can be normalized for
+# ASYMMETRIC VM drift (d18: engine controls +9.5% while DuckDB ran ~8%
+# faster in the same windows — the raw cut moved 1.9x -> 2.2x with zero
+# engine regression).
+DUCK_CONTROL_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+half AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+pairs AS (SELECT part_a, part_b, n_orders FROM half
+          UNION ALL SELECT part_b, part_a, n_orders FROM half)
+SELECT part_a, part_b, n_orders, rn FROM (
+  SELECT part_a, part_b, n_orders,
+         ROW_NUMBER() OVER (PARTITION BY part_a
+                            ORDER BY n_orders DESC, part_b) AS rn
+  FROM pairs) t
+WHERE rn <= 3 ORDER BY part_a, rn"""
+
+# Reference control values, pinned from the d19 anchor window at sf0.1
+# (the window that re-pins the 2x gate). The normalized excl-q197 ratio
+# corrects EACH side's common-subset seconds by its own frozen control's
+# drift against these anchors:
+#   norm = (engine_excl * REF_ENGINE_QC1 / qc1_now)
+#        / (duck_excl   * REF_DUCK_CONTROL / dc_now)
+# None -> anchors not yet pinned; the tool then reports norm == raw and
+# records the control values so the anchor can be pinned from the run.
+REF_ENGINE_QC1 = None      # qc1 median sec, d19 anchor window, sf0.1
+REF_DUCK_CONTROL = None    # duck control mean-of-(first,last) sec, same window
+
 
 def main():
     sf = sys.argv[1]
@@ -71,6 +109,14 @@ def main():
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     names = sorted(oracles)
+
+    def time_control():
+        t1 = time.time()
+        con.execute(DUCK_CONTROL_SQL).fetchall()
+        return round(time.time() - t1, 4)
+
+    con.execute(DUCK_CONTROL_SQL).fetchall()  # control warm pass
+    dc_first = time_control()
     for n in names:  # warmup (I/O cache + duckdb internal state)
         try:
             con.execute(oracles[n]).fetchall()
@@ -84,6 +130,8 @@ def main():
             dq[n] = round(time.time() - t1, 4)
         except Exception:
             failed.append(n)
+    dc_last = time_control()
+    dc_now = round((dc_first + dc_last) / 2, 4)
     duck_total = round(sum(dq.values()), 2)
 
     def short(n):
@@ -108,6 +156,25 @@ def main():
         print(f"WARNING: asymmetric pairing — common={len(common)} "
               f"unpaired_oracles={unpaired} duckdb_failed={failed} "
               f"engine_failed={sorted(engine_failed)}", file=sys.stderr)
+
+    # the standing judging rule: quote the ratio both WITH and WITHOUT
+    # q197_kcore_peeling (DuckDB's recursive-CTE pathology — ~half its
+    # suite total where the engine takes ~2 s); the excl cut is the
+    # demanding reading of the 2x gate
+    common_excl = [n for n in common if not n.startswith("q197")]
+    engine_excl = round(sum(equeries[short(n)] for n in common_excl), 2)
+    duck_excl = round(sum(dq[n] for n in common_excl), 2)
+    ratio_excl = (round(engine_excl / duck_excl, 3) if duck_excl else None)
+    # drift-normalized excl cut: correct each side by its own frozen
+    # control's movement against the pinned d19 anchors (see header)
+    qc1_now = equeries.get("qc1")
+    if (REF_ENGINE_QC1 and REF_DUCK_CONTROL and qc1_now and dc_now
+            and ratio_excl is not None):
+        ratio_excl_norm = round(
+            (engine_excl * REF_ENGINE_QC1 / qc1_now)
+            / (duck_excl * REF_DUCK_CONTROL / dc_now), 3)
+    else:
+        ratio_excl_norm = ratio_excl  # anchors not pinned yet: norm == raw
     result = {
         "sf": sf,
         "engine_total_sec": bench["value"],
@@ -116,6 +183,16 @@ def main():
         "duckdb_common_sec": duck_common,
         "ratio_common": round(engine_common / duck_common, 3)
             if duck_common else None,
+        "engine_excl_q197_sec": engine_excl,
+        "duckdb_excl_q197_sec": duck_excl,
+        "ratio_excl_q197": ratio_excl,
+        "ratio_excl_q197_norm": ratio_excl_norm,
+        "engine_qc1_sec": qc1_now,
+        "duck_control_first_sec": dc_first,
+        "duck_control_last_sec": dc_last,
+        "duck_control_sec": dc_now,
+        "ref_engine_qc1": REF_ENGINE_QC1,
+        "ref_duck_control": REF_DUCK_CONTROL,
         "n_common": len(common),
         "n_engine": len(equeries),
         "n_duckdb_failed": len(failed),
