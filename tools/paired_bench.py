@@ -63,8 +63,8 @@ WHERE rn <= 3 ORDER BY part_a, rn"""
 #        / (duck_excl   * REF_DUCK_CONTROL / dc_now)
 # None -> anchors not yet pinned; the tool then reports norm == raw and
 # records the control values so the anchor can be pinned from the run.
-REF_ENGINE_QC1 = None      # qc1 median sec, d19 anchor window, sf0.1
-REF_DUCK_CONTROL = None    # duck control mean-of-(first,last) sec, same window
+REF_ENGINE_QC1 = 2.468     # qc1 median sec, d19 anchor window (w1), sf0.1
+REF_DUCK_CONTROL = 0.5147  # duck control mean-of-(first,last) sec, same window
 
 
 def main():
