@@ -83,7 +83,7 @@ private[graft] object ChainCache {
   private final class Entry(
       val session: SparkSession,
       val passes: java.util.concurrent.ConcurrentHashMap[
-        (String, String), DataFrame],
+        (String, String), (String, DataFrame)],
       val seq: Long)
 
   private val cache =
@@ -133,7 +133,7 @@ private[graft] object ChainCache {
     * get → build outside the map → putIfAbsent instead; a concurrent
     * duplicate build is benign (same deterministic frame, first-put
     * wins) and the harness drives a session single-threaded anyway. */
-  def memo(s: SparkSession, dir: String, name: String)
+  def memo(s: SparkSession, dir: String, name: String, tag: String = "")
       (build: => DataFrame): DataFrame = {
     require(passOwner.contains(name),
       s"unregistered ChainCache pass '$name' — add it to " +
@@ -143,14 +143,24 @@ private[graft] object ChainCache {
     val entry = cache.computeIfAbsent(
       sk,
       _ => new Entry(s, new java.util.concurrent.ConcurrentHashMap[
-        (String, String), DataFrame](), seqGen.incrementAndGet()))
+        (String, String), (String, DataFrame)](), seqGen.incrementAndGet()))
     val key = (new java.io.File(dir).getCanonicalPath, name)
+    // name-is-the-key discipline needs a runtime guard: a call site
+    // whose hyperparams aren't encoded in the pass name would otherwise
+    // SILENTLY serve another param set's frame (e.g. wrong-k centroids)
+    def checked(t: (String, DataFrame)): DataFrame = {
+      require(t._1 == tag,
+        s"ChainCache pass '$name' at $dir is pinned with params " +
+          s"'${t._1}' but requested with '$tag' — one pass name maps " +
+          "to one hyperparameter set per dir")
+      t._2
+    }
     val hit = entry.passes.get(key)
-    if (hit != null) hit
+    if (hit != null) checked(hit)
     else {
       val built = graft.Ckpt(build)
-      val prev = entry.passes.putIfAbsent(key, built)
-      if (prev != null) prev else built
+      val prev = entry.passes.putIfAbsent(key, (tag, built))
+      if (prev != null) checked(prev) else built
     }
   }
 }

@@ -227,7 +227,11 @@ object Reports {
     // prior-period counts (sumBefore[] / the two extra registration
     // queries, DashboardRegisteredCustomersViewComponent.cs:104-131):
     // day-before-yesterday, week-before, [boy-56d, now_date-28d],
-    // [boy-1y, now-1y] — the first (yesterday's total) comes from bc
+    // [boy-1y, now-1y] — the first (yesterday's total) comes from bc.
+    // b2 is [now-14d, now-7d) verbatim, i.e. diff 8..14: NOT contiguous
+    // with the last-7 pane (diff 0..6) — the reference's own window; a
+    // day-7 signup counts in neither side (fixture-pinned in
+    // LifecycleSpec so neither engine nor oracle can drift to 7..13)
     val bef = regs.agg(
       sum(when(col("diff") === 2, 1).otherwise(0)).cast("long").as("b1"),
       sum(when(col("diff").between(8, 14), 1).otherwise(0)).cast("long").as("b2"),
@@ -248,8 +252,10 @@ object Reports {
           .when(col("pane") === "p3_last28", col("b3"))
           .otherwise(col("b4")))
       .select(col("pane"), lit(-1).as("bucket"), col("total").as("cnt"),
-        when(col("cnt") =!= 0L && col("before") =!= 0L,
-          floor(col("cnt") * lit(100.0) / col("before") - 100.0 + 0.5))
+        // col("total"), not the "cnt" alias defined in this same select:
+        // lateral-alias resolution is a user-settable conf
+        when(col("total") =!= 0L && col("before") =!= 0L,
+          floor(col("total") * lit(100.0) / col("before") - 100.0 + 0.5))
           .otherwise(0L).cast("int").as("delta_pct"))
     bc.select(col("pane"), col("bucket"), col("cnt"),
         lit(null).cast("int").as("delta_pct"))

@@ -22,13 +22,15 @@ import org.apache.spark.sql.types.DoubleType
 object Ann {
 
   /** Hook for memoizing trained codebooks/centroids across queries in
-    * one session (d19, verdict r18 task 2): `(passName, build) =>
-    * frame`. The default trains fresh. `SimilarityQueries` passes a
-    * ChainCache-backed memo — callers may do so ONLY when the training
-    * input is the canonical corpus slice the pass name declares (the
-    * name, not the frame, is the cache key). */
-  type BookMemo = (String, () => DataFrame) => DataFrame
-  val freshBooks: BookMemo = (_, b) => b()
+    * one session (d19, verdict r18 task 2): `(passName, hyperparamTag,
+    * build) => frame`. The default trains fresh. `SimilarityQueries`
+    * passes a ChainCache-backed memo — callers may do so ONLY when the
+    * training input is the canonical corpus slice the pass name declares
+    * (the name, not the frame, is the cache key); the tag travels to
+    * `ChainCache.memo` so one pass name can never silently serve two
+    * hyperparameter sets (same guard as the corpus trainings). */
+  type BookMemo = (String, String, () => DataFrame) => DataFrame
+  val freshBooks: BookMemo = (_, _, b) => b()
 
   /** Elementwise dot product — one primitive loop (custom expression;
     * the zip_with + fold composition is CodegenFallback and interpreted,
@@ -130,10 +132,16 @@ object Ann {
     * verdicts instead lets one oracle value-check training, assignment,
     * bounded pair scoring and the drop rule at once. */
   def semanticDupVerdicts(vectors: DataFrame, idCol: String, vecCol: String,
-      cents: DataFrame, minCos: Double): DataFrame = {
+      cents: DataFrame, minCos: Double,
+      prunedG: Option[Int] = None): DataFrame = {
     val c = cents.select(col("cent_id"), col("centroid").as("__cv"))
-    val assigned = ivfAssign(vectors, idCol, vecCol, c)
-      .withColumn("__n", norm(col(vecCol)))
+    // pinned: `assigned` is referenced THREE times below (both sides of
+    // the cell pair join + the final verdict left join) — without the
+    // pin each reference re-runs the whole assignment pass
+    val assigned = graft.Ckpt(prunedG
+      .map(g => prunedAssign(vectors, idCol, vecCol, c, g))
+      .getOrElse(ivfAssign(vectors, idCol, vecCol, c))
+      .withColumn("__n", norm(col(vecCol))))
     val l = assigned.select(col("__cell"), col(idCol).as("__id1"),
       col(vecCol).as("__v1"), col("__n").as("__n1"))
     val r = assigned.select(col("__cell"), col(idCol).as("__id2"),
@@ -210,6 +218,58 @@ object Ann {
     * would shuffle AND sort the |V|×nlist exploded frame. Ordering key
     * (__cc, -cent_id) is total per vector (cent_id unique), so the
     * result is deterministic and identical to the window argmax. */
+  /** Two-level PRUNED argmax assignment — IVF coarse quantization
+    * applied to the assignment step itself. The k centroids are grouped
+    * under their `g` smallest-id peers (each centroid's nearest seed by
+    * rounded cosine, seed-id tiebreak); a vector picks its best
+    * OCCUPIED group first, then the best centroid within that group.
+    * Cost per vector: g + |group| ≈ 2·√k rounded cosines at g = ⌈√k⌉,
+    * vs k for the exact argmax — the difference between n·k (quadratic
+    * when the SemDeDup knob scales k with the corpus) and n·√k.
+    * Deterministic and SQL-restatable: every argmax is (rounded cosine
+    * DESC, id ASC), the same discipline as `ivfAssign`; the seeds are
+    * smallest-id, the `ivfCentroids` precedent. Approximate in the same
+    * sense IVF probing is: a vector whose true-nearest centroid lives
+    * in a non-chosen group lands in the runner-up cell — acceptable for
+    * cell-BLOCKING (SemDeDup cells are themselves a heuristic blocker),
+    * never used where exact argmax is the contract (q137/q242/q252
+    * training, IVF index build). */
+  private[similarity] def prunedAssign(vectors: DataFrame, idCol: String,
+      vecCol: String, cents: DataFrame, g: Int): DataFrame = {
+    val seeds = cents.orderBy(col("cent_id")).limit(g)
+      .select(col("cent_id").as("__sid"), col("__cv").as("__sv"))
+    // group each fine centroid under its nearest seed (k×g, tiny)
+    val grouped = cents.join(broadcast(seeds))
+      .withColumn("__gc", round(cosine(col("__cv"), col("__sv")), 4))
+      .groupBy(col("cent_id"))
+      .agg(max_by(struct(col("__sid"), col("__cv").as("__m")),
+        struct(col("__gc"), (-col("__sid")).as("__ns"))).as("__b"))
+      .select(col("cent_id"), col("__b.__m").as("__cv"),
+        col("__b.__sid").as("__grp"))
+    // vectors must only coarse-pick groups that actually hold a
+    // centroid (a seed can lose its own members to a tie — an empty
+    // group would strand every vector that chose it)
+    val occSeeds = grouped.select(col("__grp").as("__sid")).distinct()
+      .join(broadcast(seeds), Seq("__sid"))
+    val coarse = vectors.join(broadcast(occSeeds))
+      .withColumn("__gc", round(cosine(col(vecCol), col("__sv")), 4))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("__sid"), col(vecCol).as("__v")),
+        struct(col("__gc"), (-col("__sid")).as("__ns"))).as("__b"))
+      .select(col(idCol), col("__b.__v").as(vecCol),
+        col("__b.__sid").as("__grp"))
+    // fine argmax within the chosen group: the broadcast side is the
+    // grouped centroid table (≤ k rows), the equi-join on __grp fans
+    // each vector out to its group's members only
+    coarse.join(broadcast(grouped), Seq("__grp"))
+      .withColumn("__cc", round(cosine(col(vecCol), col("__cv")), 4))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("cent_id"), col(vecCol).as("__v")),
+        struct(col("__cc"), (-col("cent_id")).as("__nc"))).as("__best"))
+      .select(col(idCol), col("__best.__v").as(vecCol),
+        col("__best.cent_id").as("__cell"))
+  }
+
   private[similarity] def ivfAssign(vectors: DataFrame, idCol: String,
       vecCol: String, cents: DataFrame): DataFrame =
     vectors.join(broadcast(cents))
@@ -388,6 +448,7 @@ object Ann {
       val sv = vectors.select(col(idCol).as("__vid"),
         slice(col(vecCol), mi * sub + 1, sub).as("__sv"))
       val book = memo(s"sim_pq_book_m${m}_k${k}_i${iters}_s$mi",
+          s"k=$k,iters=$iters,pruned=false",
           () => kmeansTrain(sv, "__vid", "__sv", k, iters))
         // re-annotate the ≤k bound: a Ckpt-backed memo erases maxRows,
         // and PlanAudit proves the broadcast joins bounded from it
@@ -452,6 +513,7 @@ object Ann {
     // the coarse quantizer shares q137's training when memoized — the
     // pass name asserts the input is the full canonical corpus
     val coarse = memo(s"sim_kmeans_corpus_k${nlist}_i$iters",
+        s"k=$nlist,iters=$iters,pruned=false",
         () => kmeansTrain(vectors, idCol, vecCol, nlist, iters))
       .limit(nlist) // re-annotate the ≤nlist bound a Ckpt memo erases
       .select(col("cent_id"), col("centroid").as("__cv"))
@@ -495,23 +557,60 @@ object Ann {
         .agg(max_by(struct(col("cent_id"), col("__v").as("__m")),
           struct(col("__cc"), (-col("cent_id")).as("__nc"))).as("__best"))
         .select(col("__best.cent_id").as("cent_id"), col("__best.__m").as("__v"))
-      cents = assigned
-        .select(col("cent_id"), posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .withColumn("__xq", floor(col("__x") * 1000000d + 0.5d).cast("long"))
-        .groupBy(col("cent_id"), col("__pos"))
-        .agg(sum(col("__xq")).as("__s"), count(lit(1)).as("__n"))
-        .withColumn("__m", col("__s").cast("double") / col("__n") / 1000000d)
-        .groupBy(col("cent_id"))
-        .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__pm"))
-        .select(col("cent_id"), expr("transform(__pm, p -> p.__m)").as("centroid"))
-        // no-op cardinality ANNOTATION: cent_id ranges over the ≤k seed
-        // ids, so this passes every row — but it writes the ≤k bound
-        // into the plan (`maxRows`), which is what lets PlanAudit prove
-        // every downstream broadcast(cents) nested-loop join pairs each
-        // corpus row with a FIXED number of rows rather than trusting a
-        // docstring. Costs one k-row gather per iteration — noise.
-        .limit(k)
+      cents = recomputeMeans(assigned, k)
     }
     cents
   }
+
+  /** `kmeansTrain` with the assignment step of every Lloyd iteration
+    * routed through [[prunedAssign]] (g = ⌈√k⌉): the corpus-scaled
+    * SemDeDup path where k ∝ n made exact assignment n·k — quadratic in
+    * the corpus. Identical seeding, mean arithmetic and determinism;
+    * only the argmax is coarse-pruned. The d19 sf10 probe measured the
+    * exact form at time exponent 1.83 (473 s at sf10); this form bounds
+    * assignment at n·2√k. */
+  def kmeansTrainPruned(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val g = math.ceil(math.sqrt(k.toDouble)).toInt
+    val v = vectors.select(col(idCol).as("__vid"),
+      col(vecCol).cast("array<double>").as("__v"))
+    var cents = v.orderBy(col("__vid")).limit(k)
+      .select(col("__vid").as("cent_id"), col("__v").as("centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = prunedAssign(v, "__vid", "__v",
+          cents.select(col("cent_id"), col("centroid").as("__cv")), g)
+        .select(col("__cell").as("cent_id"), col("__v"))
+      // pin each iteration's k-row centroid table: prunedAssign
+      // references its `cents` argument through TWO broadcast subtrees
+      // (seeds + grouping), each re-executing the whole upstream
+      // lineage — without the checkpoint, iteration i's plan re-runs
+      // iteration i−1's assignment ~4×, compounding per level (measured
+      // at sf10: 204 s cold → 99 s with this pin and the verdict-side
+      // pin). The limit(k) restores the maxRows annotation Ckpt erases
+      // (PlanAudit's bounded-broadcast proof).
+      cents = graft.Ckpt(recomputeMeans(assigned, k)).limit(k)
+    }
+    cents
+  }
+
+  /** Lloyd mean recompute from (cent_id, __v) assignment rows, in the
+    * repo's exact-integer micro discipline (floor(x·1e6 + 0.5) per
+    * component, mean over longs — no float summation-order drift). */
+  private def recomputeMeans(assigned: DataFrame, k: Int): DataFrame =
+    assigned
+      .select(col("cent_id"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+      .withColumn("__xq", floor(col("__x") * 1000000d + 0.5d).cast("long"))
+      .groupBy(col("cent_id"), col("__pos"))
+      .agg(sum(col("__xq")).as("__s"), count(lit(1)).as("__n"))
+      .withColumn("__m", col("__s").cast("double") / col("__n") / 1000000d)
+      .groupBy(col("cent_id"))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__pm"))
+      .select(col("cent_id"), expr("transform(__pm, p -> p.__m)").as("centroid"))
+      // no-op cardinality ANNOTATION: cent_id ranges over the ≤k seed
+      // ids, so this passes every row — but it writes the ≤k bound
+      // into the plan (`maxRows`), which is what lets PlanAudit prove
+      // every downstream broadcast(cents) nested-loop join pairs each
+      // corpus row with a FIXED number of rows rather than trusting a
+      // docstring. Costs one k-row gather per iteration — noise.
+      .limit(k)
 }

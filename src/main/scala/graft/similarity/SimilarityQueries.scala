@@ -18,21 +18,33 @@ object SimilarityQueries {
     * output. Bench reports COLD times for owners and lists warm-median
     * consumers in `memo_consumers`. */
   private def bookMemo(s: SparkSession, dir: String): Ann.BookMemo =
-    (name, build) => graft.etl.ChainCache.memo(s, dir, name)(build())
+    (name, tag, build) => graft.etl.ChainCache.memo(s, dir, name, tag)(build())
 
   /** The corpus-wide k-means training (q137's gear, shared by q138/
-    * q140/q144f/q156/q252 and, when k resolves to 8, q144). The pass
-    * name keys on the hyperparams: the scaled-k form (q144's corpus-
-    * derived k ≠ 8) pins under its own name — k is a pure function of
-    * the dir's corpus size, so one name per dir suffices. */
+    * q140/q144f/q156/q252; q144's corpus-derived k pins under the
+    * scaled name). The name keys on the CALLER'S INTENT, not the
+    * runtime k value: at dirs where q144's derived k happens to equal 8
+    * the scaled pass still pins separately, so q144 always owns its
+    * pass and the bench's owner-cold/consumer-warm labels stay
+    * data-independent. The memo tag carries (k, iters) so a collision
+    * of one name with two hyperparameter sets fails loudly instead of
+    * silently serving wrong-k centroids. */
   private def trainedCorpus(s: SparkSession, dir: String, k: Int = 8,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, scaled: Boolean = false): DataFrame = {
     val name =
-      if (k == 8 && iters == 2) "sim_kmeans_corpus_k8_i2"
-      else "sim_kmeans_corpus_scaled_i2"
-    graft.etl.ChainCache.memo(s, dir, name)(
-      Ann.kmeansTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
-        k, iters))
+      if (scaled) "sim_kmeans_corpus_scaled_i2" else "sim_kmeans_corpus_k8_i2"
+    // the scaled path (k ∝ corpus) trains with the PRUNED assignment —
+    // exact n·k argmax is quadratic when k grows with n (d19 sf10 probe:
+    // exponent 1.83); fixed-k paths keep the exact argmax contract
+    val train = () =>
+      if (scaled)
+        Ann.kmeansTrainPruned(Tables.embeddings(s, dir), "vec_id",
+          "embedding", k, iters)
+      else
+        Ann.kmeansTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k, iters)
+    graft.etl.ChainCache.memo(s, dir, name,
+      tag = s"k=$k,iters=$iters,pruned=$scaled")(train())
       // re-annotate the ≤k bound: Ckpt erases maxRows, and PlanAudit
       // proves the downstream broadcast nested-loop joins are bounded
       // from exactly this annotation (the kmeansTrain limit(k) note)
@@ -698,8 +710,10 @@ object SimilarityQueries {
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val k = math.max(8L, e.count() / 250L).toInt
-    val cents = trainedCorpus(s, dir, k = k)
-    Ann.semanticDupVerdicts(e, "vec_id", "embedding", cents, minCos = 0.35)
+    val g = math.ceil(math.sqrt(k.toDouble)).toInt
+    val cents = trainedCorpus(s, dir, k = k, scaled = true)
+    Ann.semanticDupVerdicts(e, "vec_id", "embedding", cents, minCos = 0.35,
+        prunedG = Some(g))
       .orderBy(col("vec_id"))
   }
 
@@ -715,26 +729,80 @@ object SimilarityQueries {
     Ann.semanticDupVerdicts(e, "vec_id", "embedding", cents, minCos = 0.35)
   }
 
+  /** One two-level PRUNED assignment round (`Ann.prunedAssign`
+    * restated): `${p}s` = the g smallest-id centroids of `$cin` as
+    * coarse seeds, `${p}g` = each centroid under its nearest seed,
+    * `${p}o` = the OCCUPIED seeds only, `${p}w` = each vector's best
+    * occupied seed, `$aout` = the fine argmax within that group. Every
+    * argmax is (rounded cosine DESC, id ASC) — the `iter` discipline. */
+  private def prunedAssignSql(cin: String, aout: String, p: String,
+      vtab: String = "v"): String =
+    s"""${p}s AS MATERIALIZED (
+       |  SELECT cent_id AS sid, cv AS sv FROM (
+       |    SELECT cent_id, cv, ROW_NUMBER() OVER (ORDER BY cent_id) AS rn
+       |    FROM $cin) t
+       |  WHERE rn <= (SELECT g FROM params)),
+       |${p}g AS MATERIALIZED (
+       |  SELECT cent_id, cv, sid AS grp FROM (
+       |    SELECT c.cent_id, c.cv, s.sid,
+       |           ROW_NUMBER() OVER (PARTITION BY c.cent_id
+       |             ORDER BY round(list_cosine_similarity(c.cv, s.sv), 4) DESC,
+       |                      s.sid) AS rn
+       |    FROM $cin c CROSS JOIN ${p}s s) t WHERE rn = 1),
+       |${p}o AS MATERIALIZED (
+       |  SELECT s.sid, s.sv FROM ${p}s s
+       |  WHERE s.sid IN (SELECT grp FROM ${p}g)),
+       |${p}w AS MATERIALIZED (
+       |  SELECT vid, e, sid AS grp FROM (
+       |    SELECT v.vid, v.e, o.sid,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vid
+       |             ORDER BY round(list_cosine_similarity(v.e, o.sv), 4) DESC,
+       |                      o.sid) AS rn
+       |    FROM $vtab v CROSS JOIN ${p}o o) t WHERE rn = 1),
+       |$aout AS MATERIALIZED (
+       |  SELECT vid, e, cent_id FROM (
+       |    SELECT x.vid, x.e, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY x.vid
+       |             ORDER BY round(list_cosine_similarity(x.e, c.cv), 4) DESC,
+       |                      c.cent_id) AS rn
+       |    FROM ${p}w x JOIN ${p}g c ON c.grp = x.grp) t WHERE rn = 1)""".stripMargin
+
+  /** The Lloyd mean-recompute half of `iter`, standalone (exact-integer
+    * micro means, component order restored by `list(... ORDER BY pos)`). */
+  private def meansSql(aout: String, cout: String): String =
+    s"""$cout AS MATERIALIZED (
+       |  SELECT cent_id, list(m ORDER BY pos) AS cv FROM (
+       |    SELECT cent_id, pos, CAST(SUM(xq) AS DOUBLE) / COUNT(*) / 1000000 AS m
+       |    FROM (
+       |      SELECT cent_id, generate_subscripts(e, 1) - 1 AS pos,
+       |             CAST(floor(unnest(e) * 1000000 + 0.5) AS BIGINT) AS xq
+       |      FROM $aout) x
+       |    GROUP BY 1, 2) t
+       |  GROUP BY cent_id)""".stripMargin
+
   private def semanticDedupOracle(minCos: Double = 0.35): String =
-    s"""WITH v AS (
+    s"""WITH v AS MATERIALIZED (
        |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |-- seeds: the k smallest vec_ids, k = max(8, n/250) — the same
-       |-- corpus-scaled knob the Spark side derives from count()
-       |c0 AS (
+       |-- corpus-scaled knob the Spark side derives from count(); g =
+       |-- ceil(sqrt(k)) coarse groups for the pruned two-level argmax
+       |params AS MATERIALIZED (
+       |  SELECT GREATEST(8, COUNT(*) // 250) AS k,
+       |         CAST(ceil(sqrt(GREATEST(8, COUNT(*) // 250))) AS BIGINT) AS g
+       |  FROM v),
+       |c0 AS MATERIALIZED (
        |  SELECT vid AS cent_id, e AS cv FROM (
        |    SELECT vid, e, ROW_NUMBER() OVER (ORDER BY vid) AS rn FROM v) t
-       |  WHERE rn <= (SELECT GREATEST(8, COUNT(*) // 250) FROM v)),
-       |${iter("c0", "a1", "c1")},
-       |${iter("c1", "a2", "c2")},
-       |assigned AS (
-       |  -- a FRESH assignment against the FINAL centroids (a2 was the
-       |  -- training assignment against c1)
-       |  SELECT vid AS vec_id, e, cent_id AS cell FROM (
-       |    SELECT v.vid, v.e, c.cent_id,
-       |           ROW_NUMBER() OVER (PARTITION BY v.vid
-       |             ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC,
-       |                      c.cent_id) AS rn
-       |    FROM v CROSS JOIN c2 c) t WHERE rn = 1),
+       |  WHERE rn <= (SELECT k FROM params)),
+       |${prunedAssignSql("c0", "a1", "p1")},
+       |${meansSql("a1", "c1")},
+       |${prunedAssignSql("c1", "a2", "p2")},
+       |${meansSql("a2", "c2")},
+       |-- a FRESH pruned assignment against the FINAL centroids (a2 was
+       |-- the training assignment against c1)
+       |${prunedAssignSql("c2", "a3", "p3")},
+       |assigned AS MATERIALIZED (
+       |  SELECT vid AS vec_id, e, cent_id AS cell FROM a3),
        |dups AS (
        |  SELECT DISTINCT b.vec_id
        |  FROM assigned a JOIN assigned b

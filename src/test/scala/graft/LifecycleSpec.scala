@@ -373,4 +373,61 @@ class LifecycleSpec extends AnyFunSuite {
     assert(row.getAs[Long]("ab_diff_bp") == 0L)
     assert(row.getAs[Int]("significant") == 0)
   }
+
+  test("HAND-COMPUTED fixture: q299 registrations dashboard on a 10-signup " +
+      "synthetic corpus, pinning the reference's day-7 discontinuity " +
+      "(a signup exactly 7 days ago is in NEITHER the last-7 pane NOR " +
+      "its week-before comparison window)") {
+    // Anchor event (non-signup) fixes now = 2025-06-30 12:00, so
+    // now_date = 2025-06-30, boy = 2025-01-01, start = boy (>=28d in).
+    //   u1 signup 06-30 10:00  diff 0   today(h10), last7(b6), last28(b3), year(b5)
+    //   u2 signup 06-29 08:00  diff 1   yday(h8),   last7(b5), last28(b3), year(b5)
+    //   u7 signup 06-28 23:00  diff 2   b1;         last7(b4), last28(b3), year(b5)
+    //   u3 signup 06-23 09:00  diff 7   THE GAP: last28(b2) + year only
+    //   u4 signup 06-22 09:00  diff 8   b2;         last28(b2), year(b5)
+    //   u5 signup 06-16 09:00  diff 14  b2 (>= now-14d inclusive); last28(b1), year
+    //   u6 signup 06-15 09:00  diff 15  NOT b2;     last28(b1), year(b5)
+    //   u8 signup 03-05        diff 117 year(b2, March); b3 ([boy-56d, now_date-28d])
+    //   u9 signup 2024-05-01   b4 only ([boy-1y, now-1y]); excluded from panes
+    //   u999 signup 06-30 11:00 NOT in the customer dim -> dropped by the
+    //        roles semi-join everywhere
+    // Hand tallies: p0 total 1 vs b0(=yday total 1) -> 0%; p1 1 vs b1=1
+    // -> 0%; p2 3 vs b2={u4,u5}=2 -> 50%; p3 {u1,u2,u7,u3,u4,u5,u6}=7 vs
+    // b3={u8}=1 -> 600%; p4 8 vs b4={u9}=1 -> 700%.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q299_fix")
+      .toFile.getAbsolutePath
+    def t(sql: String) = java.sql.Timestamp.valueOf(sql)
+    Seq(
+      (100L, t("2025-06-30 12:00:00"), 1L, "view", 1.0, "{}"),
+      (1L, t("2025-06-30 10:00:00"), 1L, "signup", 1.0, "{}"),
+      (2L, t("2025-06-29 08:00:00"), 2L, "signup", 1.0, "{}"),
+      (7L, t("2025-06-28 23:00:00"), 7L, "signup", 1.0, "{}"),
+      (3L, t("2025-06-23 09:00:00"), 3L, "signup", 1.0, "{}"),
+      (4L, t("2025-06-22 09:00:00"), 4L, "signup", 1.0, "{}"),
+      (5L, t("2025-06-16 09:00:00"), 5L, "signup", 1.0, "{}"),
+      (6L, t("2025-06-15 09:00:00"), 6L, "signup", 1.0, "{}"),
+      (8L, t("2025-03-05 09:00:00"), 8L, "signup", 1.0, "{}"),
+      (9L, t("2024-05-01 09:00:00"), 9L, "signup", 1.0, "{}"),
+      (999L, t("2025-06-30 11:00:00"), 999L, "signup", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    (1L to 9L).toDF("c_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val rows = reports.Reports.registrationsDashboard(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), Option(r.getAs[Integer]("delta_pct")).map(_.toInt)))
+      .toMap
+    val expected = Map(
+      ("p0_today", 10) -> (1L, None), ("p0_today", -1) -> (1L, Some(0)),
+      ("p1_yesterday", 8) -> (1L, None), ("p1_yesterday", -1) -> (1L, Some(0)),
+      ("p2_last7", 4) -> (1L, None), ("p2_last7", 5) -> (1L, None),
+      ("p2_last7", 6) -> (1L, None), ("p2_last7", -1) -> (3L, Some(50)),
+      ("p3_last28", 1) -> (2L, None), ("p3_last28", 2) -> (2L, None),
+      ("p3_last28", 3) -> (3L, None), ("p3_last28", -1) -> (7L, Some(600)),
+      ("p4_year", 2) -> (1L, None), ("p4_year", 5) -> (7L, None),
+      ("p4_year", -1) -> (8L, Some(700)))
+    assert(rows == expected)
+  }
 }

@@ -3,10 +3,14 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One-off sf10 probe data (verdict r17 task 7): 100-replica key-offset
-  * copies of sf0.1's `lineitem` and `documents` ONLY — the two tables
-  * the pair/posting families read — for a third scaling point above
-  * sf1. Never used by the correctness gate.
+/** One-off sf10 probe data: 100-replica key-offset copies of sf0.1's
+  * `lineitem`, `orders`, `documents` and `embeddings` — the tables the
+  * pair/posting families (d18 probe), the graph supersteps and the
+  * k-means/IVF family (d19 probe) read — for a third scaling point
+  * above sf1. No other table is written: notably no `customer`, so the
+  * replicated `o_custkey` values deliberately dangle (the graph probe
+  * needs disjoint customer-part subgraphs, not a consistent dim).
+  * Never used by the correctness gate.
   *
   * Text perturbation generalizes GenSf1's: GenSf1's vowel/consonant
   * rotation yields only 10 distinct maps, so at 100 replicas every doc
@@ -51,17 +55,29 @@ object GenSf10 {
       (0 until replicas).map(i => f(df, i)).reduce(_ unionByName _)
 
     val lineitem = tbl("lineitem")
+    val orders = tbl("orders")
     val documents = tbl("documents")
+    val embeddings = tbl("embeddings")
     val O = stride(lineitem, "l_orderkey")
     val P = stride(lineitem, "l_partkey")
     val S = stride(lineitem, "l_suppkey")
+    val C = stride(orders, "o_custkey")
     val D = stride(documents, "doc_id")
-    println(s"strides: O=$O P=$P S=$S D=$D replicas=$replicas")
+    val V = stride(embeddings, "vec_id")
+    println(s"strides: O=$O P=$P S=$S C=$C D=$D V=$V replicas=$replicas")
 
     write(rep(lineitem)((df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * O))
         .withColumn("l_partkey", col("l_partkey") + lit(i * P))
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * S))), "lineitem")
+
+    // orders for the d19 graph-superstep probe: offsetting BOTH keys makes
+    // each replica a disjoint customer-part subgraph — vertex and edge
+    // counts scale 100x while per-vertex degree stays realistic, so the
+    // probe measures superstep scaling, not replication-induced density
+    write(rep(orders)((df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * O))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * C))), "orders")
 
     // 100 distinct injective maps: rotate one letter set by i%10 and a
     // disjoint set by i/10 — composition is injective (translate with a
@@ -79,6 +95,19 @@ object GenSf10 {
         .withColumn("text", txt)
         .withColumn("n_chars", length(txt).cast("long"))
     }, "documents")
+
+    // embeddings for the d19 k-means/IVF probe (GenSf1's directional
+    // perturbation, scaled down 10x so 100 replicas stay in-range):
+    // replicas are distinct but near the originals — centroid count and
+    // assignment cost scale with the corpus, the realistic 100x shape
+    write(rep(embeddings) { (df, i) =>
+      val emb =
+        if (i == 0) col("embedding")
+        else expr(s"transform(embedding, (x, j) -> " +
+          s"cast(x + ${0.0003 * i} * (j % 7 - 3) as float))")
+      df.withColumn("vec_id", col("vec_id") + lit(i * V))
+        .withColumn("embedding", emb)
+    }, "embeddings")
 
     spark.stop()
   }
