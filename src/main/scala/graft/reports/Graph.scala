@@ -27,15 +27,66 @@ object Graph {
     * each a<b pair once; bounded by order size, never corpus-quadratic).
     */
   private def adjacency(s: SparkSession, dir: String): DataFrame = {
-    val half = Tables.lineitem(s, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .select(posexplode(col("parts")).as(Seq("i", "a")), col("parts"))
-      .select(col("a"),
-        explode(slice(col("parts"), col("i") + 2, size(col("parts")))).as("b"))
-      .distinct()
+    // distinct pairs are the key set of the pinned support frame (the
+    // aggregate key IS (a, b)) — no second pair generation
+    val half = pairSupportM(s, dir).select(col("a"), col("b"))
     half.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(half.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  // ---------------------------------------------------------------------
+  // d19 OPTIMIZATION ROUND: the co-purchase pair graph is ONE
+  // deterministic frame every query in this family derives from — the
+  // per-order sorted-set suffix-slice explode aggregated to
+  // (a, b, support). It is session-pinned via ChainCache (the same
+  // "materialize the graph once, run the analyses on it" a production
+  // deployment does) and each member derives its view with narrow
+  // filters/projections. Bench owner: q152 (first consumer in bench
+  // order, reports cold incl. materialization).
+  // ---------------------------------------------------------------------
+
+  /** (a, b, support): distinct co-purchase pairs (a < b) with the count
+    * of distinct orders containing both. */
+  private[reports] def pairSupportM(s: SparkSession, dir: String): DataFrame =
+    graft.etl.ChainCache.memo(s, dir, "gr_pair_support") {
+      graft.Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .select(posexplode(col("parts")).as(Seq("i", "a")), col("parts"))
+        .select(col("a"),
+          explode(slice(col("parts"), col("i") + 2, size(col("parts")))).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    }
+
+  /** The distinct (l_orderkey, l_partkey) frame (q183's L3 probes, q224's
+    * basket stats, q295's audit arm). */
+  private def opDistinctM(s: SparkSession, dir: String): DataFrame =
+    graft.etl.ChainCache.memo(s, dir, "gr_op_distinct") {
+      graft.Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+    }
+
+  /** 1-row (s_mass, s_keys) pair-support stats — the corpus-derived
+    * support-floor inputs (q183/q224/q295). Derived from the PINNED
+    * support frame, so its build is one cheap cached-scan aggregate. */
+  private def pairStatsM(s: SparkSession, dir: String): DataFrame =
+    graft.etl.ChainCache.memo(s, dir, "gr_pair_stats") {
+      pairSupportM(s, dir)
+        .agg(sum(col("support")).as("s_mass"), count(lit(1)).as("s_keys"))
+    }
+
+  /** The corpus-derived support floor from the pinned stats frame:
+    * max(minSupport, minSupport · s_mass div max(s_keys, 1)) — the exact
+    * integer derivation the oracles restate. The 2-scalar driver read is
+    * bounded by construction (1 pinned row — the BPE-argmax class);
+    * it replaces the per-query `observe` ride (the observation belonged
+    * to each query's own build, which the memo now runs only once). */
+  private def statsFloorOf(s: SparkSession, dir: String,
+      minSupport: Int): Long = {
+    val r = pairStatsM(s, dir).head()
+    val sMass = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val sKeys = if (r.isNullAt(1)) 0L else r.getLong(1)
+    math.max(minSupport.toLong, minSupport * sMass / math.max(sKeys, 1L))
   }
 
   /** PageRank (q152): 3 damped supersteps over the co-purchase graph,
@@ -67,7 +118,10 @@ object Graph {
     // node-count-sized: broadcastable for any catalog-scale graph (1e7
     // nodes ≈ 240 MB); past that, swap the broadcast for a join against
     // edges pre-partitioned by src — the aggregate stage is unchanged.
-    val edges = adjacency(s, dir).ckpt
+    // edges derive from the PINNED pair-support frame by a narrow
+    // mirror-union — re-deriving per superstep is two cached-block scans,
+    // cheaper than pinning a second copy of the edge list (d19)
+    val edges = adjacency(s, dir)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
       .ckpt
@@ -145,13 +199,10 @@ object Graph {
     * the result set exactly. */
   def copurchaseTriangles(s: SparkSession, dir: String, minSupport: Int = 2,
       k: Int = 10): DataFrame = {
-    val pairs = graft.Tables.lineitem(s, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .select(posexplode(col("parts")).as(Seq("i", "a")), col("parts"))
-      .select(col("a"),
-        explode(slice(col("parts"), col("i") + 2, size(col("parts")))).as("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    // support filter over the pinned pair frame (memo); the ckpt stays
+    // because three consumers (deg + both orientation joins) read the
+    // FILTERED set
+    val pairs = pairSupportM(s, dir)
       .filter(col("support") >= minSupport)
       .select(col("a"), col("b"))
       .ckpt
@@ -240,33 +291,16 @@ object Graph {
     * triple enumeration — the same ratio the distributed plan banks on. */
   def frequentItemsets(s: SparkSession, dir: String, minSupport: Int = 2,
       k: Int = 20): DataFrame = {
-    val op = graft.Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .ckpt // consumers: L2 build + three L3 probes
-    // corpus-derived support floor (see basketLift — mean-pair-support
-    // scaled, constant-identical on non-densifying corpora): |L2| feeds
-    // the QUADRATIC triangle-candidate join below, so keeping the
-    // surviving L2 density stable as co-purchases densify is what
-    // bounds this query's scale shape
-    // d18 (verdict task 1): the floor stats ride the ckpt materialization
-    // itself — `observe` collects (Σ support, |pairs|) DURING the one
-    // job that pins supAll, so the former stats pass (a second full scan
-    // + aggregate of the 12M-row pair frame, plus a re-aggregation under
-    // every broadcast(sstats) subtree) disappears and the floor becomes
-    // a plan literal. The 2-scalar driver read is bounded by construction
-    // (the BPE-argmax justification); derivation and oracle unchanged.
-    val obs = org.apache.spark.sql.Observation()
-    val supAll = op.groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .select(posexplode(col("parts")).as(Seq("i", "a")), col("parts"))
-      .select(col("a"),
-        explode(slice(col("parts"), col("i") + 2, size(col("parts")))).as("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
-      .observe(obs, sum(col("support")).as("s_mass"),
-        count(lit(1)).as("s_keys"))
-      .ckpt // consumers: l2 filter + (eager) the in-flight floor stats
-    val floorV = derivedFloorOf(obs, minSupport)
-    val l2 = supAll.filter(col("support") >= lit(floorV)).ckpt
+    // op and the pair-support frame are the pinned shared passes (d19
+    // memo; this query owns gr_op_distinct + gr_pair_stats, consumes
+    // q152's gr_pair_support). The corpus-derived support floor (see
+    // basketLift — mean-pair-support scaled, constant-identical on
+    // non-densifying corpora) reads the pinned 1-row stats frame;
+    // derivation and oracle unchanged.
+    val op = opDistinctM(s, dir)
+    val floorV = statsFloorOf(s, dir, minSupport)
+    val l2 = pairSupportM(s, dir)
+      .filter(col("support") >= lit(floorV)).ckpt
     val e1 = l2.select(col("a"), col("b").as("u"))
     val e2 = l2.select(col("a"), col("b").as("v"))
     val c3 = e1.join(e2, Seq("a")).filter(col("u") < col("v"))
@@ -340,13 +374,8 @@ object Graph {
     * localCheckpoint. */
   private def supportEdges(s: SparkSession, dir: String,
       minSupport: Int): DataFrame = {
-    val pairs = graft.Tables.lineitem(s, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .select(posexplode(col("parts")).as(Seq("i", "a")), col("parts"))
-      .select(col("a"),
-        explode(slice(col("parts"), col("i") + 2, size(col("parts")))).as("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    // support filter + symmetrize over the pinned pair frame (memo)
+    val pairs = pairSupportM(s, dir)
       .filter(col("support") >= minSupport)
       .select(col("a"), col("b"))
     pairs.select(col("a").as("src"), col("b").as("dst"))
@@ -742,41 +771,11 @@ object Graph {
     * per-part basket frequencies are one aggregate of the distinct
     * (order, part) frame and BROADCAST onto the support-filtered pair
     * table; N is a 1-row broadcast; top-k is TakeOrderedAndProject. */
-  /** The corpus-derived support floor from in-flight observed stats:
-    * max(minSupport, minSupport · s_mass div max(s_keys, 1)) — the
-    * EXACT integer derivation the oracles restate (`//` in DuckDB). The
-    * observation completed during the eager ckpt of the observed frame;
-    * the driver reads two scalars (bounded by construction). An empty
-    * corpus observes s_mass = null → the floor is the constant, matching
-    * the old `greatest(minSupport, null)` plan semantics. */
-  private def derivedFloorOf(obs: org.apache.spark.sql.Observation,
-      minSupport: Int): Long = {
-    // Bounded wait, not get(): get() blocks FOREVER if the observed
-    // plan's action never fired, turning a broken Ckpt-eager invariant
-    // into an indefinite hang instead of an error (ADVICE r18). The
-    // action ran during the eager ckpt of the observed frame; the
-    // listener delivering the metrics is async, so poll getOrEmpty
-    // (each call waits ≤100 ms) up to a generous deadline, then fail
-    // loudly.
-    val deadline = System.nanoTime() + 30L * 1000000000L
-    def read() = org.apache.spark.sql.GraftBridge.observedOrEmpty(obs)
-    var m = read()
-    while (m.isEmpty && System.nanoTime() < deadline) m = read()
-    require(m.nonEmpty,
-      "pair-floor observation did not fire within 30s: the observed " +
-        "frame must be eagerly materialized (Ckpt) before derivedFloorOf")
-    val sMass = Option(m.getOrElse("s_mass", null))
-      .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
-    val sKeys = Option(m.getOrElse("s_keys", null))
-      .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
-    math.max(minSupport.toLong, minSupport * sMass / math.max(sKeys, 1L))
-  }
-
   def basketLift(s: SparkSession, dir: String, minSupport: Int = 3,
       k: Int = 15): DataFrame = {
-    val op = graft.Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .ckpt // consumers: pair support + part freqs + N
+    // op and the pair-support frame are the pinned shared passes (d19
+    // memo: gr_op_distinct owned by q183, gr_pair_support by q152)
+    val op = opDistinctM(s, dir)
     val n = op.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
     // support floor derived from the corpus (d17 pair-mass envelope):
@@ -791,23 +790,11 @@ object Graph {
     // the surviving pair density stable. A baskets-count-based floor was
     // A/B'd and REJECTED: it empties the result set on catalog-scaling
     // corpora (sf1 audit: floor 14 over flat support ≈ 1 kept 0 of
-    // 11.96M pairs). The q144 scaled-k discipline.
-    // d18 (verdict task 1): the floor stats ride the supAll ckpt via
-    // `observe` — no second scan-and-aggregate of the pair frame, no
-    // broadcast stats join; the floor is a plan literal (see
-    // frequentItemsets; the one-window sf1 A/B is in PLANS.md d18).
-    val obs = org.apache.spark.sql.Observation()
-    val supAll = op.groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .select(posexplode(col("parts")).as(Seq("i", "a")), col("parts"))
-      .select(col("a"),
-        explode(slice(col("parts"), col("i") + 2, size(col("parts")))).as("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
-      .observe(obs, sum(col("support")).as("s_mass"),
-        count(lit(1)).as("s_keys"))
-      .ckpt // consumers: the lift join + (eager) the in-flight stats
-    val pairs = supAll
-      .filter(col("support") >= lit(derivedFloorOf(obs, minSupport)))
+    // 11.96M pairs). The q144 scaled-k discipline. The floor now reads
+    // the pinned 1-row stats frame (statsFloorOf); derivation and
+    // oracle unchanged.
+    val pairs = pairSupportM(s, dir)
+      .filter(col("support") >= lit(statsFloorOf(s, dir, minSupport)))
       .crossJoin(broadcast(n))
     val freq = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
     pairs
@@ -841,23 +828,21 @@ object Graph {
     * masses from the SAME op/shingle frames the queries use, so it
     * audits the actual plans, not a model of them. */
   def pairMassAudit(s: SparkSession, dir: String): DataFrame = {
-    val op = graft.Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .ckpt // consumers: basket sizes + pair supports
+    // the audit reads the SAME pinned frames the audited queries consume
+    // (d19 memo) — "derives masses from the SAME op/shingle frames the
+    // queries use" now holds literally: one materialization serves both
+    // the family and its audit
+    val op = opDistinctM(s, dir)
     val bstats = op.groupBy(col("l_orderkey")).agg(count(lit(1)).as("sz"))
       .agg(count(lit(1)).as("n_units"),
         sum(expr("sz * (sz - 1) div 2")).as("mass"))
-    val sup = op.groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .select(posexplode(col("parts")).as(Seq("i", "a")), col("parts"))
-      .select(col("a"),
-        explode(slice(col("parts"), col("i") + 2, size(col("parts")))).as("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    val sup = pairSupportM(s, dir)
     // mean-pair-support floors (Σ support over distinct pairs == Σ
     // sz·(sz−1)/2 pair slots — every slot increments exactly one pair's
-    // support — so mass/n_keys IS the mean support)
-    val supStats = sup
-      .agg(sum(col("support")).as("s_mass"), count(lit(1)).as("s_keys"))
+    // support — so mass/n_keys IS the mean support). The limit(1)
+    // restores the 1-row maxRows bound the memo's checkpoint erases, so
+    // the broadcast cross join below stays PlanAudit-provably bounded
+    val supStats = pairStatsM(s, dir).limit(1)
     val cap224 = greatest(lit(3L), expr("3 * s_mass div greatest(s_keys, 1)"))
     val cap183 = greatest(lit(2L), expr("2 * s_mass div greatest(s_keys, 1)"))
     val stats = sup.crossJoin(broadcast(supStats))

@@ -201,14 +201,12 @@ object Tpch {
     // sorted basket + suffix-slice explode: emits each a<b pair ONCE
     // (half the generated rows of explode×explode + filter, no residual
     // comparison); sort_array is per-row over order-bounded sets
-    val half = Tables.lineitem(s, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .select(posexplode(col("parts")).as(Seq("i", "part_a")), col("parts"))
-      .select(col("part_a"),
-        explode(slice(col("parts"), col("i") + 2, size(col("parts")))).as("part_b"))
-      .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("n_orders"))
+    // d19: the counted (a < b) pair frame is the session-pinned
+    // co-purchase graph (Graph.pairSupportM — n_orders IS support); this
+    // query's own work is the mirror union and the bounded-heap top-k
+    val half = Graph.pairSupportM(s, dir)
+      .select(col("a").as("part_a"), col("b").as("part_b"),
+        col("support").as("n_orders"))
     val pairs = half.unionByName(half.select(
       col("part_b").as("part_a"), col("part_a").as("part_b"), col("n_orders")))
     // bounded-heap top-k per part (functions.TopKStructs): O(n log k) with

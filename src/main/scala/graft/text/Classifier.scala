@@ -73,6 +73,14 @@ object Classifier {
     * bigrams of n tokens is 2n−1 for n ≥ 1, else 0. NULL text
     * normalizes to '' exactly like `features`. */
   def classify(s: SparkSession, dir: String): DataFrame =
+    // pinned once per session — q167's ensemble consumes the same
+    // scored frame beside q149's register (memo; map-only but the md5
+    // feature hashing per token is the corpus-scan CPU cost)
+    graft.etl.ChainCache.memo(s, dir, "txt_classifier") {
+      classifyImpl(s, dir)
+    }
+
+  private def classifyImpl(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("toks",
         TextFunctions.tokens(coalesce(col("text"), lit(""))))

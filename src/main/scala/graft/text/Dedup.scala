@@ -144,15 +144,26 @@ object Dedup {
       val stepped = labels.join(nbrMin, labels("id") === col("nid"), "left")
         .select(labels("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-      // round part 2: pointer jump (label := label's label); the round's
-      // ONE materializing job also carries the convergence flag, so the
-      // probe below is a narrow scan of the cached partitions instead of
-      // an extra join job per round
+      // round part 2: DOUBLE pointer jump (label := label's label,
+      // twice) — d19: each extra jump is one node-sized self-join per
+      // round but compresses label chains 4× instead of 2×, so the
+      // EDGE-sized neighbor-min join (and the per-round checkpoint +
+      // probe jobs, the dominant cost of long-chain graphs like the ER
+      // worklist) runs ~half as many rounds. The converged fixpoint is
+      // unique (min-reachable labels), so results are bit-identical —
+      // only the round count changes. The round's ONE materializing job
+      // also carries the convergence flag, so the probe below is a
+      // narrow scan of the cached partitions instead of an extra join
+      // job per round.
       val asMap = stepped.select(col("id").as("mid"), col("label").as("mlabel"))
-      val next = stepped.join(asMap, stepped("label") === col("mid"), "left")
-        .select(stepped("id"),
-          coalesce(col("mlabel"), stepped("label")).as("label"),
-          (coalesce(col("mlabel"), stepped("label")) =!= col("old")).as("changed"))
+      val j1 = stepped.join(asMap, stepped("label") === col("mid"), "left")
+        .select(stepped("id"), col("old"),
+          coalesce(col("mlabel"), stepped("label")).as("label"))
+      val asMap2 = stepped.select(col("id").as("mid2"), col("label").as("mlabel2"))
+      val next = j1.join(asMap2, j1("label") === col("mid2"), "left")
+        .select(j1("id"),
+          coalesce(col("mlabel2"), j1("label")).as("label"),
+          (coalesce(col("mlabel2"), j1("label")) =!= col("old")).as("changed"))
         .ckpt
       converged = next.filter(col("changed")).isEmpty
       labels = next.select(col("id"), col("label"))

@@ -56,14 +56,23 @@ object Retrieval {
     * (`TopKAgg.topK`) — ≤k rows shuffle per (task × query), never a
     * per-query sort of the full candidate set. */
   def bm25TopK(s: SparkSession, dir: String, k: Int = 10): DataFrame =
-    bm25(s, Tables.documents(s, dir), queryTerms, k)
+    // the integer score frame is pinned once per session (memo) — the
+    // index-scoring pass of a search engine runs once, each consumer
+    // (q148's k=10 register, q257's kIn=20 fusion arm) takes its own
+    // bounded-heap top-k over it
+    bm25TopKOf(graft.etl.ChainCache.memo(s, dir, "ret_bm25_scores") {
+      bm25Scores(s, Tables.documents(s, dir), queryTerms)
+    }, k)
 
   /** Core BM25 over any (doc_id, text) frame and (query_id, token) term
     * set — separated so specs can rank a hand-built corpus against an
     * independently-computed expectation. */
   def bm25(s: SparkSession, docs: DataFrame, terms: Seq[(Int, String)],
       k: Int): DataFrame =
-    bm25Scores(s, docs, terms)
+    bm25TopKOf(bm25Scores(s, docs, terms), k)
+
+  private def bm25TopKOf(scores: DataFrame, k: Int): DataFrame =
+    scores
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKAgg.topK(
         struct((-col("iscore")).as("neg"), col("doc_id").as("doc_id")), k).as("tk"))
@@ -250,7 +259,18 @@ object Retrieval {
     * rather than aliasing if one ever appears. */
   private val ChunkKeyMult = 1000000L
 
-  def chunkedRetrieval(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def chunkedRetrieval(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    // the per-(query, parent-doc) rolled score frame is pinned once per
+    // session (memo); q248's k=5 register and q257's kIn=20 fusion arm
+    // each take their own bounded-heap top-k over it
+    chunkTopKOf(graft.etl.ChainCache.memo(s, dir, "ret_chunk_scores") {
+      chunkDocScores(s, dir)
+    }, k)
+
+  /** The (query_id, parent, iscore, best_chunk) frame before the
+    * per-query top-k: chunk explosion, chunk-grain BM25, max-pooling
+    * rollup to the parent document. */
+  private def chunkDocScores(s: SparkSession, dir: String): DataFrame = {
     val chunks = TextQueries.chunkFrame(s, dir)
       .select((col("doc_id") * ChunkKeyMult +
         when(col("chunk_idx") < ChunkKeyMult, col("chunk_idx"))
@@ -268,6 +288,10 @@ object Retrieval {
       .select(col("query_id"), col("parent"),
         col("best.iscore").as("iscore"),
         (-col("best.nc")).cast("int").as("best_chunk"))
+  }
+
+  private def chunkTopKOf(scored: DataFrame, k: Int): DataFrame =
+    scored
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKAgg.topK(
         struct((-col("iscore")).as("neg"), col("parent").as("doc_id"),
@@ -278,7 +302,6 @@ object Retrieval {
         ((-col("col.neg")) / 10000.0).as("score"),
         col("col.best_chunk").as("best_chunk"))
       .orderBy(col("query_id"), col("rn"))
-  }
 
   private def chunkedRetrievalOracle(k: Int = 5): String = {
     val toksSql = TextQueries.toksSql

@@ -156,7 +156,14 @@ object TextQueries {
     * array_remove occurrence trick. No shuffle anywhere: the battery is
     * a projection, exactly what a 100-TB curation scan wants. */
   def gopherRules(s: SparkSession, dir: String): DataFrame =
-    gopherVerdictsOf(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    gopherM(s, dir).orderBy(col("doc_id"))
+
+  /** The gopher battery over the corpus, pinned once per session — the
+    * q167 ensemble consumes it beside q158's register. */
+  private def gopherM(s: SparkSession, dir: String): DataFrame =
+    graft.etl.ChainCache.memo(s, dir, "txt_gopher") {
+      gopherVerdictsOf(Tables.documents(s, dir))
+    }
 
   /** The battery over ANY (doc_id, text) frame — a stateless projection,
     * so it runs unchanged under Structured Streaming (DocStreamSpec
@@ -232,8 +239,10 @@ object TextQueries {
     * 16-byte digests exactly like q94 (string keys here keep the
     * oracle value-checkable). */
   def ngramNovelty(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
-    val dg = shingleRows(Tables.documents(s, dir), n).distinct()
-      .ckpt
+    // n is fixed at 3 by the oracle (see gramFrame) — the distinct
+    // shingle set is the pinned shared frame (memo)
+    val dg = if (n == 3) gram3M(s, dir)
+      else shingleRows(Tables.documents(s, dir), n).distinct().ckpt
     val df = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
     dg.join(df, Seq("g"))
       .groupBy(col("doc_id"))
@@ -348,9 +357,7 @@ object TextQueries {
   /** Exact n-gram (token) Jaccard pairs over the capped audit sample —
     * the verifier path; LSH (q36) is the scale path. */
   def jaccardSubset(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(
-        auditSample(Tables.documents(s, dir)),
-        "doc_id", "text", minJaccard = 0.3)
+    auditJaccardM(s, dir)
       .orderBy(col("id1"), col("id2"))
 
   /** Exact linear-interpolation percentiles of document length per
@@ -376,11 +383,18 @@ object TextQueries {
     * sample.) */
   def nearDupClusters(s: SparkSession, dir: String,
       minJaccard: Double = 0.3): DataFrame = {
-    val subset = auditSample(Tables.documents(s, dir))
-      .ckpt // feeds edges AND the vertex set
-    val edges = Dedup.jaccardPairs(subset, "doc_id", "text", minJaccard)
-      .select(col("id1").as("src"), col("id2").as("dst"))
-    Dedup.connectedComponents(edges, subset.select(col("doc_id").as("id")))
+    // at the family-wide base threshold the clustering is the pinned
+    // shared frame; tighter thresholds (q84's 0.8) filter the pinned
+    // PAIR frame on its rounded jaccard — identical values to scoring
+    // at the tighter threshold directly — and cluster the (smaller)
+    // edge set themselves
+    val comp =
+      if (minJaccard == 0.3) auditComponentsM(s, dir)
+      else Dedup.connectedComponents(
+        auditJaccardM(s, dir).filter(col("jaccard") >= minJaccard)
+          .select(col("id1").as("src"), col("id2").as("dst")),
+        auditSampleM(s, dir).select(col("doc_id").as("id")))
+    comp
       .select(col("id").as("doc_id"), col("component"))
       .orderBy(col("doc_id"))
   }
@@ -399,12 +413,12 @@ object TextQueries {
     * back onto members. */
   def dedupCanonical(s: SparkSession, dir: String,
       minJaccard: Double = 0.3): DataFrame = {
-    val subset = auditSample(Tables.documents(s, dir))
-      .ckpt // feeds edges, the vertex set AND the length criterion
-    val edges = Dedup.jaccardPairs(subset, "doc_id", "text", minJaccard)
-      .select(col("id1").as("src"), col("id2").as("dst"))
-    val comps = Dedup
-      .connectedComponents(edges, subset.select(col("doc_id").as("id")))
+    // sample, pairs and clustering are the pinned shared frames (memo;
+    // this query is the family's bench owner — its cold time carries
+    // their materialization)
+    require(minJaccard == 0.3, "q275 is pinned to the family threshold")
+    val subset = auditSampleM(s, dir)
+    val comps = auditComponentsM(s, dir)
       .select(col("id").as("doc_id"), col("component"))
     val scored = comps.join(subset.select("doc_id", "n_chars"), Seq("doc_id"))
     val canon = scored.groupBy(col("component"))
@@ -431,9 +445,9 @@ object TextQueries {
     * (|sources|²-grid) aggregate. */
   def crossSourceDupMatrix(s: SparkSession, dir: String,
       minJaccard: Double = 0.3): DataFrame = {
-    val subset = auditSample(Tables.documents(s, dir))
-      .ckpt // feeds edges AND both source lookups
-    val edges = Dedup.jaccardPairs(subset, "doc_id", "text", minJaccard)
+    require(minJaccard == 0.3, "q277 is pinned to the family threshold")
+    val subset = auditSampleM(s, dir)
+    val edges = auditJaccardM(s, dir)
     val src = subset.select(col("doc_id"), col("source"))
     edges
       .join(src.select(col("doc_id").as("id1"), col("source").as("__s1")),
@@ -484,7 +498,7 @@ object TextQueries {
     * stats read the same frame; rebuilding it per row would double the
     * audit's dominant cost). */
   private[graft] def gramFrame(s: SparkSession, dir: String): DataFrame =
-    shingleRows(Tables.documents(s, dir), 3).distinct().ckpt
+    gram3M(s, dir)
 
   private[graft] def ngramPostingStats(s: SparkSession, dir: String,
       dgOpt: Option[DataFrame] = None): DataFrame = {
@@ -529,14 +543,9 @@ object TextQueries {
       .crossJoin(broadcast(gUnits))
     def gRow(q: String) = gStats.select(lit(q).as("query"), col("n_units"),
       col("n_keys"), col("mass"), lit(maxDf.toLong).as("cap"), col("kept"))
-    // winnow fingerprint space (q174): same frame winnowPairs builds
-    val fps = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(graft.functions.WinnowExpr.winnowOf(
-          TextFunctions.normalize(col("text")), winnowK, winnowW)).as("f"))
-      .select(col("doc_id"), col("f.h").as("h"))
-      .distinct()
-      .ckpt
+    // winnow fingerprint space (q174): the SAME pinned frame winnowPairs
+    // builds (d19 memo — the audit literally audits the audited frame)
+    val fps = winnowFpsM(s, dir, winnowK, winnowW)
     val wUnits = fps.select(col("doc_id")).distinct()
       .agg(count(lit(1)).as("n_units"))
     val wRow = fps.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -629,6 +638,105 @@ object TextQueries {
     shingleRowsOf(
       docs.withColumn("toks", TextFunctions.tokens(col("text"))),
       n, minTokens)
+
+  // ---------------------------------------------------------------------
+  // d19 OPTIMIZATION ROUND: session-memoized shared frames (guide §1.2
+  // step 1 — don't recompute work another query in the same session
+  // already did; the verdict-r18 item-2 "train once, serve many"
+  // treatment extended to the text-dedup infrastructure). Each pass is
+  // deterministic per (session, canonical dir); ChainCache pins it via
+  // Ckpt and Bench reports the OWNING query's cold first-in-session time
+  // (consumers are disclosed in the bench artifact's memo_consumers).
+  // Oracles are NOT weakened: every consumer still hash-gates its own
+  // output against DuckDB, which recomputes everything from scratch.
+  // ---------------------------------------------------------------------
+
+  /** Distinct 3-gram shingles WITH term frequency — the (doc_id, g, tf)
+    * frame that is the root of the whole near-dup family. `tf` rides
+    * along because q171 needs multiplicities; the distinct shingle set
+    * every other consumer wants is the (doc_id, g) projection. */
+  private def gram3TfM(s: SparkSession, dir: String): DataFrame =
+    graft.etl.ChainCache.memo(s, dir, "txt_gram3_tf", "n=3") {
+      shingleRows(Tables.documents(s, dir), 3)
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
+    }
+
+  /** The distinct (doc_id, g) 3-shingle set — a projection of the pinned
+    * tf frame (no extra shuffle: (doc_id, g) is the aggregate key). */
+  private[graft] def gram3M(s: SparkSession, dir: String): DataFrame =
+    gram3TfM(s, dir).select(col("doc_id"), col("g"))
+
+  /** The per-doc 8-slice minhash signature frame — the persistable LSH
+    * index core (q249's docstring). Built from the DISTINCT shingle set;
+    * per-doc minima are duplicate-insensitive, so consumers that used to
+    * hash the multiset get identical values. */
+  private def minhashMinsM(s: SparkSession, dir: String): DataFrame =
+    graft.etl.ChainCache.memo(s, dir, "txt_minhash_mins", "k8,md5x4") {
+      minhashMinsOf(gram3M(s, dir))
+    }
+
+  /** Verified near-dup edge set (id1 < id2) at the production minJ=0.5 —
+    * LSH candidates from the pinned signature frame, exact shingle-
+    * Jaccard confirmed against the pinned shingle frame. */
+  private def verifiedEdgesM(s: SparkSession, dir: String): DataFrame =
+    graft.etl.ChainCache.memo(s, dir, "txt_verified_edges", "minJ=0.5") {
+      verifiedNearDupEdges(s, dir)
+    }
+
+  /** The (doc_id, component) near-dup clustering over the verified
+    * edges — q131's output frame, shared verbatim by q164/q172/q267. */
+  private[graft] def dedupComponentsM(s: SparkSession,
+      dir: String): DataFrame =
+    graft.etl.ChainCache.memo(s, dir, "txt_dedup_components", "minJ=0.5") {
+      Dedup.connectedComponents(
+        verifiedEdgesM(s, dir)
+          .select(col("id1").as("src"), col("id2").as("dst")),
+        Tables.documents(s, dir).select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("component"))
+    }
+
+  /** Count-capped audit sample, pinned once per session — feeds the
+    * whole quadratic-audit family (q35/q69/q84/q275/q277/q279). */
+  private def auditSampleM(s: SparkSession, dir: String): DataFrame =
+    graft.etl.ChainCache.memo(s, dir, "txt_audit_sample", "n=200") {
+      auditSample(Tables.documents(s, dir))
+    }
+
+  /** Exact token-Jaccard pairs (with the jaccard column) over the audit
+    * sample at the family-wide base threshold 0.3; tighter thresholds
+    * (q84's 0.8) are filters on the rounded score — identical values to
+    * running jaccardPairs at the tighter threshold directly. */
+  private def auditJaccardM(s: SparkSession, dir: String): DataFrame =
+    graft.etl.ChainCache.memo(s, dir, "txt_audit_jaccard", "minJ=0.3") {
+      Dedup.jaccardPairs(auditSampleM(s, dir), "doc_id", "text",
+        minJaccard = 0.3)
+    }
+
+  /** The distinct (doc_id, winnow-hash) fingerprint frame (k=16, w=6 —
+    * the registered parameters; any other set builds unpinned). Shared
+    * by q174's pairing and q295's winnow audit arm. */
+  private def winnowFpsM(s: SparkSession, dir: String, k: Int,
+      w: Int): DataFrame = {
+    def build = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowExpr.winnowOf(
+          TextFunctions.normalize(col("text")), k, w)).as("f"))
+      .select(col("doc_id"), col("f.h").as("h"))
+      .distinct()
+    if (k == 16 && w == 6)
+      graft.etl.ChainCache.memo(s, dir, "txt_winnow_fps", "k=16,w=6")(build)
+    else build.ckpt
+  }
+
+  /** Connected components over the 0.3-threshold audit edges — the
+    * (id, component) frame q69 and q275 both derive. */
+  private def auditComponentsM(s: SparkSession, dir: String): DataFrame =
+    graft.etl.ChainCache.memo(s, dir, "txt_audit_components", "minJ=0.3") {
+      Dedup.connectedComponents(
+        auditJaccardM(s, dir)
+          .select(col("id1").as("src"), col("id2").as("dst")),
+        auditSampleM(s, dir).select(col("doc_id").as("id")))
+    }
 
   /** Shingles over an ALREADY-TOKENIZED (doc_id, toks) frame — the ONE
     * shingle expression tree; `shingleRows` and the curation pipeline
@@ -737,7 +845,14 @@ object TextQueries {
     * the bench side broadcasts; keeper selection is one fingerprint
     * aggregate. All thresholds compare 4dp-ROUNDED ratios computed
     * identically in both engines. */
-  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+  def curationPipeline(s: SparkSession, dir: String): DataFrame =
+    // shared verbatim by q109 (the register) and q143 (the capstone
+    // composes it) — pinned once per session (memo)
+    graft.etl.ChainCache.memo(s, dir, "txt_curation_pipeline") {
+      curationPipelineImpl(s, dir)
+    }
+
+  private def curationPipelineImpl(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     // tokenize ONCE: the (doc_id, toks) frame feeds the flat signals and
     // all three n-gram measures (bigram, trigram, 4-gram shingles) —
@@ -804,7 +919,9 @@ object TextQueries {
     * one-pass signature; use the custom expression in production and
     * THIS query as its cross-engine verification harness. */
   def minhashBandingPortable(s: SparkSession, dir: String): DataFrame =
-    portableBandedCandidates(Tables.documents(s, dir))
+    // the signature frame is the pinned shared minhash index (memo) —
+    // built from DISTINCT shingles, identical minima to the multiset
+    bandedCandidatesOfMins(minhashMinsM(s, dir))
       .orderBy(col("id1"), col("id2"))
 
   /** The banded candidate generator over an arbitrary document frame —
@@ -823,13 +940,12 @@ object TextQueries {
     // (16-bit slices collide more than 32-bit ones — harmless here: more
     // shared minima only make the banding slightly more permissive, and
     // the oracle restates the identical slices.)
-    val sh = shingleRows(docs, 3)
-    val hashed = sh.select(
-      col("doc_id") +: (0 to 7).map { j =>
-        substring(md5(col("g")), j * 4 + 1, 4).as(s"h$j")
-      }: _*)
-    val aggs = (0 to 7).map(j => min(col(s"h$j")).as(s"m$j"))
-    val mins = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    bandedCandidatesOfMins(minhashMinsOf(shingleRows(docs, 3)))
+  }
+
+  /** The 2-band × 4-slice candidate join over any 8-slice signature
+    * frame (q90 passes the pinned corpus index; q279 its sample). */
+  private def bandedCandidatesOfMins(mins: DataFrame): DataFrame = {
     def bucketOf(js: Range) = md5(concat_ws(",", js.map(j => col(s"m$j")): _*))
     val buckets = mins.select(col("doc_id"), explode(array(
         struct(lit(0).as("band"), bucketOf(0 to 3).as("bucket")),
@@ -861,8 +977,9 @@ object TextQueries {
     * provable via the post-ckpt limit annotation). */
   def lshBandingAudit(s: SparkSession, dir: String): DataFrame = {
     // the sample feeds three arms (grid, exact jaccard, candidates) —
-    // pin it once; the limit(200) restores the maxRows bound .ckpt erases
-    val sample = graft.Ckpt(auditSample(Tables.documents(s, dir)))
+    // it is the pinned shared frame (memo); the limit(200) restores the
+    // maxRows bound the checkpoint erases
+    val sample = auditSampleM(s, dir)
     val ids = sample.select(col("doc_id")).limit(200)
     val grid = ids.select(col("doc_id").as("id1"))
       .crossJoin(broadcast(ids.select(col("doc_id").as("id2"))))
@@ -1424,7 +1541,7 @@ object TextQueries {
     * shingle pass, one doc_id aggregate, one (band, bucket) self-join —
     * no cross product. */
   def minhashCandidatesPortable(s: SparkSession, dir: String): DataFrame =
-    minhashCandidatePairs(shingleRows(Tables.documents(s, dir), 3))
+    minhashCandidatePairs(s, dir)
       .orderBy(col("id1"), col("id2"))
 
   /** The candidate stage without the final sort — shared by q36 and the
@@ -1434,15 +1551,21 @@ object TextQueries {
   /** The banded bucket table (doc_id, m0..m7, band, bucket) — the
     * PERSISTABLE LSH index both the full candidate join (q36) and the
     * incremental delta check (q249) read. */
-  private def minhashBuckets(sh: DataFrame): DataFrame = {
+  /** The 8-slice signature aggregate over a distinct-shingle frame (no
+    * materialization — the memoized form pins it via ChainCache). */
+  private def minhashMinsOf(sh: DataFrame): DataFrame = {
     val hashed = sh.select(
       col("doc_id") +: (0 to 7).map { j =>
         substring(md5(col("g")), j * 4 + 1, 4).as(s"h$j")
       }: _*)
     val aggs = (0 to 7).map(j => min(col(s"h$j")).as(s"m$j"))
-    // consumed by both self-join sides → materialize once
-    val mins = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .ckpt
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Banded bucket rows derived from a (pinned) signature frame — a
+    * narrow projection + explode, zero shuffles, so consumers derive it
+    * from the memoized mins instead of pinning the 4×-exploded frame. */
+  private def bucketsOfMins(mins: DataFrame): DataFrame = {
     def bucketOf(js: Range) = md5(concat_ws(",", js.map(j => col(s"m$j")): _*))
     mins.select(
       col("doc_id") +: (0 to 7).map(j => col(s"m$j")) :+
@@ -1453,8 +1576,8 @@ object TextQueries {
         col("bb.band").as("band") :+ col("bb.bucket").as("bucket"): _*)
   }
 
-  private def minhashCandidatePairs(sh: DataFrame): DataFrame = {
-    val buckets = minhashBuckets(sh)
+  private def minhashCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val buckets = bucketsOfMins(minhashMinsM(s, dir))
     val a = buckets.select(
       col("doc_id").as("id1") +: (0 to 7).map(j => col(s"m$j").as(s"a$j")) :+
         col("band") :+ col("bucket"): _*)
@@ -1487,9 +1610,22 @@ object TextQueries {
     * only because the gate needs one self-contained statement. The
     * delta↔delta double-match collapses through the least/greatest
     * normalization + distinct. */
-  def incrementalLshDedup(s: SparkSession, dir: String): DataFrame = {
-    val buckets = minhashBuckets(shingleRows(Tables.documents(s, dir), 3))
-      .ckpt // consumers: the delta side + the full index side
+  def incrementalLshDedup(s: SparkSession, dir: String): DataFrame =
+    incrLshPairsM(s, dir).orderBy(col("id1"), col("id2"))
+
+  /** The q249 pair frame before its output sort — pinned so q253's
+    * dashboard aggregates consume it instead of re-running the delta
+    * join (the production shape: ONE nightly delta check feeds both the
+    * pair list and the per-source rates). */
+  private def incrLshPairsM(s: SparkSession, dir: String): DataFrame =
+    graft.etl.ChainCache.memo(s, dir, "txt_incr_lsh_pairs", "minEst=0.5") {
+      incrLshPairsImpl(s, dir)
+    }
+
+  private def incrLshPairsImpl(s: SparkSession, dir: String): DataFrame = {
+    // bucket rows are a narrow derivation of the PINNED signature frame
+    // (memo) — both join sides read it without a dedicated ckpt
+    val buckets = bucketsOfMins(minhashMinsM(s, dir))
     val a = buckets.filter(col("doc_id") % 10 === 0).select(
       col("doc_id").as("ida") +: (0 to 7).map(j => col(s"m$j").as(s"a$j")) :+
         col("band") :+ col("bucket"): _*)
@@ -1506,7 +1642,6 @@ object TextQueries {
         round(matches.cast("double") / lit(8), 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
       .distinct()
-      .orderBy(col("id1"), col("id2"))
   }
 
   private def incrementalLshOracle: String =
@@ -1547,7 +1682,7 @@ object TextQueries {
     * + two source-keyed aggregates over the (candidate ids ⋈ documents)
     * frame — delta-bounded throughout. */
   def deltaDedupRate(s: SparkSession, dir: String): DataFrame = {
-    val pairs = incrementalLshDedup(s, dir)
+    val pairs = incrLshPairsM(s, dir)
     val dupIds = pairs.select(col("id1").as("doc_id"))
       .unionByName(pairs.select(col("id2").as("doc_id")))
       .filter(col("doc_id") % 10 === 0)
@@ -1606,16 +1741,8 @@ object TextQueries {
     * (doc_id, component) frame compositions build on (q267 joins it
     * against the image-modality clusters for the pair-level decision). */
   private[graft] def textDedupComponents(s: SparkSession,
-      dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    // four consumers (candidate stage, two verify join sides, sizes) →
-    // tokenize + shingle ONCE
-    val sh = shingleRows(docs, 3).distinct().ckpt
-    val edges = verifiedNearDupEdges(sh)
-      .select(col("id1").as("src"), col("id2").as("dst"))
-    Dedup.connectedComponents(edges, docs.select(col("doc_id").as("id")))
-      .select(col("id").as("doc_id"), col("component"))
-  }
+      dir: String): DataFrame =
+    dedupComponentsM(s, dir)
 
   /** Deterministic multi-epoch shuffle order (q166) — the data-loader
     * contract of reproducible training: each epoch permutes the corpus
@@ -1683,9 +1810,8 @@ object TextQueries {
       k: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val tf = shingleRows(docs, 3)
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
-      .ckpt
+    // the (doc_id, g, tf) frame is the pinned shared frame (memo)
+    val tf = gram3TfM(s, dir)
     val df = tf.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val total = docs.agg(count(lit(1)).as("n"))
@@ -1732,9 +1858,9 @@ object TextQueries {
     * score is one quotient of identical longs, rounded 4dp. */
   def containmentPairs(s: SparkSession, dir: String, maxDf: Int = 20,
       tau: Double = 0.5): DataFrame = {
-    val sh = shingleRows(Tables.documents(s, dir), 3)
-      .distinct()
-      .ckpt // consumers: df filter, sizes, join
+    // the distinct shingle set is the pinned shared frame (memo) — the
+    // df filter, sizes and join sides all read it without re-shingling
+    val sh = gram3M(s, dir)
     val dfq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val p = sh.join(dfq.select(col("g")), Seq("g"))
@@ -1900,7 +2026,7 @@ object TextQueries {
     * stays a handful of key-partitioned passes over the corpus. */
   def curationDecision(s: SparkSession, dir: String,
       targetBound: Int = 20): DataFrame = {
-    val g = gopherVerdictsOf(Tables.documents(s, dir))
+    val g = gopherM(s, dir)
       .select(col("doc_id"), col("keep").as("g_keep"))
     val c = Classifier.classify(s, dir)
       .select(col("doc_id"),
@@ -2008,12 +2134,9 @@ object TextQueries {
     * component-count-sized size aggregate and a component-keyed join
     * that reuses the clustering's own partitioning. */
   def softDedupWeights(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val sh = shingleRows(docs, 3).distinct().ckpt
-    val edges = verifiedNearDupEdges(sh)
-      .select(col("id1").as("src"), col("id2").as("dst"))
-    val comp = Dedup.connectedComponents(edges, docs.select(col("doc_id").as("id")))
-      .select(col("id").as("doc_id"), col("component"))
+    // the clustering is the SAME pinned frame q131 derives (memo) — this
+    // query's own work is the size aggregate and the weight projection
+    val comp = dedupComponentsM(s, dir)
     val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
     comp.join(sizes, Seq("component"))
       .select(col("doc_id"), col("component"), col("csize"),
@@ -2047,11 +2170,8 @@ object TextQueries {
     * themselves. */
   def qualityAwareDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val sh = shingleRows(docs, 3).distinct().ckpt
-    val edges = verifiedNearDupEdges(sh)
-      .select(col("id1").as("src"), col("id2").as("dst"))
-    val comp = Dedup.connectedComponents(edges, docs.select(col("doc_id").as("id")))
-      .select(col("id").as("doc_id"), col("component"))
+    // clustering from the pinned q131 frame; this query owns the scoring
+    val comp = dedupComponentsM(s, dir)
     val scored = docs
       .withColumn("toks", TextFunctions.tokensOf(
         TextFunctions.normalize(col("text"))))
@@ -2101,8 +2221,10 @@ object TextQueries {
     * against the shingle table. Returns (id1 < id2) verified pairs.
     * `sh` must be the (doc_id, g) DISTINCT shingle frame, checkpointed
     * by the caller (three consumers here). */
-  private def verifiedNearDupEdges(sh: DataFrame, minJ: Double = 0.5): DataFrame = {
-    val cand = minhashCandidatePairs(sh).select(col("id1"), col("id2"))
+  private def verifiedNearDupEdges(s: SparkSession, dir: String,
+      minJ: Double = 0.5): DataFrame = {
+    val sh = gram3M(s, dir)
+    val cand = minhashCandidatePairs(s, dir).select(col("id1"), col("id2"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("id1"), col("g")), Seq("id1"))
@@ -2134,10 +2256,10 @@ object TextQueries {
   def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val sh = shingleRows(docs, 3).distinct().ckpt
-    val pos = verifiedNearDupEdges(sh)
+    // positives are a projection of the PINNED verified-edge frame —
+    // cheap for both consumers (union + anti-join), no further ckpt
+    val pos = verifiedEdgesM(s, dir)
       .select(col("id1").as("a"), col("id2").as("b"))
-      .ckpt
     val h = docs.select(col("doc_id"),
         md5(col("doc_id").cast("string")).as("h"))
       .withColumn("bkt", substring(col("h"), 1, 2))
@@ -2188,9 +2310,9 @@ object TextQueries {
   def splitLeakage(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val sp = docs.select(col("doc_id"), splitOf(col("doc_id")).as("split"))
-    val sh = shingleRows(docs, 3).distinct().ckpt
-    // both directions of each edge feed the union → confirm ONCE
-    val edges = verifiedNearDupEdges(sh).ckpt
+    // the verified edge set is the pinned shared frame (memo) — both
+    // directions derive from it with narrow projections
+    val edges = verifiedEdgesM(s, dir)
     val x = edges.select(col("id1").as("a"), col("id2").as("b"))
       .union(edges.select(col("id2").as("a"), col("id1").as("b")))
       .join(sp.select(col("doc_id").as("a"), col("split").as("sa")), Seq("a"))
@@ -2429,7 +2551,12 @@ object TextQueries {
     * and the per-doc sum, both key-partitioned with map-side partials.
     * Tercile rule (deterministic, tie-stable): t_k = min score with
     * cum·3 ≥ k·total; bucket = head (≤t₁) / middle (≤t₂) / tail. */
-  def perplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+  def perplexityBuckets(s: SparkSession, dir: String): DataFrame =
+    graft.etl.ChainCache.memo(s, dir, "txt_perplexity") {
+      perplexityBucketsImpl(s, dir)
+    }
+
+  private def perplexityBucketsImpl(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
@@ -2520,7 +2647,15 @@ object TextQueries {
     * same pass via conditional sums — no second shuffle), a ≤4096-row
     * weight table broadcast back onto token rows, one doc_id aggregate.
     * The token frame feeds the count and score passes → localCheckpoint. */
-  def dsirWeights(s: SparkSession, dir: String, targetBound: Int = 20): DataFrame = {
+  def dsirWeights(s: SparkSession, dir: String, targetBound: Int = 20): DataFrame =
+    if (targetBound == 20)
+      graft.etl.ChainCache.memo(s, dir, "txt_dsir", "b=20") {
+        dsirWeightsImpl(s, dir, targetBound)
+      }
+    else dsirWeightsImpl(s, dir, targetBound)
+
+  private[graft] def dsirWeightsImpl(s: SparkSession, dir: String,
+      targetBound: Int): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
       .withColumn("b", Classifier.bucketOf(col("tok")))
@@ -3199,8 +3334,10 @@ object TextQueries {
     val ids = docs.select(col("doc_id"),
       (splitOf(col("doc_id")) === "train").cast("int").as("is_base"))
       .ckpt
-    val sh = shingleRows(docs, 3).distinct().ckpt
-    val edges = verifiedNearDupEdges(sh)
+    // the expensive stages (shingling, candidates, verification) are the
+    // PINNED shared edge frame (memo); only the base/delta annotation
+    // and the two CC runs are this query's own work
+    val edges = verifiedEdgesM(s, dir)
       .select(col("id1").as("src"), col("id2").as("dst"))
       .join(ids.select(col("doc_id").as("src"), col("is_base").as("ba")),
         Seq("src"))
@@ -3420,13 +3557,9 @@ object TextQueries {
     * window-enumeration oracle. */
   def winnowPairs(s: SparkSession, dir: String, k: Int = 16, w: Int = 6,
       dfCap: Int = 20, minShared: Int = 3, minOverlap: Double = 0.2): DataFrame = {
-    val fps = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(graft.functions.WinnowExpr.winnowOf(
-          TextFunctions.normalize(col("text")), k, w)).as("f"))
-      .select(col("doc_id"), col("f.h").as("h"))
-      .distinct()
-      .ckpt // consumers: fc, df, both pair sides
+    // consumers: fc, df, both pair sides — and q295's winnow audit arm
+    // reads the SAME frame, so it is session-pinned (d19 memo)
+    val fps = winnowFpsM(s, dir, k, w)
     val fc = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
     val rareH = fps.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select(col("h"))

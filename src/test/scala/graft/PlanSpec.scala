@@ -101,7 +101,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q157: the bucket weight table broadcasts back onto token rows") {
-    val p = plan("q157_dsir_weights")
+    // the registered query serves the session-pinned frame (d19 memo),
+    // whose plan is a checkpoint scan — assert the BUILD plan, which is
+    // what production executes once per corpus
+    val p = text.TextQueries.dsirWeightsImpl(spark, TestSpark.sfDir, 20)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("Expand"), p)
   }

@@ -18,7 +18,7 @@ object ExplainProbe {
     qs.foreach { q =>
       println(s"===== $q =====")
       println(graft.SparkEntry.queries(q)(sp, dir).queryExecution
-        .explainString(org.apache.spark.sql.execution.SimpleMode))
+        .explainString(org.apache.spark.sql.execution.FormattedMode))
     }
     sp.stop()
   }
