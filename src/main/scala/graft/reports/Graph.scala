@@ -126,15 +126,21 @@ object Graph {
       .select(col("src").as("node"), col("deg"))
       .ckpt
     var ranks = deg.withColumn("rank", lit(1000000L))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edges.join(broadcast(ranks), edges("src") === ranks("node"))
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
         .select(col("dst").as("node"),
           (lit(150000L) + expr("85 * sc div 100")).as("rank"))
-      // re-attach the static degree for the next superstep's broadcast;
-      // per-step checkpoint keeps lineage flat at any iteration count
-      ranks = deg.join(contrib, Seq("node")).ckpt
+      // re-attach the static degree for the next superstep's broadcast.
+      // d19: each rank frame is consumed exactly ONCE (the next
+      // superstep's broadcast, or the final top-k), so no re-execution
+      // multiplier exists and the per-step checkpoint was pure per-job
+      // floor at a fixed small iteration count — checkpoint on a
+      // CADENCE instead (every 4th superstep) so lineage stays bounded
+      // at any iteration count while a 3-step run plans as one job
+      val next = deg.join(contrib, Seq("node"))
+      ranks = if (i % 4 == 0) next.ckpt else next
     }
     val top = ranks
       .orderBy(col("rank").desc, col("node"))
@@ -406,13 +412,18 @@ object Graph {
     val edges = cp(supportEdges(s, dir, minSupport))
     var labels = cp(edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab")))
-    for (_ <- 1 to rounds) {
-      labels = cp(edges
+    for (r <- 1 to rounds) {
+      // d19: each round's label frame is consumed exactly once (the
+      // next round's broadcast) — checkpoint on a cadence (every 4th
+      // round) like q152: lineage stays bounded at any round count,
+      // a 3-round run plans as one job
+      val next = edges
         .join(broadcast(labels), edges("src") === labels("node"))
         .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
-        .select(col("dst").as("node"), (-col("m.nl")).as("lab")))
+        .select(col("dst").as("node"), (-col("m.nl")).as("lab"))
+      labels = if (r % 4 == 0) cp(next) else next
     }
     labels.groupBy(col("lab")).agg(count(lit(1)).as("n_members"))
       .orderBy(col("n_members").desc, col("lab"))
