@@ -3,7 +3,6 @@ package graft.etl
 import graft.{Q, Tables}
 import graft.functions.Conversions
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.8 composed import-pipeline capstone (q283, round-15 verdict item 3)
@@ -159,11 +158,13 @@ object ImportCapstone {
     val part = Tables.part(s, dir)
     // 1. stage + read back through the extension dispatcher (S3)
     val raw = Tabular.fromFile(s, stageBatchCsv(s, dir), CsvConfig())
-    // 2. column mapping: renames + Name[de] → name_map
-    val mapped = ColumnMap(raw, ColumnMapping(renames = Map(
+    // 2. column mapping: renames + Name[de] → name_map. Pinned: the
+    // error channel, the segment pass's range sampling AND its shuffle
+    // each re-read the staged CSV unpinned (3 scans → 1)
+    val mapped = graft.Ckpt(ColumnMap(raw, ColumnMapping(renames = Map(
       "Id" -> "p_partkey", "Name" -> "p_name", "Price" -> "p_retailprice",
       "ImageUrl" -> "image_url", "SrcOrder" -> "__src_order")))
-      .withColumn("__row_key", coalesce(col("p_partkey"), col("p_name")))
+      .withColumn("__row_key", coalesce(col("p_partkey"), col("p_name"))))
     // 3. conversions + error side-channel (one scan feeds both)
     val convs = Seq(
       ImportErrors.Conv("p_partkey", _.try_cast("long"), "long"),
@@ -185,40 +186,44 @@ object ImportCapstone {
       .join(newEnt, resolved("p_name") === col("__new_name"), "left")
       .withColumn("entity",
         coalesce(col(Upsert.ResolvedCol), col("__new_ent")))
-    val wLast = Window.partitionBy(col("entity")).orderBy(col("__src_order").desc)
-    // 6. related-entity pass 1: localized names (last non-null per entity
-    // — each row's localized value lands even when a later row wins the
-    // product row itself), nested per product via nestChildren
-    val locProps = withEnt
       .withColumn("locale_value", element_at(col("name_map"), "de"))
-      .filter(col("locale_value").isNotNull)
-      .withColumn("__rn", row_number().over(wLast)).filter(col("__rn") === 1)
-      .select(col("entity").as("loc_entity"), lit("Name").as("locale_key"),
-        lit("de").as("language"), col("locale_value"))
-    // 7. related-entity pass 2: download-staged media, content-deduped
-    val lastUrl = withEnt.filter(col("image_url").isNotNull)
-      .withColumn("__rn", row_number().over(wLast)).filter(col("__rn") === 1)
-      .select(col("entity").as("m_entity"), col("image_url"))
-    val media = lastUrl.join(broadcast(mediaKeyMap(s, dir)), "image_url")
-      .select(col("m_entity"), col("media_key"))
-    // 8. error counts + arrival segment per entity
+    // 6-8. the three per-entity passes — related-entity pass 1 (last
+    // non-null localized name: each row's localized value lands even
+    // when a later row wins the product row itself), pass 2 (last
+    // non-null media url, content-deduped through the download-staged
+    // key map) and the error/arrival stats — FUSED into one aggregate
+    // (d20, guide §2.4: same grouping key ⇒ one exchange). The former
+    // shape ran two `row_number` windows plus a groupBy, each with its
+    // own exchange over withEnt; `max_by(v, CASE WHEN v IS NOT NULL
+    // THEN __src_order END)` is the windows' last-non-null-by-src-order
+    // semantics as a map-side-partial aggregate (null ordering keys are
+    // skipped, all-null groups yield null).
     val errCnt = errors.groupBy(col("row_key"))
       .agg(count(lit(1)).as("__n_err"))
-    val entStats = withEnt
+    val entAgg = withEnt
       .join(errCnt, withEnt("__row_key") === errCnt("row_key"), "left")
       .groupBy(col("entity"))
-      .agg(min(col("segment_index")).as("arrival_segment"),
+      .agg(
+        max_by(col("locale_value"),
+          when(col("locale_value").isNotNull, col("__src_order")))
+          .as("name_de"),
+        max_by(col("image_url"),
+          when(col("image_url").isNotNull, col("__src_order")))
+          .as("image_url"),
+        min(col("segment_index")).as("arrival_segment"),
         sum(coalesce(col("__n_err"), lit(0L))).as("n_errors"))
-    // 9. assemble: touched products only, localized names nested then
-    // flattened to the one 'de' Name value
-    val touched = merged.join(entStats, merged("p_partkey") === col("entity"))
+    val media = entAgg.filter(col("image_url").isNotNull)
+      .select(col("entity").as("m_entity"), col("image_url"))
+      .join(broadcast(mediaKeyMap(s, dir)), "image_url")
+      .select(col("m_entity"), col("media_key"))
+    // 9. assemble: touched products only. The localized pass produces at
+    // most one ('de', 'Name') child per product, so the former
+    // nestChildren + filter-the-array + element_at flatten is exactly a
+    // left join on the aggregated name_de (same rows, one less
+    // exchange+join; q291 keeps the nestChildren contract coverage).
+    val touched = merged.join(entAgg, merged("p_partkey") === col("entity"))
       .drop("entity")
-    val nested = ExportPipeline.nestChildren(
-      touched, locProps, "p_partkey", "loc_entity", "localized")
-    nested
-      .withColumn("name_de", element_at(expr(
-        "filter(localized, x -> x.language = 'de' AND x.locale_key = 'Name')"),
-        1)("locale_value"))
+    touched
       .join(media, col("p_partkey") === col("m_entity"), "left")
       .select(col("p_partkey"), col("p_name"), col("p_size"),
         col("p_retailprice").cast("double").as("p_retailprice"),

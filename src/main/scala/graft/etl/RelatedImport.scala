@@ -120,8 +120,11 @@ object RelatedImport {
 
   private def tierPriceImportImpl(s: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(s, dir)
-    val snapshot = tierSnapshot(part)
-      .withColumn("__src_order", lit(null).cast("long"))
+    // pin the derived snapshot: it feeds the resolve index, the merge's
+    // surrogate-max read and the full-outer merge join — unpinned, the
+    // explode re-derives per consumer (3 subtree re-executions)
+    val snapshot = graft.Ckpt(tierSnapshot(part)
+      .withColumn("__src_order", lit(null).cast("long")))
     val raw = Tabular.fromFile(s, stageTierSheet(s, dir), CsvConfig())
     val typed = ColumnMap(raw, ColumnMapping(renames = Map(
       "Id" -> "tp_id", "ProductId" -> "product_id", "ProductSku" -> "sku",
@@ -146,7 +149,9 @@ object RelatedImport {
       keyPriority = Seq("tp_id", "__src_order"),
       requiredForInsert = Some("product_id"),
       incomingOrder = Seq("__src_order"))
-    val resolved = Upsert.resolve(snapshot, withPid, cfg)
+    // pin resolved: merge reads it through both the insert and the
+    // update branch (2 executions of the sheet ⋈ sku-index chain unpinned)
+    val resolved = graft.Ckpt(Upsert.resolve(snapshot, withPid, cfg))
     val merged = Upsert.merge(snapshot, resolved, cfg)
     merged.filter(col("__src_order").isNotNull) // touched rows only
       .crossJoin(broadcast(skipped))
@@ -264,8 +269,9 @@ object RelatedImport {
 
   private def attrValueImportImpl(s: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(s, dir)
-    val snapshot = avSnapshot(part)
-      .withColumn("__src_order", lit(null).cast("long"))
+    // pinned for the same 3 consumers as the tier snapshot above
+    val snapshot = graft.Ckpt(avSnapshot(part)
+      .withColumn("__src_order", lit(null).cast("long")))
     val raw = Tabular.fromFile(s, stageAvSheet(s, dir), CsvConfig())
     val typed = ColumnMap(raw, ColumnMapping(renames = Map(
       "Id" -> "av_id", "ProductVariantAttributeId" -> "pva_id",
@@ -288,7 +294,8 @@ object RelatedImport {
       keyPriority = Seq("av_id", "__src_order"),
       requiredForInsert = Some("__insert_ok"),
       incomingOrder = Seq("__src_order"))
-    val resolved = Upsert.resolve(snapshot, typed, cfg)
+    // pinned: merge's insert/update branches both read it
+    val resolved = graft.Ckpt(Upsert.resolve(snapshot, typed, cfg))
     val merged = Upsert.merge(snapshot, resolved, cfg)
     merged.filter(col("__src_order").isNotNull)
       .crossJoin(broadcast(skipped))
@@ -412,8 +419,10 @@ object RelatedImport {
     ChainCache.memo(s, dir, "q289_combo")(comboImportImpl(s, dir))
 
   private def comboImportImpl(s: SparkSession, dir: String): DataFrame = {
-    val snapshot = comboSnapshot(s, dir)
-      .withColumn("__src_order", lit(null).cast("long"))
+    // pinned: 4 resolve key indexes + merge's surrogate-max and
+    // full-outer join all read the combos explode
+    val snapshot = graft.Ckpt(comboSnapshot(s, dir)
+      .withColumn("__src_order", lit(null).cast("long")))
     val raw = Tabular.fromFile(s, stageComboSheet(s, dir), CsvConfig())
     val typed = ColumnMap(raw, ColumnMapping(renames = Map(
       "Id" -> "combo_id", "Sku" -> "sku", "Gtin" -> "gtin", "Mpn" -> "mpn",

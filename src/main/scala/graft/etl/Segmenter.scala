@@ -18,21 +18,35 @@ import org.apache.spark.sql.functions._
 object Segmenter {
 
   /** Attach a 0-based `posCol` numbering rows in their CURRENT partition
-    * order (partition 0 first): zipWithIndex counts rows per partition,
-    * prefix-sums the |partitions| offsets on the driver, and assigns
-    * offset + local index — fully distributed, no window, no
-    * single-partition exchange. The frame is pinned (`Ckpt`) because
-    * zipWithIndex runs a count job before the data job. */
+    * order (partition 0 first): one count pass groups rows by
+    * `spark_partition_id`, the |partitions| counts prefix-sum on the
+    * driver, and each row's position is its partition's offset plus the
+    * partition-local index — fully distributed, no window, no
+    * single-partition exchange. The frame is pinned (`Ckpt`) first
+    * because the count pass and the data pass must see the same
+    * row-to-partition layout (a recomputed range shuffle can re-sample
+    * different bounds).
+    *
+    * The local index is decoded from `monotonically_increasing_id()`
+    * (= partitionId·2³³ + within-partition counter, evaluated directly
+    * on the pinned scan), so the whole position projection stays inside
+    * whole-stage codegen — the former `rdd.zipWithIndex` round trip
+    * de/re-encoded every row through Row objects and planted a plan
+    * barrier that blocked codegen for every downstream consumer. A
+    * partition would need 2³³ (≈8.6 B) rows to overflow the local
+    * counter; such a partition (≳ hundreds of GB) is far past every
+    * other per-partition limit in Spark. */
   private[graft] def zipPosition(df: DataFrame, posCol: String): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val pinned = graft.Ckpt(df)
-    val schema = StructType(pinned.schema.fields :+
-      StructField(posCol, LongType, nullable = false))
-    pinned.sparkSession.createDataFrame(
-      pinned.rdd.zipWithIndex().map { case (r, i) =>
-        Row.fromSeq(r.toSeq :+ i) },
-      schema)
+    val counts = pinned.groupBy(spark_partition_id().as("__pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = new Array[Long](
+      counts.lastOption.map(_._1 + 1).getOrElse(0))
+    var acc = 0L
+    counts.foreach { case (pid, n) => offsets(pid) = acc; acc += n }
+    pinned.withColumn(posCol,
+      element_at(typedLit(offsets.toSeq), spark_partition_id() + 1) +
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
   }
 
   /** Attach a 0-based `posCol` in `orderBy` order (a TOTAL order for

@@ -63,33 +63,46 @@ object Upsert {
   val IsNewCol = "__is_new"
 
   /** Step 1+2: attach the resolved snapshot surrogate to each incoming row
-    * (null where no key matched ⇒ insert candidate). */
+    * (null where no key matched ⇒ insert candidate).
+    *
+    * Shape (d20 optimization): ONE flat chain of left equi-joins — one
+    * per key field — with the priority cascade expressed as
+    * `coalesce(hit₁, hit₂, …)`. The former hit/miss filter-and-union
+    * cascade re-executed the whole incoming chain once per union BRANCH
+    * (key k's branch re-ran joins 1..k−1: quadratic re-execution in the
+    * key count — q289's 4-key cascade scanned its sheet 5×), where the
+    * flat form streams every incoming row ONCE through k broadcast-hash
+    * probes. Identical semantics: a row resolved by key i has hitᵢ
+    * non-null and coalesce picks the first (= highest-priority) hit;
+    * rows with all-null hits are the insert candidates, exactly the old
+    * miss branch. Each key index is deduped to the first match by
+    * (tiebreak, surrogate) via a map-side-partial `min_by` aggregate
+    * instead of the former row_number window (same lexicographic
+    * minimum — struct ordering — without the full sort, guide §2.3). */
   def resolve(snapshot: DataFrame, incoming: DataFrame, cfg: Config): DataFrame = {
-    val tb = (cfg.tiebreak :+ cfg.surrogate).map(col)
-    var acc: DataFrame = null
-    var unresolved = incoming
-    for (key <- cfg.keyPriority if unresolved != null) {
-      if (incoming.columns.contains(key)) {
+    val tb = struct((cfg.tiebreak :+ cfg.surrogate).map(col): _*)
+    val keys = cfg.keyPriority.filter(incoming.columns.contains)
+    if (keys.isEmpty) {
+      incoming.withColumn(ResolvedCol, lit(null).cast("long"))
+        .withColumn(IsNewCol, col(ResolvedCol).isNull)
+    } else {
+      var out = incoming
+      keys.zipWithIndex.foreach { case (key, i) =>
         // snapshot key index: first match by tiebreak order per key value
-        val indexCols = (Seq(key, cfg.surrogate) ++ cfg.tiebreak).distinct.map(col)
         val index = snapshot
           .filter(col(key).isNotNull)
-          .select(indexCols: _*)
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(col(key)).orderBy(tb: _*)))
-          .filter(col("__rn") === 1)
-          .select(col(key).as("__k"), col(cfg.surrogate).as(ResolvedCol))
-        val joined = unresolved.join(index,
-          unresolved(key).isNotNull && unresolved(key) === col("__k"), "left")
-          .drop("__k")
-        val hit = joined.filter(col(ResolvedCol).isNotNull)
-        acc = if (acc == null) hit else acc.unionByName(hit)
-        unresolved = joined.filter(col(ResolvedCol).isNull).drop(ResolvedCol)
+          .groupBy(col(key).as(s"__gr_k$i"))
+          .agg(min_by(col(cfg.surrogate), tb).as(s"__gr_r$i"))
+        out = out.join(index,
+          out(key).isNotNull && out(key) === col(s"__gr_k$i"), "left")
+          .drop(s"__gr_k$i")
       }
+      out
+        .withColumn(ResolvedCol,
+          coalesce(keys.indices.map(i => col(s"__gr_r$i")): _*))
+        .drop(keys.indices.map(i => s"__gr_r$i"): _*)
+        .withColumn(IsNewCol, col(ResolvedCol).isNull)
     }
-    val misses = unresolved.withColumn(ResolvedCol, lit(null).cast("long"))
-    val all = if (acc == null) misses else acc.unionByName(misses)
-    all.withColumn(IsNewCol, col(ResolvedCol).isNull)
   }
 
   /** Step 3+4: merge resolved incoming rows into the snapshot. Incoming

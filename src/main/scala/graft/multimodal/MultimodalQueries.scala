@@ -202,8 +202,7 @@ object MultimodalQueries {
         .select(col("media_id"), col("h0"), col("h1"),
           col("b.bi").as("bi"), col("b.bv").as("bv"))
     }
-    val pairs = graft.etl.ChainCache.memo(s, dir, "mm_ahash_pairs",
-        s"cap=$cap") {
+    def buildPairs = {
       val ok = bands.groupBy(col("bi"), col("bv"))
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") <= cap).select("bi", "bv")
@@ -218,6 +217,14 @@ object MultimodalQueries {
           expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1)").as("ham"))
         .distinct()
     }
+    // memoize only the registered default cap — a non-default cap builds
+    // an unpinned frame instead of tripping the memo's tag guard
+    // (the winnowFpsM pattern; ADVICE r19)
+    val pairs =
+      if (cap == 64)
+        graft.etl.ChainCache.memo(s, dir, "mm_ahash_pairs",
+          s"cap=$cap")(buildPairs)
+      else buildPairs.ckpt
     (bands, pairs)
   }
 
@@ -260,9 +267,8 @@ object MultimodalQueries {
   /** The q263 clustering WITHOUT the decision projection/sort — the
     * (media_id, component) frame the q267 pair-level decision joins. */
   private[graft] def imageDedupComponents(s: SparkSession, dir: String,
-      cap: Int = 64): DataFrame =
-    graft.etl.ChainCache.memo(s, dir, "mm_img_components",
-        s"cap=$cap,ham6") {
+      cap: Int = 64): DataFrame = {
+    def build = {
       val (_, pairs) = aHashPairs(s, dir, cap)
       val edges = pairs.filter(col("ham") <= 6)
         .select(col("ida").as("src"), col("idb").as("dst"))
@@ -270,6 +276,14 @@ object MultimodalQueries {
       graft.text.Dedup.connectedComponents(edges, ids)
         .select(col("id").as("media_id"), col("component"))
     }
+    // memoize only the registered default cap (winnowFpsM pattern;
+    // ADVICE r19) — a non-default cap builds unpinned rather than
+    // tripping the tag guard; CC already ckpts its own output
+    if (cap == 64)
+      graft.etl.ChainCache.memo(s, dir, "mm_img_components",
+        s"cap=$cap,ham6")(build)
+    else build
+  }
 
   /** Cross-modal PAIR dedup decision (q267) — the curation call a
     * (text, image) training-pair corpus actually needs: a pair

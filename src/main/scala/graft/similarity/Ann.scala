@@ -434,39 +434,66 @@ object Ann {
     * encode with cent_id tiebreak, fixed summation order in the ADC
     * add), so the full train→encode→search run is value-checkable in
     * SQL. */
-  /** Per-subspace (codes, LUT) pairs: codes = (\_\_vid, \_\_code) from the
-    * fresh argmax encode against the final codebook (the ivfAssign
-    * shape: map-side max_by, one pre-reduced shuffle row per vector);
-    * LUT = (query_id, \_\_code, \_\_d) query·codeword dots (|Q|·k rows,
-    * broadcast-sized by construction). */
-  private def pqParts(vectors: DataFrame, queries: DataFrame, idCol: String,
+  /** Fresh PQ encode + query LUTs. `codes` carries ALL m subspace codes
+    * per vector — (\_\_vid, \_\_c0 … \_\_c(m−1)) — from ONE corpus pass: the
+    * m k-row codebooks union with a subspace tag, each vector fans out
+    * over the m·k tagged codewords through ONE broadcast, and a single
+    * per-vector aggregate takes the per-subspace argmax via conditional
+    * `max_by` (null ordering keys are skipped, so subspace mi's argmax
+    * sees only subspace mi's rows). The former per-subspace shape ran m
+    * separate encode passes (m broadcasts + m per-vector aggregates)
+    * and re-joined the m code frames on \_\_vid — m−1 extra corpus
+    * shuffles the fused pass removes (guide §2.4); candidate-row volume
+    * is the same m·k per vector either way. Values are identical: the
+    * rounded-cosine argmax with cent_id tiebreak per subspace, the
+    * ivfAssign discipline. LUTs stay per-subspace: (query_id, \_\_code,
+    * \_\_d) query·codeword dots (|Q|·k rows, broadcast-sized by
+    * construction). */
+  private def pqEncoded(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, m: Int, k: Int, iters: Int,
-      memo: BookMemo = freshBooks): Seq[(DataFrame, DataFrame)] = {
+      memo: BookMemo = freshBooks): (DataFrame, Seq[DataFrame]) = {
     require(m > 0 && dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
-    (0 until m).map { mi =>
+    val books = (0 until m).map { mi =>
       val sv = vectors.select(col(idCol).as("__vid"),
         slice(col(vecCol), mi * sub + 1, sub).as("__sv"))
-      val book = memo(s"sim_pq_book_m${m}_k${k}_i${iters}_s$mi",
+      memo(s"sim_pq_book_m${m}_k${k}_i${iters}_s$mi",
           s"k=$k,iters=$iters,pruned=false",
           () => kmeansTrain(sv, "__vid", "__sv", k, iters))
         // re-annotate the ≤k bound: a Ckpt-backed memo erases maxRows,
         // and PlanAudit proves the broadcast joins bounded from it
         .limit(k)
         .select(col("cent_id"), col("centroid").as("__cv"))
-      val codes = sv.join(broadcast(book))
-        .withColumn("__cc", round(cosine(col("__sv"), col("__cv")), 4))
-        .groupBy(col("__vid"))
-        .agg(max_by(col("cent_id"),
-          struct(col("__cc"), (-col("cent_id")).as("__nc"))).as("__code"))
-      val lut = queries
+    }
+    val tagged = books.zipWithIndex.map { case (b, mi) =>
+      b.select(lit(mi).as("__mi"), col("cent_id"), col("__cv"))
+    }.reduce(_ unionByName _)
+    // pre-slice the m subvectors ONCE per vector (bound before the
+    // broadcast fan-out, so the slice work is per vector, not per
+    // candidate row); element_at picks the tagged row's subspace
+    val sliced = vectors.select(col(idCol).as("__vid"),
+      array((0 until m).map(mi =>
+        slice(col(vecCol), mi * sub + 1, sub)): _*).as("__subs"))
+    val codes = sliced.join(broadcast(tagged))
+      .withColumn("__cc", round(
+        cosine(element_at(col("__subs"), col("__mi") + 1), col("__cv")), 4))
+      .groupBy(col("__vid"))
+      .agg(
+        max_by(col("cent_id"), when(col("__mi") === 0,
+          struct(col("__cc"), (-col("cent_id")).as("__nc")))).as("__c0"),
+        (1 until m).map { mi =>
+          max_by(col("cent_id"), when(col("__mi") === mi,
+            struct(col("__cc"), (-col("cent_id")).as("__nc")))).as(s"__c$mi")
+        }: _*)
+    val luts = books.zipWithIndex.map { case (book, mi) =>
+      queries
         .select(col(idCol).as("query_id"),
           slice(col(vecCol), mi * sub + 1, sub).cast("array<double>").as("__qs"))
         .crossJoin(broadcast(book))
         .select(col("query_id"), col("cent_id").as("__code"),
           dot(col("__qs"), col("__cv")).as("__d"))
-      (codes, lut)
     }
+    (codes, luts)
   }
 
   private def pqTail(scored: DataFrame, m: Int, topk: Int): DataFrame = {
@@ -484,13 +511,17 @@ object Ann {
   def pqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, m: Int = 2, k: Int = 4, iters: Int = 2,
       topk: Int = 10, memo: BookMemo = freshBooks): DataFrame = {
-    val parts = pqParts(vectors, queries, idCol, vecCol, dim, m, k, iters,
-      memo)
-      .zipWithIndex.map { case ((codes, lut), mi) =>
-        codes.join(broadcast(lut), Seq("__code"))
-          .select(col("__vid"), col("query_id"), col("__d").as(s"__d$mi"))
-      }
-    pqTail(parts.reduce((a, b) => a.join(b, Seq("__vid", "query_id"))), m, topk)
+    // every (vector, query) pair scores through the m broadcast LUTs on
+    // the ONE fused codes frame — the former per-subspace (codes ⋈ LUT)
+    // frames re-joined on (__vid, query_id) are gone with their shuffles
+    val (codes, luts) = pqEncoded(vectors, queries, idCol, vecCol, dim, m,
+      k, iters, memo)
+    val scored = luts.zipWithIndex.foldLeft(codes) { case (acc, (lut, mi)) =>
+      acc.join(broadcast(lut.select(col("query_id"),
+          col("__code").as(s"__c$mi"), col("__d").as(s"__d$mi"))),
+        if (mi == 0) Seq(s"__c$mi") else Seq("query_id", s"__c$mi"))
+    }
+    pqTail(scored, m, topk)
   }
 
   /** IVF-PQ (q156) — the FAISS IVFPQ composition (by_residual=false):
@@ -530,15 +561,16 @@ object Ann {
       .select(col("query_id"), col("cent_id").as("__cell"))
     val cand = cells.join(broadcast(qcells), Seq("__cell"))
       .select(col("__vid"), col("query_id"))
-    val parts = pqParts(vectors, queries, idCol, vecCol, dim, m, k, iters,
-      memo)
-    val scored = parts.zipWithIndex.foldLeft(cand) {
-      case (acc, ((codes, lut), mi)) =>
-        acc.join(codes.withColumnRenamed("__code", s"__c$mi"), Seq("__vid"))
-          .join(broadcast(lut
+    // ONE join attaches all m codes to the candidate slice (the fused
+    // pqEncoded frame), then the m broadcast LUT probes score it
+    val (codes, luts) = pqEncoded(vectors, queries, idCol, vecCol, dim, m,
+      k, iters, memo)
+    val scored = luts.zipWithIndex.foldLeft(cand.join(codes, Seq("__vid"))) {
+      case (acc, (lut, mi)) =>
+        acc.join(broadcast(lut
             .select(col("query_id"), col("__code").as(s"__c$mi"),
               col("__d").as(s"__d$mi"))),
-            Seq("query_id", s"__c$mi"))
+          Seq("query_id", s"__c$mi"))
     }
     pqTail(scored, m, topk)
   }

@@ -387,7 +387,14 @@ object TextQueries {
     // shared frame; tighter thresholds (q84's 0.8) filter the pinned
     // PAIR frame on its rounded jaccard — identical values to scoring
     // at the tighter threshold directly — and cluster the (smaller)
-    // edge set themselves
+    // edge set themselves. Thresholds BELOW the pinned 0.3 base would
+    // silently under-report (the pinned pair frame has no edges in
+    // [minJaccard, 0.3)) — fail loudly instead, matching the q275/q277
+    // guards (ADVICE r19).
+    require(minJaccard >= 0.3,
+      "nearDupClusters thresholds below the pinned 0.3 base would drop " +
+        "pairs in [minJaccard, 0.3); compute Dedup.jaccardPairs directly " +
+        "for looser thresholds")
     val comp =
       if (minJaccard == 0.3) auditComponentsM(s, dir)
       else Dedup.connectedComponents(
