@@ -7,6 +7,14 @@ object Bench {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // NOTE (d20, measured): session-wide AQE size-based coalescing
+      // (coalescePartitions.parallelismFirst=false + a small advisory)
+      // was A/B-tested here and REJECTED — it merged the near-empty
+      // shuffles of sheet-sized frames (q283-family −25%) but serialized
+      // CPU-dense small-BYTE stages (q152 PageRank +4.5 s, q144 k-means
+      // +4.3 s: the byte heuristic cannot see per-row compute), netting
+      // +6% on the full suite. Partition-by-WORK fixes are applied at
+      // the operators instead (Multimodal.workPartitions et al).
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -99,10 +107,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
+    // Σ warm medians for ALL queries (memoized owners included at their
+    // warm serve time): the steady-state suite number that stays
+    // comparable across rounds — `value` charges owners at cold (incl.
+    // materialization), which made round-over-round reads of the
+    // headline structurally confounded (verdict d19 item 6). Additive
+    // field only; `value` semantics unchanged.
+    val warmTotal = passes.head.map(_._1).map { name =>
+      val ts = passes.map(_.find(_._1 == name).get._2).sorted
+      ts(ts.size / 2)
+    }.sum
     val passTotals = passes.map(_.map(_._2).sum).map(t => f"$t%.2f").mkString("[", ",", "]")
     // verbose line first (full query names, methodology) for humans reading
     // the whole log…
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":$coldTotal,"stage_sec":$stageSec,"pass_totals_sec":$passTotals,"methodology":"per-query full physical-plan execution (queryExecution.toRdd.count) at local[$cpus]; one-time order-preserving row-group layout staging (stage_sec, excluded from query times; spark.graft.bench.stageLayout=false reverts), one untimed warmup pass (codegen/JIT), then three measured passes, per-query median reported (ChainCache-memoized chain queries report their cold first-in-session time instead: warm passes only scan the pinned frame); first post-warmup pass total in cold_total_sec"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":$coldTotal,"warm_total_sec":$warmTotal,"stage_sec":$stageSec,"pass_totals_sec":$passTotals,"methodology":"per-query full physical-plan execution (queryExecution.toRdd.count) at local[$cpus]; one-time order-preserving row-group layout staging (stage_sec, excluded from query times; spark.graft.bench.stageLayout=false reverts), one untimed warmup pass (codegen/JIT), then three measured passes, per-query median reported (ChainCache-memoized chain queries report their cold first-in-session time instead: warm passes only scan the pinned frame); first post-warmup pass total in cold_total_sec"}""")
     // …and the COMPLETE compact per-query dict to a FILE (the driver's
     // stdout tail keeps only ~2000 chars — 261 entries × ~13 chars never
     // fit, which left BENCH_rN.json unparseable; the file always has all
@@ -118,7 +136,7 @@ object Bench {
     // them against pre-memo rounds as if the semantics were unchanged
     val memoConsumersJson = Registry.memoConsumerNames.toSeq.sorted
       .map("\"" + _.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
-    val fullLine = f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","cold":$coldTotal%.2f,"stage":$stageSec%.2f,"passes":$passTotals,"failed":$failedJson,"memo_consumers":$memoConsumersJson,"method":"toRdd.count median-of-3 after warmup; memoized owners report cold time; memo_consumers' warm medians exclude memoized upstream work","queries":${qsShortAll.mkString("{", ",", "}")}}"""
+    val fullLine = f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","cold":$coldTotal%.2f,"warm":$warmTotal%.2f,"stage":$stageSec%.2f,"passes":$passTotals,"failed":$failedJson,"memo_consumers":$memoConsumersJson,"method":"toRdd.count median-of-3 after warmup; memoized owners report cold time; memo_consumers' warm medians exclude memoized upstream work","queries":${qsShortAll.mkString("{", ",", "}")}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_last_full.json"),
       fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -168,7 +186,7 @@ object Bench {
         math.round(v * 1000) }
     def headlineOf(n: Int): String = {
       val qgz = gz64(entries.take(n).mkString(","))
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","cold":$coldTotal%.2f,"stage":$stageSec%.2f,"passes":$passTotals,"method":"toRdd.count median-of-3 after warmup + one-time layout staging","n_shown":$n,"n_total":${results.size},"controls":$controls,"enc":"queries_gz = base64(gzip('name:millis,...')) cost-ordered; full dict in BENCH_last_full.json","queries_gz":"$qgz"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","cold":$coldTotal%.2f,"warm":$warmTotal%.2f,"stage":$stageSec%.2f,"passes":$passTotals,"method":"toRdd.count median-of-3 after warmup + one-time layout staging","n_shown":$n,"n_total":${results.size},"controls":$controls,"enc":"queries_gz = base64(gzip('name:millis,...')) cost-ordered; full dict in BENCH_last_full.json","queries_gz":"$qgz"}"""
     }
     // largest prefix under budget (gzip length is monotone enough in n;
     // a linear walk from the full set down is simplest and exact)

@@ -184,20 +184,39 @@ object Multimodal {
     * — chosen because a SQL engine can recompute any statistic of the
     * decoded raster directly from (id, x, y) without an image library
     * (PNG is lossless, so decode(encode(raster)) == raster). */
+  /** Partition count for a CPU-bound codec stage, sized by WORK — row
+    * count over `rowsPerTask` — and capped at the cluster parallelism.
+    * The original `repartition(defaultParallelism)` fixed the sf1
+    * starvation cliff (a KB-sized id scan packs to 1 partition and
+    * serializes the chain on one core) but over-corrected at the other
+    * end: the d19 driver bench showed every codec query SLOWER at 32
+    * cores than 8 (ratios 0.32–0.69), because 32 near-empty tasks per
+    * stage cost more in per-task fixed overhead than the ~10 ms of codec
+    * work they parallelize (guide §2: partition by data, not cores).
+    * The count is one metadata-backed aggregate over the id projection —
+    * microseconds next to the codec work it right-sizes — and at real
+    * corpus sizes the count exceeds cpus·rowsPerTask, so the cap keeps
+    * full parallelism exactly where it matters. Floor 2: a codec stage
+    * never plans a SinglePartition exchange (the scale-hostile shape
+    * PlanAudit lints), however small the probe corpus. */
+  private def workPartitions(ids: DataFrame, rowsPerTask: Int = 512): Int = {
+    val par = ids.sparkSession.sparkContext.defaultParallelism.toLong
+    val n = ids.count()
+    math.max(2L, math.min(par, (n + rowsPerTask - 1) / rowsPerTask)).toInt
+  }
+
   def renderPng(df: DataFrame, idCol: String, w: Int = 16,
       h: Int = 16): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
     val enc = Encoders.row(outSchema)
-    // codec stages are CPU-bound, not byte-bound: the id frame packs
-    // into 1-2 scan partitions (KBs of parquet), which would serialize
-    // the whole render+decode chain on one core — spread it across the
-    // cluster first (the shuffle moves 8-byte ids; the codec work it
+    // codec stages are CPU-bound, not byte-bound: spread by WORK (see
+    // workPartitions — the shuffle moves 8-byte ids; the codec work it
     // unlocks is ~ms/row). Caught at sf1: 5.5×+ scaling that was pure
     // parallelism starvation.
-    df.select(col(idCol).cast(LongType).as("media_id"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val ids = df.select(col(idCol).cast(LongType).as("media_id"))
+    ids.repartition(workPartitions(ids))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           if (r.isNullAt(0)) None
@@ -487,10 +506,11 @@ object Multimodal {
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
     val enc = Encoders.row(outSchema)
-    // same CPU-vs-bytes partitioning rule as renderPng: never let a
-    // KB-sized id scan serialize a codec chain on one core
-    df.select(col(idCol).cast(LongType).as("media_id"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // same work-sized partitioning rule as renderPng: never let a
+    // KB-sized id scan serialize a codec chain on one core, never fan
+    // a few thousand rows out to core-count near-empty tasks
+    val ids = df.select(col(idCol).cast(LongType).as("media_id"))
+    ids.repartition(workPartitions(ids))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           if (r.isNullAt(0)) None
@@ -826,9 +846,11 @@ object Multimodal {
       StructField("payload", BinaryType, nullable = true)))
     val enc = Encoders.row(outSchema)
     // partition by WORK, not bytes (q238/q258 lesson): the id frame is
-    // KBs of parquet and would pack the whole codec chain onto one core
-    df.select(col(idCol).cast(LongType).as("media_id"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // KBs of parquet and would pack the whole codec chain onto one core;
+    // work-sized so a few thousand rows don't fan out to core-count
+    // near-empty tasks either (see workPartitions)
+    val ids = df.select(col(idCol).cast(LongType).as("media_id"))
+    ids.repartition(workPartitions(ids))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           if (r.isNullAt(0)) None

@@ -80,6 +80,13 @@ object MultimodalQueries {
     * each (map-side, no shuffle); the stats aggregate is the only
     * exchange and carries 6 longs per image. */
   def imagePixelStats(s: SparkSession, dir: String): DataFrame =
+    // the final range sort SAMPLES its child for partition bounds, so
+    // the render→decode subtree executes twice (ColdProfile d20: two
+    // 10-task codec jobs per query). Pinning the stats frame before the
+    // sort was A/B-tested and REJECTED: the pin's extra job + block
+    // round trip costs more than the ~0.2 s duplicate pass it removes,
+    // and at cold every added job pays fresh codegen (cold pass 14 s →
+    // 38 s across the family). Kept as-is deliberately.
     Multimodal.imagePixelStats(
         Multimodal.renderPng(Tables.documents(s, dir), "doc_id"))
       .orderBy(col("media_id"))

@@ -575,13 +575,37 @@ object Ann {
     pqTail(scored, m, topk)
   }
 
+  /** A ≤k-row frame round-tripped through the driver: same rows, same
+    * schema, zero upstream lineage (LocalRelation). Between Lloyd
+    * iterations this is the MLlib KMeans shape — the k centroids already
+    * cross the driver in every `broadcast(cents)` build; materializing
+    * them once per iteration instead stops the NEXT iteration's plan
+    * from carrying (and under multi-reference, re-executing) the whole
+    * previous-iteration subtree, and turns each iteration into ONE
+    * collect job instead of a broadcast-subtree job cascade (d20
+    * ColdProfile: q144 ran 34 single-task jobs, q153 35). Bounded by
+    * construction: every call site collects a `limit(k)`-annotated
+    * centroid table — k·dim doubles, the same bytes the broadcast
+    * shipped anyway. */
+  private def localized(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   def kmeansTrain(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     val v = vectors.select(col(idCol).as("__vid"),
       col(vecCol).cast("array<double>").as("__v"))
-    var cents = v.orderBy(col("__vid")).limit(k)
-      .select(col("__vid").as("cent_id"), col("__v").as("centroid"))
-    for (_ <- 1 to iters) {
+    // seeds and every INTERMEDIATE centroid table are localized (driver
+    // round trip, values/schema identical); the LAST iteration returns
+    // the distributed frame so the declared output plan/schema is
+    // unchanged. Each iteration = one collect job over (assign + mean
+    // recompute) with a LocalRelation broadcast side — lineage stays
+    // flat at any iteration count with no per-iteration checkpoint.
+    var cents = localized(v.orderBy(col("__vid")).limit(k)
+      .select(col("__vid").as("cent_id"), col("__v").as("centroid")))
+    for (i <- 1 to iters) {
       val assigned = v.join(broadcast(
           cents.select(col("cent_id"), col("centroid").as("__cv"))))
         .withColumn("__cc", round(cosine(col("__v"), col("__cv")), 4))
@@ -589,7 +613,8 @@ object Ann {
         .agg(max_by(struct(col("cent_id"), col("__v").as("__m")),
           struct(col("__cc"), (-col("cent_id")).as("__nc"))).as("__best"))
         .select(col("__best.cent_id").as("cent_id"), col("__best.__m").as("__v"))
-      cents = recomputeMeans(assigned, k)
+      val means = recomputeMeans(assigned, k)
+      cents = if (i == iters) means else localized(means)
     }
     cents
   }
@@ -606,21 +631,25 @@ object Ann {
     val g = math.ceil(math.sqrt(k.toDouble)).toInt
     val v = vectors.select(col(idCol).as("__vid"),
       col(vecCol).cast("array<double>").as("__v"))
-    var cents = v.orderBy(col("__vid")).limit(k)
-      .select(col("__vid").as("cent_id"), col("__v").as("centroid"))
-    for (_ <- 1 to iters) {
+    // every iteration's k-row centroid table is LOCALIZED (driver round
+    // trip — see `localized`): prunedAssign references its `cents`
+    // argument through TWO broadcast subtrees (seeds + grouping), which
+    // re-executed the whole upstream lineage per reference before d19's
+    // per-iteration Ckpt pinned it (sf10: 204 s → 99 s). The
+    // LocalRelation goes further: both references now read k in-memory
+    // rows with NO lineage at all, the pin job disappears, and each
+    // iteration is one collect (d20: q144 34 jobs → 8). The final
+    // iteration still returns the distributed recompute frame, so the
+    // declared output plan/schema is unchanged; maxRows is known for a
+    // LocalRelation, keeping PlanAudit's bounded-broadcast proof.
+    var cents = localized(v.orderBy(col("__vid")).limit(k)
+      .select(col("__vid").as("cent_id"), col("__v").as("centroid")))
+    for (i <- 1 to iters) {
       val assigned = prunedAssign(v, "__vid", "__v",
           cents.select(col("cent_id"), col("centroid").as("__cv")), g)
         .select(col("__cell").as("cent_id"), col("__v"))
-      // pin each iteration's k-row centroid table: prunedAssign
-      // references its `cents` argument through TWO broadcast subtrees
-      // (seeds + grouping), each re-executing the whole upstream
-      // lineage — without the checkpoint, iteration i's plan re-runs
-      // iteration i−1's assignment ~4×, compounding per level (measured
-      // at sf10: 204 s cold → 99 s with this pin and the verdict-side
-      // pin). The limit(k) restores the maxRows annotation Ckpt erases
-      // (PlanAudit's bounded-broadcast proof).
-      cents = graft.Ckpt(recomputeMeans(assigned, k)).limit(k)
+      val means = recomputeMeans(assigned, k)
+      cents = if (i == iters) means else localized(means)
     }
     cents
   }
